@@ -1,0 +1,298 @@
+"""Semantic conformance suite: the reference's golden query/result pairs
+(test/unifydb/query_test.clj) re-expressed in the Python query syntax.
+These define the query language (SURVEY §5)."""
+
+import pytest
+
+from unifydb_spark import Engine, FactStore, Ref
+from unifydb_spark.query.parse import QueryError
+
+SICP_FACTS = [
+    (1, ":name", "Ben Bitdiddle", 0, True),
+    (1, ":job", ["computer", "wizard"], 0, True),
+    (1, ":salary", 60000, 1, True),
+    (2, ":name", "Alyssa P. Hacker", 1, True),
+    (2, ":job", ["computer", "programmer"], 2, True),
+    (2, ":salary", 40000, 2, True),
+    (2, ":supervisor", Ref(1), 2, True),
+    (1, ":address", ["slumerville", ["ridge", "road"], 10], 2, True),
+    (2, ":address", ["cambridge", ["mass", "ave"], 78], 2, True),
+    (2, ":address", ["cambridge", ["mass", "ave"], 78], 3, False),
+    (3, ":address", ["slumerville", ["davis", "square"], 42], 4, True),
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    store = FactStore(spark).seed(SICP_FACTS)
+    return Engine(spark, store)
+
+
+def rows(engine, q, db=None):
+    return sorted(engine.query_rows(q, db), key=lambda t: str(t))
+
+
+# --- simple matching (query_test.clj:11-64) -------------------------------
+
+
+def test_simple_match(engine):
+    q = {"find": ["?e"], "where": [["?e", ":name", "Ben Bitdiddle"]]}
+    assert rows(engine, q) == [(Ref(1),)]
+
+
+def test_nested_value_pattern(engine):
+    q = {"find": ["?e", "?what"], "where": [["?e", ":job", [":computer", "?what"]]]}
+    assert rows(engine, q) == [(Ref(1), "wizard"), (Ref(2), "programmer")]
+
+
+def test_rest_pattern(engine):
+    q = {
+        "find": ["?town", "?road-and-number"],
+        "where": [[1, ":address", ["?town", "&", "?road-and-number"]]],
+    }
+    assert rows(engine, q) == [("slumerville", [["ridge", "road"], 10])]
+
+
+def test_time_travel_pattern(engine):
+    q = {
+        "find": ["?town", "?road-and-number"],
+        "where": [[2, ":address", ["?town", "&", "?road-and-number"]]],
+    }
+    db_tx2 = engine.db(2)
+    assert rows(engine, q, db_tx2) == [("cambridge", [["mass", "ave"], 78])]
+    assert rows(engine, q) == []  # retracted as of latest
+
+
+def test_wildcard_in_seq(engine):
+    q = {"find": ["?e"], "where": [["?e", ":job", [":computer", "_"]]]}
+    assert rows(engine, q) == [(Ref(1),), (Ref(2),)]
+
+
+def test_wildcard_entity(engine):
+    q = {
+        "find": ["?address"],
+        "where": [["_", ":address", [":slumerville", "&", "?address"]]],
+    }
+    assert rows(engine, q) == [
+        ([["davis", "square"], 42],),
+        ([["ridge", "road"], 10],),
+    ]
+
+
+# --- compound queries (query_test.clj:66-112) ------------------------------
+
+
+def test_and(engine):
+    q = {
+        "find": ["?e", "?what"],
+        "where": [
+            ["and", ["?e", ":job", [":computer", "?what"]], ["?e", ":salary", 60000]]
+        ],
+    }
+    assert rows(engine, q) == [(Ref(1), "wizard")]
+    # bare clause lists are implicitly :and-wrapped
+    q2 = {
+        "find": ["?e", "?what"],
+        "where": [["?e", ":job", [":computer", "?what"]], ["?e", ":salary", 60000]],
+    }
+    assert rows(engine, q2) == [(Ref(1), "wizard")]
+
+
+def test_or(engine):
+    q = {
+        "find": ["?e"],
+        "where": [
+            [
+                "or",
+                ["?e", ":job", [":computer", ":wizard"]],
+                ["?e", ":job", [":computer", ":programmer"]],
+            ]
+        ],
+    }
+    assert rows(engine, q) == [(Ref(1),), (Ref(2),)]
+
+
+def test_not(engine):
+    q = {
+        "find": ["?e", "?what"],
+        "where": [
+            [
+                "and",
+                ["?e", ":job", [":computer", "?what"]],
+                ["not", ["?e", ":salary", 60000]],
+            ]
+        ],
+    }
+    assert rows(engine, q) == [(Ref(2), "programmer")]
+
+
+# --- rules (query_test.clj:114-146) ----------------------------------------
+
+
+def test_rules_with_axiom_negation(engine):
+    q = {
+        "find": ["?who"],
+        "where": [("lives-near", "?who", Ref(1))],
+        "rules": [
+            [
+                ("lives-near", "?person1", "?person2"),
+                ["?person1", ":address", ["?town", "&", "_"]],
+                ["?person2", ":address", ["?town", "&", "_"]],
+                ["not", ("same", "?person1", "?person2")],
+            ],
+            [("same", "?x", "?x")],
+        ],
+    }
+    assert rows(engine, q) == [(Ref(3),)]
+
+
+# --- operators / predicates (query_test.clj:178-249) -----------------------
+
+
+def test_predicate_join(engine):
+    q = {
+        "find": ["?e"],
+        "where": [
+            ["?e", ":salary", "?s"],
+            ["?ben", ":name", "Ben Bitdiddle"],
+            ["?ben", ":salary", "?bs"],
+            [("<", "?s", "?bs")],
+        ],
+    }
+    assert rows(engine, q) == [(Ref(2),)]
+
+
+def test_variadic_predicate(engine):
+    q = {
+        "find": ["?e"],
+        "where": [["?e", ":salary", "?s"], [("<", 50000, "?s", 70000)]],
+    }
+    assert rows(engine, q) == [(Ref(1),)]
+
+
+def test_membership_some(engine):
+    q = {
+        "find": ["?e"],
+        "where": [["?e", ":job", "?job"], [("some", {"computer"}, "?job")]],
+    }
+    assert rows(engine, q) == [(Ref(1),), (Ref(2),)]
+
+
+def test_neq(engine):
+    q = {
+        "find": ["?e"],
+        "where": [
+            ["?e", ":job", "?job"],
+            [("some", {"computer"}, "?job")],
+            ["?e", ":name", "?name"],
+            [("!=", "Ben Bitdiddle", "?name")],
+        ],
+    }
+    assert rows(engine, q) == [(Ref(2),)]
+
+
+def test_unbound_variable_error(engine):
+    q = {
+        "find": ["?e"],
+        "where": [["?e", ":job", "?job"], [("some", {"computer"}, "?joob")]],
+    }
+    with pytest.raises(QueryError) as ei:
+        engine.query_rows(q)
+    assert ei.value.code == "unbound-variable"
+    assert ei.value.info.get("variable") == "joob"
+
+
+def test_unknown_predicate_error(engine):
+    q = {"find": ["?e"], "where": [["?e", ":salary", "?s"], [("foo", 50000, "?s")]]}
+    with pytest.raises(QueryError) as ei:
+        engine.query_rows(q)
+    assert ei.value.code == "unknown-predicate"
+    assert ei.value.info.get("predicate") == "foo"
+
+
+# --- parameterization (query_test.clj:251-279) ------------------------------
+
+
+def test_bind(engine):
+    q = {
+        "find": ["?e"],
+        "where": [["?e", ":name", "?name"]],
+        "bind": {"name": "Ben Bitdiddle"},
+    }
+    assert rows(engine, q) == [(Ref(1),)]
+
+
+# --- historical queries (query_test.clj:281-310) ----------------------------
+
+
+@pytest.fixture(scope="module")
+def hist_engine(spark):
+    facts = [
+        (0, ":doc", "First transaction", 0, True),
+        (1, ":address", "78 Mass Ave, Cambridge MA", 0, True),
+        (2, ":doc", "Second transaction", 2, True),
+        (1, ":address", "78 Mass Ave, Cambridge MA", 2, False),
+        (1, ":address", "10 Ridge Road, Slumerville MA", 2, True),
+    ]
+    return Engine(spark, FactStore(spark).seed(facts))
+
+
+def test_historical(hist_engine):
+    q = {
+        "find": ["?tx-id", "?address", "?added", "?doc"],
+        "where": [
+            ["_", ":address", "?address", "?tx-id", "?added"],
+            ["?tx-id", ":doc", "?doc"],
+        ],
+    }
+    got = rows(hist_engine, q, hist_engine.db(historical=True))
+    assert sorted(got) == sorted(
+        [
+            (Ref(2), "78 Mass Ave, Cambridge MA", False, "Second transaction"),
+            (Ref(0), "78 Mass Ave, Cambridge MA", True, "First transaction"),
+            (Ref(2), "10 Ridge Road, Slumerville MA", True, "Second transaction"),
+        ]
+    )
+    got0 = rows(hist_engine, q, hist_engine.db(0, historical=True))
+    assert got0 == [(Ref(0), "78 Mass Ave, Cambridge MA", True, "First transaction")]
+
+
+def test_latest_vs_asof(hist_engine):
+    q = {"find": ["?address"], "where": [[1, ":address", "?address"]]}
+    assert rows(hist_engine, q) == [("10 Ridge Road, Slumerville MA",)]
+    assert rows(hist_engine, q, hist_engine.db(0)) == [
+        ("78 Mass Ave, Cambridge MA",)
+    ]
+
+
+# --- cardinality (query_test.clj:148-176) -----------------------------------
+
+
+def test_cardinality_many(spark):
+    facts = [
+        (1, ":unifydb/schema", "favorite-colors", 0, True),
+        (1, ":unifydb/cardinality", "cardinality/many", 0, True),
+        (2, ":name", "Bob", 0, True),
+        (2, ":favorite-colors", "red", 0, True),
+        (2, ":favorite-colors", "green", 0, True),
+        (2, ":favorite-colors", "blue", 0, True),
+        (2, ":favorite-colors", "blue", 1, False),
+        (3, ":name", "Emily", 2, True),
+        (3, ":favorite-colors", "yellow", 2, True),
+        (4, ":name", "Joe", 3, True),
+        (4, ":lucky-number", 7, 3, True),
+        (4, ":lucky-number", 9, 4, True),
+        (4, ":lucky-number", 9, 5, False),
+    ]
+    eng = Engine(spark, FactStore(spark).seed(facts))
+    q = {"find": ["?ent", "?color"], "where": [["?ent", ":favorite-colors", "?color"]]}
+    assert rows(eng, q, eng.db(5)) == [
+        (Ref(2), "green"),
+        (Ref(2), "red"),
+        (Ref(3), "yellow"),
+    ]
+    # cardinality-one: retraction resurfaces nothing; 7 was never retracted
+    q2 = {"find": ["?n"], "where": [[4, ":lucky-number", "?n"]]}
+    assert rows(eng, q2, eng.db(5)) == [(7,)]
+    assert rows(eng, q2, eng.db(4)) == [(9,)]  # last write wins at tx4
+    assert rows(eng, q2, eng.db(3)) == [(7,)]
