@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs a SURVEY.md §2 operator through the
+unifydb_spark engine (Datalog compiled to DataFrame plans over the TPC-H-ish
+testdata, exposed as a virtual EAVT fact view) or a dedicated operator
+module; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL over the same
+parquet tables. Column names are aligned on both sides; double aggregates go
+through exact decimal partial sums on both sides so results are bitwise
+reproducible regardless of partitioning.
 """
 
 from __future__ import annotations
@@ -12,27 +14,531 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_ENGINES: dict = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    """One Engine per (session, sf_dir): the fact view is virtual, so this
+    only caches parquet schema reads."""
+    from unifydb_spark import Engine
+    from unifydb_spark.sources.tables import table_fact_store
+
+    key = (id(spark), sf_dir)
+    if key not in _ENGINES:
+        _ENGINES[key] = Engine(spark, table_fact_store(spark, sf_dir))
+    return _ENGINES[key]
+
+
+def _events_engine(spark: SparkSession, sf_dir: str):
+    """Events table as a *versioned* fact store: tx = event id, attribute
+    'user/value' holds each user's metric (cardinality-one), so time-travel
+    snapshots resolve last-writer-wins per user (SURVEY R1/§1.3)."""
+    from unifydb_spark import Engine, FactStore
+    from unifydb_spark.store import DataFrameBackend
+
+    key = (id(spark), sf_dir, "events")
+    if key not in _ENGINES:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        facts = ev.select(
+            ev.user_id.cast("long").alias("e"),
+            F.lit("user/value").alias("a"),
+            F.lit("double").alias("v_type"),
+            F.lit(None).cast("bigint").alias("v_long"),
+            ev.value.cast("double").alias("v_double"),
+            F.lit(None).cast("string").alias("v_str"),
+            F.lit(None).cast("boolean").alias("v_bool"),
+            F.lit(None).cast("bigint").alias("v_ref"),
+            F.lit(None).cast("timestamp").alias("v_ts"),
+            F.lit(None).cast("string").alias("v_json"),
+            ev.event_id.cast("long").alias("tx"),
+            F.lit(True).alias("added"),
+        )
+        backend = DataFrameBackend(spark, facts, clean=False, has_retractions=False)
+        _ENGINES[key] = Engine(spark, FactStore(spark, backend=backend))
+    return _ENGINES[key]
+
+
+# ---------------------------------------------------------------------------
+# queries — each exercises one-or-more SURVEY §2 operators (noted inline)
+
+
+def q01_pricing_summary(spark, sf_dir):
+    """Flagship: Q1/Q2 pattern+pivot scan, R0 group-by, R2 sum, R4 avg,
+    R8 count, R12 sort."""
+    eng = _engine(spark, sf_dir)
+    return eng.query(
+        {
+            "find": [
+                "?rf",
+                "?ls",
+                ("sum", "?qty", "sum_qty"),
+                ("sum", "?ep", "sum_base_price"),
+                ("avg", "?disc", "avg_disc"),
+                ("count", "?qty", "count_order"),
+            ],
+            "where": [
+                ["?l", ":lineitem/returnflag", "?rf"],
+                ["?l", ":lineitem/linestatus", "?ls"],
+                ["?l", ":lineitem/quantity", "?qty"],
+                ["?l", ":lineitem/extendedprice", "?ep"],
+                ["?l", ":lineitem/discount", "?disc"],
+            ],
+            "sort-by": ["?rf", "?ls"],
+        }
+    )
+
+
+def q02_pattern_match(spark, sf_dir):
+    """Q1 fact pattern: concrete value filter + projection."""
+    eng = _engine(spark, sf_dir)
+    return eng.query(
+        {
+            "find": ["?ck", "?name"],
+            "where": [
+                ["?c", ":customer/mktsegment", "BUILDING"],
+                ["?c", ":customer/custkey", "?ck"],
+                ["?c", ":customer/name", "?name"],
+            ],
+            "sort-by": ["?ck"],
+        }
+    )
+
+
+def q03_ref_join_chain(spark, sf_dir):
+    """Q2 conjunction as ref equi-joins across three entities (VAET
+    semantics: customer->nation->region)."""
+    eng = _engine(spark, sf_dir)
+    return eng.query(
+        {
+            "find": ["?ck", "?nname", "?rname"],
+            "where": [
+                ["?c", ":customer/custkey", "?ck"],
+                ["?c", ":customer/nation", "?n"],
+                ["?n", ":nation/name", "?nname"],
+                ["?n", ":nation/region", "?r"],
+                ["?r", ":region/name", "?rname"],
+                [("<", "?ck", 101)],
+            ],
+            "sort-by": ["?ck"],
+        }
+    )
+
+
+def q04_or_union(spark, sf_dir):
+    """Q3 disjunction (bag union of branch plans)."""
+    eng = _engine(spark, sf_dir)
+    return eng.query(
+        {
+            "find": ["?ck", "?seg"],
+            "where": [
+                [
+                    "or",
+                    ["?c", ":customer/mktsegment", "BUILDING"],
+                    ["?c", ":customer/mktsegment", "AUTOMOBILE"],
+                ],
+                ["?c", ":customer/custkey", "?ck"],
+                ["?c", ":customer/mktsegment", "?seg"],
+            ],
+            "sort-by": ["?ck"],
+        }
+    )
+
+
+def q05_not_antijoin(spark, sf_dir):
+    """Q4 negation-as-failure: customers with no finished ('F') order."""
+    eng = _engine(spark, sf_dir)
+    return eng.query(
+        {
+            "find": ["?ck"],
+            "where": [
+                ["?c", ":customer/custkey", "?ck"],
+                [
+                    "not",
+                    ["?o", ":order/customer", "?c"],
+                    ["?o", ":order/orderstatus", "F"],
+                ],
+            ],
+            "sort-by": ["?ck"],
+        }
+    )
+
+
+def q06_predicate_variadic(spark, sf_dir):
+    """Q5 predicate filter with variadic comparison (reference
+    query_test.clj:205-211)."""
+    eng = _engine(spark, sf_dir)
+    return eng.query(
+        {
+            "find": ["?ck", "?bal"],
+            "where": [
+                ["?c", ":customer/custkey", "?ck"],
+                ["?c", ":customer/acctbal", "?bal"],
+                [("<", 1000.0, "?bal", 1100.0)],
+            ],
+            "sort-by": ["?ck"],
+        }
+    )
+
+
+def q07_fn_bind_revenue(spark, sf_dir):
+    """Q6 function binding + R0/R2: revenue per order =
+    sum(extendedprice*(1-discount)) — the reference's flagship pipeline
+    (query_test.clj:482-491) on TPC-H data."""
+    eng = _engine(spark, sf_dir)
+    df = eng.query(
+        {
+            "find": ["?ok", ("sum", "?rev", "revenue")],
+            "where": [
+                ["?l", ":lineitem/orderkey", "?ok"],
+                ["?l", ":lineitem/extendedprice", "?ep"],
+                ["?l", ":lineitem/discount", "?disc"],
+                [("-", 1.0, "?disc"), "?rebate"],
+                [("*", "?ep", "?rebate"), "?rev"],
+            ],
+        }
+    )
+    # deterministic double: Spark's decimal->double cast is correctly
+    # rounded; round to 4dp afterwards
+    return (
+        df.withColumn("revenue", F.round(F.col("revenue").cast("double"), 4))
+        .orderBy(F.col("revenue").desc(), F.col("ok"))
+        .limit(10)
+    )
+
+
+def q08_rule_view(spark, sf_dir):
+    """Q7 non-recursive rule expansion (rule as view)."""
+    eng = _engine(spark, sf_dir)
+    return eng.query(
+        {
+            "find": ["?ck", "?rname"],
+            "where": [
+                ("customer-region", "?c", "?rname"),
+                ["?c", ":customer/custkey", "?ck"],
+                [("<", "?ck", 51)],
+            ],
+            "rules": [
+                [
+                    ("customer-region", "?cust", "?rn"),
+                    ["?cust", ":customer/nation", "?n"],
+                    ["?n", ":nation/region", "?r"],
+                    ["?r", ":region/name", "?rn"],
+                ]
+            ],
+            "sort-by": ["?ck"],
+        }
+    )
+
+
+def q09_rule_recursive(spark, sf_dir):
+    """Q7 recursive rule -> semi-naive fixpoint: transitive closure of the
+    nation/next edge (k -> k+5 within the same region)."""
+    eng = _engine(spark, sf_dir)
+    return eng.query(
+        {
+            "find": ["?from", "?to"],
+            "where": [
+                ("reaches", "?a", "?b"),
+                ["?a", ":nation/nationkey", "?from"],
+                ["?b", ":nation/nationkey", "?to"],
+            ],
+            "rules": [
+                [("reaches", "?x", "?y"), ["?x", ":nation/next", "?y"]],
+                [
+                    ("reaches", "?x", "?y"),
+                    ["?x", ":nation/next", "?z"],
+                    ("reaches", "?z", "?y"),
+                ],
+            ],
+            "sort-by": ["?from", "?to"],
+        }
+    )
+
+
+def q10_bind_param(spark, sf_dir):
+    """Q10 parameterized bind (constant substitution -> pushed filters)."""
+    eng = _engine(spark, sf_dir)
+    return eng.query(
+        {
+            "find": ["?ck", "?bal"],
+            "where": [
+                ["?c", ":customer/mktsegment", "?seg"],
+                ["?c", ":customer/custkey", "?ck"],
+                ["?c", ":customer/acctbal", "?bal"],
+                [(">", "?bal", 9000.0)],
+            ],
+            "bind": {"seg": "MACHINERY"},
+            "sort-by": ["?ck"],
+        }
+    )
+
+
+def q11_agg_stats(spark, sf_dir):
+    """R3 min/max, R4 avg, R5 median, R7 stddev, R9 count-distinct per
+    group."""
+    eng = _engine(spark, sf_dir)
+    df = eng.query(
+        {
+            "find": [
+                "?st",
+                ("min", "?tp", "min_price"),
+                ("max", "?tp", "max_price"),
+                ("avg", "?tp", "avg_price"),
+                ("median", "?tp", "median_price"),
+                ("stddev", "?tp", "stddev_price"),
+                ("count", "?tp", "n"),
+                ("count-distinct", "?pr", "n_priorities"),
+            ],
+            "where": [
+                ["?o", ":order/orderstatus", "?st"],
+                ["?o", ":order/totalprice", "?tp"],
+                ["?o", ":order/orderpriority", "?pr"],
+            ],
+            "sort-by": ["?st"],
+        }
+    )
+    return df.withColumn("stddev_price", F.round("stddev_price", 4)).withColumn(
+        "median_price", F.round("median_price", 4)
+    )
+
+
+def q12_distinct_set(spark, sf_dir):
+    """R10 distinct -> sorted set-as-array per group."""
+    eng = _engine(spark, sf_dir)
+    return eng.query(
+        {
+            "find": ["?st", ("distinct", "?pr", "priorities")],
+            "where": [
+                ["?o", ":order/orderstatus", "?st"],
+                ["?o", ":order/orderpriority", "?pr"],
+            ],
+            "sort-by": ["?st"],
+        }
+    )
+
+
+def q13_mode(spark, sf_dir):
+    """R6 mode: ALL most-frequent values (exploded to rows for the
+    oracle)."""
+    eng = _engine(spark, sf_dir)
+    df = eng.query(
+        {
+            "find": ["?seg", ("mode", "?np", "modal_priority")],
+            "where": [
+                ["?o", ":order/customer", "?c"],
+                ["?c", ":customer/mktsegment", "?seg"],
+                ["?o", ":order/orderpriority", "?np"],
+            ],
+        }
+    )
+    return (
+        df.select("seg", F.explode("modal_priority").alias("modal_priority"))
+        .orderBy("seg", "modal_priority")
+    )
+
+
+def q14_sort_limit(spark, sf_dir):
+    """R12/R13 multi-key sort + limit."""
+    eng = _engine(spark, sf_dir)
+    return eng.query(
+        {
+            "find": ["?ck", "?bal"],
+            "where": [
+                ["?c", ":customer/custkey", "?ck"],
+                ["?c", ":customer/acctbal", "?bal"],
+            ],
+            "sort-by": ["?bal", "?ck", "desc"],
+            "limit": 10,
+        }
+    )
+
+
+def q15_wildcard_attr(spark, sf_dir):
+    """Q8 wildcard + variable attribute position: per-attribute fact counts
+    over the customer entity space (an AVET-style scan)."""
+    eng = _engine(spark, sf_dir)
+    df = eng.query(
+        {
+            "find": ["?a", ("count", "?c", "n")],
+            "where": [["?c", "?a", "_"], ["?c", ":customer/custkey", "_"]],
+        }
+    )
+    return df.filter(F.col("a").startswith("customer/")).orderBy("a")
+
+
+def q16_timetravel_asof(spark, sf_dir):
+    """S5/R1 time travel: user metric as of tx=5000 (tx = event id);
+    cardinality-one last-writer-wins snapshot."""
+    eng = _events_engine(spark, sf_dir)
+    return eng.query(
+        {
+            "find": ["?u", "?v"],
+            "where": [["?u", ":user/value", "?v", "?tx", "_"]],
+            "sort-by": ["?u"],
+        },
+        eng.db(5000),
+    ).select(
+        F.col("u").alias("user_id"), F.col("v").alias("value")
+    )
+
+
+def q17_historical(spark, sf_dir):
+    """Historical mode: all fact versions visible, tx position bindable
+    (reference query_test.clj:281-310)."""
+    eng = _events_engine(spark, sf_dir)
+    return eng.query(
+        {
+            "find": ["?u", ("count", "?tx", "versions"), ("max", "?v", "max_value")],
+            "where": [["?u", ":user/value", "?v", "?tx", "?added"]],
+            "sort-by": ["?u"],
+        },
+        eng.db(historical=True),
+    ).select(F.col("u").alias("user_id"), "versions", "max_value")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_pattern_match": q02_pattern_match,
+        "q03_ref_join_chain": q03_ref_join_chain,
+        "q04_or_union": q04_or_union,
+        "q05_not_antijoin": q05_not_antijoin,
+        "q06_predicate_variadic": q06_predicate_variadic,
+        "q07_fn_bind_revenue": q07_fn_bind_revenue,
+        "q08_rule_view": q08_rule_view,
+        "q09_rule_recursive": q09_rule_recursive,
+        "q10_bind_param": q10_bind_param,
+        "q11_agg_stats": q11_agg_stats,
+        "q12_distinct_set": q12_distinct_set,
+        "q13_mode": q13_mode,
+        "q14_sort_limit": q14_sort_limit,
+        "q15_wildcard_attr": q15_wildcard_attr,
+        "q16_timetravel_asof": q16_timetravel_asof,
+        "q17_historical": q17_historical,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag AS rf, l_linestatus AS ls,
+                   SUM(CAST(l_quantity AS DECIMAL(30,10))) AS sum_qty,
+                   SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS sum_base_price,
+                   -- varchar hop = correctly-rounded decimal->double (DuckDB's
+                   -- direct hugeint->double cast can be 1 ulp off)
+                   CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                       / COUNT(l_discount) AS avg_disc,
+                   COUNT(l_quantity) AS count_order
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q02_pattern_match": """
+            SELECT c_custkey AS ck, c_name AS name FROM customer
+            WHERE c_mktsegment = 'BUILDING' ORDER BY ck
+        """,
+        "q03_ref_join_chain": """
+            SELECT c_custkey AS ck, n_name AS nname, r_name AS rname
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            WHERE c_custkey < 101 ORDER BY ck
+        """,
+        "q04_or_union": """
+            SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') ORDER BY ck
+        """,
+        "q05_not_antijoin": """
+            SELECT c_custkey AS ck FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+            ORDER BY ck
+        """,
+        "q06_predicate_variadic": """
+            SELECT c_custkey AS ck, c_acctbal AS bal FROM customer
+            WHERE c_acctbal > 1000.0 AND c_acctbal < 1100.0 ORDER BY ck
+        """,
+        "q07_fn_bind_revenue": """
+            SELECT l_orderkey AS ok,
+                   ROUND(CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 4) AS revenue
+            FROM lineitem GROUP BY 1 ORDER BY revenue DESC, ok LIMIT 10
+        """,
+        "q08_rule_view": """
+            SELECT c_custkey AS ck, r_name AS rname
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            WHERE c_custkey < 51 ORDER BY ck
+        """,
+        "q09_rule_recursive": """
+            WITH RECURSIVE edges AS (
+                SELECT n_nationkey AS src, n_nationkey + 5 AS dst FROM nation
+                WHERE n_nationkey + 5 <= 24
+            ), reach AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+            )
+            SELECT src AS "from", dst AS "to" FROM reach ORDER BY 1, 2
+        """,
+        "q10_bind_param": """
+            SELECT c_custkey AS ck, c_acctbal AS bal FROM customer
+            WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 9000.0 ORDER BY ck
+        """,
+        "q11_agg_stats": """
+            SELECT o_orderstatus AS st,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                       / COUNT(o_totalprice) AS avg_price,
+                   ROUND(MEDIAN(o_totalprice), 4) AS median_price,
+                   ROUND(STDDEV_SAMP(o_totalprice), 4) AS stddev_price,
+                   COUNT(o_totalprice) AS n,
+                   COUNT(DISTINCT o_orderpriority) AS n_priorities
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "q12_distinct_set": """
+            SELECT o_orderstatus AS st,
+                   LIST_SORT(LIST(DISTINCT o_orderpriority)) AS priorities
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "q13_mode": """
+            WITH counts AS (
+                SELECT c_mktsegment AS seg, o_orderpriority AS p, COUNT(*) AS n
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2
+            ), mx AS (SELECT seg, MAX(n) AS mxn FROM counts GROUP BY 1)
+            SELECT counts.seg, p AS modal_priority
+            FROM counts JOIN mx ON counts.seg = mx.seg AND counts.n = mx.mxn
+            ORDER BY 1, 2
+        """,
+        "q14_sort_limit": """
+            SELECT c_custkey AS ck, c_acctbal AS bal FROM customer
+            ORDER BY bal DESC, ck DESC LIMIT 10
+        """,
+        "q15_wildcard_attr": """
+            SELECT a, n FROM (
+                VALUES ('customer/acctbal', (SELECT COUNT(*) FROM customer)),
+                       ('customer/custkey', (SELECT COUNT(*) FROM customer)),
+                       ('customer/mktsegment', (SELECT COUNT(*) FROM customer)),
+                       ('customer/name', (SELECT COUNT(*) FROM customer)),
+                       ('customer/nation', (SELECT COUNT(*) FROM customer)),
+                       ('customer/nationkey', (SELECT COUNT(*) FROM customer))
+            ) AS t(a, n) ORDER BY a
+        """,
+        "q16_timetravel_asof": """
+            SELECT user_id, value FROM (
+                SELECT user_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_id <= 5000
+            ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "q17_historical": """
+            SELECT user_id, COUNT(*) AS versions, MAX(value) AS max_value
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+    }

@@ -81,6 +81,8 @@ class Engine:
 def _decode(v: Any, repr_: str) -> Any:
     if v is None:
         return None
+    if repr_ == "decimal":
+        return float(v)
     if repr_ == "ref":
         return Ref(v)
     if repr_ == "json":

@@ -474,6 +474,11 @@ def compile_pattern(db: Db, pat: Pattern) -> Rel:
 
 
 def _clause_vars(c) -> set:
+    if isinstance(c, PivotGroup):
+        out = {c.evar}
+        for p in c.patterns:
+            out |= _clause_vars(p)
+        return out
     if isinstance(c, Pattern):
         out = set()
         for _, t in c.positions:
@@ -521,6 +526,92 @@ def _required_vars(c, generator_vars: set) -> set:
     return set()
 
 
+@dataclass
+class PivotGroup:
+    """N fact patterns over one entity variable whose attributes co-locate
+    in one source table, collapsed into a single wide scan (the EAV-pivot
+    optimization — without it every additional attribute of an entity costs
+    a self-join; with it a Datalog query over a table costs the same plan as
+    the hand-written DataFrame pipeline)."""
+
+    evar: str
+    patterns: tuple
+
+
+def _pivotable(db: Db, c) -> bool:
+    return (
+        isinstance(c, Pattern)
+        and isinstance(c.e, Var)
+        and isinstance(c.a, str)
+        and c.tx is WILDCARD
+        and c.added is WILDCARD
+        and not isinstance(c.v, SeqPat)
+    )
+
+
+def _group_pivots(db: Db, clauses: list) -> list:
+    backend = getattr(db.store, "backend", None)
+    if (
+        backend is None
+        or not getattr(backend, "supports_pivot", False)
+        or db.historical
+        or (db.tx_id != "latest" and db.tx_id < backend.latest_tx())
+    ):
+        return clauses
+    many = db.cardinality_many_attrs()
+    groups: dict[str, list] = {}
+    order: list = []
+    for c in clauses:
+        if _pivotable(db, c) and c.a not in many:
+            groups.setdefault(c.e.name, []).append(c)
+            order.append(("g", c.e.name))
+        else:
+            order.append(("c", c))
+    out, emitted = [], set()
+    for kind, item in order:
+        if kind == "c":
+            out.append(item)
+        elif item not in emitted:
+            emitted.add(item)
+            pats = groups[item]
+            if len(pats) >= 2 and backend.pivot_df([p.a for p in pats]) is not None:
+                out.append(PivotGroup(item, tuple(pats)))
+            else:
+                out.extend(pats)
+    return out
+
+
+def compile_pivot_group(db: Db, g: PivotGroup) -> Rel:
+    backend = db.store.backend
+    pdf, attr_reprs = backend.pivot_df([p.a for p in g.patterns])
+    conds: list = []
+    proj: dict[str, tuple] = {g.evar: (F.col("e"), "ref")}
+    for p in g.patterns:
+        col = bt(p.a)
+        repr_ = attr_reprs[p.a]
+        if isinstance(p.v, Var):
+            conds.append(col.isNotNull())
+            if p.v.name in proj:
+                c0, r0 = proj[p.v.name]
+                c = unify_condition(col, repr_, c0, r0)
+                conds.append(c if c is not None else F.lit(False))
+            else:
+                proj[p.v.name] = (col, repr_)
+        elif p.v is WILDCARD:
+            conds.append(col.isNotNull())
+        else:
+            enc = encode_value(p.v)
+            if enc["v_type"] != repr_:
+                conds.append(F.lit(False))
+            else:
+                conds.append(col == F.lit(enc[NATURAL_COL[repr_]]))
+    df = pdf
+    for c in conds:
+        df = df.filter(c)
+    select = [colspec.alias(name) for name, (colspec, _) in proj.items()]
+    return Rel(df.select(*select), {n: r for n, (_, r) in proj.items()})
+
+
 def _is_axiom_app(c, rules_env) -> bool:
     if not isinstance(c, RuleApp) or rules_env is None:
         return False
@@ -529,9 +620,10 @@ def _is_axiom_app(c, rules_env) -> bool:
 
 
 def compile_conj(db: Db, clauses: list, rules_env, seed: Optional[Rel] = None) -> Rel:
+    clauses = _group_pivots(db, clauses)
     generator_vars: set = set(seed.vars) if seed else set()
     for c in clauses:
-        if isinstance(c, (Pattern, RuleApp)):
+        if isinstance(c, (Pattern, RuleApp, PivotGroup)):
             generator_vars |= _clause_vars(c)
         elif isinstance(c, FnBind):
             if isinstance(c.out, Var):
@@ -617,6 +709,8 @@ def _axiom_filter(rel: Rel, app: RuleApp, rules_env) -> Rel:
 
 
 def _apply_clause(db: Db, rel: Optional[Rel], c, rules_env) -> Rel:
+    if isinstance(c, PivotGroup):
+        return join_rels(rel, compile_pivot_group(db, c))
     if isinstance(c, Pattern):
         return join_rels(rel, compile_pattern(db, c))
     if isinstance(c, RuleApp):

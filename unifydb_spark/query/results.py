@@ -53,7 +53,10 @@ def _agg_expr(fn: str, col: Column, repr_: str, alias: str):
     if fn == "sum":
         if repr_ == "long":
             return F.sum(col).alias(alias), "long"
-        return F.sum(_numeric(col, repr_).cast(DEC)).cast("double").alias(alias), "double"
+        # exact decimal partial sums: order- and partition-count-independent
+        # (a double sum is run-order dependent — fatal for reproducibility
+        # at scale); stays DECIMAL(38,10) in the output
+        return F.sum(_numeric(col, repr_).cast(DEC)).alias(alias), "decimal"
     if fn in ("min", "max"):
         f = F.min if fn == "min" else F.max
         return f(_numeric(col, repr_) if repr_ == "struct" else col).alias(alias), (
@@ -62,8 +65,11 @@ def _agg_expr(fn: str, col: Column, repr_: str, alias: str):
     if fn in ("mean", "avg"):
         if repr_ == "long":
             return F.avg(col).alias(alias), "double"
+        # exact decimal sum -> double, THEN double division: deterministic
+        # and bit-identical to the oracle's same expression (a decimal
+        # division would round at an engine-specific scale instead)
         num = _numeric(col, repr_).cast(DEC)
-        return (F.sum(num) / F.count(num)).cast("double").alias(alias), "double"
+        return (F.sum(num).cast("double") / F.count(num)).alias(alias), "double"
     if fn == "median":
         return F.median(_numeric(col, repr_)).alias(alias), "double"
     if fn == "stddev":

@@ -181,6 +181,56 @@ class ParquetBackend:
         return out
 
 
+class DataFrameBackend:
+    """A read-only fact log defined by an arbitrary DataFrame in
+    FACT_SCHEMA — the scalable way to derive a versioned fact store from an
+    existing event log (e.g. the events table: tx = event id) without
+    materializing anything. Stats are computed lazily once."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        clean: bool = False,
+        has_retractions: Optional[bool] = None,
+    ):
+        self.spark = spark
+        self._df = df
+        self.clean = clean
+        self.has_retractions = (not clean) if has_retractions is None else has_retractions
+        self._version = 0
+        self._stats: Optional[tuple] = None
+
+    def facts_df(self) -> DataFrame:
+        return self._df
+
+    def append(self, rows):
+        raise NotImplementedError("DataFrameBackend is read-only")
+
+    def _compute(self):
+        if self._stats is None:
+            row = self._df.agg(
+                F.greatest(
+                    F.max("e"), F.max("tx"), F.coalesce(F.max("v_ref"), F.lit(0))
+                ).alias("mx"),
+                F.max("tx").alias("mtx"),
+            ).collect()[0]
+            self._stats = (row["mx"] or 0, row["mtx"] or 0)
+        return self._stats
+
+    def max_id(self) -> int:
+        return self._compute()[0]
+
+    def latest_tx(self) -> int:
+        return self._compute()[1]
+
+    def attr_types(self) -> dict[str, set]:
+        out: dict[str, set] = {}
+        for r in self._df.select("a", "v_type").distinct().collect():
+            out.setdefault(r["a"], set()).add(r["v_type"])
+        return out
+
+
 @dataclass(frozen=True)
 class Db:
     """A database value: the facts visible as of `tx_id` (reference
@@ -231,8 +281,11 @@ class FactStore:
 
     def facts(self, attr: Optional[str] = None) -> DataFrame:
         """Raw fact tuples, optionally narrowed to one attribute (the
-        reference's index selection, src/unifydb/storage.clj:31-46 — here a
+        reference's index selection, src/unifydb/storage.clj:31-46 — here
+        either a backend-provided single-attribute projection or a
         pushed-down filter)."""
+        if attr is not None and hasattr(self.backend, "facts_for_attr"):
+            return self.backend.facts_for_attr(attr)
         df = self.backend.facts_df()
         if attr is not None:
             df = df.filter(F.col("a") == attr)
@@ -294,14 +347,10 @@ class FactStore:
         key = (getattr(self.backend, "_version", 0), tx_id)
         if key in self._schema_cache:
             return self._schema_cache[key]
-        df = self.facts()
+        df = self.facts(SCHEMA_ATTR).unionByName(self.facts(CARDINALITY_ATTR))
         if tx_id != LATEST:
             df = df.filter(F.col("tx") <= F.lit(int(tx_id)))
-        rows = (
-            df.filter(F.col("a").isin(SCHEMA_ATTR, CARDINALITY_ATTR))
-            .select("e", "a", "v_str", "tx", "added")
-            .collect()
-        )
+        rows = df.select("e", "a", "v_str", "tx", "added").collect()
         # collapse add/retract per (e, a, v) in the driver: schema facts are few
         state: dict = {}
         for r in sorted(rows, key=lambda r: (r["tx"], r["added"])):
