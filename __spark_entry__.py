@@ -399,6 +399,37 @@ def q17_historical(spark, sf_dir):
     ).select(F.col("u").alias("user_id"), "versions", "max_value")
 
 
+def q18_pull_nested(spark, sf_dir):
+    """R15 pull: nested document projection (customer -> nation -> region),
+    flattened via JSON paths so the oracle can check values."""
+    eng = _engine(spark, sf_dir)
+    df = eng.query(
+        {
+            "find": [
+                "?ck",
+                (
+                    "pull",
+                    "?c",
+                    [
+                        "customer/name",
+                        {"customer/nation": ["nation/name", {"nation/region": ["region/name"]}]},
+                    ],
+                    "doc",
+                ),
+            ],
+            "where": [["?c", ":customer/custkey", "?ck"], [("<", "?ck", 201)]],
+        }
+    )
+    return df.select(
+        "ck",
+        F.get_json_object("doc", "$['customer/name']").alias("name"),
+        F.get_json_object("doc", "$['customer/nation']['nation/name']").alias("nname"),
+        F.get_json_object(
+            "doc", "$['customer/nation']['nation/region']['region/name']"
+        ).alias("rname"),
+    ).orderBy("ck")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -423,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_wildcard_attr": q15_wildcard_attr,
         "q16_timetravel_asof": q16_timetravel_asof,
         "q17_historical": q17_historical,
+        "q18_pull_nested": q18_pull_nested,
     }
 
 
@@ -540,5 +572,11 @@ def oracle_sql() -> dict[str, str]:
         "q17_historical": """
             SELECT user_id, COUNT(*) AS versions, MAX(value) AS max_value
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "q18_pull_nested": """
+            SELECT c_custkey AS ck, c_name AS name, n_name AS nname, r_name AS rname
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            WHERE c_custkey < 201 ORDER BY ck
         """,
     }

@@ -29,8 +29,12 @@ from unifydb_spark.query.parse import QueryError
 
 
 def _lit(v: Any):
+    from unifydb_spark.values import Ref
+
     if isinstance(v, bool):
         return F.lit(v), "bool"
+    if isinstance(v, Ref):  # int(...) — py4j serializes int subclasses by repr
+        return F.lit(int(v)), "ref"
     if isinstance(v, int):
         return F.lit(v), "long"
     if isinstance(v, float):

@@ -36,6 +36,7 @@ from unifydb_spark.query.parse import (
     FindVar,
     ParsedQuery,
     QueryError,
+    Var,
 )
 from unifydb_spark.values import struct_sort_keys
 
@@ -109,7 +110,12 @@ def process_find(rel: Rel, parsed: ParsedQuery) -> tuple[DataFrame, dict]:
     sort_plain = [s for s in sort_elems if isinstance(s, FindVar)]
 
     key_names: list[str] = []
-    for f in plain + sort_plain + [FindVar(p.var, p.var.name) for p in pulls]:
+    # pull columns group alongside their entity var (they are functionally
+    # dependent on it) so they survive an aggregating find
+    pull_keys = [FindVar(p.var, p.var.name) for p in pulls] + [
+        FindVar(Var(p.alias), p.alias) for p in pulls
+    ]
+    for f in plain + sort_plain + pull_keys:
         if f.var.name not in key_names and f.var.name in rel.vars:
             key_names.append(f.var.name)
 

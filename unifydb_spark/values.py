@@ -165,9 +165,12 @@ def decode_value(v_type: str, row: Any) -> Any:
 
 
 def decode_json_value(v: Any) -> Any:
-    """Decode $ref wrappers out of a parsed v_json structure."""
-    if isinstance(v, dict) and set(v) == {"$ref"}:
-        return Ref(v["$ref"])
+    """Decode $ref wrappers out of a parsed v_json structure (recursing into
+    objects too — pull results are nested entity maps)."""
+    if isinstance(v, dict):
+        if set(v) == {"$ref"}:
+            return Ref(v["$ref"])
+        return {k: decode_json_value(x) for k, x in v.items()}
     if isinstance(v, list):
         return [decode_json_value(x) for x in v]
     return v
