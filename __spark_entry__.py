@@ -430,6 +430,104 @@ def q18_pull_nested(spark, sf_dir):
     ).orderBy("ck")
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (SURVEY extensions; operators/ package):
+# dedup, similarity search, text analysis, multimodal plumbing
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q19_text_stats(spark, sf_dir):
+    """Token counting + quality scoring (operators/text.py) — zero-shuffle
+    projection pipeline."""
+    from unifydb_spark.operators.text import text_stats
+
+    return text_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q20_language_id(spark, sf_dir):
+    """Stopword-overlap language ID with per-language scores + argmax."""
+    from unifydb_spark.operators.text import language_id
+
+    return language_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q21_fingerprint(spark, sf_dir):
+    """Content md5 + rolling min-shingle-hash document fingerprint."""
+    from unifydb_spark.operators.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q22_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy clustering to canonical ids."""
+    from unifydb_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q23_ngram_jaccard_dedup(spark, sf_dir):
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.8 (shingle
+    self-join — key'd by shingle, never all-pairs)."""
+    from unifydb_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8).orderBy("d1", "d2")
+
+
+def q24_minhash_lsh_dedup(spark, sf_dir):
+    """MinHash(k=8) + LSH(4 bands) candidate pairs — the sub-quadratic
+    dedup scale path."""
+    from unifydb_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir)).orderBy("d1", "d2")
+
+
+def q25_simhash_dedup(spark, sf_dir):
+    """SimHash-64 near-dup pairs, hamming<=3, candidates via 16-bit block
+    pigeonhole."""
+    from unifydb_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir)).orderBy("d1", "d2")
+
+
+def q26_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (ordered-double-fold cosine,
+    bitwise-reproducible)."""
+    from unifydb_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.45).orderBy(
+        "id1", "id2"
+    )
+
+
+def q27_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (queries broadcast)."""
+    from unifydb_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir)).orderBy("query_id", "rank")
+
+
+def q28_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN: probe nprobe/n_centroids of the data per query."""
+    from unifydb_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir)).orderBy("query_id", "rank")
+
+
+def q29_multimodal_features(spark, sf_dir):
+    """Binary-payload plumbing + Arrow-batched mapInPandas feature
+    extraction (deterministic fake decode; codec call stubbed)."""
+    from unifydb_spark.operators.multimodal import attach_binary, extract_features
+
+    return extract_features(attach_binary(_docs(spark, sf_dir))).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -455,6 +553,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_timetravel_asof": q16_timetravel_asof,
         "q17_historical": q17_historical,
         "q18_pull_nested": q18_pull_nested,
+        "q19_text_stats": q19_text_stats,
+        "q20_language_id": q20_language_id,
+        "q21_fingerprint": q21_fingerprint,
+        "q22_exact_dedup": q22_exact_dedup,
+        "q23_ngram_jaccard_dedup": q23_ngram_jaccard_dedup,
+        "q24_minhash_lsh_dedup": q24_minhash_lsh_dedup,
+        "q25_simhash_dedup": q25_simhash_dedup,
+        "q26_embedding_neardup": q26_embedding_neardup,
+        "q27_cosine_topk": q27_cosine_topk,
+        "q28_ivf_topk": q28_ivf_topk,
+        "q29_multimodal_features": q29_multimodal_features,
     }
 
 
@@ -579,4 +688,26 @@ def oracle_sql() -> dict[str, str]:
                           JOIN region ON n_regionkey = r_regionkey
             WHERE c_custkey < 201 ORDER BY ck
         """,
+        **_operator_oracles(),
+    }
+
+
+def _operator_oracles() -> dict[str, str]:
+    from unifydb_spark.operators import dedup as _d
+    from unifydb_spark.operators import multimodal as _m
+    from unifydb_spark.operators import similarity as _s
+    from unifydb_spark.operators import text as _t
+
+    return {
+        "q19_text_stats": _t.text_stats_sql(),
+        "q20_language_id": _t.language_id_sql(),
+        "q21_fingerprint": _t.fingerprint_sql(),
+        "q22_exact_dedup": _d.exact_dedup_sql(),
+        "q23_ngram_jaccard_dedup": _d.ngram_jaccard_sql(threshold=0.8),
+        "q24_minhash_lsh_dedup": _d.minhash_lsh_sql(),
+        "q25_simhash_dedup": _d.simhash_sql(),
+        "q26_embedding_neardup": _d.embedding_neardup_sql(threshold=0.45),
+        "q27_cosine_topk": _s.cosine_topk_sql(),
+        "q28_ivf_topk": _s.ivf_topk_sql(),
+        "q29_multimodal_features": _m.features_sql(),
     }

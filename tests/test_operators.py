@@ -1,0 +1,134 @@
+"""Training-data operator tests: planted duplicates must be found, ANN
+recall against brute force, multimodal stub behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from unifydb_spark.operators import dedup as D
+from unifydb_spark.operators import multimodal as M
+from unifydb_spark.operators import similarity as S
+from unifydb_spark.operators import text as T
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away home"
+NEAR = "the quick brown fox jumps over the lazy cat and runs far away home"
+OTHER = "completely different words appear here with no overlap at all whatsoever today"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE), (1, BASE), (2, NEAR), (3, OTHER),
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_planted(docs):
+    out = {r["doc_id"]: r for r in D.exact_dedup(docs).collect()}
+    assert out[0]["canonical_id"] == 0 and out[1]["canonical_id"] == 0
+    assert out[0]["cluster_size"] == 2
+    assert out[2]["canonical_id"] == 2  # near-dup is NOT exact-dup
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["d1"], r["d2"]) for r in
+             D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs  # identical
+    assert (0, 2) in pairs and (1, 2) in pairs  # one-word edit
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_minhash_lsh_candidates(docs):
+    pairs = {(r["d1"], r["d2"]) for r in D.minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in pairs  # identical docs always collide on every band
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_simhash_identical_distance_zero(docs):
+    rows = D.simhash_pairs(docs, max_hamming=3).collect()
+    d = {(r["d1"], r["d2"]): r["hamming"] for r in rows}
+    assert d[(0, 1)] == 0  # identical text -> identical signature
+
+
+def test_simhash_signature_deterministic(spark, docs):
+    s1 = {r["doc_id"]: (r["hi"], r["lo"])
+          for r in D.simhash_signatures(docs).collect()}
+    s2 = {r["doc_id"]: (r["hi"], r["lo"])
+          for r in D.simhash_signatures(docs.repartition(7)).collect()}
+    assert s1 == s2  # partition-count independent
+
+
+def test_fingerprint_stable_under_edit_away_from_min(spark):
+    # k=1 MinHash fingerprint: editing a token NOT in the minimal shingle
+    # keeps the fingerprint
+    d1 = spark.createDataFrame([(0, BASE)], "doc_id bigint, text string")
+    fp1 = T.fingerprint(d1).collect()[0]["shingle_fp"]
+    d2 = spark.createDataFrame([(1, BASE)], "doc_id bigint, text string")
+    fp2 = T.fingerprint(d2).collect()[0]["shingle_fp"]
+    assert fp1 == fp2
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import math
+
+    rows = []
+    for i in range(20):
+        a = i * 0.3
+        rows.append((i, [math.cos(a), math.sin(a), 0.1 * i, 1.0]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_cosine_topk_self_first(emb):
+    rows = S.cosine_topk(emb, n_queries=3, k=4).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert rs[0]["neighbor_id"] == q  # self is always rank 1, cos=1
+        assert abs(rs[0]["cosine"] - 1.0) < 1e-9
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in S.cosine_topk(emb, n_queries=3, k=3).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in S.ivf_topk(emb, n_centroids=8, nprobe=6, n_queries=3, k=3).collect()}
+    # generous probe -> recall should be near-total on this tiny set
+    assert len(brute & ivf) / len(brute) >= 0.8
+
+
+def test_multimodal_plumbing(docs):
+    out = M.extract_features(M.attach_binary(docs)).collect()
+    assert len(out) == 5
+    r0 = {r["doc_id"]: r for r in out}[0]
+    import hashlib
+
+    h = hashlib.md5(BASE.encode()).hexdigest()
+    assert r0["content_md5"] == h
+    assert r0["n_bytes"] == len(BASE.encode())
+    assert r0["pseudo_width"] == 64 + int(h[0], 16)
+
+
+def test_multimodal_real_decode_stubbed(docs):
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        M.extract_features(M.attach_binary(docs), real_decode=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_language_id_english(spark):
+    d = spark.createDataFrame(
+        [(0, "the cat is on the mat and the dog is in the house"),
+         (1, "el gato es un animal y la casa es de los perros en madrid")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["predicted_lang"] for r in T.language_id(d).collect()}
+    assert out[0] == "en"
+    assert out[1] == "es"

@@ -1,0 +1,400 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (100 TB):
+ - exact: one hash-groupBy shuffle on the content hash; map-side combine.
+ - n-gram Jaccard: shingle-explode + self-join on shingle. The join key is
+   the shingle, so pairs never materialize beyond docs that actually share
+   content; high-document-frequency shingles (stop-shingles) are droppable
+   via `max_shingle_df` to kill skew — the standard trick.
+ - MinHash+LSH: per-doc signature = k min-hashes (one aggregation, no
+   self-join), then candidates = docs sharing an LSH *band* key — the
+   band-bucket join touches only colliding docs. This is the sub-quadratic
+   scale path; Jaccard verification runs only on candidates.
+ - SimHash: 64-bit signature from per-token hash bit-sums (one pre-agg on
+   (doc, token) then one groupBy doc); near-dups = pairs sharing one of 4
+   16-bit blocks (pigeonhole: hamming<=3 guarantees a shared block) with
+   hamming <= 3 verified via xor+bit_count.
+ - embedding cosine: exact-decimal dot products; brute-force pairs is the
+   correctness baseline, production path is IVF bucketing (similarity.py).
+
+Hashes are md5 hex strings (lexicographic min = portable) so the DuckDB
+oracle reproduces every signature bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from unifydb_spark.operators.text import shingles_col, shingles_sql_expr, words_col
+
+DEC = "decimal(38,18)"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate clustering by content hash: every doc mapped to its
+    cluster's canonical (minimum) doc_id + cluster size. One shuffle."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy("content_md5")
+    return (
+        docs.select("doc_id", h.alias("content_md5"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .select("doc_id", "content_md5", "canonical_id", "cluster_size")
+    )
+
+
+def exact_dedup_sql(table: str = "documents", text_col: str = "text") -> str:
+    return f"""
+        SELECT doc_id, md5({text_col}) AS content_md5,
+               MIN(doc_id) OVER (PARTITION BY md5({text_col})) AS canonical_id,
+               COUNT(*) OVER (PARTITION BY md5({text_col})) AS cluster_size
+        FROM {table} ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (shingle self-join)
+
+
+def _doc_shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    sh = shingles_col(words_col(F.col(text_col)), n)
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard >= threshold.
+    Self-join on shingle -> per-pair intersection size -> |A|+|B|-|A∩B|.
+    `max_shingle_df` drops shingles appearing in more than that many docs
+    (skew guard; None = exact)."""
+    sh = _doc_shingles(docs, text_col, n)
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = (
+            sh.join(F.broadcast(dfreq.filter(F.col("__df") <= max_shingle_df)),
+                    "shingle", "left_semi")
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    jac = F.col("common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("common")
+    )
+    return (
+        common.join(s1, "d1").join(s2, "d2")
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_sql(
+    table: str = "documents", text_col: str = "text", n: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split({text_col}, ' '), w -> w != '') AS ws
+          FROM {table}
+        ), sh AS (
+          SELECT DISTINCT doc_id, unnest({shingles_sql_expr(n)}) AS shingle FROM toks
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+        ), pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+               ROUND(common::DOUBLE / (s1.n_sh + s2.n_sh - common), 6) AS jaccard
+        FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE common::DOUBLE / (s1.n_sh + s2.n_sh - common) >= {threshold}
+        ORDER BY d1, d2
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n: int = 3, k: int = 8
+) -> DataFrame:
+    """k-permutation MinHash signature per doc: mh_i = min over shingles of
+    md5(i || ':' || shingle). One aggregation over exploded shingles — the
+    k mins are k agg expressions, not k passes."""
+    sh = _doc_shingles(docs, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate duplicate pairs = docs sharing at least one LSH band
+    (band key = md5 of the band's concatenated min-hashes). Sub-quadratic:
+    the only join is on band keys."""
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(docs, text_col, n, k)
+    band_rows = None
+    for b in range(bands):
+        cols = [F.col(f"mh{b * r + j}") for j in range(r)]
+        one = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+        )
+        band_rows = one if band_rows is None else band_rows.unionByName(one)
+    a = band_rows.alias("a")
+    b_ = band_rows.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def minhash_lsh_sql(
+    table: str = "documents", text_col: str = "text", n: int = 3,
+    k: int = 8, bands: int = 4,
+) -> str:
+    r = k // bands
+    mh_exprs = ", ".join(
+        f"MIN(md5('{i}:' || shingle)) AS mh{i}" for i in range(k)
+    )
+    band_selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"mh{b * r + j}" for j in range(r))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split({text_col}, ' '), w -> w != '') AS ws
+          FROM {table}
+        ), sh AS (
+          SELECT DISTINCT doc_id, unnest({shingles_sql_expr(n)}) AS shingle FROM toks
+        ), sig AS (
+          SELECT doc_id, {mh_exprs} FROM sh GROUP BY doc_id
+        ), band_rows AS ({bands_sql})
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM band_rows a JOIN band_rows b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ORDER BY d1, d2
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc from md5(token) bit-sums, weighted by token
+    multiplicity. Pre-aggregated on (doc, token) so the bit-sum input is one
+    row per distinct token (map-side combinable); signature packed into two
+    32-bit halves (hi, lo) to stay in non-negative bigint range."""
+    tok = (
+        docs.select("doc_id", F.explode(words_col(F.col(text_col))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.md5(F.col("w")))
+    )
+    # bit b (0..63) lives in hex digit j = b // 4 (1-indexed from left),
+    # at position k = b % 4 within the nibble
+    bit_sums = []
+    for b in range(64):
+        j, kk = b // 4 + 1, b % 4
+        nib = F.conv(F.substring("h", j, 1), 16, 10).cast("int")
+        bit = F.shiftright(nib, kk).bitwiseAND(F.lit(1))
+        contrib = F.col("cnt") * (bit * 2 - 1)
+        bit_sums.append(F.sum(contrib).alias(f"s{b}"))
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    hi = None
+    lo = None
+    for b in range(64):
+        bitv = F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        term = bitv * F.lit(1 << (b % 32)).cast("bigint")
+        if b < 32:
+            lo = term if lo is None else lo + term
+        else:
+            hi = term if hi is None else hi + term
+    return sums.select("doc_id", hi.alias("hi"), lo.alias("lo"))
+
+
+def simhash_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+    Candidate generation: 4 x 16-bit blocks — any pair within hamming 3
+    shares at least one identical block (pigeonhole), so the join is on
+    block values, never all-pairs."""
+    sig = simhash_signatures(docs, text_col)
+    blocks = sig.select(
+        "doc_id", "hi", "lo",
+        F.col("lo").bitwiseAND(F.lit(65535)).alias("b0"),
+        F.shiftright("lo", 16).bitwiseAND(F.lit(65535)).alias("b1"),
+        F.col("hi").bitwiseAND(F.lit(65535)).alias("b2"),
+        F.shiftright("hi", 16).bitwiseAND(F.lit(65535)).alias("b3"),
+    )
+    expl = blocks.select(
+        "doc_id", "hi", "lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("blk"), F.col("b0").alias("v")),
+                F.struct(F.lit(1).alias("blk"), F.col("b1").alias("v")),
+                F.struct(F.lit(2).alias("blk"), F.col("b2").alias("v")),
+                F.struct(F.lit(3).alias("blk"), F.col("b3").alias("v")),
+            )
+        ).alias("blk"),
+    ).select("doc_id", "hi", "lo", F.col("blk.blk").alias("blk"), F.col("blk.v").alias("v"))
+    a = expl.alias("a")
+    b = expl.alias("b")
+    ham = F.bit_count(
+        F.col("a.hi").bitwiseXOR(F.col("b.hi"))
+    ) + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_sql(
+    table: str = "documents", text_col: str = "text", max_hamming: int = 3
+) -> str:
+    sum_exprs = []
+    for b in range(64):
+        j, kk = b // 4 + 1, b % 4
+        nib = f"(strpos('0123456789abcdef', substr(h, {j}, 1)) - 1)"
+        bit = f"((({nib}) >> {kk}) & 1)"
+        sum_exprs.append(f"SUM(cnt * ({bit} * 2 - 1)) AS s{b}")
+    lo = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN 1 ELSE 0 END)::BIGINT * {1 << (b % 32)}"
+        for b in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN 1 ELSE 0 END)::BIGINT * {1 << (b % 32)}"
+        for b in range(32, 64)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(string_split({text_col}, ' '), w -> w != '')) AS w
+          FROM {table}
+        ), tc AS (
+          SELECT doc_id, w, COUNT(*) AS cnt, md5(w) AS h FROM tok GROUP BY 1, 2, 4
+        ), sums AS (
+          SELECT doc_id, {', '.join(sum_exprs)} FROM tc GROUP BY doc_id
+        ), sig AS (
+          SELECT doc_id, ({hi}) AS hi, ({lo}) AS lo FROM sums
+        ), blocks AS (
+          SELECT doc_id, hi, lo, unnest([
+            {{'blk': 0, 'v': lo & 65535}},
+            {{'blk': 1, 'v': (lo >> 16) & 65535}},
+            {{'blk': 2, 'v': hi & 65535}},
+            {{'blk': 3, 'v': (hi >> 16) & 65535}}
+          ], recursive := true) FROM sig
+        )
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+               (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))) AS hamming
+        FROM blocks a JOIN blocks b
+          ON a.blk = b.blk AND a.v = b.v AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {max_hamming}
+        ORDER BY d1, d2
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs of vectors with cosine similarity >= threshold. Dot products
+    accumulate in DECIMAL(38,18) (exact, order-independent) so results are
+    identical under any partitioning. Brute-force all-pairs is the
+    correctness baseline — the scale path buckets by IVF centroid first
+    (similarity.py) and runs this only within buckets."""
+    from unifydb_spark.operators.similarity import cosine_col, with_norm
+
+    v = with_norm(emb, id_col, vec_col)
+    a = v.alias("a")
+    b = v.alias("b")
+    cos = cosine_col("a", "b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            F.round(cos, 8).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_sql(
+    table: str = "embeddings", id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int = 64, threshold: float = 0.95,
+) -> str:
+    from unifydb_spark.operators.similarity import dot_sql
+
+    norm2 = dot_sql(vec_col, vec_col, dim)
+    dot = dot_sql("a.vec", "b.vec", dim)
+    return f"""
+        WITH v AS (
+          SELECT {id_col} AS vid, {vec_col} AS vec, {norm2} AS n2
+          FROM {table}
+        )
+        SELECT a.vid AS id1, b.vid AS id2,
+               ROUND({dot} / (sqrt(a.n2) * sqrt(b.n2)), 8) AS cosine
+        FROM v a JOIN v b ON a.vid < b.vid
+        WHERE {dot} / (sqrt(a.n2) * sqrt(b.n2)) >= {threshold}
+        ORDER BY id1, id2
+    """

@@ -1,0 +1,254 @@
+"""Similarity search over embedding columns (array<float>):
+brute-force cosine top-k (correctness baseline) and IVF-bucketed ANN
+(the scale path).
+
+Determinism contract: dot products and norms are ordered double folds
+(F.aggregate over the array, 0.0 + t1 + t2 + ...). The identical IEEE-754
+operation sequence runs on the SQL oracle (list_reduce), so cosines match
+bit-for-bit — no epsilon comparisons anywhere.
+
+Scale design (100 TB):
+ - brute-force: queries broadcast against the vector table; per-partition
+   scan, no shuffle except the final per-query top-k (which AQE handles as
+   a partial top-k per partition via window + filter).
+ - IVF: centroids are a deterministic sample (lowest ids; a real pipeline
+   would k-means them — same plumbing). Vectors pre-assign to their nearest
+   centroid (one narrow pass, centroids broadcast); a query probes only its
+   `nprobe` nearest centroid buckets, so the candidate scan is
+   nprobe/n_centroids of the data. Bucket assignment is also the partition
+   key at scale: cluster-by centroid_id makes each probe a partition-pruned
+   scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(va, vb):
+    """Ordered double fold of the elementwise product (deterministic)."""
+    return F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Attach the squared L2 norm (same fold as the oracle)."""
+    v = F.col(vec_col)
+    return emb.select(
+        F.col(id_col), v.alias(vec_col), _dot(v, v).alias("n2")
+    )
+
+
+def cosine_col(a: str, b: str, vec_col: str = "embedding"):
+    """Cosine between aliased relations `a` and `b` (both from with_norm)."""
+    dot = _dot(F.col(f"{a}.{vec_col}"), F.col(f"{b}.{vec_col}"))
+    return dot / (F.sqrt(F.col(f"{a}.n2")) * F.sqrt(F.col(f"{b}.n2")))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 5,
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k: the `n_queries` lowest-id vectors as the
+    query set (broadcast) against every vector; per-query row_number by
+    (cosine desc, id) keeps exactly k, deterministic under ties."""
+    v = with_norm(emb, id_col, vec_col)
+    q = F.broadcast(
+        v.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.col("n2").alias("qn2"),
+        )
+    )
+    dot = _dot(F.col("qvec"), F.col(vec_col))
+    cos = dot / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("n2")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        q.crossJoin(v)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 8).alias("cosine"))
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (ties -> lowest
+    centroid id). Centroids = the n lowest-id vectors (deterministic
+    stand-in for a k-means fit; identical plumbing)."""
+    v = with_norm(emb, id_col, vec_col)
+    cents = F.broadcast(
+        v.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cvec"),
+            F.col("n2").alias("cn2"),
+        )
+    )
+    dot = _dot(F.col("cvec"), F.col(vec_col))
+    cos = dot / (F.sqrt(F.col("cn2")) * F.sqrt(F.col("n2")))
+    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("centroid_id"))
+    return (
+        v.crossJoin(cents)
+        .select(F.col(id_col), F.col(vec_col), F.col("n2"), "centroid_id", cos.alias("ccos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "n2", "centroid_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 5,
+    k: int = 5,
+) -> DataFrame:
+    """IVF ANN: search only the `nprobe` centroid buckets nearest to each
+    query. Returns (query_id, rank, neighbor_id, cosine) — approximate:
+    neighbors outside probed buckets are missed (that is the trade)."""
+    assigned = ivf_assign(emb, id_col, vec_col, n_centroids)
+    v = with_norm(emb, id_col, vec_col)
+    cents = F.broadcast(
+        v.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cvec"),
+            F.col("n2").alias("cn2"),
+        )
+    )
+    q = v.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("n2").alias("qn2"),
+    )
+    qdot = _dot(F.col("cvec"), F.col("qvec"))
+    qccos = qdot / (F.sqrt(F.col("cn2")) * F.sqrt(F.col("qn2")))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qccos").desc(), F.col("centroid_id")
+    )
+    probes = F.broadcast(
+        q.crossJoin(cents)
+        .select("query_id", "qvec", "qn2", "centroid_id", qccos.alias("qccos"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", "qn2", "centroid_id")
+    )
+    dot = _dot(F.col("qvec"), F.col(vec_col))
+    cos = dot / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("n2")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        probes.join(assigned, "centroid_id")
+        .select("query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 8).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle builders (DuckDB) — the same ordered double folds
+
+
+def dot_sql(a_vec: str, b_vec: str, dim: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, {dim}), "
+        f"i -> CAST({a_vec}[i] AS DOUBLE) * CAST({b_vec}[i] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def cosine_topk_sql(
+    table: str = "embeddings", id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int = 64, n_queries: int = 5, k: int = 5,
+) -> str:
+    n2 = dot_sql(vec_col, vec_col, dim)
+    dot = dot_sql("q.qvec", f"v.{vec_col}", dim)
+    return f"""
+        WITH v AS (
+          SELECT {id_col}, {vec_col}, {n2} AS n2 FROM {table}
+        ), q AS (
+          SELECT {id_col} AS query_id, {vec_col} AS qvec, n2 AS qn2
+          FROM v WHERE {id_col} < {n_queries}
+        ), scored AS (
+          SELECT q.query_id, v.{id_col} AS neighbor_id,
+                 {dot} / (sqrt(q.qn2) * sqrt(v.n2)) AS cosine
+          FROM q CROSS JOIN v
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, ROUND(cosine, 8) AS cosine
+        FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+def ivf_topk_sql(
+    table: str = "embeddings", id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int = 64,
+    n_centroids: int = 16, nprobe: int = 4, n_queries: int = 5, k: int = 5,
+) -> str:
+    n2 = dot_sql(vec_col, vec_col, dim)
+    cdot = dot_sql("c.cvec", f"v.{vec_col}", dim)
+    qcdot = dot_sql("c.cvec", "q.qvec", dim)
+    dot = dot_sql("p.qvec", f"asn.{vec_col}", dim)
+    return f"""
+        WITH v AS (
+          SELECT {id_col}, {vec_col}, {n2} AS n2 FROM {table}
+        ), c AS (
+          SELECT {id_col} AS centroid_id, {vec_col} AS cvec, n2 AS cn2
+          FROM v WHERE {id_col} < {n_centroids}
+        ), assigned AS (
+          SELECT {id_col}, {vec_col}, n2, centroid_id FROM (
+            SELECT v.{id_col}, v.{vec_col}, v.n2, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY v.{id_col}
+                     ORDER BY {cdot} / (sqrt(c.cn2) * sqrt(v.n2)) DESC,
+                              c.centroid_id) AS rn
+            FROM v CROSS JOIN c
+          ) WHERE rn = 1
+        ), q AS (
+          SELECT {id_col} AS query_id, {vec_col} AS qvec, n2 AS qn2
+          FROM v WHERE {id_col} < {n_queries}
+        ), probes AS (
+          SELECT query_id, qvec, qn2, centroid_id FROM (
+            SELECT q.query_id, q.qvec, q.qn2, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY {qcdot} / (sqrt(c.cn2) * sqrt(q.qn2)) DESC,
+                              c.centroid_id) AS rn
+            FROM q CROSS JOIN c
+          ) WHERE rn <= {nprobe}
+        ), scored AS (
+          SELECT p.query_id, asn.{id_col} AS neighbor_id,
+                 {dot} / (sqrt(p.qn2) * sqrt(asn.n2)) AS cosine
+          FROM probes p JOIN assigned asn ON p.centroid_id = asn.centroid_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, ROUND(cosine, 8) AS cosine
+        FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """

@@ -1,0 +1,198 @@
+"""Text-analysis operators for training-data pipelines: tokenization,
+language identification, quality scoring, document fingerprinting.
+
+All operators are pure JVM expression pipelines (split / filter / transform /
+aggregate) — no Python UDFs — so they whole-stage-codegen and scale linearly
+with input splits: per-document work only, no shuffle except the final
+aggregations, which are map-side combinable.
+
+Determinism contract: every score is either integer arithmetic, a single
+double division (exactly rounded, IEEE-reproducible), or an md5 hex string,
+so a SQL oracle reproduces values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish word/number/symbol token pattern (token *counting*, not a real BPE)
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Overlaps (de/fr 'la', en/fr 'on'...) are fine — argmax decides.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "auf", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "dans", "est", "pour"],
+    "es": ["el", "la", "los", "y", "de", "un", "una", "en", "es", "por"],
+}
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokens, empties dropped (split+filter — codegen'd)."""
+    return F.filter(F.split(text, " "), lambda w: w != "")
+
+
+def shingles_col(ws: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings (1-indexed element_at matches the
+    SQL oracle's list indexing)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token counting + quality scoring: whitespace tokens,
+    BPE-ish regex tokens, punctuation count, stopword ratio, and a composite
+    quality score in [0,1]. One narrow projection — no shuffle at all."""
+    t = F.col(text_col)
+    ws = words_col(t)
+    bpe = F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)
+    n_ws = F.size(ws)
+    n_bpe = F.size(bpe)
+    n_punct = F.size(F.filter(bpe, lambda x: x.rlike("^[^a-z0-9]+$")))
+    all_stops = sorted({w for lst in STOPWORDS.values() for w in lst})
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(all_stops)))
+    sum_len = F.aggregate(
+        ws, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    avg_len = sum_len.cast("double") / n_ws
+    stop_ratio = n_stop.cast("double") / n_ws
+    punct_ratio = n_punct.cast("double") / n_bpe
+    quality = F.round(
+        F.least(F.lit(1.0), n_ws.cast("double") / F.lit(100.0)) * 0.5
+        + stop_ratio * 0.3
+        + F.least(F.lit(1.0), avg_len / F.lit(8.0)) * 0.2,
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        n_punct.alias("n_punct"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language ID: per language, count tokens (with
+    multiplicity) that appear in its stopword list; predict the argmax
+    (ties broken by language code order). A real pipeline would use
+    char-n-gram models; the shape — per-doc scores + argmax, zero shuffle —
+    is identical."""
+    ws = words_col(F.col(text_col))
+    langs = sorted(STOPWORDS)
+    scores = {
+        lang: F.size(F.filter(ws, lambda w: w.isin(STOPWORDS[lang])))
+        for lang in langs
+    }
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):  # earlier lang wins ties -> apply last
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("predicted_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Document fingerprinting: exact content hash (md5) + a rolling-window
+    fingerprint = min over md5(word n-gram shingle) — i.e. a k=1 MinHash,
+    stable under small edits away from the minimal shingle. Lexicographic
+    min over hex strings is engine-portable."""
+    t = F.col(text_col)
+    sh = shingles_col(words_col(t), n)
+    minshingle = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return docs.select(
+        "doc_id",
+        F.md5(t).alias("content_md5"),
+        minshingle.alias("shingle_fp"),
+    )
+
+
+def text_stats_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB oracle for text_stats — same tokenization and arithmetic."""
+    all_stops = sorted({w for lst in STOPWORDS.values() for w in lst})
+    stops = ", ".join(f"'{w}'" for w in all_stops)
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split({text_col}, ' '), w -> w != '') AS ws,
+                 regexp_extract_all({text_col}, '{TOKEN_RE}') AS bpe
+          FROM {table}
+        ), m AS (
+          SELECT doc_id,
+                 len(ws) AS n_ws_tokens,
+                 len(bpe) AS n_bpe_tokens,
+                 len(list_filter(bpe, x -> regexp_matches(x, '^[^a-z0-9]+$'))) AS n_punct,
+                 list_reduce(list_prepend(0::BIGINT, list_transform(ws, w -> strlen(w)::BIGINT)), (a, b) -> a + b) AS sum_len,
+                 len(list_filter(ws, w -> list_contains([{stops}], w))) AS n_stop
+          FROM base
+        )
+        SELECT doc_id, n_ws_tokens, n_bpe_tokens, n_punct,
+               ROUND(sum_len::DOUBLE / n_ws_tokens, 6) AS avg_token_len,
+               ROUND(n_stop::DOUBLE / n_ws_tokens, 6) AS stopword_ratio,
+               ROUND(n_punct::DOUBLE / n_bpe_tokens, 6) AS punct_ratio,
+               ROUND(LEAST(1.0, n_ws_tokens::DOUBLE / 100.0) * 0.5
+                     + (n_stop::DOUBLE / n_ws_tokens) * 0.3
+                     + LEAST(1.0, (sum_len::DOUBLE / n_ws_tokens) / 8.0) * 0.2, 6) AS quality
+        FROM m ORDER BY doc_id
+    """
+
+
+def language_id_sql(table: str = "documents", text_col: str = "text") -> str:
+    langs = sorted(STOPWORDS)
+    score_exprs = []
+    for lang in langs:
+        stops = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        score_exprs.append(
+            f"len(list_filter(ws, w -> list_contains([{stops}], w))) AS score_{lang}"
+        )
+    best = f"GREATEST({', '.join('score_' + l for l in langs)})"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+        WITH base AS (
+          SELECT doc_id, list_filter(string_split({text_col}, ' '), w -> w != '') AS ws
+          FROM {table}
+        ), s AS (
+          SELECT doc_id, {', '.join(score_exprs)} FROM base
+        )
+        SELECT doc_id, {', '.join('score_' + l for l in langs)},
+               {pred} AS predicted_lang
+        FROM s ORDER BY doc_id
+    """
+
+
+def shingles_sql_expr(n: int = 3) -> str:
+    """DuckDB expression producing the same word n-gram shingle list as
+    shingles_col, given a list column `ws`."""
+    parts = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+    return (
+        f"list_transform(generate_series(1, GREATEST(len(ws) - {n - 1}, 0)), "
+        f"i -> {parts})"
+    )
+
+
+def fingerprint_sql(table: str = "documents", text_col: str = "text", n: int = 3) -> str:
+    return f"""
+        WITH base AS (
+          SELECT doc_id, {text_col} AS t,
+                 list_filter(string_split({text_col}, ' '), w -> w != '') AS ws
+          FROM {table}
+        )
+        SELECT doc_id, md5(t) AS content_md5,
+               list_min(list_transform({shingles_sql_expr(n)}, s -> md5(s))) AS shingle_fp
+        FROM base ORDER BY doc_id
+    """
