@@ -22,6 +22,14 @@ HEADLINE = [
     "q13_mode",
     "q16_timetravel_asof",
     "q17_historical",
+    "q18_pull_nested",
+    "q19_text_stats",
+    "q23_ngram_jaccard_dedup",
+    "q24_minhash_lsh_dedup",
+    "q25_simhash_dedup",
+    "q27_cosine_topk",
+    "q28_ivf_topk",
+    "q29_multimodal_features",
 ]
 
 

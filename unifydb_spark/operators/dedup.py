@@ -62,10 +62,20 @@ def exact_dedup_sql(table: str = "documents", text_col: str = "text") -> str:
 # n-gram Jaccard near-dup (shingle self-join)
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition ahead of per-token/shingle explosion: a small parquet
+    arrives as one split, which would serialize all hashing onto one task;
+    one cheap shuffle of the raw rows buys full-cluster parallelism for the
+    expensive stage (on a real cluster the source is already split — this
+    is then a no-op-sized shuffle)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(target)
+
+
 def _doc_shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     sh = shingles_col(words_col(F.col(text_col)), n)
     return (
-        docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        _spread(docs).select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     )
 
 
@@ -74,35 +84,66 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard >= threshold.
-    Self-join on shingle -> per-pair intersection size -> |A|+|B|-|A∩B|.
-    `max_shingle_df` drops shingles appearing in more than that many docs
-    (skew guard; None = exact)."""
-    sh = _doc_shingles(docs, text_col, n)
-    if max_shingle_df is not None:
-        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        sh = (
-            sh.join(F.broadcast(dfreq.filter(F.col("__df") <= max_shingle_df)),
-                    "shingle", "left_semi")
+
+    Candidate generation uses *prefix filtering* (the ppjoin family):
+    order each doc's shingles by (global document frequency, shingle) and
+    join only on the first floor((1-t)*n)+1 of them — any pair with
+    Jaccard >= t must share a prefix shingle (pigeonhole), so this is
+    lossless, and because prefixes hold each doc's *rarest* shingles the
+    candidate join avoids the high-frequency shingles that otherwise
+    pair up most of the corpus. Exact Jaccard is then computed only for
+    candidate pairs. At 100 TB this is the difference between a shingle
+    join that explodes quadratically on common shingles and one bounded
+    by true near-duplicates."""
+    # the shingle relation feeds document frequencies, prefixes, sizes and
+    # both sides of the verification join — persist so the explode+hash
+    # runs once per action instead of once per consumer (Spark only reuses
+    # *identical* exchanges, and these consumers aggregate differently)
+    sh = _doc_shingles(docs, text_col, n).persist()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "__pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("__df", "shingle")
+            ),
         )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
-    jac = F.col("common").cast("double") / (
-        F.col("n1") + F.col("n2") - F.col("common")
+    # prefix length: a pair at Jaccard >= t shares >= t/(1+t)*(n1+n2)
+    # shingles, so missing the first n - ceil(t*n) + 1 cannot happen
+    prefix = ranked.filter(
+        F.col("__pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
     )
+    # verification: per-doc shingle *arrays* + array_intersect on candidate
+    # pairs — O(candidates * shingles-per-doc), no pair-x-shingle row
+    # explosion, and the array table is small enough to hash-join twice
+    arrays = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("arr"), F.count(F.lit(1)).alias("n_sh")
+    )
+    a1 = arrays.select(
+        F.col("doc_id").alias("d1"), F.col("arr").alias("arr1"), F.col("n_sh").alias("n1")
+    )
+    a2 = arrays.select(
+        F.col("doc_id").alias("d2"), F.col("arr").alias("arr2"), F.col("n_sh").alias("n2")
+    )
+    common = F.size(F.array_intersect("arr1", "arr2"))
+    jac = common.cast("double") / (F.col("n1") + F.col("n2") - common)
     return (
-        common.join(s1, "d1").join(s2, "d2")
+        cand.join(a1, "d1").join(a2, "d2")
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -163,16 +204,22 @@ def minhash_lsh_pairs(
     the only join is on band keys."""
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signatures(docs, text_col, n, k)
-    band_rows = None
-    for b in range(bands):
-        cols = [F.col(f"mh{b * r + j}") for j in range(r)]
-        one = sig.select(
-            "doc_id",
+    sig = minhash_signatures(docs, text_col, n, k).persist()
+    # one pass over the signatures: explode an array of (band, key) structs
+    # rather than a union of per-band selects (which would recompute the
+    # signature aggregation once per band)
+    band_structs = [
+        F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)])
+            ).alias("band_key"),
         )
-        band_rows = one if band_rows is None else band_rows.unionByName(one)
+        for b in range(bands)
+    ]
+    band_rows = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a = band_rows.alias("a")
     b_ = band_rows.alias("b")
     return (
@@ -228,7 +275,7 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     row per distinct token (map-side combinable); signature packed into two
     32-bit halves (hi, lo) to stay in non-negative bigint range."""
     tok = (
-        docs.select("doc_id", F.explode(words_col(F.col(text_col))).alias("w"))
+        _spread(docs).select("doc_id", F.explode(words_col(F.col(text_col))).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", F.md5(F.col("w")))
@@ -262,7 +309,7 @@ def simhash_pairs(
     Candidate generation: 4 x 16-bit blocks — any pair within hamming 3
     shares at least one identical block (pigeonhole), so the join is on
     block values, never all-pairs."""
-    sig = simhash_signatures(docs, text_col)
+    sig = simhash_signatures(docs, text_col).persist()
     blocks = sig.select(
         "doc_id", "hi", "lo",
         F.col("lo").bitwiseAND(F.lit(65535)).alias("b0"),
