@@ -528,6 +528,84 @@ def q29_multimodal_features(spark, sf_dir):
     return extract_features(attach_binary(_docs(spark, sf_dir))).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# graph analytics (operators/graph.py) over a TPC-H-derived entity graph;
+# node ids are key+offset so the oracle builds the identical graph
+
+_G_CUST, _G_NATION, _G_REGION, _G_SUPP, _G_ORDER = (
+    1_000_000, 2_000_000, 3_000_000, 4_000_000, 5_000_000,
+)
+
+
+def _graph_edges(spark, sf_dir, include_orders: bool):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    parts = [
+        cust.select(
+            (F.col("c_custkey") + _G_CUST).alias("src"),
+            (F.col("c_nationkey") + _G_NATION).alias("dst"),
+        ),
+        supp.select(
+            (F.col("s_suppkey") + _G_SUPP).alias("src"),
+            (F.col("s_nationkey") + _G_NATION).alias("dst"),
+        ),
+        nat.select(
+            (F.col("n_nationkey") + _G_NATION).alias("src"),
+            (F.col("n_regionkey") + _G_REGION).alias("dst"),
+        ),
+    ]
+    if include_orders:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        parts.append(
+            orders.select(
+                (F.col("o_orderkey") + _G_ORDER).alias("src"),
+                (F.col("o_custkey") + _G_CUST).alias("dst"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _graph_edges_cte(include_orders: bool) -> str:
+    parts = [
+        f"SELECT c_custkey + {_G_CUST} AS src, c_nationkey + {_G_NATION} AS dst FROM customer",
+        f"SELECT s_suppkey + {_G_SUPP}, s_nationkey + {_G_NATION} FROM supplier",
+        f"SELECT n_nationkey + {_G_NATION}, n_regionkey + {_G_REGION} FROM nation",
+    ]
+    if include_orders:
+        parts.append(
+            f"SELECT o_orderkey + {_G_ORDER}, o_custkey + {_G_CUST} FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q30_graph_degrees(spark, sf_dir):
+    """Graph degree metrics over the entity graph (orders included)."""
+    from unifydb_spark.operators.graph import degrees
+
+    return degrees(_graph_edges(spark, sf_dir, True)).orderBy("node")
+
+
+def q31_connected_components(spark, sf_dir):
+    """Undirected connected components via min-label propagation fixpoint
+    (components = region clusters)."""
+    from unifydb_spark.operators.graph import connected_components
+
+    return connected_components(_graph_edges(spark, sf_dir, False)).orderBy("node")
+
+
+def q32_pagerank(spark, sf_dir):
+    """10-iteration PageRank (decimal-exact per-node sums; oracle unrolls
+    the identical iterations in SQL)."""
+    from unifydb_spark.operators.graph import pagerank
+
+    df = pagerank(_graph_edges(spark, sf_dir, True), iters=10)
+    return df.select("node", F.round("rank", 10).alias("rank")).orderBy("node")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -564,6 +642,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_cosine_topk": q27_cosine_topk,
         "q28_ivf_topk": q28_ivf_topk,
         "q29_multimodal_features": q29_multimodal_features,
+        "q30_graph_degrees": q30_graph_degrees,
+        "q31_connected_components": q31_connected_components,
+        "q32_pagerank": q32_pagerank,
     }
 
 
@@ -694,6 +775,7 @@ def oracle_sql() -> dict[str, str]:
 
 def _operator_oracles() -> dict[str, str]:
     from unifydb_spark.operators import dedup as _d
+    from unifydb_spark.operators import graph as _g
     from unifydb_spark.operators import multimodal as _m
     from unifydb_spark.operators import similarity as _s
     from unifydb_spark.operators import text as _t
@@ -710,4 +792,9 @@ def _operator_oracles() -> dict[str, str]:
         "q27_cosine_topk": _s.cosine_topk_sql(),
         "q28_ivf_topk": _s.ivf_topk_sql(),
         "q29_multimodal_features": _m.features_sql(),
+        "q30_graph_degrees": _g.degrees_sql(_graph_edges_cte(True)),
+        "q31_connected_components": _g.connected_components_sql(
+            _graph_edges_cte(False)
+        ),
+        "q32_pagerank": _g.pagerank_sql(_graph_edges_cte(True), iters=10),
     }

@@ -1,0 +1,82 @@
+"""Graph analytics tests: temporal edge view over the fact store,
+connected components and PageRank on known graphs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from unifydb_spark import Engine, FactStore, Ref
+from unifydb_spark.operators.graph import (
+    connected_components,
+    degrees,
+    pagerank,
+    ref_edges,
+)
+
+# friendship graph over two txs: tx=1 creates 1-2, 2-3 and 10-11;
+# tx=2 bridges 3-10 (merging the components)
+GRAPH_FACTS = [
+    (1, ":knows", Ref(2), 1, True),
+    (2, ":knows", Ref(3), 1, True),
+    (10, ":knows", Ref(11), 1, True),
+    (3, ":knows", Ref(10), 2, True),
+]
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    return FactStore(spark).seed(GRAPH_FACTS)
+
+
+def test_ref_edges_temporal(store):
+    asof1 = ref_edges(store.db(1), attrs=["knows"])
+    assert asof1.count() == 3
+    latest = ref_edges(store.db(), attrs=["knows"])
+    assert latest.count() == 4
+
+
+def test_connected_components_temporal(store):
+    # as of tx=1: two components {1,2,3} and {10,11}
+    cc1 = {
+        r["node"]: r["component"]
+        for r in connected_components(ref_edges(store.db(1))).collect()
+    }
+    assert cc1 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # as of latest: the bridge merges them into one
+    cc2 = {
+        r["node"]: r["component"]
+        for r in connected_components(ref_edges(store.db())).collect()
+    }
+    assert set(cc2.values()) == {1}
+
+
+def test_degrees(store):
+    d = {r["node"]: (r["out_degree"], r["in_degree"])
+         for r in degrees(ref_edges(store.db())).collect()}
+    assert d[3] == (1, 1)
+    assert d[1] == (1, 0)
+    assert d[11] == (0, 1)
+
+
+def test_pagerank_chain(spark):
+    # star graph: everyone points at node 0 -> node 0 has max rank
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], "src bigint, dst bigint"
+    )
+    pr = {r["node"]: r["rank"] for r in pagerank(edges, iters=5).collect()}
+    assert max(pr, key=pr.get) == 0
+    # leaky formulation: total mass <= 1
+    assert sum(pr.values()) <= 1.0 + 1e-9
+
+
+def test_pagerank_partition_invariant(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(rnd.randrange(50), rnd.randrange(50)) for _ in range(300)]
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint")
+    p1 = {r["node"]: r["rank"] for r in pagerank(edges, iters=6).collect()}
+    p2 = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges.repartition(13), iters=6).collect()
+    }
+    assert p1 == p2  # bitwise identical under different partitioning

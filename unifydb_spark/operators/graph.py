@@ -1,0 +1,227 @@
+"""Temporal graph analytics over the fact store's reference edges.
+
+The reference's VAET index (src/unifydb/storage.clj:23-27) is exactly an
+edge list: every fact whose value is an entity id is an edge e --attr--> v.
+`ref_edges(db)` exposes that as a DataFrame — and because it is built on a
+time-traveling snapshot (`db.as_of(tx)`), every algorithm here is
+automatically *temporal*: run it on the graph as of any transaction.
+
+Algorithms are driver-coordinated DataFrame fixpoints (the BSP pattern —
+what GraphX/Pregel does under the hood, expressed in joins so Catalyst/AQE
+plan each superstep):
+ - connected_components: min-label propagation to fixpoint, one
+   join+min-aggregate per superstep, localCheckpoint to truncate lineage.
+ - pagerank: fixed-iteration power method; per-edge contributions are
+   IEEE double ops and the per-node sum accumulates in DECIMAL(38,18), so
+   ranks are exact-reproducible under any partitioning — the oracle unrolls
+   the same iterations in SQL and matches bit-for-bit (to the output
+   rounding).
+
+Scale notes (100 TB): each superstep shuffles on dst — partition edges by
+dst once (`repartition(dst)`) and every iteration reuses that layout; the
+rank/label table is node-sized, broadcastable when nodes << edges. Skewed
+hubs (celebrity nodes) are the classic hazard; AQE skew-join handles the
+join side, and the min/sum aggregates are map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,18)"
+
+
+def ref_edges(db, attrs: list[str] | None = None) -> DataFrame:
+    """Edge view of the fact store: (src, attr, dst, tx) for every
+    reference-valued fact visible in this snapshot (the VAET index as a
+    relation). Pass db.as_of(tx) for the graph as of a past transaction."""
+    if attrs:
+        slices = [db.visible_facts(attr=a) for a in attrs]
+        facts = slices[0]
+        for s in slices[1:]:
+            facts = facts.unionByName(s)
+    else:
+        facts = db.visible_facts()
+    return facts.filter(F.col("v_type") == "ref").select(
+        F.col("e").alias("src"),
+        F.col("a").alias("attr"),
+        F.col("v_ref").alias("dst"),
+        F.col("tx"),
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-node out/in degree (nodes = src ∪ dst)."""
+    out_d = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def _nodes(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Undirected connected components by min-label propagation:
+    component id = minimum node id in the component. Converges in
+    O(diameter) supersteps; each superstep is one join + one min-aggregate.
+    Returns (node, component)."""
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = _nodes(edges).withColumn("component", F.col("node")).localCheckpoint()
+    for _ in range(max_iter):
+        prop = (
+            und.join(labels, und["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 10, damping: float = 0.85
+) -> DataFrame:
+    """Fixed-iteration PageRank (no dangling-mass redistribution — the
+    classic 'leaky' formulation, chosen because it is exactly expressible
+    in unrolled SQL for the oracle). Contributions are double ops; per-node
+    sums accumulate in DECIMAL(38,18) then cast back — reproducible under
+    any partitioning. Returns (node, rank)."""
+    nodes = _nodes(edges).localCheckpoint()
+    n = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    restart = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst"),
+                (F.col("rank") / F.col("outdeg")).cast(DEC).alias("c"),
+            )
+        )
+        sums = contribs.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").alias("s")
+        )
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(restart)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle builders — `edges_cte` must define edges(src, dst)
+
+
+def degrees_sql(edges_cte: str) -> str:
+    return f"""
+        WITH edges AS ({edges_cte}),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+        SELECT n.node,
+               COALESCE(o.c, 0) AS out_degree,
+               COALESCE(i.c, 0) AS in_degree
+        FROM nodes n
+        LEFT JOIN (SELECT src, COUNT(*) AS c FROM edges GROUP BY 1) o ON n.node = o.src
+        LEFT JOIN (SELECT dst, COUNT(*) AS c FROM edges GROUP BY 1) i ON n.node = i.dst
+        ORDER BY n.node
+    """
+
+
+def connected_components_sql(edges_cte: str) -> str:
+    return f"""
+        WITH RECURSIVE edges AS ({edges_cte}),
+        und AS (
+          SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+        ),
+        nodes AS (SELECT src AS node FROM und UNION SELECT dst FROM und),
+        reach(node, lbl) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT u.dst, r.lbl FROM und u JOIN reach r ON u.src = r.node
+        )
+        SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+        ORDER BY node
+    """
+
+
+def pagerank_sql(edges_cte: str, iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled power iterations (aggregates are not allowed in a recursive
+    CTE term, so the oracle unrolls) — numerically identical to pagerank()."""
+    prev = "pr0"
+    ctes = [
+        f"edges AS ({edges_cte})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1)",
+        # ::DOUBLE casts everywhere: bare 1.0/0.85 are DECIMAL literals in
+        # DuckDB, whose decimal division would diverge from Spark's doubles
+        "pr0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pr{i} AS (
+              SELECT n.node,
+                     (1.0::DOUBLE - {damping}::DOUBLE) / (SELECT n FROM nn)
+                     + {damping}::DOUBLE * COALESCE(
+                         CAST(CAST(s.s AS VARCHAR) AS DOUBLE), 0.0) AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM(CAST(p.rank / o.outdeg AS DECIMAL(38,18))) AS s
+                FROM edges e
+                JOIN {prev} p ON e.src = p.node
+                JOIN outdeg o ON e.src = o.src
+                GROUP BY e.dst
+              ) s ON n.node = s.node
+            )"""
+        )
+        prev = f"pr{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, ROUND(rank, 10) AS rank FROM {prev} ORDER BY node"
+    )
