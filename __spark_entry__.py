@@ -606,6 +606,34 @@ def q32_pagerank(spark, sf_dir):
     return df.select("node", F.round("rank", 10).alias("rank")).orderBy("node")
 
 
+def q33_stream_windowed_metrics(spark, sf_dir):
+    """Structured Streaming: watermarked 1-day tumbling windows over the
+    event stream (file source, availableNow). Append mode emits exactly
+    the watermark-closed windows — the oracle filters to the same set."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from unifydb_spark.streaming import read_event_stream, windowed_metrics
+
+    name = "wm_" + uuid.uuid4().hex[:8]
+    # the file-source stream wants a directory of files
+    src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = read_event_stream(spark, src_dir)
+    q = (
+        windowed_metrics(stream, window="1 day", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("window_start", "user_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -645,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_graph_degrees": q30_graph_degrees,
         "q31_connected_components": q31_connected_components,
         "q32_pagerank": q32_pagerank,
+        "q33_stream_windowed_metrics": q33_stream_windowed_metrics,
     }
 
 
@@ -797,4 +826,15 @@ def _operator_oracles() -> dict[str, str]:
             _graph_edges_cte(False)
         ),
         "q32_pagerank": _g.pagerank_sql(_graph_edges_cte(True), iters=10),
+        # streaming append-mode emits windows whose END is <= the final
+        # watermark (= max event time, delay 0s)
+        "q33_stream_windowed_metrics": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, user_id,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(value AS DECIMAL(30,10))) AS sum_value,
+                   MAX(value) AS max_value
+            FROM events
+            WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT MAX(ts) FROM events)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
     }

@@ -1,0 +1,156 @@
+"""Structured Streaming tests: fact ingestion exactly-once, watermarked
+windows, stateful last-writer-wins — each checked against the equivalent
+batch computation on the same data."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from unifydb_spark import Engine, FactStore
+from unifydb_spark.store import ParquetBackend
+from unifydb_spark.streaming import (
+    events_to_facts,
+    read_event_stream,
+    running_latest,
+    stream_facts_to_store,
+    windowed_metrics,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmpdirs(tmp_path):
+    d = {
+        "input": str(tmp_path / "input"),
+        "store": str(tmp_path / "store"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(d["input"])
+    return d
+
+
+def _stage_events(spark, input_dir, n_files=3):
+    """Split the events table into n parquet files (one per micro-batch)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF}/events.parquet")  # ts: bigint nanos
+    total = raw.count()
+    per = total // n_files + 1
+    rows = raw.orderBy("event_id").collect()
+    for i in range(n_files):
+        chunk = rows[i * per : (i + 1) * per]
+        if chunk:
+            spark.createDataFrame(chunk, raw.schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(input_dir)
+    # batch-side comparison frame with a real timestamp column (the same
+    # conversion read_event_stream applies)
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def test_stream_facts_to_store_and_time_travel(spark, tmpdirs):
+    ev = _stage_events(spark, tmpdirs["input"])
+    stream = read_event_stream(spark, tmpdirs["input"])
+    q = stream_facts_to_store(
+        events_to_facts(stream), tmpdirs["store"], tmpdirs["ckpt"]
+    )
+    q.awaitTermination(120)
+    store = FactStore(spark, ParquetBackend(spark, tmpdirs["store"]))
+    assert store.backend.facts_df().count() == ev.count()
+    # the streamed store answers time-travel queries like the batch one
+    eng = Engine(spark, store)
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    got = eng.query(
+        {"find": ["?u", "?v"], "where": [["?u", ":user/value", "?v"]]},
+        eng.db(int(mid)),
+    )
+    expect = (
+        ev.filter(F.col("event_id") <= int(mid))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter("rn = 1")
+    )
+    assert got.count() == expect.count()
+
+
+def test_windowed_metrics_match_batch(spark, tmpdirs):
+    ev = _stage_events(spark, tmpdirs["input"])
+    stream = read_event_stream(spark, tmpdirs["input"])
+    agg = windowed_metrics(stream, window="1 day", watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_metrics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT window_start, user_id, n_events, sum_value, max_value "
+        "FROM win_metrics"
+    )
+    batch = (
+        ev.groupBy(F.window("ts", "1 day").alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,10)")).alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "user_id",
+                "n_events", "sum_value", "max_value")
+    )
+    # append mode emits only watermark-closed windows; every emitted row
+    # must match the batch computation exactly, and most windows close
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g <= b
+    assert len(g) >= len(b) - ev.select("user_id").distinct().count()
+
+
+def test_running_latest_stateful(spark, tmpdirs):
+    ev = _stage_events(spark, tmpdirs["input"])
+    stream = read_event_stream(spark, tmpdirs["input"])
+    q = (
+        running_latest(stream)
+        .writeStream.format("memory")
+        .queryName("latest")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per user across micro-batches = the final snapshot
+    from pyspark.sql.window import Window
+
+    got = (
+        spark.sql("SELECT * FROM latest")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .select("user_id", "event_id", "value")
+    )
+    expect = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .select("user_id", F.col("event_id"), "value")
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in expect.collect()}

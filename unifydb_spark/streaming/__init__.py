@@ -1,0 +1,7 @@
+from unifydb_spark.streaming.stream import (  # noqa: F401
+    events_to_facts,
+    read_event_stream,
+    running_latest,
+    stream_facts_to_store,
+    windowed_metrics,
+)

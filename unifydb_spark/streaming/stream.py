@@ -1,0 +1,147 @@
+"""Structured Streaming surface: streaming fact ingestion + event
+analytics.
+
+The reference has no streaming at all (SURVEY §2.6) — its closest notion
+is the transactor consuming a message queue serially
+(src/unifydb/transact.clj:116-137). On Spark that queue IS a stream:
+`stream_facts_to_store` is the transactor as a Structured Streaming sink
+(exactly-once into the parquet fact log via checkpointing), and the
+time-travel semantics compose — a fact ingested at event-time t is visible
+to `db.as_of(tx)` snapshots exactly as a batch-transacted one.
+
+Event analytics:
+ - windowed_metrics: watermarked tumbling-window aggregation (late rows
+   beyond the watermark are dropped — bounded state at any scale).
+ - running_latest: the R1 cardinality-one "latest value wins" snapshot
+   semantic as a *stateful streaming operator* (applyInPandasWithState):
+   state per user = (max event id, its value); emits the running snapshot
+   on every micro-batch. State size is O(users), not O(events).
+
+Scale notes: the windowed aggregate shuffles on (window, user) with
+map-side partial aggregation; the stateful operator shuffles on user once
+per micro-batch and its state store is RocksDB-backed on a real cluster.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# the testdata's events.parquet stores nanosecond INT64 timestamps, which
+# the parquet reader only accepts as longs (spark.sql.legacy.parquet.
+# nanosAsLong) — declare bigint and convert to a real timestamp on read
+EVENT_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of event rows (one new file per micro-batch;
+    in production this would be Kafka — same downstream plan)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def events_to_facts(events: DataFrame) -> DataFrame:
+    """Events -> fact tuples (FACT_SCHEMA): tx = event id, attribute
+    'user/value' — the same mapping the batch engine uses for the events
+    table, so streamed facts are queryable with time travel."""
+    return events.select(
+        F.col("user_id").cast("long").alias("e"),
+        F.lit("user/value").alias("a"),
+        F.lit("double").alias("v_type"),
+        F.lit(None).cast("bigint").alias("v_long"),
+        F.col("value").cast("double").alias("v_double"),
+        F.lit(None).cast("string").alias("v_str"),
+        F.lit(None).cast("boolean").alias("v_bool"),
+        F.lit(None).cast("bigint").alias("v_ref"),
+        F.lit(None).cast("timestamp").alias("v_ts"),
+        F.lit(None).cast("string").alias("v_json"),
+        F.col("event_id").cast("long").alias("tx"),
+        F.lit(True).alias("added"),
+    )
+
+
+def stream_facts_to_store(
+    facts: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    trigger_available_now: bool = True,
+):
+    """The streaming transactor: append the fact stream to the parquet
+    fact log, exactly-once via the checkpoint. Returns the query handle."""
+    w = facts.writeStream.format("parquet").option(
+        "path", store_path
+    ).option("checkpointLocation", checkpoint_path).outputMode("append")
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def windowed_metrics(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window per-user metrics. Decimal partial sums
+    keep the aggregate exact regardless of micro-batch boundaries."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,10)")).alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "user_id", "n_events", "sum_value", "max_value",
+        )
+    )
+
+
+_STATE_SCHEMA = "max_event_id bigint, value double"
+_OUT_SCHEMA = "user_id bigint, event_id bigint, value double"
+
+
+def _latest_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Keep (max event id, its value) per user; emit the running latest."""
+    (user_id,) = key
+    if state.exists:
+        max_id, value = state.get
+    else:
+        max_id, value = -1, None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        top = pdf.loc[pdf["event_id"].idxmax()]
+        if int(top["event_id"]) > max_id:
+            max_id, value = int(top["event_id"]), float(top["value"])
+    state.update((max_id, value))
+    yield pd.DataFrame(
+        [(int(user_id), max_id, value)],
+        columns=["user_id", "event_id", "value"],
+    )
+
+
+def running_latest(events: DataFrame) -> DataFrame:
+    """Cardinality-one snapshot (reference query.clj:179-204 'latest tx
+    wins') as a stateful streaming operator: per user, the value of the
+    highest event id seen so far."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _latest_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
