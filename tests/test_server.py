@@ -1,0 +1,80 @@
+"""HTTP surface tests (reference test/unifydb/server_test.clj shapes):
+/transact then /query round-trip, structured errors, 404."""
+
+import json
+import http.client
+
+import pytest
+
+from unifydb_spark import Engine, FactStore
+from unifydb_spark.server import serve_background
+
+
+@pytest.fixture(scope="module")
+def srv(spark):
+    eng = Engine(spark, FactStore(spark))
+    server, port = serve_background(eng)
+    yield port
+    server.shutdown()
+
+
+def _post(port, path, payload):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", path, json.dumps(payload),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    body = json.loads(resp.read())
+    conn.close()
+    return resp.status, body
+
+
+def test_transact_then_query(srv):
+    status, rep = _post(srv, "/transact", {
+        "tx-data": [["add", "ben", ":name", "Ben"],
+                    ["add", "ben", ":salary", 60000]],
+    })
+    assert status == 200
+    assert "ben" in rep["tempids"]
+    assert rep["tx-id"] == rep["tempids"]["unifydb.tx"]
+
+    status, res = _post(srv, "/query", {
+        "query": {"find": ["?e", "?s"],
+                  "where": [["?e", ":name", "Ben"], ["?e", ":salary", "?s"]]},
+    })
+    assert status == 200
+    assert res["columns"] == ["e", "s"]
+    assert res["results"] == [[{"$ref": rep["tempids"]["ben"]}, 60000]]
+
+
+def test_query_with_call_encoding(srv):
+    # predicates/tuples travel as {"$call": [...]} in JSON
+    status, res = _post(srv, "/query", {
+        "query": {"find": ["?s"],
+                  "where": [["?e", ":salary", "?s"],
+                            [{"$call": [">", "?s", 1000]}]]},
+    })
+    assert status == 200
+    assert res["results"] == [[60000]]
+
+
+def test_structured_error(srv):
+    status, res = _post(srv, "/query", {
+        "query": {"find": ["?x"], "where": [[("nope", "?x")]]},
+    })
+    assert status == 400
+    assert "error" in res and res["error"]["code"]
+
+
+def test_unknown_fn_error(srv):
+    status, res = _post(srv, "/query", {
+        "query": {"find": ["?s"],
+                  "where": [["?e", ":salary", "?s"],
+                            [{"$call": ["*foo", "?s", 2]}, "?t"]]},
+    })
+    assert status == 400
+    assert res["error"]["code"] == "unknown-function"
+
+
+def test_404(srv):
+    status, res = _post(srv, "/nope", {})
+    assert status == 404

@@ -86,3 +86,26 @@ def test_cardinality_one_rewrite(eng):
     eng.transact([["add", eid, ":status", "live"]])
     # no schema -> cardinality one -> latest assertion wins
     assert eng.query_rows({"find": ["?s"], "where": [[eid, ":status", "?s"]]}) == [("live",)]
+
+
+def test_user_transform_and_report_filter(eng):
+    # reference transact_test.clj:116-141: username+password statements
+    # become a salted user record; salt is redacted from the report
+    report = eng.transact(
+        [
+            [":unifydb/add", "my-user", ":unifydb/username", "user"],
+            [":unifydb/add", "my-user", ":unifydb/password", "pencil"],
+        ]
+    )
+    facts = report["tx_data"]
+    attrs = sorted(f[1] for f in facts)
+    assert attrs == ["unifydb/password", "unifydb/txInstant", "unifydb/username"]
+    pw = next(f[2] for f in facts if f[1] == "unifydb/password")
+    assert pw != "pencil"  # hashed, never stored in clear
+    # salt IS stored (queryable), just not reported
+    from unifydb_spark.auth import get_user, verify_password
+
+    user = get_user(eng, "user")
+    assert user is not None
+    assert verify_password("pencil", user["unifydb/salt"], user["unifydb/password"])
+    assert not verify_password("wrong", user["unifydb/salt"], user["unifydb/password"])

@@ -1,0 +1,137 @@
+"""Thin HTTP service surface (SURVEY §2.5 V1/V2/V4).
+
+The reference serves /query and /transact over EDN with a message-queue
+hop to worker pools (src/unifydb/server.clj:20-40; queue RPC
+src/unifydb/util.clj:39-57). On Spark the driver *is* the coordinator and
+executors are the worker pool, so the queue disappears; this module keeps
+the request/response shapes (JSON in place of EDN) on the standard
+library's threading HTTP server — no web-framework dependency.
+
+POST /query    {"query": {...}, "tx-id": <int|"latest">, "historical": bool}
+               -> {"results": [[...], ...], "columns": [...]}
+POST /transact {"tx-data": [...]}
+               -> {"tx-id": int, "tempids": {...}, "tx-data": [...]}
+Errors        -> 400 {"error": {"code": ..., "message": ...}}
+               (the reference's structured error payload,
+               src/unifydb/query.clj:505-517)
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from unifydb_spark.query.parse import QueryError
+from unifydb_spark.values import Ref
+
+
+def _jsonable(v):
+    if isinstance(v, Ref):
+        return {"$ref": int(v)}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _decode_refs(v):
+    if isinstance(v, dict) and set(v) == {"$ref"}:
+        return Ref(v["$ref"])
+    if isinstance(v, list):
+        return [_decode_refs(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _decode_refs(x) for k, x in v.items()}
+    return v
+
+
+def _normalize_query(q):
+    """JSON arrays arrive as lists; call positions (predicates, fn heads,
+    rule applications) need to be tuples for the parser. Convention:
+    a list whose first element is ["fn", ...] i.e. nested-list head, or a
+    find element tagged with '(' ... — instead we accept the unambiguous
+    JSON encoding {"$call": ["fn", arg...]} anywhere a tuple is needed."""
+
+    def walk(x):
+        if isinstance(x, dict) and "$call" in x:
+            return tuple(walk(i) for i in x["$call"])
+        if isinstance(x, dict):
+            return {k: walk(v) for k, v in x.items()}
+        if isinstance(x, list):
+            return [walk(i) for i in x]
+        return x
+
+    return walk(_decode_refs(q))
+
+
+class EngineHandler(BaseHTTPRequestHandler):
+    engine = None  # set by make_server
+
+    def log_message(self, *args):  # quiet
+        pass
+
+    def _send(self, code: int, payload: dict):
+        body = json.dumps(payload).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self):
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(n) or b"{}")
+        except (ValueError, TypeError):
+            return self._send(400, {"error": {"code": "bad-request",
+                                              "message": "invalid JSON body"}})
+        try:
+            if self.path == "/query":
+                q = _normalize_query(req.get("query") or {})
+                db = self.engine.db(
+                    req.get("tx-id", "latest"), bool(req.get("historical", False))
+                )
+                df, _ = self.engine.compile(q, db)
+                cols = df.columns
+                rows = self.engine.query_rows(q, db)
+                return self._send(
+                    200, {"columns": cols, "results": _jsonable(rows)}
+                )
+            if self.path == "/transact":
+                report = self.engine.transact(
+                    _normalize_query(req.get("tx-data") or [])
+                )
+                return self._send(
+                    200,
+                    {
+                        "tx-id": report["tempids"].get("unifydb.tx"),
+                        "tempids": report["tempids"],
+                        "tx-data": _jsonable(report["tx_data"]),
+                    },
+                )
+            return self._send(404, {"error": {"code": "not-found",
+                                              "message": self.path}})
+        except QueryError as e:
+            return self._send(
+                400,
+                {"error": {"code": e.code, "message": str(e), **e.info}},
+            )
+        except Exception as e:  # structured error payload, like the reference
+            return self._send(400, {"error": {"code": "error", "message": str(e)}})
+
+
+def make_server(engine, host: str = "127.0.0.1", port: int = 0):
+    """Build (but don't start) the HTTP server; port=0 picks a free port."""
+    handler = type("BoundHandler", (EngineHandler,), {"engine": engine})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_background(engine, host: str = "127.0.0.1", port: int = 0):
+    """Start the server on a daemon thread; returns (server, port)."""
+    srv = make_server(engine, host, port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]

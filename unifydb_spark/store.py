@@ -268,9 +268,12 @@ class FactStore:
         self.backend = backend
         # Pluggable tx pipeline hooks (reference transact/transforms.clj,
         # transact/filters.clj): transforms rewrite statements pre-commit,
-        # filters redact the outgoing tx report.
-        self.transforms: list[Callable[[list], list]] = []
-        self.report_filters: list[Callable[[dict], dict]] = []
+        # filters redact the outgoing tx report. The reference installs its
+        # auth hooks unconditionally — mirror that default.
+        from unifydb_spark.auth import filter_auth_facts, new_user_transform
+
+        self.transforms: list[Callable[[list], list]] = [new_user_transform]
+        self.report_filters: list[Callable[[dict], dict]] = [filter_auth_facts]
         self._schema_cache: dict = {}
         self._attr_types_cache: Optional[tuple] = None
 
