@@ -1,0 +1,80 @@
+"""Scalar function registry tests (Q5/Q6): the extended clojure.core ->
+Spark builtin surface."""
+
+import pytest
+
+from unifydb_spark import Engine, FactStore, Ref
+from unifydb_spark.query.parse import QueryError
+
+FACTS = [
+    (1, ":name", "Ben Bitdiddle", 0, True),
+    (1, ":salary", 60000, 0, True),
+    (1, ":tags", ["a", "b", "c"], 0, True),
+    (2, ":name", "alyssa", 0, True),
+    (2, ":salary", 40000.5, 0, True),
+    (3, ":name", "X", 0, True),
+]
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return Engine(spark, FactStore(spark).seed(FACTS))
+
+
+def q1(eng, q):
+    rows = eng.query_rows(q)
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_string_fns(eng):
+    assert q1(eng, {"find": ["?u"], "where": [
+        [1, ":name", "?n"], [("upper-case", "?n"), "?u"]]}) == ("BEN BITDIDDLE",)
+    assert q1(eng, {"find": ["?r"], "where": [
+        [1, ":name", "?n"], [("replace", "?n", "Ben", "Jen"), "?r"]]}) == ("Jen Bitdiddle",)
+    assert q1(eng, {"find": ["?i"], "where": [
+        [1, ":name", "?n"], [("index-of", "?n", "Bit"), "?i"]]}) == (4,)
+    assert q1(eng, {"find": ["?i"], "where": [
+        [1, ":name", "?n"], [("index-of", "?n", "zzz"), "?i"]]}) == (None,)
+    assert q1(eng, {"find": ["?p"], "where": [
+        [1, ":name", "?n"], [("split", "?n", " "), "?p"]]}) == (["Ben", "Bitdiddle"],)
+    assert q1(eng, {"find": ["?j"], "where": [
+        [1, ":tags", "?t"], [("join", "-", "?t"), "?j"]]}) == ("a-b-c",)
+
+
+def test_keyword_accessors(eng):
+    # name/namespace over the attribute position
+    rows = eng.query_rows({"find": ["?nm", "?ns"], "where": [
+        [1, "?a", 60000], [("name", "?a"), "?nm"], [("namespace", "?a"), "?ns"]]})
+    assert rows == [("salary", None)]
+
+
+def test_type_predicates(eng):
+    # number? over a struct-typed variable (attr ?a binds mixed types)
+    rows = sorted(eng.query_rows({"find": ["?n"], "where": [
+        ["?e", ":salary", "?s"], [("number?", "?s")],
+        ["?e", ":name", "?n"]]}))
+    assert rows == [("Ben Bitdiddle",), ("alyssa",)]
+    rows = eng.query_rows({"find": ["?n"], "where": [
+        ["?e", ":salary", "?s"], [("double?", "?s")], ["?e", ":name", "?n"]]})
+    assert rows == [("alyssa",)]
+
+
+def test_bit_ops(eng):
+    assert q1(eng, {"find": ["?x"], "where": [
+        [1, ":salary", "?s"], [("bit-and", "?s", 0xFF), "?x"]]}) == (60000 & 0xFF,)
+    assert q1(eng, {"find": ["?x"], "where": [
+        [1, ":salary", "?s"], [("bit-shift-right", "?s", 4), "?x"]]}) == (60000 >> 4,)
+
+
+def test_casts(eng):
+    assert q1(eng, {"find": ["?x"], "where": [
+        [2, ":salary", "?s"], [("long", "?s"), "?x"]]}) == (40000,)
+
+
+def test_unknown_function_error(eng):
+    with pytest.raises(QueryError) as ei:
+        eng.query_rows({"find": ["?x"], "where": [
+            [1, ":salary", "?s"], [("*foo", "?s"), "?x"]]})
+    assert ei.value.code == "unknown-function"
+    assert ei.value.info == {"function": "*foo"}

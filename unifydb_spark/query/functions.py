@@ -164,7 +164,121 @@ REGISTRY: dict[str, Callable] = {
     "ends-with?": lambda s, p: (as_col(s)[0].endswith(as_col(p)[0]), "bool"),
     "includes?": lambda s, p: (as_col(s)[0].contains(as_col(p)[0]), "bool"),
     "re-matches": lambda p, s: (as_col(s)[0].rlike(as_col(p)[0]), "bool"),
+    "re-find": lambda p, s: (
+        F.regexp_extract(as_col(s)[0], as_col(p)[0], 0),
+        "string",
+    ),
+    "replace": lambda s, m, r: (
+        F.replace(as_col(s)[0], as_col(m)[0], as_col(r)[0]),
+        "string",
+    ),
+    "reverse": lambda s: (F.reverse(as_col(s)[0]), "string"),
+    "blank?": lambda s: (
+        as_col(s)[0].isNull() | (F.trim(as_col(s)[0]) == ""),
+        "bool",
+    ),
+    # clojure.string/index-of returns nil when absent; locate is 1-based
+    "index-of": lambda s, sub: (
+        F.when(
+            F.call_function("locate", as_col(sub)[0], as_col(s)[0]) > 0,
+            (F.call_function("locate", as_col(sub)[0], as_col(s)[0]) - 1).cast(
+                "bigint"
+            ),
+        ),
+        "long",
+    ),
+    "split": lambda s, re_: (
+        F.to_json(F.split(as_col(s)[0], as_col(re_)[0])),
+        "json",
+    ),
+    "join": lambda sep, coll: (
+        F.call_function(
+            "array_join",
+            F.from_json(as_col(coll)[0], "array<string>"),
+            as_col(sep)[0],
+        ),
+        "string",
+    ),
+    # EDN keyword accessors: 'employee/age' -> name 'age', namespace 'employee'
+    "name": lambda k: (
+        F.element_at(F.split(as_col(k)[0], "/", 2), -1),
+        "string",
+    ),
+    "namespace": lambda k: (
+        F.when(
+            as_col(k)[0].contains("/"),
+            F.element_at(F.split(as_col(k)[0], "/", 2), 1),
+        ),
+        "string",
+    ),
+    # casts (Clojure coercions; long/double tower only)
+    "long": lambda a: (num(a).cast("bigint"), "long"),
+    "int": lambda a: (num(a).cast("bigint"), "long"),
+    "double": lambda a: (num(a).cast("double"), "double"),
+    "boolean": lambda a: (as_col(a)[0].cast("boolean"), "bool"),
+    # bit ops on longs (struct-typed numerics arrive as double -> cast)
+    "bit-and": _arith(
+        lambda a, b: a.cast("bigint").bitwiseAND(b.cast("bigint")), lambda a: "long"
+    ),
+    "bit-or": _arith(
+        lambda a, b: a.cast("bigint").bitwiseOR(b.cast("bigint")), lambda a: "long"
+    ),
+    "bit-xor": _arith(
+        lambda a, b: a.cast("bigint").bitwiseXOR(b.cast("bigint")), lambda a: "long"
+    ),
+    "bit-shift-left": lambda a, n: (
+        F.call_function("shiftleft", num(a).cast("bigint"), num(n).cast("int")),
+        "long",
+    ),
+    "bit-shift-right": lambda a, n: (
+        F.call_function("shiftright", num(a).cast("bigint"), num(n).cast("int")),
+        "long",
+    ),
 }
+
+
+def _type_pred(want: set):
+    """Type predicate over the compiler's repr tags; struct columns check
+    their runtime tag, typed columns resolve statically (nulls are never
+    of any type — matching Clojure where nil fails string?/number?...)."""
+
+    def f(a):
+        c, r = as_col(a)
+        if r == "struct":
+            cond = c["t"].isin(*sorted(want)) if want else F.lit(False)
+            return cond & (c["t"] != "null"), "bool"
+        return (F.lit(r in want) & c.isNotNull()), "bool"
+
+    return f
+
+
+REGISTRY.update(
+    {
+        "nil?": lambda a: (
+            as_col(a)[0]["t"] == "null"
+            if as_col(a)[1] == "struct"
+            else as_col(a)[0].isNull(),
+            "bool",
+        ),
+        "some?": lambda a: (
+            as_col(a)[0]["t"] != "null"
+            if as_col(a)[1] == "struct"
+            else as_col(a)[0].isNotNull(),
+            "bool",
+        ),
+        "string?": _type_pred({"string"}),
+        "number?": _type_pred({"long", "double"}),
+        "int?": _type_pred({"long"}),
+        "integer?": _type_pred({"long"}),
+        "double?": _type_pred({"double"}),
+        "float?": _type_pred({"double"}),
+        "boolean?": _type_pred({"bool"}),
+        "vector?": _type_pred({"json"}),
+        "coll?": _type_pred({"json"}),
+        "true?": lambda a: (as_col(a)[0].cast("boolean") == True, "bool"),  # noqa: E712
+        "false?": lambda a: (as_col(a)[0].cast("boolean") == False, "bool"),  # noqa: E712
+    }
+)
 
 def _membership(coll, arg):
     """`[(some #{:computer} ?job)]` — membership of a set of scalars in a
