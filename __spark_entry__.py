@@ -606,6 +606,32 @@ def q32_pagerank(spark, sf_dir):
     return df.select("node", F.round("rank", 10).alias("rank")).orderBy("node")
 
 
+def _events_ts(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer DIV, not double division: nanos exceed double's exact-integer
+    # range, so `/ 1000` would be off by 1us on some rows
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def q34_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) + per-session rollup — one
+    shuffle on user_id (operators/events.py)."""
+    from unifydb_spark.operators.events import sessionize
+
+    return sessionize(_events_ts(spark, sf_dir), gap_minutes=30).orderBy(
+        "user_id", "session_seq"
+    )
+
+
+def q35_asof_join(spark, sf_dir):
+    """As-of join (point-in-time correctness): latest strictly-prior click
+    per purchase, merge formulation — no join node."""
+    from unifydb_spark.operators.events import asof_latest
+
+    return asof_latest(_events_ts(spark, sf_dir)).orderBy("event_id")
+
+
 def q33_stream_windowed_metrics(spark, sf_dir):
     """Structured Streaming: watermarked 1-day tumbling windows over the
     event stream (file source, availableNow). Append mode emits exactly
@@ -674,6 +700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_connected_components": q31_connected_components,
         "q32_pagerank": q32_pagerank,
         "q33_stream_windowed_metrics": q33_stream_windowed_metrics,
+        "q34_sessionize": q34_sessionize,
+        "q35_asof_join": q35_asof_join,
     }
 
 
@@ -804,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
 
 def _operator_oracles() -> dict[str, str]:
     from unifydb_spark.operators import dedup as _d
+    from unifydb_spark.operators import events as _ev
     from unifydb_spark.operators import graph as _g
     from unifydb_spark.operators import multimodal as _m
     from unifydb_spark.operators import similarity as _s
@@ -837,4 +866,6 @@ def _operator_oracles() -> dict[str, str]:
             WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT MAX(ts) FROM events)
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        "q34_sessionize": _ev.sessionize_sql(gap_minutes=30),
+        "q35_asof_join": _ev.asof_latest_sql(),
     }

@@ -1,0 +1,53 @@
+"""Sessionization + as-of join unit tests on a hand-built event log."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from unifydb_spark.operators.events import asof_latest, sessionize
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: two sessions (gap at 00:05 -> 01:00)
+        (1, _ts(0), 1, "click", 1.0, None),
+        (2, _ts(5), 1, "purchase", 2.0, None),
+        (3, _ts(59), 1, "click", 3.0, None),  # 54 min gap -> new session
+        (4, _ts(59), 1, "purchase", 4.0, None),  # same minute, same session
+        # user 2: one session, purchase with no prior click
+        (5, _ts(10), 2, "purchase", 5.0, None),
+        (6, _ts(11), 2, "click", 6.0, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_sessionize(events):
+    out = {
+        (r["user_id"], r["session_seq"]): r
+        for r in sessionize(events, gap_minutes=30).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    assert out[(1, 1)]["n_events"] == 2
+    assert out[(1, 2)]["n_events"] == 2
+    assert out[(1, 2)]["session_start"] == _ts(59)
+    assert float(out[(2, 1)]["sum_value"]) == 11.0
+
+
+def test_asof_latest(events):
+    out = {r["event_id"]: r for r in asof_latest(events).collect()}
+    assert set(out) == {2, 4, 5}
+    assert out[2]["ref_event_id"] == 1  # purchase@5 -> click@0
+    assert out[2]["lag_us"] == 5 * 60 * 1_000_000
+    assert out[4]["ref_event_id"] == 3  # same-ts click IS prior (row order)
+    assert out[5]["ref_event_id"] is None  # no prior click for user 2
+    assert out[5]["lag_us"] is None

@@ -48,7 +48,7 @@ def _stage_events(spark, input_dir, n_files=3):
     # batch-side comparison frame with a real timestamp column (the same
     # conversion read_event_stream applies)
     return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
     )
 
 

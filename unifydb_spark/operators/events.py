@@ -1,0 +1,132 @@
+"""Event-sequence operators for training-data pipelines: sessionization
+and as-of (point-in-time) joins.
+
+Both are single-shuffle window pipelines — partition by user, order by
+(ts, event_id) — the canonical Spark shape for event-sequence features:
+ - sessionize: gap-based session assignment (new session when the gap to
+   the previous event exceeds the threshold), then per-session rollup.
+   Gap arithmetic is integer microseconds, so engine-portable exactly.
+ - asof_latest: for each left-type event, the most recent *strictly
+   prior* right-type event of the same user, via last(... ignore nulls)
+   over ROWS UNBOUNDED PRECEDING..1 PRECEDING — the merge formulation of
+   an as-of join: no join node at all, one sort per partition, which is
+   what you want at 100 TB (a range-join would be quadratic per key).
+   This is the point-in-time-correctness primitive of feature stores.
+
+The reference has no stream/sequence operators (SURVEY §2.6) — these are
+north-star extensions over the driver's events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(30,10)"
+
+
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Per-user gap-based sessions: (user_id, session_seq, session_start,
+    session_end, n_events, sum_value). One shuffle on user_id."""
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > gap_us), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tagged = events.withColumn("session_seq", F.sum(new_sess).over(run))
+    return (
+        tagged.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+        )
+    )
+
+
+def sessionize_sql(table: str = "events", gap_minutes: int = 30) -> str:
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    return f"""
+        WITH tagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM {table}
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), runs AS (
+          SELECT user_id, ts, value,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM tagged
+        )
+        SELECT user_id, session_seq,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(30,10))) AS sum_value
+        FROM runs GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def asof_latest(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> DataFrame:
+    """For each `left_type` event: the latest strictly-prior `right_type`
+    event of the same user (event id, timestamp, lag in microseconds;
+    nulls when none). Merge formulation — no join."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_right = F.col("event_type") == right_type
+    ref_id = F.last(F.when(is_right, F.col("event_id")), ignorenulls=True).over(w)
+    ref_us = F.last(
+        F.when(is_right, F.unix_micros("ts")), ignorenulls=True
+    ).over(w)
+    out = (
+        events.withColumn("ref_event_id", ref_id)
+        .withColumn("ref_us", ref_us)
+        .filter(F.col("event_type") == left_type)
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "ref_event_id",
+        (F.unix_micros("ts") - F.col("ref_us")).alias("lag_us"),
+    )
+
+
+def asof_latest_sql(
+    table: str = "events",
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> str:
+    return f"""
+        WITH marked AS (
+          SELECT event_id, user_id, ts, event_type,
+                 last_value(CASE WHEN event_type = '{right_type}'
+                                 THEN event_id END IGNORE NULLS)
+                   OVER w AS ref_event_id,
+                 last_value(CASE WHEN event_type = '{right_type}'
+                                 THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER w AS ref_us
+          FROM {table}
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, ts, ref_event_id,
+               epoch_us(ts) - ref_us AS lag_us
+        FROM marked WHERE event_type = '{left_type}'
+        ORDER BY event_id
+    """

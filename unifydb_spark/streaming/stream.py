@@ -45,9 +45,8 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     in production this would be Kafka — same downstream plan)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # integer DIV: double division would round some nanosecond values 1us off
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def events_to_facts(events: DataFrame) -> DataFrame:
