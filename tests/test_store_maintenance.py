@@ -1,0 +1,45 @@
+"""Fact-log compaction + Engine.explain surface."""
+
+import os
+
+import pytest
+
+from unifydb_spark import Engine, FactStore
+from unifydb_spark.store import ParquetBackend
+
+
+def test_compact_preserves_facts_and_queries(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    store = FactStore(spark, ParquetBackend(spark, path))
+    eng = Engine(spark, store)
+    ids = {}
+    for i in range(6):  # 6 txs -> >= 6 file groups
+        r = eng.transact([["add", f"e{i}", ":name", f"N{i}"],
+                          ["add", f"e{i}", ":rank", i]])
+        ids[i] = r["tempids"][f"e{i}"]
+    eng.transact([[":unifydb/retract", ids[0], ":name", "N0"]])
+    before = sorted(map(tuple, store.backend.facts_df().collect()))
+    n_files_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+    store.backend.compact(target_files=2)
+
+    after = sorted(map(tuple, store.backend.facts_df().collect()))
+    assert before == after  # content identical, layout changed
+    n_files_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_files_after < n_files_before
+    # snapshot semantics intact (retraction still collapses)
+    assert eng.query_rows({"find": ["?n"], "where": [[ids[0], ":name", "?n"]]}) == []
+    assert eng.query_rows({"find": ["?n"], "where": [[ids[3], ":name", "?n"]]}) == [("N3",)]
+
+
+def test_explain_shows_pushdown(spark):
+    from unifydb_spark.sources.tables import table_fact_store
+
+    eng = Engine(spark, table_fact_store(spark, "/root/testdata/sf0.001"))
+    plan = eng.explain({
+        "find": ["?ck"],
+        "where": [["?c", ":customer/mktsegment", "BUILDING"],
+                  ["?c", ":customer/custkey", "?ck"]],
+    })
+    assert "PushedFilters" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan.replace(" ", "")

@@ -63,6 +63,15 @@ class Engine:
         df, _ = self.compile(q, db)
         return df
 
+    def explain(self, q: dict, db: Optional[Db] = None, mode: str = "formatted") -> str:
+        """The physical plan Catalyst chose for a query — the inspection
+        surface for pushdown/broadcast/shuffle review (returns the string
+        rather than printing, so it can be asserted on)."""
+        df, _ = self.compile(q, db)
+        return df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        )
+
     def query_rows(self, q: dict, db: Optional[Db] = None) -> list[tuple]:
         """Collect results decoded to Python values (Ref for entity ids,
         nested lists for JSON values) — the reference's :results shape."""

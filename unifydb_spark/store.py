@@ -180,6 +180,36 @@ class ParquetBackend:
             out.setdefault(r["a"], set()).add(r["v_type"])
         return out
 
+    def compact(self, target_files: Optional[int] = None) -> None:
+        """Rewrite the fact log clustered by (a, e, tx).
+
+        Every transaction appends small files; at scale the log fragments
+        and pattern scans lose locality. Clustering by attribute first
+        mirrors the reference's AVET index (src/unifydb/storage.clj:57-68):
+        a concrete-attribute pattern then touches a contiguous file range
+        and parquet min/max stats on `a` prune everything else. (On Delta
+        this is OPTIMIZE ZORDER; on plain parquet it is a sorted rewrite
+        with a directory swap.)"""
+        import os
+        import shutil
+
+        if not self._exists():
+            return
+        df = self.facts_df().sortWithinPartitions("a", "e", "tx")
+        if target_files is not None:
+            df = self.facts_df().repartitionByRange(
+                target_files, "a", "e"
+            ).sortWithinPartitions("a", "e", "tx")
+        tmp = self.path.rstrip("/") + ".compact.tmp"
+        old = self.path.rstrip("/") + ".compact.old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        self._version += 1
+
 
 class DataFrameBackend:
     """A read-only fact log defined by an arbitrary DataFrame in
