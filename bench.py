@@ -74,6 +74,17 @@ def main():
         n = df.count()
         times[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+        # drop caches + checkpoint blocks between queries: operators persist
+        # shared intermediates per-action, and accumulated blocks otherwise
+        # GC-thrash later shuffle-heavy queries
+        spark.catalog.clearCache()
+        for rdd_id in list(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        ):
+            try:
+                spark.sparkContext._jsc.sc().unpersistRDD(rdd_id, False)
+            except Exception:
+                pass
 
     out = {
         "metric": "headline_query_total",
