@@ -606,6 +606,76 @@ def q32_pagerank(spark, sf_dir):
     return df.select("node", F.round("rank", 10).alias("rank")).orderBy("node")
 
 
+def _hash_graph(spark, sf_dir):
+    """Sparse deterministic graph over the dense customer key space:
+    3 out-edges per node via affine maps (has triangles, unlike the
+    tree-shaped FK graph). Built identically by the oracle."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = cust.count()
+    c = F.col("c_custkey")
+    parts = [
+        cust.select(c.alias("src"), ((2 * c + 1) % n).alias("dst")),
+        cust.select(c.alias("src"), ((3 * c + 7) % n).alias("dst")),
+        cust.select(c.alias("src"), ((5 * c + 13) % n).alias("dst")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.filter(F.col("src") != F.col("dst"))
+
+
+_HASH_GRAPH_CTE = """
+    SELECT c_custkey AS src, (2*c_custkey + 1) %% n AS dst
+    FROM customer, (SELECT COUNT(*) AS n FROM customer)
+    WHERE c_custkey != (2*c_custkey + 1) %% n
+    UNION ALL
+    SELECT c_custkey, (3*c_custkey + 7) %% n
+    FROM customer, (SELECT COUNT(*) AS n FROM customer)
+    WHERE c_custkey != (3*c_custkey + 7) %% n
+    UNION ALL
+    SELECT c_custkey, (5*c_custkey + 13) %% n
+    FROM customer, (SELECT COUNT(*) AS n FROM customer)
+    WHERE c_custkey != (5*c_custkey + 13) %% n
+""".replace("%%", "%")
+
+
+def q36_triangle_count(spark, sf_dir):
+    """Triangle counting via canonical edge orientation + two-hop join."""
+    from unifydb_spark.operators.graph import triangle_count
+
+    return triangle_count(_hash_graph(spark, sf_dir))
+
+
+def q37_shortest_paths(spark, sf_dir):
+    """Unweighted BFS distances from customer 0 over the entity graph
+    (frontier-based semi-naive expansion)."""
+    from unifydb_spark.operators.graph import shortest_paths
+
+    return shortest_paths(
+        _graph_edges(spark, sf_dir, False), sources=[_G_CUST + 0]
+    ).orderBy("node")
+
+
+def q38_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation: quality-score filter + near-dup removal
+    (keep each duplicate cluster's lowest doc_id) — the operators composed
+    the way a training-data pipeline uses them."""
+    from unifydb_spark.operators.dedup import ngram_jaccard_pairs
+    from unifydb_spark.operators.text import text_stats
+
+    docs = _docs(spark, sf_dir)
+    stats = text_stats(docs)
+    dupes = ngram_jaccard_pairs(docs, threshold=0.8).select(
+        F.col("d2").alias("doc_id")
+    ).distinct()
+    return (
+        stats.filter(F.col("quality") >= 0.5)
+        .join(dupes, "doc_id", "left_anti")
+        .select("doc_id", "n_ws_tokens", "quality")
+        .orderBy("doc_id")
+    )
+
+
 def _events_ts(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -702,6 +772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_stream_windowed_metrics": q33_stream_windowed_metrics,
         "q34_sessionize": q34_sessionize,
         "q35_asof_join": q35_asof_join,
+        "q36_triangle_count": q36_triangle_count,
+        "q37_shortest_paths": q37_shortest_paths,
+        "q38_curation_pipeline": q38_curation_pipeline,
     }
 
 
@@ -868,4 +941,19 @@ def _operator_oracles() -> dict[str, str]:
         """,
         "q34_sessionize": _ev.sessionize_sql(gap_minutes=30),
         "q35_asof_join": _ev.asof_latest_sql(),
+        "q36_triangle_count": _g.triangle_count_sql(_HASH_GRAPH_CTE),
+        "q37_shortest_paths": _g.shortest_paths_sql(
+            _graph_edges_cte(False), sources=[_G_CUST + 0]
+        ),
+        "q38_curation_pipeline": f"""
+            WITH stats AS ({_t.text_stats_sql()}),
+            dupes AS (
+              SELECT DISTINCT d2 AS doc_id
+              FROM ({_d.ngram_jaccard_sql(threshold=0.8)})
+            )
+            SELECT s.doc_id, s.n_ws_tokens, s.quality
+            FROM stats s LEFT JOIN dupes d ON s.doc_id = d.doc_id
+            WHERE s.quality >= 0.5 AND d.doc_id IS NULL
+            ORDER BY s.doc_id
+        """,
     }

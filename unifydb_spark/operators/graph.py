@@ -155,6 +155,59 @@ def pagerank(
     return ranks
 
 
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over the undirected graph. Canonical
+    orientation (src < dst) makes each triangle count exactly once; the
+    two-hop join is bounded by degree skew — at scale, orient edges from
+    lower- to higher-degree endpoints first (the standard mitigation).
+    Returns a single row (n_triangles)."""
+    und = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def shortest_paths(edges: DataFrame, sources: list[int], max_iter: int = 20) -> DataFrame:
+    """Unweighted BFS distance from a source set over the undirected
+    graph: (node, dist). Frontier-based — each superstep expands only the
+    newly-reached frontier (the semi-naive pattern again)."""
+    spark = edges.sparkSession
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in sources], "node bigint, dist int"
+    ).localCheckpoint()
+    frontier = dist
+    for d in range(1, max_iter + 1):
+        nxt = (
+            und.join(frontier, und["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist
+
+
 # ---------------------------------------------------------------------------
 # SQL oracle builders — `edges_cte` must define edges(src, dst)
 
@@ -187,6 +240,37 @@ def connected_components_sql(edges_cte: str) -> str:
         )
         SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
         ORDER BY node
+    """
+
+
+def triangle_count_sql(edges_cte: str) -> str:
+    return f"""
+        WITH edges0 AS ({edges_cte}),
+        und AS (
+          SELECT src, dst FROM (
+            SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0
+          ) WHERE src < dst
+        )
+        SELECT COUNT(*) AS n_triangles
+        FROM und e1 JOIN und e2 ON e1.dst = e2.src
+                    JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """
+
+
+def shortest_paths_sql(edges_cte: str, sources: list[int]) -> str:
+    src_rows = ", ".join(f"({int(s)})" for s in sources)
+    return f"""
+        WITH RECURSIVE edges0 AS ({edges_cte}),
+        und AS (
+          SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0
+        ),
+        walk(node, dist) AS (
+          SELECT node, 0 FROM (VALUES {src_rows}) AS s(node)
+          UNION
+          SELECT u.dst, w.dist + 1 FROM und u JOIN walk w ON u.src = w.node
+          WHERE w.dist < 20
+        )
+        SELECT node, MIN(dist) AS dist FROM walk GROUP BY node ORDER BY node
     """
 
 
