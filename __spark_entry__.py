@@ -676,6 +676,19 @@ def q38_curation_pipeline(spark, sf_dir):
     )
 
 
+def q39_hash_sample(spark, sf_dir):
+    """Deterministic hash-based sampling (reproducible holdout split):
+    25% of documents by md5(key) threshold, stable across engines and
+    partitionings."""
+    from unifydb_spark.operators.text import hash_sample
+
+    return (
+        hash_sample(_docs(spark, sf_dir), rate=0.25)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def _events_ts(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -775,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_triangle_count": q36_triangle_count,
         "q37_shortest_paths": q37_shortest_paths,
         "q38_curation_pipeline": q38_curation_pipeline,
+        "q39_hash_sample": q39_hash_sample,
     }
 
 
@@ -955,5 +969,9 @@ def _operator_oracles() -> dict[str, str]:
             FROM stats s LEFT JOIN dupes d ON s.doc_id = d.doc_id
             WHERE s.quality >= 0.5 AND d.doc_id IS NULL
             ORDER BY s.doc_id
+        """,
+        "q39_hash_sample": f"""
+            SELECT doc_id, lang, source, n_chars
+            FROM ({_t.hash_sample_sql(rate=0.25)}) ORDER BY doc_id
         """,
     }

@@ -120,6 +120,47 @@ def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     )
 
 
+def hash_sample(
+    docs: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic hash sampling: keep rows where the first 8 md5 hex
+    digits of (salt:key) fall under rate * 16^8. Unlike `df.sample`, the
+    selection is a pure function of the key — reproducible across engines,
+    partitionings and reruns, and stable under re-ingestion (the property
+    a training pipeline needs for holdout splits)."""
+    threshold = int(rate * (16 ** 8))
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return docs.filter(bucket < threshold)
+
+
+def hash_sample_sql(
+    table: str = "documents",
+    rate: float = 0.25,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> str:
+    threshold = int(rate * (16 ** 8))
+    nib = "strpos('0123456789abcdef', substr(h, {i}, 1)) - 1"
+    digits = " + ".join(
+        f"({nib.format(i=i)}) * {16 ** (8 - i)}" for i in range(1, 9)
+    )
+    return f"""
+        WITH hashed AS (
+          SELECT *, md5('{salt}:' || CAST({key_col} AS VARCHAR)) AS h
+          FROM {table}
+        )
+        SELECT * EXCLUDE (h) FROM hashed
+        WHERE {digits} < {threshold}
+    """
+
+
 def text_stats_sql(table: str = "documents", text_col: str = "text") -> str:
     """DuckDB oracle for text_stats — same tokenization and arithmetic."""
     all_stops = sorted({w for lst in STOPWORDS.values() for w in lst})

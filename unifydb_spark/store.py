@@ -55,7 +55,12 @@ def norm_attr(a: str) -> str:
 
 
 def _norm_value(v: Any) -> Any:
-    # Accept ':keyword' value syntax from EDN-style fixtures as plain strings.
+    """EDN keyword values (':foo') normalize to colon-stripped strings —
+    matching how query constants parse — and, being explicitly keywords,
+    they can never collide with a tempid string (the reference separates
+    the two by type; the Python surface separates them by the ':')."""
+    if isinstance(v, str) and v.startswith(":"):
+        return v[1:]
     return v
 
 
@@ -464,9 +469,9 @@ class FactStore:
         for s in stmts:
             op = norm_attr(str(s[0])).split("/")[-1]
             if op == "add":
-                raw.append((s[1], norm_attr(s[2]), _norm_value(s[3]), True))
+                raw.append((s[1], norm_attr(s[2]), s[3], True))
             elif op == "retract":
-                raw.append((s[1], norm_attr(s[2]), _norm_value(s[3]), False))
+                raw.append((s[1], norm_attr(s[2]), s[3], False))
             else:
                 raise ValueError(f"unknown tx operation {s[0]!r}")
         # tempid allocation in first-appearance order (transact.clj:70-96)
@@ -482,8 +487,11 @@ class FactStore:
             eid = tempids.get(e, e) if isinstance(e, str) else int(e)
             if isinstance(e, str) and e not in tempids:
                 raise ValueError(f"unresolvable entity id {e!r}")
-            if isinstance(v, str) and v in tempids:
-                v = Ref(tempids[v])
+            if isinstance(v, str):
+                if v.startswith(":"):  # explicit keyword — never a tempid
+                    v = v[1:]
+                elif v in tempids:
+                    v = Ref(tempids[v])
             enc = encode_value(v)
             rows.append(
                 (
