@@ -743,6 +743,41 @@ def q33_stream_windowed_metrics(spark, sf_dir):
     return spark.table(name).orderBy("window_start", "user_id")
 
 
+def q40_stream_stateful_latest(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    running last-writer-wins snapshot per user; the final update per user
+    must equal the batch window computation (the oracle)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from unifydb_spark.streaming import read_event_stream, running_latest
+
+    name = "lw_" + uuid.uuid4().hex[:8]
+    src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    q = (
+        running_latest(read_event_stream(spark, src_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -789,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_shortest_paths": q37_shortest_paths,
         "q38_curation_pipeline": q38_curation_pipeline,
         "q39_hash_sample": q39_hash_sample,
+        "q40_stream_stateful_latest": q40_stream_stateful_latest,
     }
 
 
@@ -973,5 +1009,13 @@ def _operator_oracles() -> dict[str, str]:
         "q39_hash_sample": f"""
             SELECT doc_id, lang, source, n_chars
             FROM ({_t.hash_sample_sql(rate=0.25)}) ORDER BY doc_id
+        """,
+        "q40_stream_stateful_latest": """
+            SELECT user_id, event_id, value FROM (
+                SELECT user_id, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1 ORDER BY user_id
         """,
     }

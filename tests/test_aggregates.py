@@ -211,3 +211,16 @@ def test_fnbind_unknown_function(order_eng):
         order_eng.query_rows(q)
     assert ei.value.code == "unknown-function"
     assert ei.value.info.get("function") == "*foo"
+
+
+def test_approx_count_distinct(eng):
+    # scale-path R9: HLL estimate within standard error of exact
+    exact = eng.query_rows(
+        {"find": [("count-distinct", "?v", "n")],
+         "where": [["?e", ":employee/age", "?v"]]}
+    )[0][0]
+    approx = eng.query_rows(
+        {"find": [("approx-count-distinct", "?v", "n")],
+         "where": [["?e", ":employee/age", "?v"]]}
+    )[0][0]
+    assert abs(approx - exact) <= max(1, int(exact * 0.1))

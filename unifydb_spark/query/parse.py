@@ -186,7 +186,7 @@ class ParsedQuery:
 
 AGG_FNS = {
     "sum", "min", "max", "mean", "avg", "median", "mode", "stddev",
-    "count", "count-distinct", "distinct",
+    "count", "count-distinct", "approx-count-distinct", "distinct",
 }
 
 

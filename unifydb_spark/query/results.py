@@ -79,6 +79,11 @@ def _agg_expr(fn: str, col: Column, repr_: str, alias: str):
         return F.count(col).alias(alias), "long"
     if fn == "count-distinct":
         return F.count_distinct(col).alias(alias), "long"
+    if fn == "approx-count-distinct":
+        # the R9 scale path: HLL sketch, one pass, no exact-distinct
+        # shuffle — for cardinalities where exact materialization is
+        # unaffordable (SURVEY §2.2 R9)
+        return F.approx_count_distinct(col).alias(alias), "long"
     if fn == "distinct":
         return F.sort_array(F.collect_set(col)).alias(alias), f"array<{repr_}>"
     raise QueryError("unknown-aggregation", f"Unknown aggregation {fn}", aggregation=fn)
