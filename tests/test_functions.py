@@ -78,3 +78,29 @@ def test_unknown_function_error(eng):
             [1, ":salary", "?s"], [("*foo", "?s"), "?x"]]})
     assert ei.value.code == "unknown-function"
     assert ei.value.info == {"function": "*foo"}
+
+
+def test_destructuring_output(eng):
+    # Q6 destructuring: [(split ?n " ") [?first ?last]]
+    rows = eng.query_rows({
+        "find": ["?first", "?last"],
+        "where": [[1, ":name", "?n"], [("split", "?n", " "), ["?first", "?last"]]],
+    })
+    assert rows == [("Ben", "Bitdiddle")]
+
+
+def test_destructuring_rest(eng):
+    rows = eng.query_rows({
+        "find": ["?first", "?rest"],
+        "where": [[1, ":name", "?n"], [("split", "?n", " "), ["?first", "&", "?rest"]]],
+    })
+    assert rows == [("Ben", ["Bitdiddle"])]
+
+
+def test_destructuring_mismatch_filters(eng):
+    # three-element pattern against a two-token split -> no rows
+    rows = eng.query_rows({
+        "find": ["?a"],
+        "where": [[1, ":name", "?n"], [("split", "?n", " "), ["?a", "?b", "?c"]]],
+    })
+    assert rows == []

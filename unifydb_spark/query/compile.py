@@ -738,8 +738,28 @@ def _apply_clause(db: Db, rel: Optional[Rel], c, rules_env) -> Rel:
                 return Rel(rel.df.filter(cond), dict(rel.vars))
             df = rel.df.withColumn(out.name, col)
             return Rel(df, {**rel.vars, out.name: repr_})
+        if isinstance(out, SeqPat):
+            # destructuring output (reference apply-func unifies the result
+            # with any binding pattern, query.clj:106-130): promote the
+            # result to canonical JSON and run the sequence unifier
+            jcol = to_json_repr(col, repr_)
+            udf = make_seq_unify_udf(json.dumps(_serialize_seqpat(out)))
+            df = rel.df.withColumn("__fbinds", udf(jcol)).filter(
+                F.col("__fbinds").isNotNull()
+            )
+            vars_out = dict(rel.vars)
+            for v in out.vars():
+                if v.name in vars_out:  # already bound -> unify = filter
+                    cond = unify_condition(
+                        F.col("__fbinds")[v.name], "json", bt(v.name), vars_out[v.name]
+                    )
+                    df = df.filter(cond if cond is not None else F.lit(False))
+                else:
+                    df = df.withColumn(v.name, F.col("__fbinds")[v.name])
+                    vars_out[v.name] = "json"
+            return Rel(df.drop("__fbinds"), vars_out)
         raise QueryError(
-            "invalid-clause", "destructuring function outputs are not yet supported"
+            "invalid-clause", f"cannot bind function output to {out!r}"
         )
     if isinstance(c, Not):
         # negation-as-failure as an anti-join, seeded with the outer bindings

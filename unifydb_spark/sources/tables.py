@@ -204,21 +204,60 @@ class TableFactView:
     has_retractions = False
     _version = 0
 
-    def __init__(self, spark: SparkSession, sf_dir: str):
+    def __init__(self, spark: SparkSession, sf_dir: Optional[str] = None):
         self.spark = spark
         # the events table stores INT64(TIMESTAMP(NANOS)) which Spark's
         # parquet reader rejects by default
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        self.sf_dir = sf_dir.rstrip("/")
+        self.sf_dir = sf_dir.rstrip("/") if sf_dir else None
         self._tables: dict[str, DataFrame] = {}
+        self._specs: dict[str, dict] = dict(TABLE_SPECS) if sf_dir else {}
+        self._bases: dict[str, int] = dict(BASES)
         self._attr_index: dict[str, tuple] = {}
         self._attr_type_cache: Optional[dict] = None
-        for tname, spec in TABLE_SPECS.items():
+        for tname, spec in self._specs.items():
             for attr, colname, ref in spec["attrs"]:
                 self._attr_index[attr] = (tname, colname, ref)
 
+    def register_table(
+        self,
+        name: str,
+        df: DataFrame,
+        pk_col: str,
+        attrs: list,
+        base: Optional[int] = None,
+    ) -> "TableFactView":
+        """Register ANY DataFrame as entities in the fact view.
+
+        `attrs` is a list of (attribute, column, ref) where ref is None for
+        a typed value or the referenced table's name for a foreign key.
+        Entity ids are base + pk; `base` defaults to the next free 10^12
+        slot. This is how a user brings their own tables into the Datalog
+        surface — same pushdown/pivot fast paths as the built-ins."""
+        if base is None:
+            base = (max(self._bases.values()) if self._bases else 0) + _B
+        self._bases[name] = base
+        self._tables[name] = df
+        spec = {
+            "pk": lambda d, _b=base, _c=pk_col: (
+                F.lit(_b) + d[_c].cast("long")
+            ).alias("e"),
+            "attrs": [(a, c, r) for a, c, r in attrs],
+        }
+        self._specs[name] = spec
+        for attr, colname, ref in spec["attrs"]:
+            self._attr_index[attr] = (name, colname, ref)
+        self._attr_type_cache = None
+        self._version += 1
+        return self
+
+    def base_of(self, table: str) -> int:
+        return self._bases[table]
+
     def table(self, name: str) -> DataFrame:
         if name not in self._tables:
+            if self.sf_dir is None:
+                raise KeyError(f"table {name!r} is not registered")
             self._tables[name] = self.spark.read.parquet(
                 f"{self.sf_dir}/{name}.parquet"
             )
@@ -246,14 +285,17 @@ class TableFactView:
         df = self.table(tname)
         src = df[colname]
         if ref == "!ts_nanos":
-            return F.timestamp_micros((src / F.lit(1000)).cast("long"))
+            # subtract-mod before dividing: the quotient is then an exact
+            # integer <= 2^53, so the double division cannot round (a bare
+            # `/1000` drifts 1us on large nano values)
+            return F.timestamp_micros(((src - src % 1000) / 1000).cast("long"))
         if ref == "!next_nation":
             return F.when(
                 src.cast("long") + 5 <= 24,
-                F.lit(BASES["nation"]) + src.cast("long") + 5,
+                F.lit(self._bases["nation"]) + src.cast("long") + 5,
             )
         if ref is not None:
-            return F.lit(BASES[ref]) + src.cast("long")
+            return F.lit(self._bases[ref]) + src.cast("long")
         vtype = self._attr_vtype(attr)
         if vtype == "long":
             return src.cast("long")
@@ -296,7 +338,7 @@ class TableFactView:
         if attr not in self._attr_index:
             return self.spark.createDataFrame([], schema=FACT_SCHEMA)
         tname, colname, _ = self._attr_index[attr]
-        spec = TABLE_SPECS[tname]
+        spec = self._specs[tname]
         df = self.table(tname)
         vtype, cols = self._value_col(attr)
         return df.filter(df[colname].isNotNull()).select(
@@ -328,7 +370,7 @@ class TableFactView:
         if len(tables) != 1 or any(a not in self._attr_index for a in attrs):
             return None
         tname = next(iter(tables))
-        spec = TABLE_SPECS[tname]
+        spec = self._specs[tname]
         df = self.table(tname)
         select = [spec["pk"](df)]
         reprs: dict[str, str] = {}
@@ -343,7 +385,7 @@ class TableFactView:
         raise NotImplementedError("TableFactView is read-only")
 
     def max_id(self) -> int:
-        return max(BASES.values()) + _B
+        return max(self._bases.values()) + _B
 
     def latest_tx(self) -> int:
         return 1
