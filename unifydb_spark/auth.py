@@ -88,6 +88,93 @@ def filter_auth_facts(report: dict) -> dict:
     return report
 
 
+# ---------------------------------------------------------------------------
+# token auth (reference src/unifydb/auth.clj): SCRAM-ish two-step login +
+# signed token. The reference signs with buddy JWT; here the token is an
+# HMAC-SHA256-signed payload (same shape: username/roles/created).
+
+import hmac as _hmac
+import json as _json
+import time as _time
+
+TOKEN_TTL_SECONDS = 3600
+NONCE_TTL_SECONDS = 60
+
+
+def make_token(username: str, secret: bytes, roles=("unifydb/user",),
+               now: Optional[float] = None) -> str:
+    payload = _json.dumps(
+        {"username": username, "roles": list(roles),
+         "created": now if now is not None else _time.time()},
+        sort_keys=True,
+    ).encode()
+    sig = _hmac.new(secret, payload, hashlib.sha256).hexdigest()
+    return base64.urlsafe_b64encode(payload).decode() + "." + sig
+
+
+def validate_token(token: str, secret: bytes,
+                   now: Optional[float] = None) -> Optional[dict]:
+    """Returns the auth map, or None if the signature or TTL fails
+    (reference validate-jwt auth.clj:18-31)."""
+    try:
+        body_b64, sig = token.split(".", 1)
+        payload = base64.urlsafe_b64decode(body_b64.encode())
+    except (ValueError, TypeError):
+        return None
+    want = _hmac.new(secret, payload, hashlib.sha256).hexdigest()
+    if not _hmac.compare_digest(want, sig):
+        return None
+    data = _json.loads(payload)
+    now = now if now is not None else _time.time()
+    if now - data.get("created", 0) >= TOKEN_TTL_SECONDS:
+        return None
+    return data
+
+
+def login_challenge(engine, cache, username: str) -> Optional[dict]:
+    """Step 1 (reference login-get-salt-handler auth.clj:57-81): random
+    nonce cached 60 s under a nonce-key; returns the user's salt so the
+    client can hash its password the same way the store did."""
+    user = get_user(engine, username)
+    if user is None:
+        return None
+    nonce = base64.b64encode(os.urandom(64)).decode()
+    nonce_key = base64.b64encode(os.urandom(16)).decode()
+    cache.set(nonce_key, nonce, NONCE_TTL_SECONDS)
+    return {
+        "username": username,
+        "salt": user[SALT_ATTR],
+        "nonce-key": nonce_key,
+        "nonce": nonce,
+    }
+
+
+def login(engine, cache, secret: bytes, username: str, hashed_password: str,
+          nonce_key: str, client_nonce: str) -> Optional[str]:
+    """Step 2 (reference login-handler auth.clj:83-103): nonce must match
+    the cached challenge and the client's salted hash must equal the
+    stored one; returns a signed token or None."""
+    user = get_user(engine, username)
+    nonce = cache.get(nonce_key)
+    if (
+        user is not None
+        and nonce is not None
+        and _hmac.compare_digest(client_nonce, nonce)
+        and _hmac.compare_digest(hashed_password, user[PASSWORD_ATTR])
+    ):
+        cache.delete(nonce_key)
+        return make_token(username, secret)
+    return None
+
+
+def client_hash(password: str, salt_b64: str) -> str:
+    """What a client sends at login: the same salted SHA-512, base64."""
+    salt = base64.b64decode(salt_b64)
+    return base64.b64encode(
+        hashlib.sha512(password.encode("utf-8") + salt).digest()
+    ).decode("ascii")
+
+
 def get_user(engine, username: str) -> Optional[dict]:
     """Look up a user record by username via a Datalog query (reference
     user.clj:21-37 — its get-user! is itself a query)."""

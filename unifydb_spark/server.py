@@ -69,9 +69,41 @@ def _normalize_query(q):
 
 class EngineHandler(BaseHTTPRequestHandler):
     engine = None  # set by make_server
+    secret = None  # set when auth is enabled (V3)
+    require_auth = False
+    cache = None
 
     def log_message(self, *args):  # quiet
         pass
+
+    def _auth_map(self):
+        from unifydb_spark.auth import validate_token
+
+        hdr = self.headers.get("Authorization", "")
+        if not hdr.startswith("Bearer "):
+            return None
+        return validate_token(hdr[7:], self.secret)
+
+    def do_GET(self):
+        """GET /authenticate?username=... -> salt + nonce challenge
+        (reference login-get-salt-handler, auth.clj:57-81)."""
+        from urllib.parse import parse_qs, urlparse
+
+        from unifydb_spark.auth import login_challenge
+
+        u = urlparse(self.path)
+        if u.path != "/authenticate" or self.secret is None:
+            return self._send(404, {"error": {"code": "not-found",
+                                              "message": u.path}})
+        username = (parse_qs(u.query).get("username") or [None])[0]
+        if not username:
+            return self._send(400, {"error": {"code": "bad-request",
+                                              "message": "Invalid 'username' parameter"}})
+        challenge = login_challenge(self.engine, self.cache, username)
+        if challenge is None:
+            return self._send(400, {"error": {"code": "bad-request",
+                                              "message": "Invalid 'username' parameter"}})
+        return self._send(200, challenge)
 
     def _send(self, code: int, payload: dict):
         body = json.dumps(payload).encode("utf-8")
@@ -89,6 +121,29 @@ class EngineHandler(BaseHTTPRequestHandler):
             return self._send(400, {"error": {"code": "bad-request",
                                               "message": "invalid JSON body"}})
         try:
+            if self.path == "/authenticate" and self.secret is not None:
+                from unifydb_spark.auth import login
+
+                token = login(
+                    self.engine, self.cache, self.secret,
+                    req.get("username") or "",
+                    req.get("password") or "",
+                    req.get("nonce-key") or "",
+                    req.get("nonce") or "",
+                )
+                if token is None:
+                    return self._send(
+                        400,
+                        {"error": {"code": "bad-request",
+                                   "message": "Invalid username, password, or nonce"}},
+                    )
+                return self._send(200, {"username": req.get("username"),
+                                        "token": token})
+            if self.require_auth and self.path in ("/query", "/transact"):
+                auth = self._auth_map()
+                if auth is None:  # reference wrap-jwt-auth -> 401
+                    return self._send(401, {"error": {"code": "access-denied",
+                                                      "message": "Access denied"}})
             if self.path == "/query":
                 q = _normalize_query(req.get("query") or {})
                 db = self.engine.db(
@@ -123,15 +178,40 @@ class EngineHandler(BaseHTTPRequestHandler):
             return self._send(400, {"error": {"code": "error", "message": str(e)}})
 
 
-def make_server(engine, host: str = "127.0.0.1", port: int = 0):
-    """Build (but don't start) the HTTP server; port=0 picks a free port."""
-    handler = type("BoundHandler", (EngineHandler,), {"engine": engine})
+def make_server(
+    engine,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    secret: bytes = None,
+    require_auth: bool = False,
+):
+    """Build (but don't start) the HTTP server; port=0 picks a free port.
+    Passing `secret` enables /authenticate (V3); `require_auth` guards
+    /query and /transact with Bearer tokens (reference wrap-jwt-auth)."""
+    from unifydb_spark.cache import TTLCache
+
+    handler = type(
+        "BoundHandler",
+        (EngineHandler,),
+        {
+            "engine": engine,
+            "secret": secret,
+            "require_auth": require_auth and secret is not None,
+            "cache": TTLCache(),
+        },
+    )
     return ThreadingHTTPServer((host, port), handler)
 
 
-def serve_background(engine, host: str = "127.0.0.1", port: int = 0):
+def serve_background(
+    engine,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    secret: bytes = None,
+    require_auth: bool = False,
+):
     """Start the server on a daemon thread; returns (server, port)."""
-    srv = make_server(engine, host, port)
+    srv = make_server(engine, host, port, secret=secret, require_auth=require_auth)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, srv.server_address[1]
