@@ -606,6 +606,59 @@ def q32_pagerank(spark, sf_dir):
     return df.select("node", F.round("rank", 10).alias("rank")).orderBy("node")
 
 
+def q41_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 analog through the Datalog compiler: 5-entity join chain
+    (lineitem -> order -> customer -> nation -> region) + decimal revenue
+    aggregation. Catalyst broadcasts the small dimension scans."""
+    eng = _engine(spark, sf_dir)
+    df = eng.query(
+        {
+            "find": ["?rname", ("sum", "?rev", "revenue"), ("count", "?rev", "n_items")],
+            "where": [
+                ["?l", ":lineitem/order", "?o"],
+                ["?l", ":lineitem/extendedprice", "?ep"],
+                ["?l", ":lineitem/discount", "?disc"],
+                ["?o", ":order/customer", "?c"],
+                ["?o", ":order/orderstatus", "F"],
+                ["?c", ":customer/nation", "?n"],
+                ["?n", ":nation/region", "?r"],
+                ["?r", ":region/name", "?rname"],
+                [("-", 1.0, "?disc"), "?rebate"],
+                [("*", "?ep", "?rebate"), "?rev"],
+            ],
+            "sort-by": ["?rname"],
+        }
+    )
+    return df.withColumn("revenue", F.round(F.col("revenue").cast("double"), 4))
+
+
+def q42_top_customers(spark, sf_dir):
+    """TPC-H Q10 analog: per-customer revenue ranking with limit through
+    the find pipeline (groupBy + decimal sum + sort + limit)."""
+    eng = _engine(spark, sf_dir)
+    df = eng.query(
+        {
+            "find": ["?ck", "?cname", ("sum", "?rev", "revenue")],
+            "where": [
+                ["?l", ":lineitem/order", "?o"],
+                ["?l", ":lineitem/extendedprice", "?ep"],
+                ["?l", ":lineitem/discount", "?disc"],
+                ["?l", ":lineitem/returnflag", "R"],
+                ["?o", ":order/customer", "?c"],
+                ["?c", ":customer/custkey", "?ck"],
+                ["?c", ":customer/name", "?cname"],
+                [("-", 1.0, "?disc"), "?rebate"],
+                [("*", "?ep", "?rebate"), "?rev"],
+            ],
+        }
+    )
+    return (
+        df.withColumn("revenue", F.round(F.col("revenue").cast("double"), 4))
+        .orderBy(F.col("revenue").desc(), F.col("ck"))
+        .limit(20)
+    )
+
+
 def _hash_graph(spark, sf_dir):
     """Sparse deterministic graph over the dense customer key space:
     3 out-edges per node via affine maps (has triangles, unlike the
@@ -825,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_curation_pipeline": q38_curation_pipeline,
         "q39_hash_sample": q39_hash_sample,
         "q40_stream_stateful_latest": q40_stream_stateful_latest,
+        "q41_regional_revenue": q41_regional_revenue,
+        "q42_top_customers": q42_top_customers,
     }
 
 
@@ -1017,5 +1072,28 @@ def _operator_oracles() -> dict[str, str]:
                                           ORDER BY event_id DESC) AS rn
                 FROM events
             ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "q41_regional_revenue": """
+            SELECT r_name AS rname,
+                   ROUND(CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 4) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q42_top_customers": """
+            SELECT c_custkey AS ck, c_name AS cname,
+                   ROUND(CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+            GROUP BY 1, 2 ORDER BY revenue DESC, ck LIMIT 20
         """,
     }
