@@ -103,15 +103,21 @@ def ngram_jaccard_pairs(
     # *identical* exchanges, and these consumers aggregate differently)
     sh = _doc_shingles(docs, text_col, n).persist()
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    # one ordered window spec for both rank and size: identical
+    # partitioning+ordering lets Spark evaluate them in a single Window
+    # exec (a partition-only count would add a second sort pass)
+    w_ord = Window.partitionBy("doc_id").orderBy("__df", "shingle")
     ranked = (
         sh.join(dfreq, "shingle")
+        .withColumn("__pos", F.row_number().over(w_ord))
         .withColumn(
-            "__pos",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("__df", "shingle")
+            "n_sh",
+            F.count(F.lit(1)).over(
+                w_ord.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
             ),
         )
-        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
     # prefix length: a pair at Jaccard >= t shares >= t/(1+t)*(n1+n2)
     # shingles, so missing the first n - ceil(t*n) + 1 cannot happen
