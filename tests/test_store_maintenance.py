@@ -43,3 +43,36 @@ def test_explain_shows_pushdown(spark):
     })
     assert "PushedFilters" in plan
     assert "EqualTo(c_mktsegment,BUILDING)" in plan.replace(" ", "")
+
+
+def test_tx_as_of_wallclock(spark):
+    from unifydb_spark import Engine, FactStore
+
+    eng = Engine(spark, FactStore(spark))
+    store = eng.store
+    t1 = store.transact([["add", "e", ":v", 1]], now_millis=1000)
+    eid = t1["tempids"]["e"]
+    t2 = store.transact([["add", eid, ":v", 2]], now_millis=2000)
+    assert store.tx_as_of(1500) == t1["tempids"]["unifydb.tx"]
+    assert store.tx_as_of(5000) == t2["tempids"]["unifydb.tx"]
+    assert store.tx_as_of(10) == 0
+    # wall-clock snapshot shows the old value
+    db = eng.db(store.tx_as_of(1500))
+    assert eng.query_rows({"find": ["?v"], "where": [[eid, ":v", "?v"]]}, db) == [(1,)]
+
+
+def test_materialize_snapshot(spark, tmp_path):
+    from unifydb_spark import Engine, FactStore
+
+    store = FactStore(spark)
+    eng = Engine(spark, store)
+    r = eng.transact([["add", "e", ":color", "red"], ["add", "e", ":n", 1]])
+    eid = r["tempids"]["e"]
+    eng.transact([[":unifydb/retract", eid, ":color", "red"],
+                  ["add", eid, ":color", "blue"]])
+    snap = store.materialize_snapshot(str(tmp_path / "snap"))
+    assert snap.backend.clean  # no retractions survive materialization
+    got = Engine(spark, snap).query_rows(
+        {"find": ["?c"], "where": [[eid, ":color", "?c"]]}
+    )
+    assert got == [("blue",)]

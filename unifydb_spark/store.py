@@ -378,6 +378,52 @@ class FactStore:
             )
         return df
 
+    def tx_as_of(self, instant: Union[int, _dt.datetime]) -> int:
+        """The newest transaction whose txInstant <= instant (epoch millis
+        or datetime) — wall-clock time travel: db(store.tx_as_of(t)).
+        The reference notes tx-ids 'should really be timestamps'
+        (src/unifydb/transact.clj:73-74); the txInstant metadata fact (T4)
+        provides exactly this mapping."""
+        if isinstance(instant, _dt.datetime):
+            instant = int(instant.timestamp() * 1000)
+        row = (
+            self.facts(TX_INSTANT_ATTR)
+            .filter(F.col("v_long") <= int(instant))
+            .agg(F.max("tx").alias("tx"))
+            .collect()[0]
+        )
+        return int(row["tx"] or 0)
+
+    def materialize_snapshot(
+        self,
+        path: str,
+        tx_id: Union[int, str] = LATEST,
+        partition_by_attr: bool = True,
+    ) -> "FactStore":
+        """Write the collapsed snapshot view (visibility + retraction +
+        cardinality resolution already applied) as a parquet fact log and
+        return a FactStore over it.
+
+        Scale rationale: a dirty log pays the dedup windows on every
+        pattern scan; analyses that hammer one as-of point should pay
+        them once. The result is `clean` by construction (single tx, no
+        retractions), so every later query takes the no-window fast path;
+        `partition_by_attr` lays files out attribute-first (AVET order) so
+        attribute patterns prune to their own files."""
+        snap_tx = (
+            self.backend.latest_tx() if tx_id == LATEST else int(tx_id)
+        )
+        # stamp every surviving fact with the snapshot tx: the result is a
+        # single-tx assert-only log, so the `clean` fast path applies and
+        # later reads never pay the dedup windows again
+        df = self.snapshot(tx_id).withColumn(
+            "tx", F.lit(snap_tx).cast("long")
+        ).withColumn("added", F.lit(True))
+        if partition_by_attr:
+            df = df.sortWithinPartitions("a", "e")
+        df.write.mode("errorifexists").parquet(path)
+        return FactStore(self.spark, ParquetBackend(self.spark, path))
+
     def cardinality_many_attrs(self, tx_id: Union[int, str] = LATEST) -> frozenset:
         """Attributes declared :cardinality/many via schema facts (reference
         src/unifydb/schema.clj:5-15). Cached per (backend version, tx) —
