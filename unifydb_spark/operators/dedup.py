@@ -123,13 +123,18 @@ def ngram_jaccard_pairs(
     # shingles, so missing the first n - ceil(t*n) + 1 cannot happen
     prefix = ranked.filter(
         F.col("__pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("doc_id", "shingle")
+    ).select("doc_id", "shingle", "n_sh")
+    # length filter (also lossless): Jaccard >= t forces
+    # t * max(n1, n2) <= min(n1, n2) — prune size-incompatible pairs
+    # inside the join before the distinct
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") >= threshold * F.col("b.n_sh"))
+            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh")),
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
