@@ -582,6 +582,16 @@ def _graph_edges_cte(include_orders: bool) -> str:
     return " UNION ALL ".join(parts)
 
 
+def q43_minhash_verified(spark, sf_dir):
+    """The production dedup pipeline: LSH candidates -> exact Jaccard
+    verification (sub-quadratic recall, exact precision)."""
+    from unifydb_spark.operators.dedup import minhash_verified_pairs
+
+    return minhash_verified_pairs(_docs(spark, sf_dir), threshold=0.8).orderBy(
+        "d1", "d2"
+    )
+
+
 def q30_graph_degrees(spark, sf_dir):
     """Graph degree metrics over the entity graph (orders included)."""
     from unifydb_spark.operators.graph import degrees
@@ -880,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_stream_stateful_latest": q40_stream_stateful_latest,
         "q41_regional_revenue": q41_regional_revenue,
         "q42_top_customers": q42_top_customers,
+        "q43_minhash_verified": q43_minhash_verified,
     }
 
 
@@ -1028,6 +1039,7 @@ def _operator_oracles() -> dict[str, str]:
         "q27_cosine_topk": _s.cosine_topk_sql(),
         "q28_ivf_topk": _s.ivf_topk_sql(),
         "q29_multimodal_features": _m.features_sql(),
+        "q43_minhash_verified": _d.minhash_verified_sql(threshold=0.8),
         "q30_graph_degrees": _g.degrees_sql(_graph_edges_cte(True)),
         "q31_connected_components": _g.connected_components_sql(
             _graph_edges_cte(False)

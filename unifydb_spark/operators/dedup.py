@@ -276,6 +276,69 @@ def minhash_lsh_sql(
     """
 
 
+def minhash_verified_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The production dedup pipeline: MinHash+LSH candidate generation
+    (sub-quadratic) followed by exact Jaccard verification on candidates
+    only. Returns (d1, d2, jaccard) — pairs the LSH surfaced AND that truly
+    clear the threshold. Recall is the LSH's (a pair missed by every band
+    is not checked); precision is exact."""
+    cand = minhash_lsh_pairs(docs, text_col, n, k, bands)
+    sh = _doc_shingles(docs, text_col, n)
+    arrays = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("arr"), F.count(F.lit(1)).alias("n_sh")
+    )
+    a1 = arrays.select(
+        F.col("doc_id").alias("d1"), F.col("arr").alias("arr1"), F.col("n_sh").alias("n1")
+    )
+    a2 = arrays.select(
+        F.col("doc_id").alias("d2"), F.col("arr").alias("arr2"), F.col("n_sh").alias("n2")
+    )
+    common = F.size(F.array_intersect("arr1", "arr2"))
+    jac = common.cast("double") / (F.col("n1") + F.col("n2") - common)
+    return (
+        cand.join(a1, "d1").join(a2, "d2")
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_verified_sql(
+    table: str = "documents", text_col: str = "text", n: int = 3,
+    k: int = 8, bands: int = 4, threshold: float = 0.8,
+) -> str:
+    cand_sql = minhash_lsh_sql(table, text_col, n, k, bands)
+    return f"""
+        WITH cand AS ({cand_sql}),
+        toks AS (
+          SELECT doc_id, list_filter(string_split({text_col}, ' '), w -> w != '') AS ws
+          FROM {table}
+        ), sh AS (
+          SELECT DISTINCT doc_id, unnest({shingles_sql_expr(n)}) AS shingle FROM toks
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+        ), common AS (
+          SELECT c.d1, c.d2, COUNT(*) AS cm
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id = c.d1
+          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+          GROUP BY 1, 2
+        )
+        SELECT c.d1, c.d2,
+               ROUND(cm::DOUBLE / (z1.n_sh + z2.n_sh - cm), 6) AS jaccard
+        FROM common c JOIN sizes z1 ON c.d1 = z1.doc_id
+                      JOIN sizes z2 ON c.d2 = z2.doc_id
+        WHERE cm::DOUBLE / (z1.n_sh + z2.n_sh - cm) >= {threshold}
+        ORDER BY d1, d2
+    """
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 
