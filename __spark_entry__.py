@@ -592,6 +592,15 @@ def q43_minhash_verified(spark, sf_dir):
     )
 
 
+def q44_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components over the Jaccard pair
+    graph -> canonical doc per cluster (near-duplication is not
+    transitive; pairs alone under-merge)."""
+    from unifydb_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.8).orderBy("doc_id")
+
+
 def q30_graph_degrees(spark, sf_dir):
     """Graph degree metrics over the entity graph (orders included)."""
     from unifydb_spark.operators.graph import degrees
@@ -891,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_regional_revenue": q41_regional_revenue,
         "q42_top_customers": q42_top_customers,
         "q43_minhash_verified": q43_minhash_verified,
+        "q44_dedup_clusters": q44_dedup_clusters,
     }
 
 
@@ -1040,6 +1050,7 @@ def _operator_oracles() -> dict[str, str]:
         "q28_ivf_topk": _s.ivf_topk_sql(),
         "q29_multimodal_features": _m.features_sql(),
         "q43_minhash_verified": _d.minhash_verified_sql(threshold=0.8),
+        "q44_dedup_clusters": _d.dedup_clusters_sql(threshold=0.8),
         "q30_graph_degrees": _g.degrees_sql(_graph_edges_cte(True)),
         "q31_connected_components": _g.connected_components_sql(
             _graph_edges_cte(False)

@@ -477,6 +477,62 @@ def simhash_sql(
     """
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Duplicate clustering: near-dup pairs are edges, clusters are their
+    connected components (near-duplication is not transitive, so pairwise
+    output alone under-merges — A~B, B~C must land in one cluster).
+    Returns every doc with its canonical (minimum) reachable doc_id and
+    cluster size; singletons are their own canonical."""
+    from unifydb_spark.operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(docs, text_col, n, threshold)
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    cc = connected_components(edges)
+    out = (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("canonical_id"),
+        )
+    )
+    w = Window.partitionBy("canonical_id")
+    return out.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+
+
+def dedup_clusters_sql(
+    table: str = "documents", text_col: str = "text", n: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    pairs_sql = ngram_jaccard_sql(table, text_col, n, threshold)
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        und AS (
+          SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION SELECT d2, d1 FROM pairs
+        ),
+        pnodes AS (SELECT src AS node FROM und UNION SELECT dst FROM und),
+        reach(node, lbl) AS (
+          SELECT node, node FROM pnodes
+          UNION
+          SELECT u.dst, r.lbl FROM und u JOIN reach r ON u.src = r.node
+        ),
+        cc AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+        labeled AS (
+          SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS canonical_id
+          FROM {table} d LEFT JOIN cc ON d.doc_id = cc.node
+        )
+        SELECT doc_id, canonical_id,
+               COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
+        FROM labeled ORDER BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 
