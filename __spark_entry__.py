@@ -601,6 +601,20 @@ def q44_dedup_clusters(spark, sf_dir):
     return dedup_clusters(_docs(spark, sf_dir), threshold=0.8).orderBy("doc_id")
 
 
+def q45_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary: top-50 terms by frequency + doc frequency."""
+    from unifydb_spark.operators.text import vocab_stats
+
+    return vocab_stats(_docs(spark, sf_dir), top_k=50)
+
+
+def q46_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (decimal-exact dimension means)."""
+    from unifydb_spark.operators.similarity import label_centroids
+
+    return label_centroids(_emb(spark, sf_dir)).orderBy("label", "dim")
+
+
 def q30_graph_degrees(spark, sf_dir):
     """Graph degree metrics over the entity graph (orders included)."""
     from unifydb_spark.operators.graph import degrees
@@ -901,6 +915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_top_customers": q42_top_customers,
         "q43_minhash_verified": q43_minhash_verified,
         "q44_dedup_clusters": q44_dedup_clusters,
+        "q45_vocab_stats": q45_vocab_stats,
+        "q46_label_centroids": q46_label_centroids,
     }
 
 
@@ -1051,6 +1067,8 @@ def _operator_oracles() -> dict[str, str]:
         "q29_multimodal_features": _m.features_sql(),
         "q43_minhash_verified": _d.minhash_verified_sql(threshold=0.8),
         "q44_dedup_clusters": _d.dedup_clusters_sql(threshold=0.8),
+        "q45_vocab_stats": _t.vocab_stats_sql(top_k=50),
+        "q46_label_centroids": _s.label_centroids_sql(),
         "q30_graph_degrees": _g.degrees_sql(_graph_edges_cte(True)),
         "q31_connected_components": _g.connected_components_sql(
             _graph_edges_cte(False)

@@ -163,6 +163,48 @@ def ivf_topk(
     )
 
 
+def label_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid, one row per (label, dim): mean of each dimension
+    via exact decimal sums (partition-order independent). posexplode keeps
+    it one shuffle on (label, dim) — no wide 64-aggregate row."""
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(38,18)")).cast("double")
+                / F.count("x")
+            ).alias("mean")
+        )
+        .select("label", "dim", F.round("mean", 8).alias("mean"))
+    )
+
+
+def label_centroids_sql(
+    table: str = "embeddings", id_col: str = "vec_id",
+    vec_col: str = "embedding", label_col: str = "label", dim: int = 64,
+) -> str:
+    return f"""
+        WITH ex AS (
+          SELECT {label_col} AS label, i - 1 AS dim,
+                 CAST({vec_col}[i] AS DOUBLE) AS x
+          FROM {table}, generate_series(1, {dim}) AS t(i)
+        )
+        SELECT label, dim,
+               ROUND(CAST(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
+                     / COUNT(x), 8) AS mean
+        FROM ex GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
 # ---------------------------------------------------------------------------
 # SQL oracle builders (DuckDB) — the same ordered double folds
 

@@ -161,6 +161,38 @@ def hash_sample_sql(
     """
 
 
+def vocab_stats(docs: DataFrame, text_col: str = "text", top_k: int = 50) -> DataFrame:
+    """Corpus vocabulary: term frequency + document frequency, top-k terms
+    by (tf desc, term). One explode + one groupBy — map-side combinable;
+    at 100 TB this is the canonical word-count shape."""
+    from unifydb_spark.operators.dedup import _spread
+
+    tok = _spread(docs).select(
+        "doc_id", F.explode(words_col(F.col(text_col))).alias("w")
+    )
+    return (
+        tok.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("w"))
+        .limit(top_k)
+    )
+
+
+def vocab_stats_sql(table: str = "documents", text_col: str = "text", top_k: int = 50) -> str:
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split({text_col}, ' '), w -> w != '')) AS w
+          FROM {table}
+        )
+        SELECT w, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM tok GROUP BY w ORDER BY tf DESC, w LIMIT {top_k}
+    """
+
+
 def text_stats_sql(table: str = "documents", text_col: str = "text") -> str:
     """DuckDB oracle for text_stats — same tokenization and arithmetic."""
     all_stops = sorted({w for lst in STOPWORDS.values() for w in lst})
