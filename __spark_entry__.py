@@ -615,6 +615,15 @@ def q46_label_centroids(spark, sf_dir):
     return label_centroids(_emb(spark, sf_dir)).orderBy("label", "dim")
 
 
+def q47_kmeans(spark, sf_dir):
+    """Spherical k-means, 3 fixed iterations: an iterative ML training
+    loop with exact-decimal arithmetic; the oracle unrolls the identical
+    iterations in SQL."""
+    from unifydb_spark.operators.similarity import kmeans_assign
+
+    return kmeans_assign(_emb(spark, sf_dir), k=8, iters=3).orderBy("vec_id")
+
+
 def q30_graph_degrees(spark, sf_dir):
     """Graph degree metrics over the entity graph (orders included)."""
     from unifydb_spark.operators.graph import degrees
@@ -917,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_dedup_clusters": q44_dedup_clusters,
         "q45_vocab_stats": q45_vocab_stats,
         "q46_label_centroids": q46_label_centroids,
+        "q47_kmeans": q47_kmeans,
     }
 
 
@@ -1069,6 +1079,7 @@ def _operator_oracles() -> dict[str, str]:
         "q44_dedup_clusters": _d.dedup_clusters_sql(threshold=0.8),
         "q45_vocab_stats": _t.vocab_stats_sql(top_k=50),
         "q46_label_centroids": _s.label_centroids_sql(),
+        "q47_kmeans": _s.kmeans_assign_sql(k=8, iters=3),
         "q30_graph_degrees": _g.degrees_sql(_graph_edges_cte(True)),
         "q31_connected_components": _g.connected_components_sql(
             _graph_edges_cte(False)

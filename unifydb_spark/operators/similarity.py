@@ -205,6 +205,148 @@ def label_centroids_sql(
     """
 
 
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (cosine assignment), fixed iterations: a real
+    iterative training loop on the engine. Deterministic end to end —
+    init = the k lowest-id vectors, per-(vector, cluster) dots accumulate
+    in DECIMAL(38,18), centroid means are exact decimal sums / counts,
+    ties break to the lower cluster id — so the oracle can unroll the
+    same iterations in SQL and match exactly.
+
+    Shape per iteration: exploded (vec, dim, x) join centroid (cluster,
+    dim, m) -> one shuffle on (vec, cluster); centroid update is one
+    groupBy (cluster, dim). Both map-side combinable; k and dim are
+    constants, so cost is linear in vectors per iteration."""
+    ex = emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).withColumn("x", F.col("x").cast("double")).persist()
+    # centroids as (cluster, dim, m) rows; init from the k lowest ids
+    cent = (
+        ex.filter(F.col("vid") < k)
+        .select(F.col("vid").alias("cluster"), "dim", F.col("x").alias("m"))
+        .localCheckpoint()
+    )
+    # per-vector norms: exact decimal sums (order-independent)
+    vnorm = ex.groupBy("vid").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("vn2")
+    ).persist()
+    assign = None
+    for _ in range(iters):
+        cnorm = cent.groupBy("cluster").agg(
+            F.sum((F.col("m") * F.col("m")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("cn2")
+        )
+        dots = (
+            ex.join(cent, "dim")
+            .groupBy("vid", "cluster")
+            .agg(
+                F.sum((F.col("x") * F.col("m")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("dot")
+            )
+        )
+        scored = (
+            dots.join(cnorm, "cluster")
+            .join(vnorm, "vid")
+            .withColumn(
+                "cos", F.col("dot") / (F.sqrt("vn2") * F.sqrt("cn2"))
+            )
+        )
+        w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("cluster"))
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("vid", "cluster")
+            .localCheckpoint()
+        )
+        cent = (
+            ex.join(assign, "vid")
+            .groupBy("cluster", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                    / F.count("x")
+                ).alias("m")
+            )
+            .localCheckpoint()
+        )
+    return assign.select(F.col("vid").alias(id_col), "cluster")
+
+
+def kmeans_assign_sql(
+    table: str = "embeddings", k: int = 8, iters: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+) -> str:
+    ctes = [
+        f"""ex AS (
+          SELECT {id_col} AS vid, i - 1 AS dim, CAST({vec_col}[i] AS DOUBLE) AS x
+          FROM {table}, generate_series(1, {dim}) AS t(i)
+        )""",
+        """vnorm AS (
+          SELECT vid, CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS vn2
+          FROM ex GROUP BY vid
+        )""",
+        f"""cent0 AS (
+          SELECT vid AS cluster, dim, x AS m FROM ex WHERE vid < {k}
+        )""",
+    ]
+    prev = "cent0"
+    assign = None
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""cnorm{i} AS (
+              SELECT cluster, CAST(CAST(SUM(CAST(m * m AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS cn2
+              FROM {prev} GROUP BY cluster
+            )"""
+        )
+        ctes.append(
+            f"""dots{i} AS (
+              SELECT e.vid, c.cluster,
+                     CAST(CAST(SUM(CAST(e.x * c.m AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS dot
+              FROM ex e JOIN {prev} c ON e.dim = c.dim
+              GROUP BY 1, 2
+            )"""
+        )
+        assign = f"a{i}"
+        ctes.append(
+            f"""a{i} AS (
+              SELECT vid, cluster FROM (
+                SELECT d.vid, d.cluster,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY d.vid
+                         ORDER BY d.dot / (sqrt(v.vn2) * sqrt(n.cn2)) DESC,
+                                  d.cluster) AS rn
+                FROM dots{i} d JOIN cnorm{i} n ON d.cluster = n.cluster
+                               JOIN vnorm v ON d.vid = v.vid
+              ) WHERE rn = 1
+            )"""
+        )
+        prev = f"cent{i}"
+        ctes.append(
+            f"""cent{i} AS (
+              SELECT a.cluster, e.dim,
+                     CAST(CAST(SUM(CAST(e.x AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
+                       / COUNT(e.x) AS m
+              FROM ex e JOIN a{i} a ON e.vid = a.vid
+              GROUP BY 1, 2
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vid AS {id_col}, cluster FROM {assign} ORDER BY 1"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL oracle builders (DuckDB) — the same ordered double folds
 
