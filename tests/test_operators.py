@@ -132,3 +132,14 @@ def test_language_id_english(spark):
     out = {r["doc_id"]: r["predicted_lang"] for r in T.language_id(d).collect()}
     assert out[0] == "en"
     assert out[1] == "es"
+
+
+def test_kmeans_partition_invariant(emb):
+    from unifydb_spark.operators.similarity import kmeans_assign
+
+    a1 = {r["vec_id"]: r["cluster"]
+          for r in kmeans_assign(emb, k=4, iters=2).collect()}
+    a2 = {r["vec_id"]: r["cluster"]
+          for r in kmeans_assign(emb.repartition(7), k=4, iters=2).collect()}
+    assert a1 == a2  # exact-decimal arithmetic -> partition invariant
+    assert set(a1.values()) <= set(range(4))
