@@ -624,6 +624,43 @@ def q47_kmeans(spark, sf_dir):
     return kmeans_assign(_emb(spark, sf_dir), k=8, iters=3).orderBy("vec_id")
 
 
+def q48_event_histogram(spark, sf_dir):
+    """Value histogram per event type (fixed-width buckets) — the
+    groupBy-on-derived-key shape, map-side combinable."""
+    ev = _events_ts(spark, sf_dir)
+    bucket = F.floor(F.col("value") / F.lit(10.0)).cast("bigint")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+def q49_source_quality(spark, sf_dir):
+    """Per-source corpus quality report: text_stats rolled up by the
+    document source (the curation dashboard query)."""
+    from unifydb_spark.operators.text import text_stats
+
+    docs = _docs(spark, sf_dir)
+    stats = text_stats(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("quality").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_quality"),
+            F.sum("n_ws_tokens").alias("total_tokens"),
+        )
+        .select(
+            "source", "n_docs", F.round("avg_quality", 6).alias("avg_quality"),
+            "total_tokens",
+        )
+        .orderBy("source")
+    )
+
+
 def q30_graph_degrees(spark, sf_dir):
     """Graph degree metrics over the entity graph (orders included)."""
     from unifydb_spark.operators.graph import degrees
@@ -927,6 +964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_vocab_stats": q45_vocab_stats,
         "q46_label_centroids": q46_label_centroids,
         "q47_kmeans": q47_kmeans,
+        "q48_event_histogram": q48_event_histogram,
+        "q49_source_quality": q49_source_quality,
     }
 
 
@@ -1080,6 +1119,20 @@ def _operator_oracles() -> dict[str, str]:
         "q45_vocab_stats": _t.vocab_stats_sql(top_k=50),
         "q46_label_centroids": _s.label_centroids_sql(),
         "q47_kmeans": _s.kmeans_assign_sql(k=8, iters=3),
+        "q48_event_histogram": """
+            SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q49_source_quality": f"""
+            WITH stats AS ({_t.text_stats_sql()})
+            SELECT d.source, COUNT(*) AS n_docs,
+                   ROUND(CAST(CAST(SUM(CAST(s.quality AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                         / COUNT(*), 6) AS avg_quality,
+                   SUM(s.n_ws_tokens) AS total_tokens
+            FROM stats s JOIN documents d ON s.doc_id = d.doc_id
+            GROUP BY 1 ORDER BY 1
+        """,
         "q30_graph_degrees": _g.degrees_sql(_graph_edges_cte(True)),
         "q31_connected_components": _g.connected_components_sql(
             _graph_edges_cte(False)
