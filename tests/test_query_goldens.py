@@ -326,3 +326,41 @@ def test_mutually_recursive_rules(engine):
         assert e.code in ("invalid-rule",)
         return
     assert (Ref(1),) in got
+
+
+def test_bind_with_ref_value(engine):
+    q = {
+        "find": ["?name"],
+        "where": [["?e", ":supervisor", "?sup"], ["?e", ":name", "?name"]],
+        "bind": {"sup": Ref(1)},
+    }
+    assert rows(engine, q) == [("Alyssa P. Hacker",)]
+
+
+def test_or_branches_bind_different_vars(engine):
+    # disjuncts may bind different variables; missing ones are null
+    # (reference disjoin query.clj:35-43 — the pull compiler relies on it)
+    q = {
+        "find": ["?s", "?j"],
+        "where": [
+            ["or",
+             ["and", [1, ":salary", "?s"]],
+             ["and", [1, ":job", "?j"]]],
+        ],
+    }
+    got = sorted(engine.query_rows(q), key=repr)
+    assert (60000, None) in got
+    assert (None, ["computer", "wizard"]) in got
+
+
+def test_not_with_inner_predicate(engine):
+    # :not whose body includes a predicate over outer-bound vars
+    q = {
+        "find": ["?name"],
+        "where": [
+            ["?e", ":name", "?name"],
+            ["?e", ":salary", "?s"],
+            ["not", [("<", "?s", 50000)]],
+        ],
+    }
+    assert rows(engine, q) == [("Ben Bitdiddle",)]
