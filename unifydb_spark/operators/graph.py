@@ -128,7 +128,7 @@ def pagerank(
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     restart = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
-    for _ in range(iters):
+    for it in range(iters):
         contribs = (
             edges.join(ranks, edges["src"] == ranks["node"])
             .join(outdeg, "src")
@@ -140,18 +140,18 @@ def pagerank(
         sums = contribs.groupBy(F.col("dst").alias("node")).agg(
             F.sum("c").alias("s")
         )
-        ranks = (
-            nodes.join(sums, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(restart)
-                    + F.lit(damping)
-                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                F.lit(restart)
+                + F.lit(damping)
+                * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+            ).alias("rank"),
         )
+        # checkpoint every other iteration (and the last): lineage depth
+        # stays <= 2 while halving the materialization jobs
+        if it % 2 == 1 or it == iters - 1:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 
