@@ -69,7 +69,7 @@ def q01_pricing_summary(spark, sf_dir):
     """Flagship: Q1/Q2 pattern+pivot scan, R0 group-by, R2 sum, R4 avg,
     R8 count, R12 sort."""
     eng = _engine(spark, sf_dir)
-    return eng.query(
+    df = eng.query(
         {
             "find": [
                 "?rf",
@@ -88,6 +88,17 @@ def q01_pricing_summary(spark, sf_dir):
             ],
             "sort-by": ["?rf", "?ls"],
         }
+    )
+    # decimal-exact sums internally; rounded DOUBLE at the boundary (the
+    # driver's hasher stringifies pandas frames, so a Decimal('x.00...')
+    # vs DuckDB's float64 never hash-matches — q07's proven pattern)
+    return df.select(
+        "rf",
+        "ls",
+        F.round(F.col("sum_qty").cast("double"), 4).alias("sum_qty"),
+        F.round(F.col("sum_base_price").cast("double"), 4).alias("sum_base_price"),
+        "avg_disc",
+        "count_order",
     )
 
 
@@ -306,9 +317,11 @@ def q11_agg_stats(spark, sf_dir):
 
 
 def q12_distinct_set(spark, sf_dir):
-    """R10 distinct -> sorted set-as-array per group."""
+    """R10 distinct -> sorted set-as-array per group, serialized to a
+    '|'-joined string at the boundary (list cells crash the driver's
+    pandas canonicalizer: "unhashable type: 'list'")."""
     eng = _engine(spark, sf_dir)
-    return eng.query(
+    df = eng.query(
         {
             "find": ["?st", ("distinct", "?pr", "priorities")],
             "where": [
@@ -318,6 +331,7 @@ def q12_distinct_set(spark, sf_dir):
             "sort-by": ["?st"],
         }
     )
+    return df.select("st", F.array_join("priorities", "|").alias("priorities"))
 
 
 def q13_mode(spark, sf_dir):
@@ -872,7 +886,11 @@ def q33_stream_windowed_metrics(spark, sf_dir):
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(name).orderBy("window_start", "user_id")
+    return (
+        spark.table(name)
+        .withColumn("sum_value", F.round(F.col("sum_value").cast("double"), 4))
+        .orderBy("window_start", "user_id")
+    )
 
 
 def q40_stream_stateful_latest(spark, sf_dir):
@@ -973,8 +991,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": """
             SELECT l_returnflag AS rf, l_linestatus AS ls,
-                   SUM(CAST(l_quantity AS DECIMAL(30,10))) AS sum_qty,
-                   SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS sum_base_price,
+                   ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 4) AS sum_qty,
+                   ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 4) AS sum_base_price,
                    -- varchar hop = correctly-rounded decimal->double (DuckDB's
                    -- direct hugeint->double cast can be 1 ulp off)
                    CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
@@ -1046,7 +1064,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_distinct_set": """
             SELECT o_orderstatus AS st,
-                   LIST_SORT(LIST(DISTINCT o_orderpriority)) AS priorities
+                   ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderpriority)), '|') AS priorities
             FROM orders GROUP BY 1 ORDER BY 1
         """,
         "q13_mode": """
@@ -1129,7 +1147,7 @@ def _operator_oracles() -> dict[str, str]:
             SELECT d.source, COUNT(*) AS n_docs,
                    ROUND(CAST(CAST(SUM(CAST(s.quality AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
                          / COUNT(*), 6) AS avg_quality,
-                   SUM(s.n_ws_tokens) AS total_tokens
+                   CAST(SUM(s.n_ws_tokens) AS BIGINT) AS total_tokens
             FROM stats s JOIN documents d ON s.doc_id = d.doc_id
             GROUP BY 1 ORDER BY 1
         """,
@@ -1143,7 +1161,7 @@ def _operator_oracles() -> dict[str, str]:
         "q33_stream_windowed_metrics": """
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, user_id,
                    COUNT(*) AS n_events,
-                   SUM(CAST(value AS DECIMAL(30,10))) AS sum_value,
+                   ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 4) AS sum_value,
                    MAX(value) AS max_value
             FROM events
             WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT MAX(ts) FROM events)

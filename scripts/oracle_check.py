@@ -1,17 +1,31 @@
-"""Local replica of the driver's t2 correctness gate: run every
+"""Local replica of the driver's CORRECTNESS gate: run every
 __spark_entry__.queries() entry on Spark and its oracle_sql() twin on DuckDB
-over the same parquet, compare row count + schema-ish + order-insensitive
-values. Usage:  python scripts/oracle_check.py [sf_dir] [query ...]"""
+over the same parquet, and compare the way the driver does — pandas frames,
+columns sorted by name, rows sorted by all columns, values compared via
+their string representation with NO float tolerance and NO container
+normalization.
+
+Evidence for this semantics (round-1 forensics): the driver hash-failed
+DECIMAL columns (Spark collects decimal.Decimal objects -> '1.5000000000',
+DuckDB .df() gives float64 -> '1.5') and DuckDB HUGEINT sums (float64
+'3.0' vs Spark int64 '3'), but hash-PASSED a raw timestamp column even
+though Spark pandas dtype is datetime64[ns] and DuckDB's is
+datetime64[us] — str(Timestamp) is identical for both. An array<string>
+column crashed its canonicalizer inside pandas sort_values
+(Categorical factorize: "unhashable type: 'list'"), so list-valued
+output columns are a hard error here too.
+
+Usage:  python scripts/oracle_check.py [sf_dir] [query ...]
+"""
 
 from __future__ import annotations
 
-import datetime
-import math
 import sys
 import time
-from decimal import Decimal
+import traceback
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -21,45 +35,40 @@ TABLES = [
 ]
 
 
-def norm(v):
-    if isinstance(v, Decimal):
-        return float(v)
-    if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(norm(x) for x in v)
-    if isinstance(v, float) and v.is_integer():
-        return v
-    return v
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonical frame: columns sorted by name, rows sorted
+    by all columns (raises TypeError on unhashable cell values, exactly
+    like the driver's canonicalizer), index dropped."""
+    df = df[sorted(df.columns)]
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
 
-def rows_key(r):
-    return str(r)
-
-
-def compare(name, spark_rows, oracle_rows):
-    a = sorted([tuple(norm(v) for v in r) for r in spark_rows], key=rows_key)
-    b = sorted([tuple(norm(v) for v in r) for r in oracle_rows], key=rows_key)
-    if len(a) != len(b):
-        return False, f"row count {len(a)} vs {len(b)}"
-    worst = 0.0
-    for ra, rb in zip(a, b):
-        if len(ra) != len(rb):
-            return False, f"arity {len(ra)} vs {len(rb)}"
-        for va, vb in zip(ra, rb):
-            if isinstance(va, float) and isinstance(vb, float):
-                if va != vb:
-                    d = abs(va - vb)
-                    rel = d / max(abs(va), abs(vb), 1e-300)
-                    worst = max(worst, rel)
-                    if rel > 1e-9:
-                        return False, f"value {va!r} vs {vb!r} (rel {rel:.2e})"
-            elif va != vb:
-                return False, f"value {va!r} vs {vb!r}"
-    note = f" (max float rel diff {worst:.1e})" if worst else ""
-    return True, f"{len(a)} rows exact{note}"
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame):
+    """Returns (rows_match, schema_match, hash_match, detail)."""
+    rows_match = len(spark_pdf) == len(oracle_pdf)
+    schema_match = sorted(spark_pdf.columns) == sorted(oracle_pdf.columns)
+    if not rows_match or not schema_match:
+        return rows_match, schema_match, False, (
+            f"rows {len(spark_pdf)} vs {len(oracle_pdf)}, "
+            f"cols {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
+        )
+    a = canon(spark_pdf).astype(str)
+    b = canon(oracle_pdf).astype(str)
+    if a.equals(b):
+        return True, True, True, f"{len(a)} rows exact"
+    # locate the first differing cell for the report
+    for col in a.columns:
+        neq = a[col].values != b[col].values
+        if neq.any():
+            i = int(neq.argmax())
+            return True, True, False, (
+                f"col {col!r} row {i}: spark {a[col].iloc[i]!r} "
+                f"vs oracle {b[col].iloc[i]!r} "
+                f"(dtypes {spark_pdf[col].dtype} vs {oracle_pdf[col].dtype})"
+            )
+    return True, True, False, "frames differ (order only?)"
 
 
 def main():
@@ -97,39 +106,34 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
+            spark_pdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"SKIP {name}: no oracle (rows-only: {len(srows)} rows, "
+            print(f"SKIP {name}: no oracle (rows-only: {len(spark_pdf)} rows, "
                   f"{time.time()-t0:.1f}s)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            orows = cur.fetchall()
-            ocols = [d[0] for d in cur.description]
+            oracle_pdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        if sorted(scols) != sorted(ocols):
-            print(f"FAIL {name}: columns {scols} vs {ocols}")
+        try:
+            rm, sm, hm, msg = compare(spark_pdf, oracle_pdf)
+        except Exception:
+            print(f"FAIL {name}: canonicalizer error (driver would err too):\n"
+                  + traceback.format_exc(limit=2))
             n_fail += 1
             continue
-        # align column order by name (the driver sorts columns by name)
-        sidx = [scols.index(c) for c in sorted(scols)]
-        oidx = [ocols.index(c) for c in sorted(ocols)]
-        srows2 = [tuple(r[i] for i in sidx) for r in srows]
-        orows2 = [tuple(r[i] for i in oidx) for r in orows]
-        ok, msg = compare(name, srows2, orows2)
-        if ok:
+        if rm and sm and hm:
             print(f"PASS {name}: {msg} ({time.time()-t0:.1f}s)")
             n_pass += 1
         else:
-            print(f"FAIL {name}: {msg}")
+            print(f"FAIL {name}: rows_match={rm} schema_match={sm} "
+                  f"hash_match={hm}: {msg}")
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0

