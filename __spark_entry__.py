@@ -928,6 +928,125 @@ def q40_stream_stateful_latest(spark, sf_dir):
     )
 
 
+def _seq_engine(spark, sf_dir):
+    """Customer rows as JSON sequence values for Q9 seq/rest unification
+    (reference src/unifydb/unify.clj:46-85): each customer carries
+    v_json = ["cust", [mktsegment, nationkey], custkey]. The log is
+    assert-only single-tx, so the clean fast path applies."""
+    from unifydb_spark import Engine, FactStore
+    from unifydb_spark.store import DataFrameBackend
+
+    key = (id(spark), sf_dir, "seq")
+    if key not in _ENGINES:
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        vj = F.concat(
+            F.lit('["cust",["'),
+            F.col("c_mktsegment"),
+            F.lit('",'),
+            F.col("c_nationkey").cast("long").cast("string"),
+            F.lit("],"),
+            F.col("c_custkey").cast("string"),
+            F.lit("]"),
+        )
+        facts = c.select(
+            F.col("c_custkey").cast("long").alias("e"),
+            F.lit("customer/info").alias("a"),
+            F.lit("json").alias("v_type"),
+            F.lit(None).cast("bigint").alias("v_long"),
+            F.lit(None).cast("double").alias("v_double"),
+            F.lit(None).cast("string").alias("v_str"),
+            F.lit(None).cast("boolean").alias("v_bool"),
+            F.lit(None).cast("bigint").alias("v_ref"),
+            F.lit(None).cast("timestamp").alias("v_ts"),
+            vj.alias("v_json"),
+            F.lit(0).cast("long").alias("tx"),
+            F.lit(True).alias("added"),
+        )
+        backend = DataFrameBackend(spark, facts, clean=True)
+        _ENGINES[key] = Engine(spark, FactStore(spark, backend=backend))
+    return _ENGINES[key]
+
+
+def q50_seq_rest_pattern(spark, sf_dir):
+    """Q9 seq/rest patterns (reference unify.clj:46-85, rest patterns
+    :66-73; golden test/unifydb/query_test.clj:40-51): nested sequence
+    pattern with a '&' rest binding, matched by the pandas-UDF deep
+    unifier over JSON values. Seq bindings surface as canonical-JSON
+    strings, so the oracle rebuilds the same strings from the base
+    columns."""
+    eng = _seq_engine(spark, sf_dir)
+    return eng.query(
+        {
+            "find": ["?seg", "?nk", "?rest"],
+            "where": [
+                ["?c", ":customer/info", [":cust", ["?seg", "?nk"], "&", "?rest"]]
+            ],
+            "sort-by": ["?rest"],
+        }
+    )
+
+
+def _retract_engine(spark, sf_dir):
+    """Events as a retraction-heavy cardinality-many fact log (R1
+    retraction collapse, reference src/unifydb/query.clj:132-165
+    filter-sorted-facts): each event asserts (user, value-bucket);
+    'error' events retract that pair. 'user/bucket' is declared
+    :cardinality/many via schema facts, so the snapshot runs the full
+    retraction-collapse window rather than last-writer-wins."""
+    from unifydb_spark import Engine, FactStore
+    from unifydb_spark.store import DataFrameBackend
+    from unifydb_spark.values import FACT_SCHEMA
+
+    key = (id(spark), sf_dir, "retract")
+    if key not in _ENGINES:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        facts = ev.select(
+            ev.user_id.cast("long").alias("e"),
+            F.lit("user/bucket").alias("a"),
+            F.lit("long").alias("v_type"),
+            F.floor(F.col("value") / F.lit(10.0)).cast("long").alias("v_long"),
+            F.lit(None).cast("double").alias("v_double"),
+            F.lit(None).cast("string").alias("v_str"),
+            F.lit(None).cast("boolean").alias("v_bool"),
+            F.lit(None).cast("bigint").alias("v_ref"),
+            F.lit(None).cast("timestamp").alias("v_ts"),
+            F.lit(None).cast("string").alias("v_json"),
+            ev.event_id.cast("long").alias("tx"),
+            (F.col("event_type") != "error").alias("added"),
+        )
+        sid = 10**15
+        schema_rows = spark.createDataFrame(
+            [
+                (sid, "unifydb/schema", "string", None, None, "user/bucket",
+                 None, None, None, None, 0, True),
+                (sid, "unifydb/cardinality", "string", None, None,
+                 "cardinality/many", None, None, None, None, 0, True),
+            ],
+            schema=FACT_SCHEMA,
+        )
+        backend = DataFrameBackend(
+            spark, facts.unionByName(schema_rows), clean=False,
+            has_retractions=True,
+        )
+        _ENGINES[key] = Engine(spark, FactStore(spark, backend=backend))
+    return _ENGINES[key]
+
+
+def q51_retraction_snapshot(spark, sf_dir):
+    """R1 retraction collapse on a cardinality-many attribute: the live
+    (user, bucket) pairs — a pair is live iff the most recent fact for it
+    is an assert (store.py snapshot windows, has_retractions=True path)."""
+    eng = _retract_engine(spark, sf_dir)
+    return eng.query(
+        {
+            "find": ["?u", "?b"],
+            "where": [["?u", ":user/bucket", "?b"]],
+            "sort-by": ["?u", "?b"],
+        }
+    ).select(F.col("u").alias("user_id"), F.col("b").alias("bucket"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -984,6 +1103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_kmeans": q47_kmeans,
         "q48_event_histogram": q48_event_histogram,
         "q49_source_quality": q49_source_quality,
+        "q50_seq_rest_pattern": q50_seq_rest_pattern,
+        "q51_retraction_snapshot": q51_retraction_snapshot,
     }
 
 
@@ -1107,6 +1228,31 @@ def oracle_sql() -> dict[str, str]:
             FROM customer JOIN nation ON c_nationkey = n_nationkey
                           JOIN region ON n_regionkey = r_regionkey
             WHERE c_custkey < 201 ORDER BY ck
+        """,
+        # q50: seq bindings are canonical-JSON strings (strings keep their
+        # quotes, ints are bare, the rest binding is a JSON array)
+        "q50_seq_rest_pattern": """
+            SELECT '"' || c_mktsegment || '"' AS seg,
+                   CAST(c_nationkey AS VARCHAR) AS nk,
+                   '[' || c_custkey || ']' AS rest
+            FROM customer ORDER BY rest
+        """,
+        # q51: live (user, bucket) pairs — most recent fact per pair wins,
+        # an 'error' event retracts the pair
+        "q51_retraction_snapshot": """
+            WITH f AS (
+                SELECT user_id AS u,
+                       CAST(FLOOR(value / 10.0) AS BIGINT) AS b,
+                       event_id AS tx,
+                       event_type <> 'error' AS added
+                FROM events
+            ), ranked AS (
+                SELECT u, b, added,
+                       ROW_NUMBER() OVER (PARTITION BY u, b ORDER BY tx DESC) AS rn
+                FROM f
+            )
+            SELECT u AS user_id, b AS bucket FROM ranked
+            WHERE rn = 1 AND added ORDER BY 1, 2
         """,
         **_operator_oracles(),
     }
