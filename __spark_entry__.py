@@ -511,13 +511,16 @@ def q25_simhash_dedup(spark, sf_dir):
 
 
 def q26_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (ordered-double-fold cosine,
-    bitwise-reproducible)."""
-    from unifydb_spark.operators.dedup import embedding_neardup_pairs
+    """Embedding-cosine near-dup via the IVF scale path: multi-probe
+    bucketed candidates + exact cosine verify — no all-pairs self-join
+    anywhere in the plan. The oracle mirrors the identical candidate
+    generation; the brute-force baseline is cross-checked in pytest
+    (IVF pairs are a subset with identical cosines)."""
+    from unifydb_spark.operators.dedup import embedding_neardup_ivf
 
-    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.45).orderBy(
-        "id1", "id2"
-    )
+    return embedding_neardup_ivf(
+        _emb(spark, sf_dir), threshold=0.45, n_centroids=16, nprobe=2
+    ).orderBy("id1", "id2")
 
 
 def q27_cosine_topk(spark, sf_dir):
@@ -1274,7 +1277,9 @@ def _operator_oracles() -> dict[str, str]:
         "q23_ngram_jaccard_dedup": _d.ngram_jaccard_sql(threshold=0.8),
         "q24_minhash_lsh_dedup": _d.minhash_lsh_sql(),
         "q25_simhash_dedup": _d.simhash_sql(),
-        "q26_embedding_neardup": _d.embedding_neardup_sql(threshold=0.45),
+        "q26_embedding_neardup": _d.embedding_neardup_ivf_sql(
+            threshold=0.45, n_centroids=16, nprobe=2
+        ),
         "q27_cosine_topk": _s.cosine_topk_sql(),
         "q28_ivf_topk": _s.ivf_topk_sql(),
         "q29_multimodal_features": _m.features_sql(),

@@ -101,6 +101,24 @@ def test_ivf_recall_vs_brute_force(emb):
     assert len(brute & ivf) / len(brute) >= 0.8
 
 
+def test_neardup_ivf_subset_of_brute_force(emb):
+    """The IVF scale path returns a subset of the brute-force pairs with
+    bit-identical cosines (candidates it does surface are verified by the
+    same exact fold); generous probing approaches full recall."""
+    brute = {(r["id1"], r["id2"]): r["cosine"]
+             for r in D.embedding_neardup_pairs(emb, threshold=0.8).collect()}
+    ivf = {(r["id1"], r["id2"]): r["cosine"]
+           for r in D.embedding_neardup_ivf(
+               emb, threshold=0.8, n_centroids=8, nprobe=2).collect()}
+    assert set(ivf) <= set(brute)
+    for pair, cos in ivf.items():
+        assert cos == brute[pair]  # exact, not approximate
+    full = {(r["id1"], r["id2"])
+            for r in D.embedding_neardup_ivf(
+                emb, threshold=0.8, n_centroids=8, nprobe=8).collect()}
+    assert full == set(brute)  # probing every bucket = exhaustive
+
+
 def test_multimodal_plumbing(docs):
     out = M.extract_features(M.attach_binary(docs)).collect()
     assert len(out) == 5

@@ -565,6 +565,84 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_ivf(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """The scale path for embedding near-dup: IVF-bucketed candidate
+    generation + exact cosine verification. Each vector multi-probes into
+    its `nprobe` nearest centroid buckets; candidate pairs are pairs that
+    co-occur in at least one bucket; the exact (ordered-double-fold)
+    cosine then verifies each candidate once.
+
+    100 TB rationale: comparisons are sum-over-buckets of |bucket|^2 /
+    ~(n_centroids/nprobe^2) of all-pairs — never the O(n^2)
+    BroadcastNestedLoopJoin of the brute-force baseline. The bucket id is
+    also the natural cluster-by key: at scale, write the assigned table
+    bucketed by centroid_id and the candidate join is co-located with no
+    shuffle. Recall is the standard IVF trade — a pair whose members
+    share no probed bucket is missed; nprobe raises recall at linear
+    cost. Brute force (embedding_neardup_pairs) stays as the oracle
+    baseline."""
+    from unifydb_spark.operators.similarity import with_norm, _dot
+
+    v = with_norm(emb, id_col, vec_col)
+    cents = F.broadcast(
+        v.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cvec"),
+            F.col("n2").alias("cn2"),
+        )
+    )
+    ccos = _dot(F.col("cvec"), F.col(vec_col)) / (
+        F.sqrt(F.col("cn2")) * F.sqrt(F.col("n2"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("centroid_id"))
+    asn = (
+        v.crossJoin(cents)
+        .select(F.col(id_col), "centroid_id", ccos.alias("ccos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select(id_col, "centroid_id")
+    )
+    # candidate pairs: co-occurrence in >= 1 probed bucket, deduped on ids
+    # BEFORE fetching vectors (the distinct is on two longs, not arrays)
+    a, b = asn.alias("ca"), asn.alias("cb")
+    cand = (
+        a.join(
+            b,
+            (F.col("ca.centroid_id") == F.col("cb.centroid_id"))
+            & (F.col(f"ca.{id_col}") < F.col(f"cb.{id_col}")),
+        )
+        .select(
+            F.col(f"ca.{id_col}").alias("id1"),
+            F.col(f"cb.{id_col}").alias("id2"),
+        )
+        .distinct()
+    )
+    v1 = v.select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("vec1"),
+        F.col("n2").alias("n21"),
+    )
+    v2 = v.select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("vec2"),
+        F.col("n2").alias("n22"),
+    )
+    cos = _dot(F.col("vec1"), F.col("vec2")) / (
+        F.sqrt(F.col("n21")) * F.sqrt(F.col("n22"))
+    )
+    return (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .select("id1", "id2", F.round(cos, 8).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_neardup_sql(
     table: str = "embeddings", id_col: str = "vec_id",
     vec_col: str = "embedding", dim: int = 64, threshold: float = 0.95,
@@ -582,5 +660,47 @@ def embedding_neardup_sql(
                ROUND({dot} / (sqrt(a.n2) * sqrt(b.n2)), 8) AS cosine
         FROM v a JOIN v b ON a.vid < b.vid
         WHERE {dot} / (sqrt(a.n2) * sqrt(b.n2)) >= {threshold}
+        ORDER BY id1, id2
+    """
+
+
+def embedding_neardup_ivf_sql(
+    table: str = "embeddings", id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int = 64, threshold: float = 0.95,
+    n_centroids: int = 16, nprobe: int = 2,
+) -> str:
+    """DuckDB mirror of embedding_neardup_ivf: same multi-probe
+    assignment (same fold, same tie-break), same candidate set, same
+    rounded-cosine threshold."""
+    from unifydb_spark.operators.similarity import dot_sql
+
+    n2 = dot_sql(vec_col, vec_col, dim)
+    dot = dot_sql("v1.vec", "v2.vec", dim)
+    return f"""
+        WITH v AS (
+          SELECT {id_col} AS vid, {vec_col} AS vec, {n2} AS n2 FROM {table}
+        ), c AS (
+          SELECT vid AS centroid_id, vec AS cvec, n2 AS cn2
+          FROM v WHERE vid < {n_centroids}
+        ), asn AS (
+          SELECT vid, centroid_id FROM (
+            SELECT v.vid, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY v.vid
+                     ORDER BY {dot_sql("c.cvec", "v.vec", dim)}
+                              / (sqrt(c.cn2) * sqrt(v.n2)) DESC,
+                              c.centroid_id) AS rn
+            FROM v CROSS JOIN c
+          ) WHERE rn <= {nprobe}
+        ), cand AS (
+          SELECT DISTINCT a.vid AS id1, b.vid AS id2
+          FROM asn a JOIN asn b
+            ON a.centroid_id = b.centroid_id AND a.vid < b.vid
+        )
+        SELECT id1, id2,
+               ROUND({dot} / (sqrt(v1.n2) * sqrt(v2.n2)), 8) AS cosine
+        FROM cand JOIN v v1 ON cand.id1 = v1.vid
+                  JOIN v v2 ON cand.id2 = v2.vid
+        WHERE ROUND({dot} / (sqrt(v1.n2) * sqrt(v2.n2)), 8) >= {threshold}
         ORDER BY id1, id2
     """
