@@ -10,6 +10,7 @@ from unifydb_spark.operators.graph import (
     degrees,
     pagerank,
     ref_edges,
+    triangle_count,
 )
 
 # friendship graph over two txs: tx=1 creates 1-2, 2-3 and 10-11;
@@ -80,3 +81,25 @@ def test_pagerank_partition_invariant(spark):
         for r in pagerank(edges.repartition(13), iters=6).collect()
     }
     assert p1 == p2  # bitwise identical under different partitioning
+
+
+def test_triangle_count_hub_graph(spark):
+    """Degree orientation on a star-plus-rim graph: the hub has degree n
+    but oriented out-degree 0, so the two-hop join never fans out from
+    it. Count stays exact: each rim edge closes one triangle with the
+    hub."""
+    n = 30
+    star = [(0, i) for i in range(1, n + 1)]
+    rim = [(i, i + 1) for i in range(1, n)]  # n-1 triangles {0,i,i+1}
+    edges = spark.createDataFrame(star + rim, "src bigint, dst bigint")
+    assert triangle_count(edges).collect()[0]["n_triangles"] == n - 1
+
+
+def test_triangle_count_k4_and_direction_invariance(spark):
+    """K4 has exactly 4 triangles; reversing raw edge direction (the
+    graph is undirected) must not change the count."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4, "src bigint, dst bigint")
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 4
+    rev = spark.createDataFrame([(b, a) for a, b in k4], "src bigint, dst bigint")
+    assert triangle_count(rev).collect()[0]["n_triangles"] == 4

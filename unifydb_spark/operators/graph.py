@@ -92,10 +92,13 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        # carry old + new labels in one checkpointed frame: the change
+        # check is then a scan of this node-sized frame, not another join
+        merged = (
             labels.join(prop, "node", "left")
             .select(
                 "node",
+                F.col("component").alias("old_component"),
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
@@ -103,13 +106,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
+            merged.filter(F.col("component") != F.col("old_component"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = merged.select("node", "component")
         if changed == 0:
             break
     return labels
@@ -125,13 +126,19 @@ def pagerank(
     any partitioning. Returns (node, rank)."""
     nodes = _nodes(edges).localCheckpoint()
     n = nodes.count()
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    # outdeg is static: join it into the edge list ONCE outside the loop
+    # (otherwise every iteration repeats the same edges-outdeg join)
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ej = (
+        edges.select("src", "dst")
+        .join(outdeg, "src")
+        .localCheckpoint()
+    )
     restart = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     for it in range(iters):
         contribs = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(outdeg, "src")
+            ej.join(ranks, ej["src"] == ranks["node"])
             .select(
                 F.col("dst"),
                 (F.col("rank") / F.col("outdeg")).cast(DEC).alias("c"),
@@ -156,20 +163,40 @@ def pagerank(
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
-    """Global triangle count over the undirected graph. Canonical
-    orientation (src < dst) makes each triangle count exactly once; the
-    two-hop join is bounded by degree skew — at scale, orient edges from
-    lower- to higher-degree endpoints first (the standard mitigation).
+    """Global triangle count over the undirected graph, with DEGREE
+    orientation: each undirected edge points from its (degree, id)-smaller
+    to its (degree, id)-larger endpoint, so every node's out-degree in the
+    oriented graph is O(sqrt(edges)) and the two-hop join never explodes
+    on hubs (the standard power-law mitigation; count is unchanged because
+    each triangle is counted exactly once under any total order).
     Returns a single row (n_triangles)."""
-    und = (
+    canon = (
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") < F.col("dst"))
         .distinct()
+        .persist()
     )
-    e1 = und.alias("e1")
-    e2 = und.alias("e2")
-    e3 = und.alias("e3")
+    deg = (
+        canon.select(F.col("src").alias("node"))
+        .unionByName(canon.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        canon.join(deg.select(F.col("node").alias("src"), F.col("deg").alias("dsrc")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddst")), "dst")
+    )
+    src_first = (F.col("dsrc") < F.col("ddst")) | (
+        (F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = with_deg.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
         .join(
