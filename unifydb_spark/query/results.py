@@ -38,7 +38,7 @@ from unifydb_spark.query.parse import (
     QueryError,
     Var,
 )
-from unifydb_spark.values import struct_sort_keys
+from unifydb_spark.values import cc_seq_sort_key, struct_sort_keys
 
 DEC = "decimal(30,10)"
 
@@ -174,6 +174,11 @@ def process_find(rel: Rel, parsed: ParsedQuery) -> tuple[DataFrame, dict]:
                 name, repr_ = s.alias, out_reprs.get(s.alias, "double")
             if repr_ == "struct":
                 sort_cols.extend(struct_sort_keys(bt(name)))
+            elif repr_ == "json":
+                # sequence values sort element-wise typed (cc-cmp), not
+                # by their canonical-JSON string (which would put [10]
+                # before [2])
+                sort_cols.append(cc_seq_sort_key(bt(name)))
             else:
                 sort_cols.append(bt(name))
         if parsed.sort_desc:

@@ -23,6 +23,7 @@ from typing import Any
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     DoubleType,
     LongType,
@@ -207,17 +208,83 @@ def value_struct_col():
 
 def struct_sort_keys(col):
     """Sort keys implementing the reference's cross-type total order
-    (cc-cmp, src/unifydb/comparison.clj:91-129) over a value struct column:
-    rank by type class, then numeric value (long/double unified), then each
-    typed field."""
+    (cc-cmp, src/unifydb/comparison.clj:91-129) over a value struct column.
+
+    cc-cmp orders values first by comparison-class NAME (alphabetical,
+    comparison.clj:7-31): nil "" < collections (clojure.lang.*) <
+    java.lang.Boolean < java.lang.Number < java.lang.String < timestamps
+    (java.time/util.*). Entity ids are plain Numbers in the reference, so
+    refs sort WITH longs/doubles, not as a separate class. Within
+    sequences, comparison is element-wise typed (cmp-seq-lexi) — realized
+    here by `cc_seq_sort_key`'s order-preserving byte encoding."""
     rank = (
         F.when(col["t"] == T_NULL, F.lit(0))
-        .when(col["t"] == T_BOOL, F.lit(1))
-        .when(col["t"].isin(T_LONG, T_DOUBLE), F.lit(2))
-        .when(col["t"] == T_REF, F.lit(3))
-        .when(col["t"] == T_TS, F.lit(4))
-        .when(col["t"] == T_STRING, F.lit(5))
-        .otherwise(F.lit(6))
+        .when(col["t"] == T_JSON, F.lit(1))
+        .when(col["t"] == T_BOOL, F.lit(2))
+        .when(col["t"].isin(T_LONG, T_DOUBLE, T_REF), F.lit(3))
+        .when(col["t"] == T_STRING, F.lit(4))
+        .otherwise(F.lit(5))  # timestamps
     )
-    num = F.coalesce(col["l"].cast("double"), col["d"])
-    return [rank, col["b"], num, col["r"], col["ts"], col["s"], col["j"]]
+    num = F.coalesce(col["l"].cast("double"), col["d"], col["r"].cast("double"))
+    return [rank, cc_seq_sort_key(col["j"]), col["b"], num, col["s"], col["ts"]]
+
+
+# -- cc-cmp order-preserving byte encoding for sequence values -------------
+#
+# cmp-seq-lexi / cmp-vec-lexi (comparison.clj:33-90) compare sequences
+# element-wise with cc-cmp recursively, shorter-prefix-first. A bytewise
+# comparison of these encodings yields exactly that order, so Spark can
+# sort JSON sequence values with one binary sort key instead of a
+# driver-side comparator.
+#
+# Element tags follow the alphabetical comparison-class order above;
+# 0x00 is reserved as the end-of-sequence terminator, which sorts below
+# every tag — that is precisely "shorter comes first".
+
+_TAG_NULL, _TAG_MAP, _TAG_SEQ, _TAG_BOOL, _TAG_NUM, _TAG_STR = (
+    b"\x01", b"\x02", b"\x03", b"\x04", b"\x05", b"\x06"
+)
+
+
+def _cc_key_bytes(v: Any) -> bytes:
+    import struct as _struct
+
+    if v is None:
+        return _TAG_NULL
+    if isinstance(v, bool):
+        return _TAG_BOOL + (b"\x01" if v else b"\x00")
+    if isinstance(v, dict):
+        if set(v) == {"$ref"}:  # refs are Numbers in the reference
+            return _cc_key_bytes(v["$ref"])
+        # maps compare as sequences of [key val] pairs sorted by key
+        items = sorted(v.items())
+        return _TAG_MAP + b"".join(
+            _cc_key_bytes([k, x]) for k, x in items
+        ) + b"\x00"
+    if isinstance(v, (list, tuple)):
+        return _TAG_SEQ + b"".join(_cc_key_bytes(x) for x in v) + b"\x00"
+    if isinstance(v, (int, float)):
+        # IEEE-754 big-endian with the sign-flip transform: bytewise
+        # order == numeric order (ints above 2^53 collapse to doubles —
+        # the same loss Clojure's cross-type number compare tolerates)
+        i = int.from_bytes(_struct.pack(">d", float(v)), "big")
+        i = i ^ 0xFFFFFFFFFFFFFFFF if i & (1 << 63) else i | (1 << 63)
+        return _TAG_NUM + i.to_bytes(8, "big")
+    if isinstance(v, str):
+        # UTF-8 is code-point order-preserving; escape 0x00/0x01 so the
+        # 0x00 terminator keeps the prefix property
+        raw = v.encode("utf-8").replace(b"\x01", b"\x01\x02").replace(
+            b"\x00", b"\x01\x01"
+        )
+        return _TAG_STR + raw + b"\x00"
+    raise ValueError(f"cc-cmp key: unsupported value {type(v).__name__}")
+
+
+@F.pandas_udf(BinaryType())
+def cc_seq_sort_key(s):
+    """Binary sort key over a v_json column: bytewise order == cc-cmp
+    element-wise order. Null JSON -> null key (Spark sorts nulls first,
+    matching nil-first)."""
+    return s.map(
+        lambda vj: None if vj is None else _cc_key_bytes(json.loads(vj))
+    )
