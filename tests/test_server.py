@@ -78,3 +78,59 @@ def test_unknown_fn_error(srv):
 def test_404(srv):
     status, res = _post(srv, "/nope", {})
     assert status == 404
+
+
+def _post_raw(port, path, body, headers):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", path, body, headers)
+    resp = conn.getresponse()
+    raw = resp.read().decode("utf-8")
+    ctype = resp.getheader("Content-Type")
+    conn.close()
+    return resp.status, ctype, raw
+
+
+def test_edn_round_trip(srv):
+    """V4 content negotiation (reference server.clj:54-81): EDN in, EDN
+    out — predicates are naturally EDN lists (no $call wrapper), refs are
+    tagged literals."""
+    from unifydb_spark import edn
+    from unifydb_spark.values import Ref
+
+    q = '{:query {:find [?e ?s] :where [[?e :name "Ben"] [?e :salary ?s] [(> ?s 1000)]]}}'
+    status, ctype, raw = _post_raw(
+        srv, "/query", q,
+        {"Content-Type": "application/edn", "Accept": "application/edn"},
+    )
+    assert status == 200 and ctype == "application/edn"
+    out = edn.loads(raw)
+    assert out["columns"] == ["e", "s"]
+    [[ref, sal]] = out["results"]
+    assert isinstance(ref, Ref) and sal == 60000
+
+
+def test_edn_in_json_out(srv):
+    q = '{:query {:find [?s] :where [[_ :salary ?s]]}}'
+    status, ctype, raw = _post_raw(
+        srv, "/query", q,
+        {"Content-Type": "application/edn", "Accept": "application/json"},
+    )
+    assert status == 200 and ctype == "application/json"
+    assert json.loads(raw)["results"] == [[60000]]
+
+
+def test_unsupported_content_type_400(srv):
+    status, _, raw = _post_raw(
+        srv, "/query", "<query/>", {"Content-Type": "text/xml"},
+    )
+    assert status == 400
+    assert "Unsupported content type" in raw
+
+
+def test_unsupported_accept_400(srv):
+    status, _, raw = _post_raw(
+        srv, "/query", "{}",
+        {"Content-Type": "application/json", "Accept": "text/csv"},
+    )
+    assert status == 400
+    assert "Unsupported accept type" in raw

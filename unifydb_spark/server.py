@@ -14,6 +14,14 @@ POST /transact {"tx-data": [...]}
 Errors        -> 400 {"error": {"code": ..., "message": ...}}
                (the reference's structured error payload,
                src/unifydb/query.clj:505-517)
+
+Content negotiation (V4, reference wrap-content-type / wrap-accept-type,
+server.clj:54-81): requests may be application/json or application/edn
+(any other Content-Type -> 400, like the reference); responses follow the
+Accept header — application/edn gets EDN, application/json gets JSON.
+Divergence: the default (missing Accept or */*) is JSON here, where the
+reference defaults to EDN — this is an analytics service and every other
+surface speaks JSON.
 """
 
 from __future__ import annotations
@@ -105,21 +113,62 @@ class EngineHandler(BaseHTTPRequestHandler):
                                               "message": "Invalid 'username' parameter"}})
         return self._send(200, challenge)
 
-    def _send(self, code: int, payload: dict):
-        body = json.dumps(payload).encode("utf-8")
+    def _accept_type(self) -> str:
+        """Response format per Accept header: 'edn', 'json', or '' for
+        unsupported (reference wrap-accept-type -> 400)."""
+        accept = (self.headers.get("Accept") or "*/*").split(";")[0].strip().lower()
+        if accept == "application/edn":
+            return "edn"
+        if accept in ("application/json", "*/*", ""):
+            return "json"
+        return ""
+
+    def _send(self, code: int, payload: dict, fmt: str = None):
+        from unifydb_spark import edn
+
+        fmt = fmt or getattr(self, "_fmt", "json")
+        if fmt == "edn":
+            body = edn.dumps(payload).encode("utf-8")
+            ctype = "application/edn"
+        else:
+            body = json.dumps(_jsonable(payload)).encode("utf-8")
+            ctype = "application/json"
         self.send_response(code)
-        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
 
     def do_POST(self):
+        from unifydb_spark import edn
+
+        fmt = self._accept_type()
+        self._fmt = fmt or "json"
+        if not fmt:
+            return self._send(
+                400,
+                {"error": {"code": "bad-request",
+                           "message": "Unsupported accept type "
+                                      + (self.headers.get("Accept") or "")}},
+            )
+        ctype = (self.headers.get("Content-Type") or "application/json")
+        ctype = ctype.split(";")[0].strip().lower()
         try:
             n = int(self.headers.get("Content-Length", 0))
-            req = json.loads(self.rfile.read(n) or b"{}")
+            raw = self.rfile.read(n)
+            if ctype == "application/edn":
+                req = edn.loads(raw.decode("utf-8") or "{}")
+            elif ctype == "application/json":
+                req = json.loads(raw or b"{}")
+            else:  # reference wrap-content-type: unsupported -> 400
+                return self._send(
+                    400,
+                    {"error": {"code": "bad-request",
+                               "message": f"Unsupported content type {ctype}"}},
+                )
         except (ValueError, TypeError):
             return self._send(400, {"error": {"code": "bad-request",
-                                              "message": "invalid JSON body"}})
+                                              "message": "invalid request body"}})
         try:
             if self.path == "/authenticate" and self.secret is not None:
                 from unifydb_spark.auth import login
@@ -152,9 +201,7 @@ class EngineHandler(BaseHTTPRequestHandler):
                 df, _ = self.engine.compile(q, db)
                 cols = df.columns
                 rows = self.engine.query_rows(q, db)
-                return self._send(
-                    200, {"columns": cols, "results": _jsonable(rows)}
-                )
+                return self._send(200, {"columns": cols, "results": rows})
             if self.path == "/transact":
                 report = self.engine.transact(
                     _normalize_query(req.get("tx-data") or [])
@@ -164,7 +211,7 @@ class EngineHandler(BaseHTTPRequestHandler):
                     {
                         "tx-id": report["tempids"].get("unifydb.tx"),
                         "tempids": report["tempids"],
-                        "tx-data": _jsonable(report["tx_data"]),
+                        "tx-data": report["tx_data"],
                     },
                 )
             return self._send(404, {"error": {"code": "not-found",
