@@ -1,0 +1,101 @@
+"""CLI / config / structlog service plumbing (reference
+src/unifydb/cli/unifydb.clj, config.clj, structlog.clj)."""
+
+import http.client
+import json
+
+import pytest
+
+from unifydb_spark import config, structlog
+
+
+def test_config_defaults_and_overrides(tmp_path):
+    config.load_env()
+    assert config.port() == 8181
+    assert config.storage_backend() == "memory"
+    with config.with_config({"port": 9999}):
+        assert config.port() == 9999
+    assert config.port() == 8181
+
+
+def test_config_edn_file_and_env(tmp_path, monkeypatch):
+    f = tmp_path / "config.edn"
+    f.write_text('{:port 7171 :storage-backend "memory" :secret "s3kr1t"}')
+    monkeypatch.setenv("UNIFYDB_TOKEN_TTL_SECONDS", "60")
+    config.load_env(config_file=str(f))
+    assert config.port() == 7171
+    assert config.token_ttl_seconds() == 60
+    assert config.secret() == b"s3kr1t"
+
+
+def test_config_json_file(tmp_path):
+    f = tmp_path / "config.json"
+    f.write_text(json.dumps({"port": 7272}))
+    config.load_env(config_file=str(f))
+    assert config.port() == 7272
+
+
+def test_config_required_missing():
+    config.load_env()
+    with pytest.raises(config.ConfigError, match="jdbc-url"):
+        config.jdbc_url()
+
+
+def test_structlog_formats():
+    structlog.set_level("debug")
+    structlog.set_log_formatter("json")
+    line = structlog.info("Starting services", services=["server"])
+    m = json.loads(line)
+    assert m["message"] == "Starting services"
+    assert m["data"] == {"services": ["server"]}
+    assert m["level"] == "info"
+
+    structlog.set_log_formatter("edn")
+    line = structlog.info("hello", n=3)
+    assert line.startswith("{:ns ") and ':message "hello"' in line
+
+    structlog.set_log_formatter("human")
+    assert "hello" in structlog.warn("hello", k=1)
+    structlog.set_level("warn")
+    assert structlog.info("suppressed") is None
+    structlog.set_level("info")
+
+
+def test_cli_start_server_end_to_end(tmp_path, spark):
+    """`start server` with a config file: brings up the HTTP surface over
+    the configured store; transact + query round-trip through it."""
+    from unifydb_spark import cli
+
+    f = tmp_path / "config.edn"
+    f.write_text('{:port 0 :storage-backend "memory"}')
+    config.load_env(config_file=str(f))
+    srv, port = cli.start_services(["server"], serve_forever=False)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/transact",
+                     json.dumps({"tx-data": [["add", "u", ":name", "Zed"]]}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        resp.read()
+        conn.close()
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/query",
+                     json.dumps({"query": {"find": ["?n"],
+                                           "where": [["?e", ":name", "?n"]]}}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        conn.close()
+        assert resp.status == 200
+        assert body["results"] == [["Zed"]]
+    finally:
+        srv.shutdown()
+
+
+def test_cli_help_exits_zero(capsys):
+    from unifydb_spark import cli
+
+    assert cli.main(["help"]) == 0
+    out = capsys.readouterr().out
+    assert "start" in out

@@ -1,0 +1,135 @@
+"""Command-line entrypoint (reference src/unifydb/cli/unifydb.clj and
+cli/start.clj).
+
+    python -m unifydb_spark.cli [-c CONFIG] start [SERVICE...]
+    python -m unifydb_spark.cli help [SUBCOMMAND]
+
+The reference starts three services (server / query / transact) wired
+through a message queue; on Spark the driver IS the coordinator and the
+executors are the worker pool (SURVEY §3 — V5/V6 n/a by design), so
+`query` and `transact` collapse into the in-process engine and `start
+server` (or `start all`) brings up the HTTP surface over it. Service
+names are still accepted for CLI compatibility.
+
+Storage backend selection mirrors cli/start.clj's make-storage-backend:
+memory | parquet (storage-path) | jdbc (jdbc-url).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from unifydb_spark import config, structlog
+
+SERVICES = ["server", "query", "transact"]
+
+
+def _make_store(spark):
+    from unifydb_spark.store import FactStore
+    from unifydb_spark.sources.jdbc import JdbcBackend
+
+    backend = config.storage_backend()
+    if backend == "memory":
+        return FactStore(spark)
+    if backend == "parquet":
+        path = config.storage_path()
+        if not path:
+            raise config.ConfigError(
+                "storage-backend parquet requires storage-path"
+            )
+        return FactStore(spark, path=path)
+    if backend == "jdbc":
+        return FactStore(spark, backend=JdbcBackend(spark, config.jdbc_url()))
+    raise config.ConfigError(f"unknown storage-backend {backend!r}")
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="unifydb-spark", description="The unifydb-spark command-line interface."
+    )
+    p.add_argument(
+        "-c", "--config", default="/etc/unifydb/config.edn",
+        help="Configuration file path (EDN or JSON)",
+    )
+    p.add_argument(
+        "--log-format", choices=["human", "json", "edn"], default=None,
+        help="Structured log format (default: config or human)",
+    )
+    sub = p.add_subparsers(dest="subcommand")
+    start = sub.add_parser(
+        "start", help="Start one or more of the core services"
+    )
+    start.add_argument(
+        "services", nargs="*", default=["all"],
+        help="all | server | query | transact",
+    )
+    hlp = sub.add_parser("help", help="Display program usage documentation")
+    hlp.add_argument("topic", nargs="?")
+    return p
+
+
+def start_services(services: list[str], serve_forever: bool = True):
+    """Build the SparkSession + engine per config and serve HTTP. With
+    serve_forever=False, returns (server, port) for tests."""
+    from pyspark.sql import SparkSession
+
+    from unifydb_spark import Engine
+    from unifydb_spark.server import serve_background
+
+    names = SERVICES if "all" in services else [s for s in services if s in SERVICES]
+    if not names:
+        raise SystemExit(f"no known services in {services!r}")
+    structlog.info("Starting services", services=names)
+    spark = (
+        SparkSession.builder.master(
+            config.get_config("spark-master", "local[*]")
+        )
+        .appName("unifydb-spark")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(config.get_config("shuffle-partitions", 32)),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    engine = Engine(spark, _make_store(spark))
+    secret = config.get_config("secret")
+    srv, port = serve_background(
+        engine,
+        host=config.get_config("host", "127.0.0.1"),
+        port=config.port() if "server" in names else 0,
+        secret=secret.encode("utf-8") if isinstance(secret, str) else secret,
+        require_auth=bool(config.get_config("require-auth", False)),
+    )
+    structlog.info("Serving", port=port)
+    if not serve_forever:
+        return srv, port
+    try:  # reference start.clj: main loop until shutdown
+        import threading
+
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        structlog.info("Shutting down services", services=names)
+        srv.shutdown()
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    config.load_env(config_file=args.config)
+    structlog.set_log_formatter(
+        args.log_format or config.get_config("log-format", "human")
+    )
+    structlog.set_level(config.get_config("log-level", "info"))
+    if args.subcommand == "start":
+        start_services(args.services)
+        return 0
+    if args.subcommand == "help" or args.subcommand is None:
+        _build_parser().print_help()
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
