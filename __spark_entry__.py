@@ -1050,6 +1050,54 @@ def q51_retraction_snapshot(spark, sf_dir):
     ).select(F.col("u").alias("user_id"), F.col("b").alias("bucket"))
 
 
+def q52_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per-document count of word 5-grams
+    overlapping a deterministic 10% benchmark split (test-set-overlap
+    check before training; real pipelines use 8-13-grams — these docs are
+    shorter). Benchmark n-grams broadcast; the corpus is never shuffled
+    for the overlap."""
+    from unifydb_spark.operators.dedup import decontaminate
+    from unifydb_spark.operators.text import hash_sample
+
+    docs = _docs(spark, sf_dir)
+    bench = hash_sample(docs, rate=0.1, salt="bench")
+    return decontaminate(docs, bench, n=5).orderBy("doc_id")
+
+
+def q53_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition/quality filter signals per document
+    (dup-word/dup-line/top-bigram/symbol fractions + pass flag)."""
+    from unifydb_spark.operators.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q54_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup: running per-content-hash state (canonical
+    min doc id + copy count) over the document stream; final state must
+    equal the batch groupBy (the oracle)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from unifydb_spark.streaming import read_document_stream, stream_dedup_state
+
+    name = "dd_" + uuid.uuid4().hex[:8]
+    src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{src_dir}/documents.parquet")
+    q = (
+        stream_dedup_state(read_document_stream(spark, src_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("content_md5")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1108,6 +1156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_source_quality": q49_source_quality,
         "q50_seq_rest_pattern": q50_seq_rest_pattern,
         "q51_retraction_snapshot": q51_retraction_snapshot,
+        "q52_decontaminate": q52_decontaminate,
+        "q53_repetition_stats": q53_repetition_stats,
+        "q54_stream_dedup": q54_stream_dedup,
     }
 
 
@@ -1301,6 +1352,16 @@ def _operator_oracles() -> dict[str, str]:
                    CAST(SUM(s.n_ws_tokens) AS BIGINT) AS total_tokens
             FROM stats s JOIN documents d ON s.doc_id = d.doc_id
             GROUP BY 1 ORDER BY 1
+        """,
+        "q52_decontaminate": _d.decontaminate_sql(
+            benchmark_where=_t.hash_sample_where_sql(0.1, "doc_id", "bench"),
+            n=5,
+        ),
+        "q53_repetition_stats": _t.repetition_stats_sql(),
+        "q54_stream_dedup": """
+            SELECT md5(text) AS content_md5, MIN(doc_id) AS canonical_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         "q30_graph_degrees": _g.degrees_sql(_graph_edges_cte(True)),
         "q31_connected_components": _g.connected_components_sql(

@@ -119,6 +119,61 @@ def test_neardup_ivf_subset_of_brute_force(emb):
     assert full == set(brute)  # probing every bucket = exhaustive
 
 
+def test_decontaminate_planted(spark):
+    """A doc sharing a 3-gram with the benchmark is flagged; disjoint
+    docs are clean; benchmark members are self-contaminated."""
+    corpus = spark.createDataFrame(
+        [(0, "secret benchmark answer key here"),
+         (1, "the secret benchmark answer leaked into training"),
+         (2, "totally unrelated clean document text")],
+        "doc_id bigint, text string")
+    bench = corpus.filter("doc_id = 0")
+    out = {r["doc_id"]: r for r in D.decontaminate(corpus, bench, n=3).collect()}
+    assert out[0]["contaminated"] and out[1]["contaminated"]
+    assert not out[2]["contaminated"]
+    assert out[1]["n_overlap"] == 1  # the shared 'secret benchmark answer'
+
+
+def test_repetition_stats_signals(spark):
+    from unifydb_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(0, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+         (1, "a perfectly ordinary sentence with twelve distinct useful words here now one two"),
+         (2, "!!! ### $$$ %%%")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[0]["dup_word_frac"] > 0.9 and not out[0]["gopher_pass"]
+    assert out[0]["top_bigram_frac"] == 1.0
+    assert out[1]["dup_word_frac"] == 0.0 and out[1]["gopher_pass"]
+    assert out[2]["symbol_frac"] > 0.5 and not out[2]["gopher_pass"]
+
+
+def test_stream_dedup_state_matches_batch(spark, tmp_path, docs):
+    from unifydb_spark.streaming import read_document_stream, stream_dedup_state
+
+    full = docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("s")).withColumn("n_chars", F.length("text"))
+    src = str(tmp_path / "src")
+    full.write.parquet(src)
+    q = (
+        stream_dedup_state(read_document_stream(spark, src))
+        .writeStream.format("memory").queryName("dd_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["content_md5"]: (r["canonical_id"], r["n_copies"])
+           for r in spark.table("dd_test").collect()}
+    want = {r["content_md5"]: (r["canonical_id"], r["n_copies"])
+            for r in full.groupBy(F.md5("text").alias("content_md5"))
+            .agg(F.min("doc_id").alias("canonical_id"),
+                 F.count(F.lit(1)).alias("n_copies")).collect()}
+    assert got == want
+    assert got[[k for k, v in got.items() if v[1] == 2][0]][1] == 2  # BASE x2
+
+
 def test_multimodal_plumbing(docs):
     out = M.extract_features(M.attach_binary(docs)).collect()
     assert len(out) == 5

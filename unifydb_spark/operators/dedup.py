@@ -186,6 +186,83 @@ def ngram_jaccard_sql(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap against a reference set)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per document, the count of its distinct
+    word n-grams that also appear anywhere in the `benchmark` corpus
+    (the standard test-set-overlap check run before training). Returns
+    (doc_id, n_shingles, n_overlap, contaminated).
+
+    100 TB rationale: the benchmark n-gram set is tiny next to the corpus
+    (benchmarks are thousands of documents, the corpus is billions), so
+    it broadcasts and the overlap check is a broadcast LEFT SEMI join —
+    the corpus is never shuffled; the per-doc counts are map-side
+    combinable. No reference analog (SURVEY §2.6 extension)."""
+    sh = _doc_shingles(docs, text_col, n).persist()
+    bench_sh = F.broadcast(
+        _doc_shingles(benchmark, text_col, n).select("shingle").distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ov = (
+        sh.join(bench_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(sizes, "doc_id", "left")
+        .join(ov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(
+    table: str = "documents",
+    benchmark_where: str = "TRUE",
+    text_col: str = "text",
+    n: int = 3,
+) -> str:
+    """DuckDB mirror: `benchmark_where` selects the benchmark rows out of
+    the same table (the tests sample it deterministically)."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split({text_col}, ' '), w -> w != '') AS ws
+          FROM {table}
+        ), sh AS (
+          SELECT DISTINCT doc_id, unnest({shingles_sql_expr(n)}) AS shingle FROM toks
+        ), bench AS (
+          SELECT DISTINCT shingle FROM sh
+          WHERE doc_id IN (SELECT doc_id FROM {table} WHERE {benchmark_where})
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1
+        ), ov AS (
+          SELECT doc_id, COUNT(*) AS n_overlap FROM sh
+          WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_shingles, 0) AS n_shingles,
+               COALESCE(o.n_overlap, 0) AS n_overlap,
+               COALESCE(o.n_overlap, 0) > 0 AS contaminated
+        FROM {table} d
+        LEFT JOIN sizes s ON d.doc_id = s.doc_id
+        LEFT JOIN ov o ON d.doc_id = o.doc_id
+        ORDER BY d.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 
 

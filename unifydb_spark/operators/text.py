@@ -82,6 +82,111 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition / quality-filter signals per document:
+    duplicate-word fraction, duplicate-line fraction, most-frequent-bigram
+    mass fraction, symbol fraction, and the composite `gopher_pass` flag
+    (the repetition-filter family of Rae et al. 2021, 'Scaling Language
+    Models' §A1.1 — public method, thresholds tuned to this corpus).
+
+    Shape: one narrow projection for the array-local signals (codegen, no
+    shuffle) + one doc_id-partitioned aggregate for the bigram mode —
+    both linear and map-side combinable at 100 TB."""
+    from unifydb_spark.operators.dedup import _spread
+
+    t = F.col(text_col)
+    base = _spread(docs).select(
+        "doc_id",
+        t.alias("__t"),
+        words_col(t).alias("__ws"),
+        F.split(t, "\n").alias("__lines"),
+    )
+    bigrams = base.select(
+        "doc_id", F.explode(shingles_col(F.col("__ws"), 2)).alias("g")
+    )
+    bga = (
+        bigrams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("__top_c"), F.sum("c").alias("__tot_c"))
+    )
+    nw = F.size(F.col("__ws"))
+    nl = F.size(F.col("__lines"))
+    nchars = F.length(F.col("__t"))
+    dup_word = F.when(nw == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(F.col("__ws"))).cast("double") / nw
+    )
+    dup_line = F.when(nl == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(F.col("__lines"))).cast("double") / nl
+    )
+    symbol = F.when(nchars == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(F.col("__t"), "[a-zA-Z0-9 ]", "")).cast("double")
+        / nchars
+    )
+    stats = base.select(
+        "doc_id",
+        nw.alias("n_words"),
+        dup_word.alias("dup_word_frac"),
+        dup_line.alias("dup_line_frac"),
+        symbol.alias("symbol_frac"),
+    )
+    out = stats.join(bga, "doc_id", "left").withColumn(
+        "top_bigram_frac",
+        F.coalesce(
+            F.col("__top_c").cast("double") / F.col("__tot_c"), F.lit(0.0)
+        ),
+    )
+    gopher = (
+        (F.col("n_words") >= 10)
+        & (F.col("dup_word_frac") < 0.5)
+        & (F.col("top_bigram_frac") < 0.2)
+        & (F.col("symbol_frac") < 0.1)
+    )
+    return out.select(
+        "doc_id", "n_words", "dup_word_frac", "dup_line_frac",
+        "symbol_frac", "top_bigram_frac", gopher.alias("gopher_pass"),
+    )
+
+
+def repetition_stats_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB oracle for repetition_stats — identical tokenization and
+    the same IEEE division order."""
+    return f"""
+        WITH base AS (
+          SELECT doc_id, {text_col} AS t,
+                 list_filter(string_split({text_col}, ' '), w -> w != '') AS ws,
+                 string_split({text_col}, chr(10)) AS lines
+          FROM {table}
+        ), bg AS (
+          SELECT doc_id, unnest({shingles_sql_expr(2)}) AS g FROM base
+        ), bgc AS (
+          SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2
+        ), bga AS (
+          SELECT doc_id, MAX(c) AS top_c, SUM(c) AS tot_c FROM bgc GROUP BY 1
+        ), stats AS (
+          SELECT b.doc_id,
+                 len(ws) AS n_words,
+                 CASE WHEN len(ws) = 0 THEN 0.0::DOUBLE
+                      ELSE 1.0::DOUBLE - len(list_distinct(ws))::DOUBLE / len(ws)
+                 END AS dup_word_frac,
+                 CASE WHEN len(lines) = 0 THEN 0.0::DOUBLE
+                      ELSE 1.0::DOUBLE - len(list_distinct(lines))::DOUBLE / len(lines)
+                 END AS dup_line_frac,
+                 CASE WHEN length(t) = 0 THEN 0.0::DOUBLE
+                      ELSE length(regexp_replace(t, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+                           / length(t)
+                 END AS symbol_frac,
+                 COALESCE(a.top_c::DOUBLE / a.tot_c, 0.0::DOUBLE) AS top_bigram_frac
+          FROM base b LEFT JOIN bga a ON b.doc_id = a.doc_id
+        )
+        SELECT doc_id, n_words, dup_word_frac, dup_line_frac, symbol_frac,
+               top_bigram_frac,
+               (n_words >= 10 AND dup_word_frac < 0.5
+                AND top_bigram_frac < 0.2 AND symbol_frac < 0.1) AS gopher_pass
+        FROM stats ORDER BY doc_id
+    """
+
+
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-overlap language ID: per language, count tokens (with
     multiplicity) that appear in its stopword list; predict the argmax
@@ -140,24 +245,29 @@ def hash_sample(
     return docs.filter(bucket < threshold)
 
 
+def hash_sample_where_sql(
+    rate: float, key_col: str = "doc_id", salt: str = "sample"
+) -> str:
+    """The hash-sample membership predicate alone (DuckDB), for embedding
+    in other oracles (e.g. a deterministic benchmark split)."""
+    threshold = int(rate * (16 ** 8))
+    h = f"md5('{salt}:' || CAST({key_col} AS VARCHAR))"
+    nib = f"strpos('0123456789abcdef', substr({h}, {{i}}, 1)) - 1"
+    digits = " + ".join(
+        f"({nib.format(i=i)}) * {16 ** (8 - i)}" for i in range(1, 9)
+    )
+    return f"({digits}) < {threshold}"
+
+
 def hash_sample_sql(
     table: str = "documents",
     rate: float = 0.25,
     key_col: str = "doc_id",
     salt: str = "sample",
 ) -> str:
-    threshold = int(rate * (16 ** 8))
-    nib = "strpos('0123456789abcdef', substr(h, {i}, 1)) - 1"
-    digits = " + ".join(
-        f"({nib.format(i=i)}) * {16 ** (8 - i)}" for i in range(1, 9)
-    )
     return f"""
-        WITH hashed AS (
-          SELECT *, md5('{salt}:' || CAST({key_col} AS VARCHAR)) AS h
-          FROM {table}
-        )
-        SELECT * EXCLUDE (h) FROM hashed
-        WHERE {digits} < {threshold}
+        SELECT * FROM {table}
+        WHERE {hash_sample_where_sql(rate, key_col, salt)}
     """
 
 

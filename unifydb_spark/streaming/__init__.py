@@ -1,7 +1,9 @@
 from unifydb_spark.streaming.stream import (  # noqa: F401
     events_to_facts,
+    read_document_stream,
     read_event_stream,
     running_latest,
+    stream_dedup_state,
     stream_facts_to_store,
     windowed_metrics,
 )

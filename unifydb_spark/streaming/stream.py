@@ -107,6 +107,36 @@ def windowed_metrics(
     )
 
 
+def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of document rows (the streaming-ingest analog of
+    the documents table)."""
+    return spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).parquet(path)
+
+
+def stream_dedup_state(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup as a running aggregation: per content hash,
+    the canonical (minimum) doc id and the number of copies seen so far.
+    Downstream, a join against this state drops every non-canonical copy
+    — the streaming-ingest form of exact_dedup.
+
+    State is O(distinct contents) (one row per hash — RocksDB-backed on a
+    cluster), and min/count are map-side combinable, so a 100 TB backfill
+    streams through without the state ever holding the corpus. A
+    dropDuplicates formulation would be partition-order-dependent about
+    WHICH copy survives; min(doc_id) makes the keeper deterministic (the
+    same canonical-id rule as the batch operator)."""
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
 _STATE_SCHEMA = "max_event_id bigint, value double"
 _OUT_SCHEMA = "user_id bigint, event_id bigint, value double"
 
