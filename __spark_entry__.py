@@ -1098,6 +1098,34 @@ def q54_stream_dedup(spark, sf_dir):
     return spark.table(name).orderBy("content_md5")
 
 
+def q55_stream_sessionize(spark, sf_dir):
+    """Native Structured Streaming session windows (F.session_window):
+    the streaming twin of q34's batch sessionize. Append mode with a
+    0-second watermark emits exactly the sessions closed by the final
+    watermark (last event + gap <= max event time) — the oracle applies
+    the same closed-session filter to the batch window formulation."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from unifydb_spark.streaming import read_event_stream, session_metrics
+
+    name = "ss_" + uuid.uuid4().hex[:8]
+    src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    q = (
+        session_metrics(read_event_stream(spark, src_dir), gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1159,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_decontaminate": q52_decontaminate,
         "q53_repetition_stats": q53_repetition_stats,
         "q54_stream_dedup": q54_stream_dedup,
+        "q55_stream_sessionize": q55_stream_sessionize,
     }
 
 
@@ -1362,6 +1391,35 @@ def _operator_oracles() -> dict[str, str]:
             SELECT md5(text) AS content_md5, MIN(doc_id) AS canonical_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        # q55: batch gap-sessionize + the append-mode closed-session filter
+        # (a session is emitted iff last event + gap <= the final watermark
+        # = max event time, delay 0s)
+        "q55_stream_sessionize": """
+            WITH tagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), runs AS (
+              SELECT user_id, ts, value,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM tagged
+            ), sess AS (
+              SELECT user_id,
+                     MIN(ts) AS session_start, MAX(ts) AS session_end,
+                     COUNT(*) AS n_events,
+                     ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 4) AS sum_value
+              FROM runs GROUP BY user_id, session_seq
+            )
+            SELECT user_id, session_start, session_end, n_events, sum_value
+            FROM sess
+            WHERE epoch_us(session_end) + 1800000000
+                  <= (SELECT MAX(epoch_us(ts)) FROM events)
+            ORDER BY user_id, session_start
         """,
         "q30_graph_degrees": _g.degrees_sql(_graph_edges_cte(True)),
         "q31_connected_components": _g.connected_components_sql(

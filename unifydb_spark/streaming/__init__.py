@@ -3,6 +3,7 @@ from unifydb_spark.streaming.stream import (  # noqa: F401
     read_document_stream,
     read_event_stream,
     running_latest,
+    session_metrics,
     stream_dedup_state,
     stream_facts_to_store,
     windowed_metrics,

@@ -107,6 +107,37 @@ def windowed_metrics(
     )
 
 
+def session_metrics(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming gap-based sessionization via native session windows
+    (F.session_window): per (user, session) rollup with the same gap
+    semantics as the batch operator (operators/events.sessionize) — a
+    session extends while consecutive events arrive within the gap.
+    Append mode emits a session once the watermark passes its close
+    (last event + gap); state is O(open sessions), bounded by the
+    watermark. session_end is max(ts) (the last event), matching the
+    batch rollup, not the window's close timestamp."""
+    gap = f"{int(gap_minutes)} minutes"
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "sum_value"
+        )
+    )
+
+
 def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream of document rows (the streaming-ingest analog of
     the documents table)."""
