@@ -82,9 +82,13 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     component id = minimum node id in the component. Converges in
     O(diameter) supersteps; each superstep is one join + one min-aggregate.
     Returns (node, component)."""
+    # hash-partition the (static) edge relation on the per-superstep join
+    # key ONCE: every iteration's join then exchanges only the node-sized
+    # label table, never the edges (verified: the SMJ side over this
+    # relation plans with no Exchange, just a Sort)
     und = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+    ).distinct().repartition("src").persist()
     labels = _nodes(edges).withColumn("component", F.col("node")).localCheckpoint()
     for _ in range(max_iter):
         prop = (
@@ -127,11 +131,14 @@ def pagerank(
     nodes = _nodes(edges).localCheckpoint()
     n = nodes.count()
     # outdeg is static: join it into the edge list ONCE outside the loop
-    # (otherwise every iteration repeats the same edges-outdeg join)
+    # (otherwise every iteration repeats the same edges-outdeg join), and
+    # hash-partition on src so each iteration's ranks join exchanges only
+    # the node-sized ranks table, never the edges
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ej = (
         edges.select("src", "dst")
         .join(outdeg, "src")
+        .repartition("src")
         .localCheckpoint()
     )
     restart = (1.0 - damping) / n
@@ -214,7 +221,7 @@ def shortest_paths(edges: DataFrame, sources: list[int], max_iter: int = 20) -> 
     spark = edges.sparkSession
     und = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+    ).distinct().repartition("src").persist()
     dist = spark.createDataFrame(
         [(int(s), 0) for s in sources], "node bigint, dist int"
     ).localCheckpoint()
