@@ -1126,6 +1126,34 @@ def q55_stream_sessionize(spark, sf_dir):
     return spark.table(name).orderBy("user_id", "session_start")
 
 
+def q56_embedding_rp_lsh(spark, sf_dir):
+    """Sign-random-projection LSH (hyperplane SimHash) over embeddings:
+    finds TIGHT near-dups (hamming<=7 of 64 ~ cosine>=0.94). The corpus
+    has no pair tighter than cosine 0.51, so the query plants one
+    deterministic near-dup per vector (+0.05 on dimension 0, id+10^6)
+    and RP-LSH must recover exactly the planted pairs — block-pigeonhole
+    equi-join candidates, exact-cosine verify, no all-pairs anywhere."""
+    from unifydb_spark.operators.dedup import embedding_rp_pairs
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("embedding"),
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda v, i: F.when(i == 0, v.cast("double") + F.lit(0.05)).otherwise(
+                v.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    return embedding_rp_pairs(
+        base.unionByName(pert), max_hamming=7, n_blocks=8
+    ).orderBy("id1", "id2")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1188,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_repetition_stats": q53_repetition_stats,
         "q54_stream_dedup": q54_stream_dedup,
         "q55_stream_sessionize": q55_stream_sessionize,
+        "q56_embedding_rp_lsh": q56_embedding_rp_lsh,
     }
 
 
@@ -1421,6 +1450,19 @@ def _operator_oracles() -> dict[str, str]:
                   <= (SELECT MAX(epoch_us(ts)) FROM events)
             ORDER BY user_id, session_start
         """,
+        "q56_embedding_rp_lsh": _d.embedding_rp_sql(
+            table=(
+                "(SELECT vec_id, list_transform(generate_series(1, 64),"
+                " i -> CAST(embedding[i] AS DOUBLE)) AS embedding FROM embeddings"
+                " UNION ALL"
+                " SELECT vec_id + 1000000,"
+                " list_transform(generate_series(1, 64),"
+                " i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.05::DOUBLE"
+                " ELSE CAST(embedding[i] AS DOUBLE) END) FROM embeddings)"
+            ),
+            max_hamming=7,
+            n_blocks=8,
+        ),
         "q30_graph_degrees": _g.degrees_sql(_graph_edges_cte(True)),
         "q31_connected_components": _g.connected_components_sql(
             _graph_edges_cte(False)

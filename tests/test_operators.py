@@ -174,6 +174,29 @@ def test_stream_dedup_state_matches_batch(spark, tmp_path, docs):
     assert got[[k for k, v in got.items() if v[1] == 2][0]][1] == 2  # BASE x2
 
 
+def test_embedding_rp_lsh_finds_tight_pairs(spark):
+    """Sign-RP signatures are identical for identical vectors (hamming 0)
+    and near-identical for tiny perturbations; unrelated vectors don't
+    collide at hamming<=7. Signature is partition-invariant."""
+    import math
+
+    rows = []
+    for i in range(12):
+        a = i * 0.7
+        v = [math.cos(a + 0.1 * d) for d in range(16)]
+        rows.append((i, v))
+    rows.append((100, rows[3][1]))  # exact copy of vec 3
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    pairs = {(r["id1"], r["id2"]): r for r in
+             D.embedding_rp_pairs(emb, max_hamming=7, n_blocks=8).collect()}
+    assert (3, 100) in pairs
+    assert pairs[(3, 100)]["hamming"] == 0 and pairs[(3, 100)]["cosine"] == 1.0
+    s1 = sorted(D.embedding_rp_signatures(emb).collect(), key=lambda r: r["vec_id"])
+    s2 = sorted(D.embedding_rp_signatures(emb.repartition(7)).collect(),
+                key=lambda r: r["vec_id"])
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2]
+
+
 def test_multimodal_plumbing(docs):
     out = M.extract_features(M.attach_binary(docs)).collect()
     assert len(out) == 5

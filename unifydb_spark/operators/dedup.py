@@ -186,6 +186,183 @@ def ngram_jaccard_sql(
 
 
 # ---------------------------------------------------------------------------
+# sign-random-projection LSH over embeddings (hyperplane SimHash)
+
+
+def embedding_rp_signatures(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """64-bit sign-random-projection signature per vector (hyperplane
+    LSH, Charikar 2002): bit b = sign of <x, h_b>, with hyperplane
+    entries h_b[d] = ±1 drawn deterministically from the bits of
+    md5('rp:' || d) — one md5 per dimension, bit b extracted by shifts
+    (the same 2-radix-conversion packing as the text SimHash).
+
+    Projections accumulate in DECIMAL(38,18) (weights are exactly ±1),
+    so the sign — and therefore the signature — is bit-identical under
+    any partitioning, and the SQL oracle reproduces it. Data-independent
+    (no centroid fit): the single-pass complement to IVF for streaming
+    or incremental corpora."""
+    ex = (
+        _spread(emb)
+        .select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+        .withColumn("h", F.md5(F.concat(F.lit("rp:"), F.col("dim"))))
+        .withColumn("h1", F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint"))
+        .withColumn("h2", F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint"))
+    )
+    bit_sums = []
+    for b in range(64):
+        j, kk = b // 4 + 1, b % 4
+        if j <= 8:
+            src, shift = F.col("h1"), 4 * (8 - j) + kk
+        else:
+            src, shift = F.col("h2"), 4 * (16 - j) + kk
+        bit = F.shiftright(src, shift).bitwiseAND(F.lit(1))
+        contrib = F.col("x").cast(DEC) * (bit * 2 - 1)
+        bit_sums.append(F.sum(contrib).alias(f"s{b}"))
+    sums = ex.groupBy(id_col).agg(*bit_sums)
+    hi = None
+    lo = None
+    for b in range(64):
+        bitv = F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        term = bitv * F.lit(1 << (b % 32)).cast("bigint")
+        if b < 32:
+            lo = term if lo is None else lo + term
+        else:
+            hi = term if hi is None else hi + term
+    return sums.select(id_col, hi.alias("hi"), lo.alias("lo"))
+
+
+def embedding_rp_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_hamming: int = 7,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Near-dup candidate pairs by signature hamming distance <=
+    max_hamming, verified with the exact cosine. Candidates via the
+    block pigeonhole: n_blocks equal slices of the 64-bit signature —
+    hamming <= n_blocks-1 guarantees a shared block, so the join is an
+    equi-join on (block index, block value), never all-pairs. Returns
+    (id1, id2, hamming, cosine)."""
+    assert 64 % n_blocks == 0 and max_hamming < n_blocks
+    from unifydb_spark.operators.similarity import with_norm, _dot
+
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    sig = embedding_rp_signatures(emb, id_col, vec_col).persist()
+    block_structs = []
+    for i in range(n_blocks):
+        off = i * width
+        src = F.col("lo") if off < 32 else F.col("hi")
+        shift = off % 32
+        block_structs.append(
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(src, shift).bitwiseAND(F.lit(mask)).alias("v"),
+            )
+        )
+    expl = sig.select(
+        id_col, "hi", "lo", F.explode(F.array(*block_structs)).alias("b")
+    ).select(id_col, "hi", "lo", F.col("b.blk").alias("blk"), F.col("b.v").alias("v"))
+    a, b = expl.alias("a"), expl.alias("b")
+    ham = F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi"))) + F.bit_count(
+        F.col("a.lo").bitwiseXOR(F.col("b.lo"))
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    v = with_norm(emb, id_col, vec_col)
+    v1 = v.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("vec1"),
+                  F.col("n2").alias("n21"))
+    v2 = v.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("vec2"),
+                  F.col("n2").alias("n22"))
+    cos = _dot(F.col("vec1"), F.col("vec2")) / (
+        F.sqrt(F.col("n21")) * F.sqrt(F.col("n22"))
+    )
+    return (
+        cand.join(v1, "id1").join(v2, "id2")
+        .select("id1", "id2", "hamming", F.round(cos, 8).alias("cosine"))
+    )
+
+
+def embedding_rp_sql(
+    table: str = "embeddings", id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int = 64,
+    max_hamming: int = 7, n_blocks: int = 8,
+) -> str:
+    """DuckDB mirror of embedding_rp_pairs (same hash bits, same decimal
+    projections, same blocks)."""
+    from unifydb_spark.operators.similarity import dot_sql
+
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    sum_exprs = []
+    for b in range(64):
+        j, kk = b // 4 + 1, b % 4
+        nib = f"(strpos('0123456789abcdef', substr(h, {j}, 1)) - 1)"
+        bit = f"((({nib}) >> {kk}) & 1)"
+        sum_exprs.append(
+            f"SUM(CAST(x AS DECIMAL(38,18)) * ({bit} * 2 - 1)) AS s{b}"
+        )
+    lo = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN 1 ELSE 0 END)::BIGINT * {1 << (b % 32)}"
+        for b in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN 1 ELSE 0 END)::BIGINT * {1 << (b % 32)}"
+        for b in range(32, 64)
+    )
+    blocks = ", ".join(
+        "{'blk': %d, 'v': (%s >> %d) & %d}"
+        % (i, "lo" if i * width < 32 else "hi", (i * width) % 32, mask)
+        for i in range(n_blocks)
+    )
+    n2 = dot_sql(vec_col, vec_col, dim)
+    dotv = dot_sql("v1.vec", "v2.vec", dim)
+    return f"""
+        WITH ex AS (
+          SELECT {id_col} AS vid, i - 1 AS dimn,
+                 CAST({vec_col}[i] AS DOUBLE) AS x,
+                 md5('rp:' || CAST(i - 1 AS VARCHAR)) AS h
+          FROM {table}, generate_series(1, {dim}) AS t(i)
+        ), sums AS (
+          SELECT vid, {', '.join(sum_exprs)} FROM ex GROUP BY vid
+        ), sig AS (
+          SELECT vid, ({hi}) AS hi, ({lo}) AS lo FROM sums
+        ), blocks AS (
+          SELECT vid, hi, lo, unnest([{blocks}], recursive := true) FROM sig
+        ), cand AS (
+          SELECT DISTINCT a.vid AS id1, b.vid AS id2,
+                 (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))) AS hamming
+          FROM blocks a JOIN blocks b
+            ON a.blk = b.blk AND a.v = b.v AND a.vid < b.vid
+          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {max_hamming}
+        ), v AS (
+          SELECT {id_col} AS vid, {vec_col} AS vec, {n2} AS n2 FROM {table}
+        )
+        SELECT c.id1, c.id2, c.hamming,
+               ROUND({dotv} / (sqrt(v1.n2) * sqrt(v2.n2)), 8) AS cosine
+        FROM cand c JOIN v v1 ON c.id1 = v1.vid JOIN v v2 ON c.id2 = v2.vid
+        ORDER BY id1, id2
+    """
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination (n-gram overlap against a reference set)
 
 
