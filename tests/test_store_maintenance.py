@@ -76,3 +76,42 @@ def test_materialize_snapshot(spark, tmp_path):
         {"find": ["?c"], "where": [[eid, ":color", "?c"]]}
     )
     assert got == [("blue",)]
+
+
+def test_materialize_snapshot_bucketed_colocates_joins(spark):
+    """Bucketed snapshot: entity-keyed self-joins over the materialized
+    table plan WITHOUT a shuffle on either side (bucket spec supplies the
+    partitioning), and the queryable facts are unchanged."""
+    store = FactStore(spark)
+    eng = Engine(store.spark, store)
+    for i in range(20):
+        eng.transact([["add", f"e{i}", ":name", f"N{i}"],
+                      ["add", f"e{i}", ":rank", i]])
+    name = "bucketed_snap_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        snap = store.materialize_snapshot_bucketed(name, n_buckets=4)
+        # facts identical to the plain snapshot (modulo the stamped tx)
+        a = sorted((r["e"], r["a"], r["v_str"], r["v_long"])
+                   for r in store.snapshot().collect())
+        b = sorted((r["e"], r["a"], r["v_str"], r["v_long"])
+                   for r in snap.snapshot().collect())
+        assert a == b
+        # entity self-join on the bucketed table: no SHUFFLE in the plan
+        # (disable broadcast so the planner must rely on the bucket spec;
+        # with broadcast on, tiny sides take a BroadcastExchange instead,
+        # which is equally shuffle-free)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            facts = snap.backend.facts_df()
+            left = facts.filter("a = ':name'").select("e", "v_str")
+            right = facts.filter("a = ':rank'").select("e", "v_long")
+            plan = (left.join(right, "e")
+                    ._jdf.queryExecution().executedPlan().toString())
+            assert "Exchange hashpartitioning" not in plan, plan
+            assert "SortMergeJoin" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

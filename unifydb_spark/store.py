@@ -424,6 +424,43 @@ class FactStore:
         df.write.mode("errorifexists").parquet(path)
         return FactStore(self.spark, ParquetBackend(self.spark, path))
 
+    def materialize_snapshot_bucketed(
+        self,
+        table_name: str,
+        tx_id: Union[int, str] = LATEST,
+        bucket_by: str = "e",
+        n_buckets: int = 32,
+    ) -> "FactStore":
+        """Write the collapsed snapshot as a BUCKETED managed table
+        (bucketBy + sortBy on `bucket_by`, Hive-style layout) and return a
+        FactStore over it.
+
+        Scale rationale: every multi-pattern query joins fact slices on
+        the entity id; with both sides read from the same bucketed table,
+        Spark plans those joins and aggregations with NO shuffle on the
+        bucketed side (outputPartitioning is known from the bucket spec).
+        This is the persistent co-location that `repartition` can only
+        provide within one job — the parquet analog of the reference's
+        EAVT clustering (src/unifydb/storage.clj:23-27), except the
+        cluster key survives restarts and is shared by every reader."""
+        snap_tx = (
+            self.backend.latest_tx() if tx_id == LATEST else int(tx_id)
+        )
+        df = self.snapshot(tx_id).withColumn(
+            "tx", F.lit(snap_tx).cast("long")
+        ).withColumn("added", F.lit(True))
+        (
+            df.write.mode("errorifexists")
+            .format("parquet")
+            .bucketBy(n_buckets, bucket_by)
+            .sortBy(bucket_by)
+            .saveAsTable(table_name)
+        )
+        backend = DataFrameBackend(
+            self.spark, self.spark.table(table_name), clean=True
+        )
+        return FactStore(self.spark, backend=backend)
+
     def cardinality_many_attrs(self, tx_id: Union[int, str] = LATEST) -> frozenset:
         """Attributes declared :cardinality/many via schema facts (reference
         src/unifydb/schema.clj:5-15). Cached per (backend version, tx) —
