@@ -1,0 +1,99 @@
+"""Automated physical-plan audit over every __spark_entry__.queries()
+entry: flags the scale anti-patterns a human reviewer greps for —
+cartesian products, nested-loop joins outside the deliberate
+bounded-broadcast allowlist, row-at-a-time Python UDFs — and reports
+exchange (shuffle) counts per query.
+
+Usage:  python scripts/plan_audit.py [sf_dir] [query ...]
+Exit code 1 if any query has an unexplained smell.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+# Deliberate bounded-broadcast cross joins (ANN centroid/query assignment:
+# one side is a broadcast of <= n_centroids/n_queries rows by construction)
+BNLJ_ALLOWED = {
+    "q26_embedding_neardup",
+    "q27_cosine_topk",
+    "q28_ivf_topk",
+    "q47_kmeans",
+}
+# Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
+# unifier; cc-cmp sequence sort keys)
+ARROW_UDF_ALLOWED = {"q50_seq_rest_pattern"}
+# Streaming queries return a memory-sink scan; their real plan ran inside
+# the stream — nothing to audit post-hoc
+STREAMING = {
+    "q33_stream_windowed_metrics",
+    "q40_stream_stateful_latest",
+    "q54_stream_dedup",
+    "q55_stream_sessionize",
+}
+
+
+def audit(name: str, plan: str) -> list[str]:
+    smells = []
+    if "CartesianProduct" in plan:
+        smells.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+        smells.append("BroadcastNestedLoopJoin (not in bounded allowlist)")
+    if "BatchEvalPython" in plan:
+        smells.append("row-at-a-time Python UDF (BatchEvalPython)")
+    if "ArrowEvalPython" in plan and name not in ARROW_UDF_ALLOWED:
+        smells.append("pandas UDF outside allowlist (ArrowEvalPython)")
+    return smells
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("plan-audit")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    bad = 0
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        if name in STREAMING:
+            print(f"SKIP {name}: streaming (plan ran inside the stream)")
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:
+            print(f"ERR  {name}: {type(e).__name__}: {str(e)[:200]}")
+            bad += 1
+            continue
+        n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+        n_bcast = len(re.findall(r"BroadcastExchange", plan))
+        smells = audit(name, plan)
+        if smells:
+            print(f"SMELL {name}: {'; '.join(smells)} "
+                  f"[{n_exchange} shuffles, {n_bcast} broadcasts]")
+            bad += 1
+        else:
+            print(f"OK   {name} [{n_exchange} shuffles, {n_bcast} broadcasts]")
+    print(f"\n{bad} flagged")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
