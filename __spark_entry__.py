@@ -1154,6 +1154,17 @@ def q56_embedding_rp_lsh(spark, sf_dir):
     ).orderBy("id1", "id2")
 
 
+def q57_pack_sequences(spark, sf_dir):
+    """Sequence packing (concat-and-chunk within deterministic hash
+    shards): per-document shard, token offsets and chunk span — the
+    training-loader packing step, shard-parallel by construction."""
+    from unifydb_spark.operators.text import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), capacity=256, n_shards=8
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1217,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_stream_dedup": q54_stream_dedup,
         "q55_stream_sessionize": q55_stream_sessionize,
         "q56_embedding_rp_lsh": q56_embedding_rp_lsh,
+        "q57_pack_sequences": q57_pack_sequences,
     }
 
 
@@ -1416,6 +1428,7 @@ def _operator_oracles() -> dict[str, str]:
             n=5,
         ),
         "q53_repetition_stats": _t.repetition_stats_sql(),
+        "q57_pack_sequences": _t.pack_sequences_sql(capacity=256, n_shards=8),
         "q54_stream_dedup": """
             SELECT md5(text) AS content_md5, MIN(doc_id) AS canonical_id,
                    COUNT(*) AS n_copies

@@ -239,3 +239,28 @@ def test_kmeans_partition_invariant(emb):
           for r in kmeans_assign(emb.repartition(7), k=4, iters=2).collect()}
     assert a1 == a2  # exact-decimal arithmetic -> partition invariant
     assert set(a1.values()) <= set(range(4))
+
+
+def test_pack_sequences_invariants(spark):
+    """Within each shard: offsets are a gapless concatenation in doc_id
+    order, chunk spans match capacity arithmetic, and every token lands
+    in exactly one position."""
+    rows = [(i, " ".join(["w"] * (i % 7))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = sorted(
+        T.pack_sequences(docs, capacity=10, n_shards=4).collect(),
+        key=lambda r: (r["shard"], r["doc_id"]),
+    )
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(out) == 40
+    for shard, rs in by_shard.items():
+        offset = 0
+        for r in rs:  # doc_id-ordered within shard
+            assert r["start_offset"] == offset
+            assert r["first_chunk"] == offset // 10
+            end = offset + r["n_tokens"]
+            expected_last = (end - 1) // 10 if r["n_tokens"] else offset // 10
+            assert r["last_chunk"] == expected_last
+            offset = end

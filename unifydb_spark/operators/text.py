@@ -251,12 +251,7 @@ def hash_sample_where_sql(
     """The hash-sample membership predicate alone (DuckDB), for embedding
     in other oracles (e.g. a deterministic benchmark split)."""
     threshold = int(rate * (16 ** 8))
-    h = f"md5('{salt}:' || CAST({key_col} AS VARCHAR))"
-    nib = f"strpos('0123456789abcdef', substr({h}, {{i}}, 1)) - 1"
-    digits = " + ".join(
-        f"({nib.format(i=i)}) * {16 ** (8 - i)}" for i in range(1, 9)
-    )
-    return f"({digits}) < {threshold}"
+    return f"{md5_u32_sql(key_col, salt)} < {threshold}"
 
 
 def hash_sample_sql(
@@ -268,6 +263,97 @@ def hash_sample_sql(
     return f"""
         SELECT * FROM {table}
         WHERE {hash_sample_where_sql(rate, key_col, salt)}
+    """
+
+
+def md5_u32_sql(key_expr: str, salt: str) -> str:
+    """DuckDB expression: the first 8 md5 hex digits of (salt:key) as an
+    integer — the shared deterministic-hash primitive (DuckDB has no
+    base-conversion function, so nibbles are summed positionally)."""
+    h = f"md5('{salt}:' || CAST({key_expr} AS VARCHAR))"
+    nib = f"strpos('0123456789abcdef', substr({h}, {{i}}, 1)) - 1"
+    return "(" + " + ".join(
+        f"({nib.format(i=i)}) * {16 ** (8 - i)}" for i in range(1, 9)
+    ) + ")"
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing (the training-data 'packing' step): documents are
+    concatenated in a deterministic order within hash shards and split
+    into fixed-`capacity` token windows (concat-and-chunk — documents may
+    straddle chunk boundaries, as training loaders do). Returns per doc:
+    (doc_id, shard, n_tokens, start_offset, first_chunk, last_chunk),
+    chunk ids local to the shard.
+
+    Scale rationale: a single global concatenation order would serialize
+    the running offset into one task; shard-local packing (deterministic
+    md5 shard per doc) keeps every window partition-parallel, and a
+    training loader consumes shards independently anyway."""
+    ws = words_col(F.col(text_col))
+    n = F.size(ws).cast("bigint")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % n_shards
+    )
+    from pyspark.sql import Window
+
+    base = docs.select("doc_id", n.alias("n_tokens"), shard.alias("shard"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.expr("cum - n_tokens").alias("start_offset"),
+            F.expr(f"(cum - n_tokens) DIV {capacity}").alias("first_chunk"),
+            F.when(
+                F.col("n_tokens") == 0,
+                F.expr(f"(cum - n_tokens) DIV {capacity}"),
+            ).otherwise(F.expr(f"(cum - 1) DIV {capacity}")).alias("last_chunk"),
+        )
+    )
+
+
+def pack_sequences_sql(
+    table: str = "documents",
+    capacity: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+) -> str:
+    u32 = md5_u32_sql("doc_id", "pack")
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split({text_col}, ' '), w -> w != '')) AS BIGINT) AS n,
+                 {u32} % {n_shards} AS shard
+          FROM {table}
+        ), c AS (
+          SELECT doc_id, shard, n,
+                 SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t
+        )
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard, n AS n_tokens,
+               CAST(cum - n AS BIGINT) AS start_offset,
+               CAST((cum - n) // {capacity} AS BIGINT) AS first_chunk,
+               CAST(CASE WHEN n = 0 THEN (cum - n) // {capacity}
+                         ELSE (cum - 1) // {capacity} END AS BIGINT) AS last_chunk
+        FROM c ORDER BY doc_id
     """
 
 
