@@ -154,3 +154,35 @@ def test_running_latest_stateful(spark, tmpdirs):
         .select("user_id", F.col("event_id"), "value")
     )
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in expect.collect()}
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Stream-static join decontamination: final streaming state equals
+    the batch operator's overlap counts for contaminated docs."""
+    from unifydb_spark.operators.dedup import decontaminate
+    from unifydb_spark.streaming import read_document_stream, stream_decontaminate
+
+    rows = [(0, "secret benchmark answer key here"),
+            (1, "the secret benchmark answer leaked into training"),
+            (2, "totally unrelated clean document text"),
+            (3, "another clean document with different words")]
+    docs = (spark.createDataFrame(rows, "doc_id bigint, text string")
+            .withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+            .withColumn("n_chars", F.length("text")))
+    bench = docs.filter("doc_id = 0").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    q = (
+        stream_decontaminate(read_document_stream(spark, src), bench, n=3)
+        .writeStream.format("memory").queryName("sdc_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sdc_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["n_overlap"]
+           for r in spark.table("sdc_test").collect()}
+    want = {r["doc_id"]: r["n_overlap"]
+            for r in decontaminate(docs, bench, n=3).collect()
+            if r["n_overlap"] > 0}
+    assert got == want and got[1] == 1

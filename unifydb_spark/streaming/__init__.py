@@ -4,6 +4,7 @@ from unifydb_spark.streaming.stream import (  # noqa: F401
     read_event_stream,
     running_latest,
     session_metrics,
+    stream_decontaminate,
     stream_dedup_state,
     stream_facts_to_store,
     windowed_metrics,

@@ -168,6 +168,41 @@ def stream_dedup_state(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def stream_decontaminate(
+    docs: DataFrame, benchmark: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Streaming benchmark decontamination: the stream-STATIC join form
+    of operators/dedup.decontaminate. Each micro-batch's documents
+    explode to distinct n-grams and join the (static, broadcast)
+    benchmark n-gram set; the running aggregate keeps per-doc overlap
+    counts. Static sides of stream joins are re-broadcast per
+    micro-batch by Structured Streaming — the natural shape for a
+    contamination filter on an ingest stream (benchmark sets are tiny
+    and change rarely)."""
+    from pyspark.sql.functions import broadcast
+
+    from unifydb_spark.operators.text import shingles_col, words_col
+
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_col(words_col(F.col(text_col)), n))
+        ).alias("shingle"),
+    )
+    bench_sh = broadcast(
+        benchmark.select(
+            F.explode(
+                F.array_distinct(shingles_col(words_col(F.col(text_col)), n))
+            ).alias("shingle")
+        ).distinct()
+    )
+    return (
+        sh.join(bench_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
 _STATE_SCHEMA = "max_event_id bigint, value double"
 _OUT_SCHEMA = "user_id bigint, event_id bigint, value double"
 
