@@ -152,3 +152,34 @@ def test_type_rank_total_order():
     # every v_type has a rank; numbers share one (cross-type numeric cmp)
     assert TYPE_RANK["long"] == TYPE_RANK["double"]
     assert len({t: r for t, r in TYPE_RANK.items()}) == len(TYPE_RANK)
+
+
+# --- EDN round-trip (server wire format, unifydb_spark/edn.py) ------------
+
+_edn_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=30),
+    st.builds(Ref, st.integers(min_value=0, max_value=2**40)),
+)
+_edn_values = st.recursive(
+    _edn_scalars,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=4),
+        st.dictionaries(
+            st.text(alphabet="abcdefghijklmnop-_.", min_size=1, max_size=10),
+            inner, max_size=4,
+        ),
+    ),
+    max_leaves=16,
+)
+
+
+@given(_edn_values)
+@settings(max_examples=200, deadline=None)
+def test_edn_dumps_loads_roundtrip(v):
+    from unifydb_spark import edn
+
+    assert edn.loads(edn.dumps(v)) == v
