@@ -264,3 +264,17 @@ def test_pack_sequences_invariants(spark):
             expected_last = (end - 1) // 10 if r["n_tokens"] else offset // 10
             assert r["last_chunk"] == expected_last
             offset = end
+
+
+def test_minhash_incremental_vs_corpus(spark, docs):
+    """Incremental ingest: a new near-dup batch matched against the
+    persistent corpus LSH index finds its corpus duplicates without
+    re-hashing the corpus; novel docs find nothing."""
+    corpus_index = D.minhash_band_rows(D.minhash_signatures(docs))
+    new = spark.createDataFrame(
+        [(100, BASE), (101, "entirely novel words never seen before anywhere else")],
+        "doc_id bigint, text string")
+    got = {(r["new_doc_id"], r["corpus_doc_id"]) for r in
+           D.minhash_lsh_pairs_incremental(new, corpus_index).collect()}
+    assert (100, 0) in got and (100, 1) in got  # exact copies of BASE
+    assert not any(nd == 101 for nd, _ in got)

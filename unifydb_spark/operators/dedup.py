@@ -457,6 +457,66 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_band_rows(sig: DataFrame, k: int = 8, bands: int = 4) -> DataFrame:
+    """(doc_id, band, band_key) rows from a signature table — the
+    persistent LSH index. One pass: explode an array of (band, key)
+    structs rather than a union of per-band selects (which would
+    recompute the signature aggregation once per band). At scale, write
+    this bucketed by (band, band_key) once per corpus; every ingest
+    batch then joins against it with no corpus-side shuffle."""
+    assert k % bands == 0
+    r = k // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)])
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    corpus_band_rows: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental-ingest dedup: candidate pairs between a NEW batch and
+    an EXISTING corpus LSH index (minhash_band_rows written at corpus
+    build time). Signatures are computed for the batch only — the corpus
+    is never rescanned or re-hashed; the only join is batch-bands against
+    the index on (band, band_key). Returns (new_doc_id, corpus_doc_id),
+    self-matches excluded. This is the daily-ingest shape: O(batch)
+    compute against a 100 TB corpus."""
+    new_bands = minhash_band_rows(
+        minhash_signatures(new_docs, text_col, n, k), k, bands
+    )
+    nb, cb = new_bands.alias("nb"), corpus_band_rows.alias("cb")
+    return (
+        nb.join(
+            cb,
+            (F.col("nb.band") == F.col("cb.band"))
+            & (F.col("nb.band_key") == F.col("cb.band_key"))
+            & (F.col("nb.doc_id") != F.col("cb.doc_id")),
+        )
+        .select(
+            F.col("nb.doc_id").alias("new_doc_id"),
+            F.col("cb.doc_id").alias("corpus_doc_id"),
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -467,24 +527,8 @@ def minhash_lsh_pairs(
     """Candidate duplicate pairs = docs sharing at least one LSH band
     (band key = md5 of the band's concatenated min-hashes). Sub-quadratic:
     the only join is on band keys."""
-    assert k % bands == 0
-    r = k // bands
     sig = minhash_signatures(docs, text_col, n, k).persist()
-    # one pass over the signatures: explode an array of (band, key) structs
-    # rather than a union of per-band selects (which would recompute the
-    # signature aggregation once per band)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)])
-            ).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    band_rows = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    band_rows = minhash_band_rows(sig, k, bands)
     a = band_rows.alias("a")
     b_ = band_rows.alias("b")
     return (
