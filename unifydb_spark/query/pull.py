@@ -134,32 +134,39 @@ def pull_level(db: Db, ids_df: DataFrame, spec) -> DataFrame:
             )
             .drop("__se", "__sj")
         )
+    # SINGLE groupBy per level: collect (attr, value-json) structs per
+    # entity once, then do the per-attribute grouping/sorting INSIDE the
+    # row with higher-order functions (the attr list is spec-sized, so
+    # the O(attrs^2) row-local work is constant) — one shuffle per level,
+    # not two nearly-identical ones on (e,a) then (e)
     many = sorted(db.cardinality_many_attrs())
-    per_attr = base.groupBy("e", "a").agg(
-        F.sort_array(F.collect_list("__vj")).alias("__vs")
+    per_e = base.groupBy("e").agg(
+        F.collect_list(F.struct(F.col("a"), F.col("__vj").alias("vj"))).alias("__avs")
     )
-    is_many = F.col("a").isin(many) if many else F.lit(False)
-    val = F.when(
-        is_many,
-        F.concat(F.lit("["), F.array_join("__vs", ","), F.lit("]")),
-    ).otherwise(F.element_at("__vs", 1))
-    kv = F.concat(_escape_json(F.col("a")), F.lit(":"), val)
-    return (
-        per_attr.select(F.col("e"), F.struct(F.col("a"), kv.alias("kv")).alias("__akv"))
-        .groupBy("e")
-        .agg(
-            F.concat(
-                F.lit("{"),
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list("__akv")), lambda x: x["kv"]
-                    ),
-                    ",",
-                ),
-                F.lit("}"),
-            ).alias("__pjson")
+    attrs_arr = F.array_sort(
+        F.array_distinct(F.transform(F.col("__avs"), lambda x: x["a"]))
+    )
+
+    def attr_val(a):
+        vjs = F.array_sort(
+            F.transform(
+                F.filter(F.col("__avs"), lambda x: x["a"] == a),
+                lambda x: x["vj"],
+            )
         )
-        .withColumnRenamed("e", "__pe")
+        if not many:
+            return F.element_at(vjs, 1)
+        return F.when(
+            F.array_contains(F.array(*[F.lit(m) for m in many]), a),
+            F.concat(F.lit("["), F.array_join(vjs, ","), F.lit("]")),
+        ).otherwise(F.element_at(vjs, 1))
+
+    kvs = F.transform(
+        attrs_arr, lambda a: F.concat(_escape_json(a), F.lit(":"), attr_val(a))
+    )
+    return per_e.select(
+        F.col("e").alias("__pe"),
+        F.concat(F.lit("{"), F.array_join(kvs, ","), F.lit("}")).alias("__pjson"),
     )
 
 
