@@ -197,10 +197,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     src_first = (F.col("dsrc") < F.col("ddst")) | (
         (F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst"))
     )
+    # persist: the oriented relation feeds all three join aliases below —
+    # without it the degree computation and orientation joins run 3x
     oriented = with_deg.select(
         F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("src"),
         F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("dst"),
-    )
+    ).persist()
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     e3 = oriented.alias("e3")
