@@ -1165,6 +1165,79 @@ def q57_pack_sequences(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_STRAT_RATES = {"en": 0.5, "de": 0.3, "fr": 0.2, "es": 0.1}
+
+
+def q58_pii_redaction(spark, sf_dir):
+    """PII scrubbing (operators/text.py redact_pii): the corpus text is
+    synthetic word salad, so the query first plants deterministic PII per
+    document (email/phone/IPv4 derived from doc_id, identically on both
+    engines), then counts and redacts it — zero-shuffle regexp projection."""
+    from unifydb_spark.operators.text import redact_pii
+
+    d = F.col("doc_id")
+    injected = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@example.com call +1-555-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+            F.lit(" host 10.0."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            ((d * 7) % 256).cast("string"),
+        ),
+    )
+    return redact_pii(injected).orderBy("doc_id")
+
+
+def q59_source_quantiles(spark, sf_dir):
+    """Exact per-source document-length quantiles (operators/stats.py):
+    count/min/max/p25/p50/p90/p99 of n_chars — one shuffle, interpolation
+    verified ulp-identical to DuckDB quantile_cont."""
+    from unifydb_spark.operators.stats import group_quantiles
+
+    return group_quantiles(_docs(spark, sf_dir), "source", "n_chars").orderBy(
+        "source"
+    )
+
+
+def q60_rolling_user_stats(spark, sf_dir):
+    """Per-user rolling sequence features (operators/events.py): trailing
+    5-row count/average of value + delta to the previous event — single
+    shuffle on user_id, O(window) state per row."""
+    from unifydb_spark.operators.events import rolling_user_stats
+
+    return rolling_user_stats(_events_ts(spark, sf_dir), window_rows=5).orderBy(
+        "event_id"
+    )
+
+
+def q61_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (operators/text.py): broadcast
+    vocab-df join, broadcast one-row corpus count, window top-k — no
+    driver-side collect anywhere."""
+    from unifydb_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3).orderBy("doc_id", "rank")
+
+
+def q62_stratified_sample(spark, sf_dir):
+    """Per-language stratified hash sampling (operators/text.py): each
+    stratum keeps its own deterministic md5-bucket rate (zh absent from
+    the rate map -> dropped) — the training-mix re-balancing primitive;
+    pure codegen filter, no shuffle."""
+    from unifydb_spark.operators.text import stratified_sample
+
+    return (
+        stratified_sample(_docs(spark, sf_dir), _STRAT_RATES)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1229,6 +1302,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_stream_sessionize": q55_stream_sessionize,
         "q56_embedding_rp_lsh": q56_embedding_rp_lsh,
         "q57_pack_sequences": q57_pack_sequences,
+        "q58_pii_redaction": q58_pii_redaction,
+        "q59_source_quantiles": q59_source_quantiles,
+        "q60_rolling_user_stats": q60_rolling_user_stats,
+        "q61_tfidf_top_terms": q61_tfidf_top_terms,
+        "q62_stratified_sample": q62_stratified_sample,
     }
 
 
@@ -1388,9 +1466,33 @@ def _operator_oracles() -> dict[str, str]:
     from unifydb_spark.operators import graph as _g
     from unifydb_spark.operators import multimodal as _m
     from unifydb_spark.operators import similarity as _s
+    from unifydb_spark.operators import stats as _st
     from unifydb_spark.operators import text as _t
 
+    pii_injected = """
+        WITH injected AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com call +1-555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS text
+          FROM documents
+        )
+    """
+
     return {
+        "q58_pii_redaction": pii_injected + _t.redact_pii_sql(table="injected"),
+        "q59_source_quantiles": _st.group_quantiles_sql(
+            "documents", "source", "n_chars"
+        ),
+        "q60_rolling_user_stats": _ev.rolling_user_stats_sql(window_rows=5),
+        "q61_tfidf_top_terms": _t.tfidf_sql(k=3),
+        "q62_stratified_sample": f"""
+            SELECT doc_id, lang, source, n_chars
+            FROM ({_t.stratified_sample_sql(rates=_STRAT_RATES)})
+            ORDER BY doc_id
+        """,
         "q19_text_stats": _t.text_stats_sql(),
         "q20_language_id": _t.language_id_sql(),
         "q21_fingerprint": _t.fingerprint_sql(),

@@ -51,3 +51,22 @@ def test_asof_latest(events):
     assert out[4]["ref_event_id"] == 3  # same-ts click IS prior (row order)
     assert out[5]["ref_event_id"] is None  # no prior click for user 2
     assert out[5]["lag_us"] is None
+
+
+def test_rolling_user_stats(events):
+    from unifydb_spark.operators.events import rolling_user_stats
+
+    rows = {
+        r["event_id"]: r
+        for r in rolling_user_stats(events, window_rows=2).collect()
+    }
+    # user 1, events 1..4 (values 1,2,3,4), trailing-2 window
+    assert rows[1]["seq"] == 1 and rows[1]["roll_n"] == 1
+    assert rows[1]["roll_avg"] == 1.0 and rows[1]["delta"] is None
+    assert rows[2]["roll_n"] == 2 and rows[2]["roll_avg"] == 1.5
+    assert rows[2]["delta"] == 1.0
+    assert rows[3]["roll_avg"] == 2.5  # (2+3)/2
+    assert rows[4]["seq"] == 4 and rows[4]["roll_avg"] == 3.5
+    # user 2 restarts the sequence
+    assert rows[5]["seq"] == 1 and rows[5]["delta"] is None
+    assert rows[6]["roll_avg"] == 5.5 and rows[6]["delta"] == 1.0

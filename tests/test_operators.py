@@ -278,3 +278,77 @@ def test_minhash_incremental_vs_corpus(spark, docs):
            D.minhash_lsh_pairs_incremental(new, corpus_index).collect()}
     assert (100, 0) in got and (100, 1) in got  # exact copies of BASE
     assert not any(nd == 101 for nd, _ in got)
+
+
+def test_redact_pii_counts_and_replacements(spark):
+    from unifydb_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.co and c%d@y.org call +1-555-0042 at 10.0.0.1"),
+            (2, "clean text with no pii 1.2 not-an-ip 999"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ip"]) == (2, 1, 1)
+    assert out[1]["redacted"] == "mail [EMAIL] and [EMAIL] call [PHONE] at [IP]"
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ip"]) == (0, 0, 0)
+    assert out[2]["redacted"] == "clean text with no pii 1.2 not-an-ip 999"
+
+
+def test_group_quantiles_exact_and_approx(spark):
+    from unifydb_spark.operators.stats import group_quantiles, group_quantiles_approx
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)] + [("b", 5.0), ("b", 15.0)],
+        "g string, v double",
+    )
+    out = {r["g"]: r for r in group_quantiles(df, "g", "v", probs=(0.5, 0.9)).collect()}
+    assert out["a"]["n"] == 100 and out["a"]["v_min"] == 1.0
+    assert out["a"]["p50"] == 50.5  # interpolated at rank 49.5
+    assert out["a"]["p90"] == 90.1
+    assert out["b"]["p50"] == 10.0
+    approx = {
+        r["g"]: r
+        for r in group_quantiles_approx(df, "g", "v", probs=(0.5,)).collect()
+    }
+    # percentile_approx returns an actual element near the rank
+    assert 49.0 <= approx["a"]["p50"] <= 52.0
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    from unifydb_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry cherry date")],
+        "doc_id bigint, text string",
+    )
+    out = tfidf_top_terms(df, k=1).collect()
+    top = {r["doc_id"]: r for r in out}
+    # 'apple' appears only in doc 1: tf=2, idf=ln(3/1)
+    assert top[1]["term"] == "apple"
+    assert top[1]["tfidf"] == round(2 * math.log(3), 6)
+    # 'date' (df=1) beats 'cherry' (tf=2, df=2) in doc 3: ln3 > 2*ln(3/2)
+    assert top[3]["term"] == "date"
+
+
+def test_stratified_sample_is_deterministic_subset(spark):
+    from unifydb_spark.operators.text import hash_sample, stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zz") for i in range(400)],
+        "doc_id bigint, lang string",
+    )
+    out = stratified_sample(df, {"en": 0.5}, group_col="lang")
+    rows = out.collect()
+    # only the 'en' stratum survives, and it equals plain hash_sample at the
+    # same salt/rate restricted to that stratum (the per-group thresholds
+    # reuse the same bucket function)
+    assert {r["lang"] for r in rows} == {"en"}
+    en = df.filter(F.col("lang") == "en")
+    expect = {r["doc_id"] for r in hash_sample(en, 0.5, salt="strat").collect()}
+    assert {r["doc_id"] for r in rows} == expect
+    assert 0.3 < len(rows) / 200 < 0.7  # rate is honored statistically

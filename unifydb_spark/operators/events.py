@@ -135,3 +135,50 @@ def asof_latest_sql(
         FROM marked WHERE event_type = '{left_type}'
         ORDER BY event_id
     """
+
+
+def rolling_user_stats(events: DataFrame, window_rows: int = 5) -> DataFrame:
+    """Per-user rolling features over the ordered event stream: sequence
+    number, rolling count/average of `value` over the trailing
+    `window_rows` rows, and the delta to the previous event's value.
+
+    Same single-shuffle shape as sessionize — partition by user_id, order
+    by (ts, event_id), every frame ROWS-bounded — so state per partition
+    is O(window_rows) and the whole thing is one sort + one window pass:
+    the feature-engineering primitive for sequence models (user activity
+    velocity, burst detection) at any scale. Rolling sums accumulate in
+    DECIMAL and surface as rounded DOUBLE (driver-hash contract)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-(int(window_rows) - 1), 0)
+    roll_sum = F.sum(F.col("value").cast(DEC)).over(wf)
+    roll_n = F.count(F.lit(1)).over(wf)
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.row_number().over(w).alias("seq"),
+        roll_n.alias("roll_n"),
+        F.round(roll_sum.cast("double") / roll_n, 4).alias("roll_avg"),
+        F.round(
+            F.col("value").cast("double") - F.lag(F.col("value").cast("double")).over(w),
+            4,
+        ).alias("delta"),
+    )
+
+
+def rolling_user_stats_sql(table: str = "events", window_rows: int = 5) -> str:
+    lo = int(window_rows) - 1
+    return f"""
+        SELECT event_id, user_id, ts,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+               COUNT(*) OVER wf AS roll_n,
+               ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER wf AS VARCHAR)
+                          AS DOUBLE) / (COUNT(*) OVER wf), 4) AS roll_avg,
+               ROUND(CAST(value AS DOUBLE)
+                     - lag(CAST(value AS DOUBLE)) OVER w, 4) AS delta
+        FROM {table}
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """

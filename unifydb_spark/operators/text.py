@@ -465,3 +465,166 @@ def fingerprint_sql(table: str = "documents", text_col: str = "text", n: int = 3
                list_min(list_transform({shingles_sql_expr(n)}, s -> md5(s))) AS shingle_fp
         FROM base ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+# (name, regex, replacement) — patterns kept to the RE2 ∩ Java-regex common
+# subset so the Spark plan and the DuckDB oracle compile the same automaton.
+PII_PATTERNS = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{3,4}(-\d{1,4})?", "[PHONE]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII scrubbing: count and replace emails, phone numbers
+    and IPv4 addresses with typed placeholders. Pure regexp projection —
+    whole-stage codegen'd, zero shuffle, linear in input splits; exactly the
+    shape a 100 TB pre-training scrub pass needs (no aggregation at all).
+
+    Counts are taken on the raw text; replacements are applied in
+    PII_PATTERNS order (email before ip so 'user@10.0.0.1' style strings
+    redact deterministically on both engines)."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).alias(f"n_{name}") for name, pat, _ in PII_PATTERNS
+    ]
+    red = t
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select("doc_id", *counts, red.alias("redacted"))
+
+
+def redact_pii_sql(table: str = "documents", text_col: str = "text") -> str:
+    counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all({text_col}, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = text_col
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+        SELECT doc_id,
+               {counts},
+               {red} AS redacted
+        FROM {table} ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+
+def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf = term count within the doc,
+    idf = ln(N / df) over the corpus, ties broken by term asc.
+
+    Plan shape (the scale story): explode -> groupBy(doc_id, term) with
+    map-side combine (one shuffle on (doc_id, term)); df is a vocab-sized
+    aggregate joined back by BROADCAST (vocabulary << corpus); N is a
+    broadcast one-row cross join (never a driver-side collect); final top-k
+    is a window over doc_id (second shuffle). No step holds more than
+    vocab-size state per executor."""
+    ws = words_col(F.col(text_col))
+    toks = docs.select("doc_id", F.explode(ws).alias("term"))
+    # persist the post-shuffle tf relation: it feeds both the scored join
+    # and the vocab df aggregate — without it Catalyst re-scans and
+    # re-explodes the corpus (the expensive step at scale) a second time
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "tfidf")
+    )
+
+
+def tfidf_sql(table: str = "documents", text_col: str = "text", k: int = 3) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split({text_col}, ' '), w -> w != '')) AS term
+          FROM {table}
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ), df AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        ), n AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM {table}
+        ), scored AS (
+          SELECT doc_id, term, tf,
+                 ROUND(tf * ln(n_docs / df), 6) AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n
+        ), ranked AS (
+          SELECT doc_id, term, tf, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term ASC) AS rank
+          FROM scored
+        )
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, tfidf
+        FROM ranked WHERE rank <= {k} ORDER BY doc_id, rank
+    """
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic hash sampling: each group keeps its own
+    rate (groups absent from `rates` are dropped). Same engine-portable
+    md5 bucket as hash_sample, so the selected set is a pure function of
+    (salt, key, rates) — the language/source re-balancing primitive of a
+    training-data mix. Zero shuffle: the rate lookup is a literal CASE
+    expression, the filter fully codegen'd and pushed at the scan."""
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    thr = F.lit(None).cast("bigint")
+    expr = None
+    for g, rate in sorted(rates.items()):
+        t = int(rate * (16 ** 8))
+        cond = F.col(group_col) == g
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thr = expr.otherwise(F.lit(-1))
+    return docs.filter(bucket < thr)
+
+
+def stratified_sample_sql(
+    table: str = "documents",
+    rates: dict | None = None,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "strat",
+) -> str:
+    rates = rates or {}
+    whens = " ".join(
+        f"WHEN '{g}' THEN {int(rate * (16 ** 8))}" for g, rate in sorted(rates.items())
+    )
+    return f"""
+        SELECT * FROM {table}
+        WHERE {md5_u32_sql(key_col, salt)}
+              < (CASE {group_col} {whens} ELSE -1 END)
+    """
