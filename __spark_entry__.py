@@ -1238,6 +1238,75 @@ def q62_stratified_sample(spark, sf_dir):
     )
 
 
+def q63_chunk_dedup(spark, sf_dir):
+    """C4-style sub-document dedup (operators/dedup.py chunk_dedup_stats):
+    12-word chunk hashes counted globally, per-doc duplicated-chunk
+    fraction + keep flag — linear, never pairwise."""
+    from unifydb_spark.operators.dedup import chunk_dedup_stats
+
+    return chunk_dedup_stats(_docs(spark, sf_dir), chunk_words=12).orderBy("doc_id")
+
+
+def q64_importance_sample(spark, sf_dir):
+    """Quality-weighted importance sampling (operators/text.py): keep each
+    document with probability = its text_stats quality score, decided by
+    the deterministic md5 bucket — reproducible data mixing."""
+    from unifydb_spark.operators.text import importance_sample, text_stats
+
+    docs = _docs(spark, sf_dir)
+    stats = text_stats(docs).select("doc_id", "quality")
+    return (
+        importance_sample(docs.join(stats, "doc_id"), F.col("quality"))
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")
+    )
+
+
+def q65_funnel(spark, sf_dir):
+    """Ordered per-user funnel view -> click -> purchase (operators/
+    events.py): stacked window aggregates, one shuffle total."""
+    from unifydb_spark.operators.events import funnel
+
+    return funnel(_events_ts(spark, sf_dir)).orderBy("user_id")
+
+
+def q66_retention_cohorts(spark, sf_dir):
+    """Day-cohort retention triangle (operators/events.py): first-day
+    cohorts × day offsets × distinct active users."""
+    from unifydb_spark.operators.events import retention_cohorts
+
+    return retention_cohorts(_events_ts(spark, sf_dir)).orderBy(
+        "cohort_day", "day_offset"
+    )
+
+
+def q67_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (streaming/stream.py interval_join):
+    purchases attributed to same-user clicks in the trailing 30 min, both
+    sides watermarked so state stays bounded; over the finite availableNow
+    source the result equals the batch interval join (the oracle)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from unifydb_spark.streaming import interval_join, read_event_stream
+
+    name = "ij_" + uuid.uuid4().hex[:8]
+    src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    q = (
+        interval_join(read_event_stream(spark, src_dir), lookback_minutes=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("purchase_id", "click_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1307,6 +1376,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_rolling_user_stats": q60_rolling_user_stats,
         "q61_tfidf_top_terms": q61_tfidf_top_terms,
         "q62_stratified_sample": q62_stratified_sample,
+        "q63_chunk_dedup": q63_chunk_dedup,
+        "q64_importance_sample": q64_importance_sample,
+        "q65_funnel": q65_funnel,
+        "q66_retention_cohorts": q66_retention_cohorts,
+        "q67_stream_interval_join": q67_stream_interval_join,
     }
 
 
@@ -1481,7 +1555,22 @@ def _operator_oracles() -> dict[str, str]:
         )
     """
 
+    from unifydb_spark.streaming import interval_join_sql as _ij_sql
+
     return {
+        "q63_chunk_dedup": _d.chunk_dedup_sql(chunk_words=12),
+        "q64_importance_sample": f"""
+            SELECT doc_id, lang, quality FROM (
+              SELECT d.doc_id, d.lang, s.quality
+              FROM documents d JOIN ({_t.text_stats_sql()}) s
+                ON d.doc_id = s.doc_id
+            )
+            WHERE {_t.md5_u32_sql("doc_id", "imp")} < quality * 4294967296
+            ORDER BY doc_id
+        """,
+        "q65_funnel": _ev.funnel_sql(),
+        "q66_retention_cohorts": _ev.retention_cohorts_sql(),
+        "q67_stream_interval_join": _ij_sql(lookback_minutes=30),
         "q58_pii_redaction": pii_injected + _t.redact_pii_sql(table="injected"),
         "q59_source_quantiles": _st.group_quantiles_sql(
             "documents", "source", "n_chars"

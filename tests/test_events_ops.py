@@ -70,3 +70,57 @@ def test_rolling_user_stats(events):
     # user 2 restarts the sequence
     assert rows[5]["seq"] == 1 and rows[5]["delta"] is None
     assert rows[6]["roll_avg"] == 5.5 and rows[6]["delta"] == 1.0
+
+
+def test_funnel_ordering_matters(spark):
+    from unifydb_spark.operators.events import funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, _ts(0), 1, "view", 0.0, None),
+        (2, _ts(1), 1, "click", 0.0, None),
+        (3, _ts(2), 1, "purchase", 0.0, None),
+        # user 2: click BEFORE the first view -> stage stops at 1
+        (4, _ts(0), 2, "click", 0.0, None),
+        (5, _ts(1), 2, "view", 0.0, None),
+        # user 3: no funnel events at all
+        (6, _ts(0), 3, "error", 0.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    out = {r["user_id"]: r for r in funnel(ev).collect()}
+    assert out[1]["stage"] == 3 and out[1]["t3_us"] is not None
+    assert out[2]["stage"] == 1 and out[2]["t2_us"] is None
+    assert out[3]["stage"] == 0 and out[3]["t1_us"] is None
+
+
+def test_retention_cohorts(spark):
+    import datetime as dtm
+
+    from unifydb_spark.operators.events import retention_cohorts
+
+    def day(d, h=12):
+        return dtm.datetime(2024, 1, d, h)
+
+    rows = [
+        (1, day(1), 1, "click", 0.0, None),   # u1 cohort day 1
+        (2, day(1, 13), 1, "view", 0.0, None),  # same day, still 1 user
+        (3, day(3), 1, "click", 0.0, None),   # u1 active at offset 2
+        (4, day(3), 2, "click", 0.0, None),   # u2 cohort day 3
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    assert out[("2024-01-01", 0)] == 1
+    assert out[("2024-01-01", 2)] == 1
+    assert out[("2024-01-03", 0)] == 1
+    assert len(out) == 3

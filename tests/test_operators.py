@@ -352,3 +352,33 @@ def test_stratified_sample_is_deterministic_subset(spark):
     expect = {r["doc_id"] for r in hash_sample(en, 0.5, salt="strat").collect()}
     assert {r["doc_id"] for r in rows} == expect
     assert 0.3 < len(rows) / 200 < 0.7  # rate is honored statistically
+
+
+def test_chunk_dedup_planted(spark):
+    from unifydb_spark.operators.dedup import chunk_dedup_stats
+
+    shared = " ".join(f"w{i}" for i in range(12))  # one full shared chunk
+    uniq_a = " ".join(f"a{i}" for i in range(12))
+    uniq_b = " ".join(f"b{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, shared + " " + uniq_a), (2, shared + " " + uniq_b),
+         (3, " ".join(f"c{i}" for i in range(24)))],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup_stats(df, chunk_words=12).collect()}
+    # docs 1,2 share exactly their first chunk -> 1 of 2 chunks duplicated
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dup_chunks"] == 1
+    assert out[1]["dup_frac"] == 0.5 and not out[1]["keep"]  # > 0.3
+    assert out[3]["n_dup_chunks"] == 0 and out[3]["keep"]
+
+
+def test_importance_sample_extremes(spark):
+    from unifydb_spark.operators.text import importance_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 2)) for i in range(100)], "doc_id bigint, q double"
+    )
+    kept = importance_sample(df, F.col("q")).collect()
+    # probability 0 rows never survive; probability 1 rows always do
+    assert all(r["q"] == 1.0 for r in kept)
+    assert len(kept) == 50

@@ -1002,3 +1002,77 @@ def embedding_neardup_ivf_sql(
         WHERE ROUND({dot} / (sqrt(v1.n2) * sqrt(v2.n2)), 8) >= {threshold}
         ORDER BY id1, id2
     """
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level (C4-style) dedup
+
+def chunk_dedup_stats(
+    docs: DataFrame, text_col: str = "text", chunk_words: int = 12, max_dup_frac: float = 0.3
+) -> DataFrame:
+    """C4/RefinedWeb-style sub-document dedup signals: split each document
+    into non-overlapping `chunk_words`-word chunks, count how many of a
+    document's chunks also appear in OTHER copies anywhere in the corpus
+    (global md5-chunk counts), and flag documents whose duplicated-chunk
+    fraction exceeds `max_dup_frac`.
+
+    Plan: explode chunks -> groupBy(chunk hash) count (map-side combinable,
+    state = distinct chunks) -> hash-join exploded chunks back on the
+    post-aggregation partitioning -> groupBy(doc_id). Never materializes
+    pairs, so it is linear in corpus size — the property that lets the
+    C4 paragraph filter run on web-scale crawls."""
+    cw = int(chunk_words)
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    nc = F.greatest(
+        F.floor((F.size(ws) + (cw - 1)) / cw).cast("int") - 1, F.lit(0)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), nc),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i * cw + 1, cw))),
+    )
+    exploded = docs.select("doc_id", F.explode(chunks).alias("h"))
+    counts = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        exploded.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6).alias("dup_frac"),
+            (F.col("n_dup_chunks") / F.col("n_chunks") <= max_dup_frac).alias("keep"),
+        )
+    )
+
+
+def chunk_dedup_sql(
+    table: str = "documents", text_col: str = "text", chunk_words: int = 12, max_dup_frac: float = 0.3
+) -> str:
+    cw = int(chunk_words)
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split({text_col}, ' '), w -> w != '') AS ws
+          FROM {table}
+        ), chunks AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(0, GREATEST(CAST((len(ws) + {cw - 1}) // {cw} AS INT) - 1, 0)),
+                   i -> md5(array_to_string(ws[i*{cw}+1 : i*{cw}+{cw}], ' ')))) AS h
+          FROM base
+        ), counts AS (
+          SELECT h, COUNT(*) AS c FROM chunks GROUP BY 1
+        ), per_doc AS (
+          SELECT doc_id, COUNT(*) AS n_chunks,
+                 CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+          FROM chunks JOIN counts USING (h) GROUP BY 1
+        )
+        SELECT doc_id, n_chunks, n_dup_chunks,
+               ROUND(n_dup_chunks / n_chunks, 6) AS dup_frac,
+               n_dup_chunks / n_chunks <= {max_dup_frac}::DOUBLE AS keep
+        FROM per_doc ORDER BY doc_id
+    """

@@ -182,3 +182,109 @@ def rolling_user_stats_sql(table: str = "events", window_rows: int = 5) -> str:
                       ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW)
         ORDER BY event_id
     """
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Per-user ordered funnel: earliest step-1 event, then the earliest
+    step-2 event strictly after it, then the earliest step-3 after that,
+    and the deepest stage reached. Sequential dependence is expressed as
+    stacked window aggregates over the SAME user partitioning — Spark
+    reuses one exchange + sort for all passes, so the whole funnel is a
+    single shuffle regardless of step count (no self-joins, which would
+    be step-count × corpus-size shuffles at 100 TB). Timestamps surface
+    as epoch-microsecond longs (exact integer parity)."""
+    w = Window.partitionBy("user_id")
+    us = F.unix_micros("ts")
+    out = events.select("user_id", "event_type", us.alias("us"))
+    prev = None
+    for i, step in enumerate(steps, start=1):
+        cond = F.col("event_type") == step
+        if prev is not None:
+            cond = cond & (F.col("us") > F.col(prev))
+        out = out.withColumn(f"t{i}_us", F.min(F.when(cond, F.col("us"))).over(w))
+        prev = f"t{i}_us"
+    stage = F.lit(0)
+    for i in range(1, len(steps) + 1):
+        stage = F.when(F.col(f"t{i}_us").isNotNull(), i).otherwise(stage)
+    return (
+        out.groupBy("user_id")
+        .agg(
+            *[F.min(f"t{i}_us").alias(f"t{i}_us") for i in range(1, len(steps) + 1)]
+        )
+        .withColumn("stage", stage)
+    )
+
+
+def funnel_sql(
+    table: str = "events",
+    steps: tuple = ("view", "click", "purchase"),
+) -> str:
+    # window aliases can't reference each other inside one SELECT — stack
+    # one subquery per step (same partitioning each time, mirroring the
+    # stacked Window passes on the Spark side)
+    sql = f"SELECT user_id, epoch_us(ts) AS us, event_type FROM {table}"
+    prev = None
+    for i, step in enumerate(steps, start=1):
+        cond = f"event_type = '{step}'"
+        if prev is not None:
+            cond += f" AND us > {prev}"
+        sql = (
+            f"SELECT *, MIN(CASE WHEN {cond} THEN us END)"
+            f" OVER (PARTITION BY user_id) AS t{i}_us FROM ({sql})"
+        )
+        prev = f"t{i}_us"
+    ts_cols = ", ".join(
+        f"MIN(t{i}_us) AS t{i}_us" for i in range(1, len(steps) + 1)
+    )
+    stage = "CASE " + " ".join(
+        f"WHEN MIN(t{i}_us) IS NOT NULL THEN {i}"
+        for i in range(len(steps), 0, -1)
+    ) + " ELSE 0 END"
+    return f"""
+        SELECT user_id, {ts_cols}, CAST({stage} AS INT) AS stage
+        FROM ({sql}) GROUP BY user_id ORDER BY user_id
+    """
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Day-cohort retention triangle: users grouped by their first-ever
+    event day; for each (cohort_day, day_offset) the count of distinct
+    users active that day. Two shuffles total — one groupBy(user) for
+    first-day, map-side-combinable, then one groupBy(cohort, offset) over
+    a pre-deduplicated (user, day) relation; the cohort table joins back
+    by BROADCAST when users fit (else it is a plain co-partitioned hash
+    join on user_id). The activation/engagement rollup every product
+    pipeline runs — at any scale the state is O(users) + O(cohort days²)."""
+    days = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def retention_cohorts_sql(table: str = "events") -> str:
+    return f"""
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+          FROM {table}
+        ), first AS (
+          SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1
+        )
+        SELECT cohort_day,
+               CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+               COUNT(*) AS n_users
+        FROM days JOIN first USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """

@@ -628,3 +628,26 @@ def stratified_sample_sql(
         WHERE {md5_u32_sql(key_col, salt)}
               < (CASE {group_col} {whens} ELSE -1 END)
     """
+
+
+def importance_sample(
+    docs: DataFrame,
+    score: Column,
+    key_col: str = "doc_id",
+    salt: str = "imp",
+) -> DataFrame:
+    """Quality-weighted (importance) sampling: keep each row with
+    probability `score` (a [0,1] column), decided by the same deterministic
+    md5 bucket as hash_sample — bucket < score * 16^8. Selection is a pure
+    function of (salt, key, score): reproducible across engines, reruns
+    and partitionings, unlike `df.sample`. The data-mixing primitive for
+    quality-weighted corpus construction (e.g. keep high-quality documents
+    with higher probability). Zero shuffle."""
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return docs.filter(bucket < score * (16 ** 8))

@@ -1,5 +1,7 @@
 from unifydb_spark.streaming.stream import (  # noqa: F401
     events_to_facts,
+    interval_join,
+    interval_join_sql,
     read_document_stream,
     read_event_stream,
     running_latest,

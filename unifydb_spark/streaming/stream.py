@@ -211,6 +211,77 @@ def stream_decontaminate(
     )
 
 
+def interval_join(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    lookback_minutes: int = 30,
+) -> DataFrame:
+    """Stream-stream interval join: each `left_type` event matched with
+    every `right_type` event of the same user in the trailing
+    `lookback_minutes` window (attribution: which clicks preceded this
+    purchase?).
+
+    Both sides carry a watermark and the join condition is time-bounded in
+    BOTH directions, so Structured Streaming can expire state: each side
+    holds only `lookback` worth of events per user — the requirement for
+    an unbounded-stream join to run forever. Inner joins emit a match as
+    soon as both rows have arrived (results don't wait on the watermark —
+    with availableNow over a finite source the output equals the batch
+    interval join, which is the oracle)."""
+    lb_us = int(lookback_minutes) * 60 * 1_000_000
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("l_event_id"),
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", f"{int(lookback_minutes)} minutes")
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", f"{int(lookback_minutes)} minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.unix_micros("l_ts") - F.unix_micros("r_ts") <= lb_us),
+    )
+    return joined.select(
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("l_user").alias("user_id"),
+        F.col("r_event_id").alias("click_id"),
+        (F.unix_micros("l_ts") - F.unix_micros("r_ts")).alias("lag_us"),
+    )
+
+
+def interval_join_sql(
+    table: str = "events",
+    left_type: str = "purchase",
+    right_type: str = "click",
+    lookback_minutes: int = 30,
+) -> str:
+    lb_us = int(lookback_minutes) * 60 * 1_000_000
+    return f"""
+        SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+               c.event_id AS click_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        FROM {table} p JOIN {table} c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts
+         AND epoch_us(p.ts) - epoch_us(c.ts) <= {lb_us}
+        WHERE p.event_type = '{left_type}' AND c.event_type = '{right_type}'
+        ORDER BY purchase_id, click_id
+    """
+
+
 _STATE_SCHEMA = "max_event_id bigint, value double"
 _OUT_SCHEMA = "user_id bigint, event_id bigint, value double"
 
