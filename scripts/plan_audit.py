@@ -22,6 +22,9 @@ BNLJ_ALLOWED = {
     "q27_cosine_topk",
     "q28_ivf_topk",
     "q47_kmeans",
+    # q61: the corpus doc-count N joins in as a broadcast ONE-ROW cross
+    # join (never a driver collect) — bounded by construction
+    "q61_tfidf_top_terms",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)
@@ -33,6 +36,7 @@ STREAMING = {
     "q40_stream_stateful_latest",
     "q54_stream_dedup",
     "q55_stream_sessionize",
+    "q67_stream_interval_join",
 }
 
 

@@ -103,3 +103,27 @@ def test_triangle_count_k4_and_direction_invariance(spark):
     assert triangle_count(edges).collect()[0]["n_triangles"] == 4
     rev = spark.createDataFrame([(b, a) for a, b in k4], "src bigint, dst bigint")
     assert triangle_count(rev).collect()[0]["n_triangles"] == 4
+
+
+def test_fixpoint_broadcast_path_matches_shuffle_path(spark):
+    """The broadcast physical strategy (dst-partitioned edges + broadcast
+    node table, zero edge shuffles per iteration) must produce bit-equal
+    results to the shuffle strategy — the DECIMAL accumulators make the
+    arithmetic partitioning-independent."""
+    import random
+
+    from unifydb_spark.operators.graph import connected_components, pagerank
+
+    rng = random.Random(7)
+    edges = spark.createDataFrame(
+        [(rng.randrange(40), rng.randrange(40)) for _ in range(400)],
+        "src bigint, dst bigint",
+    ).filter("src != dst")
+    pr_b = {r["node"]: r["rank"] for r in pagerank(edges, 5, broadcast_ranks=True).collect()}
+    pr_s = {r["node"]: r["rank"] for r in pagerank(edges, 5, broadcast_ranks=False).collect()}
+    assert pr_b == pr_s
+    cc_b = {r["node"]: r["component"]
+            for r in connected_components(edges, broadcast_labels=True).collect()}
+    cc_s = {r["node"]: r["component"]
+            for r in connected_components(edges, broadcast_labels=False).collect()}
+    assert cc_b == cc_s
