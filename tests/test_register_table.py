@@ -62,3 +62,45 @@ def test_register_alongside_builtin(spark):
         {"find": ["?t"], "where": [["?e", ":tier/name", "?t"]]}
     )
     assert sorted(rows) == [("gold",), ("silver",)]
+
+
+def test_csv_and_json_sources_through_register_table(spark, tmp_path):
+    """Source-format breadth: CSV and JSONL files land in the Datalog
+    surface through register_table exactly like parquet — the fact view
+    is format-agnostic (anything spark.read produces)."""
+    csv_path = str(tmp_path / "regions.csv")
+    with open(csv_path, "w") as f:
+        f.write("rid,rname\n1,NORTH\n2,SOUTH\n")
+    json_path = str(tmp_path / "cities.jsonl")
+    with open(json_path, "w") as f:
+        f.write('{"cid": 10, "city": "oslo", "rid": 1}\n')
+        f.write('{"cid": 11, "city": "perth", "rid": 2}\n')
+        f.write('{"cid": 12, "city": "bergen", "rid": 1}\n')
+
+    regions = spark.read.option("header", True).option(
+        "inferSchema", True
+    ).csv(csv_path)
+    cities = spark.read.json(json_path)
+
+    view = TableFactView(spark)
+    view.register_table(
+        "region2", regions, "rid", [("region2/name", "rname", None)]
+    )
+    view.register_table(
+        "city", cities, "cid",
+        [("city/name", "city", None), ("city/region", "rid", "region2")],
+    )
+    eng = Engine(spark, FactStore(spark, backend=view))
+    rows = sorted(
+        eng.query_rows(
+            {
+                "find": ["?city", "?rname"],
+                "where": [
+                    ["?c", ":city/name", "?city"],
+                    ["?c", ":city/region", "?r"],
+                    ["?r", ":region2/name", "?rname"],
+                ],
+            }
+        )
+    )
+    assert rows == [("bergen", "NORTH"), ("oslo", "NORTH"), ("perth", "SOUTH")]
