@@ -1307,6 +1307,60 @@ def q67_stream_interval_join(spark, sf_dir):
     return spark.table(name).orderBy("purchase_id", "click_id")
 
 
+def q68_robust_outliers(spark, sf_dir):
+    """Per-user robust anomaly flags (operators/stats.py): z = (value -
+    median)/IQR from exact interpolated quantiles (ulp-identical across
+    engines, unlike streaming mean/stddev), |z| > 3 flagged. One tiny
+    per-user stats shuffle broadcast back over the events."""
+    from unifydb_spark.operators.stats import robust_outliers
+
+    return robust_outliers(
+        _events_ts(spark, sf_dir), "user_id", "value", threshold=3.0
+    ).select("event_id", "user_id", "value", "robust_z", "is_outlier").orderBy(
+        "event_id"
+    )
+
+
+def q69_resample_ffill(spark, sf_dir):
+    """Per-user hourly resample + forward fill (operators/events.py):
+    last observation per hour (deterministic pick by event_id), dense
+    per-user hour grid via sequence/explode, gaps forward-filled with
+    last(... ignore nulls) — the align-to-model-time-step primitive; a
+    deterministic user decile keeps the oracle frame compact."""
+    from unifydb_spark.operators.events import resample_ffill
+
+    ev = _events_ts(spark, sf_dir).filter(F.col("user_id") % 10 == 0)
+    return resample_ffill(ev, freq="hour").orderBy("user_id", "bucket")
+
+
+def q70_record_linkage(spark, sf_dir):
+    """Blocking + edit-distance record linkage (operators/linkage.py):
+    a synthetic dirty feed (doc-title prefixes with deterministic
+    2-char typos on odd ids, heavy corruption on even ids) linked back
+    to the clean registry — prefix-block equi-join, levenshtein only
+    within blocks, best match per dirty record by one window."""
+    from unifydb_spark.operators.linkage import block_link
+
+    docs = _docs(spark, sf_dir)
+    clean = docs.select(
+        F.col("doc_id").alias("id"),
+        F.substring("text", 1, 30).alias("name"),
+    )
+    name = F.substring("text", 1, 30)
+    dirty = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("id"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(F.substring(name, 1, 28), F.lit("qz")),
+        )
+        .otherwise(F.concat(F.substring(name, 1, 18), F.lit("%%corrupted%%")))
+        .alias("name"),
+    )
+    return block_link(clean, dirty, block_len=6, max_dist=2).orderBy(
+        "dirty_id"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1381,6 +1435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_funnel": q65_funnel,
         "q66_retention_cohorts": q66_retention_cohorts,
         "q67_stream_interval_join": q67_stream_interval_join,
+        "q68_robust_outliers": q68_robust_outliers,
+        "q69_resample_ffill": q69_resample_ffill,
+        "q70_record_linkage": q70_record_linkage,
     }
 
 
@@ -1537,6 +1594,7 @@ def oracle_sql() -> dict[str, str]:
 def _operator_oracles() -> dict[str, str]:
     from unifydb_spark.operators import dedup as _d
     from unifydb_spark.operators import events as _ev
+    from unifydb_spark.operators import linkage as _lk
     from unifydb_spark.operators import graph as _g
     from unifydb_spark.operators import multimodal as _m
     from unifydb_spark.operators import similarity as _s
@@ -1571,6 +1629,32 @@ def _operator_oracles() -> dict[str, str]:
         "q65_funnel": _ev.funnel_sql(),
         "q66_retention_cohorts": _ev.retention_cohorts_sql(),
         "q67_stream_interval_join": _ij_sql(lookback_minutes=30),
+        "q68_robust_outliers": _st.robust_outliers_sql(
+            "events",
+            "user_id",
+            "value",
+            threshold=3.0,
+            select_cols="event_id, user_id, value",
+        )
+        + " ORDER BY event_id",
+        "q69_resample_ffill": _ev.resample_ffill_sql(
+            table="(SELECT * FROM events WHERE user_id % 10 = 0)",
+            freq="hour",
+        ),
+        "q70_record_linkage": _lk.block_link_sql(
+            clean_sql="SELECT doc_id AS id, substr(text, 1, 30) AS name"
+            " FROM documents",
+            dirty_sql="""
+              SELECT doc_id + 1000000 AS id,
+                     CASE WHEN doc_id % 2 = 1
+                          THEN substr(text, 1, 28) || 'qz'
+                          ELSE substr(text, 1, 18) || '%%corrupted%%'
+                     END AS name
+              FROM documents
+            """,
+            block_len=6,
+            max_dist=2,
+        ),
         "q58_pii_redaction": pii_injected + _t.redact_pii_sql(table="injected"),
         "q59_source_quantiles": _st.group_quantiles_sql(
             "documents", "source", "n_chars"

@@ -382,3 +382,57 @@ def test_importance_sample_extremes(spark):
     # probability 0 rows never survive; probability 1 rows always do
     assert all(r["q"] == 1.0 for r in kept)
     assert len(kept) == 50
+
+
+def test_robust_outliers_planted(spark):
+    from unifydb_spark.operators.stats import robust_outliers
+
+    # group g: tight cluster around 10 plus one wild point; group h: all
+    # identical (IQR=0 -> no flags, z NULL)
+    rows = [("g", float(v)) for v in (9, 10, 10, 10, 11, 500)] + [
+        ("h", 5.0)
+    ] * 4
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = robust_outliers(df, "k", "v", threshold=3.0).collect()
+    flagged = [r["v"] for r in out if r["is_outlier"]]
+    assert flagged == [500.0]
+    h = [r for r in out if r["k"] == "h"]
+    assert all(r["robust_z"] is None and not r["is_outlier"] for r in h)
+
+
+def test_resample_ffill_fills_gaps(spark):
+    from unifydb_spark.operators.events import resample_ffill
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:05:00", 7, 1.0),
+            (1, "2024-01-01 00:55:00", 8, 2.0),  # later event wins hour 0
+            (1, "2024-01-01 03:10:00", 9, 9.0),  # hours 1-2 are gaps
+        ],
+        "user_id bigint, ts string, event_id bigint, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = resample_ffill(df, freq="hour").orderBy("bucket").collect()
+    assert len(out) == 4  # dense grid 00..03
+    assert [r["value"] for r in out] == [2.0, 2.0, 2.0, 9.0]
+    assert [r["is_observed"] for r in out] == [True, False, False, True]
+
+
+def test_block_link_best_match(spark):
+    from unifydb_spark.operators.linkage import block_link
+
+    clean = spark.createDataFrame(
+        [(1, "alpha widget deluxe"), (2, "alpha widget deluxa"),
+         (3, "omega gadget basic")],
+        "id bigint, name string",
+    )
+    dirty = spark.createDataFrame(
+        [(100, "alpha widget deluxz"),   # dist 1 to both 1 and 2 -> min id 1
+         (101, "omega gadget basiq"),    # dist 1 to 3
+         (102, "omega TOTALLY DIFFERENT")],  # same block, dist > 2 -> dropped
+        "id bigint, name string",
+    )
+    out = {r["dirty_id"]: r for r in block_link(clean, dirty, block_len=5,
+                                                max_dist=2).collect()}
+    assert set(out) == {100, 101}
+    assert out[100]["clean_id"] == 1 and out[100]["dist"] == 1
+    assert out[101]["clean_id"] == 3 and out[101]["dist"] == 1

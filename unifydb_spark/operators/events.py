@@ -184,6 +184,74 @@ def rolling_user_stats_sql(table: str = "events", window_rows: int = 5) -> str:
     """
 
 
+def resample_ffill(events: DataFrame, freq: str = "hour") -> DataFrame:
+    """Per-user fixed-frequency resampling with forward fill: truncate
+    events to `freq` buckets, keep the last observation per bucket
+    (deterministic pick = highest event_id), densify each user's span to
+    a complete bucket grid (`sequence` + explode — generated, never
+    joined against a calendar table), then forward-fill gaps with
+    last(... IGNORE NULLS) over an ever-growing ROWS frame.
+
+    Everything is keyed by user_id — the per-bucket aggregate, the span
+    aggregate, the grid join, and the fill window all share one hash
+    partitioning, so AQE collapses them onto a handful of exchanges and
+    the fill itself is a single sort per partition. Grid size is
+    span/freq per user (bounded, predictable), which is the property that
+    makes this safe at 100 TB where a naive global calendar cross-join is
+    not. This is the feature-store "align to model time-step" primitive.
+    """
+    bucket = F.date_trunc(freq, F.col("ts"))
+    obs = events.groupBy(
+        F.col("user_id"), bucket.alias("bucket")
+    ).agg(F.max_by("value", "event_id").alias("obs_value"))
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(b0, b1, interval 1 {freq})")
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(obs, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        F.round(
+            F.last("obs_value", ignorenulls=True).over(w), 4
+        ).alias("value"),
+        F.col("obs_value").isNotNull().alias("is_observed"),
+    )
+
+
+def resample_ffill_sql(table: str = "events", freq: str = "hour") -> str:
+    return f"""
+        WITH obs AS (
+          SELECT user_id, date_trunc('{freq}', ts) AS bucket,
+                 arg_max(value, event_id) AS obs_value
+          FROM {table} GROUP BY 1, 2
+        ), grid AS (
+          SELECT user_id,
+                 unnest(generate_series(b0, b1, INTERVAL 1 {freq})) AS bucket
+          FROM (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+                FROM obs GROUP BY 1)
+        )
+        SELECT g.user_id, g.bucket,
+               ROUND(last_value(o.obs_value IGNORE NULLS)
+                     OVER (PARTITION BY g.user_id ORDER BY g.bucket
+                           ROWS UNBOUNDED PRECEDING), 4) AS value,
+               o.obs_value IS NOT NULL AS is_observed
+        FROM grid g LEFT JOIN obs o
+          ON g.user_id = o.user_id AND g.bucket = o.bucket
+        ORDER BY 1, 2
+    """
+
+
 def funnel(
     events: DataFrame,
     steps: tuple = ("view", "click", "purchase"),

@@ -62,6 +62,69 @@ def group_quantiles_sql(
     """
 
 
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier flags: z = (v - median) / IQR, flagged
+    when |z| > threshold. Median/quartiles are the exact interpolated
+    `percentile` aggregates (DuckDB `quantile_cont` parity is
+    ulp-identical, see module docstring), so the z-score is a
+    deterministic double on both engines — no mean/stddev streaming-order
+    drift, and robust statistics are what you actually want for anomaly
+    flags on heavy-tailed telemetry.
+
+    Shape: one shuffle for the per-group quantiles (tiny result — one row
+    per group), broadcast back onto the events; at 100 TB swap the exact
+    percentile for the mergeable `percentile_approx` sketch and the plan
+    is unchanged. Groups with IQR = 0 yield NULL z / no flag."""
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(group_col).agg(
+        F.percentile(v, F.lit(0.5)).alias("_med"),
+        F.percentile(v, F.lit(0.25)).alias("_q1"),
+        F.percentile(v, F.lit(0.75)).alias("_q3"),
+    )
+    iqr = F.col("_q3") - F.col("_q1")
+    z = F.when(iqr != 0.0, (v - F.col("_med")) / iqr)
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .withColumn("robust_z", F.round(z, 4))
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.abs(z) > float(threshold), F.lit(False)),
+        )
+        .drop("_med", "_q1", "_q3")
+    )
+
+
+def robust_outliers_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    threshold: float = 3.0,
+    select_cols: str = "*",
+) -> str:
+    v = f"CAST({value_col} AS DOUBLE)"
+    return f"""
+        WITH s AS (
+          SELECT {group_col},
+                 quantile_cont({v}, 0.5) AS med,
+                 quantile_cont({v}, 0.25) AS q1,
+                 quantile_cont({v}, 0.75) AS q3
+          FROM {table} GROUP BY 1
+        )
+        SELECT {select_cols},
+               ROUND(CASE WHEN q3 - q1 <> 0
+                          THEN ({v} - med) / (q3 - q1) END, 4) AS robust_z,
+               COALESCE(CASE WHEN q3 - q1 <> 0
+                             THEN abs(({v} - med) / (q3 - q1)) > {threshold}
+                        END, FALSE) AS is_outlier
+        FROM {table} JOIN s USING ({group_col})
+    """
+
+
 def group_quantiles_approx(
     df: DataFrame,
     group_col: str,
