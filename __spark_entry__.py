@@ -1361,6 +1361,91 @@ def q70_record_linkage(spark, sf_dir):
     )
 
 
+def q71_dq_report(spark, sf_dir):
+    """Data-quality gate (operators/quality.py): predicate, uniqueness
+    and referential-integrity checks over customer/orders/lineitem
+    compiled to a one-row-per-check report — the pre-training validation
+    every pipeline runs before admitting a source."""
+    from unifydb_spark.operators.quality import (
+        check_predicate,
+        check_referential,
+        check_unique,
+        dq_report,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    checks = [
+        check_predicate(
+            li, "lineitem_qty_positive", F.col("l_quantity") <= 0
+        ),
+        check_predicate(
+            li,
+            "lineitem_discount_range",
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        ),
+        check_predicate(
+            orders, "orders_totalprice_positive", F.col("o_totalprice") <= 0
+        ),
+        check_predicate(
+            cust, "customer_acctbal_notnull", F.col("c_acctbal").isNull()
+        ),
+        check_unique(orders, "orders_pk_unique", ["o_orderkey"]),
+        check_unique(
+            li, "lineitem_pk_unique", ["l_orderkey", "l_linenumber"]
+        ),
+        check_referential(
+            orders, "o_custkey", cust, "c_custkey", "orders_custkey_ref"
+        ),
+        check_referential(
+            li, "l_orderkey", orders, "o_orderkey", "lineitem_orderkey_ref"
+        ),
+    ]
+    return dq_report(checks).orderBy("check_name")
+
+
+def q72_salted_join(spark, sf_dir):
+    """Skew-salted orders x customer join (operators/joins.py) rolled up
+    to per-mktsegment order counts and revenue. The salt spreads any hot
+    customer key over 8 sub-partitions; the oracle is the PLAIN join —
+    result-identity is the correctness claim of salting."""
+    from unifydb_spark.operators.joins import salted_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, "custkey", n_salts=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,10)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q73_bigram_commonness(spark, sf_dir):
+    """Char-bigram LM-proxy scoring (operators/text.py): corpus bigram
+    counts -> per-doc average bigram frequency; integer arithmetic until
+    one final division, so exact across engines — the
+    perplexity-filter stand-in."""
+    from unifydb_spark.operators.text import bigram_commonness
+
+    return bigram_commonness(_docs(spark, sf_dir), prefix_chars=400).orderBy(
+        "doc_id"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1438,6 +1523,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_robust_outliers": q68_robust_outliers,
         "q69_resample_ffill": q69_resample_ffill,
         "q70_record_linkage": q70_record_linkage,
+        "q71_dq_report": q71_dq_report,
+        "q72_salted_join": q72_salted_join,
+        "q73_bigram_commonness": q73_bigram_commonness,
     }
 
 
@@ -1641,6 +1729,65 @@ def _operator_oracles() -> dict[str, str]:
             table="(SELECT * FROM events WHERE user_id % 10 = 0)",
             freq="hour",
         ),
+        "q71_dq_report": """
+            WITH rep AS (
+              SELECT 'lineitem_qty_positive' AS check_name,
+                     CAST(COALESCE(SUM(CASE WHEN l_quantity <= 0 THEN 1 END), 0) AS BIGINT) AS n_violations,
+                     COUNT(*) AS n_checked
+              FROM lineitem
+              UNION ALL
+              SELECT 'lineitem_discount_range',
+                     CAST(COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END), 0) AS BIGINT),
+                     COUNT(*)
+              FROM lineitem
+              UNION ALL
+              SELECT 'orders_totalprice_positive',
+                     CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 END), 0) AS BIGINT),
+                     COUNT(*)
+              FROM orders
+              UNION ALL
+              SELECT 'customer_acctbal_notnull',
+                     CAST(COALESCE(SUM(CASE WHEN c_acctbal IS NULL THEN 1 END), 0) AS BIGINT),
+                     COUNT(*)
+              FROM customer
+              UNION ALL
+              SELECT 'orders_pk_unique',
+                     CAST(COALESCE((SELECT SUM(c - 1) FROM (
+                         SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey
+                     ) WHERE c > 1), 0) AS BIGINT),
+                     (SELECT COUNT(*) FROM orders)
+              UNION ALL
+              SELECT 'lineitem_pk_unique',
+                     CAST(COALESCE((SELECT SUM(c - 1) FROM (
+                         SELECT COUNT(*) AS c FROM lineitem
+                         GROUP BY l_orderkey, l_linenumber
+                     ) WHERE c > 1), 0) AS BIGINT),
+                     (SELECT COUNT(*) FROM lineitem)
+              UNION ALL
+              SELECT 'orders_custkey_ref',
+                     CAST((SELECT COUNT(*) FROM orders o
+                           WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+                             SELECT 1 FROM customer c
+                             WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+                     (SELECT COUNT(*) FROM orders)
+              UNION ALL
+              SELECT 'lineitem_orderkey_ref',
+                     CAST((SELECT COUNT(*) FROM lineitem l
+                           WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+                             SELECT 1 FROM orders o
+                             WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+                     (SELECT COUNT(*) FROM lineitem)
+            )
+            SELECT * FROM rep ORDER BY check_name
+        """,
+        "q72_salted_join": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                              AS VARCHAR) AS DOUBLE), 4) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q73_bigram_commonness": _t.bigram_commonness_sql(prefix_chars=400),
         "q70_record_linkage": _lk.block_link_sql(
             clean_sql="SELECT doc_id AS id, substr(text, 1, 30) AS name"
             " FROM documents",

@@ -436,3 +436,62 @@ def test_block_link_best_match(spark):
     assert set(out) == {100, 101}
     assert out[100]["clean_id"] == 1 and out[100]["dist"] == 1
     assert out[101]["clean_id"] == 3 and out[101]["dist"] == 1
+
+
+def test_salted_join_equals_plain_join(spark):
+    from unifydb_spark.operators.joins import salted_join
+
+    # skewed fact: key 1 has 50 rows, others 1 each; dim has a dup key
+    # (7 twice) so join multiplicity must be preserved too
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(k, 100 + k) for k in range(2, 10)],
+        "k bigint, payload bigint",
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (7, "b1"), (7, "b2"), (99, "unmatched")],
+        "k bigint, tag string",
+    )
+    plain = sorted(
+        (r["k"], r["payload"], r["tag"])
+        for r in fact.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["payload"], r["tag"])
+        for r in salted_join(fact, dim, "k", n_salts=4).collect()
+    )
+    assert salted == plain
+    assert len(plain) == 53  # 50 hot + k2 once + k7 against two dim rows
+
+
+def test_bloom_no_false_negatives(spark):
+    from unifydb_spark.operators.joins import bloom_build, bloom_probe
+
+    keys = spark.range(0, 1000).select((F.col("id") * 7).alias("key"))
+    bitmap = bloom_build(keys, "key", m_bits=1 << 14, k=4)
+    probe = spark.range(0, 7000).select(F.col("id").alias("key"))
+    kept = {r["key"] for r in bloom_probe(
+        probe, "key", bitmap, m_bits=1 << 14, k=4).collect()}
+    member = {i * 7 for i in range(1000)}
+    assert member <= kept  # zero false negatives
+    fpr = (len(kept) - len(member)) / (7000 - len(member))
+    assert fpr < 0.05  # m/n = 16 bits/key, k=4 -> ~0.24% expected
+
+
+def test_dq_checks(spark):
+    from unifydb_spark.operators.quality import (
+        check_predicate, check_referential, check_unique, dq_report)
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (2, 11), (3, None), (4, 99)],
+        "id bigint, fk bigint",
+    )
+    parent = spark.createDataFrame([(10,), (11,)], "pk bigint")
+    rep = {r["check_name"]: r for r in dq_report([
+        check_predicate(child, "id_positive", F.col("id") <= 0),
+        check_unique(child, "id_unique", ["id"]),
+        check_referential(child, "fk", parent, "pk", "fk_ref"),
+    ]).collect()}
+    assert rep["id_positive"]["n_violations"] == 0
+    assert rep["id_positive"]["n_checked"] == 5
+    assert rep["id_unique"]["n_violations"] == 1  # id=2 twice -> 1 surplus
+    assert rep["fk_ref"]["n_violations"] == 1  # fk=99 orphan; NULL exempt

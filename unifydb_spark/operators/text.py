@@ -651,3 +651,68 @@ def importance_sample(
         10,
     ).cast("bigint")
     return docs.filter(bucket < score * (16 ** 8))
+
+
+def bigram_commonness(
+    docs: DataFrame, text_col: str = "text", prefix_chars: int = 400
+) -> DataFrame:
+    """Character-bigram language-model proxy: how "ordinary" each
+    document's character sequence is for this corpus. Train = corpus
+    bigram counts; score = average corpus frequency of the document's
+    bigrams. Low scores mark encoding garbage / exotic text the way a
+    real LM-perplexity filter would, with arithmetic that stays exact:
+    counts are integers end-to-end and the only float op is one final
+    division (engine-portable bit-for-bit, unlike summed log-probs whose
+    libm/ordering drift differs per engine).
+
+    Shape: explode to (doc, position) — linear, capped at prefix_chars
+    per doc; one count shuffle over the bigram vocab (charset² keys, so
+    tiny and safe to broadcast back); one per-doc sum. At 100 TB the
+    vocab stays charset²; only the linear explode grows."""
+    t = docs.select(
+        "doc_id", F.substring(text_col, 1, int(prefix_chars)).alias("t")
+    ).filter(F.length("t") >= 2)
+    bg = t.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, length(t) - 1)")).alias("i"),
+        "t",
+    ).select("doc_id", F.expr("substring(t, i, 2)").alias("bg"))
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(F.broadcast(counts), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c").alias("freq_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "freq_sum",
+            F.round(
+                F.col("freq_sum").cast("double") / F.col("n_bigrams"), 4
+            ).alias("commonness"),
+        )
+    )
+
+
+def bigram_commonness_sql(
+    table: str = "documents", text_col: str = "text", prefix_chars: int = 400
+) -> str:
+    return f"""
+        WITH t AS (
+          SELECT doc_id, substr({text_col}, 1, {prefix_chars}) AS t
+          FROM {table} WHERE length(substr({text_col}, 1, {prefix_chars})) >= 2
+        ), bg AS (
+          SELECT doc_id, substr(t, CAST(i AS INT), 2) AS bg
+          FROM (SELECT doc_id, unnest(range(1, length(t))) AS i, t FROM t)
+        ), counts AS (
+          SELECT bg, COUNT(*) AS c FROM bg GROUP BY 1
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(c) AS BIGINT) AS freq_sum,
+               ROUND(CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / COUNT(*), 4)
+                 AS commonness
+        FROM bg JOIN counts USING (bg)
+        GROUP BY doc_id ORDER BY doc_id
+    """
