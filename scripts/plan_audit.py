@@ -25,6 +25,9 @@ BNLJ_ALLOWED = {
     # q61: the corpus doc-count N joins in as a broadcast ONE-ROW cross
     # join (never a driver collect) — bounded by construction
     "q61_tfidf_top_terms",
+    # q71: each report row is a (1-row violations) x (1-row total) cross
+    # join — bounded by construction
+    "q71_dq_report",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)
