@@ -1446,6 +1446,36 @@ def q73_bigram_commonness(spark, sf_dir):
     )
 
 
+def q74_image_resize(spark, sf_dir):
+    """Multimodal resize stage (operators/multimodal.py resize_images):
+    Arrow-batched mapInPandas over opaque binary payloads with the codec
+    call faked deterministically (no PIL in container) — byte-budget
+    arithmetic and digest derivation are exact on both engines; the
+    batch plumbing is the production path."""
+    from unifydb_spark.operators.multimodal import attach_binary, resize_images
+
+    return resize_images(
+        attach_binary(_docs(spark, sf_dir)), out_w=224, out_h=224
+    ).orderBy("doc_id")
+
+
+def q75_frame_sample(spark, sf_dir):
+    """Video frame sampling (operators/multimodal.py frame_sample): one
+    synthetic video row (payload + fps + duration metadata) fans out to
+    one row per sampled frame inside the Arrow batch — the 1→N shape of
+    a real ffmpeg extractor, executor-local, output bounded by
+    duration*fps/every_n."""
+    from unifydb_spark.operators.multimodal import attach_binary, frame_sample
+
+    vids = attach_binary(_docs(spark, sf_dir)).withColumns(
+        {
+            "fps": F.lit(24).cast("long"),
+            "duration_s": (1 + F.col("doc_id") % 30).cast("long"),
+        }
+    )
+    return frame_sample(vids, every_n=24).orderBy("doc_id", "frame_idx")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1526,6 +1556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_dq_report": q71_dq_report,
         "q72_salted_join": q72_salted_join,
         "q73_bigram_commonness": q73_bigram_commonness,
+        "q74_image_resize": q74_image_resize,
+        "q75_frame_sample": q75_frame_sample,
     }
 
 
@@ -1788,6 +1820,10 @@ def _operator_oracles() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """,
         "q73_bigram_commonness": _t.bigram_commonness_sql(prefix_chars=400),
+        "q74_image_resize": _m.resize_sql(out_w=224, out_h=224),
+        "q75_frame_sample": _m.frame_sample_sql(
+            fps_expr="24", duration_expr="1 + doc_id % 30", every_n=24
+        ),
         "q70_record_linkage": _lk.block_link_sql(
             clean_sql="SELECT doc_id AS id, substr(text, 1, 30) AS name"
             " FROM documents",

