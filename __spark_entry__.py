@@ -1476,6 +1476,16 @@ def q75_frame_sample(spark, sf_dir):
     return frame_sample(vids, every_n=24).orderBy("doc_id", "frame_idx")
 
 
+def q76_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization (operators/similarity.py
+    quantize_int8): floor-based codes + scale + max reconstruction
+    error, all elementwise ops so bit-exact cross-engine; zero-shuffle
+    map stage."""
+    from unifydb_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(_emb(spark, sf_dir)).orderBy("vec_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1558,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_bigram_commonness": q73_bigram_commonness,
         "q74_image_resize": q74_image_resize,
         "q75_frame_sample": q75_frame_sample,
+        "q76_quantize_int8": q76_quantize_int8,
     }
 
 
@@ -1821,6 +1832,7 @@ def _operator_oracles() -> dict[str, str]:
         """,
         "q73_bigram_commonness": _t.bigram_commonness_sql(prefix_chars=400),
         "q74_image_resize": _m.resize_sql(out_w=224, out_h=224),
+        "q76_quantize_int8": _s.quantize_int8_sql(),
         "q75_frame_sample": _m.frame_sample_sql(
             fps_expr="24", duration_expr="1 + doc_id % 30", every_n=24
         ),

@@ -522,3 +522,27 @@ def test_resize_and_frame_sample_plumbing(docs):
     assert len({r["frame_md5"] for r in frames}) == len(
         {(r["doc_id"], r["frame_idx"]) for r in frames}
     ) or True  # digests unique per (payload, frame); dup docs share
+
+
+def test_quantize_int8_bounds(emb):
+    from unifydb_spark.operators.similarity import quantize_int8
+
+    out = quantize_int8(emb).collect()
+    for r in out:
+        codes = [int(x) for x in r["q"].split(",")]
+        assert all(-128 <= c <= 127 for c in codes)
+        assert max(codes) == 127 or min(codes) == -127  # max|v| hits a rail
+        # reconstruction error bounded by one quantization step
+        assert r["max_abs_err"] <= 1.0 / r["scale"] + 1e-9
+
+
+def test_quantize_int8_zero_vector_guard(spark):
+    from unifydb_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, -2.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert out[0]["q"] is None and out[0]["scale"] is None
+    assert out[1]["q"] == "63,-127"  # floor(1*63.5), floor(-2*63.5)

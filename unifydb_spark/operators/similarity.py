@@ -436,3 +436,65 @@ def ivf_topk_sql(
         SELECT query_id, rank, neighbor_id, ROUND(cosine, 8) AS cosine
         FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
     """
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage-compression
+    step before ANN indexing (4x smaller than float32, SIMD-friendly
+    dot products). scale = 127/max|v|; q_i = floor(v_i * scale);
+    output carries the quantized codes (serialized — driver-hash
+    contract forbids array columns), the scale needed to dequantize,
+    and the max reconstruction error.
+
+    Every operation is elementwise (abs, max, floor, one division) —
+    no sums — so the result is bit-identical on the SQL oracle: the
+    determinism story of `_dot` without even needing ordered folds.
+    Zero vectors quantize to NULL (guarded division). Zero-shuffle
+    codegen projection; at 100 TB this is a free map stage fused into
+    whatever reads the embeddings."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    scale = F.lit(127).cast("double") / max_abs
+    q = F.transform(v, lambda x: F.floor(x * scale))
+    err = F.array_max(
+        F.transform(v, lambda x: F.abs(x - F.floor(x * scale) / scale))
+    )
+    nz = max_abs != 0.0
+    return emb.select(
+        F.col(id_col),
+        F.when(nz, F.round(scale, 6)).alias("scale"),
+        F.when(nz, F.array_join(q.cast("array<string>"), ",")).alias("q"),
+        F.when(nz, F.round(err, 6)).alias("max_abs_err"),
+    )
+
+
+def quantize_int8_sql(
+    table: str = "embeddings", id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    return f"""
+        WITH v AS (
+          SELECT {id_col},
+                 list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+          FROM {table}
+        ), m AS (
+          SELECT {id_col}, v,
+                 list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                   AS max_abs
+          FROM v
+        )
+        SELECT {id_col},
+               CASE WHEN max_abs <> 0 THEN
+                 ROUND(CAST(127 AS DOUBLE) / max_abs, 6) END AS scale,
+               CASE WHEN max_abs <> 0 THEN
+                 array_to_string(list_transform(v, x ->
+                   CAST(CAST(floor(x * (CAST(127 AS DOUBLE) / max_abs))
+                        AS BIGINT) AS VARCHAR)), ',') END AS q,
+               CASE WHEN max_abs <> 0 THEN
+                 ROUND(list_aggregate(list_transform(v, x ->
+                   abs(x - floor(x * (CAST(127 AS DOUBLE) / max_abs))
+                           / (CAST(127 AS DOUBLE) / max_abs))), 'max'), 6)
+               END AS max_abs_err
+        FROM m ORDER BY {id_col}
+    """
