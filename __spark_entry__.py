@@ -839,11 +839,11 @@ def q39_hash_sample(spark, sf_dir):
 
 
 def _events_ts(spark, sf_dir):
+    from unifydb_spark.values import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer DIV, not double division: nanos exceed double's exact-integer
-    # range, so `/ 1000` would be off by 1us on some rows
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(ev)
 
 
 def q34_sessionize(spark, sf_dir):
@@ -1530,21 +1530,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_asof_join": q35_asof_join,
         "q36_triangle_count": q36_triangle_count,
         "q37_shortest_paths": q37_shortest_paths,
-        "q38_curation_pipeline": q38_curation_pipeline,
+        "q38_decontaminate": q52_decontaminate,
         "q39_hash_sample": q39_hash_sample,
         "q40_stream_stateful_latest": q40_stream_stateful_latest,
-        "q41_regional_revenue": q41_regional_revenue,
-        "q42_top_customers": q42_top_customers,
-        "q43_minhash_verified": q43_minhash_verified,
+        "q41_retraction_snapshot": q51_retraction_snapshot,
+        "q42_stream_interval_join": q67_stream_interval_join,
+        "q43_record_linkage": q70_record_linkage,
         "q44_dedup_clusters": q44_dedup_clusters,
         "q45_vocab_stats": q45_vocab_stats,
         "q46_label_centroids": q46_label_centroids,
-        "q47_kmeans": q47_kmeans,
+        "q47_salted_join": q72_salted_join,
         "q48_event_histogram": q48_event_histogram,
         "q49_source_quality": q49_source_quality,
         "q50_seq_rest_pattern": q50_seq_rest_pattern,
-        "q51_retraction_snapshot": q51_retraction_snapshot,
-        "q52_decontaminate": q52_decontaminate,
+        "q51_regional_revenue": q41_regional_revenue,
+        "q52_curation_pipeline": q38_curation_pipeline,
         "q53_repetition_stats": q53_repetition_stats,
         "q54_stream_dedup": q54_stream_dedup,
         "q55_stream_sessionize": q55_stream_sessionize,
@@ -1559,12 +1559,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_importance_sample": q64_importance_sample,
         "q65_funnel": q65_funnel,
         "q66_retention_cohorts": q66_retention_cohorts,
-        "q67_stream_interval_join": q67_stream_interval_join,
+        "q67_top_customers": q42_top_customers,
         "q68_robust_outliers": q68_robust_outliers,
         "q69_resample_ffill": q69_resample_ffill,
-        "q70_record_linkage": q70_record_linkage,
+        "q70_minhash_verified": q43_minhash_verified,
         "q71_dq_report": q71_dq_report,
-        "q72_salted_join": q72_salted_join,
+        "q72_kmeans": q47_kmeans,
         "q73_bigram_commonness": q73_bigram_commonness,
         "q74_image_resize": q74_image_resize,
         "q75_frame_sample": q75_frame_sample,
@@ -1703,7 +1703,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q51: live (user, bucket) pairs — most recent fact per pair wins,
         # an 'error' event retracts the pair
-        "q51_retraction_snapshot": """
+        "q41_retraction_snapshot": """
             WITH f AS (
                 SELECT user_id AS u,
                        CAST(FLOOR(value / 10.0) AS BIGINT) AS b,
@@ -1759,7 +1759,7 @@ def _operator_oracles() -> dict[str, str]:
         """,
         "q65_funnel": _ev.funnel_sql(),
         "q66_retention_cohorts": _ev.retention_cohorts_sql(),
-        "q67_stream_interval_join": _ij_sql(lookback_minutes=30),
+        "q42_stream_interval_join": _ij_sql(lookback_minutes=30),
         "q68_robust_outliers": _st.robust_outliers_sql(
             "events",
             "user_id",
@@ -1823,7 +1823,7 @@ def _operator_oracles() -> dict[str, str]:
             )
             SELECT * FROM rep ORDER BY check_name
         """,
-        "q72_salted_join": """
+        "q47_salted_join": """
             SELECT c_mktsegment, COUNT(*) AS n_orders,
                    ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
                               AS VARCHAR) AS DOUBLE), 4) AS revenue
@@ -1836,7 +1836,7 @@ def _operator_oracles() -> dict[str, str]:
         "q75_frame_sample": _m.frame_sample_sql(
             fps_expr="24", duration_expr="1 + doc_id % 30", every_n=24
         ),
-        "q70_record_linkage": _lk.block_link_sql(
+        "q43_record_linkage": _lk.block_link_sql(
             clean_sql="SELECT doc_id AS id, substr(text, 1, 30) AS name"
             " FROM documents",
             dirty_sql="""
@@ -1874,11 +1874,11 @@ def _operator_oracles() -> dict[str, str]:
         "q27_cosine_topk": _s.cosine_topk_sql(),
         "q28_ivf_topk": _s.ivf_topk_sql(),
         "q29_multimodal_features": _m.features_sql(),
-        "q43_minhash_verified": _d.minhash_verified_sql(threshold=0.8),
+        "q70_minhash_verified": _d.minhash_verified_sql(threshold=0.8),
         "q44_dedup_clusters": _d.dedup_clusters_sql(threshold=0.8),
         "q45_vocab_stats": _t.vocab_stats_sql(top_k=50),
         "q46_label_centroids": _s.label_centroids_sql(),
-        "q47_kmeans": _s.kmeans_assign_sql(k=8, iters=3),
+        "q72_kmeans": _s.kmeans_assign_sql(k=8, iters=3),
         "q48_event_histogram": """
             SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
                    COUNT(*) AS n
@@ -1893,7 +1893,7 @@ def _operator_oracles() -> dict[str, str]:
             FROM stats s JOIN documents d ON s.doc_id = d.doc_id
             GROUP BY 1 ORDER BY 1
         """,
-        "q52_decontaminate": _d.decontaminate_sql(
+        "q38_decontaminate": _d.decontaminate_sql(
             benchmark_where=_t.hash_sample_where_sql(0.1, "doc_id", "bench"),
             n=5,
         ),
@@ -1968,7 +1968,7 @@ def _operator_oracles() -> dict[str, str]:
         "q37_shortest_paths": _g.shortest_paths_sql(
             _graph_edges_cte(False), sources=[_G_CUST + 0]
         ),
-        "q38_curation_pipeline": f"""
+        "q52_curation_pipeline": f"""
             WITH stats AS ({_t.text_stats_sql()}),
             dupes AS (
               SELECT DISTINCT d2 AS doc_id
@@ -1991,7 +1991,7 @@ def _operator_oracles() -> dict[str, str]:
                 FROM events
             ) WHERE rn = 1 ORDER BY user_id
         """,
-        "q41_regional_revenue": """
+        "q51_regional_revenue": """
             SELECT r_name AS rname,
                    ROUND(CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
                        AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 4) AS revenue,
@@ -2004,7 +2004,7 @@ def _operator_oracles() -> dict[str, str]:
             WHERE o_orderstatus = 'F'
             GROUP BY 1 ORDER BY 1
         """,
-        "q42_top_customers": """
+        "q67_top_customers": """
             SELECT c_custkey AS ck, c_name AS cname,
                    ROUND(CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
                        AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 4) AS revenue

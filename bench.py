@@ -34,8 +34,15 @@ HEADLINE = [
     "q32_pagerank",
     "q34_sessionize",
     "q35_asof_join",
-    "q41_regional_revenue",
-    "q42_top_customers",
+    "q51_regional_revenue",
+    "q67_top_customers",
+    # round-4 additions: the r2 operator wave, previously un-benched at sf0.1
+    "q41_retraction_snapshot",
+    "q56_embedding_rp_lsh",
+    "q63_chunk_dedup",
+    "q42_stream_interval_join",
+    "q43_record_linkage",
+    "q47_salted_join",
 ]
 
 

@@ -21,7 +21,7 @@ BNLJ_ALLOWED = {
     "q26_embedding_neardup",
     "q27_cosine_topk",
     "q28_ivf_topk",
-    "q47_kmeans",
+    "q72_kmeans",
     # q61: the corpus doc-count N joins in as a broadcast ONE-ROW cross
     # join (never a driver collect) — bounded by construction
     "q61_tfidf_top_terms",
@@ -39,7 +39,7 @@ STREAMING = {
     "q40_stream_stateful_latest",
     "q54_stream_dedup",
     "q55_stream_sessionize",
-    "q67_stream_interval_join",
+    "q42_stream_interval_join",
 }
 
 

@@ -17,6 +17,7 @@ from unifydb_spark.streaming import (
     stream_facts_to_store,
     windowed_metrics,
 )
+from unifydb_spark.values import normalize_event_ts
 
 SF = "/root/testdata/sf0.001"
 
@@ -35,7 +36,7 @@ def tmpdirs(tmp_path):
 def _stage_events(spark, input_dir, n_files=3):
     """Split the events table into n parquet files (one per micro-batch)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{SF}/events.parquet")  # ts: bigint nanos
+    raw = spark.read.parquet(f"{SF}/events.parquet")
     total = raw.count()
     per = total // n_files + 1
     rows = raw.orderBy("event_id").collect()
@@ -47,9 +48,7 @@ def _stage_events(spark, input_dir, n_files=3):
             ).parquet(input_dir)
     # batch-side comparison frame with a real timestamp column (the same
     # conversion read_event_stream applies)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    return normalize_event_ts(raw)
 
 
 def test_stream_facts_to_store_and_time_travel(spark, tmpdirs):

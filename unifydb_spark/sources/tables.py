@@ -160,7 +160,8 @@ TABLE_SPECS: dict[str, dict] = {
         "pk": lambda df: _eid("events", df.event_id),
         "attrs": [
             ("event/id", "event_id", None),
-            # stored as INT64 nanos (read via nanosAsLong); surfaced as a
+            # INT64 nanos or timestamp[us], testdata vintage-dependent
+            # (_src_col branches on the read dtype); surfaced as a
             # microsecond timestamp
             ("event/ts", "ts", "!ts_nanos"),
             ("event/user", "user_id", None),
@@ -285,10 +286,16 @@ class TableFactView:
         df = self.table(tname)
         src = df[colname]
         if ref == "!ts_nanos":
-            # subtract-mod before dividing: the quotient is then an exact
-            # integer <= 2^53, so the double division cannot round (a bare
-            # `/1000` drifts 1us on large nano values)
-            return F.timestamp_micros(((src - src % 1000) / 1000).cast("long"))
+            if dict(df.dtypes)[colname] in ("bigint", "int"):
+                # INT64-nanos vintage of the testdata: subtract-mod before
+                # dividing so the quotient is an exact integer <= 2^53 and
+                # the double division cannot round (a bare `/1000` drifts
+                # 1us on large nano values)
+                return F.timestamp_micros(
+                    ((src - src % 1000) / 1000).cast("long")
+                )
+            # timestamp[us] vintage: already a timestamp (NTZ under UTC)
+            return src.cast("timestamp")
         if ref == "!next_nation":
             return F.when(
                 src.cast("long") + 5 <= 24,

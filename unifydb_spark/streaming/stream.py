@@ -31,22 +31,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# the testdata's events.parquet stores nanosecond INT64 timestamps, which
-# the parquet reader only accepts as longs (spark.sql.legacy.parquet.
-# nanosAsLong) — declare bigint and convert to a real timestamp on read
-EVENT_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream of event rows (one new file per micro-batch;
-    in production this would be Kafka — same downstream plan)."""
+    in production this would be Kafka — same downstream plan).
+
+    The stream schema is inferred from a static read of the same path
+    (file-source streams require an explicit schema), then `ts` is
+    normalized to TimestampType whichever encoding the files carry
+    (INT64 nanos as bigint, or parquet timestamp[us])."""
+    from unifydb_spark.values import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
-    # integer DIV: double division would round some nanosecond values 1us off
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    static_schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(static_schema).parquet(path)
+    return normalize_event_ts(raw)
 
 
 def events_to_facts(events: DataFrame) -> DataFrame:

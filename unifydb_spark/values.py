@@ -288,3 +288,23 @@ def cc_seq_sort_key(s):
     return s.map(
         lambda vj: None if vj is None else _cc_key_bytes(json.loads(vj))
     )
+
+
+def normalize_event_ts(df, col: str = "ts"):
+    """Normalize the events table's `ts` column to TimestampType.
+
+    The driver's testdata has shipped two encodings of event time across
+    rounds: INT64 nanoseconds (surfaced as bigint under
+    spark.sql.legacy.parquet.nanosAsLong) and parquet timestamp[us]
+    (surfaced as TIMESTAMP_NTZ). Both must produce the same TimestampType
+    column; the session timezone is UTC so the NTZ->LTZ cast preserves
+    the wall clock DuckDB sees.
+    """
+    dt = dict(df.dtypes)[col]
+    if dt in ("bigint", "long", "int"):
+        # integer DIV, not double division: nano values exceed double's
+        # exact-integer range, so `/ 1000` would drift 1us on some rows
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    if dt != "timestamp":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
