@@ -97,6 +97,9 @@ def main():
         # drop caches + checkpoint blocks between queries: operators persist
         # shared intermediates per-action, and accumulated blocks otherwise
         # GC-thrash later shuffle-heavy queries
+        from unifydb_spark.resources import release_persisted
+
+        release_persisted()
         spark.catalog.clearCache()
         for rdd_id in list(
             spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()

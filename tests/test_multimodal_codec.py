@@ -1,0 +1,166 @@
+"""The real multimodal decode path must actually execute: decode_image
+(PIL when importable, builtin PNG/PPM decoders otherwise) runs inside the
+same Arrow-batched mapInPandas plumbing the fake-codec oracle queries use.
+Fixtures are real PNG files encoded here (zlib + CRC chunks), so the test
+exercises genuine entropy decoding and filter reconstruction — no skip."""
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from unifydb_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    resize_images,
+    resize_nearest,
+)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal PNG encoder: 8-bit RGB, filter 0 on every row."""
+    h, w, c = arr.shape
+    assert c == 3
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _test_images():
+    rng = np.random.RandomState(7)
+    return {
+        1: rng.randint(0, 256, (2, 3, 3), dtype=np.uint8),
+        2: rng.randint(0, 256, (5, 4, 3), dtype=np.uint8),
+        3: np.zeros((8, 8, 3), dtype=np.uint8),
+    }
+
+
+def test_decode_png_roundtrip():
+    for arr in _test_images().values():
+        w, h, c, got = decode_image(encode_png(arr))
+        assert (w, h, c) == (arr.shape[1], arr.shape[0], 3)
+        assert np.array_equal(got, arr)
+
+
+def test_decode_ppm():
+    arr = _test_images()[2]
+    h, w, _ = arr.shape
+    payload = f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+    w2, h2, c2, got = decode_image(payload)
+    assert (w2, h2, c2) == (w, h, 3)
+    assert np.array_equal(got, arr)
+
+
+def test_decode_rejects_unknown_format():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a not supported by the builtin path")
+
+
+def test_extract_features_real_decode_end_to_end(spark):
+    imgs = _test_images()
+    rows = [(doc_id, bytearray(encode_png(arr))) for doc_id, arr in imgs.items()]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in extract_features(df, real_decode=True).collect()
+    }
+    assert set(got) == set(imgs)
+    for doc_id, arr in imgs.items():
+        r = got[doc_id]
+        # REAL dimensions from the decoder, not the md5 pseudo-dims
+        assert (r["pseudo_width"], r["pseudo_height"]) == (
+            arr.shape[1],
+            arr.shape[0],
+        )
+        assert r["content_md5"] == hashlib.md5(encode_png(arr)).hexdigest()
+
+
+def test_resize_real_codec_end_to_end(spark):
+    imgs = _test_images()
+    rows = [(doc_id, bytearray(encode_png(arr))) for doc_id, arr in imgs.items()]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in resize_images(df, out_w=4, out_h=4, real_codec=True).collect()
+    }
+    for doc_id, arr in imgs.items():
+        expected = resize_nearest(arr, 4, 4).tobytes()
+        r = got[doc_id]
+        assert (r["out_w"], r["out_h"]) == (4, 4)
+        assert r["out_bytes"] == len(expected) == 4 * 4 * 3
+        assert r["resized_md5"] == hashlib.md5(expected).hexdigest()
+
+
+def test_resize_nearest_kernel():
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    up = resize_nearest(arr, 8, 8)
+    assert up.shape == (8, 8, 3)
+    # each source pixel becomes a 2x2 block under exact 2x upscale
+    assert np.array_equal(up[0, 0], arr[0, 0]) and np.array_equal(
+        up[1, 1], arr[0, 0]
+    )
+    down = resize_nearest(arr, 2, 2)
+    assert down.shape == (2, 2, 3)
+    assert np.array_equal(down[0, 0], arr[0, 0])
+
+
+def test_decode_png_all_filter_types():
+    """Hand-build an IDAT stream using filters 1-4 (Sub/Up/Average/Paeth)
+    and check reconstruction against a reference implementation."""
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, (4, 5, 3), dtype=np.uint8)
+    h, w, c = arr.shape
+    stride = w * c
+
+    def filt(ftype, row, prev):
+        row = row.astype(np.int32)
+        out = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = int(row[x - c]) if x >= c else 0
+            b = int(prev[x])
+            cc = int(prev[x - c]) if x >= c else 0
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            out[x] = (row[x] - pred) % 256
+        return out.astype(np.uint8)
+
+    raw = b""
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y, ftype in enumerate([1, 2, 3, 4]):
+        flat = arr[y].reshape(-1)
+        raw += bytes([ftype]) + filt(ftype, flat, prev).tobytes()
+        prev = flat
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    w2, h2, c2, got = decode_image(png)
+    assert (w2, h2, c2) == (w, h, 3)
+    assert np.array_equal(got, arr)

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from unifydb_spark.operators.text import shingles_col, shingles_sql_expr, words_col
+from unifydb_spark.resources import tracked_persist
 
 DEC = "decimal(38,18)"
 
@@ -101,7 +102,7 @@ def ngram_jaccard_pairs(
     # both sides of the verification join — persist so the explode+hash
     # runs once per action instead of once per consumer (Spark only reuses
     # *identical* exchanges, and these consumers aggregate differently)
-    sh = _doc_shingles(docs, text_col, n).persist()
+    sh = tracked_persist(_doc_shingles(docs, text_col, n))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     # one ordered window spec for both rank and size: identical
     # partitioning+ordering lets Spark evaluate them in a single Window
@@ -252,7 +253,7 @@ def embedding_rp_pairs(
 
     width = 64 // n_blocks
     mask = (1 << width) - 1
-    sig = embedding_rp_signatures(emb, id_col, vec_col).persist()
+    sig = tracked_persist(embedding_rp_signatures(emb, id_col, vec_col))
     block_structs = []
     for i in range(n_blocks):
         off = i * width
@@ -382,7 +383,7 @@ def decontaminate(
     it broadcasts and the overlap check is a broadcast LEFT SEMI join —
     the corpus is never shuffled; the per-doc counts are map-side
     combinable. No reference analog (SURVEY §2.6 extension)."""
-    sh = _doc_shingles(docs, text_col, n).persist()
+    sh = tracked_persist(_doc_shingles(docs, text_col, n))
     bench_sh = F.broadcast(
         _doc_shingles(benchmark, text_col, n).select("shingle").distinct()
     )
@@ -527,7 +528,7 @@ def minhash_lsh_pairs(
     """Candidate duplicate pairs = docs sharing at least one LSH band
     (band key = md5 of the band's concatenated min-hashes). Sub-quadratic:
     the only join is on band keys."""
-    sig = minhash_signatures(docs, text_col, n, k).persist()
+    sig = tracked_persist(minhash_signatures(docs, text_col, n, k))
     band_rows = minhash_band_rows(sig, k, bands)
     a = band_rows.alias("a")
     b_ = band_rows.alias("b")
@@ -690,7 +691,7 @@ def simhash_pairs(
     Candidate generation: 4 x 16-bit blocks — any pair within hamming 3
     shares at least one identical block (pigeonhole), so the join is on
     block values, never all-pairs."""
-    sig = simhash_signatures(docs, text_col).persist()
+    sig = tracked_persist(simhash_signatures(docs, text_col))
     blocks = sig.select(
         "doc_id", "hi", "lo",
         F.col("lo").bitwiseAND(F.lit(65535)).alias("b0"),

@@ -101,35 +101,40 @@ def connected_components(
     und = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().repartition("dst" if broadcast_labels else "src").persist()
-    for _ in range(max_iter):
-        lab = F.broadcast(labels) if broadcast_labels else labels
-        prop = (
-            und.join(lab, und["src"] == lab["node"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        # carry old + new labels in one checkpointed frame: the change
-        # check is then a scan of this node-sized frame, not another join
-        merged = (
-            labels.join(prop, "node", "left")
-            .select(
-                "node",
-                F.col("component").alias("old_component"),
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
+    # the edge cache feeds only the loop; the returned labels derive from a
+    # checkpointed frame, so the finally-unpersist leaks nothing to callers
+    try:
+        for _ in range(max_iter):
+            lab = F.broadcast(labels) if broadcast_labels else labels
+            prop = (
+                und.join(lab, und["src"] == lab["node"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("component").alias("nbr_min"))
             )
-            .localCheckpoint()
-        )
-        changed = (
-            merged.filter(F.col("component") != F.col("old_component"))
-            .limit(1)
-            .count()
-        )
-        labels = merged.select("node", "component")
-        if changed == 0:
-            break
-    return labels
+            # carry old + new labels in one checkpointed frame: the change
+            # check is then a scan of this node-sized frame, not another join
+            merged = (
+                labels.join(prop, "node", "left")
+                .select(
+                    "node",
+                    F.col("component").alias("old_component"),
+                    F.least(
+                        F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                    ).alias("component"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                merged.filter(F.col("component") != F.col("old_component"))
+                .limit(1)
+                .count()
+            )
+            labels = merged.select("node", "component")
+            if changed == 0:
+                break
+        return labels
+    finally:
+        und.unpersist()
 
 
 def pagerank(
@@ -239,7 +244,15 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
         )
     )
-    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    # materialize the 1-row aggregate eagerly so both caches can be
+    # released before returning (the caller's frame no longer needs them)
+    try:
+        return tri.agg(F.count(F.lit(1)).alias("n_triangles")).localCheckpoint(
+            eager=True
+        )
+    finally:
+        oriented.unpersist()
+        canon.unpersist()
 
 
 def shortest_paths(edges: DataFrame, sources: list[int], max_iter: int = 20) -> DataFrame:
@@ -254,20 +267,24 @@ def shortest_paths(edges: DataFrame, sources: list[int], max_iter: int = 20) -> 
         [(int(s), 0) for s in sources], "node bigint, dist int"
     ).localCheckpoint()
     frontier = dist
-    for d in range(1, max_iter + 1):
-        nxt = (
-            und.join(frontier, und["src"] == frontier["node"])
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(dist, "node", "left_anti")
-            .withColumn("dist", F.lit(d))
-            .localCheckpoint()
-        )
-        if nxt.limit(1).count() == 0:
-            break
-        dist = dist.unionByName(nxt).localCheckpoint()
-        frontier = nxt
-    return dist
+    # edge cache feeds only the loop; dist is checkpointed every superstep
+    try:
+        for d in range(1, max_iter + 1):
+            nxt = (
+                und.join(frontier, und["src"] == frontier["node"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(dist, "node", "left_anti")
+                .withColumn("dist", F.lit(d))
+                .localCheckpoint()
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            dist = dist.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+        return dist
+    finally:
+        und.unpersist()
 
 
 # ---------------------------------------------------------------------------

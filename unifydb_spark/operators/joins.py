@@ -102,14 +102,7 @@ def bloom_probe(
     for i in range(int(k)):
         pos = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m))
         word = F.element_at(arr, (pos / 64).cast("int") + 1)
-        bit = F.expr(
-            f"CAST(pmod(xxhash64({key_col}, {i}), {m}) % 64 AS INT)"
-        )
-        cond = cond & (
-            F.expr(f"shiftright({'_w' + str(i)}, {'_b' + str(i)}) & 1") == 1
-        )
-        df = df.withColumn("_w" + str(i), word).withColumn("_b" + str(i), bit)
-    out = df.filter(cond)
-    return out.drop(
-        *[c for i in range(int(k)) for c in ("_w" + str(i), "_b" + str(i))]
-    )
+        bit = F.pmod(pos, F.lit(64)).cast("int")
+        hit = F.call_function("shiftright", word, bit).bitwiseAND(F.lit(1)) == 1
+        cond = cond & hit
+    return df.filter(cond)

@@ -42,37 +42,157 @@ def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """Real decode path — requires an image codec, absent in this
-    container. The mapInPandas plumbing around it is real and tested."""
+def _png_decode(payload: bytes):
+    """Minimal real PNG decoder (8-bit RGB/RGBA, no interlace): IHDR
+    parse, zlib-inflate IDAT, undo per-row filters. Pure stdlib + numpy —
+    exercises a genuine decode (headers, entropy coding, filter
+    reconstruction) without PIL in the container."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width, height, channels, idat = 8, None, None, None, b""
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color = struct.unpack(">IIBB", data[:10])
+            if depth != 8 or color not in (2, 6) or data[12] != 0:
+                raise NotImplementedError(
+                    "builtin decoder handles 8-bit RGB/RGBA non-interlaced"
+                )
+            channels = 3 if color == 2 else 4
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    img = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int32)
+        if ftype == 0:
+            rec = row
+        elif ftype == 2:  # Up
+            rec = (row + prev) % 256
+        elif ftype == 1:  # Sub
+            rec = row.copy()
+            for x in range(channels, stride):
+                rec[x] = (rec[x] + rec[x - channels]) % 256
+        elif ftype == 3:  # Average
+            rec = row.copy()
+            for x in range(stride):
+                left = rec[x - channels] if x >= channels else 0
+                rec[x] = (rec[x] + (left + int(prev[x])) // 2) % 256
+        elif ftype == 4:  # Paeth
+            rec = row.copy()
+            for x in range(stride):
+                a = int(rec[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                c = int(prev[x - channels]) if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) % 256
+        else:
+            raise NotImplementedError(f"PNG filter {ftype}")
+        img[y] = rec.astype(np.uint8)
+        prev = img[y]
+    return width, height, channels, img.reshape(height, width, channels)
+
+
+def _ppm_decode(payload: bytes):
+    """Binary PPM (P6) decoder — header tokens then raw RGB."""
+    import numpy as np
+
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos] in b" \t\r\n":
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while payload[pos] not in b"\r\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos] not in b" \t\r\n":
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, _maxval = tokens
+    arr = np.frombuffer(
+        payload[pos : pos + width * height * 3], dtype=np.uint8
+    ).reshape(height, width, 3)
+    return width, height, 3, arr
+
+
+def decode_image(payload: bytes):
+    """Real decode path. Prefers PIL when importable (full codec
+    coverage); otherwise uses the built-in pure-python decoders (PNG
+    8-bit RGB/RGBA, binary PPM). Returns (width, height, channels,
+    ndarray[h, w, c]). Raises NotImplementedError for formats neither
+    path handles — the Arrow plumbing around this call is identical
+    either way."""
+    try:
+        from PIL import Image  # noqa: F401 - optional full codec
+
+        import io
+
+        import numpy as np
+
+        img = Image.open(io.BytesIO(payload))
+        arr = np.asarray(img.convert("RGB"))
+        return img.width, img.height, arr.shape[2], arr
+    except ImportError:
+        pass
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_decode(payload)
+    if payload[:2] == b"P6":
+        return _ppm_decode(payload)
     raise NotImplementedError(
-        "image decode requires PIL/libvips; install and replace this stub"
+        "builtin decoder: PNG (8-bit RGB/RGBA) and PPM only; install PIL "
+        "for full coverage"
     )
+
+
+def resize_nearest(arr, out_w: int, out_h: int):
+    """Nearest-neighbor resize of an (h, w, c) array — the real kernel
+    behind resize_images(real_codec=True); numpy fancy-indexing, no loops."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys][:, xs]
 
 
 def extract_features(binary_df: DataFrame, real_decode: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
-    Deterministic fake 'decode': content hash + md5-seeded pseudo
-    dimensions (what a real decoder would read from the image header).
-    ``real_decode=True`` routes through decode_image (stub)."""
+    Default is the deterministic fake 'decode' (content hash + md5-seeded
+    pseudo dimensions) that the SQL oracle replays exactly.
+    ``real_decode=True`` routes through decode_image — a real decoder
+    (PIL when importable, builtin PNG/PPM otherwise) — and reports the
+    image's actual width/height in the same schema."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
-                if real_decode:
-                    decode_image(raw)
                 h = hashlib.md5(raw).hexdigest()
-                out.append(
-                    (
-                        int(doc_id),
-                        len(raw),
-                        h,
-                        64 + int(h[0], 16),
-                        64 + int(h[1], 16),
-                    )
-                )
+                if real_decode:
+                    width, height, _c, _arr = decode_image(raw)
+                else:
+                    width, height = 64 + int(h[0], 16), 64 + int(h[1], 16)
+                out.append((int(doc_id), len(raw), h, width, height))
             yield pd.DataFrame(
                 out,
                 columns=[
@@ -91,14 +211,19 @@ RESIZE_SCHEMA = (
 
 
 def resize_images(
-    binary_df: DataFrame, out_w: int = 224, out_h: int = 224
+    binary_df: DataFrame,
+    out_w: int = 224,
+    out_h: int = 224,
+    real_codec: bool = False,
 ) -> DataFrame:
-    """Arrow-batched resize stage. The real codec call is stubbed (no
-    PIL here) — the deterministic fake keeps the byte-budget arithmetic
-    a real resize has (output capped at out_w*out_h*3 RGB bytes) and
-    derives the output digest from (input digest, target dims) so the
-    whole stage is oracle-checkable. Batch shape/schema/partitioning are
-    the production plumbing: one row in, one row out, bytes never leave
+    """Arrow-batched resize stage. Default is the deterministic fake —
+    it keeps the byte-budget arithmetic a real resize has (output capped
+    at out_w*out_h*3 RGB bytes) and derives the output digest from
+    (input digest, target dims) so the stage is oracle-checkable.
+    ``real_codec=True`` decodes the payload (decode_image) and runs a
+    real nearest-neighbor resize; out_bytes/resized_md5 then describe
+    the actual resized RGB buffer. Batch shape/schema/partitioning are
+    identical in both modes: one row in, one row out, bytes never leave
     the executor."""
     w, h = int(out_w), int(out_h)
 
@@ -108,6 +233,16 @@ def resize_images(
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
                 n = len(raw)
+                if real_codec:
+                    _w0, _h0, _c, arr = decode_image(raw)
+                    buf = resize_nearest(arr, w, h).tobytes()
+                    out.append(
+                        (
+                            int(doc_id), n, w, h, len(buf),
+                            hashlib.md5(buf).hexdigest(),
+                        )
+                    )
+                    continue
                 digest = hashlib.md5(raw).hexdigest()
                 resized = hashlib.md5(
                     (digest + f"|{w}x{h}").encode()

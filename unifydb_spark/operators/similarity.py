@@ -240,47 +240,52 @@ def kmeans_assign(
         .alias("vn2")
     ).persist()
     assign = None
-    for _ in range(iters):
-        cnorm = cent.groupBy("cluster").agg(
-            F.sum((F.col("m") * F.col("m")).cast("decimal(38,18)"))
-            .cast("double")
-            .alias("cn2")
-        )
-        dots = (
-            ex.join(cent, "dim")
-            .groupBy("vid", "cluster")
-            .agg(
-                F.sum((F.col("x") * F.col("m")).cast("decimal(38,18)"))
+    try:
+        for _ in range(iters):
+            cnorm = cent.groupBy("cluster").agg(
+                F.sum((F.col("m") * F.col("m")).cast("decimal(38,18)"))
                 .cast("double")
-                .alias("dot")
+                .alias("cn2")
             )
-        )
-        scored = (
-            dots.join(cnorm, "cluster")
-            .join(vnorm, "vid")
-            .withColumn(
-                "cos", F.col("dot") / (F.sqrt("vn2") * F.sqrt("cn2"))
+            dots = (
+                ex.join(cent, "dim")
+                .groupBy("vid", "cluster")
+                .agg(
+                    F.sum((F.col("x") * F.col("m")).cast("decimal(38,18)"))
+                    .cast("double")
+                    .alias("dot")
+                )
             )
-        )
-        w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("cluster"))
-        assign = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .select("vid", "cluster")
-            .localCheckpoint()
-        )
-        cent = (
-            ex.join(assign, "vid")
-            .groupBy("cluster", "dim")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
-                    / F.count("x")
-                ).alias("m")
+            scored = (
+                dots.join(cnorm, "cluster")
+                .join(vnorm, "vid")
+                .withColumn(
+                    "cos", F.col("dot") / (F.sqrt("vn2") * F.sqrt("cn2"))
+                )
             )
-            .localCheckpoint()
-        )
-    return assign.select(F.col("vid").alias(id_col), "cluster")
+            w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("cluster"))
+            assign = (
+                scored.withColumn("rn", F.row_number().over(w))
+                .filter("rn = 1")
+                .select("vid", "cluster")
+                .localCheckpoint()
+            )
+            cent = (
+                ex.join(assign, "vid")
+                .groupBy("cluster", "dim")
+                .agg(
+                    (
+                        F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                        / F.count("x")
+                    ).alias("m")
+                )
+                .localCheckpoint()
+            )
+        return assign.select(F.col("vid").alias(id_col), "cluster")
+    finally:
+        # loop intermediates only; `assign` is checkpointed each iteration
+        ex.unpersist()
+        vnorm.unpersist()
 
 
 def kmeans_assign_sql(

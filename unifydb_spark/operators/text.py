@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from unifydb_spark.resources import tracked_persist
+
 # BPE-ish word/number/symbol token pattern (token *counting*, not a real BPE)
 TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
@@ -532,7 +534,7 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 3) -> Data
     # persist the post-shuffle tf relation: it feeds both the scored join
     # and the vocab df aggregate — without it Catalyst re-scans and
     # re-explodes the corpus (the expensive step at scale) a second time
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = tracked_persist(toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (

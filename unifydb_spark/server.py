@@ -200,7 +200,14 @@ class EngineHandler(BaseHTTPRequestHandler):
                 )
                 df, _ = self.engine.compile(q, db)
                 cols = df.columns
-                rows = self.engine.query_rows(q, db)
+                try:
+                    rows = self.engine.query_rows(q, db)
+                finally:
+                    # results are materialized; drop any operator-internal
+                    # caches so a long-lived server doesn't accumulate them
+                    from unifydb_spark.resources import release_persisted
+
+                    release_persisted()
                 return self._send(200, {"columns": cols, "results": rows})
             if self.path == "/transact":
                 report = self.engine.transact(
