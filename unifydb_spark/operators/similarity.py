@@ -111,6 +111,52 @@ def ivf_assign(
     )
 
 
+def ivf_assign_partitioned(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """Materialize the IVF assignment Hive-partitioned by centroid_id and
+    return a reader over it. This is SCALE.md's 'bucket id is the natural
+    partition key' made persistent: a probe that filters on centroid_id
+    becomes a partition-PRUNED scan — nprobe/n_centroids of the files are
+    even opened, no filter evaluation over the rest (asserted on plan
+    shape by tests/test_scale_proofs.py)."""
+    spark = emb.sparkSession
+    ivf_assign(emb, id_col, vec_col, n_centroids).write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(path)
+    return spark.read.parquet(path)
+
+
+def ivf_assign_bucketed(
+    emb: DataFrame,
+    table_name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Materialize the IVF assignment as a managed table bucketBy
+    centroid_id. Joins and aggregations keyed on centroid_id over this
+    table plan with NO Exchange on its side (the bucket spec supplies the
+    hash partitioning) — the persistent co-location that repartition()
+    only gives within a single job. Same machinery as
+    store.materialize_snapshot_bucketed, applied to the ANN index."""
+    spark = emb.sparkSession
+    (
+        ivf_assign(emb, id_col, vec_col, n_centroids)
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "centroid_id")
+        .sortBy("centroid_id")
+        .saveAsTable(table_name)
+    )
+    return spark.table(table_name)
+
+
 def ivf_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
