@@ -1486,6 +1486,29 @@ def q76_quantize_int8(spark, sf_dir):
     return quantize_int8(_emb(spark, sf_dir)).orderBy("vec_id")
 
 
+def q77_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest dedup: the 'daily batch' (doc_id % 4 == 0)
+    deduplicates against the persistent corpus LSH index
+    (operators/dedup.py minhash_lsh_pairs_incremental + minhash_band_rows).
+    Signatures are computed for the batch only; the corpus index joins on
+    (band, band_key) — O(batch) compute against an arbitrarily large
+    corpus, the shape a 100 TB ingest pipeline runs daily."""
+    from unifydb_spark.operators.dedup import (
+        minhash_band_rows,
+        minhash_lsh_pairs_incremental,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus_idx = minhash_band_rows(
+        minhash_signatures(docs.filter(F.col("doc_id") % 4 != 0))
+    )
+    return minhash_lsh_pairs_incremental(batch, corpus_idx).orderBy(
+        "new_doc_id", "corpus_doc_id"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1569,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_image_resize": q74_image_resize,
         "q75_frame_sample": q75_frame_sample,
         "q76_quantize_int8": q76_quantize_int8,
+        "q77_incremental_dedup": q77_incremental_dedup,
     }
 
 
@@ -1875,6 +1899,7 @@ def _operator_oracles() -> dict[str, str]:
         "q28_ivf_topk": _s.ivf_topk_sql(),
         "q29_multimodal_features": _m.features_sql(),
         "q70_minhash_verified": _d.minhash_verified_sql(threshold=0.8),
+        "q77_incremental_dedup": _d.minhash_incremental_sql(),
         "q44_dedup_clusters": _d.dedup_clusters_sql(threshold=0.8),
         "q45_vocab_stats": _t.vocab_stats_sql(top_k=50),
         "q46_label_centroids": _s.label_centroids_sql(),

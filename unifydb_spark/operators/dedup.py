@@ -575,6 +575,47 @@ def minhash_lsh_sql(
     """
 
 
+def minhash_incremental_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    batch_where: str = "doc_id % 4 = 0",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+) -> str:
+    """DuckDB oracle for minhash_lsh_pairs_incremental: band rows over the
+    whole table, pairs restricted to (batch, corpus) — identical band-key
+    math, so the incremental path must reproduce this exactly."""
+    r = k // bands
+    mh_exprs = ", ".join(
+        f"MIN(md5('{i}:' || shingle)) AS mh{i}" for i in range(k)
+    )
+    band_selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"mh{b * r + j}" for j in range(r))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split({text_col}, ' '), w -> w != '') AS ws
+          FROM {table}
+        ), sh AS (
+          SELECT DISTINCT doc_id, unnest({shingles_sql_expr(n)}) AS shingle FROM toks
+        ), sig AS (
+          SELECT doc_id, {mh_exprs} FROM sh GROUP BY doc_id
+        ), band_rows AS ({bands_sql})
+        SELECT DISTINCT nb.doc_id AS new_doc_id, cb.doc_id AS corpus_doc_id
+        FROM band_rows nb JOIN band_rows cb
+          ON nb.band = cb.band AND nb.band_key = cb.band_key
+         AND nb.doc_id != cb.doc_id
+        WHERE nb.doc_id IN (SELECT doc_id FROM {table} WHERE {batch_where})
+          AND cb.doc_id NOT IN (SELECT doc_id FROM {table} WHERE {batch_where})
+        ORDER BY new_doc_id, corpus_doc_id
+    """
+
+
 def minhash_verified_pairs(
     docs: DataFrame,
     text_col: str = "text",
