@@ -1509,6 +1509,20 @@ def q77_incremental_dedup(spark, sf_dir):
     )
 
 
+def q78_audio_features(spark, sf_dir):
+    """Audio stage of the multimodal triad: synthetic WAV payloads (one
+    per doc, formula-generated PCM), REAL RIFF/PCM decode inside
+    mapInPandas, then windowed sum-of-squares / RMS features
+    (operators/multimodal.py decode_wav + audio_features). The oracle
+    regenerates the samples symbolically — the decode round-trip must be
+    byte-exact for the hash to match."""
+    from unifydb_spark.operators.multimodal import audio_features, synth_audio
+
+    return audio_features(
+        synth_audio(_docs(spark, sf_dir)), window=128
+    ).orderBy("doc_id", "win_idx")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1593,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_frame_sample": q75_frame_sample,
         "q76_quantize_int8": q76_quantize_int8,
         "q77_incremental_dedup": q77_incremental_dedup,
+        "q78_audio_features": q78_audio_features,
     }
 
 
@@ -1900,6 +1915,7 @@ def _operator_oracles() -> dict[str, str]:
         "q29_multimodal_features": _m.features_sql(),
         "q70_minhash_verified": _d.minhash_verified_sql(threshold=0.8),
         "q77_incremental_dedup": _d.minhash_incremental_sql(),
+        "q78_audio_features": _m.audio_features_sql(window=128),
         "q44_dedup_clusters": _d.dedup_clusters_sql(threshold=0.8),
         "q45_vocab_stats": _t.vocab_stats_sql(top_k=50),
         "q46_label_centroids": _s.label_centroids_sql(),

@@ -164,3 +164,44 @@ def test_decode_png_all_filter_types():
     w2, h2, c2, got = decode_image(png)
     assert (w2, h2, c2) == (w, h, 3)
     assert np.array_equal(got, arr)
+
+
+def test_wav_roundtrip():
+    from unifydb_spark.operators.multimodal import decode_wav, make_wav
+
+    rng = np.random.RandomState(3)
+    samples = rng.randint(-32768, 32768, 777).astype("<i2")
+    rate, channels, got = decode_wav(make_wav(samples, 8000))
+    assert (rate, channels) == (8000, 1)
+    assert np.array_equal(got, samples)
+
+
+def test_wav_rejects_non_riff():
+    from unifydb_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS not a wav")
+
+
+def test_audio_features_end_to_end(spark):
+    """synth -> REAL RIFF decode -> windowed RMS, checked against direct
+    numpy on the generating formula (the same check the SQL oracle runs)."""
+    from unifydb_spark.operators.multimodal import audio_features, synth_audio
+
+    docs = spark.createDataFrame([(d,) for d in [0, 3, 6]], "doc_id bigint")
+    rows = audio_features(synth_audio(docs), window=128).collect()
+    by_key = {(r["doc_id"], r["win_idx"]): r for r in rows}
+    import math
+
+    for d in [0, 3, 6]:
+        n = 256 + (d % 7) * 128
+        i = np.arange(n, dtype=np.int64)
+        samples = (d * 31 + i * 17) % 65536 - 32768
+        assert sum(1 for k in by_key if k[0] == d) == (n + 127) // 128
+        for wi in range(0, n, 128):
+            chunk = samples[wi : wi + 128]
+            ssq = int((chunk * chunk).sum())
+            r = by_key[(d, wi // 128)]
+            assert r["n_samples"] == len(chunk)
+            assert r["sum_sq"] == ssq
+            assert r["rms"] == round(math.sqrt(ssq / len(chunk)), 6)
