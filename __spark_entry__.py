@@ -1523,6 +1523,17 @@ def q78_audio_features(spark, sf_dir):
     ).orderBy("doc_id", "win_idx")
 
 
+def q79_range_join(spark, sf_dir):
+    """Batch point-in-interval range join via the binned equi-join
+    strategy (operators/events.py range_join_binned): intervals explode
+    to covered time bins, points join on their bin, exact containment
+    filters after — O(points + interval-bins) shuffle instead of the
+    nested-loop a BETWEEN theta-join plans. Oracle IS that theta-join."""
+    from unifydb_spark.operators.events import interval_activity
+
+    return interval_activity(_events_ts(spark, sf_dir)).orderBy("owner")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1608,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_quantize_int8": q76_quantize_int8,
         "q77_incremental_dedup": q77_incremental_dedup,
         "q78_audio_features": q78_audio_features,
+        "q79_range_join": q79_range_join,
     }
 
 
@@ -1797,6 +1809,7 @@ def _operator_oracles() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "q65_funnel": _ev.funnel_sql(),
+        "q79_range_join": _ev.interval_activity_sql(),
         "q66_retention_cohorts": _ev.retention_cohorts_sql(),
         "q42_stream_interval_join": _ij_sql(lookback_minutes=30),
         "q68_robust_outliers": _st.robust_outliers_sql(

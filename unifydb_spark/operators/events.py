@@ -356,3 +356,96 @@ def retention_cohorts_sql(table: str = "events") -> str:
         FROM days JOIN first USING (user_id)
         GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bin_hours: int = 24,
+) -> DataFrame:
+    """Point-in-interval range join, scale-safe: a naive theta-join
+    (`p.ts BETWEEN i.start AND i.end`) plans as a nested-loop over the
+    full cross space. Instead each interval explodes to the time BINS it
+    covers (sequence over bin indices — intervals are bounded, so the
+    fan-out is end-start/bin_hours + 1 rows), points compute their single
+    bin, and the join is an EQUI-join on bin followed by the exact
+    containment filter. Shuffle volume is O(points + interval-bins); with
+    both sides laid out by bin (partitionBy/bucketBy), it co-locates like
+    any other hash join — the hypertable chunk-wise range-join strategy.
+
+    Keeps every `intervals` column; containment is start <= ts < end
+    (microsecond precision, engine-portable integer comparisons)."""
+    bin_us = int(bin_hours) * 3_600_000_000
+    p = points.withColumn(
+        "__bin", (F.unix_micros(F.col(ts_col)) / bin_us).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col(start_col)) / bin_us).cast("long"),
+                (F.unix_micros(F.col(end_col)) / bin_us).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, "__bin")
+        .filter(
+            (F.unix_micros(F.col(ts_col)) >= F.unix_micros(F.col(start_col)))
+            & (F.unix_micros(F.col(ts_col)) < F.unix_micros(F.col(end_col)))
+        )
+        .drop("__bin")
+    )
+
+
+def interval_activity(events: DataFrame, user_mod: int = 11) -> DataFrame:
+    """Range-join demo over real data: 'owner' users (user_id % user_mod
+    == 0) each own one irregular interval [first event, first event +
+    (user_id % 72) hours); count ALL users' events falling inside each
+    owner's interval. Returns (owner, n_events, sum_value)."""
+    firsts = (
+        events.filter(F.col("user_id") % user_mod == 0)
+        .groupBy(F.col("user_id").alias("owner"))
+        .agg(F.min("ts").alias("start_ts"))
+        .withColumn(
+            "end_ts",
+            F.timestamp_micros(
+                F.unix_micros(F.col("start_ts"))
+                + (F.col("owner") % 72) * 3_600_000_000
+            ),
+        )
+    )
+    joined = range_join_binned(
+        events.select("event_id", "ts", "value"), firsts, bin_hours=24
+    )
+    return joined.groupBy("owner").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 4
+        ).alias("sum_value"),
+    )
+
+
+def interval_activity_sql(table: str = "events", user_mod: int = 11) -> str:
+    """DuckDB oracle: the same containment as a plain BETWEEN theta-join
+    (the binned equi-join must reproduce it exactly)."""
+    return f"""
+        WITH firsts AS (
+          SELECT user_id AS owner, MIN(ts) AS start_ts
+          FROM {table} WHERE user_id % {user_mod} = 0 GROUP BY 1
+        ), iv AS (
+          SELECT owner, start_ts,
+                 start_ts + to_hours(owner % 72) AS end_ts
+          FROM firsts
+        )
+        SELECT owner, COUNT(*) AS n_events,
+               ROUND(CAST(CAST(SUM(CAST(e.value AS DECIMAL(30,10)))
+                     AS VARCHAR) AS DOUBLE), 4) AS sum_value
+        FROM iv JOIN {table} e
+          ON epoch_us(e.ts) >= epoch_us(iv.start_ts)
+         AND epoch_us(e.ts) < epoch_us(iv.end_ts)
+        GROUP BY 1 ORDER BY 1
+    """
