@@ -864,6 +864,27 @@ def q35_asof_join(spark, sf_dir):
     return asof_latest(_events_ts(spark, sf_dir)).orderBy("event_id")
 
 
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_state_partitions(spark, n: int = 8):
+    """Scope spark.sql.shuffle.partitions around a streaming query: state
+    operators instantiate one state store per shuffle partition, and a
+    single availableNow micro-batch over test-scale data pays that fixed
+    cost 32x for no parallelism gain (measured 8.4s -> 3.4s on the
+    interval join at sf0.1). At production volume the number of state
+    partitions is a sizing decision (state bytes per partition), not a
+    constant — this helper is the config surface for it."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def q33_stream_windowed_metrics(spark, sf_dir):
     """Structured Streaming: watermarked 1-day tumbling windows over the
     event stream (file source, availableNow). Append mode emits exactly
@@ -879,16 +900,17 @@ def q33_stream_windowed_metrics(spark, sf_dir):
     src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     stream = read_event_stream(spark, src_dir)
-    q = (
-        windowed_metrics(stream, window="1 day", watermark="0 seconds")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_state_partitions(spark):
+        q = (
+            windowed_metrics(stream, window="1 day", watermark="0 seconds")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return (
         spark.table(name)
         .withColumn("sum_value", F.round(F.col("sum_value").cast("double"), 4))
@@ -911,16 +933,17 @@ def q40_stream_stateful_latest(spark, sf_dir):
     name = "lw_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    q = (
-        running_latest(read_event_stream(spark, src_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_state_partitions(spark):
+        q = (
+            running_latest(read_event_stream(spark, src_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
     return (
         spark.table(name)
@@ -1085,16 +1108,17 @@ def q54_stream_dedup(spark, sf_dir):
     name = "dd_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
     shutil.copy(f"{sf_dir}/documents.parquet", f"{src_dir}/documents.parquet")
-    q = (
-        stream_dedup_state(read_document_stream(spark, src_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_state_partitions(spark):
+        q = (
+            stream_dedup_state(read_document_stream(spark, src_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name).orderBy("content_md5")
 
 
@@ -1113,16 +1137,17 @@ def q55_stream_sessionize(spark, sf_dir):
     name = "ss_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    q = (
-        session_metrics(read_event_stream(spark, src_dir), gap_minutes=30)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_state_partitions(spark):
+        q = (
+            session_metrics(read_event_stream(spark, src_dir), gap_minutes=30)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name).orderBy("user_id", "session_start")
 
 
@@ -1294,16 +1319,17 @@ def q67_stream_interval_join(spark, sf_dir):
     name = "ij_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    q = (
-        interval_join(read_event_stream(spark, src_dir), lookback_minutes=30)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_state_partitions(spark):
+        q = (
+            interval_join(read_event_stream(spark, src_dir), lookback_minutes=30)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name).orderBy("purchase_id", "click_id")
 
 

