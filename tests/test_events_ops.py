@@ -124,3 +124,46 @@ def test_retention_cohorts(spark):
     assert out[("2024-01-01", 2)] == 1
     assert out[("2024-01-03", 0)] == 1
     assert len(out) == 3
+
+
+def test_range_join_binned_equals_theta_join(spark):
+    """Binned equi-join must equal the naive theta-join on adversarial
+    intervals: zero-length, bin-boundary-aligned ends, multi-bin spans,
+    and points exactly on start/end (containment is start <= ts < end)."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from unifydb_spark.operators.events import range_join_binned
+
+    def ts(h, m=0, s=0):
+        return dtm.datetime(2024, 1, 1 + h // 24, h % 24, m, s)
+
+    points = spark.createDataFrame(
+        [(i, ts(h, m)) for i, (h, m) in enumerate(
+            [(0, 0), (0, 30), (1, 0), (23, 59), (24, 0), (25, 0), (47, 59), (48, 0)]
+        )],
+        "pid bigint, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, ts(0), ts(0)),        # zero-length -> matches nothing
+            (101, ts(0), ts(1)),        # [00:00, 01:00): boundary end excluded
+            (102, ts(0, 30), ts(24)),   # spans the bin boundary
+            (103, ts(23), ts(25)),      # crosses midnight
+            (104, ts(0), ts(48)),       # multi-bin (3 bins at 24h width)
+        ],
+        "iid bigint, start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_binned(points, intervals, bin_hours=24).collect()
+    }
+    want = {
+        (r["pid"], r["iid"])
+        for r in points.crossJoin(intervals)
+        .filter((F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")))
+        .collect()
+    }
+    assert got == want
+    assert (100 not in {i for _, i in got}) and (7, 104) not in got
