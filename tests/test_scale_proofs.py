@@ -134,3 +134,60 @@ def test_salted_join_rebalances_hot_key(spark):
     plain = fact.join(dim, "key")
     assert got.count() == plain.count() == hot + 40
     assert got.exceptAll(plain).count() == 0
+
+
+def test_lsh_index_ingest_no_corpus_exchange(spark):
+    """The persisted corpus LSH index (bucketBy band, band_key) joins an
+    ingest batch's band rows with no exchange on the corpus side — the
+    daily-ingest shape from SCALE.md: O(batch) compute, corpus hashed
+    once at build time."""
+    from unifydb_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        write_lsh_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 5} epsilon zeta") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    corpus = docs.filter("doc_id % 4 != 0")
+    batch = docs.filter("doc_id % 4 = 0")
+    name = "lsh_index_proof"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        from unifydb_spark.operators.dedup import (
+            minhash_band_rows,
+            minhash_signatures,
+        )
+
+        def final_plan(df):
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return plan.split("== Initial Plan ==")[0]
+
+        idx = write_lsh_index(corpus, name, n_buckets=4)
+        out = minhash_lsh_pairs_incremental(batch, idx)
+        unbucketed = minhash_lsh_pairs_incremental(
+            batch, minhash_band_rows(minhash_signatures(corpus))
+        )
+        b_plan, u_plan = final_plan(out), final_plan(unbucketed)
+        # the bucketed corpus scan needs no shuffle before the band join
+        # (and no re-hash of the corpus at all): strictly fewer exchanges
+        # than the identical query over the plain recomputed frame
+        assert "SelectedBucketsCount" in b_plan
+        assert b_plan.count("Exchange hashpartitioning") < u_plan.count(
+            "Exchange hashpartitioning"
+        )
+        want = {
+            (r["new_doc_id"], r["corpus_doc_id"])
+            for r in unbucketed.collect()
+        }
+        assert {
+            (r["new_doc_id"], r["corpus_doc_id"]) for r in out.collect()
+        } == want
+        assert want  # the %5 text pattern guarantees cross-set duplicates
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

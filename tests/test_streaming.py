@@ -229,3 +229,28 @@ def test_interval_join_matches_batch(spark, tmp_path):
            for r in spark.table("ij_test").collect()}
     want = {(2, 1, 600_000_000), (2, 5, 300_000_000)}
     assert got == want
+
+
+def test_normalize_event_ts_both_vintages(spark):
+    """The testdata has shipped event time as INT64 nanos and as parquet
+    timestamp[us] across rounds; normalize_event_ts must map both to the
+    same TimestampType wall-clock values."""
+    import datetime as dtm
+
+    wall = [
+        dtm.datetime(2024, 1, 1, 0, 0, 1, 123456),
+        dtm.datetime(2024, 1, 30, 23, 59, 59, 999999),
+    ]
+    as_ts = spark.createDataFrame([(w,) for w in wall], "ts timestamp")
+    as_ntz = spark.createDataFrame([(w,) for w in wall], "ts timestamp_ntz")
+    as_nanos = spark.createDataFrame(
+        [(int(w.replace(tzinfo=dtm.timezone.utc).timestamp() * 1_000_000) * 1000,)
+         for w in wall],
+        "ts bigint",
+    )
+    outs = []
+    for df in (as_ts, as_ntz, as_nanos):
+        out = normalize_event_ts(df)
+        assert dict(out.dtypes)["ts"] == "timestamp"
+        outs.append([r["ts"] for r in out.orderBy("ts").collect()])
+    assert outs[0] == outs[1] == outs[2] == sorted(wall)

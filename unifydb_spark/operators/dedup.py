@@ -484,6 +484,33 @@ def minhash_band_rows(sig: DataFrame, k: int = 8, bands: int = 4) -> DataFrame:
     )
 
 
+def write_lsh_index(
+    docs: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Materialize the corpus LSH index as a managed table bucketBy
+    (band, band_key) — the persistent layout minhash_band_rows' docstring
+    prescribes. Every later ingest batch joins its band rows against this
+    table WITHOUT a corpus-side exchange (the bucket spec supplies the
+    hash partitioning); the corpus is hashed exactly once per build, not
+    per ingest. Same machinery as similarity.ivf_assign_bucketed."""
+    spark = docs.sparkSession
+    (
+        minhash_band_rows(minhash_signatures(docs, text_col, n, k), k, bands)
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "band", "band_key")
+        .sortBy("band", "band_key")
+        .saveAsTable(table_name)
+    )
+    return spark.table(table_name)
+
+
 def minhash_lsh_pairs_incremental(
     new_docs: DataFrame,
     corpus_band_rows: DataFrame,
