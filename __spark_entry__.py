@@ -1560,6 +1560,18 @@ def q79_range_join(spark, sf_dir):
     return interval_activity(_events_ts(spark, sf_dir)).orderBy("owner")
 
 
+def q80_corpus_mix(spark, sf_dir):
+    """Corpus mixing to target source weights under a total token budget
+    (operators/text.py mix_by_token_budget): deterministic per-source
+    weights, md5-shuffle order, cumulative-token window selection — the
+    composition step that assembles the final training mixture."""
+    from unifydb_spark.operators.text import mix_by_token_budget
+
+    return mix_by_token_budget(_docs(spark, sf_dir), total_tokens=10_000).orderBy(
+        "doc_id"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1646,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_incremental_dedup": q77_incremental_dedup,
         "q78_audio_features": q78_audio_features,
         "q79_range_join": q79_range_join,
+        "q80_corpus_mix": q80_corpus_mix,
     }
 
 
@@ -1957,6 +1970,7 @@ def _operator_oracles() -> dict[str, str]:
         "q78_audio_features": _m.audio_features_sql(window=128),
         "q44_dedup_clusters": _d.dedup_clusters_sql(threshold=0.8),
         "q45_vocab_stats": _t.vocab_stats_sql(top_k=50),
+        "q80_corpus_mix": _t.mix_by_token_budget_sql(total_tokens=10_000),
         "q46_label_centroids": _s.label_centroids_sql(),
         "q72_kmeans": _s.kmeans_assign_sql(k=8, iters=3),
         "q48_event_histogram": """

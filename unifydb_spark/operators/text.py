@@ -13,7 +13,7 @@ so a SQL oracle reproduces values bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from unifydb_spark.resources import tracked_persist
@@ -717,4 +717,91 @@ def bigram_commonness_sql(
                  AS commonness
         FROM bg JOIN counts USING (bg)
         GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def mix_by_token_budget(
+    docs: DataFrame,
+    total_tokens: int,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Corpus mixing: fill a total token budget from each source in
+    proportion to deterministic per-source weights — the final
+    composition step of a training-data pipeline (given target mixture
+    weights, select documents until each source's token budget is full).
+
+    Deterministic end to end: the per-source weight derives from the
+    source name (md5 first hex digit % 3 + 1 — a stand-in for configured
+    mixture weights, chosen so the SQL oracle can recompute it), the
+    within-source order is the md5 shuffle of doc_id, and a document is
+    selected iff it STARTS inside its source's budget (cumulative token
+    window). Returns (doc_id, source, n_tok).
+
+    Scale: one window per source partition — a single shuffle on source;
+    the budget computation is a broadcast-sized per-source aggregate. At
+    100 TB the md5-rank order also makes the selection stable under
+    re-partitioning and incremental re-runs."""
+    t = F.col(text_col)
+    n_tok = F.size(F.filter(F.split(t, " "), lambda x: x != ""))
+    wt = (
+        F.conv(F.substring(F.md5(F.col(source_col)), 1, 1), 16, 10).cast("long")
+        % 3 + 1
+    )
+    d = docs.select(
+        "doc_id",
+        F.col(source_col).alias("source"),
+        n_tok.alias("n_tok"),
+        wt.alias("wt"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    )
+    weights = d.select("source", "wt").distinct()
+    total_wt = weights.agg(F.sum("wt").alias("tw"))
+    budgets = F.broadcast(
+        weights.crossJoin(total_wt).select(
+            "source",
+            F.floor(F.lit(int(total_tokens)) * F.col("wt") / F.col("tw")).alias(
+                "budget"
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("rk", "doc_id")
+    return (
+        d.withColumn("cum", F.sum("n_tok").over(w))
+        .join(budgets, "source")
+        .filter(F.col("cum") - F.col("n_tok") < F.col("budget"))
+        .select("doc_id", "source", "n_tok")
+    )
+
+
+def mix_by_token_budget_sql(
+    table: str = "documents",
+    total_tokens: int = 100_000,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    return f"""
+        WITH w AS (
+          SELECT {source_col} AS source,
+                 (strpos('0123456789abcdef', substr(md5({source_col}), 1, 1)) - 1)
+                   % 3 + 1 AS wt
+          FROM (SELECT DISTINCT {source_col} FROM {table})
+        ), tot AS (SELECT SUM(wt) AS tw FROM w),
+        budget AS (
+          SELECT source, FLOOR({int(total_tokens)} * wt / tw) AS b FROM w, tot
+        ), d AS (
+          SELECT doc_id, {source_col} AS source,
+                 len(list_filter(string_split({text_col}, ' '), x -> x != ''))
+                   AS n_tok,
+                 md5(CAST(doc_id AS VARCHAR)) AS rk
+          FROM {table}
+        ), c AS (
+          SELECT d.*, SUM(n_tok) OVER (
+            PARTITION BY source ORDER BY rk, doc_id) AS cum
+          FROM d
+        )
+        SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok
+        FROM c JOIN budget USING (source)
+        WHERE cum - n_tok < b
+        ORDER BY doc_id
     """
