@@ -1572,6 +1572,19 @@ def q80_corpus_mix(spark, sf_dir):
     )
 
 
+def q81_count_min(spark, sf_dir):
+    """Count-min sketch heavy hitters (operators/sketch.py): a d x w
+    counter table built in one bounded aggregation estimates term
+    frequencies; the query compares CMS estimates to exact counts for
+    the top-50 terms. md5-seeded hashing makes the sketch — and thus the
+    estimates, collisions included — bit-identical on the oracle."""
+    from unifydb_spark.operators.sketch import term_frequency_cms
+
+    return term_frequency_cms(_docs(spark, sf_dir), top_k=50).orderBy(
+        F.col("true_count").desc(), "term"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1659,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_audio_features": q78_audio_features,
         "q79_range_join": q79_range_join,
         "q80_corpus_mix": q80_corpus_mix,
+        "q81_count_min": q81_count_min,
     }
 
 
@@ -1971,6 +1985,9 @@ def _operator_oracles() -> dict[str, str]:
         "q44_dedup_clusters": _d.dedup_clusters_sql(threshold=0.8),
         "q45_vocab_stats": _t.vocab_stats_sql(top_k=50),
         "q80_corpus_mix": _t.mix_by_token_budget_sql(total_tokens=10_000),
+        "q81_count_min": __import__(
+            "unifydb_spark.operators.sketch", fromlist=["x"]
+        ).term_frequency_cms_sql(top_k=50),
         "q46_label_centroids": _s.label_centroids_sql(),
         "q72_kmeans": _s.kmeans_assign_sql(k=8, iters=3),
         "q48_event_histogram": """

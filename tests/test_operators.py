@@ -546,3 +546,33 @@ def test_quantize_int8_zero_vector_guard(spark):
     out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
     assert out[0]["q"] is None and out[0]["scale"] is None
     assert out[1]["q"] == "63,-127"  # floor(1*63.5), floor(-2*63.5)
+
+
+def test_count_min_overcounts_never_undercounts(spark):
+    from pyspark.sql import functions as F
+
+    from unifydb_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    toks = spark.createDataFrame(
+        [(f"w{i % 17}",) for i in range(500)], "term string"
+    )
+    # tiny width forces collisions: estimates may exceed, never undershoot
+    sketch = count_min_build(toks, "term", width=8, depth=3)
+    true = toks.groupBy("term").agg(F.count(F.lit(1)).alias("t"))
+    est = count_min_estimate(sketch, true.select("term"), "term", width=8, depth=3)
+    rows = est.join(true, "term").collect()
+    assert len(rows) == 17
+    assert all(r["cms_est"] >= r["t"] for r in rows)
+    # generous width: no collisions, estimates exact
+    sketch2 = count_min_build(toks, "term", width=4096, depth=3)
+    est2 = count_min_estimate(
+        sketch2, true.select("term"), "term", width=4096, depth=3
+    )
+    assert all(
+        r["cms_est"] == r["t"] for r in est2.join(true, "term").collect()
+    )
+    # sketch size is bounded by d*w regardless of input rows
+    assert sketch.count() <= 8 * 3

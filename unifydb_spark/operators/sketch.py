@@ -1,0 +1,165 @@
+"""Count-min sketch: sub-linear frequency estimation for heavy-hitter
+queries over unbounded key domains.
+
+At 100 TB an exact per-key count of a high-cardinality column (terms,
+URLs, user agents) is a full shuffle of the key domain; a count-min
+sketch is a fixed d x w integer table built with ONE aggregation whose
+group count is bounded by d*w (map-side combinable, broadcast-sized
+result, mergeable across partitions/days by elementwise addition — the
+property that makes it a streaming/rollup primitive). Estimates
+overcount only (est >= true), by at most ||f||_1 * e/w with probability
+1 - e^-d.
+
+Hashing is md5-seeded (row i hashes md5("i:key")), the same primitive
+every other operator in this repo uses, so a SQL oracle reproduces the
+sketch — and therefore the estimates — bit-for-bit.
+
+The reference has no sketches (SURVEY §2.6); this extends the R9
+approx-count-distinct family (HLL) with the frequency-estimation twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _slot(col, i: int, width: int):
+    """Row-i hash slot: md5("i:key") taken as a 60-bit int, mod width.
+    conv() of 15 hex chars stays within long range (16^15 = 2^60)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), col)), 1, 15), 16, 10)
+        .cast("long")
+        % width
+    )
+
+
+def count_min_build(
+    keys: DataFrame, key_col: str, width: int = 256, depth: int = 4
+) -> DataFrame:
+    """Build the sketch from a relation of key occurrences (one row per
+    occurrence). Returns (row, slot, c) — at most depth*width rows. One
+    explode (depth entries per occurrence) + one groupBy; partial
+    aggregation collapses to d*w counters per map task before the
+    shuffle, so shuffle volume is O(d*w * n_partitions), not O(rows)."""
+    w, d = int(width), int(depth)
+    entries = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _slot(F.col(key_col), i, w).alias("slot"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("e")
+    ).select("e.row", "e.slot")
+    return entries.groupBy("row", "slot").agg(F.count(F.lit(1)).alias("c"))
+
+
+def count_min_estimate(
+    sketch: DataFrame, queries: DataFrame, key_col: str, width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Estimate each query key's count: min over the d rows of the
+    counter at that key's slot (missing slot = 0). The sketch side is
+    d*w rows — broadcast; per-key cost is d lookups, no scan of the
+    original data. Returns (key_col, cms_est)."""
+    w, d = int(width), int(depth)
+    probes = queries.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _slot(F.col(key_col), i, w).alias("slot"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("e"),
+    ).select(key_col, "e.row", "e.slot")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "slot"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cms_est"))
+    )
+
+
+def term_frequency_cms(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Heavy-hitter demo over document terms: sketch all term
+    occurrences, then compare the CMS estimate against the exact count
+    for the top_k most frequent terms (ties broken by term). Returns
+    (term, true_count, cms_est) — est >= true always; equality when the
+    term's slots are collision-free."""
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("term")
+    )
+    sketch = count_min_build(toks, "term", width, depth)
+    true_counts = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "term")
+        .limit(int(top_k))
+    )
+    return (
+        count_min_estimate(sketch, true_counts.select("term"), "term", width, depth)
+        .join(true_counts, "term")
+        .select("term", "true_count", "cms_est")
+    )
+
+
+def term_frequency_cms_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    top_k: int = 50,
+    width: int = 256,
+    depth: int = 4,
+) -> str:
+    w, d = int(width), int(depth)
+    # DuckDB lacks conv(); hex->int via the 0x-prefixed VARCHAR cast
+    # (15 hex chars = 60 bits, in-range for BIGINT on both engines)
+    slot = (
+        "(CAST(('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' || term), 1, 15))"
+        " AS BIGINT) % {w})"
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT term, {i} AS row, {slot.format(i=i, w=w)} AS slot FROM toks"
+        for i in range(d)
+    )
+    top_probe_rows = " UNION ALL ".join(
+        f"SELECT term, {i} AS row, {slot.format(i=i, w=w)} AS slot FROM top"
+        for i in range(d)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT unnest(list_filter(string_split({text_col}, ' '), x -> x != ''))
+                 AS term
+          FROM {table}
+        ), entries AS ({probe_rows}),
+        sketch AS (
+          SELECT row, slot, COUNT(*) AS c FROM entries GROUP BY 1, 2
+        ), top AS (
+          SELECT term, COUNT(*) AS true_count FROM toks GROUP BY 1
+          ORDER BY true_count DESC, term LIMIT {int(top_k)}
+        ), probes AS ({top_probe_rows}),
+        est AS (
+          SELECT term, MIN(COALESCE(c, 0)) AS cms_est
+          FROM probes LEFT JOIN sketch USING (row, slot)
+          GROUP BY 1
+        )
+        SELECT term, true_count, CAST(cms_est AS BIGINT) AS cms_est
+        FROM est JOIN top USING (term)
+        ORDER BY true_count DESC, term
+    """
