@@ -576,3 +576,24 @@ def test_count_min_overcounts_never_undercounts(spark):
     )
     # sketch size is bounded by d*w regardless of input rows
     assert sketch.count() <= 8 * 3
+
+
+def test_count_min_sketches_merge(spark):
+    """Mergeability — the property that makes CMS a rollup/streaming
+    primitive: sketch(A) + sketch(B) (elementwise counter add) must equal
+    sketch(A union B) exactly."""
+    from pyspark.sql import functions as F
+
+    from unifydb_spark.operators.sketch import count_min_build
+
+    a = spark.createDataFrame([(f"w{i % 13}",) for i in range(300)], "term string")
+    b = spark.createDataFrame([(f"w{i % 7}",) for i in range(200)], "term string")
+    merged = (
+        count_min_build(a, "term", width=64, depth=3)
+        .unionByName(count_min_build(b, "term", width=64, depth=3))
+        .groupBy("row", "slot")
+        .agg(F.sum("c").alias("c"))
+    )
+    whole = count_min_build(a.unionByName(b), "term", width=64, depth=3)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0

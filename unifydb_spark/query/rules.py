@@ -367,9 +367,12 @@ def _fixpoint(db, name: str, env: "RulesEnv") -> C.Rel:
                 union = C.align_union(
                     [totals[n], C.Rel(fresh_df, dict(fresh.vars))]
                 )
-                totals[n] = C.Rel(
-                    union.df.localCheckpoint(eager=True), dict(union.vars)
-                )
+                # keep the total LAZY: both inputs are already checkpointed
+                # (base at entry, each delta above), so the union is a scan
+                # of materialized blocks — eagerly re-checkpointing it here
+                # would rewrite the whole accumulated total every iteration
+                # (quadratic materialization in the fixpoint size)
+                totals[n] = C.Rel(union.df, dict(union.vars))
                 new_deltas[n] = C.Rel(fresh_df, dict(fresh.vars))
             else:
                 new_deltas[n] = C.Rel(
