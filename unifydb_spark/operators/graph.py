@@ -280,7 +280,10 @@ def shortest_paths(edges: DataFrame, sources: list[int], max_iter: int = 20) -> 
             )
             if nxt.limit(1).count() == 0:
                 break
-            dist = dist.unionByName(nxt).localCheckpoint()
+            # lazy union: every frontier is checkpointed above, so the
+            # accumulated distance set is a scan of materialized blocks —
+            # re-checkpointing it would rewrite all rows every superstep
+            dist = dist.unionByName(nxt)
             frontier = nxt
         return dist
     finally:
