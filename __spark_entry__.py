@@ -1585,6 +1585,50 @@ def q81_count_min(spark, sf_dir):
     )
 
 
+def q82_stream_user_stats(spark, sf_dir):
+    """Per-user running stats on Spark 4's transformWithStateInPandas
+    arbitrary-state API (streaming/stream.py user_stats_tws). NOT in
+    queries(): the API's driver worker requires google.protobuf, absent
+    in this container (tests/test_streaming.py carries the skip-marked
+    end-to-end check; applyInPandasWithState coverage is q40). Update
+    mode emits the running state per micro-batch; the final update per
+    user (largest n_events) must equal the batch aggregation."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from unifydb_spark.streaming import read_event_stream, user_stats_tws
+
+    name = "us_" + uuid.uuid4().hex[:8]
+    src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    with _stream_state_partitions(spark):
+        q = (
+            user_stats_tws(read_event_stream(spark, src_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id", "n_events", "max_value", "last_event_id", "last_value"
+        )
+        .orderBy("user_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

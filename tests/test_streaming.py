@@ -254,3 +254,56 @@ def test_normalize_event_ts_both_vintages(spark):
         assert dict(out.dtypes)["ts"] == "timestamp"
         outs.append([r["ts"] for r in out.orderBy("ts").collect()])
     assert outs[0] == outs[1] == outs[2] == sorted(wall)
+
+
+def _has_protobuf():
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas driver worker needs google.protobuf, "
+    "absent in this container",
+)
+def test_user_stats_tws_matches_batch(spark, tmpdirs):
+    """Spark 4 arbitrary-state API: final per-user update equals the
+    batch aggregation (count / max / argmax by unique event_id)."""
+    from pyspark.sql.window import Window
+
+    from unifydb_spark.streaming import user_stats_tws
+
+    ev = _stage_events(spark, tmpdirs["input"])
+    q = (
+        user_stats_tws(read_event_stream(spark, tmpdirs["input"]))
+        .writeStream.format("memory")
+        .queryName("tws_test")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    got = {
+        r["user_id"]: (r["n_events"], r["max_value"], r["last_event_id"])
+        for r in spark.table("tws_test")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["mx"], r["last"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("value").alias("mx"),
+            F.max("event_id").alias("last"),
+        )
+        .collect()
+    }
+    assert got == want

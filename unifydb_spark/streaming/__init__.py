@@ -9,5 +9,6 @@ from unifydb_spark.streaming.stream import (  # noqa: F401
     stream_decontaminate,
     stream_dedup_state,
     stream_facts_to_store,
+    user_stats_tws,
     windowed_metrics,
 )

@@ -317,3 +317,66 @@ def running_latest(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def user_stats_tws(events: DataFrame) -> DataFrame:
+    """Per-user running stats on Spark 4's arbitrary-state API
+    (transformWithStateInPandas + ValueState) — the successor to
+    applyInPandasWithState that `running_latest` uses: typed state
+    handles, composable state variables, timer support, RocksDB-backed
+    on a cluster. Emits the running (n_events, max_value, last_event_id,
+    last_value) per user each micro-batch.
+
+    Every output is order-independent exact (count, max, argmax by the
+    unique event_id) so the final state is oracle-checkable with no
+    float-summation caveats."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg",
+                "n bigint, max_value double, last_event_id bigint, "
+                "last_value double",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, maxv, last_id, last_val = self._state.get()
+            else:
+                n, maxv, last_id, last_val = 0, None, -1, None
+            for pdf in rows:
+                n += len(pdf)
+                batch_max = pdf["value"].max()
+                if maxv is None or batch_max > maxv:
+                    maxv = float(batch_max)
+                top = pdf["event_id"].idxmax()
+                if int(pdf["event_id"][top]) > last_id:
+                    last_id = int(pdf["event_id"][top])
+                    last_val = float(pdf["value"][top])
+            self._state.update((n, maxv, last_id, last_val))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "max_value": [maxv],
+                    "last_event_id": [last_id],
+                    "last_value": [last_val],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=(
+            "user_id bigint, n_events bigint, max_value double, "
+            "last_event_id bigint, last_value double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
