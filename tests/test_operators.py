@@ -597,3 +597,36 @@ def test_count_min_sketches_merge(spark):
     whole = count_min_build(a.unionByName(b), "term", width=64, depth=3)
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_mix_by_token_budget_invariants(spark):
+    """Per-source invariants: selected token mass stays under budget +
+    one document (a doc is kept iff it STARTS inside the budget), and a
+    bigger budget never drops a previously selected document
+    (md5-rank-order stability — the incremental re-run property)."""
+    from pyspark.sql import functions as F
+
+    from unifydb_spark.operators.text import mix_by_token_budget
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"s{i % 3}", "tok " * (5 + i % 11))
+            for i in range(60)
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    small = mix_by_token_budget(docs, total_tokens=120)
+    rows = small.collect()
+    assert 0 < len(rows) < 60
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r["n_tok"])
+    max_doc = 15
+    for src, toks in per_src.items():
+        # budget_s <= total; selected mass < budget_s + max doc size
+        assert sum(toks) < 120 + max_doc
+    big_ids = {
+        r["doc_id"]
+        for r in mix_by_token_budget(docs, total_tokens=300).collect()
+    }
+    assert {r["doc_id"] for r in rows} <= big_ids
