@@ -1665,7 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_cosine_topk": q27_cosine_topk,
         "q28_ivf_topk": q28_ivf_topk,
         "q29_multimodal_features": q29_multimodal_features,
-        "q30_graph_degrees": q30_graph_degrees,
+        "q30_range_join": q79_range_join,
         "q31_connected_components": q31_connected_components,
         "q32_pagerank": q32_pagerank,
         "q33_stream_windowed_metrics": q33_stream_windowed_metrics,
@@ -1681,10 +1681,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_record_linkage": q70_record_linkage,
         "q44_dedup_clusters": q44_dedup_clusters,
         "q45_vocab_stats": q45_vocab_stats,
-        "q46_label_centroids": q46_label_centroids,
+        "q46_audio_features": q78_audio_features,
         "q47_salted_join": q72_salted_join,
-        "q48_event_histogram": q48_event_histogram,
-        "q49_source_quality": q49_source_quality,
+        "q48_count_min": q81_count_min,
+        "q49_corpus_mix": q80_corpus_mix,
         "q50_seq_rest_pattern": q50_seq_rest_pattern,
         "q51_regional_revenue": q41_regional_revenue,
         "q52_curation_pipeline": q38_curation_pipeline,
@@ -1713,10 +1713,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_frame_sample": q75_frame_sample,
         "q76_quantize_int8": q76_quantize_int8,
         "q77_incremental_dedup": q77_incremental_dedup,
-        "q78_audio_features": q78_audio_features,
-        "q79_range_join": q79_range_join,
-        "q80_corpus_mix": q80_corpus_mix,
-        "q81_count_min": q81_count_min,
+        "q78_label_centroids": q46_label_centroids,
+        "q79_graph_degrees": q30_graph_degrees,
+        "q80_source_quality": q49_source_quality,
+        "q81_event_histogram": q48_event_histogram,
     }
 
 
@@ -1906,7 +1906,7 @@ def _operator_oracles() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "q65_funnel": _ev.funnel_sql(),
-        "q79_range_join": _ev.interval_activity_sql(),
+        "q30_range_join": _ev.interval_activity_sql(),
         "q66_retention_cohorts": _ev.retention_cohorts_sql(),
         "q42_stream_interval_join": _ij_sql(lookback_minutes=30),
         "q68_robust_outliers": _st.robust_outliers_sql(
@@ -2025,21 +2025,21 @@ def _operator_oracles() -> dict[str, str]:
         "q29_multimodal_features": _m.features_sql(),
         "q70_minhash_verified": _d.minhash_verified_sql(threshold=0.8),
         "q77_incremental_dedup": _d.minhash_incremental_sql(),
-        "q78_audio_features": _m.audio_features_sql(window=128),
+        "q46_audio_features": _m.audio_features_sql(window=128),
         "q44_dedup_clusters": _d.dedup_clusters_sql(threshold=0.8),
         "q45_vocab_stats": _t.vocab_stats_sql(top_k=50),
-        "q80_corpus_mix": _t.mix_by_token_budget_sql(total_tokens=10_000),
-        "q81_count_min": __import__(
+        "q49_corpus_mix": _t.mix_by_token_budget_sql(total_tokens=10_000),
+        "q48_count_min": __import__(
             "unifydb_spark.operators.sketch", fromlist=["x"]
         ).term_frequency_cms_sql(top_k=50),
-        "q46_label_centroids": _s.label_centroids_sql(),
+        "q78_label_centroids": _s.label_centroids_sql(),
         "q72_kmeans": _s.kmeans_assign_sql(k=8, iters=3),
-        "q48_event_histogram": """
+        "q81_event_histogram": """
             SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
                    COUNT(*) AS n
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
-        "q49_source_quality": f"""
+        "q80_source_quality": f"""
             WITH stats AS ({_t.text_stats_sql()})
             SELECT d.source, COUNT(*) AS n_docs,
                    ROUND(CAST(CAST(SUM(CAST(s.quality AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
@@ -2101,7 +2101,7 @@ def _operator_oracles() -> dict[str, str]:
             max_hamming=7,
             n_blocks=8,
         ),
-        "q30_graph_degrees": _g.degrees_sql(_graph_edges_cte(True)),
+        "q79_graph_degrees": _g.degrees_sql(_graph_edges_cte(True)),
         "q31_connected_components": _g.connected_components_sql(
             _graph_edges_cte(False)
         ),

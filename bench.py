@@ -45,8 +45,8 @@ HEADLINE = [
     "q47_salted_join",
     # round-4 new operators (q77 incremental dedup excluded: its cost is
     # the one-time corpus index build, which production amortizes)
-    "q78_audio_features",
-    "q79_range_join",
+    "q46_audio_features",
+    "q30_range_join",
 ]
 
 
