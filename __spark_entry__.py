@@ -1849,7 +1849,7 @@ def oracle_sql() -> dict[str, str]:
                    '[' || c_custkey || ']' AS rest
             FROM customer ORDER BY rest
         """,
-        # q51: live (user, bucket) pairs — most recent fact per pair wins,
+        # retraction snapshot: live (user, bucket) pairs — most recent fact
         # an 'error' event retracts the pair
         "q41_retraction_snapshot": """
             WITH f AS (
