@@ -307,3 +307,52 @@ def test_user_stats_tws_matches_batch(spark, tmpdirs):
         .collect()
     }
     assert got == want
+
+
+def test_stream_facts_exactly_once_across_restart(spark, tmpdirs):
+    """The streaming transactor's exactly-once claim, exercised through a
+    mid-stream kill: process one micro-batch (maxFilesPerTrigger=1), stop
+    the query, restart from the same checkpoint, and the final fact log
+    must contain every event exactly once — no loss, no duplicates."""
+    import time
+
+    ev = _stage_events(spark, tmpdirs["input"], n_files=3)
+    total = ev.count()
+
+    stream = read_event_stream(spark, tmpdirs["input"])
+    q1 = (
+        events_to_facts(stream)
+        .writeStream.format("parquet")
+        .option("path", tmpdirs["store"])
+        .option("checkpointLocation", tmpdirs["ckpt"])
+        .option("maxFilesPerTrigger", "1")
+        .outputMode("append")
+        .start()
+    )
+    # wait until at least one micro-batch has committed, then kill
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q1.lastProgress
+        if p and p["numInputRows"] and p["numInputRows"] > 0:
+            break
+        time.sleep(0.5)
+    q1.stop()
+    q1.awaitTermination(60)
+    partial = spark.read.parquet(tmpdirs["store"]).count()
+    assert 0 < partial  # something committed before the kill
+
+    # restart from the same checkpoint; availableNow drains the rest
+    q2 = (
+        events_to_facts(read_event_stream(spark, tmpdirs["input"]))
+        .writeStream.format("parquet")
+        .option("path", tmpdirs["store"])
+        .option("checkpointLocation", tmpdirs["ckpt"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    facts = spark.read.parquet(tmpdirs["store"])
+    assert facts.count() == total, "restart lost or duplicated rows"
+    # per-event uniqueness: tx is the event id, exactly one fact each
+    assert facts.select("tx").distinct().count() == total
