@@ -28,6 +28,9 @@ BNLJ_ALLOWED = {
     # q71: each report row is a (1-row violations) x (1-row total) cross
     # join — bounded by construction
     "q71_dq_report",
+    # q49: per-source weights (n_sources rows) x the 1-row weight total —
+    # bounded by construction, never a driver collect
+    "q49_corpus_mix",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)
