@@ -1629,6 +1629,19 @@ def q82_stream_user_stats(spark, sf_dir):
     )
 
 
+def q82_video_features(spark, sf_dir):
+    """Video stage of the multimodal triad: synthetic YUV4MPEG2 payloads
+    (formula-generated mono planes), REAL container decode
+    (operators/multimodal.py decode_y4m) inside mapInPandas, per-sampled-
+    frame luma sum / polynomial hash / mean. The oracle regenerates the
+    pixels symbolically — the parse must recover every byte exactly."""
+    from unifydb_spark.operators.multimodal import synth_video, video_features
+
+    return video_features(
+        synth_video(_docs(spark, sf_dir)), every_n=6
+    ).orderBy("doc_id", "frame_idx")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1717,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_graph_degrees": q30_graph_degrees,
         "q80_source_quality": q49_source_quality,
         "q81_event_histogram": q48_event_histogram,
+        "q82_video_features": q82_video_features,
     }
 
 
@@ -1982,6 +1996,7 @@ def _operator_oracles() -> dict[str, str]:
         "q73_bigram_commonness": _t.bigram_commonness_sql(prefix_chars=400),
         "q74_image_resize": _m.resize_sql(out_w=224, out_h=224),
         "q76_quantize_int8": _s.quantize_int8_sql(),
+        "q82_video_features": _m.video_features_sql(every_n=6),
         "q75_frame_sample": _m.frame_sample_sql(
             fps_expr="24", duration_expr="1 + doc_id % 30", every_n=24
         ),

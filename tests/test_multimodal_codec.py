@@ -205,3 +205,43 @@ def test_audio_features_end_to_end(spark):
             assert r["n_samples"] == len(chunk)
             assert r["sum_sq"] == ssq
             assert r["rms"] == round(math.sqrt(ssq / len(chunk)), 6)
+
+
+def test_y4m_roundtrip():
+    from unifydb_spark.operators.multimodal import decode_y4m, make_y4m
+
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 256, (4, 6), dtype=np.uint8) for _ in range(3)]
+    w, h, fn, fd, got = decode_y4m(make_y4m(frames, 6, 4, fps=30))
+    assert (w, h, fn, fd) == (6, 4, 30, 1)
+    assert len(got) == 3
+    for a, b in zip(frames, got):
+        assert np.array_equal(a, b)
+
+
+def test_y4m_c420_luma_plane():
+    """C420 payloads carry chroma planes; the parser must skip them and
+    still recover every Y plane."""
+    import numpy as np
+
+    from unifydb_spark.operators.multimodal import decode_y4m
+
+    w, h = 4, 2
+    y0 = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    y1 = (y0 + 100).astype(np.uint8)
+    chroma = bytes(w * h // 2)  # 2 quarter-size planes per frame
+    payload = (
+        f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()
+        + b"FRAME\n" + y0.tobytes() + chroma
+        + b"FRAME\n" + y1.tobytes() + chroma
+    )
+    w2, h2, _fn, _fd, frames = decode_y4m(payload)
+    assert (w2, h2) == (w, h) and len(frames) == 2
+    assert np.array_equal(frames[0], y0) and np.array_equal(frames[1], y1)
+
+
+def test_y4m_rejects_garbage():
+    from unifydb_spark.operators.multimodal import decode_y4m
+
+    with pytest.raises(ValueError):
+        decode_y4m(b"RIFF....WAVE not video\n")

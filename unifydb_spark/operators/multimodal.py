@@ -497,3 +497,152 @@ def audio_features_sql(table: str = "documents", window: int = 128) -> str:
                           / COUNT(*)), 6) AS rms
         FROM s GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Video: real YUV4MPEG2 (y4m) decode + per-frame features
+
+VIDEO_FEATURE_SCHEMA = (
+    "doc_id bigint, frame_idx int, sum_luma bigint, poly_hash bigint, "
+    "mean_luma double"
+)
+
+
+def make_y4m(frames, width: int, height: int, fps: int = 25) -> bytes:
+    """Minimal YUV4MPEG2 encoder, mono (Y-plane-only) frames."""
+    import numpy as np
+
+    head = f"YUV4MPEG2 W{width} H{height} F{fps}:1 Ip A1:1 Cmono\n".encode()
+    body = b"".join(
+        b"FRAME\n" + np.asarray(f, dtype=np.uint8).tobytes() for f in frames
+    )
+    return head + body
+
+
+def decode_y4m(payload: bytes):
+    """Real YUV4MPEG2 parser: stream header (W/H/F/C tags), FRAME
+    markers, fixed-size planes. Supports mono and C420 (Y plane
+    returned). Returns (width, height, fps_num, fps_den, [Y ndarray])."""
+    import numpy as np
+
+    nl = payload.index(b"\n")
+    head = payload[:nl].split(b" ")
+    if head[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    width = height = None
+    fps_num, fps_den, colorspace = 25, 1, b"C420"
+    for tag in head[1:]:
+        if tag[:1] == b"W":
+            width = int(tag[1:])
+        elif tag[:1] == b"H":
+            height = int(tag[1:])
+        elif tag[:1] == b"F":
+            fps_num, fps_den = (int(x) for x in tag[1:].split(b":"))
+        elif tag[:1] == b"C":
+            colorspace = tag
+    if colorspace.startswith(b"Cmono"):
+        frame_bytes = width * height
+    elif colorspace.startswith(b"C420"):
+        frame_bytes = width * height * 3 // 2
+    else:
+        raise NotImplementedError(f"y4m colorspace {colorspace!r}")
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("missing FRAME marker")
+        y = np.frombuffer(
+            payload[fnl + 1 : fnl + 1 + width * height], dtype=np.uint8
+        ).reshape(height, width)
+        frames.append(y)
+        pos = fnl + 1 + frame_bytes
+    return width, height, fps_num, fps_den, frames
+
+
+def synth_video(docs: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Deterministic synthetic video table: one mono y4m payload per doc,
+    n = 5 + doc_id % 25 frames, Y[f][i] = (doc_id*7 + f*13 + i*3) % 256.
+    As with synth_audio, the formula lets the SQL oracle regenerate the
+    pixels symbolically, so the REAL container parse + plane extraction
+    is verifiable end to end without video files in the testdata."""
+    import numpy as np
+
+    n_px = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 5 + d % 25
+                i = np.arange(n_px, dtype=np.int64)
+                frames = [
+                    ((d * 7 + f * 13 + i * 3) % 256).astype(np.uint8).reshape(
+                        height, width
+                    )
+                    for f in range(n)
+                ]
+                out.append((d, bytearray(make_y4m(frames, width, height))))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, payload binary"
+    )
+
+
+def video_features(video_df: DataFrame, every_n: int = 6) -> DataFrame:
+    """Per-sampled-frame luma features over y4m payloads: REAL container
+    decode (decode_y4m), every `every_n`-th frame, exact integer
+    sum/polynomial-hash plus the derived mean. Same 1->N Arrow fan-out
+    shape as frame_sample/audio_features; bytes never reach the driver."""
+    step = int(every_n)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _w, _h, _fn, _fd, frames = decode_y4m(bytes(payload))
+                for fi in range(0, len(frames), step):
+                    y = frames[fi].astype(np.int64).reshape(-1)
+                    s = int(y.sum())
+                    ph = int((y * (np.arange(len(y)) + 1)).sum())
+                    out.append(
+                        (
+                            int(doc_id), fi, s, ph,
+                            round(s / len(y), 6),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "frame_idx", "sum_luma", "poly_hash",
+                    "mean_luma",
+                ],
+            )
+
+    return video_df.mapInPandas(run, schema=VIDEO_FEATURE_SCHEMA)
+
+
+def video_features_sql(
+    table: str = "documents", width: int = 8, height: int = 8,
+    every_n: int = 6,
+) -> str:
+    n_px, step = int(width) * int(height), int(every_n)
+    return f"""
+        WITH px AS (
+          SELECT doc_id, frame_idx, i,
+                 (doc_id * 7 + frame_idx * 13 + i * 3) % 256 AS y
+          FROM (
+            SELECT doc_id,
+                   unnest(range(0, 5 + doc_id % 25, {step})) AS frame_idx
+            FROM {table}
+          ), (SELECT unnest(range(0, {n_px})) AS i)
+        )
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+               CAST(SUM(y) AS BIGINT) AS sum_luma,
+               CAST(SUM(y * (i + 1)) AS BIGINT) AS poly_hash,
+               ROUND(CAST(SUM(y) AS DOUBLE) / {n_px}, 6) AS mean_luma
+        FROM px GROUP BY 1, 2 ORDER BY 1, 2
+    """
