@@ -167,3 +167,48 @@ def test_range_join_binned_equals_theta_join(spark):
     }
     assert got == want
     assert (100 not in {i for _, i in got}) and (7, 104) not in got
+
+
+def test_range_join_binned_fuzz_equals_theta(spark):
+    """Randomized (seeded) intervals and points across bin widths: the
+    binned equi-join must always equal the theta-join."""
+    import datetime as dtm
+    import random
+
+    from pyspark.sql import functions as F
+
+    from unifydb_spark.operators.events import range_join_binned
+
+    rng = random.Random(1234)
+    base = dtm.datetime(2024, 3, 1)
+
+    def t(minutes):
+        return base + dtm.timedelta(minutes=minutes)
+
+    points = spark.createDataFrame(
+        [(i, t(rng.randrange(0, 5000))) for i in range(120)],
+        "pid bigint, ts timestamp",
+    )
+    ivs = []
+    for j in range(40):
+        start = rng.randrange(0, 5000)
+        ivs.append((j, t(start), t(start + rng.randrange(0, 900))))
+    intervals = spark.createDataFrame(
+        ivs, "iid bigint, start_ts timestamp, end_ts timestamp"
+    )
+    want = {
+        (r["pid"], r["iid"])
+        for r in points.crossJoin(intervals)
+        .filter(
+            (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts"))
+        )
+        .collect()
+    }
+    for bin_hours in (1, 6, 24):
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join_binned(
+                points, intervals, bin_hours=bin_hours
+            ).collect()
+        }
+        assert got == want, f"bin_hours={bin_hours}"
