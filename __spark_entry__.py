@@ -1642,6 +1642,22 @@ def q82_video_features(spark, sf_dir):
     ).orderBy("doc_id", "frame_idx")
 
 
+def q83_image_features_real(spark, sf_dir):
+    """Image stage with the REAL decoder under the oracle: synthetic
+    formula PNGs (real zlib+filter encode), decode_image inside
+    mapInPandas (inflate + unfilter), exact integer features. With q46
+    (audio) and q82 (video), every modality's genuine codec path is now
+    hash-verified, not just unit-tested."""
+    from unifydb_spark.operators.multimodal import (
+        image_features_real,
+        synth_images,
+    )
+
+    return image_features_real(synth_images(_docs(spark, sf_dir))).orderBy(
+        "doc_id"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1731,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_source_quality": q49_source_quality,
         "q81_event_histogram": q48_event_histogram,
         "q82_video_features": q82_video_features,
+        "q83_image_features_real": q83_image_features_real,
     }
 
 
@@ -1997,6 +2014,7 @@ def _operator_oracles() -> dict[str, str]:
         "q74_image_resize": _m.resize_sql(out_w=224, out_h=224),
         "q76_quantize_int8": _s.quantize_int8_sql(),
         "q82_video_features": _m.video_features_sql(every_n=6),
+        "q83_image_features_real": _m.image_features_real_sql(),
         "q75_frame_sample": _m.frame_sample_sql(
             fps_expr="24", duration_expr="1 + doc_id % 30", every_n=24
         ),

@@ -29,17 +29,10 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def encode_png(arr: np.ndarray) -> bytes:
-    """Minimal PNG encoder: 8-bit RGB, filter 0 on every row."""
-    h, w, c = arr.shape
-    assert c == 3
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw))
-        + _chunk(b"IEND", b"")
-    )
+    """Library encoder (multimodal.make_png): 8-bit RGB, filter 0 rows."""
+    from unifydb_spark.operators.multimodal import make_png
+
+    return make_png(arr)
 
 
 def _test_images():

@@ -646,3 +646,114 @@ def video_features_sql(
                ROUND(CAST(SUM(y) AS DOUBLE) / {n_px}, 6) AS mean_luma
         FROM px GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Image: real PNG round-trip (encode in synth, decode in features)
+
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, sum_rgb bigint, poly_hash bigint, "
+    "mean_rgb double"
+)
+
+
+def make_png(arr) -> bytes:
+    """Minimal real PNG encoder: 8-bit RGB, filter 0 per row, one zlib
+    IDAT — decodable by any PNG reader (and by _png_decode)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, c = arr.shape
+    assert c == 3
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_images(docs: DataFrame, width: int = 8, height: int = 6) -> DataFrame:
+    """Deterministic synthetic image table: one real PNG per doc,
+    RGB[i] = (doc_id*5 + i*11) % 256 over width*height*3 bytes. The
+    formula is SQL-replayable, so q83 hash-verifies the genuine
+    compress->inflate->unfilter round-trip end to end."""
+    import numpy as np
+
+    n_b = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                i = np.arange(n_b, dtype=np.int64)
+                arr = ((d * 5 + i * 11) % 256).astype(np.uint8).reshape(
+                    height, width, 3
+                )
+                out.append((d, bytearray(make_png(arr))))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, payload binary"
+    )
+
+
+def image_features_real(image_df: DataFrame) -> DataFrame:
+    """REAL image decode features: decode_image (PIL or builtin PNG),
+    exact integer sum / polynomial hash over the RGB bytes plus the
+    derived mean — the image twin of audio_features/video_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _c, arr = decode_image(bytes(payload))
+                flat = arr.astype(np.int64).reshape(-1)
+                s = int(flat.sum())
+                ph = int((flat * (np.arange(len(flat)) + 1)).sum())
+                out.append(
+                    (int(doc_id), w, h, s, ph, round(s / len(flat), 6))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "sum_rgb", "poly_hash",
+                    "mean_rgb",
+                ],
+            )
+
+    return image_df.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def image_features_real_sql(
+    table: str = "documents", width: int = 8, height: int = 6
+) -> str:
+    n_b = int(width) * int(height) * 3
+    return f"""
+        WITH px AS (
+          SELECT doc_id, i, (doc_id * 5 + i * 11) % 256 AS v
+          FROM {table}, (SELECT unnest(range(0, {n_b})) AS i)
+        )
+        SELECT doc_id, {int(width)} AS width, {int(height)} AS height,
+               CAST(SUM(v) AS BIGINT) AS sum_rgb,
+               CAST(SUM(v * (i + 1)) AS BIGINT) AS poly_hash,
+               ROUND(CAST(SUM(v) AS DOUBLE) / {n_b}, 6) AS mean_rgb
+        FROM px GROUP BY 1 ORDER BY 1
+    """
