@@ -47,6 +47,10 @@ HEADLINE = [
     # the one-time corpus index build, which production amortizes)
     "q46_audio_features",
     "q30_range_join",
+    "q48_count_min",
+    "q49_corpus_mix",
+    "q82_video_features",
+    "q83_image_features_real",
 ]
 
 
