@@ -1658,6 +1658,22 @@ def q83_image_features_real(spark, sf_dir):
     )
 
 
+def q84_hll_distinct(spark, sf_dir):
+    """Engine-portable HyperLogLog (operators/sketch.py): per-event-type
+    distinct-user estimates from 2^9 md5 registers whose ranks come from
+    LENGTH(BIN(w)) — integer-exact on both engines, so the oracle matches
+    the registers and the harmonic estimate bit-for-bit. The mergeable
+    register table is the 100 TB rollup path for R9 count-distinct."""
+    from unifydb_spark.operators.sketch import hll_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_distinct(
+        ev.select("event_type", F.col("user_id").cast("string").alias("uid")),
+        "uid",
+        "event_type",
+    ).orderBy("event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1748,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_event_histogram": q48_event_histogram,
         "q82_video_features": q82_video_features,
         "q83_image_features_real": q83_image_features_real,
+        "q84_hll_distinct": q84_hll_distinct,
     }
 
 
@@ -2015,6 +2032,13 @@ def _operator_oracles() -> dict[str, str]:
         "q76_quantize_int8": _s.quantize_int8_sql(),
         "q82_video_features": _m.video_features_sql(every_n=6),
         "q83_image_features_real": _m.image_features_real_sql(),
+        "q84_hll_distinct": __import__(
+            "unifydb_spark.operators.sketch", fromlist=["x"]
+        ).hll_distinct_sql(
+            "(SELECT event_type, CAST(user_id AS VARCHAR) AS uid FROM events)",
+            "uid",
+            "event_type",
+        ),
         "q75_frame_sample": _m.frame_sample_sql(
             fps_expr="24", duration_expr="1 + doc_id % 30", every_n=24
         ),

@@ -630,3 +630,31 @@ def test_mix_by_token_budget_invariants(spark):
         for r in mix_by_token_budget(docs, total_tokens=300).collect()
     }
     assert {r["doc_id"] for r in rows} <= big_ids
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from unifydb_spark.operators.sketch import hll_distinct, hll_registers
+
+    keys = spark.range(3000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+        F.lit("g").alias("grp"),
+    )
+    est = hll_distinct(keys, "k", "grp").collect()[0]["hll_est"]
+    # p=9 -> typical relative error 1.04/sqrt(512) ~ 4.6%; allow 3 sigma
+    assert abs(est - 3000) / 3000 < 0.15
+    # registers merge by elementwise max: regs(A) ⊔ regs(B) == regs(A∪B)
+    a = spark.range(1000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    b = spark.range(500, 2000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    merged = (
+        hll_registers(a, "k")
+        .unionByName(hll_registers(b, "k"))
+        .groupBy("bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    whole = hll_registers(a.unionByName(b).distinct(), "k")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0

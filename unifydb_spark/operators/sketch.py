@@ -163,3 +163,124 @@ def term_frequency_cms_sql(
         FROM est JOIN top USING (term)
         ORDER BY true_count DESC, term
     """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with engine-portable registers
+
+
+def hll_registers(
+    keys: DataFrame, key_col: str, p: int = 9
+) -> DataFrame:
+    """HyperLogLog register table: md5(key) -> 60-bit int; low p bits
+    pick the bucket, the remaining w = h >> p contributes rank =
+    (60 - p) - bit_length(w) + 1 (leading zeros + 1; w = 0 -> 60 - p + 1).
+    bit_length comes from LENGTH(BIN(w)) — integer-exact on both engines,
+    so the registers (and therefore the estimate) are bit-identical to
+    the SQL oracle, unlike a floor(log2()) formulation whose libm
+    rounding may differ. One groupBy with max partials: 2^p rows out,
+    mergeable by elementwise max — the distinct-count twin of the
+    count-min table."""
+    m = 1 << int(p)
+    wbits = 60 - int(p)
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col)), 1, 15), 16, 10)
+        .cast("long")
+    )
+    # subtract-mod before dividing: h reaches 2^60, where bare double
+    # division loses low bits; (h - h%m)/m is an exact integer <= 2^51
+    w = ((h - h % m) / m).cast("long")
+    rank = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits) - F.length(F.bin(w)) + 1
+    )
+    return (
+        keys.select((h % m).alias("bucket"), rank.alias("r"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("max_rank"))
+    )
+
+
+def hll_estimate_col(m: int):
+    """Harmonic HLL estimate over collected (bucket, max_rank) rows —
+    shared by the Spark and SQL sides as the same closed formula:
+    alpha * m^2 / (zeros + sum(2^-rank)), with the standard linear-
+    counting fallback for small cardinalities."""
+    # not a Column builder — documented here; estimation happens in
+    # hll_distinct/hll_sql with identical arithmetic
+    raise NotImplementedError("see hll_distinct / hll_distinct_sql")
+
+
+def hll_distinct(
+    keys: DataFrame, key_col: str, group_col: str, p: int = 9
+) -> DataFrame:
+    """Per-group HLL distinct estimate: registers per group, harmonic
+    mean, linear-counting small-range correction. Deterministic double
+    arithmetic in a fixed expression shape — the oracle replays it."""
+    m = 1 << int(p)
+    wbits = 60 - int(p)
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col)), 1, 15), 16, 10)
+        .cast("long")
+    )
+    w = ((h - h % m) / m).cast("long")
+    rank = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits) - F.length(F.bin(w)) + 1
+    )
+    regs = (
+        keys.select(
+            F.col(group_col).alias("grp"),
+            (h % m).alias("bucket"),
+            rank.alias("r"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("r").alias("max_rank"))
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = regs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("s"),
+        F.count(F.lit(1)).alias("nonzero"),
+    )
+    zeros = F.lit(m) - F.col("nonzero")
+    raw = F.lit(alpha * m * m) / (zeros + F.col("s"))
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.round(est, 4).alias("hll_est"),
+    )
+
+
+def hll_distinct_sql(
+    table: str, key_col: str, group_col: str, p: int = 9
+) -> str:
+    m = 1 << int(p)
+    wbits = 60 - int(p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = f"(('0x' || substr(md5({key_col}), 1, 15))::BIGINT)"
+    w = f"(({h} - {h} % {m}) // {m})"  # DuckDB integer division, exact
+    rank = (
+        f"CASE WHEN {w} = 0 THEN {wbits + 1} "
+        f"ELSE {wbits} - LENGTH(BIN({w})) + 1 END"
+    )
+    return f"""
+        WITH regs AS (
+          SELECT {group_col} AS grp, {h} % {m} AS bucket,
+                 MAX({rank}) AS max_rank
+          FROM {table} GROUP BY 1, 2
+        ), agg AS (
+          SELECT grp, SUM(POWER(2.0, -max_rank)) AS s,
+                 COUNT(*) AS nonzero
+          FROM regs GROUP BY 1
+        )
+        SELECT grp AS {group_col},
+               ROUND(CASE WHEN (CAST({alpha} AS DOUBLE) * {m} * {m} / (({m} - nonzero) + s))
+                               <= 2.5 * {m}
+                          AND ({m} - nonzero) > 0
+                     THEN CAST({m} AS DOUBLE)
+                          * LN(CAST({m} AS DOUBLE) / ({m} - nonzero))
+                     ELSE CAST({alpha} AS DOUBLE) * {m} * {m} / (({m} - nonzero) + s)
+                     END, 4) AS hll_est
+        FROM agg ORDER BY 1
+    """
