@@ -1674,6 +1674,18 @@ def q84_hll_distinct(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q85_source_overlap(spark, sf_dir):
+    """Inter-source n-gram contamination matrix (operators/dedup.py
+    source_overlap_matrix): distinct shared 5-grams per source pair —
+    the pre-mixing overlap audit. Only shingles present in >= 2 sources
+    reach the pair join, so cost tracks true overlap, not corpus size."""
+    from unifydb_spark.operators.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(_docs(spark, sf_dir)).orderBy(
+        "source_a", "source_b"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1765,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_video_features": q82_video_features,
         "q83_image_features_real": q83_image_features_real,
         "q84_hll_distinct": q84_hll_distinct,
+        "q85_source_overlap": q85_source_overlap,
     }
 
 
@@ -2081,6 +2094,7 @@ def _operator_oracles() -> dict[str, str]:
         "q28_ivf_topk": _s.ivf_topk_sql(),
         "q29_multimodal_features": _m.features_sql(),
         "q70_minhash_verified": _d.minhash_verified_sql(threshold=0.8),
+        "q85_source_overlap": _d.source_overlap_matrix_sql(),
         "q77_incremental_dedup": _d.minhash_incremental_sql(),
         "q46_audio_features": _m.audio_features_sql(window=128),
         "q44_dedup_clusters": _d.dedup_clusters_sql(threshold=0.8),

@@ -1145,3 +1145,79 @@ def chunk_dedup_sql(
                n_dup_chunks / n_chunks <= {max_dup_frac}::DOUBLE AS keep
         FROM per_doc ORDER BY doc_id
     """
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 5,
+) -> DataFrame:
+    """Inter-source contamination matrix: for every unordered source
+    pair, the number of distinct word n-grams they share — the check a
+    mixture designer runs before weighting sources (a pair with heavy
+    overlap double-counts its content at whatever combined weight it
+    gets). Returns (source_a, source_b, shared_ngrams), source_a <
+    source_b.
+
+    Scale shape: distinct (source, shingle) first (one combinable
+    aggregation, corpus never pairs), then only shingles seen in >= 2
+    sources survive to the self-join — the common-shingle relation is
+    bounded by true cross-source overlap, and the join key is the
+    shingle, so no all-pairs blowup on source count either."""
+    ss = (
+        _spread(docs)
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(
+                F.array_distinct(shingles_col(words_col(F.col(text_col)), n))
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    multi = (
+        ss.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_src"))
+        .filter(F.col("n_src") >= 2)
+        .select("shingle")
+    )
+    common = ss.join(multi, "shingle")
+    a, b = common.alias("a"), common.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+
+
+def source_overlap_matrix_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 5,
+) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT {source_col} AS src,
+                 list_filter(string_split({text_col}, ' '), w -> w != '') AS ws
+          FROM {table}
+        ), ss AS (
+          SELECT DISTINCT src, unnest({shingles_sql_expr(n)}) AS shingle
+          FROM toks
+        ), multi AS (
+          SELECT shingle FROM ss GROUP BY 1 HAVING COUNT(*) >= 2
+        ), common AS (
+          SELECT ss.src, ss.shingle FROM ss JOIN multi USING (shingle)
+        )
+        SELECT a.src AS source_a, b.src AS source_b,
+               COUNT(*) AS shared_ngrams
+        FROM common a JOIN common b
+          ON a.shingle = b.shingle AND a.src < b.src
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
