@@ -51,6 +51,8 @@ HEADLINE = [
     "q49_corpus_mix",
     "q82_video_features",
     "q83_image_features_real",
+    "q84_hll_distinct",
+    "q85_source_overlap",
 ]
 
 
