@@ -356,3 +356,9 @@ def test_stream_facts_exactly_once_across_restart(spark, tmpdirs):
     assert facts.count() == total, "restart lost or duplicated rows"
     # per-event uniqueness: tx is the event id, exactly one fact each
     assert facts.select("tx").distinct().count() == total
+
+
+def test_normalize_event_ts_rejects_unknown_encoding(spark):
+    df = spark.createDataFrame([("2024-01-01",)], "ts string")
+    with pytest.raises(ValueError, match="unsupported type"):
+        normalize_event_ts(df)

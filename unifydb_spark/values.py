@@ -305,6 +305,14 @@ def normalize_event_ts(df, col: str = "ts"):
         # integer DIV, not double division: nano values exceed double's
         # exact-integer range, so `/ 1000` would drift 1us on some rows
         return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
-    if dt != "timestamp":
+    if dt in ("timestamp_ntz", "date"):
         return df.withColumn(col, F.col(col).cast("timestamp"))
+    if dt != "timestamp":
+        # fail FAST on an unknown vintage: a silent cast would produce
+        # nulls and downstream queries would return empty instead of
+        # erroring (exactly how the round-3 schema change manifested)
+        raise ValueError(
+            f"events.{col} has unsupported type {dt!r}; expected int64 "
+            "nanos, timestamp[us]/ntz, or date — update normalize_event_ts"
+        )
     return df
