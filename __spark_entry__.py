@@ -1686,6 +1686,20 @@ def q85_source_overlap(spark, sf_dir):
     )
 
 
+def q86_bpe_merges(spark, sf_dir):
+    """BPE merge learning (operators/text.py bpe_learn): 8 merges over
+    the corpus word-frequency table — iterative argmax (like q72 kmeans)
+    so it has NO SQL oracle; the driver records a rows-only check and
+    tests/test_operators.py pins parity with a pure-Python reference."""
+    from unifydb_spark.operators.text import bpe_learn
+
+    merges = bpe_learn(_docs(spark, sf_dir), n_merges=8)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, "
+        "pair_count bigint"
+    ).orderBy("step")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1778,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_image_features_real": q83_image_features_real,
         "q84_hll_distinct": q84_hll_distinct,
         "q85_source_overlap": q85_source_overlap,
+        "q86_bpe_merges": q86_bpe_merges,
     }
 
 

@@ -658,3 +658,51 @@ def test_hll_estimate_accuracy_and_merge(spark):
     whole = hll_registers(a.unionByName(b).distinct(), "k")
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_bpe_learn_matches_reference(spark):
+    """Spark BPE merge learning must equal a pure-Python Sennrich-style
+    reference on the same word-frequency table (greedy non-overlapping
+    merge application, (count desc, pair asc) tie-break)."""
+    from collections import Counter
+
+    from unifydb_spark.operators.text import bpe_learn
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest wide wide wide",
+        "low new wide low",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+    def reference(n_merges):
+        wc = Counter(w for t in texts for w in t.split() if w)
+        vocab = {w: list(w) for w in wc}
+        merges = []
+        for step in range(n_merges):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += wc[w]
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            (l, r), c = best
+            merges.append((step, l, r, l + r, c))
+            for w, syms in vocab.items():
+                out = []
+                for e in syms:
+                    if out and out[-1] == l and e == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(e)
+                vocab[w] = out
+        return merges
+
+    got = bpe_learn(docs, n_merges=6)
+    assert got == reference(6)
+    # the first merge on this corpus is a real signal, not an accident
+    assert got[0][4] >= 5

@@ -805,3 +805,102 @@ def mix_by_token_budget_sql(
         WHERE cum - n_tok < b
         ORDER BY doc_id
     """
+
+
+def _bpe_merge_fold(symbols, left, right):
+    """Greedy left-to-right application of one BPE merge to a symbol
+    array, as a single F.aggregate fold: append each symbol unless the
+    accumulator's last element is `left` and the symbol is `right`, in
+    which case replace the last element with the merged token. Because
+    merged != left always (right is non-empty), a fresh merge can never
+    cascade into the next element — exactly the non-overlapping greedy
+    scan reference BPE uses."""
+    empty = F.array().cast("array<string>")
+
+    def step(acc, e):
+        last = F.element_at(acc, -1)
+        can = (F.size(acc) > 0) & (last == left) & (e == right)
+        return F.when(
+            can,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(last, e)),
+            ),
+        ).otherwise(F.concat(acc, F.array(e)))
+
+    return F.aggregate(symbols, empty, step)
+
+
+def bpe_learn(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> "list[tuple]":
+    """Learn byte-pair-encoding merges from the corpus (Sennrich-style,
+    over the word-frequency table): start from characters, repeatedly
+    count adjacent symbol pairs weighted by word frequency, merge the
+    most frequent pair (ties -> lexicographically smallest), apply the
+    merge greedily to every word. Returns [(step, left, right, merged,
+    pair_count), ...] — the learned merge table, the artifact a
+    tokenizer trainer ships.
+
+    Scale shape: the working set is DISTINCT WORDS (with counts), not
+    the corpus — one aggregation reduces 100 TB of text to a vocab-sized
+    relation, and each iteration is one explode + one weighted groupBy
+    over that relation plus a codegen'd fold to apply the merge. The
+    per-iteration driver step fetches ONE row (the argmax pair).
+    Iterative + argmax semantics make this non-SQL-expressible for the
+    oracle harness; tests/test_operators.py pins it against a pure-
+    Python reference implementation instead."""
+    from unifydb_spark.operators.dedup import _spread
+
+    words = (
+        _spread(docs)
+        .select(F.explode(words_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "symbols",
+            F.split(F.col("w"), "").cast("array<string>"),
+        )
+        .select("cnt", "symbols")
+    )
+    # symbols: split('', word) yields chars; drop any empty trailing slot
+    words = words.withColumn(
+        "symbols", F.filter(F.col("symbols"), lambda x: x != "")
+    ).localCheckpoint()
+    merges = []
+    try:
+        for step_i in range(int(n_merges)):
+            pairs = (
+                words.select(
+                    "cnt",
+                    F.explode(
+                        F.zip_with(
+                            F.slice(
+                                F.col("symbols"), 1, F.size("symbols") - 1
+                            ),
+                            F.slice(F.col("symbols"), 2, F.size("symbols") - 1),
+                            lambda a, b: F.struct(
+                                a.alias("l"), b.alias("r")
+                            ),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("cnt").alias("pc"))
+            )
+            top = pairs.orderBy(
+                F.col("pc").desc(), F.col("l"), F.col("r")
+            ).limit(1).collect()
+            if not top:
+                break
+            left, right, pc = top[0]["l"], top[0]["r"], int(top[0]["pc"])
+            merges.append((step_i, left, right, left + right, pc))
+            words = words.withColumn(
+                "symbols",
+                _bpe_merge_fold(F.col("symbols"), F.lit(left), F.lit(right)),
+            ).localCheckpoint()
+        return merges
+    finally:
+        pass
