@@ -183,3 +183,46 @@ def test_edn_dumps_loads_roundtrip(v):
     from unifydb_spark import edn
 
     assert edn.loads(edn.dumps(v)) == v
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_bpe_learn_fuzz_matches_reference(spark, words):
+    """Random small-alphabet corpora (heavy on repeated/overlapping
+    pairs, the greedy-merge edge cases) — the Spark fold must equal the
+    pure-Python reference merge-for-merge."""
+    from collections import Counter
+
+    from unifydb_spark.operators.text import bpe_learn
+
+    text = " ".join(words)
+    docs = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+
+    wc = Counter(w for w in text.split() if w)
+    vocab = {w: list(w) for w in wc}
+    expect = []
+    for step in range(4):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((step, l, r, l + r, c))
+        for w, syms in vocab.items():
+            out = []
+            for e in syms:
+                if out and out[-1] == l and e == r:
+                    out[-1] = l + r
+                else:
+                    out.append(e)
+            vocab[w] = out
+
+    assert bpe_learn(docs, n_merges=4) == expect
