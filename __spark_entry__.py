@@ -599,7 +599,7 @@ def _graph_edges_cte(include_orders: bool) -> str:
     return " UNION ALL ".join(parts)
 
 
-def q43_minhash_verified(spark, sf_dir):
+def q70_minhash_verified(spark, sf_dir):
     """The production dedup pipeline: LSH candidates -> exact Jaccard
     verification (sub-quadratic recall, exact precision)."""
     from unifydb_spark.operators.dedup import minhash_verified_pairs
@@ -625,14 +625,14 @@ def q45_vocab_stats(spark, sf_dir):
     return vocab_stats(_docs(spark, sf_dir), top_k=50)
 
 
-def q46_label_centroids(spark, sf_dir):
+def q78_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (decimal-exact dimension means)."""
     from unifydb_spark.operators.similarity import label_centroids
 
     return label_centroids(_emb(spark, sf_dir)).orderBy("label", "dim")
 
 
-def q47_kmeans(spark, sf_dir):
+def q72_kmeans(spark, sf_dir):
     """Spherical k-means, 3 fixed iterations: an iterative ML training
     loop with exact-decimal arithmetic; the oracle unrolls the identical
     iterations in SQL."""
@@ -641,7 +641,7 @@ def q47_kmeans(spark, sf_dir):
     return kmeans_assign(_emb(spark, sf_dir), k=8, iters=3).orderBy("vec_id")
 
 
-def q48_event_histogram(spark, sf_dir):
+def q81_event_histogram(spark, sf_dir):
     """Value histogram per event type (fixed-width buckets) — the
     groupBy-on-derived-key shape, map-side combinable."""
     ev = _events_ts(spark, sf_dir)
@@ -653,7 +653,7 @@ def q48_event_histogram(spark, sf_dir):
     )
 
 
-def q49_source_quality(spark, sf_dir):
+def q80_source_quality(spark, sf_dir):
     """Per-source corpus quality report: text_stats rolled up by the
     document source (the curation dashboard query)."""
     from unifydb_spark.operators.text import text_stats
@@ -678,7 +678,7 @@ def q49_source_quality(spark, sf_dir):
     )
 
 
-def q30_graph_degrees(spark, sf_dir):
+def q79_graph_degrees(spark, sf_dir):
     """Graph degree metrics over the entity graph (orders included)."""
     from unifydb_spark.operators.graph import degrees
 
@@ -702,7 +702,7 @@ def q32_pagerank(spark, sf_dir):
     return df.select("node", F.round("rank", 10).alias("rank")).orderBy("node")
 
 
-def q41_regional_revenue(spark, sf_dir):
+def q51_regional_revenue(spark, sf_dir):
     """TPC-H Q5 analog through the Datalog compiler: 5-entity join chain
     (lineitem -> order -> customer -> nation -> region) + decimal revenue
     aggregation. Catalyst broadcasts the small dimension scans."""
@@ -728,7 +728,7 @@ def q41_regional_revenue(spark, sf_dir):
     return df.withColumn("revenue", F.round(F.col("revenue").cast("double"), 4))
 
 
-def q42_top_customers(spark, sf_dir):
+def q67_top_customers(spark, sf_dir):
     """TPC-H Q10 analog: per-customer revenue ranking with limit through
     the find pipeline (groupBy + decimal sum + sort + limit)."""
     eng = _engine(spark, sf_dir)
@@ -805,7 +805,7 @@ def q37_shortest_paths(spark, sf_dir):
     ).orderBy("node")
 
 
-def q38_curation_pipeline(spark, sf_dir):
+def q52_curation_pipeline(spark, sf_dir):
     """End-to-end corpus curation: quality-score filter + near-dup removal
     (keep each duplicate cluster's lowest doc_id) — the operators composed
     the way a training-data pipeline uses them."""
@@ -1059,7 +1059,7 @@ def _retract_engine(spark, sf_dir):
     return _ENGINES[key]
 
 
-def q51_retraction_snapshot(spark, sf_dir):
+def q41_retraction_snapshot(spark, sf_dir):
     """R1 retraction collapse on a cardinality-many attribute: the live
     (user, bucket) pairs — a pair is live iff the most recent fact for it
     is an assert (store.py snapshot windows, has_retractions=True path)."""
@@ -1073,7 +1073,7 @@ def q51_retraction_snapshot(spark, sf_dir):
     ).select(F.col("u").alias("user_id"), F.col("b").alias("bucket"))
 
 
-def q52_decontaminate(spark, sf_dir):
+def q38_decontaminate(spark, sf_dir):
     """Benchmark decontamination: per-document count of word 5-grams
     overlapping a deterministic 10% benchmark split (test-set-overlap
     check before training; real pipelines use 8-13-grams — these docs are
@@ -1305,7 +1305,7 @@ def q66_retention_cohorts(spark, sf_dir):
     )
 
 
-def q67_stream_interval_join(spark, sf_dir):
+def q42_stream_interval_join(spark, sf_dir):
     """Stream-stream interval join (streaming/stream.py interval_join):
     purchases attributed to same-user clicks in the trailing 30 min, both
     sides watermarked so state stays bounded; over the finite availableNow
@@ -1359,7 +1359,7 @@ def q69_resample_ffill(spark, sf_dir):
     return resample_ffill(ev, freq="hour").orderBy("user_id", "bucket")
 
 
-def q70_record_linkage(spark, sf_dir):
+def q43_record_linkage(spark, sf_dir):
     """Blocking + edit-distance record linkage (operators/linkage.py):
     a synthetic dirty feed (doc-title prefixes with deterministic
     2-char typos on odd ids, heavy corruption on even ids) linked back
@@ -1431,7 +1431,7 @@ def q71_dq_report(spark, sf_dir):
     return dq_report(checks).orderBy("check_name")
 
 
-def q72_salted_join(spark, sf_dir):
+def q47_salted_join(spark, sf_dir):
     """Skew-salted orders x customer join (operators/joins.py) rolled up
     to per-mktsegment order counts and revenue. The salt spreads any hot
     customer key over 8 sub-partitions; the oracle is the PLAIN join —
@@ -1535,7 +1535,7 @@ def q77_incremental_dedup(spark, sf_dir):
     )
 
 
-def q78_audio_features(spark, sf_dir):
+def q46_audio_features(spark, sf_dir):
     """Audio stage of the multimodal triad: synthetic WAV payloads (one
     per doc, formula-generated PCM), REAL RIFF/PCM decode inside
     mapInPandas, then windowed sum-of-squares / RMS features
@@ -1549,7 +1549,7 @@ def q78_audio_features(spark, sf_dir):
     ).orderBy("doc_id", "win_idx")
 
 
-def q79_range_join(spark, sf_dir):
+def q30_range_join(spark, sf_dir):
     """Batch point-in-interval range join via the binned equi-join
     strategy (operators/events.py range_join_binned): intervals explode
     to covered time bins, points join on their bin, exact containment
@@ -1560,7 +1560,7 @@ def q79_range_join(spark, sf_dir):
     return interval_activity(_events_ts(spark, sf_dir)).orderBy("owner")
 
 
-def q80_corpus_mix(spark, sf_dir):
+def q49_corpus_mix(spark, sf_dir):
     """Corpus mixing to target source weights under a total token budget
     (operators/text.py mix_by_token_budget): deterministic per-source
     weights, md5-shuffle order, cumulative-token window selection — the
@@ -1572,7 +1572,7 @@ def q80_corpus_mix(spark, sf_dir):
     )
 
 
-def q81_count_min(spark, sf_dir):
+def q48_count_min(spark, sf_dir):
     """Count-min sketch heavy hitters (operators/sketch.py): a d x w
     counter table built in one bounded aggregation estimates term
     frequencies; the query compares CMS estimates to exact counts for
@@ -1706,6 +1706,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    qs = _query_registry()
+    # Guard against slot/function drift: every key must be served by the
+    # function of the same name (round-4 renumbering made this a hazard).
+    for key, fn in qs.items():
+        assert fn.__name__ == key, f"slot {key} served by {fn.__name__}"
+    return qs
+
+
+def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_pattern_match": q02_pattern_match,
@@ -1736,7 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_cosine_topk": q27_cosine_topk,
         "q28_ivf_topk": q28_ivf_topk,
         "q29_multimodal_features": q29_multimodal_features,
-        "q30_range_join": q79_range_join,
+        "q30_range_join": q30_range_join,
         "q31_connected_components": q31_connected_components,
         "q32_pagerank": q32_pagerank,
         "q33_stream_windowed_metrics": q33_stream_windowed_metrics,
@@ -1744,21 +1753,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_asof_join": q35_asof_join,
         "q36_triangle_count": q36_triangle_count,
         "q37_shortest_paths": q37_shortest_paths,
-        "q38_decontaminate": q52_decontaminate,
+        "q38_decontaminate": q38_decontaminate,
         "q39_hash_sample": q39_hash_sample,
         "q40_stream_stateful_latest": q40_stream_stateful_latest,
-        "q41_retraction_snapshot": q51_retraction_snapshot,
-        "q42_stream_interval_join": q67_stream_interval_join,
-        "q43_record_linkage": q70_record_linkage,
+        "q41_retraction_snapshot": q41_retraction_snapshot,
+        "q42_stream_interval_join": q42_stream_interval_join,
+        "q43_record_linkage": q43_record_linkage,
         "q44_dedup_clusters": q44_dedup_clusters,
         "q45_vocab_stats": q45_vocab_stats,
-        "q46_audio_features": q78_audio_features,
-        "q47_salted_join": q72_salted_join,
-        "q48_count_min": q81_count_min,
-        "q49_corpus_mix": q80_corpus_mix,
+        "q46_audio_features": q46_audio_features,
+        "q47_salted_join": q47_salted_join,
+        "q48_count_min": q48_count_min,
+        "q49_corpus_mix": q49_corpus_mix,
         "q50_seq_rest_pattern": q50_seq_rest_pattern,
-        "q51_regional_revenue": q41_regional_revenue,
-        "q52_curation_pipeline": q38_curation_pipeline,
+        "q51_regional_revenue": q51_regional_revenue,
+        "q52_curation_pipeline": q52_curation_pipeline,
         "q53_repetition_stats": q53_repetition_stats,
         "q54_stream_dedup": q54_stream_dedup,
         "q55_stream_sessionize": q55_stream_sessionize,
@@ -1773,21 +1782,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_importance_sample": q64_importance_sample,
         "q65_funnel": q65_funnel,
         "q66_retention_cohorts": q66_retention_cohorts,
-        "q67_top_customers": q42_top_customers,
+        "q67_top_customers": q67_top_customers,
         "q68_robust_outliers": q68_robust_outliers,
         "q69_resample_ffill": q69_resample_ffill,
-        "q70_minhash_verified": q43_minhash_verified,
+        "q70_minhash_verified": q70_minhash_verified,
         "q71_dq_report": q71_dq_report,
-        "q72_kmeans": q47_kmeans,
+        "q72_kmeans": q72_kmeans,
         "q73_bigram_commonness": q73_bigram_commonness,
         "q74_image_resize": q74_image_resize,
         "q75_frame_sample": q75_frame_sample,
         "q76_quantize_int8": q76_quantize_int8,
         "q77_incremental_dedup": q77_incremental_dedup,
-        "q78_label_centroids": q46_label_centroids,
-        "q79_graph_degrees": q30_graph_degrees,
-        "q80_source_quality": q49_source_quality,
-        "q81_event_histogram": q48_event_histogram,
+        "q78_label_centroids": q78_label_centroids,
+        "q79_graph_degrees": q79_graph_degrees,
+        "q80_source_quality": q80_source_quality,
+        "q81_event_histogram": q81_event_histogram,
         "q82_video_features": q82_video_features,
         "q83_image_features_real": q83_image_features_real,
         "q84_hll_distinct": q84_hll_distinct,

@@ -43,7 +43,6 @@ STREAMING = {
     "q54_stream_dedup",
     "q55_stream_sessionize",
     "q42_stream_interval_join",
-    "q82_stream_user_stats",
 }
 
 

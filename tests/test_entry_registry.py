@@ -1,0 +1,61 @@
+"""Registry hygiene: queries(), oracle_sql(), and allowlists stay in sync.
+
+Round-4's two renumbering waves left slot keys served by functions with
+different names (e.g. slot q30 served by a function named q79_*) — correct at
+the time, but exactly how a future edit wires a slot to the wrong query.
+These tests pin the invariants so drift fails fast instead of silently.
+"""
+import importlib.util
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _load_entry():
+    if "__spark_entry__" in sys.modules:
+        return sys.modules["__spark_entry__"]
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", REPO / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["__spark_entry__"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_every_slot_served_by_same_named_function():
+    entry = _load_entry()
+    qs = entry.queries()  # queries() itself asserts; re-check explicitly
+    mismatches = {k: fn.__name__ for k, fn in qs.items() if fn.__name__ != k}
+    assert mismatches == {}
+
+
+def test_oracle_keys_subset_of_queries():
+    entry = _load_entry()
+    qkeys = set(entry.queries())
+    okeys = set(entry.oracle_sql())
+    assert okeys <= qkeys, f"oracle-only keys: {sorted(okeys - qkeys)}"
+
+
+def test_rows_only_queries_are_documented():
+    # Queries without an oracle get only the weak rows-only check; keep the
+    # list deliberate so a missing oracle is a choice, not an accident.
+    entry = _load_entry()
+    rows_only = set(entry.queries()) - set(entry.oracle_sql())
+    assert rows_only <= {"q86_bpe_merges"}, sorted(rows_only)
+
+
+def test_plan_audit_allowlists_reference_real_slots():
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", REPO / "scripts" / "plan_audit.py"
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+    entry = _load_entry()
+    qkeys = set(entry.queries())
+    for attr in dir(pa):
+        val = getattr(pa, attr)
+        if attr.isupper() and isinstance(val, (set, frozenset)):
+            names = {v for v in val if isinstance(v, str) and v.startswith("q")}
+            assert names <= qkeys, f"{attr} has dead entries: {sorted(names - qkeys)}"
