@@ -1666,7 +1666,10 @@ def q84_hll_distinct(spark, sf_dir):
     register table is the 100 TB rollup path for R9 count-distinct."""
     from unifydb_spark.operators.sketch import hll_distinct
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # _events_ts handles the testdata ts-encoding vintages (int64 nanos vs
+    # timestamp[us]); a raw read throws on the nanos vintage in a fresh
+    # session even though only user_id/event_type are used here.
+    ev = _events_ts(spark, sf_dir)
     return hll_distinct(
         ev.select("event_type", F.col("user_id").cast("string").alias("uid")),
         "uid",

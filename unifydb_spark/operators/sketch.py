@@ -200,22 +200,19 @@ def hll_registers(
     )
 
 
-def hll_estimate_col(m: int):
-    """Harmonic HLL estimate over collected (bucket, max_rank) rows —
-    shared by the Spark and SQL sides as the same closed formula:
-    alpha * m^2 / (zeros + sum(2^-rank)), with the standard linear-
-    counting fallback for small cardinalities."""
-    # not a Column builder — documented here; estimation happens in
-    # hll_distinct/hll_sql with identical arithmetic
-    raise NotImplementedError("see hll_distinct / hll_distinct_sql")
-
-
 def hll_distinct(
     keys: DataFrame, key_col: str, group_col: str, p: int = 9
 ) -> DataFrame:
     """Per-group HLL distinct estimate: registers per group, harmonic
-    mean, linear-counting small-range correction. Deterministic double
-    arithmetic in a fixed expression shape — the oracle replays it."""
+    mean, linear-counting small-range correction.
+
+    The harmonic sum Σ 2^-max_rank is computed as an exact integer —
+    Σ 2^(R - max_rank) with R = wbits+1 (the max possible rank), summed
+    as BIGINT and divided by 2^R once at the end. Per-register terms are
+    ≤ 2^(R-1) and there are ≤ 2^p of them, so the sum stays ≤ 2^60:
+    in-range, overflow-free, and independent of Spark's partition-
+    dependent addition order — the double-sum formulation could in
+    principle differ from the oracle on a half-way rounding boundary."""
     m = 1 << int(p)
     wbits = 60 - int(p)
     h = (
@@ -236,9 +233,15 @@ def hll_distinct(
         .agg(F.max("r").alias("max_rank"))
     )
     alpha = 0.7213 / (1.0 + 1.079 / m)
+    shift = wbits + 1  # max possible rank; 2^(shift - rank) is an exact long
     agg = regs.groupBy("grp").agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("s"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {shift} - max_rank)")
+        ).alias("si"),
         F.count(F.lit(1)).alias("nonzero"),
+    )
+    agg = agg.withColumn(
+        "s", F.col("si").cast("double") / F.lit(float(1 << shift))
     )
     zeros = F.lit(m) - F.col("nonzero")
     raw = F.lit(alpha * m * m) / (zeros + F.col("s"))
@@ -258,19 +261,24 @@ def hll_distinct_sql(
     m = 1 << int(p)
     wbits = 60 - int(p)
     alpha = 0.7213 / (1.0 + 1.079 / m)
+    shift = wbits + 1
     h = f"(('0x' || substr(md5({key_col}), 1, 15))::BIGINT)"
     w = f"(({h} - {h} % {m}) // {m})"  # DuckDB integer division, exact
     rank = (
         f"CASE WHEN {w} = 0 THEN {wbits + 1} "
         f"ELSE {wbits} - LENGTH(BIN({w})) + 1 END"
     )
+    # integer-exact harmonic sum (mirrors hll_distinct): BIGINT hop before
+    # DOUBLE because DuckDB's direct HUGEINT->DOUBLE cast can be 1 ulp off
     return f"""
         WITH regs AS (
           SELECT {group_col} AS grp, {h} % {m} AS bucket,
                  MAX({rank}) AS max_rank
           FROM {table} GROUP BY 1, 2
         ), agg AS (
-          SELECT grp, SUM(POWER(2.0, -max_rank)) AS s,
+          SELECT grp,
+                 CAST(CAST(SUM(CAST(1 AS BIGINT) << ({shift} - max_rank))
+                      AS BIGINT) AS DOUBLE) / {float(1 << shift)!r} AS s,
                  COUNT(*) AS nonzero
           FROM regs GROUP BY 1
         )
