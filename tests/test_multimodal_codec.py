@@ -159,6 +159,27 @@ def test_decode_png_all_filter_types():
     assert np.array_equal(got, arr)
 
 
+def test_decode_rgba_png_normalizes_to_rgb():
+    """RGBA inputs must decode to the same 3-channel convention as the
+    PIL path (convert('RGB') drops unassociated alpha) — otherwise
+    resize bytes / md5 / feature sums depend on which codec is
+    installed."""
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, (3, 4, 4), dtype=np.uint8)
+    h, w, _ = arr.shape
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)  # color type 6 = RGBA
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    w2, h2, c2, got = decode_image(png)
+    assert (w2, h2, c2) == (w, h, 3)
+    assert np.array_equal(got, arr[:, :, :3])
+
+
 def test_wav_roundtrip():
     from unifydb_spark.operators.multimodal import decode_wav, make_wav
 

@@ -143,7 +143,12 @@ def decode_image(payload: bytes):
     8-bit RGB/RGBA, binary PPM). Returns (width, height, channels,
     ndarray[h, w, c]). Raises NotImplementedError for formats neither
     path handles — the Arrow plumbing around this call is identical
-    either way."""
+    either way.
+
+    Both paths normalize to 3-channel RGB (alpha dropped, matching
+    PIL's convert('RGB') semantics for unassociated alpha) so resize
+    bytes / md5 / feature sums are identical whether or not PIL is
+    installed — an RGBA input must not change shape with the codec."""
     try:
         from PIL import Image  # noqa: F401 - optional full codec
 
@@ -157,7 +162,10 @@ def decode_image(payload: bytes):
     except ImportError:
         pass
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        return _png_decode(payload)
+        w, h, c, arr = _png_decode(payload)
+        if c == 4:
+            arr, c = arr[:, :, :3], 3
+        return w, h, c, arr
     if payload[:2] == b"P6":
         return _ppm_decode(payload)
     raise NotImplementedError(

@@ -198,16 +198,16 @@ class EngineHandler(BaseHTTPRequestHandler):
                 db = self.engine.db(
                     req.get("tx-id", "latest"), bool(req.get("historical", False))
                 )
-                df, _ = self.engine.compile(q, db)
-                cols = df.columns
-                try:
-                    rows = self.engine.query_rows(q, db)
-                finally:
-                    # results are materialized; drop any operator-internal
-                    # caches so a long-lived server doesn't accumulate them
-                    from unifydb_spark.resources import release_persisted
+                from unifydb_spark.resources import persist_scope
 
-                    release_persisted()
+                # results are materialized inside the scope; its exit drops
+                # only THIS request's operator-internal caches — a global
+                # drain would evict caches concurrent in-flight queries
+                # (other handler threads) are still using
+                with persist_scope():
+                    df, _ = self.engine.compile(q, db)
+                    cols = df.columns
+                    rows = self.engine.query_rows(q, db)
                 return self._send(200, {"columns": cols, "results": rows})
             if self.path == "/transact":
                 report = self.engine.transact(
