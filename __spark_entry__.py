@@ -1690,13 +1690,16 @@ def q85_source_overlap(spark, sf_dir):
 
 
 def q86_bpe_merges(spark, sf_dir):
-    """BPE merge learning (operators/text.py bpe_learn): 8 merges over
-    the corpus word-frequency table — iterative argmax (like q72 kmeans)
-    so it has NO SQL oracle; the driver records a rows-only check and
-    tests/test_operators.py pins parity with a pure-Python reference."""
+    """BPE merge learning (operators/text.py bpe_learn): 64 merges over
+    the corpus word-frequency table via exact batched selection (each
+    round proves a prefix of disjoint top pairs is what the sequential
+    loop would pick, then applies them in one vocab rewrite) — iterative
+    argmax (like q72 kmeans) so it has NO SQL oracle; the driver records
+    a rows-only check and tests/test_operators.py pins merge-for-merge
+    parity with a pure-Python sequential reference at 6 and 64 merges."""
     from unifydb_spark.operators.text import bpe_learn
 
-    merges = bpe_learn(_docs(spark, sf_dir), n_merges=8)
+    merges = bpe_learn(_docs(spark, sf_dir), n_merges=64)
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, "
         "pair_count bigint"

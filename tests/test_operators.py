@@ -706,3 +706,100 @@ def test_bpe_learn_matches_reference(spark):
     assert got == reference(6)
     # the first merge on this corpus is a real signal, not an accident
     assert got[0][4] >= 5
+
+
+def _bpe_reference(texts, n_merges):
+    """Pure-Python sequential Sennrich loop — the oracle for bpe_learn."""
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.split() if w)
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for step in range(n_merges):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, l + r, c))
+        for w, syms in vocab.items():
+            out = []
+            for e in syms:
+                if out and out[-1] == l and e == r:
+                    out[-1] = l + r
+                else:
+                    out.append(e)
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_learn_64_merges_batched(spark):
+    """The batched selector must stay merge-for-merge identical to the
+    sequential reference well past toy merge counts (the round-4 verdict
+    ask), and must actually batch — fewer pair-count rounds than merges."""
+    from unifydb_spark.operators import text as text_ops
+    from unifydb_spark.operators.text import bpe_learn
+
+    # deterministic english-like corpus: diverse stems x suffixes with
+    # skewed counts so rounds contain many disjoint high-count pairs
+    stems = [
+        "walk", "jump", "read", "light", "dark", "stone", "river", "cloud",
+        "green", "quick", "slow", "brave", "cold", "warm", "deep", "high",
+    ]
+    sufs = ["", "s", "ed", "ing", "er", "est", "ly", "ness"]
+    words = []
+    for i, st_ in enumerate(stems):
+        for j, su in enumerate(sufs):
+            words.extend([st_ + su] * (1 + (i * 7 + j * 3) % 11))
+    texts = [" ".join(words[k::10]) for k in range(10)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+    rounds = 0
+    orig = text_ops._select_exact_merge_batch
+
+    def counting(*a, **kw):
+        nonlocal rounds
+        rounds += 1
+        return orig(*a, **kw)
+
+    text_ops._select_exact_merge_batch = counting
+    try:
+        got = bpe_learn(docs, n_merges=64)
+    finally:
+        text_ops._select_exact_merge_batch = orig
+    assert got == _bpe_reference(texts, 64)
+    assert len(got) == 64
+    assert rounds < 64, f"no batching happened: {rounds} rounds for 64 merges"
+
+
+def test_select_exact_merge_batch_rules():
+    """Unit coverage of the exactness rules: conflict truncation, equal-
+    count bound truncation, top-1 fallback, max_batch cap, window bound."""
+    from unifydb_spark.operators.text import _select_exact_merge_batch as sel
+
+    # disjoint prefix, conflict ('x','a') bounds at 90: keep pc > 90 only
+    cands = [("a", "b", 100), ("c", "d", 95), ("x", "a", 90), ("e", "f", 80)]
+    assert sel(cands, exhausted=True, max_batch=16) == [
+        ("a", "b", 100), ("c", "d", 95)
+    ]
+    # accepted merge at pc == conflict bound must be dropped (tie hazard:
+    # a merge-created pair can tie it and win lexicographically)
+    cands = [("a", "b", 100), ("c", "d", 90), ("b", "y", 90)]
+    assert sel(cands, exhausted=True, max_batch=16) == [("a", "b", 100)]
+    # bound equals top pc: filter empties, fall back to the exact argmax
+    cands = [("a", "b", 100), ("b", "c", 100)]
+    assert sel(cands, exhausted=True, max_batch=16) == [("a", "b", 100)]
+    # non-exhausted window: last collected pc bounds the unseen tail
+    cands = [("a", "b", 100), ("c", "d", 95), ("e", "f", 95)]
+    assert sel(cands, exhausted=False, max_batch=16) == [("a", "b", 100)]
+    # same list exhausted: everything disjoint is provably next
+    assert sel(cands, exhausted=True, max_batch=16) == cands
+    # max_batch caps acceptance but conflicts past the cap still bound
+    cands = [("a", "b", 100), ("c", "d", 99), ("e", "f", 98), ("a", "z", 98)]
+    assert sel(cands, exhausted=True, max_batch=2) == [
+        ("a", "b", 100), ("c", "d", 99)
+    ]

@@ -831,10 +831,46 @@ def _bpe_merge_fold(symbols, left, right):
     return F.aggregate(symbols, empty, step)
 
 
+def _select_exact_merge_batch(cands, exhausted: bool, max_batch: int):
+    """Maximal prefix of the (pc desc, l, r)-sorted candidate pairs that a
+    SEQUENTIAL Sennrich loop is guaranteed to pick in this exact order.
+
+    Why it is exact: applying merge (l, r) -> lr only creates new pairs
+    (x, lr) / (lr, y), whose counts are bounded by the PRE-merge counts of
+    (x, l) / (r, y) — pairs that share a symbol with the merge. In the
+    sorted scan, the first candidate that shares a symbol with an already-
+    accepted merge is therefore the tightest available bound B on every
+    new pair any accepted merge can create. A disjoint accepted merge with
+    pc > B can never be outranked by those new pairs (even on ties, which
+    break lexicographically and could otherwise reorder equal counts), and
+    disjoint merges do not change each other's counts or applications —
+    so the sequential loop picks exactly this prefix, in this order.
+    Candidates past the collected window are handled by treating the last
+    collected pc as B when the window wasn't exhaustive. Worst case the
+    filter empties (B equals the top count) and we fall back to the top
+    pair alone — the plain argmax, always exact."""
+    accepted, used = [], set()
+    bound = None
+    for l, r, pc in cands:
+        if l in used or r in used:
+            bound = pc
+            break
+        if len(accepted) < max_batch:
+            accepted.append((l, r, pc))
+            used.add(l)
+            used.add(r)
+    if bound is None:
+        bound = -1 if exhausted else cands[-1][2]
+    safe = [m for m in accepted if m[2] > bound]
+    return safe if safe else accepted[:1]
+
+
 def bpe_learn(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
+    batch_candidates: int = 64,
+    max_batch: int = 16,
 ) -> "list[tuple]":
     """Learn byte-pair-encoding merges from the corpus (Sennrich-style,
     over the word-frequency table): start from characters, repeatedly
@@ -842,16 +878,24 @@ def bpe_learn(
     most frequent pair (ties -> lexicographically smallest), apply the
     merge greedily to every word. Returns [(step, left, right, merged,
     pair_count), ...] — the learned merge table, the artifact a
-    tokenizer trainer ships.
+    tokenizer trainer ships. Bit-identical to the one-merge-at-a-time
+    loop (pinned by tests), but batched: each round counts pairs ONCE,
+    collects the top `batch_candidates` rows, and accepts every merge
+    that `_select_exact_merge_batch` proves the sequential loop would
+    pick next — so a round applies up to `max_batch` merges with one
+    pair-count job and one vocab rewrite instead of one of each per
+    merge.
 
     Scale shape: the working set is DISTINCT WORDS (with counts), not
     the corpus — one aggregation reduces 100 TB of text to a vocab-sized
-    relation, and each iteration is one explode + one weighted groupBy
-    over that relation plus a codegen'd fold to apply the merge. The
-    per-iteration driver step fetches ONE row (the argmax pair).
-    Iterative + argmax semantics make this non-SQL-expressible for the
-    oracle harness; tests/test_operators.py pins it against a pure-
-    Python reference implementation instead."""
+    relation, and each round is one explode + one weighted groupBy over
+    that relation plus a codegen'd fold chain to apply the batch. The
+    per-round driver step fetches `batch_candidates` rows (the argmax
+    window), so a 50k-merge tokenizer train is ~50k/avg_batch Spark
+    jobs, not 50k. `max_batch` caps the nested-fold expression depth per
+    rewrite (codegen-safe). Iterative + argmax semantics make this
+    non-SQL-expressible for the oracle harness; tests/test_operators.py
+    pins it against a pure-Python sequential reference instead."""
     from unifydb_spark.operators.dedup import _spread
 
     words = (
@@ -869,38 +913,38 @@ def bpe_learn(
     words = words.withColumn(
         "symbols", F.filter(F.col("symbols"), lambda x: x != "")
     ).localCheckpoint()
-    merges = []
-    try:
-        for step_i in range(int(n_merges)):
-            pairs = (
-                words.select(
-                    "cnt",
-                    F.explode(
-                        F.zip_with(
-                            F.slice(
-                                F.col("symbols"), 1, F.size("symbols") - 1
-                            ),
-                            F.slice(F.col("symbols"), 2, F.size("symbols") - 1),
-                            lambda a, b: F.struct(
-                                a.alias("l"), b.alias("r")
-                            ),
-                        )
-                    ).alias("p"),
-                )
-                .groupBy("p.l", "p.r")
-                .agg(F.sum("cnt").alias("pc"))
+    merges: list[tuple] = []
+    k = max(int(batch_candidates), 2)
+    while len(merges) < int(n_merges):
+        pairs = (
+            words.select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("symbols"), 1, F.size("symbols") - 1),
+                        F.slice(F.col("symbols"), 2, F.size("symbols") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
             )
-            top = pairs.orderBy(
-                F.col("pc").desc(), F.col("l"), F.col("r")
-            ).limit(1).collect()
-            if not top:
-                break
-            left, right, pc = top[0]["l"], top[0]["r"], int(top[0]["pc"])
-            merges.append((step_i, left, right, left + right, pc))
-            words = words.withColumn(
-                "symbols",
-                _bpe_merge_fold(F.col("symbols"), F.lit(left), F.lit(right)),
-            ).localCheckpoint()
-        return merges
-    finally:
-        pass
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        cands = (
+            pairs.orderBy(F.col("pc").desc(), F.col("l"), F.col("r"))
+            .limit(k)
+            .collect()
+        )
+        if not cands:
+            break
+        batch = _select_exact_merge_batch(
+            [(row["l"], row["r"], int(row["pc"])) for row in cands],
+            exhausted=len(cands) < k,
+            max_batch=int(max_batch),
+        )[: int(n_merges) - len(merges)]
+        col = F.col("symbols")
+        for left, right, pc in batch:
+            merges.append((len(merges), left, right, left + right, pc))
+            col = _bpe_merge_fold(col, F.lit(left), F.lit(right))
+        words = words.withColumn("symbols", col).localCheckpoint()
+    return merges
