@@ -1706,6 +1706,24 @@ def q86_bpe_merges(spark, sf_dir):
     ).orderBy("step")
 
 
+def q87_bloom_decontaminate(spark, sf_dir):
+    """Decontamination routed through the bloom pre-filter
+    (operators/joins.py bloom_decontaminate): the benchmark 4-gram set is
+    summarized as a 2^17-bit bloom bitmap, corpus shingles are probed
+    bitmap-side (codegen projection, no shuffle) before the exact overlap
+    join removes the false-positive sliver — result-identical to the
+    plain join, which is exactly what the oracle asserts. The scale
+    regime this serves: a benchmark n-gram set too big to broadcast as
+    rows but tiny as a bitmap, where the pre-filter cuts the corpus
+    shuffle to candidates only."""
+    from unifydb_spark.operators.joins import bloom_decontaminate
+    from unifydb_spark.operators.text import hash_sample
+
+    docs = _docs(spark, sf_dir)
+    bench = hash_sample(docs, rate=0.1, salt="bloombench")
+    return bloom_decontaminate(docs, bench, n=4).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1808,6 +1826,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_hll_distinct": q84_hll_distinct,
         "q85_source_overlap": q85_source_overlap,
         "q86_bpe_merges": q86_bpe_merges,
+        "q87_bloom_decontaminate": q87_bloom_decontaminate,
     }
 
 
@@ -2125,6 +2144,14 @@ def _operator_oracles() -> dict[str, str]:
         "q29_multimodal_features": _m.features_sql(),
         "q70_minhash_verified": _d.minhash_verified_sql(threshold=0.8),
         "q85_source_overlap": _d.source_overlap_matrix_sql(),
+        # the bloom pre-filter is semantically invisible (no false
+        # negatives + exact verify), so the oracle is the PLAIN
+        # decontamination SQL — asserting result-identity to the
+        # unfiltered join is the whole point of the entry
+        "q87_bloom_decontaminate": _d.decontaminate_sql(
+            benchmark_where=_t.hash_sample_where_sql(0.1, "doc_id", "bloombench"),
+            n=4,
+        ),
         "q77_incremental_dedup": _d.minhash_incremental_sql(),
         "q46_audio_features": _m.audio_features_sql(window=128),
         "q44_dedup_clusters": _d.dedup_clusters_sql(threshold=0.8),

@@ -477,6 +477,46 @@ def test_bloom_no_false_negatives(spark):
     assert fpr < 0.05  # m/n = 16 bits/key, k=4 -> ~0.24% expected
 
 
+def test_bloom_decontaminate_matches_plain(spark):
+    """The bloom pre-filter must be semantically invisible: identical
+    rows to dedup.decontaminate on the same corpus/benchmark split, while
+    the probe genuinely thins the candidate relation (the 100 TB point)."""
+    from unifydb_spark.operators.dedup import _doc_shingles, decontaminate
+    from unifydb_spark.operators.joins import (
+        bloom_build,
+        bloom_decontaminate,
+        bloom_probe,
+    )
+    from unifydb_spark.resources import release_persisted
+
+    rng_words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    texts = [
+        " ".join(rng_words[(i + j) % 7] for j in range(12)) for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    try:
+        plain = decontaminate(docs, bench, n=4).orderBy("doc_id").collect()
+        got = bloom_decontaminate(docs, bench, n=4).orderBy("doc_id").collect()
+        assert got == plain
+        assert any(r["contaminated"] for r in got)  # split overlaps for real
+        # the probe thins: disjoint-vocab docs must not survive the bitmap
+        extra = spark.createDataFrame(
+            [(100 + i, f"x{i} y{i} z{i} w{i} v{i}") for i in range(20)],
+            "doc_id bigint, text string",
+        )
+        sh = _doc_shingles(docs.unionByName(extra), "text", 4)
+        bitmap = bloom_build(
+            _doc_shingles(bench, "text", 4).select("shingle").distinct(),
+            "shingle",
+        )
+        assert bloom_probe(sh, "shingle", bitmap).count() < sh.count()
+    finally:
+        release_persisted()
+
+
 def test_dq_checks(spark):
     from unifydb_spark.operators.quality import (
         check_predicate, check_referential, check_unique, dq_report)

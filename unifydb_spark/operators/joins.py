@@ -97,7 +97,10 @@ def bloom_probe(
     projection over an array literal — no shuffle, no UDF; run it
     upstream of the real join to cut shuffle volume."""
     m = int(m_bits)
-    arr = F.array(*[F.lit(int(w)).cast("long") for w in bitmap])
+    # one ArrayType literal, not F.array of m/64 scalar literals: the
+    # expression tree is O(1) instead of O(m/64) nodes replicated into
+    # each of the k probe conjuncts — analysis/codegen time, not data
+    arr = F.lit([int(w) for w in bitmap]).cast("array<long>")
     cond = F.lit(True)
     for i in range(int(k)):
         pos = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m))
@@ -106,3 +109,53 @@ def bloom_probe(
         hit = F.call_function("shiftright", word, bit).bitwiseAND(F.lit(1)) == 1
         cond = cond & hit
     return df.filter(cond)
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination with a bloom pre-filter — result-
+    identical to `dedup.decontaminate(docs, benchmark, text_col, n)`
+    (same (doc_id, n_shingles, n_overlap, contaminated) relation; the
+    oracle asserts exactly that), for the regime where the benchmark
+    n-gram SET is too large to broadcast as rows but fits as a bitmap:
+    a 2^27-bit bloom is 16 MiB where 10^8 distinct shingle strings are
+    gigabytes. Corpus shingles are probed against the bitmap (pure
+    codegen projection, no shuffle, no false negatives) BEFORE the exact
+    overlap join, so only candidate rows — true overlaps plus the ~
+    (1-e^{-kn/m})^k false-positive sliver — reach the shuffle; the semi
+    join then removes false positives, keeping the counts exact."""
+    from unifydb_spark.operators.dedup import _doc_shingles
+    from unifydb_spark.resources import tracked_persist
+
+    sh = tracked_persist(_doc_shingles(docs, text_col, n))
+    bench_sh = tracked_persist(
+        _doc_shingles(benchmark, text_col, n).select("shingle").distinct()
+    )
+    bitmap = bloom_build(bench_sh, "shingle", m_bits, k)
+    cand = bloom_probe(sh, "shingle", bitmap, m_bits, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # deliberately un-hinted: at test scale Catalyst broadcasts bench_sh,
+    # at bitmap-motivating scale AQE plans a shuffle join over the
+    # bloom-thinned candidate relation
+    ov = (
+        cand.join(bench_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(sizes, "doc_id", "left")
+        .join(ov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
