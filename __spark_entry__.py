@@ -1585,28 +1585,30 @@ def q48_count_min(spark, sf_dir):
     )
 
 
-def q82_stream_user_stats(spark, sf_dir):
-    """Per-user running stats on Spark 4's transformWithStateInPandas
-    arbitrary-state API (streaming/stream.py user_stats_tws). NOT in
-    queries(): the API's driver worker requires google.protobuf, absent
-    in this container (tests/test_streaming.py carries the skip-marked
-    end-to-end check; applyInPandasWithState coverage is q40). Update
-    mode emits the running state per micro-batch; the final update per
-    user (largest n_events) must equal the batch aggregation."""
+def q88_stream_user_stats(spark, sf_dir):
+    """Per-user running stats (count / max / argmax-by-event-id) as a
+    stateful stream (streaming/stream.py user_stats_stateful,
+    applyInPandasWithState). Update mode emits each touched user's
+    running state per micro-batch; the final update per user (largest
+    n_events) must equal the batch aggregation — exactly what the oracle
+    asserts. The state transition (`_user_stats_step`) is shared
+    verbatim with the experimental transformWithStateInPandas variant
+    (user_stats_tws), whose worker needs google.protobuf (absent here;
+    skip-marked e2e test + fake-handle unit execution cover it)."""
     import shutil
     import tempfile
     import uuid
 
     from pyspark.sql.window import Window
 
-    from unifydb_spark.streaming import read_event_stream, user_stats_tws
+    from unifydb_spark.streaming import read_event_stream, user_stats_stateful
 
     name = "us_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     with _stream_state_partitions(spark):
         q = (
-            user_stats_tws(read_event_stream(spark, src_dir))
+            user_stats_stateful(read_event_stream(spark, src_dir))
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("update")
@@ -1827,6 +1829,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_source_overlap": q85_source_overlap,
         "q86_bpe_merges": q86_bpe_merges,
         "q87_bloom_decontaminate": q87_bloom_decontaminate,
+        "q88_stream_user_stats": q88_stream_user_stats,
     }
 
 
@@ -2152,6 +2155,16 @@ def _operator_oracles() -> dict[str, str]:
             benchmark_where=_t.hash_sample_where_sql(0.1, "doc_id", "bloombench"),
             n=4,
         ),
+        # final streaming state per user == the batch aggregation; every
+        # component is order-independent exact (count, max, argmax by the
+        # unique event_id), so no float-summation caveats
+        "q88_stream_user_stats": """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MAX(value) AS max_value,
+                   CAST(MAX(event_id) AS BIGINT) AS last_event_id,
+                   arg_max(value, event_id) AS last_value
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
         "q77_incremental_dedup": _d.minhash_incremental_sql(),
         "q46_audio_features": _m.audio_features_sql(window=128),
         "q44_dedup_clusters": _d.dedup_clusters_sql(threshold=0.8),

@@ -43,6 +43,7 @@ STREAMING = {
     "q54_stream_dedup",
     "q55_stream_sessionize",
     "q42_stream_interval_join",
+    "q88_stream_user_stats",
 }
 
 

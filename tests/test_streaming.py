@@ -309,6 +309,100 @@ def test_user_stats_tws_matches_batch(spark, tmpdirs):
     assert got == want
 
 
+def test_user_stats_stateful_matches_batch(spark, tmpdirs):
+    """The applyInPandasWithState twin (shares _user_stats_step with the
+    TWS variant verbatim): final per-user update equals the batch
+    aggregation, including last_value (argmax by unique event_id)."""
+    from pyspark.sql.window import Window
+
+    from unifydb_spark.streaming import user_stats_stateful
+
+    ev = _stage_events(spark, tmpdirs["input"])
+    q = (
+        user_stats_stateful(read_event_stream(spark, tmpdirs["input"]))
+        .writeStream.format("memory")
+        .queryName("uss_test")
+        .outputMode("update")
+        .option("checkpointLocation", tmpdirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    got = {
+        r["user_id"]: (
+            r["n_events"], r["max_value"], r["last_event_id"], r["last_value"]
+        )
+        for r in spark.table("uss_test")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["mx"], r["last"], r["lastv"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("value").alias("mx"),
+            F.max("event_id").alias("last"),
+            F.expr("max_by(value, event_id)").alias("lastv"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_user_stats_tws_processor_executes_under_fake_handle():
+    """Direct execution of the TWS StatefulProcessor (init /
+    handleInputRows across micro-batches / close) with a fake state
+    handle — the update semantics run for real even though this
+    container can't run the TWS wire path (worker needs protobuf)."""
+    import pandas as pd
+
+    from unifydb_spark.streaming.stream import make_user_stats_processor
+
+    proc = make_user_stats_processor()()
+    proc.init(_FakeHandle())
+    b1 = pd.DataFrame(
+        {"event_id": [3, 1], "value": [5.0, 9.0], "user_id": [7, 7]}
+    )
+    out1 = list(proc.handleInputRows((7,), iter([b1]), None))
+    assert len(out1) == 1
+    r = out1[0].iloc[0]
+    assert (r["user_id"], r["n_events"], r["max_value"]) == (7, 2, 9.0)
+    assert (r["last_event_id"], r["last_value"]) == (3, 5.0)  # argmax by id
+    # second micro-batch: state carries over; lower ids don't regress last_*
+    b2 = pd.DataFrame(
+        {"event_id": [2, 10], "value": [1.0, 4.0], "user_id": [7, 7]}
+    )
+    r = list(proc.handleInputRows((7,), iter([b2]), None))[0].iloc[0]
+    assert (r["n_events"], r["max_value"]) == (4, 9.0)
+    assert (r["last_event_id"], r["last_value"]) == (10, 4.0)
+    proc.close()
+
+
 def test_stream_facts_exactly_once_across_restart(spark, tmpdirs):
     """The streaming transactor's exactly-once claim, exercised through a
     mid-stream kill: process one micro-batch (maxFilesPerTrigger=1), stop
