@@ -191,3 +191,144 @@ def test_lsh_index_ingest_no_corpus_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# ---------------------------------------------------------------------------
+# Adversarial topology: power-law graph with a celebrity hub.
+# TPC-H-derived graph fixtures are near-uniform; this exercises the skew
+# claims in graph.py's module docstring (hub as dst = the classic hot
+# reducer) and pins that the fixpoints (a) terminate, (b) stay correct
+# against pure-Python ground truth, and (c) keep the plan shapes the
+# 100 TB story depends on (map-side-combinable aggregates, no cartesian
+# products, no Python row eval).
+
+
+def _powerlaw_edges(n_nodes: int = 1500, n_edges: int = 9000, seed: int = 5):
+    """Zipf-degree directed edges over nodes [0, n_nodes); node 0 is the
+    celebrity hub (zipf rank 1, absorbs a large constant fraction of all
+    dst slots). Deterministic."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    # zipf(a=1.6) over ranks -> clip into node range; rank 1 = node 0
+    dst = np.minimum(rng.zipf(1.6, n_edges) - 1, n_nodes - 1)
+    src = rng.randint(0, n_nodes, n_edges)
+    keep = src != dst  # no self-loops
+    return list({(int(s), int(d)) for s, d in zip(src[keep], dst[keep])})
+
+
+def _py_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in pairs:
+        parent[find(s)] = find(d)
+    comp = {}
+    for x in list(parent):
+        comp.setdefault(find(x), set()).add(x)
+    return {frozenset(v) for v in comp.values()}
+
+
+def _py_triangles(pairs):
+    und = {tuple(sorted(p)) for p in pairs}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    count = 0
+    for a, b in und:
+        count += len(adj[a] & adj[b])
+    return count // 3
+
+
+@pytest.fixture(scope="module")
+def hub_edges_pairs():
+    pairs = _powerlaw_edges()
+    # graph really is adversarial: the hub holds a large share of edges
+    hub_deg = sum(1 for s, d in pairs if 0 in (s, d))
+    assert hub_deg > len(pairs) * 0.15, "fixture lost its celebrity hub"
+    # plus two satellite components for a non-trivial component structure
+    pairs += [(100000 + i, 100001 + i) for i in range(20)]
+    pairs += [(200000, 200001), (200001, 200002)]
+    return pairs
+
+
+@pytest.fixture()
+def hub_edges(spark, hub_edges_pairs):
+    return spark.createDataFrame(hub_edges_pairs, "src bigint, dst bigint")
+
+
+def test_cc_on_powerlaw_hub_matches_union_find(spark, hub_edges, hub_edges_pairs):
+    from unifydb_spark.operators.graph import connected_components
+
+    cc = connected_components(hub_edges)
+    rows = cc.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["component"], set()).add(r["node"])
+    assert {frozenset(v) for v in got.values()} == _py_components(
+        hub_edges_pairs
+    )
+
+
+def test_pagerank_on_powerlaw_hub(spark, hub_edges, hub_edges_pairs):
+    import math
+
+    from unifydb_spark.operators.graph import pagerank
+
+    pr = pagerank(hub_edges, iters=6)
+    rows = pr.collect()
+    n_nodes = len({x for p in hub_edges_pairs for x in p})
+    assert len(rows) == n_nodes
+    by_rank = sorted(rows, key=lambda r: float(r["rank"]), reverse=True)
+    assert by_rank[0]["node"] == 0, "celebrity hub must dominate pagerank"
+    assert all(math.isfinite(float(r["rank"])) for r in rows)
+
+
+def test_triangles_on_powerlaw_hub(spark, hub_edges, hub_edges_pairs):
+    from unifydb_spark.operators.graph import triangle_count
+
+    got = triangle_count(hub_edges).collect()[0][0]
+    assert got == _py_triangles(hub_edges_pairs)
+    assert got > 0
+
+
+def test_cc_superstep_plan_bounds_on_hub(spark, hub_edges):
+    """One CC superstep on the hub graph keeps the scale-critical plan
+    shape: the min-label aggregate is map-side combinable (partial
+    HashAggregate BEFORE the exchange, so the hot hub reducer receives
+    per-map partials, not raw hub edges), and nothing degenerates into
+    CartesianProduct / Python row eval. Audits the exact superstep
+    function connected_components loops over (the returned labels frame
+    is checkpointed, so the loop's plan isn't visible through it)."""
+    from unifydb_spark.operators.graph import _cc_superstep, _nodes
+
+    labels = hub_edges.selectExpr(
+        "src as node", "src as component"
+    ).unionByName(
+        hub_edges.selectExpr("dst as node", "dst as component")
+    ).distinct()
+    und = hub_edges.select("src", "dst").unionByName(
+        hub_edges.selectExpr("dst as src", "src as dst")
+    ).distinct().repartition("dst")
+    step = _cc_superstep(und, labels, broadcast_labels=True)
+    plan = _executed_plan(step)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    low = plan.lower()
+    assert "partial_min" in low, (
+        "min-label propagation lost its map-side partial aggregate"
+    )
+    # label table rides a broadcast join: no edge-sized exchange for the
+    # label join itself
+    assert "BroadcastHashJoin" in plan
+    # convergence on the hub fixture also holds end to end
+    from unifydb_spark.operators.graph import connected_components
+
+    assert connected_components(hub_edges).count() == _nodes(hub_edges).count()

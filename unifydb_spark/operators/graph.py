@@ -77,6 +77,30 @@ def _nodes(edges: DataFrame) -> DataFrame:
     )
 
 
+def _cc_superstep(
+    und: DataFrame, labels: DataFrame, broadcast_labels: bool
+) -> DataFrame:
+    """One min-label-propagation superstep: join labels onto the (static,
+    pre-partitioned) undirected edge relation, take the per-dst min
+    neighbor label (map-side-combinable — on a hub-skewed graph the hot
+    reducer receives per-map partials, not raw hub edges), and fold it
+    into (node, old_component, component). Named so the plan-shape tests
+    can audit the exact superstep connected_components runs."""
+    lab = F.broadcast(labels) if broadcast_labels else labels
+    prop = (
+        und.join(lab, und["src"] == lab["node"])
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.min("component").alias("nbr_min"))
+    )
+    return labels.join(prop, "node", "left").select(
+        "node",
+        F.col("component").alias("old_component"),
+        F.least(
+            F.col("component"), F.coalesce("nbr_min", F.col("component"))
+        ).alias("component"),
+    )
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 25, broadcast_labels: bool | None = None
 ) -> DataFrame:
@@ -105,25 +129,9 @@ def connected_components(
     # checkpointed frame, so the finally-unpersist leaks nothing to callers
     try:
         for _ in range(max_iter):
-            lab = F.broadcast(labels) if broadcast_labels else labels
-            prop = (
-                und.join(lab, und["src"] == lab["node"])
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.min("component").alias("nbr_min"))
-            )
             # carry old + new labels in one checkpointed frame: the change
             # check is then a scan of this node-sized frame, not another join
-            merged = (
-                labels.join(prop, "node", "left")
-                .select(
-                    "node",
-                    F.col("component").alias("old_component"),
-                    F.least(
-                        F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                    ).alias("component"),
-                )
-                .localCheckpoint()
-            )
+            merged = _cc_superstep(und, labels, broadcast_labels).localCheckpoint()
             changed = (
                 merged.filter(F.col("component") != F.col("old_component"))
                 .limit(1)
