@@ -1726,6 +1726,35 @@ def q87_bloom_decontaminate(spark, sf_dir):
     return bloom_decontaminate(docs, bench, n=4).orderBy("doc_id")
 
 
+def q89_bpe_encode(spark, sf_dir):
+    """Tokenizer APPLICATION (operators/text.py bpe_encode): learn 32
+    merges, then tokenize the corpus with them — per-doc whitespace word
+    count, BPE token count, char count. The merge kernel runs over
+    DISTINCT WORDS only (vocab-sized mapInPandas) and joins back via a
+    broadcast; the corpus is never touched by Python. Like q86, the
+    iterative merge semantics have no SQL oracle (rows-only check);
+    tests pin word-level parity with the training fold's pure-Python
+    reference."""
+    from unifydb_spark.operators.text import bpe_encode, bpe_learn
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_learn(docs, n_merges=32)
+    return bpe_encode(docs, merges).orderBy("doc_id")
+
+
+def q90_ann_recall(spark, sf_dir):
+    """ANN index quality gauge (operators/similarity.py ann_recall):
+    recall@10 of the IVF index (nprobe=2 of 16 centroids) against exact
+    brute-force cosine top-10, per query — the curve every ANN
+    deployment tunes (n_centroids, nprobe) against. Composes the graded
+    q27/q28 operators; fully SQL-expressible, full value-hash oracle."""
+    from unifydb_spark.operators.similarity import ann_recall
+
+    return ann_recall(
+        _emb(spark, sf_dir), n_centroids=16, nprobe=2, n_queries=8, k=10
+    ).orderBy("query_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1830,6 +1859,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_bpe_merges": q86_bpe_merges,
         "q87_bloom_decontaminate": q87_bloom_decontaminate,
         "q88_stream_user_stats": q88_stream_user_stats,
+        "q89_bpe_encode": q89_bpe_encode,
+        "q90_ann_recall": q90_ann_recall,
     }
 
 
@@ -2165,6 +2196,11 @@ def _operator_oracles() -> dict[str, str]:
                    arg_max(value, event_id) AS last_value
             FROM events GROUP BY user_id ORDER BY user_id
         """,
+        # q89_bpe_encode: rows-only by design (iterative merge semantics,
+        # like q86); parity pinned in tests against the pure-Python kernel
+        "q90_ann_recall": _s.ann_recall_sql(
+            n_centroids=16, nprobe=2, n_queries=8, k=10
+        ),
         "q77_incremental_dedup": _d.minhash_incremental_sql(),
         "q46_audio_features": _m.audio_features_sql(window=128),
         "q44_dedup_clusters": _d.dedup_clusters_sql(threshold=0.8),

@@ -43,7 +43,7 @@ def test_rows_only_queries_are_documented():
     # list deliberate so a missing oracle is a choice, not an accident.
     entry = _load_entry()
     rows_only = set(entry.queries()) - set(entry.oracle_sql())
-    assert rows_only <= {"q86_bpe_merges"}, sorted(rows_only)
+    assert rows_only <= {"q86_bpe_merges", "q89_bpe_encode"}, sorted(rows_only)
 
 
 def test_plan_audit_allowlists_reference_real_slots():

@@ -843,3 +843,84 @@ def test_select_exact_merge_batch_rules():
     assert sel(cands, exhausted=True, max_batch=2) == [
         ("a", "b", 100), ("c", "d", 99)
     ]
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Engine tokenization (distinct-word mapInPandas kernel + broadcast
+    join-back) must equal applying bpe_word_tokens per document in pure
+    Python, on merges learned from the same corpus."""
+    from unifydb_spark.operators.text import (
+        bpe_encode,
+        bpe_learn,
+        bpe_word_tokens,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest wide wide wide",
+        "low new wide lowest",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    merges = bpe_learn(docs, n_merges=12)
+    pairs = [(m[1], m[2]) for m in merges]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_chars"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split(" ") if w]
+        want[i] = (
+            len(ws),
+            sum(len(bpe_word_tokens(w, pairs)) for w in ws),
+            len(t),
+        )
+    assert got == want
+    # empty doc present with zero counts, not dropped
+    assert got[4] == (0, 0, 0)
+
+
+def test_bpe_encode_monotone_in_merges(spark):
+    """Each additional merge can only shrink (or keep) every document's
+    token count — the invariant that makes merge count a compression
+    knob."""
+    from unifydb_spark.operators.text import bpe_encode, bpe_learn
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * (1 + i % 3))
+         for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    merges = bpe_learn(docs, n_merges=16)
+    few = {r["doc_id"]: r["n_tokens"]
+           for r in bpe_encode(docs, merges[:4]).collect()}
+    many = {r["doc_id"]: r["n_tokens"]
+            for r in bpe_encode(docs, merges).collect()}
+    assert set(few) == set(many)
+    assert all(many[d] <= few[d] for d in few)
+    assert any(many[d] < few[d] for d in few)
+
+
+def test_ann_recall_bounds_and_exact_probe(spark):
+    """recall@k: in [0,1]; probing ALL centroids makes IVF == brute force
+    (recall 1.0 for every query); probing 1 of many buckets on spread-out
+    vectors drops at least one query below 1.0."""
+    from unifydb_spark.operators.similarity import ann_recall
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(64)],
+        "vec_id bigint, embedding array<float>",
+    )
+    full = ann_recall(emb, n_centroids=8, nprobe=8, n_queries=4, k=5).collect()
+    assert {r["recall"] for r in full} == {1.0}
+    assert {r["n_hits"] for r in full} == {5}
+    narrow = ann_recall(emb, n_centroids=8, nprobe=1, n_queries=4, k=5).collect()
+    assert all(0.0 <= r["recall"] <= 1.0 for r in narrow)
+    assert min(r["recall"] for r in narrow) < 1.0

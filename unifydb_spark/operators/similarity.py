@@ -549,3 +549,82 @@ def quantize_int8_sql(
                END AS max_abs_err
         FROM m ORDER BY {id_col}
     """
+
+
+def ann_recall(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 5,
+    k: int = 5,
+) -> DataFrame:
+    """recall@k of the IVF index against exact brute force, per query —
+    the quality gauge that belongs next to any ANN index: every index
+    deployment tunes (n_centroids, nprobe) by measuring exactly this
+    curve. Returns (query_id, n_hits, recall).
+
+    Both sides are existing operators (cosine_topk / ivf_topk) sharing
+    the broadcast query set; the comparison adds one query-id-keyed
+    left-semi join over two k-row-per-query relations — negligible next
+    to the scans, so measuring recall costs one brute-force pass, which
+    at 100 TB you run on a SAMPLE of queries (the operator takes the
+    query count as a knob). Exactly SQL-expressible, so unlike most ANN
+    internals this has a full value-hash oracle."""
+    exact = cosine_topk(emb, id_col, vec_col, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(
+        emb, id_col, vec_col, n_centroids, nprobe, n_queries, k
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall"),
+        )
+    )
+
+
+def ann_recall_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 5,
+    k: int = 5,
+) -> str:
+    exact = cosine_topk_sql(table, id_col, vec_col, dim, n_queries, k)
+    approx = ivf_topk_sql(
+        table, id_col, vec_col, dim, n_centroids, nprobe, n_queries, k
+    )
+    return f"""
+        WITH exact AS ({exact}), approx AS ({approx}),
+        hits AS (
+          SELECT e.query_id, COUNT(*) AS n_hits
+          FROM exact e JOIN approx a
+            ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+          GROUP BY 1
+        ), denom AS (
+          SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1
+        )
+        SELECT d.query_id,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / d.n_exact, 4)
+                   AS recall
+        FROM denom d LEFT JOIN hits h ON d.query_id = h.query_id
+        ORDER BY d.query_id
+    """

@@ -948,3 +948,89 @@ def bpe_learn(
             col = _bpe_merge_fold(col, F.lit(left), F.lit(right))
         words = words.withColumn("symbols", col).localCheckpoint()
     return merges
+
+
+def bpe_word_tokens(word: str, merge_pairs) -> "list[str]":
+    """Pure-Python application of a learned merge table to one word,
+    identical to the training fold (_bpe_merge_fold): merges in learned
+    order, each applied greedy leftmost-first non-overlapping. This is
+    the per-word kernel bpe_encode runs over the DISTINCT-word relation;
+    it is also the test oracle's reference. O(n_merges * len(word)) — at
+    tokenizer-scale merge counts (30-50k) swap in a rank-dict encoder
+    (repeatedly merge the lowest-rank adjacent pair); for the merge
+    tables bpe_learn produces here the linear scan is faster in practice."""
+    syms = list(word)
+    for left, right in merge_pairs:
+        out = []
+        for e in syms:
+            if out and out[-1] == left and e == right:
+                out[-1] = left + right
+            else:
+                out.append(e)
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: "list[tuple]",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a learned BPE merge table (the artifact
+    bpe_learn returns): per document, the whitespace word count, the BPE
+    token count, and character count. Returns (doc_id, n_words,
+    n_tokens, n_chars).
+
+    Scale shape — the merge application NEVER touches the corpus: the
+    Python kernel runs over DISTINCT WORDS only (one Arrow-batched
+    mapInPandas over a vocab-sized relation), producing a broadcast-
+    sized (word, n_word_tokens) table that joins back onto the per-doc
+    word counts; per-doc totals are then one map-side-combinable sum.
+    100 TB of text with a 1M-word vocabulary costs 1M kernel calls, not
+    10^11. Iterative merge semantics are not SQL-expressible, so like
+    q86 this is rows-only under the driver harness; parity is pinned
+    against bpe_word_tokens (and through it the training fold) in
+    tests/test_operators.py."""
+    merge_pairs = [(m[1], m[2]) for m in sorted(merges, key=lambda m: m[0])]
+
+    words = docs.select(
+        "doc_id", F.explode(words_col(F.col(text_col))).alias("w")
+    )
+    per_doc_word = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_word_tokens": [
+                        len(bpe_word_tokens(w, merge_pairs)) for w in pdf["w"]
+                    ],
+                }
+            )
+
+    vocab_tokens = per_doc_word.select("w").distinct().mapInPandas(
+        encode, schema="w string, n_word_tokens int"
+    )
+    per_doc = (
+        per_doc_word.join(F.broadcast(vocab_tokens), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_word_tokens")).alias("n_tokens"),
+        )
+    )
+    return (
+        docs.select("doc_id", F.length(F.col(text_col)).alias("n_chars"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.col("n_chars"),
+        )
+    )
