@@ -449,6 +449,12 @@ def q18_pull_nested(spark, sf_dir):
 # dedup, similarity search, text analysis, multimodal plumbing
 
 
+# q94's bag-of-words query: mid-frequency terms of the synthetic corpus
+# (discriminative enough that per-doc scores differ; shared by the Spark
+# query and its oracle so both filter the same literal term set)
+_BM25_QUERY = "customer join vector sort broadcast"
+
+
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -1755,6 +1761,91 @@ def q90_ann_recall(spark, sf_dir):
     ).orderBy("query_id")
 
 
+def q91_global_row_number(spark, sf_dir):
+    """Scalable global row numbering (operators/layout.py
+    global_row_number): dense 1-based ids over orders in
+    (o_orderdate, o_orderkey) order with NO Exchange SinglePartition —
+    range-partition + per-partition offsets + windows partitioned by the
+    range bucket. The oracle is the plain ROW_NUMBER() OVER (ORDER BY),
+    i.e. exactly the plan Spark cannot run at scale."""
+    from unifydb_spark.operators.layout import global_row_number
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return global_row_number(
+        orders.select("o_orderkey", "o_orderdate"),
+        ["o_orderdate", "o_orderkey"],
+    ).orderBy("row_num")
+
+
+def q92_heavy_hitters(spark, sf_dir):
+    """EXACT phi-heavy-hitter terms (operators/sketch.py heavy_hitters):
+    per-partition Misra-Gries summaries collapse the shuffle to <=
+    ceil(1/phi) candidates per partition, then one exact recount of the
+    candidate sliver applies the integer-rational threshold — result
+    identical to the full groupBy, which is what the oracle asserts."""
+    from unifydb_spark.operators.sketch import heavy_hitters
+    from unifydb_spark.operators.text import words_col
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(words_col(F.col("text"))).alias("term")
+    )
+    return heavy_hitters(toks, "term", phi_num=1, phi_den=55).orderBy("term")
+
+
+def q93_inverted_index(spark, sf_dir):
+    """Chunked inverted index over the corpus (operators/search.py
+    inverted_index): (term, chunk) posting rows bounded to 64 entries
+    each — the skew-proof layout where a stopword becomes many bounded
+    rows instead of one corpus-sized collect_list."""
+    from unifydb_spark.operators.search import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir), min_df=2, chunk=64).orderBy(
+        "term", "chunk_id"
+    )
+
+
+def q94_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval (operators/search.py bm25_topk): top-15
+    documents for a bag-of-words query; per-term scores rounded to
+    integer micro-units before the per-doc sum so the float ranking is
+    addition-order-independent and the oracle can hash it."""
+    from unifydb_spark.operators.search import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir), query=_BM25_QUERY, k=15
+    )
+
+
+def q95_dup_span_coverage(spark, sf_dir):
+    """Duplicated-substring coverage (operators/dedup.py
+    dup_span_coverage): per-doc count of token positions inside any
+    8-gram shared with another document — the n-gram-granular analog of
+    suffix-array exact substring dedup (Lee et al. 2022). Unique grams
+    (the overwhelming majority at scale) die at the first combinable
+    aggregation; only the duplicated sliver is ever rejoined."""
+    from unifydb_spark.operators.dedup import dup_span_coverage
+
+    return dup_span_coverage(_docs(spark, sf_dir), n=8).orderBy("doc_id")
+
+
+def q96_zorder_profile(spark, sf_dir):
+    """Z-order layout profile (operators/layout.py zorder_block_profile):
+    Morton-interleave (user, minute-bucket) into one clustering key and
+    report per-block row counts + min/max of BOTH dimensions — the
+    quality metric of a 2-D data layout (tight block ranges on both axes
+    = both predicates prune files). The z-key is a pure shift/mask/sum
+    codegen expression, bit-identical on any engine."""
+    from unifydb_spark.operators.layout import zorder_block_profile
+
+    ev = _events_ts(spark, sf_dir).select(
+        F.col("user_id").alias("ux"),
+        (F.expr("unix_micros(ts) div 60000000") % 2048).alias("mb"),
+    )
+    return zorder_block_profile(
+        ev, "ux", "mb", bits=11, block_shift=8
+    ).orderBy("zblock")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1861,6 +1952,12 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_stream_user_stats": q88_stream_user_stats,
         "q89_bpe_encode": q89_bpe_encode,
         "q90_ann_recall": q90_ann_recall,
+        "q91_global_row_number": q91_global_row_number,
+        "q92_heavy_hitters": q92_heavy_hitters,
+        "q93_inverted_index": q93_inverted_index,
+        "q94_bm25_search": q94_bm25_search,
+        "q95_dup_span_coverage": q95_dup_span_coverage,
+        "q96_zorder_profile": q96_zorder_profile,
     }
 
 
@@ -2023,6 +2120,9 @@ def _operator_oracles() -> dict[str, str]:
     from unifydb_spark.operators import similarity as _s
     from unifydb_spark.operators import stats as _st
     from unifydb_spark.operators import text as _t
+    from unifydb_spark.operators import layout as _lay
+    from unifydb_spark.operators import search as _se
+    from unifydb_spark.operators import sketch as _sk
 
     pii_injected = """
         WITH injected AS (
@@ -2346,4 +2446,30 @@ def _operator_oracles() -> dict[str, str]:
             WHERE l_returnflag = 'R'
             GROUP BY 1, 2 ORDER BY revenue DESC, ck LIMIT 20
         """,
+        "q91_global_row_number": _lay.global_row_number_sql(
+            "orders",
+            ["o_orderdate", "o_orderkey"],
+            ["o_orderkey", "o_orderdate"],
+        ),
+        # the MG pruning is semantically invisible (candidates are a
+        # superset of the true heavy hitters, then recounted exactly) —
+        # the oracle is the PLAIN exact threshold query
+        "q92_heavy_hitters": _sk.heavy_hitters_sql(
+            "SELECT unnest(list_filter(string_split(text, ' '), w -> w != ''))"
+            " AS term FROM documents",
+            "term",
+            phi_num=1,
+            phi_den=55,
+        ),
+        "q93_inverted_index": _se.inverted_index_sql(min_df=2, chunk=64),
+        "q94_bm25_search": _se.bm25_topk_sql(query=_BM25_QUERY, k=15),
+        "q95_dup_span_coverage": _d.dup_span_coverage_sql(n=8),
+        "q96_zorder_profile": _lay.zorder_block_profile_sql(
+            "(SELECT user_id AS ux,"
+            " (epoch_us(ts) // 60000000) % 2048 AS mb FROM events)",
+            "ux",
+            "mb",
+            bits=11,
+            block_shift=8,
+        ),
     }

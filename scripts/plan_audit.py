@@ -31,6 +31,12 @@ BNLJ_ALLOWED = {
     # q49: per-source weights (n_sources rows) x the 1-row weight total —
     # bounded by construction, never a driver collect
     "q49_corpus_mix",
+    # q92: the exact recount joins the 1-row corpus total for the
+    # integer-rational threshold compare — bounded by construction
+    "q92_heavy_hitters",
+    # q94: N and avgdl ride one broadcast 1-row cross join (the same
+    # corpus-constant shape as q61's tfidf) — bounded by construction
+    "q94_bm25_search",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)

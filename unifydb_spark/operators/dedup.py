@@ -1221,3 +1221,109 @@ def source_overlap_matrix_sql(
           ON a.shingle = b.shingle AND a.src < b.src
         GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring coverage (the exact-substring dedup signal)
+
+def dup_span_coverage(
+    docs: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Per-document duplicated-substring coverage: how many of a doc's
+    token positions sit inside some word n-gram that also appears in
+    ANOTHER document. This is the distributed, n-gram-granular analog of
+    suffix-array exact substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    repeated span of >= n tokens is covered by at least one repeated
+    n-gram, so `covered_tokens` upper-bound-tightly marks the text a
+    substring dedup pass would cut, without ever building a global
+    suffix array.
+
+    Plan shape (all exact, no all-pairs step):
+    1. explode positional n-grams (map-only),
+    2. one shuffle keyed on the gram to find grams with >= 2 distinct
+       docs (combinable count-distinct at shuffle width, domain pruned
+       to DUPLICATED grams only — at corpus scale the overwhelming
+       majority of grams are unique and die here),
+    3. join positions against the duplicated-gram set (left-semi on the
+       gram key — the only second touch of corpus data is the
+       duplicated sliver),
+    4. expand each duplicated start position to its n covered token
+       positions (bounded x n fan-out of the sliver) and count distinct
+       positions per doc — the interval-union made set-shaped.
+
+    Returns (doc_id, n_tokens, dup_starts, covered_tokens) for every
+    doc, zeros included."""
+    ws = words_col(F.col(text_col))
+    toks = _spread(docs).select(
+        "doc_id", F.size(ws).alias("n_tokens"), shingles_col(ws, n).alias("sh")
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("sh").alias("p0", "gram")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+    dup_grams = (
+        pos.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup_pos = pos.join(dup_grams, "gram", "left_semi")
+    per_doc = (
+        dup_pos.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("tokpos"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            # (doc_id, pos) is unique by construction (posexplode emits
+            # each position once), so the n-fold tokpos expansion repeats
+            # every start exactly n times — count starts without a
+            # second DISTINCT phase
+            (F.count(F.lit(1)) / n).cast("bigint").alias("dup_starts"),
+            F.count_distinct("tokpos").alias("covered_tokens"),
+        )
+    )
+    return (
+        docs.select("doc_id", F.size(ws).alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_starts", F.lit(0)).alias("dup_starts"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        )
+    )
+
+
+def dup_span_coverage_sql(
+    table: str = "documents", text_col: str = "text", n: int = 8
+) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split({text_col}, ' '), w -> w != '') AS ws
+          FROM {table}
+        ), pos AS (
+          SELECT doc_id, i AS pos, sh[i] AS gram
+          FROM (SELECT doc_id, {shingles_sql_expr(n)} AS sh FROM toks),
+               UNNEST(generate_series(1, len(sh))) AS t(i)
+        ), dup_grams AS (
+          SELECT gram FROM pos GROUP BY 1
+          HAVING COUNT(DISTINCT doc_id) >= 2
+        ), dup_pos AS (
+          SELECT doc_id, pos FROM pos SEMI JOIN dup_grams USING (gram)
+        ), per_doc AS (
+          SELECT doc_id, COUNT(DISTINCT pos) AS dup_starts,
+                 COUNT(DISTINCT tokpos) AS covered_tokens
+          FROM (SELECT doc_id, pos, pos + j AS tokpos
+                FROM dup_pos, UNNEST(generate_series(0, {n - 1})) AS g(j))
+          GROUP BY 1
+        )
+        SELECT t.doc_id, len(t.ws) AS n_tokens,
+               COALESCE(p.dup_starts, 0) AS dup_starts,
+               COALESCE(p.covered_tokens, 0) AS covered_tokens
+        FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+        ORDER BY t.doc_id
+    """

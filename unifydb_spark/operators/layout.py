@@ -1,0 +1,216 @@
+"""Data-layout operators: scalable global ordering and multi-dimensional
+clustering keys.
+
+Two problems every 100 TB pipeline hits that single-node engines never
+see:
+
+1. **Global row numbering / stable ID assignment.** The naive
+   ``ROW_NUMBER() OVER (ORDER BY ...)`` compiles to an Exchange
+   SinglePartition in Spark — one task sorts the entire dataset, which
+   is exactly the plan that dies at scale. `global_row_number` gets the
+   identical answer with NO single-partition stage: range-partition on
+   the order key, count rows per partition (an O(n_partitions) driver
+   artifact, not a data collect), broadcast the cumulative offsets back
+   as a literal map, and window only WITHIN each partition. Both
+   shuffles (range + pid-hash for the window) are evenly spread.
+
+2. **Multi-dimensional data layout.** Parquet min/max pruning works on
+   ONE sort dimension; filtering on a second column scans everything.
+   A Z-order (Morton) key interleaves the bits of two dimensions so
+   that range-partitioning on the single key co-locates rows that are
+   close in BOTH — each file then has tight min/max ranges on both
+   columns and a 2-D predicate prunes most files. `zorder_key_col` is a
+   pure integer expression (shift/mask/sum — codegen'd, zero shuffle,
+   bit-for-bit reproducible in any engine), `write_zordered` is the
+   layout writer.
+
+The reference is a single-node engine and has neither concern
+(SURVEY §2 S-rows: its b-tree IS its layout; /root/reference/src/unifydb/
+storage.clj keeps one sorted index per covering order). These operators
+are the distributed analogs: global_row_number replaces "the index is
+the row order", zorder replaces "add another covering index" without a
+second copy of the data.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from unifydb_spark.resources import tracked_persist
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "row_num",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 1-based global row numbers in (order_cols) order without a
+    single-partition sort.
+
+    Plan: repartitionByRange(order_cols) -> per-partition counts
+    (collects n_partitions longs — a driver artifact like the bloom
+    bitmap, never data) -> offsets as a literal map -> row_number over a
+    window PARTITIONED BY the range-partition id (each window task sorts
+    only its own slice). The range partitioner places all rows equal on
+    the boundary key in one partition, so numbering is a correct total
+    order whenever order_cols are a unique composite (pass a tiebreaker
+    column, same requirement ROW_NUMBER itself has for determinism).
+
+    The frame is persisted so the count job and the numbering job see
+    the SAME sampled range boundaries (repartitionByRange samples; two
+    independent evaluations could legally pick different splits).
+    """
+    cols = [F.col(c) for c in order_cols]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = tracked_persist(
+        df.repartitionByRange(n, *cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    sizes = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    omap = F.create_map(
+        *[F.lit(v) for pid in offsets for v in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            out_col,
+            (F.element_at(omap, F.col("_pid")) + F.col("_rn")).cast("bigint"),
+        )
+        .drop("_pid", "_rn")
+    )
+
+
+def global_row_number_sql(
+    table: str,
+    order_cols: Sequence[str],
+    select_cols: Sequence[str],
+    out_col: str = "row_num",
+) -> str:
+    order = ", ".join(order_cols)
+    sel = ", ".join(select_cols)
+    return f"""
+        SELECT {sel},
+               CAST(ROW_NUMBER() OVER (ORDER BY {order}) AS BIGINT) AS {out_col}
+        FROM {table} ORDER BY {order}
+    """
+
+
+def zorder_key_col(x: Column, y: Column, bits: int = 10) -> Column:
+    """Morton (Z-order) key of two non-negative ints, each truncated to
+    `bits` bits: bit i of x lands at position 2i, bit i of y at 2i+1.
+    Pure shift/mask/sum expression — whole-stage codegen, no shuffle,
+    and integer-exact so any engine reproduces it bit-for-bit."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftright(x, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        )
+        terms.append(
+            F.shiftright(y, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        )
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc.cast("bigint")
+
+
+def zorder_key_sql_expr(x: str, y: str, bits: int = 10) -> str:
+    """DuckDB twin of zorder_key_col (same shift/mask/sum arithmetic)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder_block_profile(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 10,
+    block_shift: int = 8,
+) -> DataFrame:
+    """Layout-quality profile: assign each row its z-key, group into
+    blocks of 2^block_shift consecutive z-values (the proxy for "one
+    parquet row group after a range-partitioned write"), and report per
+    block the row count and the min/max of BOTH dimensions. Tight
+    per-block ranges on both axes are exactly what makes 2-D min/max
+    pruning work; compare with a single-column sort where the second
+    axis spans its full range in every block.
+
+    One combinable groupBy on the derived block id — the same shape as
+    any rollup; nothing here is driver-side."""
+    zk = zorder_key_col(F.col(x_col), F.col(y_col), bits)
+    return (
+        df.select(
+            F.shiftright(zk, block_shift).alias("zblock"),
+            F.col(x_col).alias("x"),
+            F.col(y_col).alias("y"),
+        )
+        .groupBy("zblock")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+
+
+def zorder_block_profile_sql(
+    table_expr: str,
+    x: str,
+    y: str,
+    bits: int = 10,
+    block_shift: int = 8,
+) -> str:
+    zk = zorder_key_sql_expr(x, y, bits)
+    return f"""
+        WITH keyed AS (
+          SELECT ({zk} >> {block_shift}) AS zblock, {x} AS x, {y} AS y
+          FROM {table_expr}
+        )
+        SELECT zblock, COUNT(*) AS n_rows,
+               MIN(x) AS x_min, MAX(x) AS x_max,
+               MIN(y) AS y_min, MAX(y) AS y_max
+        FROM keyed GROUP BY 1 ORDER BY zblock
+    """
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 10,
+    num_files: int = 8,
+) -> None:
+    """Write parquet clustered by z-order: range-partition on the z-key
+    (so each output file owns a contiguous z-range — a 2-D tile) and
+    sort within partitions so row groups inside a file are tiles too.
+    Readers filtering on either dimension then skip most files on
+    footer min/max alone. The z-key is dropped from the output — it is
+    layout, not data."""
+    zk = zorder_key_col(F.col(x_col), F.col(y_col), bits)
+    (
+        df.withColumn("_zk", zk)
+        .repartitionByRange(num_files, "_zk")
+        .sortWithinPartitions("_zk")
+        .drop("_zk")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -292,3 +292,94 @@ def hll_distinct_sql(
                      END, 4) AS hll_est
         FROM agg ORDER BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidate pruning + exact verification
+
+def _mg_candidates(keys: "DataFrame", key_col: str, k: int) -> "DataFrame":
+    """Per-partition Misra-Gries summaries (<= k candidate keys per
+    partition). Arrow-batched: each batch is pre-aggregated with
+    value_counts (vectorized), then merged into the k-counter summary
+    with the standard offset reduction — when the merged dict exceeds k
+    keys, subtract the (k+1)-th largest count from every counter and
+    drop the non-positive ones (each subtraction is a batch of valid MG
+    decrements, so the guarantee survives: any key whose count within
+    the partition exceeds n_p/(k+1) is retained).
+
+    Output is candidate keys only — at most k rows per partition,
+    regardless of input size. This is the shuffle-collapse step: the
+    exact pass that follows touches only candidates."""
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[key_col].value_counts()
+            for key, cnt in vc.items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            if len(counters) > k:
+                kth = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    key: c - kth for key, c in counters.items() if c > kth
+                }
+        if counters:
+            yield pd.DataFrame({key_col: list(counters.keys())})
+
+    return keys.select(key_col).mapInPandas(
+        summarize, schema=f"{key_col} string"
+    )
+
+
+def heavy_hitters(
+    keys: "DataFrame",
+    key_col: str,
+    phi_num: int = 1,
+    phi_den: int = 200,
+) -> "DataFrame":
+    """EXACT phi-heavy-hitters (keys with count * phi_den > phi_num * N)
+    at sub-cardinality shuffle cost.
+
+    Why not plain groupBy().count(): at 100 TB the key domain (terms,
+    URLs, user agents) is billions — the exact count shuffles the whole
+    domain to answer a question about the top handful. Misra-Gries fixes
+    the asymptotics: each partition forwards <= ceil(phi_den/phi_num)
+    CANDIDATES (any globally phi-heavy key must be locally phi-heavy in
+    at least one partition — if count_p(x) <= phi*n_p everywhere, the sum
+    is <= phi*N — and MG retains every key heavier than n_p/(k+1) <=
+    phi*n_p), then ONE exact aggregation restricted to the candidate set
+    (broadcast semi-join, no domain-wide shuffle) recounts and applies
+    the threshold. Result: identical to the exact query, which is
+    exactly what the SQL oracle asserts.
+
+    phi is a rational (phi_num/phi_den) so the threshold compare is
+    integer arithmetic — bit-identical on any engine. Returns
+    (key_col, cnt), the exact count of each heavy hitter."""
+    k = -(-phi_den // phi_num)  # ceil(1/phi)
+    cands = _mg_candidates(keys, key_col, k).distinct()
+    total = keys.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        keys.join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(total))
+        .filter(F.col("cnt") * phi_den > phi_num * F.col("n_total"))
+        .select(key_col, "cnt")
+    )
+
+
+def heavy_hitters_sql(
+    keys_expr: str, key_col: str, phi_num: int = 1, phi_den: int = 200
+) -> str:
+    """Oracle: the plain exact query — heavy_hitters must equal it."""
+    return f"""
+        WITH keys AS ({keys_expr}),
+        counts AS (
+          SELECT {key_col}, COUNT(*) AS cnt FROM keys GROUP BY 1
+        ), total AS (
+          SELECT COUNT(*) AS n_total FROM keys
+        )
+        SELECT {key_col}, cnt FROM counts CROSS JOIN total
+        WHERE cnt * {phi_den} > {phi_num} * n_total
+        ORDER BY 1
+    """

@@ -38,8 +38,14 @@ def words_col(text: Column) -> Column:
 
 def shingles_col(ws: Column, n: int = 3) -> Column:
     """Word n-gram shingles as strings (1-indexed element_at matches the
-    SQL oracle's list indexing)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+    SQL oracle's list indexing). Docs shorter than n tokens yield an
+    EMPTY list — Spark's sequence(1, 0) counts DOWN ([1, 0]), unlike
+    DuckDB's generate_series(1, 0) = [], so the short-doc case needs an
+    explicit guard to match the SQL twin."""
+    cnt = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    idx = F.when(cnt > 0, F.sequence(F.lit(1), cnt)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx,
         lambda i: F.concat_ws(
