@@ -73,15 +73,19 @@ def inverted_index(
             ).alias("postings"),
         )
     )
-    stats = chunks.groupBy("term").agg(
-        F.sum("n_postings").alias("df"), F.sum("tf_chunk").alias("tf_total")
-    )
+    # corpus-wide term stats as a WINDOW over term rather than a
+    # vocab-sized aggregate + self-join: one shuffle on term computes
+    # both the chunk rows' final layout and the denormalized df/tf_total
+    # (the window state per task is one term's chunk rows — bounded by
+    # corpus_size/chunk, and in practice by the hottest term's chunk
+    # count, not the vocabulary)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term")
     return (
-        # vocab-sized stats side: NOT broadcast (at corpus scale the
-        # vocabulary is GBs); the join key is term, the same key chunks
-        # is already shuffled on, and AQE downgrades to broadcast when
-        # the filtered stats side turns out small
-        chunks.join(stats.filter(F.col("df") >= min_df), "term")
+        chunks.withColumn("df", F.sum("n_postings").over(w))
+        .withColumn("tf_total", F.sum("tf_chunk").over(w))
+        .filter(F.col("df") >= min_df)
         .select("term", "chunk_id", "df", "tf_total", "n_postings", "postings")
     )
 
