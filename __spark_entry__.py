@@ -1846,6 +1846,23 @@ def q96_zorder_profile(spark, sf_dir):
     ).orderBy("zblock")
 
 
+def q97_exact_quantiles(spark, sf_dir):
+    """Exact global quantiles with NO global sort and NO per-executor
+    value buffer (operators/stats.py exact_quantiles_scalable):
+    iterative histogram narrowing — each round one combinable
+    aggregation returning <= 4096 rows to the driver — resolves the
+    order statistics around each target rank, then interpolates exactly
+    like quantile_cont. exact_threshold=2000 forces the narrowing path
+    to actually run under the oracle (at 100 TB it is the only path:
+    Spark's own exact percentile buffers every value per group)."""
+    from unifydb_spark.operators.stats import exact_quantiles_scalable
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return exact_quantiles_scalable(
+        li, "l_extendedprice", buckets=512, exact_threshold=2000
+    ).orderBy("quantile")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1958,6 +1975,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_bm25_search": q94_bm25_search,
         "q95_dup_span_coverage": q95_dup_span_coverage,
         "q96_zorder_profile": q96_zorder_profile,
+        "q97_exact_quantiles": q97_exact_quantiles,
     }
 
 
@@ -2471,5 +2489,11 @@ def _operator_oracles() -> dict[str, str]:
             "mb",
             bits=11,
             block_shift=8,
+        ),
+        # the histogram narrowing is semantically invisible (it resolves
+        # the same order statistics a sort would) — the oracle is plain
+        # quantile_cont
+        "q97_exact_quantiles": _st.exact_quantiles_scalable_sql(
+            "lineitem", "l_extendedprice"
         ),
     }

@@ -60,6 +60,7 @@ HEADLINE = [
     "q94_bm25_search",
     "q95_dup_span_coverage",
     "q96_zorder_profile",
+    "q97_exact_quantiles",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus
     # index build is the untimed prepare step — production amortizes it)

@@ -271,3 +271,67 @@ def test_dup_span_coverage_overlapping_spans_union(spark):
     rows = {r["doc_id"]: r for r in dup_span_coverage(docs, n=8).collect()}
     assert rows[0]["dup_starts"] == 2
     assert rows[0]["covered_tokens"] == 9
+
+
+# ---------------------------------------------------------------------------
+# exact quantiles via histogram narrowing
+
+def test_exact_quantiles_matches_percentile(spark):
+    """Narrowing path forced (threshold << n): equals Spark's exact
+    percentile (which buffers all values) to the rounded digit."""
+    import random
+
+    from unifydb_spark.operators.stats import exact_quantiles_scalable
+
+    rng = random.Random(11)
+    rows = [(rng.uniform(-1000, 1000),) for _ in range(20000)]
+    df = spark.createDataFrame(rows, "x double").repartition(8)
+    probs = (0.25, 0.5, 0.9, 0.99)
+    got = {
+        r["quantile"]: r["value"]
+        for r in exact_quantiles_scalable(
+            df, "x", probs=probs, buckets=64, exact_threshold=50
+        ).collect()
+    }
+    ref = df.agg(
+        *[
+            F.round(F.percentile(F.col("x"), F.lit(p)), 4).alias(f"p{i}")
+            for i, p in enumerate(probs)
+        ]
+    ).collect()[0]
+    assert got["p25"] == ref["p0"]
+    assert got["p50"] == ref["p1"]
+    assert got["p90"] == ref["p2"]
+    assert got["p99"] == ref["p3"]
+
+
+def test_exact_quantiles_duplicate_heavy(spark):
+    """A value owning most of the distribution must not stall the
+    narrowing loop (the min==max snap resolves it in one round)."""
+    from unifydb_spark.operators.stats import exact_quantiles_scalable
+
+    rows = [(42.5,)] * 5000 + [(float(i),) for i in range(100)]
+    df = spark.createDataFrame(rows, "x double").repartition(4)
+    got = {
+        r["quantile"]: r["value"]
+        for r in exact_quantiles_scalable(
+            df, "x", probs=(0.5,), buckets=16, exact_threshold=10
+        ).collect()
+    }
+    assert got["p50"] == 42.5
+
+
+def test_exact_quantiles_small_and_edge(spark):
+    from unifydb_spark.operators.stats import exact_quantiles_scalable
+
+    one = spark.createDataFrame([(7.0,)], "x double")
+    assert exact_quantiles_scalable(one, "x", probs=(0.5,)).collect()[0][
+        "value"
+    ] == 7.0
+    two = spark.createDataFrame([(1.0,), (3.0,)], "x double")
+    got = {
+        r["quantile"]: r["value"]
+        for r in exact_quantiles_scalable(two, "x", probs=(0.5, 0.99)).collect()
+    }
+    assert got["p50"] == 2.0  # interpolated midpoint
+    assert got["p99"] == round(1.0 + 0.99 * 2.0, 4)
