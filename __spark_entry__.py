@@ -1863,6 +1863,57 @@ def q97_exact_quantiles(spark, sf_dir):
     ).orderBy("quantile")
 
 
+def q98_cube_metrics(spark, sf_dir):
+    """Every grouping-set level (cell, per-flag, per-status, grand
+    total) in ONE scan + ONE shuffle (operators/olap.py
+    grouping_set_metrics): Spark's Expand fans each row into the 2^d
+    grouping sets BEFORE a single partial-aggregated hash agg — vs the
+    reference's one-grouping-per-query evaluator (SURVEY §2 R0), which
+    would need 4 scans. Sums are DECIMAL-exact, rounded DOUBLE at the
+    boundary; gid uses the bit convention Spark and DuckDB share."""
+    from unifydb_spark.operators.olap import grouping_set_metrics
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return grouping_set_metrics(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice", mode="cube"
+    ).orderBy("gid", "l_returnflag", "l_linestatus")
+
+
+def q99_windowed_share(spark, sf_dir):
+    """Daily value / running total / day-over-day delta / share-of-user
+    per (user, day) with ONE total shuffle (operators/olap.py
+    windowed_share): the up-front hash(user) repartition satisfies the
+    (user, day) aggregation AND all three user-partitioned windows, so
+    Catalyst inserts no further Exchange (plan-asserted in
+    tests/test_olap.py). Running sums are DECIMAL(30,10)-exact —
+    order-independent under any task schedule."""
+    from unifydb_spark.operators.olap import windowed_share
+
+    return windowed_share(_events_ts(spark, sf_dir)).orderBy(
+        "user_id", "day"
+    )
+
+
+def q100_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer by total price (operators/olap.py
+    topk_per_group): rank inside a hash(custkey)-partitioned window —
+    each task sorts only its own groups, no global sort, identical rows
+    to a per-group ORDER BY ... LIMIT 3."""
+    from unifydb_spark.operators.olap import topk_per_group
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        topk_per_group(
+            orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+            ["o_custkey"],
+            "o_totalprice",
+            "o_orderkey",
+            k=3,
+        )
+        .orderBy("o_custkey", "rank_in_group")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1976,6 +2027,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_dup_span_coverage": q95_dup_span_coverage,
         "q96_zorder_profile": q96_zorder_profile,
         "q97_exact_quantiles": q97_exact_quantiles,
+        "q98_cube_metrics": q98_cube_metrics,
+        "q99_windowed_share": q99_windowed_share,
+        "q100_topk_per_group": q100_topk_per_group,
     }
 
 
@@ -2139,6 +2193,7 @@ def _operator_oracles() -> dict[str, str]:
     from unifydb_spark.operators import stats as _st
     from unifydb_spark.operators import text as _t
     from unifydb_spark.operators import layout as _lay
+    from unifydb_spark.operators import olap as _ol
     from unifydb_spark.operators import search as _se
     from unifydb_spark.operators import sketch as _sk
 
@@ -2495,5 +2550,20 @@ def _operator_oracles() -> dict[str, str]:
         # quantile_cont
         "q97_exact_quantiles": _st.exact_quantiles_scalable_sql(
             "lineitem", "l_extendedprice"
+        ),
+        "q98_cube_metrics": _ol.grouping_set_metrics_sql(
+            "lineitem",
+            ["l_returnflag", "l_linestatus"],
+            "l_extendedprice",
+            mode="cube",
+        ),
+        "q99_windowed_share": _ol.windowed_share_sql("events"),
+        "q100_topk_per_group": _ol.topk_per_group_sql(
+            "orders",
+            ["o_custkey", "o_orderkey", "o_totalprice"],
+            ["o_custkey"],
+            "o_totalprice",
+            "o_orderkey",
+            k=3,
         ),
     }

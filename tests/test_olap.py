@@ -1,0 +1,154 @@
+"""OLAP operator tests: grouping sets equal their per-level groupBys,
+windowed_share's whole pipeline runs on ONE exchange, topk_per_group
+matches a per-group sort+limit."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from unifydb_spark.operators.olap import (
+    grouping_set_metrics,
+    topk_per_group,
+    windowed_share,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+@pytest.fixture()
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def _executed_plan(df) -> str:
+    """Final (AQE) executed plan only — toString() appends the pre-AQE
+    '== Initial Plan ==' section, which would double-count exchanges."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_cube_matches_per_level_groupbys(spark, lineitem):
+    cube = {
+        (r["l_returnflag"], r["l_linestatus"], r["gid"]): (
+            r["cnt"],
+            r["sum_l_extendedprice"],
+        )
+        for r in grouping_set_metrics(
+            lineitem, ["l_returnflag", "l_linestatus"], "l_extendedprice",
+            mode="cube",
+        ).collect()
+    }
+    # 4 grouping sets: cells, per-flag, per-status, grand total
+    assert sorted({k[2] for k in cube}) == [0, 1, 2, 3]
+
+    def level(cols):
+        return {
+            tuple(str(r[c]) for c in cols): (
+                r["cnt"],
+                float(r["s"]),
+            )
+            for r in lineitem.groupBy(*cols)
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(
+                    F.sum(F.col("l_extendedprice").cast("decimal(30,10)"))
+                    .cast("double"),
+                    4,
+                ).alias("s"),
+            )
+            .collect()
+        }
+
+    for (rf, ls), v in level(["l_returnflag", "l_linestatus"]).items():
+        assert cube[(rf, ls, 0)] == v
+    for (rf,), v in level(["l_returnflag"]).items():
+        assert cube[(rf, "(all)", 1)] == v
+    for (ls,), v in level(["l_linestatus"]).items():
+        assert cube[("(all)", ls, 2)] == v
+    n = lineitem.count()
+    assert cube[("(all)", "(all)", 3)][0] == n
+
+
+def test_cube_is_single_shuffle(spark, lineitem):
+    plan = _executed_plan(
+        grouping_set_metrics(
+            lineitem, ["l_returnflag", "l_linestatus"], "l_extendedprice",
+            mode="cube",
+        )
+    )
+    # one Expand feeding ONE exchange (partial agg before it); no
+    # per-grouping-set rescan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Expand" in plan
+
+
+def test_windowed_share_single_exchange(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from unifydb_spark.values import normalize_event_ts
+
+    ev = normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
+    out = windowed_share(ev)
+    plan = _executed_plan(out)
+    # the up-front repartition(user) is the ONLY exchange: the (user,day)
+    # agg and all three user-partitioned windows reuse its distribution
+    assert plan.count("Exchange") == 1, plan
+
+    # semantics: running total of the last day == user total; shares sum to 1
+    import collections
+
+    rows = out.collect()
+    by_user = collections.defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r["day"])
+        total = round(sum(r["daily_value"] for r in rs), 2)
+        assert abs(rs[-1]["running_value"] - total) < 1e-6
+        assert abs(sum(r["share_of_user"] for r in rs) - 1.0) < 1e-3
+        for prev, cur in zip(rs, rs[1:]):
+            assert (
+                abs(cur["day_delta"] - round(cur["daily_value"] - prev["daily_value"], 4))
+                < 1e-6
+            )
+
+
+def test_topk_per_group_matches_sort_limit(spark, orders):
+    got = {
+        (r["o_custkey"], r["rank_in_group"]): r["o_orderkey"]
+        for r in topk_per_group(
+            orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+            ["o_custkey"],
+            "o_totalprice",
+            "o_orderkey",
+            k=3,
+        ).collect()
+    }
+    rows = orders.select("o_custkey", "o_orderkey", "o_totalprice").collect()
+    import collections
+
+    groups = collections.defaultdict(list)
+    for r in rows:
+        groups[r["o_custkey"]].append(r)
+    for ck, rs in groups.items():
+        rs.sort(key=lambda r: (-r["o_totalprice"], r["o_orderkey"]))
+        for i, r in enumerate(rs[:3], start=1):
+            assert got[(ck, i)] == r["o_orderkey"]
+    assert len(got) == sum(min(3, len(rs)) for rs in groups.values())
+
+
+def test_topk_no_global_sort(spark, orders):
+    df = topk_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        "o_totalprice",
+        "o_orderkey",
+        k=3,
+    )
+    plan = _executed_plan(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan

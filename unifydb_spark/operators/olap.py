@@ -1,0 +1,246 @@
+"""Multi-level OLAP aggregation operators: grouping sets (rollup/cube),
+single-shuffle windowed time-series analytics, and per-group top-k.
+
+The reference's implicit group-by (SURVEY §2 R0; /root/reference/src/
+unifydb/query.clj find-spec handling) computes ONE grouping level per
+query — a dashboard needing region, region×status, and grand totals runs
+three scans. Grouping sets compute every level in one pass: Spark
+expands `ROLLUP(a, b)` into an Expand node (one input row fans out to
+d+1 grouping-set rows BEFORE the exchange) followed by a single
+partial-aggregated hash aggregation, so the data is read and shuffled
+once no matter how many levels are requested. At 100 TB the fan-out
+factor (d+1 for rollup, 2^d for cube) multiplies shuffle volume, but
+partial (map-side) aggregation collapses it back to
+O(cardinality of each grouping set) before the wire — which is why the
+dims here must be low-cardinality dimensions, never raw keys; the
+operator docstring is the contract.
+
+`windowed_share` is the canonical "daily value, running total, delta,
+share-of-total per user" query. Written naively it costs three
+shuffles: hash(user, day) for the daily aggregate, hash(user) for the
+running window, hash(user) for the per-user total. We repartition ONCE
+on user_id up front: HashPartitioning(user) satisfies the clustered
+distribution required by BOTH the (user, day) aggregation and every
+user-partitioned window, so Catalyst inserts no further exchange — one
+shuffle total, verified by plan-shape test (tests/test_olap.py).
+Running sums accumulate in DECIMAL(30,10) (exact, order-independent)
+and surface as rounded DOUBLE, the driver-hash contract every events
+operator in this repo follows.
+
+`topk_per_group` keeps the k best rows per group without a global sort:
+rank within a group-partitioned window, so each task sorts only its own
+groups. This is the distributed replacement for the reference's
+sort+limit (query.clj find-spec :limit) whenever the limit is per-key
+rather than global.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(30,10)"
+
+
+def grouping_set_metrics(
+    df: DataFrame,
+    dims: Sequence[str],
+    measure: str,
+    mode: str = "rollup",
+    all_label: str = "(all)",
+) -> DataFrame:
+    """All rollup (or cube) levels of `dims` in one scan + one shuffle.
+
+    Returns one row per grouping-set cell: the dims (rolled-up positions
+    replaced by `all_label` — distinguished from genuine NULL data via
+    GROUPING(), not COALESCE), the grouping-set id `gid` (Spark and
+    DuckDB share the bit convention: leftmost dim = most significant
+    bit), `cnt`, and the measure summed exactly in DECIMAL(30,10) then
+    rounded to DOUBLE, plus the same-shaped mean.
+
+    dims must be low-cardinality dimension columns: cube fans each input
+    row out 2^d ways before the (map-side combined) aggregation.
+    """
+    grouped = df.cube(*dims) if mode == "cube" else df.rollup(*dims)
+    sum_dec = F.sum(F.col(measure).cast(DEC))
+    cnt = F.count(F.lit(1))
+    # grouping() must be evaluated IN the agg (it reads the expanded
+    # grouping-set id); the agg output already carries the raw dim
+    # columns, so the '(all)' relabeling happens in a post-select.
+    agged = grouped.agg(
+        *[F.grouping(d).cast("int").alias(f"_g_{d}") for d in dims],
+        F.grouping_id().cast("bigint").alias("gid"),
+        cnt.alias("cnt"),
+        F.round(sum_dec.cast("double"), 4).alias(f"sum_{measure}"),
+        F.round(sum_dec.cast("double") / cnt, 4).alias(f"avg_{measure}"),
+    )
+    return agged.select(
+        *[
+            F.when(F.col(f"_g_{d}") == 1, F.lit(all_label))
+            .otherwise(F.col(d).cast("string"))
+            .alias(d)
+            for d in dims
+        ],
+        "gid",
+        "cnt",
+        f"sum_{measure}",
+        f"avg_{measure}",
+    )
+
+
+def grouping_set_metrics_sql(
+    table: str,
+    dims: Sequence[str],
+    measure: str,
+    mode: str = "rollup",
+    all_label: str = "(all)",
+) -> str:
+    dim_list = ", ".join(dims)
+    out_dims = ",\n               ".join(
+        f"CASE WHEN GROUPING({d}) = 1 THEN '{all_label}' "
+        f"ELSE CAST({d} AS VARCHAR) END AS {d}"
+        for d in dims
+    )
+    sum_dec = f"SUM(CAST({measure} AS DECIMAL(30,10)))"
+    sum_dbl = f"CAST(CAST({sum_dec} AS VARCHAR) AS DOUBLE)"
+    kw = "CUBE" if mode == "cube" else "ROLLUP"
+    return f"""
+        SELECT {out_dims},
+               CAST(GROUPING_ID({dim_list}) AS BIGINT) AS gid,
+               COUNT(*) AS cnt,
+               ROUND({sum_dbl}, 4) AS sum_{measure},
+               ROUND({sum_dbl} / COUNT(*), 4) AS avg_{measure}
+        FROM {table}
+        GROUP BY {kw} ({dim_list})
+        ORDER BY gid, {dim_list}
+    """
+
+
+def windowed_share(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per (user, day): exact daily sum, running cumulative sum,
+    day-over-day delta, and the day's share of the user's total — with
+    ONE shuffle.
+
+    The up-front repartition on `user_col` satisfies the distribution
+    requirement of the (user, day) aggregation AND of all three
+    user-partitioned windows, so the plan contains a single Exchange
+    (asserted in tests/test_olap.py). All running arithmetic happens in
+    DECIMAL(30,10) — exact and order-independent, so the cumulative sum
+    is identical under any task scheduling; floats appear only at the
+    rounded output boundary.
+    """
+    n = events.sparkSession.sparkContext.defaultParallelism
+    # day as 'yyyy-MM-dd' STRING, not DateType: Spark collects DateType
+    # as datetime.date ('2026-01-01') but DuckDB hands DATE to pandas as
+    # datetime64 ('2026-01-01 00:00:00') — the stringified frames would
+    # never hash-match. A fixed-format string is identical on any engine.
+    day = F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day")
+    daily = (
+        events.repartition(n, F.col(user_col))
+        .groupBy(F.col(user_col), day)
+        .agg(F.sum(F.col(value_col).cast(DEC)).alias("_daily"))
+    )
+    w_run = (
+        Window.partitionBy(user_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lag = Window.partitionBy(user_col).orderBy("day")
+    w_all = Window.partitionBy(user_col)
+    dbl = lambda c: F.round(c.cast("double"), 4)  # noqa: E731
+    return daily.select(
+        F.col(user_col),
+        "day",
+        dbl(F.col("_daily")).alias("daily_value"),
+        dbl(F.sum("_daily").over(w_run)).alias("running_value"),
+        dbl(
+            F.col("_daily")
+            - F.coalesce(F.lag("_daily").over(w_lag), F.lit(0).cast(DEC))
+        ).alias("day_delta"),
+        F.round(
+            F.col("_daily").cast("double")
+            / F.sum("_daily").over(w_all).cast("double"),
+            6,
+        ).alias("share_of_user"),
+    )
+
+
+def windowed_share_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    return f"""
+        WITH daily AS (
+          SELECT {user_col},
+                 strftime({ts_col}, '%Y-%m-%d') AS day,
+                 SUM(CAST({value_col} AS DECIMAL(30,10))) AS d
+          FROM {table} GROUP BY 1, 2
+        )
+        SELECT {user_col}, day,
+               ROUND(CAST(CAST(d AS VARCHAR) AS DOUBLE), 4) AS daily_value,
+               ROUND(CAST(CAST(SUM(d) OVER (PARTITION BY {user_col} ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS VARCHAR) AS DOUBLE), 4) AS running_value,
+               ROUND(CAST(CAST(d - COALESCE(LAG(d) OVER (PARTITION BY {user_col}
+                     ORDER BY day), CAST(0 AS DECIMAL(30,10)))
+                     AS VARCHAR) AS DOUBLE), 4) AS day_delta,
+               ROUND(CAST(CAST(d AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(SUM(d) OVER (PARTITION BY {user_col})
+                            AS VARCHAR) AS DOUBLE), 6) AS share_of_user
+        FROM daily ORDER BY {user_col}, day
+    """
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    tiebreak_col: str,
+    k: int,
+    descending: bool = True,
+) -> DataFrame:
+    """The k best rows per group. Window ranks within
+    hash(group)-partitioned tasks — each task sorts only its own groups,
+    so there is no global sort and the output is the SAME rows a global
+    `ORDER BY ... LIMIT k` per group would pick. `tiebreak_col` must
+    make (order_col, tiebreak) unique within a group — ROW_NUMBER's own
+    determinism requirement."""
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(*group_cols).orderBy(oc, F.col(tiebreak_col).asc())
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank_in_group") <= k)
+    )
+
+
+def topk_per_group_sql(
+    table: str,
+    select_cols: Sequence[str],
+    group_cols: Sequence[str],
+    order_col: str,
+    tiebreak_col: str,
+    k: int,
+    descending: bool = True,
+) -> str:
+    part = ", ".join(group_cols)
+    sel = ", ".join(select_cols)
+    direction = "DESC" if descending else "ASC"
+    return f"""
+        SELECT {sel}, rank_in_group FROM (
+          SELECT {sel},
+                 CAST(ROW_NUMBER() OVER (PARTITION BY {part}
+                      ORDER BY {order_col} {direction}, {tiebreak_col} ASC)
+                      AS BIGINT) AS rank_in_group
+          FROM {table}
+        ) WHERE rank_in_group <= {k}
+        ORDER BY {part}, rank_in_group
+    """
