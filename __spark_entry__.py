@@ -1894,7 +1894,7 @@ def q99_windowed_share(spark, sf_dir):
     )
 
 
-def q100_topk_per_group(spark, sf_dir):
+def r01_topk_per_group(spark, sf_dir):
     """Top-3 orders per customer by total price (operators/olap.py
     topk_per_group): rank inside a hash(custkey)-partitioned window —
     each task sorts only its own groups, no global sort, identical rows
@@ -1911,6 +1911,39 @@ def q100_topk_per_group(spark, sf_dir):
             k=3,
         )
         .orderBy("o_custkey", "rank_in_group")
+    )
+
+
+def r02_kmv_distinct(spark, sf_dir):
+    """Per-event-type distinct-user estimate from a K-minimum-values
+    sketch (operators/sketch.py kmv_sketch / kmv_distinct), next to the
+    exact count for calibration. Sketch build shuffles O(k * partitions
+    * groups) candidate rows — per-partition bottom-k-of-distinct
+    pruning (the Misra-Gries move applied to order statistics), never
+    the raw stream. Engine-portable md5 ranks: the oracle rebuilds the
+    identical sketch, so the ESTIMATE hash-matches bit for bit."""
+    from unifydb_spark.operators.sketch import kmv_distinct
+
+    ev = _events_ts(spark, sf_dir)
+    return kmv_distinct(ev, "user_id", "event_type", k=128).orderBy(
+        "event_type"
+    )
+
+
+def r03_kmv_overlap(spark, sf_dir):
+    """Pairwise Jaccard / intersection-size estimates between the user
+    sets of every event-type pair, computed ONLY from the KMV sketches
+    (operators/sketch.py kmv_jaccard) — set INTERSECTION is the
+    operation HLL registers cannot express. Everything after the sketch
+    build touches k rows per group: at 100 TB the cross-source overlap
+    matrix is an algebra over broadcast-sized sketches. The group-pair
+    frame is a broadcast self-join of the distinct group list (bounded
+    by construction — plan-audit allowlisted)."""
+    from unifydb_spark.operators.sketch import kmv_jaccard
+
+    ev = _events_ts(spark, sf_dir)
+    return kmv_jaccard(ev, "user_id", "event_type", k=128).orderBy(
+        "grp_a", "grp_b"
     )
 
 
@@ -2029,7 +2062,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_exact_quantiles": q97_exact_quantiles,
         "q98_cube_metrics": q98_cube_metrics,
         "q99_windowed_share": q99_windowed_share,
-        "q100_topk_per_group": q100_topk_per_group,
+        "r01_topk_per_group": r01_topk_per_group,
+        "r02_kmv_distinct": r02_kmv_distinct,
+        "r03_kmv_overlap": r03_kmv_overlap,
     }
 
 
@@ -2558,12 +2593,21 @@ def _operator_oracles() -> dict[str, str]:
             mode="cube",
         ),
         "q99_windowed_share": _ol.windowed_share_sql("events"),
-        "q100_topk_per_group": _ol.topk_per_group_sql(
+        "r01_topk_per_group": _ol.topk_per_group_sql(
             "orders",
             ["o_custkey", "o_orderkey", "o_totalprice"],
             ["o_custkey"],
             "o_totalprice",
             "o_orderkey",
             k=3,
+        ),
+        # the candidate pruning is semantically invisible (per-partition
+        # bottom-k unions contain the true bottom-k) — the oracle builds
+        # the sketch directly from distinct hashes
+        "r02_kmv_distinct": _sk.kmv_distinct_sql(
+            "events", "user_id", "event_type", k=128
+        ),
+        "r03_kmv_overlap": _sk.kmv_jaccard_sql(
+            "events", "user_id", "event_type", k=128
         ),
     }

@@ -37,6 +37,10 @@ BNLJ_ALLOWED = {
     # q94: N and avgdl ride one broadcast 1-row cross join (the same
     # corpus-constant shape as q61's tfidf) — bounded by construction
     "q94_bm25_search",
+    # r03: the group-pair frame is a broadcast self-join of the
+    # DISTINCT group list (n_event_types rows) under a < predicate —
+    # bounded by construction
+    "r03_kmv_overlap",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)

@@ -152,3 +152,78 @@ def test_topk_no_global_sort(spark, orders):
     plan = _executed_plan(df)
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch (operators/sketch.py)
+
+
+def test_kmv_sketch_is_true_bottomk(spark):
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.sketch import kmv_sketch
+
+    df = spark.range(1000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.concat(F.lit("key"), F.col("id")).alias("k"),
+    )
+    sk = kmv_sketch(df, "k", "g", k=16)
+    got = {
+        (r["grp"], r["pos"]): r["hval"] for r in sk.collect()
+    }
+    # direct computation: bottom-16 of distinct hashes per group
+    direct = df.select(
+        F.col("g").alias("grp"),
+        F.conv(F.substring(F.md5(F.col("k")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hval"),
+    ).distinct().collect()
+    import collections
+
+    per = collections.defaultdict(list)
+    for r in direct:
+        per[r["grp"]].append(r["hval"])
+    for g, hs in per.items():
+        hs.sort()
+        for i, h in enumerate(hs[:16], start=1):
+            assert got[(g, i)] == h
+    assert len(got) == 32
+
+
+def test_kmv_distinct_small_group_is_exact_and_large_is_close(spark):
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.sketch import kmv_distinct
+
+    small = spark.range(40).select(
+        F.lit("small").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    big = spark.range(20000).select(
+        F.lit("big").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    out = {
+        r["g"]: (r["true_distinct"], r["kmv_est"])
+        for r in kmv_distinct(small.union(big), "k", "g", k=128).collect()
+    }
+    assert out["small"] == (40, 40.0)  # sketch complete -> exact
+    true_d, est = out["big"]
+    assert true_d == 20000
+    assert abs(est - true_d) / true_d < 0.3  # ~1/sqrt(128) noise band
+
+
+def test_kmv_jaccard_exact_when_sketches_complete(spark):
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.sketch import kmv_jaccard
+
+    # A = 0..59, B = 30..89 -> |A∩B| = 30, |A∪B| = 90, J = 1/3; both
+    # below k=128 so the sketch algebra must be EXACT
+    a = spark.range(0, 60).select(
+        F.lit("a").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    b = spark.range(30, 90).select(
+        F.lit("b").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    [r] = kmv_jaccard(a.union(b), "k", "g", k=128).collect()
+    assert (r["grp_a"], r["grp_b"]) == ("a", "b")
+    assert r["union_k"] == 90
+    assert r["overlap"] == 30
+    assert abs(r["jaccard_est"] - 1 / 3) < 1e-5
+    assert abs(r["est_intersection"] - 30.0) < 1e-6

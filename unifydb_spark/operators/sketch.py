@@ -383,3 +383,254 @@ def heavy_hitters_sql(
         WHERE cnt * {phi_den} > {phi_num} * n_total
         ORDER BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# K-minimum-values: mergeable distinct sketches that also support set
+# INTERSECTION — the operation HyperLogLog registers cannot express.
+
+TWO60 = float(1 << 60)  # exactly representable in a double
+
+
+def _kmv_hash(key_col: str):
+    """60-bit md5 rank of the (string) key — the same engine-portable
+    primitive as hll_registers: conv(15 hex chars) == DuckDB
+    ('0x'||substr(md5(k),1,15))::BIGINT, bit-identical everywhere."""
+    return (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+
+
+def _kmv_candidates(hashed: DataFrame, k: int) -> DataFrame:
+    """Per-partition bottom-k DISTINCT hashes per group (<= k rows per
+    group per partition) — the same shuffle-collapse move as the
+    Misra-Gries heavy-hitter pass: the global bottom-k of a group is a
+    subset of the union of per-partition bottom-ks, so the exact window
+    that follows touches only this candidate sliver, never the raw
+    stream. Input columns: (grp string, hval long)."""
+    import numpy as np
+    import pandas as pd
+
+    def summarize(batches):
+        best: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("grp"):
+                arr = np.unique(sub["hval"].to_numpy())
+                prev = best.get(g)
+                if prev is not None:
+                    arr = np.unique(np.concatenate([prev, arr]))
+                best[g] = arr[:k]
+        for g, arr in best.items():
+            yield pd.DataFrame({"grp": g, "hval": arr})
+
+    return hashed.mapInPandas(summarize, schema="grp string, hval bigint")
+
+
+def kmv_sketch(
+    keys: DataFrame, key_col: str, group_col: str, k: int = 128
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest distinct 60-bit hash values,
+    with their rank `pos` (1-based). Shuffle volume is O(k * partitions
+    * groups) candidate rows — never O(rows) and never O(distinct):
+    dedup and bottom-k both happen per-partition first (mapInPandas,
+    Arrow-batched), and only candidates reach the exact window.
+
+    The sketch is mergeable (union = bottom-k of concatenated sketches)
+    and supports intersection via the inclusion rule |A∩B| ≈ (|K(A∪B) ∩
+    A ∩ B| / k) * |A∪B| — see kmv_jaccard. Deterministic: a pure
+    function of the key set, so the SQL oracle rebuilds it exactly."""
+    from pyspark.sql import Window
+
+    hashed = keys.select(
+        F.col(group_col).cast("string").alias("grp"),
+        _kmv_hash(key_col).alias("hval"),
+    )
+    cands = _kmv_candidates(hashed, k).distinct()
+    w = Window.partitionBy("grp").orderBy("hval")
+    return (
+        cands.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pos") <= k)
+    )
+
+
+def kmv_distinct(
+    keys: DataFrame, key_col: str, group_col: str, k: int = 128
+) -> DataFrame:
+    """Per-group distinct estimate from the KMV sketch, next to the
+    exact count for calibration. With fewer than k distinct keys the
+    sketch IS the key set (estimate exact); otherwise est =
+    (k-1) / (kth_min / 2^60) — the classic unbiased KMV estimator. The
+    arithmetic shape ((k-1) / (kth / 2^60), one rounding at the end) is
+    mirrored verbatim in the oracle so IEEE evaluation is identical."""
+    sk = kmv_sketch(keys, key_col, group_col, k)
+    per_group = sk.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_reg"),
+        F.max("hval").alias("kth"),
+    )
+    truth = keys.groupBy(F.col(group_col).cast("string").alias("grp")).agg(
+        F.countDistinct(key_col).alias("true_distinct")
+    )
+    est = F.when(F.col("n_reg") < k, F.col("n_reg").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("kth").cast("double") / F.lit(TWO60))
+    )
+    return (
+        per_group.join(truth, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "true_distinct",
+            F.round(est, 4).alias("kmv_est"),
+        )
+    )
+
+
+def kmv_jaccard(
+    keys: DataFrame, key_col: str, group_col: str, k: int = 128
+) -> DataFrame:
+    """Pairwise Jaccard / intersection estimates between every pair of
+    groups, computed ONLY from the per-group KMV sketches (k rows per
+    group — broadcast-sized regardless of input scale; this is the
+    whole point: cross-source overlap questions at 100 TB reduce to an
+    algebra over tiny sketches).
+
+    For groups a < b: K(A∪B) = bottom-k of the merged sketch hashes;
+    overlap = |{h in K(A∪B): h in sketch(A) and h in sketch(B)}|;
+    jaccard_est = overlap / |K(A∪B)|, and est_intersection scales the
+    union estimate by it. When the merged sketch has fewer than k
+    hashes both sketches were complete, so union/overlap are exact."""
+    from pyspark.sql import Window
+
+    sk = kmv_sketch(keys, key_col, group_col, k).select("grp", "hval")
+    groups = sk.select("grp").distinct()
+    pairs = (
+        groups.withColumnRenamed("grp", "grp_a")
+        .join(
+            F.broadcast(groups.withColumnRenamed("grp", "grp_b")),
+            F.col("grp_a") < F.col("grp_b"),
+        )
+    )
+    side_a = pairs.join(
+        sk.withColumnRenamed("grp", "grp_a"), "grp_a"
+    ).select("grp_a", "grp_b", "hval", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    side_b = pairs.join(
+        sk.withColumnRenamed("grp", "grp_b"), "grp_b"
+    ).select("grp_a", "grp_b", "hval", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("grp_a", "grp_b", "hval")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("hval")
+    unionk = merged.withColumn(
+        "pos", F.row_number().over(w)
+    ).filter(F.col("pos") <= k)
+    agg = unionk.groupBy("grp_a", "grp_b").agg(
+        F.count(F.lit(1)).alias("union_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("overlap"),
+        F.max("hval").alias("kth"),
+    )
+    est_union = F.when(
+        F.col("union_k") < k, F.col("union_k").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.col("kth").cast("double") / F.lit(TWO60))
+    )
+    jacc = F.col("overlap").cast("double") / F.col("union_k").cast("double")
+    return agg.select(
+        "grp_a",
+        "grp_b",
+        "union_k",
+        "overlap",
+        F.round(jacc, 6).alias("jaccard_est"),
+        F.round(est_union * jacc, 4).alias("est_intersection"),
+    )
+
+
+def _kmv_sketch_cte(
+    table: str, key_col: str, group_col: str, k: int
+) -> str:
+    """Shared oracle CTE: the same bottom-k-of-distinct-hashes sketch.
+    The mapInPandas candidate pruning is semantically invisible (the
+    candidate union contains the true bottom-k), so the oracle builds
+    the sketch the direct way."""
+    h = f"(('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15))::BIGINT)"
+    return f"""
+        hashes AS (
+          SELECT DISTINCT CAST({group_col} AS VARCHAR) AS grp,
+                 {h} AS hval
+          FROM {table}
+        ),
+        sk AS (
+          SELECT grp, hval,
+                 ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hval) AS pos
+          FROM hashes QUALIFY pos <= {k}
+        )
+    """
+
+
+def kmv_distinct_sql(
+    table: str, key_col: str, group_col: str, k: int = 128
+) -> str:
+    return f"""
+        WITH {_kmv_sketch_cte(table, key_col, group_col, k)},
+        per_group AS (
+          SELECT grp, COUNT(*) AS n_reg, MAX(hval) AS kth FROM sk GROUP BY 1
+        ),
+        truth AS (
+          SELECT CAST({group_col} AS VARCHAR) AS grp,
+                 COUNT(DISTINCT {key_col}) AS true_distinct
+          FROM {table} GROUP BY 1
+        )
+        SELECT p.grp AS {group_col}, t.true_distinct,
+               ROUND(CASE WHEN p.n_reg < {k} THEN CAST(p.n_reg AS DOUBLE)
+                     ELSE CAST({k - 1} AS DOUBLE)
+                          / (CAST(p.kth AS DOUBLE) / {TWO60!r})
+                     END, 4) AS kmv_est
+        FROM per_group p JOIN truth t USING (grp)
+        ORDER BY 1
+    """
+
+
+def kmv_jaccard_sql(
+    table: str, key_col: str, group_col: str, k: int = 128
+) -> str:
+    return f"""
+        WITH {_kmv_sketch_cte(table, key_col, group_col, k)},
+        pairs AS (
+          SELECT a.grp AS grp_a, b.grp AS grp_b
+          FROM (SELECT DISTINCT grp FROM sk) a
+          JOIN (SELECT DISTINCT grp FROM sk) b ON a.grp < b.grp
+        ),
+        merged AS (
+          SELECT grp_a, grp_b, hval,
+                 MAX(in_a) AS in_a, MAX(in_b) AS in_b
+          FROM (
+            SELECT p.grp_a, p.grp_b, s.hval, 1 AS in_a, 0 AS in_b
+            FROM pairs p JOIN sk s ON s.grp = p.grp_a
+            UNION ALL
+            SELECT p.grp_a, p.grp_b, s.hval, 0, 1
+            FROM pairs p JOIN sk s ON s.grp = p.grp_b
+          ) GROUP BY 1, 2, 3
+        ),
+        unionk AS (
+          SELECT grp_a, grp_b, hval, in_a, in_b,
+                 ROW_NUMBER() OVER (PARTITION BY grp_a, grp_b
+                                    ORDER BY hval) AS pos
+          FROM merged QUALIFY pos <= {k}
+        ),
+        agg AS (
+          SELECT grp_a, grp_b, COUNT(*) AS union_k,
+                 CAST(SUM(in_a * in_b) AS BIGINT) AS overlap,
+                 MAX(hval) AS kth
+          FROM unionk GROUP BY 1, 2
+        )
+        SELECT grp_a, grp_b, union_k, overlap,
+               ROUND(CAST(overlap AS DOUBLE) / CAST(union_k AS DOUBLE), 6)
+                   AS jaccard_est,
+               ROUND((CASE WHEN union_k < {k} THEN CAST(union_k AS DOUBLE)
+                      ELSE CAST({k - 1} AS DOUBLE)
+                           / (CAST(kth AS DOUBLE) / {TWO60!r})
+                      END)
+                     * (CAST(overlap AS DOUBLE) / CAST(union_k AS DOUBLE)),
+                     4) AS est_intersection
+        FROM agg ORDER BY 1, 2
+    """
