@@ -1947,6 +1947,49 @@ def r03_kmv_overlap(spark, sf_dir):
     )
 
 
+def r04_canonical_keep(spark, sf_dir):
+    """The keep/drop decision a dedup pipeline executes
+    (operators/dedup.py canonical_keep): near-dup clusters (lossless
+    ppjoin pair generator -> connected components) -> elect one
+    canonical per cluster (longest text, min doc_id tiebreak) via a
+    window argmax inside hash(cluster)-partitioned tasks. No global
+    sort; each composition step past the cluster labeling is one
+    cluster-keyed shuffle."""
+    from unifydb_spark.operators.dedup import canonical_keep
+
+    return canonical_keep(_docs(spark, sf_dir), threshold=0.8).orderBy(
+        "doc_id"
+    )
+
+
+def r05_curriculum_profile(spark, sf_dir):
+    """Equal-size curriculum buckets in (n_chars, doc_id) order — the
+    length-ordered training schedule (operators/layout.py
+    curriculum_buckets). The rank comes from the scalable
+    global_row_number (range-partition + broadcast offsets, NO
+    Exchange SinglePartition — a bare NTILE is the one-task global
+    sort); bucket = floor((rank-1)*k/N) in integer DIV arithmetic. N
+    rides a broadcast 1-row cross join (bounded, allowlisted)."""
+    from unifydb_spark.operators.layout import curriculum_profile
+
+    return curriculum_profile(
+        _docs(spark, sf_dir), "n_chars", "doc_id", n_buckets=8
+    ).orderBy("bucket")
+
+
+def r06_holdout_split(spark, sf_dir):
+    """Deterministic train/val/test ASSIGNMENT manifest per source
+    stratum (operators/text.py holdout_split_report): md5-u32 hash of
+    the key against integer thresholds — a pure function of the key,
+    so appends never reassign old docs and the frozen eval slice stays
+    frozen. Zero shuffle to assign; one combinable agg to report."""
+    from unifydb_spark.operators.text import holdout_split_report
+
+    return holdout_split_report(_docs(spark, sf_dir)).orderBy(
+        "source", "split"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2065,6 +2108,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r01_topk_per_group": r01_topk_per_group,
         "r02_kmv_distinct": r02_kmv_distinct,
         "r03_kmv_overlap": r03_kmv_overlap,
+        "r04_canonical_keep": r04_canonical_keep,
+        "r05_curriculum_profile": r05_curriculum_profile,
+        "r06_holdout_split": r06_holdout_split,
     }
 
 
@@ -2610,4 +2656,12 @@ def _operator_oracles() -> dict[str, str]:
         "r03_kmv_overlap": _sk.kmv_jaccard_sql(
             "events", "user_id", "event_type", k=128
         ),
+        "r04_canonical_keep": _d.canonical_keep_sql(threshold=0.8),
+        # the range-partition/offset rank machinery is semantically
+        # invisible — the oracle is plain ROW_NUMBER + COUNT(*) OVER ()
+        # with the identical integer floor arithmetic
+        "r05_curriculum_profile": _lay.curriculum_profile_sql(
+            "documents", "n_chars", "doc_id", n_buckets=8
+        ),
+        "r06_holdout_split": _t.holdout_split_sql("documents"),
     }

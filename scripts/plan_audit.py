@@ -41,6 +41,10 @@ BNLJ_ALLOWED = {
     # DISTINCT group list (n_event_types rows) under a < predicate —
     # bounded by construction
     "r03_kmv_overlap",
+    # r05: the total row count N joins in as a broadcast ONE-ROW cross
+    # join (same corpus-constant shape as q61/q94) — bounded by
+    # construction
+    "r05_curriculum_profile",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)

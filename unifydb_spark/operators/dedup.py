@@ -1327,3 +1327,65 @@ def dup_span_coverage_sql(
         FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
         ORDER BY t.doc_id
     """
+
+
+def canonical_keep(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The keep/drop DECISION a dedup pipeline actually executes:
+    cluster near-duplicates (dedup_clusters — LSH-free here because the
+    pair generator is the lossless ppjoin prefix filter), then keep ONE
+    canonical document per cluster — the longest text, ties broken by
+    smallest doc_id. Returns every doc with its cluster id/size, the
+    elected kept_id, and the keep flag; singletons keep themselves.
+
+    The election is a window argmax inside hash(cluster)-partitioned
+    tasks — no global sort, no driver collect; at 100 TB the only
+    full-corpus cost is the cluster labeling this composes (each extra
+    step is one cluster-keyed shuffle)."""
+    clusters = dedup_clusters(docs, text_col, n, threshold)
+    scored = clusters.join(
+        docs.select("doc_id", F.length(F.col(text_col)).alias("_len")),
+        "doc_id",
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.col("_len").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn(
+            "kept_id", F.first("doc_id").over(w).cast("bigint")
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("kept_id"))
+        .select(
+            "doc_id", "canonical_id", "cluster_size", "kept_id", "keep"
+        )
+    )
+
+
+def canonical_keep_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    clusters = dedup_clusters_sql(table, text_col, n, threshold)
+    return f"""
+        WITH scored AS (
+          SELECT c.doc_id, c.canonical_id, c.cluster_size,
+                 LENGTH(d.{text_col}) AS len
+          FROM ({clusters}) c JOIN {table} d USING (doc_id)
+        )
+        SELECT doc_id, canonical_id, cluster_size,
+               CAST(FIRST_VALUE(doc_id) OVER (PARTITION BY canonical_id
+                    ORDER BY len DESC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                    AS BIGINT) AS kept_id,
+               doc_id = FIRST_VALUE(doc_id) OVER (PARTITION BY canonical_id
+                    ORDER BY len DESC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                    AS keep
+        FROM scored ORDER BY doc_id
+    """

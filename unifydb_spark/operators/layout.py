@@ -214,3 +214,81 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    score_col: str,
+    tiebreak_col: str,
+    n_buckets: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign every row to one of `n_buckets` equal-size curriculum
+    buckets in (score, tiebreak) order — the length/quality-ordered
+    training schedule primitive. bucket = floor((rank-1) * k / N): the
+    same integer arithmetic any engine reproduces, and the same split
+    points NTILE would pick up to its tie rule.
+
+    The rank comes from global_row_number (range-partition + offset
+    broadcast — NO Exchange SinglePartition, unlike a bare ROW_NUMBER
+    or NTILE over the whole table, which is exactly the one-task sort
+    that dies at 100 TB). N joins in as a broadcast one-row cross join —
+    a plan-audit-allowlisted bounded shape, never a driver collect of
+    data."""
+    ranked = global_row_number(
+        df, [score_col, tiebreak_col], out_col="_rank",
+        num_partitions=num_partitions,
+    )
+    total = ranked.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.join(F.broadcast(total))
+        # integer DIV, not `/`: Spark's `/` is DOUBLE division, whose
+        # truncation can mis-bucket once (rank * k) crosses 2^53 —
+        # DIV matches DuckDB's `//` exactly at any scale
+        .withColumn(
+            "bucket",
+            F.expr(f"CAST(((_rank - 1) * {n_buckets}) DIV _n AS BIGINT)"),
+        )
+        .drop("_rank", "_n")
+    )
+
+
+def curriculum_profile(
+    df: DataFrame,
+    score_col: str,
+    tiebreak_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Per-bucket manifest (count, score span) — the table a training
+    run logs before consuming a curriculum. One map-side-combinable
+    aggregation over the bucket assignment."""
+    b = curriculum_buckets(df, score_col, tiebreak_col, n_buckets)
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(score_col).alias(f"min_{score_col}"),
+        F.max(score_col).alias(f"max_{score_col}"),
+    )
+
+
+def curriculum_profile_sql(
+    table: str,
+    score_col: str,
+    tiebreak_col: str,
+    n_buckets: int,
+) -> str:
+    """Oracle: the scalable rank/offset machinery is semantically
+    invisible — plain ROW_NUMBER + COUNT(*) OVER () with the identical
+    floor arithmetic."""
+    return f"""
+        WITH ranked AS (
+          SELECT {score_col},
+                 CAST(((ROW_NUMBER() OVER (ORDER BY {score_col}, {tiebreak_col})
+                        - 1) * {n_buckets})
+                      // (COUNT(*) OVER ()) AS BIGINT) AS bucket
+          FROM {table}
+        )
+        SELECT bucket, COUNT(*) AS n_rows,
+               MIN({score_col}) AS min_{score_col},
+               MAX({score_col}) AS max_{score_col}
+        FROM ranked GROUP BY 1 ORDER BY 1
+    """

@@ -1040,3 +1040,83 @@ def bpe_encode(
             F.col("n_chars"),
         )
     )
+
+
+def holdout_split(
+    docs: DataFrame,
+    fracs: tuple = (0.8, 0.1, 0.1),
+    key_col: str = "doc_id",
+    salt: str = "holdout",
+) -> DataFrame:
+    """Deterministic train/val/test ASSIGNMENT (every row gets exactly
+    one split — the complement of hash_sample's keep/drop): the md5-u32
+    bucket of (salt:key) lands in [0, 0.8), [0.8, 0.9) or [0.9, 1) of
+    the hash space, with integer thresholds so the boundary compare is
+    exact on any engine. A pure function of the key: stable under
+    re-ingestion, re-partitioning and incremental appends — adding new
+    documents never reassigns an old one (the property that keeps a
+    frozen eval set frozen). Zero shuffle: one codegen'd CASE over a
+    projected hash."""
+    t1 = int(fracs[0] * (16 ** 8))
+    t2 = int((fracs[0] + fracs[1]) * (16 ** 8))
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return docs.withColumn(
+        "split",
+        F.when(bucket < t1, F.lit("train"))
+        .when(bucket < t2, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def holdout_split_report(
+    docs: DataFrame,
+    strata_col: str = "source",
+    fracs: tuple = (0.8, 0.1, 0.1),
+    key_col: str = "doc_id",
+    salt: str = "holdout",
+) -> DataFrame:
+    """Per (stratum, split) manifest: doc count, exact char sum, mean
+    length — the sanity table a pipeline checks before training (is the
+    test slice ~10% inside EVERY stratum, not just overall?). One
+    map-side-combinable aggregation."""
+    s = holdout_split(docs, fracs, key_col, salt)
+    return s.groupBy(F.col(strata_col), F.col("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_chars"),
+    )
+
+
+def holdout_split_sql(
+    table: str = "documents",
+    strata_col: str = "source",
+    fracs: tuple = (0.8, 0.1, 0.1),
+    key_col: str = "doc_id",
+    salt: str = "holdout",
+) -> str:
+    t1 = int(fracs[0] * (16 ** 8))
+    t2 = int((fracs[0] + fracs[1]) * (16 ** 8))
+    b = md5_u32_sql(key_col, salt)
+    return f"""
+        WITH assigned AS (
+          SELECT {strata_col}, n_chars,
+                 CASE WHEN {b} < {t1} THEN 'train'
+                      WHEN {b} < {t2} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM {table}
+        )
+        SELECT {strata_col}, split, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+        FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+    """
