@@ -61,6 +61,14 @@ HEADLINE = [
     "q95_dup_span_coverage",
     "q96_zorder_profile",
     "q97_exact_quantiles",
+    # round-5 wave 2: OLAP grouping sets / KMV sketches / pipeline policy
+    "q98_cube_metrics",
+    "q99_windowed_share",
+    "r02_kmv_distinct",
+    "r03_kmv_overlap",
+    "r04_canonical_keep",
+    "r05_curriculum_profile",
+    "r06_holdout_split",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus
     # index build is the untimed prepare step — production amortizes it)
