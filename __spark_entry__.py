@@ -1990,6 +1990,37 @@ def r06_holdout_split(spark, sf_dir):
     )
 
 
+def r07_scd2_intervals(spark, sf_dir):
+    """Type-2 SCD history: event stream -> (key, value, valid_from,
+    valid_to, is_current) validity intervals (operators/events.py
+    scd2_intervals) — the dimension-history twin of the store's LWW
+    retraction collapse (q41 keeps ONE current value; SCD2 keeps every
+    value with its range, what point-in-time feature joins consume).
+    Change-compression then LEAD intervals: two windows, ONE hash(key)
+    shuffle. Timestamps surface as fixed-format strings with a
+    9999-12-31 open-interval sentinel — engine-neutral."""
+    from unifydb_spark.operators.events import scd2_intervals
+
+    return scd2_intervals(_events_ts(spark, sf_dir)).orderBy(
+        "user_id", "valid_from"
+    )
+
+
+def r08_table_profile(spark, sf_dir):
+    """ANALYZE-style column statistics in one pass
+    (operators/stats.py table_profile): count / nulls / exact ndv /
+    min / max per column — the CBO input that drives broadcast and
+    join-order decisions. Spark rewrites the multi-column DISTINCT into
+    ONE Expand + partial-agg shuffle (the grouping-sets machinery), so
+    the table is scanned once, not once per column."""
+    from unifydb_spark.operators.stats import table_profile
+
+    docs = _docs(spark, sf_dir)
+    return table_profile(
+        docs, ["doc_id", "lang", "source", "n_chars"]
+    ).orderBy("col_name")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2111,6 +2142,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r04_canonical_keep": r04_canonical_keep,
         "r05_curriculum_profile": r05_curriculum_profile,
         "r06_holdout_split": r06_holdout_split,
+        "r07_scd2_intervals": r07_scd2_intervals,
+        "r08_table_profile": r08_table_profile,
     }
 
 
@@ -2664,4 +2697,8 @@ def _operator_oracles() -> dict[str, str]:
             "documents", "n_chars", "doc_id", n_buckets=8
         ),
         "r06_holdout_split": _t.holdout_split_sql("documents"),
+        "r07_scd2_intervals": _ev.scd2_intervals_sql("events"),
+        "r08_table_profile": _st.table_profile_sql(
+            "documents", ["doc_id", "lang", "source", "n_chars"]
+        ),
     }

@@ -102,3 +102,47 @@ def test_holdout_assignment_is_append_stable(spark, docs):
     frac = collections.Counter(full.values())
     assert abs(frac["train"] / len(full) - 0.8) < 0.08
     assert abs(frac["test"] / len(full) - 0.1) < 0.06
+
+
+def test_scd2_intervals_semantics(spark):
+    from datetime import datetime
+
+    from unifydb_spark.operators.events import scd2_intervals
+
+    rows = [
+        # user 1: a, a, b, a  -> intervals a, b, a (middle run collapses)
+        (1, "a", datetime(2026, 1, 1, 0, 0, 0), 1),
+        (1, "a", datetime(2026, 1, 2, 0, 0, 0), 2),
+        (1, "b", datetime(2026, 1, 3, 0, 0, 0), 3),
+        (1, "a", datetime(2026, 1, 4, 0, 0, 0), 4),
+        # user 2: single value, stays current
+        (2, "x", datetime(2026, 1, 1, 12, 0, 0), 5),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "event_id"])
+    out = scd2_intervals(ev).orderBy("user_id", "valid_from").collect()
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert [(r["event_type"], r["valid_from"], r["valid_to"]) for r in u1] == [
+        ("a", "2026-01-01 00:00:00", "2026-01-03 00:00:00"),
+        ("b", "2026-01-03 00:00:00", "2026-01-04 00:00:00"),
+        ("a", "2026-01-04 00:00:00", "9999-12-31 00:00:00"),
+    ]
+    # intervals chain gaplessly; exactly one current per key
+    assert [r["is_current"] for r in u1] == [False, False, True]
+    [u2] = [r for r in out if r["user_id"] == 2]
+    assert u2["is_current"] and u2["valid_to"] == "9999-12-31 00:00:00"
+
+
+def test_table_profile_values_and_single_scan(spark, docs):
+    from unifydb_spark.operators.stats import table_profile
+
+    out = {r["col_name"]: r for r in table_profile(docs, ["doc_id", "lang"]).collect()}
+    n = docs.count()
+    assert out["doc_id"]["n_nonnull"] == n
+    assert out["doc_id"]["n_null"] == 0
+    assert out["doc_id"]["ndv"] == n  # primary key
+    langs = docs.select("lang").distinct().count()
+    assert out["lang"]["ndv"] == langs
+    # one table scan: the multi-distinct agg plans as a single FileScan
+    plan = _final_plan(table_profile(docs, ["doc_id", "lang"]))
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan

@@ -449,3 +449,86 @@ def interval_activity_sql(table: str = "events", user_mod: int = 11) -> str:
          AND epoch_us(e.ts) < epoch_us(iv.end_ts)
         GROUP BY 1 ORDER BY 1
     """
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    current_sentinel: str = "9999-12-31 00:00:00",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: collapse an event
+    stream into (key, value, valid_from, valid_to, is_current) validity
+    intervals — the dimension-table twin of the store's LWW retraction
+    collapse (store.py snapshot dedups to ONE current value; SCD2 keeps
+    every value with its validity range, which is what a training-data
+    lineage audit or a point-in-time feature join consumes).
+
+    Two steps, ONE shuffle (both windows share the hash(key)
+    partitioning): (1) change-compression — keep only rows whose value
+    differs from the previous row in (ts, seq) order, so runs of equal
+    values collapse before intervals exist; (2) valid_to = next change's
+    valid_from (LEAD), open intervals get a fixed sentinel. Timestamps
+    surface as fixed-format strings: engine-neutral, and the sentinel
+    avoids NULL-ordering ambiguity in downstream BETWEEN joins.
+
+    Determinism requires (ts, seq) unique per key — the same contract
+    as the store's op_ord tiebreak."""
+    w_order = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(seq_col).asc()
+    )
+    changed = (
+        events.select(key_col, attr_col, ts_col, seq_col)
+        .withColumn("_prev", F.lag(attr_col).over(w_order))
+        .filter(
+            F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
+        )
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(seq_col).asc()
+    )
+    nxt = F.lead(ts_col).over(w2)
+    return changed.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_from"
+        ),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"),
+            F.lit(current_sentinel),
+        ).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def scd2_intervals_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    current_sentinel: str = "9999-12-31 00:00:00",
+) -> str:
+    return f"""
+        WITH changed AS (
+          SELECT {key_col}, {attr_col}, {ts_col}, {seq_col}
+          FROM (
+            SELECT {key_col}, {attr_col}, {ts_col}, {seq_col},
+                   LAG({attr_col}) OVER (PARTITION BY {key_col}
+                        ORDER BY {ts_col}, {seq_col}) AS prev
+            FROM {table}
+          ) WHERE prev IS NULL OR {attr_col} != prev
+        )
+        SELECT {key_col}, {attr_col},
+               strftime({ts_col}, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               COALESCE(strftime(LEAD({ts_col}) OVER (PARTITION BY {key_col}
+                        ORDER BY {ts_col}, {seq_col}), '%Y-%m-%d %H:%M:%S'),
+                        '{current_sentinel}') AS valid_to,
+               LEAD({ts_col}) OVER (PARTITION BY {key_col}
+                    ORDER BY {ts_col}, {seq_col}) IS NULL AS is_current
+        FROM changed ORDER BY {key_col}, valid_from
+    """

@@ -295,3 +295,63 @@ def exact_quantiles_scalable_sql(
         for p in probs
     )
     return f"SELECT * FROM ({selects}) ORDER BY quantile"
+
+
+def table_profile(df: "DataFrame", cols: "Sequence[str]") -> "DataFrame":
+    """ANALYZE-style column statistics in ONE pass: per column, the
+    non-null count, null count, exact distinct count, and min/max
+    (stringified — engine-neutral for integer/string columns; round
+    doubles before profiling them). This is the table-statistics input
+    a cost-based planner (or a human sizing a join) reads: ndv drives
+    join-order and broadcast decisions, null fraction flags unusable
+    keys, min/max bound partition pruning.
+
+    Plan shape: one aggregation; Spark rewrites the multi-column
+    DISTINCT aggregate into an Expand (one input row -> one row per
+    distinct-column) + a single partially-aggregated shuffle — the
+    exact same machinery as grouping sets, so cost is c x scan volume
+    pre-combine but only O(ndv) on the wire, never a second table
+    scan per column. The wide 1-row result is then unpivoted with
+    stack() — driver-free."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__ndv, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        "_total",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_nonnull, ndv, min_val, max_val)",
+    ).select(
+        "col_name",
+        F.col("n_nonnull").cast("bigint").alias("n_nonnull"),
+        (F.col("_total") - F.col("n_nonnull")).cast("bigint").alias("n_null"),
+        F.col("ndv").cast("bigint").alias("ndv"),
+        "min_val",
+        "max_val",
+    )
+
+
+def table_profile_sql(table: str, cols: "Sequence[str]") -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+               MIN(CAST({c} AS VARCHAR)) AS min_val,
+               MAX(CAST({c} AS VARCHAR)) AS max_val
+        FROM {table}
+        """
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
