@@ -2021,6 +2021,24 @@ def r08_table_profile(spark, sf_dir):
     ).orderBy("col_name")
 
 
+def r09_group_exact_quantiles(spark, sf_dir):
+    """Per-group EXACT quantiles with no per-group value buffer
+    (operators/stats.py exact_group_quantiles_scalable): every
+    (group, rank) target narrows in SHARED histogram rounds — one
+    combinable aggregation per round serves all groups at once via a
+    broadcast bounds table. Spark's own per-group percentile buffers
+    every value of every group (the OOM at 100 TB);
+    percentile_approx is bounded but approximate. exact_threshold=2000
+    forces the narrowing path to actually run under the oracle."""
+    from unifydb_spark.operators.stats import exact_group_quantiles_scalable
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return exact_group_quantiles_scalable(
+        li, "l_returnflag", "l_extendedprice",
+        buckets=256, exact_threshold=2000,
+    ).orderBy("l_returnflag", "quantile")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2144,6 +2162,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r06_holdout_split": r06_holdout_split,
         "r07_scd2_intervals": r07_scd2_intervals,
         "r08_table_profile": r08_table_profile,
+        "r09_group_exact_quantiles": r09_group_exact_quantiles,
     }
 
 
@@ -2700,5 +2719,8 @@ def _operator_oracles() -> dict[str, str]:
         "r07_scd2_intervals": _ev.scd2_intervals_sql("events"),
         "r08_table_profile": _st.table_profile_sql(
             "documents", ["doc_id", "lang", "source", "n_chars"]
+        ),
+        "r09_group_exact_quantiles": _st.exact_group_quantiles_scalable_sql(
+            "lineitem", "l_returnflag", "l_extendedprice"
         ),
     }

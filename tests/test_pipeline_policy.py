@@ -146,3 +146,77 @@ def test_table_profile_values_and_single_scan(spark, docs):
     plan = _final_plan(table_profile(docs, ["doc_id", "lang"]))
     assert plan.count("FileScan parquet") == 1
     assert "Expand" in plan
+
+
+def test_exact_quantile_duplicate_run_boundary(spark):
+    """Regression: a duplicate run larger than the sliver threshold
+    whose LAST element is rank k, with frac > 0 — the interpolation
+    partner k+1 is the first value beyond the run, not the run value."""
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.stats import exact_quantiles_scalable
+
+    df = spark.range(3001).select(
+        F.when(F.col("id") < 3000, F.lit(1.0)).otherwise(F.lit(2.0)).alias("x")
+    )
+    # n=3001 -> r = p*3000 = 2999.5 -> k0=2999 (last 1.0), frac=0.5
+    p = 2999.5 / 3000.0
+    [row] = exact_quantiles_scalable(
+        df, "x", probs=(p,), buckets=8, exact_threshold=100
+    ).collect()
+    assert row["value"] == 1.5
+
+
+def test_group_exact_quantiles_matches_buffering_percentile(spark):
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.stats import (
+        exact_group_quantiles_scalable,
+        group_quantiles,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    probs = (0.25, 0.5, 0.9, 0.99)
+    narrow = {
+        (r["l_returnflag"], r["quantile"]): r["value"]
+        for r in exact_group_quantiles_scalable(
+            li, "l_returnflag", "l_extendedprice", probs=probs,
+            buckets=64, exact_threshold=50,  # force many narrowing rounds
+        ).collect()
+    }
+    buffered = group_quantiles(
+        li, "l_returnflag", "l_extendedprice", probs=probs
+    ).collect()
+    assert len(narrow) == 3 * len(probs)
+    for r in buffered:
+        for p, name in [(p, ("p%g" % (p * 100)).replace(".", "_")) for p in probs]:
+            assert narrow[(r["l_returnflag"], name)] == r[name], (
+                r["l_returnflag"], name
+            )
+
+
+def test_group_exact_quantiles_edges(spark):
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.stats import exact_group_quantiles_scalable
+
+    # group 'dup': duplicate run bigger than threshold with boundary rank;
+    # group 'tiny': 2 rows (ranks clamp); group 'one': single value
+    dup = spark.range(3001).select(
+        F.lit("dup").alias("g"),
+        F.when(F.col("id") < 3000, F.lit(1.0)).otherwise(F.lit(2.0)).alias("x"),
+    )
+    tiny = spark.createDataFrame(
+        [("tiny", 10.0), ("tiny", 20.0), ("one", 7.0)], ["g", "x"]
+    )
+    p = 2999.5 / 3000.0
+    out = {
+        (r["g"], r["quantile"]): r["value"]
+        for r in exact_group_quantiles_scalable(
+            dup.union(tiny), "g", "x", probs=(0.5, p),
+            buckets=8, exact_threshold=100,
+        ).collect()
+    }
+    pname = ("p%g" % (p * 100)).replace(".", "_")
+    assert out[("dup", pname)] == 1.5  # interpolates into the value beyond
+    assert out[("dup", "p50")] == 1.0
+    assert out[("tiny", "p50")] == 15.0
+    assert out[("one", "p50")] == 7.0
+    assert out[("one", pname)] == 7.0

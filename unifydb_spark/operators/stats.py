@@ -208,6 +208,18 @@ def _order_stat_pair(vals: DataFrame, k: int, lo: float, hi: float,
         for b in sorted(hist):
             c, bmin, bmax = hist[b]
             if acc + c > k:
+                if bmin == bmax:
+                    # duplicate run bigger than the sliver threshold:
+                    # rank k is inside the run, but k+1 may be the first
+                    # value BEYOND it (k at the run's end with frac>0) —
+                    # returning (bmin, bmin) there interpolates against
+                    # the wrong partner
+                    if k + 1 < acc + c:
+                        return bmin, bmin
+                    nxt = (
+                        vals.filter(v > bmax).agg(F.min("v")).collect()[0][0]
+                    )
+                    return bmin, nxt if nxt is not None else bmin
                 lo, hi, n_lt_lo = bmin, bmax, acc
                 break
             acc += c
@@ -355,3 +367,218 @@ def table_profile_sql(table: str, cols: "Sequence[str]") -> str:
         for c in cols
     ]
     return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+def exact_group_quantiles_scalable(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    probs: tuple = DEFAULT_PROBS,
+    buckets: int = 1024,
+    exact_threshold: int = 5000,
+    max_rounds: int = 60,
+) -> "DataFrame":
+    """Exact linear-interpolated quantiles PER GROUP with no global
+    sort and no per-executor value buffer — the grouped twin of
+    exact_quantiles_scalable. Spark's own per-group `percentile` is
+    exact but buffers every value OF EVERY GROUP in executor memory
+    (the aggregation buffer is a value list); `percentile_approx` is
+    bounded but approximate. This resolves every (group, rank) target
+    by iterative histogram narrowing in SHARED rounds: one combinable
+    aggregation per round covers all still-unresolved targets at once
+    (a broadcast bounds table fans each row into the targets whose
+    candidate interval contains it — fan-out starts at |probs| and
+    dies off geometrically as intervals shrink), returning <=
+    targets * buckets histogram rows to the driver. Driver state is
+    O(groups * probs) — the low-cardinality-dimension contract, same
+    as grouping sets.
+
+    Returns (group_col, quantile, value): value interpolated exactly
+    like percentile/quantile_cont and rounded to 4 decimals."""
+    from unifydb_spark.resources import tracked_persist
+
+    spark = df.sparkSession
+    out_schema = f"{group_col} string, quantile string, value double"
+    vals = tracked_persist(
+        df.select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(value_col).cast("double").alias("v"),
+        ).filter(F.col("v").isNotNull())
+    )
+    base = vals.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).collect()
+    if not base:
+        return spark.createDataFrame([], out_schema)
+
+    # driver state per (group, k0) order-statistic pair target
+    tasks: dict = {}
+    want: list = []  # (grp, prob, k0, frac)
+    for r0 in base:
+        g, n, glo, ghi = r0["grp"], r0["n"], r0["lo"], r0["hi"]
+        for p in probs:
+            r = p * (n - 1)
+            k0 = int(r)
+            want.append((g, p, k0, r - k0))
+            tid = (g, k0)
+            if tid in tasks:
+                continue
+            if k0 >= n - 1 or glo == ghi:
+                tasks[tid] = {"pair": (ghi, ghi)}
+            else:
+                tasks[tid] = {
+                    "pair": None, "lo": glo, "hi": ghi, "n_lt_lo": 0,
+                    "sliver": False,
+                }
+
+    def unresolved():
+        return {t: s for t, s in tasks.items()
+                if s["pair"] is None and not s["sliver"]}
+
+    def bounds_frame(items):
+        rows = [
+            (g, f"{g}\x00{k}", float(s["lo"]), float(s["hi"]))
+            for (g, k), s in items
+        ]
+        return spark.createDataFrame(
+            rows, "grp string, tid string, blo double, bhi double"
+        )
+
+    rounds = 0
+    while unresolved():
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError("quantile narrowing did not converge")
+        items = list(unresolved().items())
+        b = bounds_frame(items)
+        width = (F.col("bhi") - F.col("blo")) / buckets
+        bexpr = F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor((F.col("v") - F.col("blo")) / width).cast("int"),
+                F.lit(buckets - 1),
+            ),
+        )
+        hist_rows = (
+            vals.join(F.broadcast(b), "grp")
+            .filter((F.col("v") >= F.col("blo")) & (F.col("v") <= F.col("bhi")))
+            .groupBy("tid", bexpr.alias("b"))
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.min("v").alias("bmin"),
+                F.max("v").alias("bmax"),
+            )
+            .collect()
+        )
+        per_tid: dict = {}
+        for r1 in hist_rows:
+            g, k = r1["tid"].split("\x00")
+            per_tid.setdefault((g, int(k)), {})[r1["b"]] = (
+                r1["c"], r1["bmin"], r1["bmax"],
+            )
+        for (tid, s) in items:
+            hist = per_tid[tid]
+            k = tid[1]
+            total = sum(c for c, _, _ in hist.values())
+            if total <= exact_threshold:
+                s["sliver"] = True
+                continue
+            acc = s["n_lt_lo"]
+            for bi in sorted(hist):
+                c, bmin, bmax = hist[bi]
+                if acc + c > k:
+                    if bmin == bmax:
+                        # oversized duplicate run: k inside it; k+1 may
+                        # be the first value beyond (resolved batched
+                        # below via the sliver machinery)
+                        s["lo"] = s["hi"] = bmin
+                        s["n_lt_lo"] = acc
+                        s["run_c"] = c
+                        s["sliver"] = True
+                    else:
+                        s["lo"], s["hi"], s["n_lt_lo"] = bmin, bmax, acc
+                    break
+                acc += c
+
+    # resolve every sliver task in ONE collect (bounded by
+    # tasks * exact_threshold), then one batched min-beyond job for
+    # targets whose k+1 falls past their sliver/run
+    sliver_items = [
+        (t, s) for t, s in tasks.items() if s["pair"] is None
+    ]
+    if sliver_items:
+        b = bounds_frame(sliver_items)
+        got: dict = {}
+        for r2 in (
+            vals.join(F.broadcast(b), "grp")
+            .filter((F.col("v") >= F.col("blo")) & (F.col("v") <= F.col("bhi")))
+            .select("tid", "v")
+            .collect()
+        ):
+            g, k = r2["tid"].split("\x00")
+            got.setdefault((g, int(k)), []).append(r2["v"])
+        need_beyond = []
+        for (tid, s) in sliver_items:
+            vs = sorted(got[tid])
+            k = tid[1]
+            i0 = k - s["n_lt_lo"]
+            v0 = vs[i0]
+            if i0 + 1 < len(vs):
+                s["pair"] = (v0, vs[i0 + 1])
+            else:
+                s["_v0"] = v0
+                need_beyond.append((tid, s))
+        if need_beyond:
+            nb = spark.createDataFrame(
+                [
+                    (g, f"{g}\x00{k}", float(s["hi"]))
+                    for (g, k), s in need_beyond
+                ],
+                "grp string, tid string, bhi double",
+            )
+            nxt = {
+                tuple(r3["tid"].split("\x00")): r3["m"]
+                for r3 in vals.join(F.broadcast(nb), "grp")
+                .filter(F.col("v") > F.col("bhi"))
+                .groupBy("tid")
+                .agg(F.min("v").alias("m"))
+                .collect()
+            }
+            for (tid, s) in need_beyond:
+                m = nxt.get((tid[0], str(tid[1])))
+                s["pair"] = (s["_v0"], m if m is not None else s["_v0"])
+
+    rows_out = [
+        (
+            g,
+            _pname(p),
+            float(
+                round(
+                    (1.0 - frac) * tasks[(g, k0)]["pair"][0]
+                    + frac * tasks[(g, k0)]["pair"][1],
+                    4,
+                )
+            ),
+        )
+        for (g, p, k0, frac) in want
+    ]
+    return spark.createDataFrame(rows_out, out_schema)
+
+
+def exact_group_quantiles_scalable_sql(
+    table: str, group_col: str, value_col: str,
+    probs: tuple = DEFAULT_PROBS,
+) -> str:
+    """Oracle: the narrowing machinery is semantically invisible —
+    plain per-group quantile_cont."""
+    v = f"CAST({value_col} AS DOUBLE)"
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({group_col} AS VARCHAR) AS {group_col},"
+        f" '{_pname(p)}' AS quantile,"
+        f" ROUND(quantile_cont({v}, {p}), 4) AS value"
+        f" FROM {table} GROUP BY 1"
+        for p in probs
+    )
+    return f"SELECT * FROM ({selects}) ORDER BY {group_col}, quantile"
