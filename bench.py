@@ -69,6 +69,9 @@ HEADLINE = [
     "r04_canonical_keep",
     "r05_curriculum_profile",
     "r06_holdout_split",
+    "r07_scd2_intervals",
+    "r08_table_profile",
+    "r09_group_exact_quantiles",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus
     # index build is the untimed prepare step — production amortizes it)
