@@ -2039,6 +2039,36 @@ def r09_group_exact_quantiles(spark, sf_dir):
     ).orderBy("l_returnflag", "quantile")
 
 
+def r10_ivm_merge(spark, sf_dir):
+    """Incremental view maintenance (operators/olap.py
+    merge_aggregate_state): the per-(event_type, day) aggregate is
+    maintained as mergeable state (count + DECIMAL sum); a delta batch
+    folds in via one delta-sized full-outer merge — NO base rescan —
+    and the oracle asserts the incremental result equals the full batch
+    recompute EXACTLY (decimal state is order-independent; float state
+    would diverge). The living-corpus twin of the q77 incremental LSH
+    ingest, for aggregates instead of indexes."""
+    from unifydb_spark.operators.olap import (
+        aggregate_state,
+        finalize_aggregate_state,
+        merge_aggregate_state,
+    )
+
+    ev = _events_ts(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    base = ev.filter(F.col("event_id") % 5 != 0)
+    delta = ev.filter(F.col("event_id") % 5 == 0)
+    state = aggregate_state(base, ["event_type", "day"], "value")
+    merged = merge_aggregate_state(state, delta, ["event_type", "day"], "value")
+    return finalize_aggregate_state(merged, "value").orderBy(
+        "event_type", "day"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2163,6 +2193,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r07_scd2_intervals": r07_scd2_intervals,
         "r08_table_profile": r08_table_profile,
         "r09_group_exact_quantiles": r09_group_exact_quantiles,
+        "r10_ivm_merge": r10_ivm_merge,
     }
 
 
@@ -2722,5 +2753,13 @@ def _operator_oracles() -> dict[str, str]:
         ),
         "r09_group_exact_quantiles": _st.exact_group_quantiles_scalable_sql(
             "lineitem", "l_returnflag", "l_extendedprice"
+        ),
+        # the base/delta split is semantically invisible (additive state
+        # merges exactly) — the oracle is the full recompute over ALL rows
+        "r10_ivm_merge": _ol.ivm_recompute_sql(
+            "events",
+            ["event_type", "strftime(ts, '%Y-%m-%d')"],
+            ["event_type", "day"],
+            "value",
         ),
     }

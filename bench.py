@@ -72,6 +72,7 @@ HEADLINE = [
     "r07_scd2_intervals",
     "r08_table_profile",
     "r09_group_exact_quantiles",
+    "r10_ivm_merge",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus
     # index build is the untimed prepare step — production amortizes it)

@@ -227,3 +227,48 @@ def test_kmv_jaccard_exact_when_sketches_complete(spark):
     assert r["overlap"] == 30
     assert abs(r["jaccard_est"] - 1 / 3) < 1e-5
     assert abs(r["est_intersection"] - 30.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance
+
+
+def test_ivm_merge_equals_full_recompute(spark):
+    from unifydb_spark.operators.olap import (
+        aggregate_state,
+        finalize_aggregate_state,
+        merge_aggregate_state,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 7).cast("string").alias("k"),
+        (F.col("id") % 13).cast("double").alias("x"),
+        F.col("id").alias("id"),
+    )
+    base, delta = df.filter(F.col("id") % 4 != 0), df.filter(F.col("id") % 4 == 0)
+    inc = finalize_aggregate_state(
+        merge_aggregate_state(aggregate_state(base, ["k"], "x"), delta, ["k"], "x"),
+        "x",
+    )
+    full = finalize_aggregate_state(aggregate_state(df, ["k"], "x"), "x")
+    a = {r["k"]: (r["cnt"], r["sum_x"], r["avg_x"]) for r in inc.collect()}
+    b = {r["k"]: (r["cnt"], r["sum_x"], r["avg_x"]) for r in full.collect()}
+    assert a == b
+
+
+def test_ivm_merge_handles_new_and_retracted_keys(spark):
+    from unifydb_spark.operators.olap import (
+        aggregate_state,
+        merge_aggregate_state,
+    )
+
+    base = spark.createDataFrame([("a", 1.0), ("a", 2.0)], ["k", "x"])
+    # delta introduces a brand-new key; base-only keys must survive
+    delta = spark.createDataFrame([("b", 10.0)], ["k", "x"])
+    out = {
+        r["k"]: (r["cnt"], float(r["sum_state"]))
+        for r in merge_aggregate_state(
+            aggregate_state(base, ["k"], "x"), delta, ["k"], "x"
+        ).collect()
+    }
+    assert out == {"a": (2, 3.0), "b": (1, 10.0)}

@@ -244,3 +244,100 @@ def topk_per_group_sql(
         ) WHERE rank_in_group <= {k}
         ORDER BY {part}, rank_in_group
     """
+
+
+def aggregate_state(
+    df: DataFrame, key_cols: Sequence[str], measure: str
+) -> DataFrame:
+    """Mergeable aggregate state per key: (keys, cnt, sum as
+    DECIMAL(30,10)). This is the STORED form an incrementally-maintained
+    rollup keeps — decimal sums are exact and order-independent, so
+    merging states in any order reproduces the full recompute bit for
+    bit (float sums would drift and the incremental path would diverge
+    from the batch path)."""
+    return df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(measure).cast(DEC)).alias("sum_state"),
+    )
+
+
+def merge_aggregate_state(
+    base_state: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    measure: str,
+) -> DataFrame:
+    """Incremental view maintenance: fold a delta batch into a stored
+    aggregate state WITHOUT rescanning the base data. delta is
+    aggregated to its own state (map-side combined, shuffle sized by
+    the delta's key set), then full-outer merged with the base state —
+    additive measures (count, decimal sum) combine exactly, so the
+    result is IDENTICAL to re-aggregating base ∪ delta from scratch
+    (that full recompute is the oracle).
+
+    At 100 TB this is the difference between touching yesterday's
+    appends and touching the corpus: the base state is key-sized, and
+    when it is stored bucketed by the keys (sources/tables bucketed
+    write, the q77 LSH-index pattern) the merge join plans with no
+    exchange on the base side. Deletions arrive as negative-count
+    deltas — the same merge handles retraction streams (store.py's
+    added=false tombstones) by weighting cnt with -1."""
+    d = aggregate_state(delta, key_cols, measure).withColumnRenamed(
+        "cnt", "_dc"
+    ).withColumnRenamed("sum_state", "_ds")
+    b = base_state.withColumnRenamed("cnt", "_bc").withColumnRenamed(
+        "sum_state", "_bs"
+    )
+    zero = F.lit(0).cast("bigint")
+    zdec = F.lit(0).cast(DEC)
+    return (
+        b.join(d, list(key_cols), "full_outer")
+        .select(
+            *key_cols,
+            (F.coalesce("_bc", zero) + F.coalesce("_dc", zero)).alias("cnt"),
+            (F.coalesce("_bs", zdec) + F.coalesce("_ds", zdec)).alias(
+                "sum_state"
+            ),
+        )
+    )
+
+
+def finalize_aggregate_state(
+    state: DataFrame, measure: str
+) -> DataFrame:
+    """Serve a stored state: rounded-DOUBLE sum and mean at the query
+    boundary (the driver-hash contract), keys untouched."""
+    return state.select(
+        *[c for c in state.columns if c not in ("cnt", "sum_state")],
+        "cnt",
+        F.round(F.col("sum_state").cast("double"), 4).alias(
+            f"sum_{measure}"
+        ),
+        F.round(
+            F.col("sum_state").cast("double") / F.col("cnt"), 4
+        ).alias(f"avg_{measure}"),
+    )
+
+
+def ivm_recompute_sql(
+    table: str,
+    key_exprs: Sequence[str],
+    key_names: Sequence[str],
+    measure: str,
+) -> str:
+    """Oracle for the incremental path: the full batch recompute over
+    the ENTIRE input — merge_aggregate_state must equal it exactly."""
+    keys_sel = ", ".join(
+        f"{e} AS {n}" for e, n in zip(key_exprs, key_names)
+    )
+    keys_grp = ", ".join(key_names)
+    sum_dec = f"SUM(CAST({measure} AS DECIMAL(30,10)))"
+    sum_dbl = f"CAST(CAST({sum_dec} AS VARCHAR) AS DOUBLE)"
+    return f"""
+        SELECT {keys_sel}, COUNT(*) AS cnt,
+               ROUND({sum_dbl}, 4) AS sum_{measure},
+               ROUND({sum_dbl} / COUNT(*), 4) AS avg_{measure}
+        FROM {table}
+        GROUP BY {keys_grp}
+        ORDER BY {keys_grp}
+    """
