@@ -37,6 +37,10 @@ BNLJ_ALLOWED = {
     # q94: N and avgdl ride one broadcast 1-row cross join (the same
     # corpus-constant shape as q61's tfidf) — bounded by construction
     "q94_bm25_search",
+    # q90: composes q27's brute-force side — the 8-row query set rides
+    # the same bounded broadcast cross join as q27/q28 (centroid/query
+    # assignment), bounded by construction
+    "q90_ann_recall",
     # r03: the group-pair frame is a broadcast self-join of the
     # DISTINCT group list (n_event_types rows) under a < predicate —
     # bounded by construction
