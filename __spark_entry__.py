@@ -2069,6 +2069,21 @@ def r10_ivm_merge(spark, sf_dir):
     )
 
 
+def r11_balanced_sample(spark, sf_dir):
+    """Exactly-n-per-stratum sampling (operators/text.py
+    balanced_sample): deterministic md5-ranked row_number per group —
+    the balanced-eval-set primitive rate-based sampling can't give
+    (small strata vanish under a global rate). One hash(group) shuffle,
+    each window task ranks only its own groups, reproducible on any
+    engine (the oracle rebuilds the identical selection)."""
+    from unifydb_spark.operators.text import balanced_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "lang", "n_chars")
+    return balanced_sample(docs, n_per_group=20).orderBy(
+        "source", "sample_rank"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2194,6 +2209,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r08_table_profile": r08_table_profile,
         "r09_group_exact_quantiles": r09_group_exact_quantiles,
         "r10_ivm_merge": r10_ivm_merge,
+        "r11_balanced_sample": r11_balanced_sample,
     }
 
 
@@ -2761,5 +2777,8 @@ def _operator_oracles() -> dict[str, str]:
             ["event_type", "strftime(ts, '%Y-%m-%d')"],
             ["event_type", "day"],
             "value",
+        ),
+        "r11_balanced_sample": _t.balanced_sample_sql(
+            "documents", n_per_group=20
         ),
     }

@@ -220,3 +220,26 @@ def test_group_exact_quantiles_edges(spark):
     assert out[("tiny", "p50")] == 15.0
     assert out[("one", "p50")] == 7.0
     assert out[("one", pname)] == 7.0
+
+
+def test_balanced_sample_exact_counts_and_determinism(spark, docs):
+    from unifydb_spark.operators.text import balanced_sample
+
+    import collections
+
+    out = balanced_sample(
+        docs.select("doc_id", "source", "lang", "n_chars"), n_per_group=7
+    ).collect()
+    per = collections.Counter(r["source"] for r in out)
+    group_sizes = {
+        r["source"]: r["c"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("c")).collect()
+    }
+    for g, c in per.items():
+        assert c == min(7, group_sizes[g])
+    assert set(per) == set(group_sizes)
+    # deterministic: identical selection on rerun
+    again = balanced_sample(
+        docs.select("doc_id", "source", "lang", "n_chars"), n_per_group=7
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)

@@ -1120,3 +1120,59 @@ def holdout_split_sql(
                ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
         FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def balanced_sample(
+    docs: DataFrame,
+    n_per_group: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "balanced",
+) -> DataFrame:
+    """EXACTLY n rows per group (fewer only when the group is smaller) —
+    the balanced-eval-set primitive that rate-based sampling cannot
+    give: hash_sample keeps rate*|group| rows, so small strata vanish
+    and large ones dominate. Selection ranks each group's rows by the
+    md5-u32 hash of (salt:key) — a deterministic uniform order that is
+    a pure function of the key, so the sample is reproducible across
+    engines/partitionings and STABLE under appends in expectation (a
+    new row displaces at most one old row, with probability n/|group|).
+    One hash(group) shuffle; each window task ranks only its own
+    groups — no global sort."""
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy(group_col).orderBy(
+        bucket.asc(), F.col(key_col).asc()
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= n_per_group)
+    )
+
+
+def balanced_sample_sql(
+    table: str = "documents",
+    n_per_group: int = 20,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "balanced",
+    select_cols: str = "doc_id, source, lang, n_chars",
+) -> str:
+    b = md5_u32_sql(key_col, salt)
+    return f"""
+        SELECT {select_cols}, sample_rank FROM (
+          SELECT {select_cols},
+                 CAST(ROW_NUMBER() OVER (PARTITION BY {group_col}
+                      ORDER BY {b} ASC, {key_col} ASC) AS BIGINT)
+                      AS sample_rank
+          FROM {table}
+        ) WHERE sample_rank <= {n_per_group}
+        ORDER BY {group_col}, sample_rank
+    """
