@@ -272,3 +272,26 @@ def test_ivm_merge_handles_new_and_retracted_keys(spark):
         ).collect()
     }
     assert out == {"a": (2, 3.0), "b": (1, 10.0)}
+
+
+def test_kmv_candidate_pruning_precedes_exchange(spark):
+    """Scale proof: the per-partition bottom-k pruning (MapInPandas)
+    runs BEFORE any exchange, so only the candidate sliver — not the
+    raw key stream — is ever shuffled for the exact window."""
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.sketch import kmv_sketch
+
+    df = spark.range(50_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("string").alias("k"),
+    )
+    sk = kmv_sketch(df, "k", "g", k=32)
+    sk.collect()
+    plan = sk._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "MapInPandas" in plan
+    # the pruning stage reads the raw range scan directly — no exchange
+    # between the scan and MapInPandas (candidates are produced locally)
+    scan_to_map = plan.split("MapInPandas")[-1]
+    assert "Exchange" not in scan_to_map, scan_to_map
