@@ -2084,6 +2084,28 @@ def r11_balanced_sample(spark, sf_dir):
     )
 
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def r12_pivot_metrics(spark, sf_dir):
+    """Wide pivot report: per day, one exact-sum column per event type
+    (operators/olap.py pivot_metrics). EXPLICIT pivot values — Spark's
+    value-less pivot() runs a full extra DISTINCT scan and yields a
+    nondeterministic column order; with values fixed the pivot is one
+    pass of conditional aggregates (identical to the oracle SQL), one
+    map-side-combined shuffle."""
+    from unifydb_spark.operators.olap import pivot_metrics
+
+    ev = _events_ts(spark, sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+    )
+    return pivot_metrics(
+        ev, "day", "event_type", _PIVOT_TYPES, "value"
+    ).orderBy("day")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2210,6 +2232,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r09_group_exact_quantiles": r09_group_exact_quantiles,
         "r10_ivm_merge": r10_ivm_merge,
         "r11_balanced_sample": r11_balanced_sample,
+        "r12_pivot_metrics": r12_pivot_metrics,
     }
 
 
@@ -2780,5 +2803,13 @@ def _operator_oracles() -> dict[str, str]:
         ),
         "r11_balanced_sample": _t.balanced_sample_sql(
             "documents", n_per_group=20
+        ),
+        "r12_pivot_metrics": _ol.pivot_metrics_sql(
+            "(SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, value"
+            " FROM events)",
+            "day",
+            "event_type",
+            _PIVOT_TYPES,
+            "value",
         ),
     }

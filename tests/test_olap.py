@@ -295,3 +295,46 @@ def test_kmv_candidate_pruning_precedes_exchange(spark):
     # between the scan and MapInPandas (candidates are produced locally)
     scan_to_map = plan.split("MapInPandas")[-1]
     assert "Exchange" not in scan_to_map, scan_to_map
+
+
+def test_pivot_matches_spark_native_pivot(spark):
+    from unifydb_spark.operators.olap import pivot_metrics
+
+    df = spark.range(2000).select(
+        (F.col("id") % 4).cast("string").alias("row"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("p"),
+        (F.col("id") % 11).cast("double").alias("x"),
+    )
+    ours = {
+        r["row"]: (r["cnt"], r["a_x"], r["b_x"], r["c_x"])
+        for r in pivot_metrics(df, "row", "p", ["a", "b", "c"], "x").collect()
+    }
+    native = {
+        r["row"]: (r["a"], r["b"], r["c"])
+        for r in df.groupBy("row")
+        .pivot("p", ["a", "b", "c"])
+        .agg(F.round(F.sum(F.col("x").cast("decimal(30,10)")).cast("double"), 4))
+        .collect()
+    }
+    assert set(ours) == set(native)
+    for k, (cnt, a, b, c) in ours.items():
+        na, nb, nc = native[k]
+        assert (a, b, c) == (na or 0.0, nb or 0.0, nc or 0.0)
+        assert cnt == 500
+
+
+def test_pivot_empty_cell_is_zero(spark):
+    from unifydb_spark.operators.olap import pivot_metrics
+
+    df = spark.createDataFrame(
+        [("r1", "a", 5.0), ("r1", "a", 2.5), ("r2", "b", 1.0)],
+        ["row", "p", "x"],
+    )
+    out = {
+        r["row"]: (r["a_x"], r["b_x"])
+        for r in pivot_metrics(df, "row", "p", ["a", "b"], "x").collect()
+    }
+    assert out == {"r1": (7.5, 0.0), "r2": (0.0, 1.0)}

@@ -341,3 +341,69 @@ def ivm_recompute_sql(
         GROUP BY {keys_grp}
         ORDER BY {keys_grp}
     """
+
+
+def pivot_metrics(
+    df: DataFrame,
+    row_col: str,
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    measure: str,
+) -> DataFrame:
+    """Wide-format pivot: one output row per `row_col`, one measure
+    column per EXPLICIT pivot value (decimal-exact sum, rounded DOUBLE,
+    0.0 for empty cells — the spreadsheet-shaped report surface).
+
+    `pivot_values` is required, not inferred: Spark's value-less
+    `pivot()` first runs a DISTINCT job over the pivot column — a full
+    extra scan at 100 TB, and a nondeterministic column order. With
+    explicit values the pivot compiles to ONE pass of conditional
+    aggregates (`sum(CASE WHEN pivot = v THEN x END)` per value) — one
+    scan, one map-side-combined shuffle, fixed schema. The same
+    conditional-aggregate form IS the oracle SQL, so the reshape is
+    engine-exact. Pivot values must be a small fixed dimension: each
+    value adds an aggregate buffer column."""
+    sums = [
+        F.round(
+            F.sum(
+                F.when(
+                    F.col(pivot_col) == v, F.col(measure).cast(DEC)
+                ).otherwise(F.lit(None))
+            ).cast("double"),
+            4,
+        ).alias(f"{v}_{measure}")
+        for v in pivot_values
+    ]
+    cnt = F.count(F.lit(1)).alias("cnt")
+    out = df.groupBy(row_col).agg(cnt, *sums)
+    return out.select(
+        row_col,
+        "cnt",
+        *[
+            F.coalesce(F.col(f"{v}_{measure}"), F.lit(0.0)).alias(
+                f"{v}_{measure}"
+            )
+            for v in pivot_values
+        ],
+    )
+
+
+def pivot_metrics_sql(
+    table: str,
+    row_col: str,
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    measure: str,
+) -> str:
+    cells = ",\n               ".join(
+        f"COALESCE(ROUND(CAST(CAST(SUM(CASE WHEN {pivot_col} = '{v}'"
+        f" THEN CAST({measure} AS DECIMAL(30,10)) END) AS VARCHAR)"
+        f" AS DOUBLE), 4), 0.0) AS {v}_{measure}"
+        for v in pivot_values
+    )
+    return f"""
+        SELECT {row_col}, COUNT(*) AS cnt,
+               {cells}
+        FROM {table}
+        GROUP BY {row_col} ORDER BY {row_col}
+    """
