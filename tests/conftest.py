@@ -3,6 +3,15 @@ import sys
 
 import pytest
 
+# Deterministic hypothesis runs: "N tests green" must be reproducible
+# evidence, not a sample (round-5 lesson — an unpinned fuzz run missed a
+# real BPE soundness bug that a different draw exposed). derandomize
+# picks examples from a fixed seed derived from each test's structure.
+from hypothesis import settings as _hyp_settings
+
+_hyp_settings.register_profile("deterministic", derandomize=True)
+_hyp_settings.load_profile("deterministic")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession

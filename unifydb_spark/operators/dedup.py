@@ -1175,8 +1175,13 @@ def source_overlap_matrix(
     aggregation, corpus never pairs), then only shingles seen in >= 2
     sources survive to the self-join — the common-shingle relation is
     bounded by true cross-source overlap, and the join key is the
-    shingle, so no all-pairs blowup on source count either."""
-    ss = (
+    shingle, so no all-pairs blowup on source count either. The common
+    relation is persisted before the self-join: without it the
+    explode+distinct subtree (the expensive part) re-evaluates once for
+    `multi` and twice more as the a/b aliases — the round-5 4x perf
+    regression (same medicine as the dedup_clusters CC edge list)."""
+    from unifydb_spark.resources import tracked_persist
+    ss = tracked_persist(
         _spread(docs)
         .select(
             F.col(source_col).alias("src"),
@@ -1192,7 +1197,7 @@ def source_overlap_matrix(
         .filter(F.col("n_src") >= 2)
         .select("shingle")
     )
-    common = ss.join(multi, "shingle")
+    common = tracked_persist(ss.join(multi, "shingle"))
     a, b = common.alias("a"), common.alias("b")
     return (
         a.join(

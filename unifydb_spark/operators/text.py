@@ -854,17 +854,35 @@ def _select_exact_merge_batch(cands, exhausted: bool, max_batch: int):
     Candidates past the collected window are handled by treating the last
     collected pc as B when the window wasn't exhaustive. Worst case the
     filter empties (B equals the top count) and we fall back to the top
-    pair alone — the plain argmax, always exact."""
+    pair alone — the plain argmax, always exact.
+
+    Self-pair exception (l == r): greedy application of (x, x) -> xx to
+    a run like [x, x, x] leaves [xx, x], creating the pair (xx, x) whose
+    only pre-merge bound is the count of (r, y) = (x, x) — the merge's
+    OWN count, which the conflict scan never sees (the merge is accepted
+    before its symbols enter `used`). Every later candidate has
+    pc' <= pc, so none can be proven to precede that created pair
+    (a tie loses/wins on lexicographic order we can't predict without
+    knowing the created pair). The provable prefix therefore stops
+    ACCEPTING at a self-pair — but the scan continues, because a later
+    conflicting candidate still bounds the pairs created by the
+    earlier-accepted merges and may evict them via the pc > B filter.
+    (Counterexample that forced this: words=['ba','ababab'] — merge
+    (ab,ab) creates ('abab','ab') which tie-beats the disjoint ('b','a')
+    lexicographically; pinned in tests/test_properties.py.)"""
     accepted, used = [], set()
     bound = None
+    accepting = True
     for l, r, pc in cands:
         if l in used or r in used:
             bound = pc
             break
-        if len(accepted) < max_batch:
+        if accepting and len(accepted) < max_batch:
             accepted.append((l, r, pc))
             used.add(l)
             used.add(r)
+            if l == r:
+                accepting = False
     if bound is None:
         bound = -1 if exhausted else cands[-1][2]
     safe = [m for m in accepted if m[2] > bound]
