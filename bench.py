@@ -64,6 +64,7 @@ HEADLINE = [
     # round-5 wave 2: OLAP grouping sets / KMV sketches / pipeline policy
     "q98_cube_metrics",
     "q99_windowed_share",
+    "r01_topk_per_group",
     "r02_kmv_distinct",
     "r03_kmv_overlap",
     "r04_canonical_keep",

@@ -189,6 +189,26 @@ def test_kmv_sketch_is_true_bottomk(spark):
     assert len(got) == 32
 
 
+def test_kmv_null_keys_excluded(spark):
+    """Null keys have no hash rank (md5(NULL) = NULL) and must be
+    excluded from the sketch — Spark's nulls-first window vs DuckDB's
+    nulls-last ROW_NUMBER would otherwise put the null at opposite ends
+    and break the bit-exact hash-match contract (r5 advice)."""
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.sketch import kmv_distinct, kmv_sketch
+
+    df = spark.createDataFrame(
+        [("g1", str(i)) for i in range(30)] + [("g1", None)] * 5,
+        "g string, k string",
+    )
+    sk = kmv_sketch(df, "k", "g", k=128)
+    assert sk.filter(F.col("hval").isNull()).count() == 0
+    assert sk.count() == 30  # the 30 non-null distinct keys, complete
+    [r] = kmv_distinct(df, "k", "g", k=128).collect()
+    # true_distinct (countDistinct) ignores nulls too -> both sides 30
+    assert (r["true_distinct"], r["kmv_est"]) == (30, 30.0)
+
+
 def test_kmv_distinct_small_group_is_exact_and_large_is_close(spark):
     from pyspark.sql import functions as F
     from unifydb_spark.operators.sketch import kmv_distinct

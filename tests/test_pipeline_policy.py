@@ -132,6 +132,39 @@ def test_scd2_intervals_semantics(spark):
     assert u2["is_current"] and u2["valid_to"] == "9999-12-31 00:00:00"
 
 
+def test_scd2_intervals_null_attr_transitions(spark):
+    """Null-SAFE change detection (r5 advice): transitions into/out of a
+    NULL attribute are real history rows, NULL runs compress, and a key
+    whose FIRST value is NULL still gets its opening interval."""
+    from datetime import datetime
+
+    from unifydb_spark.operators.events import scd2_intervals
+
+    rows = [
+        # user 1: a, NULL, NULL, b -> intervals a, NULL, b
+        (1, "a", datetime(2026, 1, 1), 1),
+        (1, None, datetime(2026, 1, 2), 2),
+        (1, None, datetime(2026, 1, 3), 3),
+        (1, "b", datetime(2026, 1, 4), 4),
+        # user 2: starts NULL, then x
+        (2, None, datetime(2026, 1, 1), 5),
+        (2, "x", datetime(2026, 1, 2), 6),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp, event_id bigint"
+    )
+    out = scd2_intervals(ev).orderBy("user_id", "valid_from").collect()
+    u1 = [(r["event_type"], r["valid_from"], r["valid_to"])
+          for r in out if r["user_id"] == 1]
+    assert u1 == [
+        ("a", "2026-01-01 00:00:00", "2026-01-02 00:00:00"),
+        (None, "2026-01-02 00:00:00", "2026-01-04 00:00:00"),
+        ("b", "2026-01-04 00:00:00", "9999-12-31 00:00:00"),
+    ]
+    u2 = [(r["event_type"], r["is_current"]) for r in out if r["user_id"] == 2]
+    assert u2 == [(None, False), ("x", True)]
+
+
 def test_table_profile_values_and_single_scan(spark, docs):
     from unifydb_spark.operators.stats import table_profile
 
@@ -142,6 +175,11 @@ def test_table_profile_values_and_single_scan(spark, docs):
     assert out["doc_id"]["ndv"] == n  # primary key
     langs = docs.select("lang").distinct().count()
     assert out["lang"]["ndv"] == langs
+    # min/max rank on the NATIVE type (r5 advice): lexicographic order
+    # over stringified ints reported max(1..500) as '99'
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    assert out["doc_id"]["min_val"] == str(min(ids))
+    assert out["doc_id"]["max_val"] == str(max(ids))
     # one table scan: the multi-distinct agg plans as a single FileScan
     plan = _final_plan(table_profile(docs, ["doc_id", "lang"]))
     assert plan.count("FileScan parquet") == 1

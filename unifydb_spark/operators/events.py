@@ -479,13 +479,20 @@ def scd2_intervals(
     w_order = Window.partitionBy(key_col).orderBy(
         F.col(ts_col).asc(), F.col(seq_col).asc()
     )
+    # null-SAFE change detection (r5 advice): attr != prev is NULL when
+    # either side is NULL, which silently dropped transitions into/out
+    # of a NULL attribute. eqNullSafe compresses NULL runs correctly,
+    # and the row_number()==1 term keeps each key's first row (its lag
+    # is NULL-for-absent, indistinguishable from a NULL attr otherwise).
     changed = (
         events.select(key_col, attr_col, ts_col, seq_col)
         .withColumn("_prev", F.lag(attr_col).over(w_order))
+        .withColumn("_rn", F.row_number().over(w_order))
         .filter(
-            F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
+            (F.col("_rn") == 1)
+            | ~F.col(attr_col).eqNullSafe(F.col("_prev"))
         )
-        .drop("_prev")
+        .drop("_prev", "_rn")
     )
     w2 = Window.partitionBy(key_col).orderBy(
         F.col(ts_col).asc(), F.col(seq_col).asc()
@@ -519,9 +526,11 @@ def scd2_intervals_sql(
           FROM (
             SELECT {key_col}, {attr_col}, {ts_col}, {seq_col},
                    LAG({attr_col}) OVER (PARTITION BY {key_col}
-                        ORDER BY {ts_col}, {seq_col}) AS prev
+                        ORDER BY {ts_col}, {seq_col}) AS prev,
+                   ROW_NUMBER() OVER (PARTITION BY {key_col}
+                        ORDER BY {ts_col}, {seq_col}) AS rn
             FROM {table}
-          ) WHERE prev IS NULL OR {attr_col} != prev
+          ) WHERE rn = 1 OR {attr_col} IS DISTINCT FROM prev
         )
         SELECT {key_col}, {attr_col},
                strftime({ts_col}, '%Y-%m-%d %H:%M:%S') AS valid_from,

@@ -445,7 +445,11 @@ def kmv_sketch(
     hashed = keys.select(
         F.col(group_col).cast("string").alias("grp"),
         _kmv_hash(key_col).alias("hval"),
-    )
+    ).filter(F.col("hval").isNotNull())
+    # null keys are excluded (md5(NULL) = NULL has no rank): Spark's
+    # nulls-first asc window and DuckDB's nulls-last ROW_NUMBER would
+    # otherwise place the null hash at OPPOSITE ends of the sketch —
+    # the oracle CTE applies the identical hval IS NOT NULL filter
     cands = _kmv_candidates(hashed, k).distinct()
     w = Window.partitionBy("grp").orderBy("hval")
     return (
@@ -558,6 +562,7 @@ def _kmv_sketch_cte(
           SELECT DISTINCT CAST({group_col} AS VARCHAR) AS grp,
                  {h} AS hval
           FROM {table}
+          WHERE {h} IS NOT NULL
         ),
         sk AS (
           SELECT grp, hval,

@@ -312,8 +312,9 @@ def exact_quantiles_scalable_sql(
 def table_profile(df: "DataFrame", cols: "Sequence[str]") -> "DataFrame":
     """ANALYZE-style column statistics in ONE pass: per column, the
     non-null count, null count, exact distinct count, and min/max
-    (stringified — engine-neutral for integer/string columns; round
-    doubles before profiling them). This is the table-statistics input
+    (ordered on the NATIVE column type, then stringified into the
+    engine-neutral output row; round doubles before profiling them so
+    the string forms match across engines). This is the table-statistics input
     a cost-based planner (or a human sizing a join) reads: ndv drives
     join-order and broadcast decisions, null fraction flags unusable
     keys, min/max bound partition pruning.
@@ -332,8 +333,11 @@ def table_profile(df: "DataFrame", cols: "Sequence[str]") -> "DataFrame":
         aggs += [
             F.count(c).alias(f"{c}__n"),
             F.countDistinct(c).alias(f"{c}__ndv"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            # min/max on the NATIVE type, stringified afterwards: casting
+            # first would rank lexicographically (max of 1..500 = '99'),
+            # which cannot bound partition pruning (r5 advice)
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
     wide = df.agg(*aggs)
     stack_args = ", ".join(
@@ -360,8 +364,8 @@ def table_profile_sql(table: str, cols: "Sequence[str]") -> str:
                CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
                CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
                CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
-               MIN(CAST({c} AS VARCHAR)) AS min_val,
-               MAX(CAST({c} AS VARCHAR)) AS max_val
+               CAST(MIN({c}) AS VARCHAR) AS min_val,
+               CAST(MAX({c}) AS VARCHAR) AS max_val
         FROM {table}
         """
         for c in cols
@@ -490,13 +494,19 @@ def exact_group_quantiles_scalable(
                 c, bmin, bmax = hist[bi]
                 if acc + c > k:
                     if bmin == bmax:
-                        # oversized duplicate run: k inside it; k+1 may
-                        # be the first value beyond (resolved batched
-                        # below via the sliver machinery)
-                        s["lo"] = s["hi"] = bmin
-                        s["n_lt_lo"] = acc
-                        s["run_c"] = c
-                        s["sliver"] = True
+                        # oversized duplicate run: ranks acc..acc+c-1
+                        # all equal bmin, so k resolves WITHOUT ever
+                        # collecting the run (its size is unbounded —
+                        # that's why this branch exists; r5 advice).
+                        # Only k+1 falling past the run's end needs a
+                        # value we don't have: the first value beyond
+                        # bmin, fetched by the batched min-beyond job.
+                        if acc + c > k + 1:
+                            s["pair"] = (bmin, bmin)
+                        else:
+                            s["lo"] = s["hi"] = bmin
+                            s["_v0"] = bmin
+                            s["sliver"] = True
                     else:
                         s["lo"], s["hi"], s["n_lt_lo"] = bmin, bmax, acc
                     break
@@ -505,8 +515,17 @@ def exact_group_quantiles_scalable(
     # resolve every sliver task in ONE collect (bounded by
     # tasks * exact_threshold), then one batched min-beyond job for
     # targets whose k+1 falls past their sliver/run
+    # duplicate-run tasks (_v0 already known) skip the row collect
+    # entirely — they only need the min-beyond job
+    need_beyond = [
+        (t, s)
+        for t, s in tasks.items()
+        if s["pair"] is None and "_v0" in s
+    ]
     sliver_items = [
-        (t, s) for t, s in tasks.items() if s["pair"] is None
+        (t, s)
+        for t, s in tasks.items()
+        if s["pair"] is None and "_v0" not in s
     ]
     if sliver_items:
         b = bounds_frame(sliver_items)
@@ -519,7 +538,6 @@ def exact_group_quantiles_scalable(
         ):
             g, k = r2["tid"].split("\x00")
             got.setdefault((g, int(k)), []).append(r2["v"])
-        need_beyond = []
         for (tid, s) in sliver_items:
             vs = sorted(got[tid])
             k = tid[1]
@@ -530,25 +548,25 @@ def exact_group_quantiles_scalable(
             else:
                 s["_v0"] = v0
                 need_beyond.append((tid, s))
-        if need_beyond:
-            nb = spark.createDataFrame(
-                [
-                    (g, f"{g}\x00{k}", float(s["hi"]))
-                    for (g, k), s in need_beyond
-                ],
-                "grp string, tid string, bhi double",
-            )
-            nxt = {
-                tuple(r3["tid"].split("\x00")): r3["m"]
-                for r3 in vals.join(F.broadcast(nb), "grp")
-                .filter(F.col("v") > F.col("bhi"))
-                .groupBy("tid")
-                .agg(F.min("v").alias("m"))
-                .collect()
-            }
-            for (tid, s) in need_beyond:
-                m = nxt.get((tid[0], str(tid[1])))
-                s["pair"] = (s["_v0"], m if m is not None else s["_v0"])
+    if need_beyond:
+        nb = spark.createDataFrame(
+            [
+                (g, f"{g}\x00{k}", float(s["hi"]))
+                for (g, k), s in need_beyond
+            ],
+            "grp string, tid string, bhi double",
+        )
+        nxt = {
+            tuple(r3["tid"].split("\x00")): r3["m"]
+            for r3 in vals.join(F.broadcast(nb), "grp")
+            .filter(F.col("v") > F.col("bhi"))
+            .groupBy("tid")
+            .agg(F.min("v").alias("m"))
+            .collect()
+        }
+        for (tid, s) in need_beyond:
+            m = nxt.get((tid[0], str(tid[1])))
+            s["pair"] = (s["_v0"], m if m is not None else s["_v0"])
 
     rows_out = [
         (
