@@ -2106,6 +2106,42 @@ def r12_pivot_metrics(spark, sf_dir):
     ).orderBy("day")
 
 
+_INGEST_FIXTURE = None
+
+
+def _ingest_fixture_path() -> str:
+    global _INGEST_FIXTURE
+    if _INGEST_FIXTURE is None:
+        import os
+
+        _INGEST_FIXTURE = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "fixtures",
+            "ingest_sample.jsonl",
+        )
+    return _INGEST_FIXTURE
+
+
+def r13_ingest_quarantine(spark, sf_dir):
+    """Quarantined JSONL bulk load (sources/ingest.py): PERMISSIVE
+    parse with an explicit DDL splits a seeded-corrupt fixture into
+    (good, quarantine) from ONE persisted scan; the report is per-lang
+    good counts + exact score sums plus a `_quarantine` row. The
+    fixture's 10 corrupt lines (5 invalid JSON, 5 numeric-field type
+    violations) are shapes both engines classify identically; scores
+    are multiples of 0.25 so double sums are order-independent. The
+    DuckDB oracle re-classifies the same raw lines with TRY_CAST."""
+    from unifydb_spark.sources.ingest import ingest_summary
+
+    return ingest_summary(
+        spark,
+        _ingest_fixture_path(),
+        "doc_id BIGINT, lang STRING, score DOUBLE",
+        "lang",
+        "score",
+    ).orderBy("bucket")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2233,6 +2269,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r10_ivm_merge": r10_ivm_merge,
         "r11_balanced_sample": r11_balanced_sample,
         "r12_pivot_metrics": r12_pivot_metrics,
+        "r13_ingest_quarantine": r13_ingest_quarantine,
     }
 
 
@@ -2399,6 +2436,7 @@ def _operator_oracles() -> dict[str, str]:
     from unifydb_spark.operators import olap as _ol
     from unifydb_spark.operators import search as _se
     from unifydb_spark.operators import sketch as _sk
+    from unifydb_spark.sources import ingest as _ingest
 
     pii_injected = """
         WITH injected AS (
@@ -2811,5 +2849,11 @@ def _operator_oracles() -> dict[str, str]:
             "event_type",
             _PIVOT_TYPES,
             "value",
+        ),
+        "r13_ingest_quarantine": _ingest.ingest_summary_sql(
+            _ingest_fixture_path(),
+            [("doc_id", "BIGINT"), ("lang", "VARCHAR"), ("score", "DOUBLE")],
+            "lang",
+            "score",
         ),
     }

@@ -76,6 +76,7 @@ HEADLINE = [
     "r10_ivm_merge",
     "r11_balanced_sample",
     "r12_pivot_metrics",
+    "r13_ingest_quarantine",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus
     # index build is the untimed prepare step — production amortizes it)

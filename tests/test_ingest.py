@@ -60,3 +60,29 @@ def test_csv_quarantine(spark, tmp_path):
     assert sorted(r["id"] for r in good.collect()) == [1, 2, 4]
     [q] = quar.collect()
     assert "not_a_double" in q["raw_line"]
+
+
+def test_ingest_summary_fixture_parity(spark):
+    """The r13 oracle entry's Spark side over the committed fixture:
+    50 good rows in three lang buckets, 10 quarantined, sums exact
+    (scores are multiples of 0.25 — order-independent double sums)."""
+    import os
+
+    from unifydb_spark.sources.ingest import ingest_summary
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "ingest_sample.jsonl",
+    )
+    out = {
+        r["bucket"]: (r["n"], r["sum_value"])
+        for r in ingest_summary(
+            spark, path, "doc_id BIGINT, lang STRING, score DOUBLE",
+            "lang", "score",
+        ).collect()
+    }
+    assert out["_quarantine"] == (10, None)
+    assert out["de"] == (17, 110.5)
+    assert out["en"] == (16, 102.0)
+    assert out["fr"] == (17, 106.25)

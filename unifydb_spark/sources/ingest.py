@@ -100,6 +100,88 @@ def read_csv_quarantine(
     return _split(raw)
 
 
+def ingest_summary(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Load report for a quarantined JSONL ingest: per-group good-row
+    counts with a typed aggregate, plus one `_quarantine` row counting
+    the rejected lines — the first DataFrame an operator looks at after
+    a bulk load ("did everything land, and what did we reject?").
+    Returns (bucket, n, sum_value) with `_quarantine`'s sum NULL.
+
+    One parse pass (the quarantine split shares a persisted scan), two
+    combinable aggregations, one 1-row union — scale cost is the read
+    itself. The DuckDB oracle (ingest_summary_sql) classifies the same
+    raw lines with TRY_CAST-based checks, which agree with Spark's
+    PERMISSIVE corrupt-record semantics for the fixture's corrupt
+    shapes (invalid JSON, non-numeric values in numeric fields);
+    quoted numbers ("5" for a BIGINT field) would diverge (Spark
+    rejects, SQL TRY_CAST accepts) and are excluded from the fixture
+    contract."""
+    good, quarantine = read_jsonl_quarantine(spark, path, schema_ddl)
+    agg = good.groupBy(F.col(group_col).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(value_col), 4).alias("sum_value"),
+    )
+    qrow = quarantine.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(
+        F.lit("_quarantine").alias("bucket"),
+        "n",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return agg.unionByName(qrow)
+
+
+def ingest_summary_sql(
+    path: str,
+    fields: "list[tuple[str, str]]",
+    group_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin of ingest_summary: read every raw line (read_csv
+    with a delimiter/quote that never matches), classify with
+    TRY_CAST(line AS JSON) + per-field TRY_CAST checks (a present field
+    that fails its numeric cast marks the line corrupt — PERMISSIVE
+    parity for the fixture's corrupt shapes), then the same per-group
+    aggregate + quarantine-count union. `fields` is [(name, DUCKDB
+    type), ...] in schema order."""
+    checks = " AND ".join(
+        f"NOT (j->>'$.{n}' IS NOT NULL"
+        f" AND TRY_CAST(j->>'$.{n}' AS {t}) IS NULL)"
+        for n, t in fields
+        if t.upper() != "VARCHAR"
+    )
+    typed = ", ".join(
+        f"TRY_CAST(j->>'$.{n}' AS {t}) AS {n}" for n, t in fields
+    )
+    return f"""
+        WITH lines AS (
+          SELECT raw_line FROM read_csv('{path}',
+            columns={{'raw_line': 'VARCHAR'}}, header=false,
+            delim='\t', quote='')
+        ), parsed AS (
+          SELECT raw_line, TRY_CAST(raw_line AS JSON) AS j FROM lines
+        ), cls AS (
+          SELECT raw_line, {typed},
+                 (j IS NOT NULL AND {checks}) AS ok
+          FROM parsed
+        )
+        SELECT {group_col} AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM({value_col}), 4) AS sum_value
+        FROM cls WHERE ok GROUP BY 1
+        UNION ALL
+        SELECT '_quarantine', CAST(COUNT(*) AS BIGINT),
+               CAST(NULL AS DOUBLE)
+        FROM cls WHERE NOT ok
+        ORDER BY bucket
+    """
+
+
 def write_jsonl(df: DataFrame, path: str, partitions: int | None = None):
     """JSONL writer (one JSON object per line): the interchange format
     every external tokenizer/annotator consumes. Repartition count is
