@@ -2106,6 +2106,49 @@ def r12_pivot_metrics(spark, sf_dir):
     ).orderBy("day")
 
 
+def r14_length_histogram(spark, sf_dir):
+    """Token-length histogram with cumulative doc/token shares
+    (operators/stats.py length_histogram): the context-length planning
+    input for pack_sequences — one combinable groupBy over
+    `len DIV bin_width`, then cumulative windows over the BIN relation
+    (bounded rows regardless of corpus size)."""
+    from unifydb_spark.operators.stats import length_histogram
+    from unifydb_spark.operators.text import words_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return length_histogram(
+        docs, F.size(words_col(F.col("text"))), bin_width=16
+    ).orderBy("bin_lo")
+
+
+def r15_winnow_pairs(spark, sf_dir):
+    """Winnowed-fingerprint copy candidates (operators/dedup.py
+    winnow_pairs — Schleimer et al. 2003, the MOSS algorithm):
+    position-aware shared-substring evidence, the complement of
+    MinHash's order-blind set resemblance. Fingerprint-keyed equi-join
+    with the boilerplate hub cap applied before the self-join."""
+    from unifydb_spark.operators.dedup import winnow_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return winnow_pairs(
+        docs, k=16, w=4, min_shared=5, max_df=16
+    ).orderBy("doc_a", "doc_b")
+
+
+def r16_rolling_window(spark, sf_dir):
+    """Trailing 24h per-user activity as of each event (operators/
+    events.py rolling_metrics): RANGE frame over epoch microseconds,
+    DECIMAL-exact sums — the point-in-time feature join primitive.
+    One shuffle; sliding frame state bounded by the time window."""
+    from unifydb_spark.operators.events import rolling_metrics
+
+    return rolling_metrics(
+        _events_ts(spark, sf_dir), window_hours=24
+    ).orderBy("event_id")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2270,6 +2313,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r11_balanced_sample": r11_balanced_sample,
         "r12_pivot_metrics": r12_pivot_metrics,
         "r13_ingest_quarantine": r13_ingest_quarantine,
+        "r14_length_histogram": r14_length_histogram,
+        "r15_winnow_pairs": r15_winnow_pairs,
+        "r16_rolling_window": r16_rolling_window,
     }
 
 
@@ -2849,6 +2895,17 @@ def _operator_oracles() -> dict[str, str]:
             "event_type",
             _PIVOT_TYPES,
             "value",
+        ),
+        "r14_length_histogram": _st.length_histogram_sql(
+            "documents",
+            "len(list_filter(string_split(text, ' '), w -> w != ''))",
+            bin_width=16,
+        ),
+        "r15_winnow_pairs": _d.winnow_pairs_sql(
+            "documents", k=16, w=4, min_shared=5, max_df=16
+        ),
+        "r16_rolling_window": _ev.rolling_metrics_sql(
+            "events", window_hours=24
         ),
         "r13_ingest_quarantine": _ingest.ingest_summary_sql(
             _ingest_fixture_path(),

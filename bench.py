@@ -77,6 +77,9 @@ HEADLINE = [
     "r11_balanced_sample",
     "r12_pivot_metrics",
     "r13_ingest_quarantine",
+    "r14_length_histogram",
+    "r15_winnow_pairs",
+    "r16_rolling_window",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus
     # index build is the untimed prepare step — production amortizes it)

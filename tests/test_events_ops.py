@@ -212,3 +212,36 @@ def test_range_join_binned_fuzz_equals_theta(spark):
             ).collect()
         }
         assert got == want, f"bin_hours={bin_hours}"
+
+
+def test_rolling_metrics_range_frame(spark):
+    """Time-RANGE trailing window: exact 24h lookback (inclusive now,
+    exclusive -24h instant), timestamp peers share one frame, DECIMAL
+    sums exact."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.events import rolling_metrics
+
+    t0 = datetime(2026, 3, 1, 12, 0, 0)
+    rows = [
+        # user 1: events at 0h, +23h59m59s (inside), +24h (first drops out)
+        (1, 1, datetime(2026, 3, 1, 12, 0, 0), 10.0),
+        (2, 1, datetime(2026, 3, 2, 11, 59, 59), 5.0),
+        (3, 1, datetime(2026, 3, 2, 12, 0, 0), 2.0),
+        # user 2: two events at the SAME instant -> peers, same frame
+        (4, 2, t0, 1.5),
+        (5, 2, t0, 2.5),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, value double"
+    )
+    out = {
+        r["event_id"]: (r["n_win"], r["sum_win"])
+        for r in rolling_metrics(ev, window_hours=24).collect()
+    }
+    assert out[1] == (1, 10.0)
+    assert out[2] == (2, 15.0)      # 12:00:00 event still inside at 11:59:59+24h? no: e1 at -23:59:59 -> inside
+    assert out[3] == (2, 7.0)       # e1 exactly 24h old -> excluded; e2 inside
+    assert out[4] == (2, 4.0)       # peers see each other
+    assert out[5] == (2, 4.0)

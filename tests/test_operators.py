@@ -948,3 +948,59 @@ def test_ann_recall_bounds_and_exact_probe(spark):
     narrow = ann_recall(emb, n_centroids=8, nprobe=1, n_queries=4, k=5).collect()
     assert all(0.0 <= r["recall"] <= 1.0 for r in narrow)
     assert min(r["recall"] for r in narrow) < 1.0
+
+
+def test_winnow_guarantee_and_hub_cap(spark):
+    """Winnowing's no-false-negative guarantee: any shared substring of
+    length >= k + w - 1 yields at least one shared fingerprint. A
+    boilerplate span present in EVERY doc is excluded by the max_df hub
+    cap without killing the true pair."""
+    import random
+
+    from unifydb_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    rng = random.Random(7)
+
+    def noise(n):
+        return "".join(rng.choice("abcdefghij ") for _ in range(n))
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 43 chars
+    boiler = "standard footer boilerplate text here"
+    rows = [
+        (0, noise(120) + shared + noise(120) + boiler),
+        (1, noise(150) + shared + noise(90) + boiler),
+    ] + [(i, noise(250) + boiler) for i in range(2, 12)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    k, w = 8, 4  # guarantee span = k + w - 1 = 11 << len(shared)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_fps"]
+        for r in winnow_pairs(
+            docs, k=k, w=w, min_shared=1, max_df=3
+        ).collect()
+    }
+    assert (0, 1) in pairs  # planted copy found
+    assert pairs[(0, 1)] >= 1
+    # boilerplate (in all 12 docs) must not connect unrelated docs:
+    # any fp it produces has df = 12 > max_df = 3
+    unrelated = [p for p in pairs if p != (0, 1)]
+    assert unrelated == [], f"hub fingerprints leaked pairs: {unrelated}"
+    # density sanity: expected ~2/(w+1) of k-gram positions
+    fp = winnow_fingerprints(docs.filter("doc_id = 2"), k=k, w=w)
+    n_kgrams = len(rows[2][1]) - k + 1
+    n_fps = fp.count()
+    assert 0.05 < n_fps / n_kgrams < 0.8
+
+
+def test_winnow_short_doc_empty(spark):
+    from unifydb_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(0, "tiny"), (1, "exactly8"), (2, "")],
+        "doc_id bigint, text string",
+    )
+    # len < k -> no k-grams; len == k -> 1 hash but < w window -> none
+    assert winnow_fingerprints(docs, k=8, w=4).count() == 0

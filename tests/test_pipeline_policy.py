@@ -281,3 +281,20 @@ def test_balanced_sample_exact_counts_and_determinism(spark, docs):
         docs.select("doc_id", "source", "lang", "n_chars"), n_per_group=7
     ).collect()
     assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+
+def test_length_histogram_shares(spark):
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.stats import length_histogram
+
+    df = spark.createDataFrame(
+        [(l,) for l in [3, 5, 17, 18, 40, 40]], "n bigint"
+    )
+    out = length_histogram(df, F.col("n"), bin_width=16).orderBy("bin_lo").collect()
+    assert [(r["bin_lo"], r["n_docs"], r["n_tokens"]) for r in out] == [
+        (0, 2, 8), (16, 2, 35), (32, 2, 80),
+    ]
+    assert out[-1]["cum_doc_share"] == 1.0
+    assert out[-1]["cum_token_share"] == 1.0
+    assert out[0]["cum_doc_share"] == round(2 / 6, 6)
+    assert out[1]["cum_token_share"] == round(43 / 123, 6)

@@ -541,3 +541,70 @@ def scd2_intervals_sql(
                     ORDER BY {ts_col}, {seq_col}) IS NULL AS is_current
         FROM changed ORDER BY {key_col}, valid_from
     """
+
+
+def rolling_metrics(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+    window_hours: int = 24,
+) -> DataFrame:
+    """Trailing time-RANGE window per key: for every event, the count
+    and exact sum of the key's events in the preceding `window_hours`
+    (inclusive of now, exclusive of the instant exactly window_hours
+    ago) — the feature-engineering staple ("activity in the last 24h
+    as of each event") that a training-data point-in-time join consumes
+    without label leakage.
+
+    This is a RANGE frame over epoch MICROseconds (unix_micros /
+    epoch_us — identical integers on both engines, no sub-second floor
+    ambiguity), not a ROWS frame: peers at the same timestamp all see
+    the same window, so the result is deterministic under any tie
+    order. Sums run in DECIMAL(30,10) (order-independent exact
+    arithmetic), surfaced via the varchar hop as a rounded double.
+
+    Shape: ONE shuffle (hash by key), then a streaming sorted-frame
+    scan per partition — Spark's range-frame window keeps a sliding
+    buffer bounded by the window's row span, and at 100 TB the state is
+    per-key-per-window, never per-partition-global. Skewed keys (one
+    user with millions of events) bound the buffer by events INSIDE
+    24h, which is the inherent output semantics."""
+    micros = F.unix_micros(F.col(ts_col))
+    span = int(window_hours) * 3600 * 1_000_000
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(micros)
+        .rangeBetween(-(span - 1), 0)
+    )
+    dec_sum = F.sum(F.col(value_col).cast("decimal(30,10)")).over(w)
+    return events.select(
+        F.col(seq_col),
+        F.col(key_col),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_win"),
+        F.round(dec_sum.cast("string").cast("double"), 4).alias("sum_win"),
+    )
+
+
+def rolling_metrics_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+    window_hours: int = 24,
+) -> str:
+    span = int(window_hours) * 3600 * 1_000_000
+    return f"""
+        SELECT {seq_col}, {key_col},
+               strftime({ts_col}, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+               ROUND(CAST(CAST(SUM(CAST({value_col} AS DECIMAL(30,10)))
+                     OVER w AS VARCHAR) AS DOUBLE), 4) AS sum_win
+        FROM {table}
+        WINDOW w AS (PARTITION BY {key_col} ORDER BY epoch_us({ts_col})
+                     RANGE BETWEEN {span - 1} PRECEDING AND CURRENT ROW)
+        ORDER BY {seq_col}
+    """

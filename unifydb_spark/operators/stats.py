@@ -600,3 +600,82 @@ def exact_group_quantiles_scalable_sql(
         for p in probs
     )
     return f"SELECT * FROM ({selects}) ORDER BY {group_col}, quantile"
+
+
+def length_histogram(
+    docs: "DataFrame",
+    length_expr,
+    bin_width: int = 16,
+) -> "DataFrame":
+    """Sequence-length histogram with cumulative corpus share — the
+    planning input for sequence packing and context-length selection
+    (what fraction of documents/tokens fit in 2k? 8k? — the question a
+    pretraining batch planner asks before choosing pack_sequences'
+    target length). `length_expr` is any integer Column (token count,
+    char count). Returns one row per occupied bin: (bin_lo, n_docs,
+    n_tokens, cum_doc_share, cum_token_share), ordered by bin_lo.
+
+    Shape: one combinable groupBy over `length DIV bin_width` (map-side
+    partial sums; the wire carries one row per occupied bin), then the
+    cumulative window runs over the BIN relation — thousands of rows at
+    most, regardless of corpus size, so the single-partition window is
+    bounded by construction (same argument as the stats histograms
+    above). Shares are computed from window totals, not a second scan."""
+    from pyspark.sql import Window
+
+    length = length_expr.cast("bigint")
+    bins = (
+        docs.select(length.alias("_len"))
+        .filter(F.col("_len").isNotNull())
+        .groupBy(
+            (F.expr(f"_len DIV {int(bin_width)}") * bin_width).alias("bin_lo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_len").alias("n_tokens"),
+        )
+    )
+    w = Window.orderBy("bin_lo").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("bin_lo").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return bins.select(
+        F.col("bin_lo").cast("bigint").alias("bin_lo"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum("n_docs").over(w).cast("double")
+            / F.sum("n_docs").over(wt),
+            6,
+        ).alias("cum_doc_share"),
+        F.round(
+            F.sum("n_tokens").over(w).cast("double")
+            / F.sum("n_tokens").over(wt),
+            6,
+        ).alias("cum_token_share"),
+    )
+
+
+def length_histogram_sql(
+    table: str, length_sql: str, bin_width: int = 16
+) -> str:
+    """DuckDB twin: identical binning (integer DIV), identical
+    cumulative-share arithmetic (bigint sums, one double division,
+    round 6)."""
+    return f"""
+        WITH bins AS (
+          SELECT (({length_sql}) // {int(bin_width)}) * {int(bin_width)}
+                   AS bin_lo,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM({length_sql}) AS BIGINT) AS n_tokens
+          FROM {table}
+          WHERE ({length_sql}) IS NOT NULL
+          GROUP BY 1
+        )
+        SELECT bin_lo, n_docs, n_tokens,
+               ROUND(CAST(SUM(n_docs) OVER (ORDER BY bin_lo) AS DOUBLE)
+                     / SUM(n_docs) OVER (), 6) AS cum_doc_share,
+               ROUND(CAST(SUM(n_tokens) OVER (ORDER BY bin_lo) AS DOUBLE)
+                     / SUM(n_tokens) OVER (), 6) AS cum_token_share
+        FROM bins ORDER BY bin_lo
+    """
