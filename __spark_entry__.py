@@ -2149,6 +2149,19 @@ def r16_rolling_window(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def r17_source_divergence(spark, sf_dir):
+    """Per-source unigram entropy + KL vs the corpus mixture
+    (operators/text.py source_divergence): the quantitative mixture-
+    design diagnostic. Token contributions are doubles (tfidf's
+    ln-parity contract) cast to DECIMAL(30,15) so per-source sums are
+    order-independent; the working set collapses to vocab-sized
+    relations before any join."""
+    from unifydb_spark.operators.text import source_divergence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_divergence(docs).orderBy("source")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2316,6 +2329,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r14_length_histogram": r14_length_histogram,
         "r15_winnow_pairs": r15_winnow_pairs,
         "r16_rolling_window": r16_rolling_window,
+        "r17_source_divergence": r17_source_divergence,
     }
 
 
@@ -2907,6 +2921,7 @@ def _operator_oracles() -> dict[str, str]:
         "r16_rolling_window": _ev.rolling_metrics_sql(
             "events", window_hours=24
         ),
+        "r17_source_divergence": _t.source_divergence_sql("documents"),
         "r13_ingest_quarantine": _ingest.ingest_summary_sql(
             _ingest_fixture_path(),
             [("doc_id", "BIGINT"), ("lang", "VARCHAR"), ("score", "DOUBLE")],

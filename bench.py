@@ -80,6 +80,7 @@ HEADLINE = [
     "r14_length_histogram",
     "r15_winnow_pairs",
     "r16_rolling_window",
+    "r17_source_divergence",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus
     # index build is the untimed prepare step — production amortizes it)

@@ -49,6 +49,10 @@ BNLJ_ALLOWED = {
     # join (same corpus-constant shape as q61/q94) — bounded by
     # construction
     "r05_curriculum_profile",
+    # r17: the corpus token total joins in as a broadcast ONE-ROW cross
+    # join (same corpus-constant shape as q61/q94) — bounded by
+    # construction
+    "r17_source_divergence",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)

@@ -104,3 +104,31 @@ def test_destructuring_mismatch_filters(eng):
         "where": [[1, ":name", "?n"], [("split", "?n", " "), ["?a", "?b", "?c"]]],
     })
     assert rows == []
+
+
+def test_source_divergence_uniform_and_identical(spark):
+    """Entropy of a uniform unigram distribution is ln(V); a source
+    whose distribution equals the corpus mixture has KL = 0."""
+    import math
+
+    from unifydb_spark.operators.text import source_divergence
+
+    # two sources with IDENTICAL uniform distributions over 4 tokens
+    rows = [
+        (0, "aa bb cc dd", "s1"),
+        (1, "aa bb cc dd", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r["source"]: r for r in source_divergence(docs).collect()}
+    for s in ("s1", "s2"):
+        assert out[s]["n_tokens"] == 4
+        assert out[s]["vocab_size"] == 4
+        assert abs(out[s]["entropy"] - math.log(4)) < 1e-6
+        assert out[s]["kl_vs_corpus"] == 0.0
+    # a skewed source diverges; entropy drops below uniform
+    rows2 = rows + [(2, "aa aa aa aa aa aa bb", "s3")]
+    docs2 = spark.createDataFrame(rows2, "doc_id bigint, text string, source string")
+    out2 = {r["source"]: r for r in source_divergence(docs2).collect()}
+    assert out2["s3"]["kl_vs_corpus"] > 0.1
+    assert out2["s3"]["entropy"] < math.log(4) - 0.3
+    assert out2["s1"]["kl_vs_corpus"] > 0.0  # corpus shifted away from s1 too

@@ -1194,3 +1194,111 @@ def balanced_sample_sql(
         ) WHERE sample_rank <= {n_per_group}
         ORDER BY {group_col}, sample_rank
     """
+
+
+def source_divergence(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source unigram-distribution diagnostics for mixture design:
+    token entropy H(p_s) = -sum p ln p and KL(p_s || p_corpus) — "how
+    much does each source's token distribution deviate from the
+    mixture it will be blended into". High-KL sources dominate or
+    starve token families at whatever mixture weight they get; this is
+    the quantitative form of the q85 overlap matrix's qualitative
+    signal. Returns (source, n_tokens, vocab_size, entropy, kl_vs_corpus).
+
+    Exactness shape: each token's contribution is computed as a double
+    (division + ln — the same ln-parity contract tfidf relies on, q45),
+    then cast to DECIMAL(30,15) so the per-source SUM is
+    order-independent; one rounding at the surface. KL(p||q) is finite
+    by construction: the corpus includes every source, so q > 0
+    wherever p > 0.
+
+    Scale: one explode + one (source, token) combinable count — the
+    working set collapses to vocab-sized relations before any join;
+    corpus totals derive from the per-source counts (no second corpus
+    scan), and the token-keyed corpus join is an equi-join, never
+    all-pairs."""
+    from unifydb_spark.operators.dedup import _spread
+
+    tok = (
+        _spread(docs)
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(words_col(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_s"))
+    )
+    from unifydb_spark.resources import tracked_persist
+
+    tok = tracked_persist(tok)
+    corpus = tok.groupBy("tok").agg(F.sum("c_s").alias("c_c"))
+    src_tot = tok.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    corp_tot = corpus.agg(F.sum("c_c").alias("n_c"))
+    j = (
+        tok.join(corpus, "tok")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(corp_tot))
+    )
+    p = F.col("c_s").cast("double") / F.col("n_s").cast("double")
+    q = F.col("c_c").cast("double") / F.col("n_c").cast("double")
+    ent_term = (-p * F.log(p)).cast("decimal(30,15)")
+    kl_term = (p * F.log(p / q)).cast("decimal(30,15)")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+            F.round(F.sum(ent_term).cast("string").cast("double"), 6).alias(
+                "entropy"
+            ),
+            F.round(F.sum(kl_term).cast("string").cast("double"), 6).alias(
+                "kl_vs_corpus"
+            ),
+        )
+    )
+
+
+def source_divergence_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    return f"""
+        WITH tok AS (
+          SELECT {source_col} AS source, u.tok, COUNT(*) AS c_s
+          FROM (
+            SELECT {source_col},
+                   list_filter(string_split({text_col}, ' '), w -> w != '') AS ws
+            FROM {table}
+          ), unnest(ws) AS u(tok)
+          GROUP BY 1, 2
+        ), corpus AS (
+          SELECT tok, SUM(c_s) AS c_c FROM tok GROUP BY 1
+        ), src_tot AS (
+          SELECT source, SUM(c_s) AS n_s FROM tok GROUP BY 1
+        ), corp_tot AS (
+          SELECT SUM(c_c) AS n_c FROM corpus
+        ), terms AS (
+          SELECT t.source, s.n_s,
+                 CAST(-(CAST(t.c_s AS DOUBLE) / s.n_s)
+                      * ln(CAST(t.c_s AS DOUBLE) / s.n_s)
+                      AS DECIMAL(30,15)) AS ent_term,
+                 CAST((CAST(t.c_s AS DOUBLE) / s.n_s)
+                      * ln((CAST(t.c_s AS DOUBLE) / s.n_s)
+                           / (CAST(c.c_c AS DOUBLE) / ct.n_c))
+                      AS DECIMAL(30,15)) AS kl_term
+          FROM tok t JOIN corpus c USING (tok)
+               JOIN src_tot s USING (source), corp_tot ct
+        )
+        SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               ROUND(CAST(CAST(SUM(ent_term) AS VARCHAR) AS DOUBLE), 6)
+                 AS entropy,
+               ROUND(CAST(CAST(SUM(kl_term) AS VARCHAR) AS DOUBLE), 6)
+                 AS kl_vs_corpus
+        FROM terms GROUP BY 1 ORDER BY 1
+    """
