@@ -2162,6 +2162,23 @@ def r17_source_divergence(spark, sf_dir):
     return source_divergence(docs).orderBy("source")
 
 
+def r18_windowed_distinct(spark, sf_dir):
+    """Trailing-7-day distinct users per day via HLL register-max
+    merging (operators/sketch.py hll_windowed_distinct): distinct is
+    not additive across days, register max IS — one scan builds daily
+    registers, the window merge runs over a calendar-sized relation.
+    Bit-identical to the oracle (integer-exact registers + harmonic
+    sum, the q84 machinery windowed)."""
+    from unifydb_spark.operators.sketch import hll_windowed_distinct
+
+    ev = _events_ts(spark, sf_dir)
+    return hll_windowed_distinct(
+        ev.select(F.col("user_id").cast("string").alias("uid"), "ts"),
+        "uid",
+        window_days=7,
+    ).orderBy("day")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2330,6 +2347,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r15_winnow_pairs": r15_winnow_pairs,
         "r16_rolling_window": r16_rolling_window,
         "r17_source_divergence": r17_source_divergence,
+        "r18_windowed_distinct": r18_windowed_distinct,
     }
 
 
@@ -2922,6 +2940,11 @@ def _operator_oracles() -> dict[str, str]:
             "events", window_hours=24
         ),
         "r17_source_divergence": _t.source_divergence_sql("documents"),
+        "r18_windowed_distinct": _sk.hll_windowed_distinct_sql(
+            "(SELECT CAST(user_id AS VARCHAR) AS uid, ts FROM events)",
+            "uid",
+            window_days=7,
+        ),
         "r13_ingest_quarantine": _ingest.ingest_summary_sql(
             _ingest_fixture_path(),
             [("doc_id", "BIGINT"), ("lang", "VARCHAR"), ("score", "DOUBLE")],

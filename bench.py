@@ -81,6 +81,7 @@ HEADLINE = [
     "r15_winnow_pairs",
     "r16_rolling_window",
     "r17_source_divergence",
+    "r18_windowed_distinct",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus
     # index build is the untimed prepare step — production amortizes it)

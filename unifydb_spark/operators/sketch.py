@@ -639,3 +639,145 @@ def kmv_jaccard_sql(
                      4) AS est_intersection
         FROM agg ORDER BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Windowed distinct: HLL registers merged over trailing time windows —
+# the query exact distinct cannot answer incrementally (distinct is not
+# additive across days; register-max IS)
+
+
+def hll_windowed_distinct(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    window_days: int = 7,
+    p: int = 9,
+) -> DataFrame:
+    """Per day: the estimated distinct `key_col` over the TRAILING
+    `window_days` (rolling 7-day active users, rolling distinct
+    documents ingested, ...). Exact distinct over sliding windows
+    re-scans every window at full width because distinct is not
+    additive; HLL registers merge by elementwise max, so one pass
+    builds per-day registers (days x 2^p tiny rows) and each day's
+    window merge is an integer max over at most `window_days`
+    register vintages — the raw data is read ONCE regardless of the
+    window count.
+
+    The register scatter (each day's registers contribute to the
+    following `window_days` target days) costs days x m x window_days
+    rows — a calendar-sized relation, independent of data volume.
+    Estimates are bit-identical to the oracle: same 60-bit md5
+    registers, integer-exact harmonic sum (see hll_distinct), linear
+    counting below 2.5m. Returns (day, hll_est), days that appear in
+    the data only."""
+    m = 1 << int(p)
+    wbits = 60 - int(p)
+    shift = wbits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col)), 1, 15), 16, 10)
+        .cast("long")
+    )
+    w = ((h - h % m) / m).cast("long")
+    rank = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits) - F.length(F.bin(w)) + 1
+    )
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    regs = (
+        events.select(day.alias("d"), (h % m).alias("bucket"), rank.alias("r"))
+        .groupBy("d", "bucket")
+        .agg(F.max("r").alias("mr"))
+    )
+    from unifydb_spark.resources import tracked_persist
+
+    regs = tracked_persist(regs)
+    contrib = regs.select(
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + (int(window_days) - 1))
+        ).alias("td"),
+        "bucket",
+        "mr",
+    )
+    days = regs.select(F.col("d").alias("td")).distinct()
+    merged = (
+        contrib.join(days, "td")
+        .groupBy("td", "bucket")
+        .agg(F.max("mr").alias("max_rank"))
+    )
+    agg = merged.groupBy("td").agg(
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {shift} - max_rank)")
+        ).alias("si"),
+        F.count(F.lit(1)).alias("nonzero"),
+    )
+    agg = agg.withColumn(
+        "s", F.col("si").cast("double") / F.lit(float(1 << shift))
+    )
+    zeros = F.lit(m) - F.col("nonzero")
+    raw = F.lit(alpha * m * m) / (zeros + F.col("s"))
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("td")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        F.round(est, 4).alias("hll_est"),
+    )
+
+
+def hll_windowed_distinct_sql(
+    table: str,
+    key_col: str,
+    ts_col: str = "ts",
+    window_days: int = 7,
+    p: int = 9,
+) -> str:
+    m = 1 << int(p)
+    wbits = 60 - int(p)
+    shift = wbits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = f"(('0x' || substr(md5({key_col}), 1, 15))::BIGINT)"
+    w = f"(({h} - {h} % {m}) // {m})"
+    rank = (
+        f"CASE WHEN {w} = 0 THEN {wbits + 1} "
+        f"ELSE {wbits} - LENGTH(BIN({w})) + 1 END"
+    )
+    return f"""
+        WITH regs AS (
+          SELECT CAST(date_trunc('day', {ts_col}) AS DATE)
+                   - DATE '1970-01-01' AS d,
+                 {h} % {m} AS bucket,
+                 MAX({rank}) AS mr
+          FROM {table} GROUP BY 1, 2
+        ), contrib AS (
+          SELECT CAST(u.td AS BIGINT) AS td, bucket, mr
+          FROM regs, unnest(generate_series(d, d + {int(window_days) - 1}))
+            AS u(td)
+        ), days AS (
+          SELECT DISTINCT CAST(d AS BIGINT) AS td FROM regs
+        ), merged AS (
+          SELECT td, bucket, MAX(mr) AS max_rank
+          FROM contrib JOIN days USING (td) GROUP BY 1, 2
+        ), agg AS (
+          SELECT td,
+                 CAST(CAST(SUM(CAST(1 AS BIGINT) << ({shift} - max_rank))
+                      AS BIGINT) AS DOUBLE) / {float(1 << shift)!r} AS s,
+                 COUNT(*) AS nonzero
+          FROM merged GROUP BY 1
+        )
+        SELECT strftime(DATE '1970-01-01' + CAST(td AS INT), '%Y-%m-%d')
+                 AS day,
+               ROUND(CASE WHEN (CAST({alpha} AS DOUBLE) * {m} * {m}
+                                / (({m} - nonzero) + s)) <= 2.5 * {m}
+                          AND ({m} - nonzero) > 0
+                     THEN CAST({m} AS DOUBLE)
+                          * LN(CAST({m} AS DOUBLE) / ({m} - nonzero))
+                     ELSE CAST({alpha} AS DOUBLE) * {m} * {m}
+                          / (({m} - nonzero) + s)
+                     END, 4) AS hll_est
+        FROM agg ORDER BY day
+    """
