@@ -2179,6 +2179,21 @@ def r18_windowed_distinct(spark, sf_dir):
     ).orderBy("day")
 
 
+def r19_image_ahash_dedup(spark, sf_dir):
+    """Perceptual image dedup (operators/multimodal.py image_ahash_
+    dedup): real PNG decode -> integer grid-pooled average-hash ->
+    signature groupBy. The oracle recomputes the hash from the
+    SQL-replayable synthetic pixel formula, certifying codec + hash end
+    to end (the q83 argument extended to the perceptual hash)."""
+    from unifydb_spark.operators.multimodal import (
+        image_ahash_dedup,
+        synth_images,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return image_ahash_dedup(synth_images(docs)).orderBy("doc_id")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2348,6 +2363,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r16_rolling_window": r16_rolling_window,
         "r17_source_divergence": r17_source_divergence,
         "r18_windowed_distinct": r18_windowed_distinct,
+        "r19_image_ahash_dedup": r19_image_ahash_dedup,
     }
 
 
@@ -2940,6 +2956,7 @@ def _operator_oracles() -> dict[str, str]:
             "events", window_hours=24
         ),
         "r17_source_divergence": _t.source_divergence_sql("documents"),
+        "r19_image_ahash_dedup": _m.image_ahash_dedup_sql("documents"),
         "r18_windowed_distinct": _sk.hll_windowed_distinct_sql(
             "(SELECT CAST(user_id AS VARCHAR) AS uid, ts FROM events)",
             "uid",

@@ -259,3 +259,47 @@ def test_y4m_rejects_garbage():
 
     with pytest.raises(ValueError):
         decode_y4m(b"RIFF....WAVE not video\n")
+
+
+def test_image_ahash_brightness_invariant_and_pairs(spark):
+    """ahash groups a brightness-shifted copy with its original (every
+    byte differs -> md5 dedup is blind to it) while keeping a different
+    pattern apart; the block-pigeonhole pairs find small perturbations."""
+    import numpy as np
+
+    from unifydb_spark.operators.multimodal import (
+        image_ahash_dedup,
+        image_ahash_pairs,
+        make_png,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 200, size=(16, 16, 3)).astype(np.uint8)
+    brighter = np.clip(base.astype(np.int16) + 40, 0, 255).astype(np.uint8)
+    # flip a couple of cells hard enough to move a few bits only
+    perturbed = base.copy()
+    perturbed[:2, :2] = 255
+    other = rng.randint(0, 255, size=(16, 16, 3)).astype(np.uint8)
+    rows = [
+        (0, bytearray(make_png(base))),
+        (1, bytearray(make_png(brighter))),
+        (2, bytearray(make_png(perturbed))),
+        (3, bytearray(make_png(other))),
+    ]
+    imgs = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+
+    dd = {r["doc_id"]: r for r in image_ahash_dedup(imgs).collect()}
+    # uniform +40 shift: every pixel brighter by the same amount ->
+    # cell-vs-mean compares unchanged (until clipping) -> same signature
+    assert (dd[0]["ahash_hi"], dd[0]["ahash_lo"]) == (
+        dd[1]["ahash_hi"], dd[1]["ahash_lo"])
+    assert dd[0]["canonical_id"] == dd[1]["canonical_id"] == 0
+    assert dd[0]["cluster_size"] == 2
+    assert (dd[3]["ahash_hi"], dd[3]["ahash_lo"]) != (
+        dd[0]["ahash_hi"], dd[0]["ahash_lo"])
+
+    pairs = {(r["id1"], r["id2"]): r["hamming"]
+             for r in image_ahash_pairs(imgs, max_hamming=7).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and 0 < pairs[(0, 2)] <= 7  # small perturbation
+    assert (0, 3) not in pairs and (1, 3) not in pairs

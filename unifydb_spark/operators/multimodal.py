@@ -765,3 +765,194 @@ def image_features_real_sql(
                ROUND(CAST(SUM(v) AS DOUBLE) / {n_b}, 6) AS mean_rgb
         FROM px GROUP BY 1 ORDER BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (average-hash): embedding-free image
+# near-dup — the visual analog of SimHash. Brightness-threshold bits
+# are invariant to uniform exposure shifts, which is exactly what
+# byte-level md5 dedup cannot see.
+
+
+def image_ahash(image_df: DataFrame, grid: int = 8) -> DataFrame:
+    """64-bit average-hash per image: decode (real codec), grayscale,
+    mean-pool onto a grid x grid lattice, threshold each cell at the
+    image mean; bit = cell >= mean. Returns (doc_id, hi, lo) — the same
+    two-int32 signature layout as the embedding RP-LSH, so the block-
+    pigeonhole pair machinery applies unchanged.
+
+    Arrow-batched mapInPandas over the binary column; per-image work is
+    one decode + one pooled mean — the cheap screening pass a multimodal
+    pipeline runs before any embedding model. Deterministic integer
+    arithmetic end to end (sum-compare, no float thresholds), so
+    signatures are partition- and engine-independent."""
+    assert grid * grid == 64, "ahash uses a 64-bit signature (grid=8)"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _c, arr = decode_image(bytes(payload))
+                # integer grayscale: sum of channels (scale-free for the
+                # threshold compare; avoids float rounding entirely)
+                g = arr.astype(np.int64).sum(axis=2)
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                ye = np.append(ys[1:], h)
+                xe = np.append(xs[1:], w)
+                cells = np.empty((grid, grid), dtype=np.int64)
+                areas = np.empty((grid, grid), dtype=np.int64)
+                for yi in range(grid):
+                    for xi in range(grid):
+                        blk = g[ys[yi]:ye[yi], xs[xi]:xe[xi]]
+                        cells[yi, xi] = int(blk.sum())
+                        areas[yi, xi] = blk.size
+                # bit = cell_mean >= image_mean, as a cross-multiplied
+                # integer compare: cell_sum * total_area >= total_sum * cell_area
+                total_sum = int(g.sum())
+                total_area = int(g.size)
+                bits = (cells * total_area) >= (total_sum * areas)
+                flat = bits.reshape(-1)
+                lo = hi = 0
+                for b in range(32):
+                    lo |= int(flat[b]) << b
+                for b in range(32, 64):
+                    hi |= int(flat[b]) << (b - 32)
+                out.append((int(doc_id), hi, lo))
+            yield pd.DataFrame(out, columns=["doc_id", "hi", "lo"])
+
+    return image_df.mapInPandas(run, schema="doc_id bigint, hi bigint, lo bigint")
+
+
+def image_ahash_pairs(
+    image_df: DataFrame, max_hamming: int = 7, n_blocks: int = 8
+) -> DataFrame:
+    """Visually-near-duplicate image pairs: ahash signatures joined by
+    the 64/n_blocks-bit block pigeonhole (hamming <= n_blocks - 1
+    guarantees a shared block — identical argument to the embedding
+    RP-LSH pairs, dedup.py), hamming verified with xor + bit_count.
+    Equi-join on (block, value): never all-pairs. Returns (id1, id2,
+    hamming)."""
+    assert 64 % n_blocks == 0 and max_hamming < n_blocks
+    from unifydb_spark.resources import tracked_persist
+
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    sig = tracked_persist(image_ahash(image_df))
+    blocks = []
+    for i in range(n_blocks):
+        off = i * width
+        src = F.col("lo") if off < 32 else F.col("hi")
+        blocks.append(
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(src, off % 32).bitwiseAND(F.lit(mask)).alias("v"),
+            )
+        )
+    expl = sig.select(
+        "doc_id", "hi", "lo", F.explode(F.array(*blocks)).alias("b")
+    ).select("doc_id", "hi", "lo", "b.blk", "b.v")
+    a, b = expl.alias("a"), expl.alias("b")
+    ham = F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi"))) + F.bit_count(
+        F.col("a.lo").bitwiseXOR(F.col("b.lo"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def image_ahash_dedup(image_df: DataFrame) -> DataFrame:
+    """Perceptual dedup groups: images with IDENTICAL ahash signatures
+    cluster under the min doc_id (the visual analog of exact_dedup's
+    md5 grouping — robust to uniform brightness shifts that change
+    every byte). One hash groupBy; output one row per image. Returns
+    (doc_id, ahash_hi, ahash_lo, canonical_id, cluster_size)."""
+    from pyspark.sql import Window
+
+    sig = image_ahash(image_df)
+    w = Window.partitionBy("hi", "lo")
+    return sig.select(
+        "doc_id",
+        F.col("hi").alias("ahash_hi"),
+        F.col("lo").alias("ahash_lo"),
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+    )
+
+
+def image_ahash_dedup_sql(
+    table: str = "documents", width: int = 8, height: int = 6, grid: int = 8
+) -> str:
+    """DuckDB oracle for image_ahash_dedup over synth_images: the
+    synthetic pixel formula ((doc_id*5 + i*11) % 256) is SQL-replayable,
+    so the oracle computes the SAME integer ahash from first principles
+    — per-pixel grayscale sums, grid cells via the closed-form block
+    bounds (yi*h)//grid <= y < ((yi+1)*h)//grid, the cross-multiplied
+    integer mean compare, bit packing — while the Spark side goes
+    through the real PNG encode->decode->pool path. Exact agreement
+    therefore certifies codec + hash end to end (the q83 argument,
+    extended to the perceptual hash). Empty cells (upsampling: grid >
+    image dim) yield bit = 1 on both engines (0 >= 0)."""
+    w, h, g = int(width), int(height), int(grid)
+    n_b = w * h * 3
+    ta = w * h
+    return f"""
+        WITH px AS (
+          SELECT doc_id, i // 3 AS pidx,
+                 SUM((doc_id * 5 + i * 11) % 256) AS gray
+          FROM {table}, (SELECT unnest(range(0, {n_b})) AS i)
+          GROUP BY 1, 2
+        ), pos AS (
+          SELECT doc_id, pidx // {w} AS y, pidx % {w} AS x, gray FROM px
+        ), grid AS (
+          SELECT yi.v AS yi, xi.v AS xi
+          FROM (SELECT unnest(range(0, {g})) AS v) yi,
+               (SELECT unnest(range(0, {g})) AS v) xi
+        ), cells AS (
+          SELECT d.doc_id, c.yi, c.xi,
+                 COALESCE(SUM(p.gray), 0) AS cs,
+                 COUNT(p.gray) AS ca
+          FROM (SELECT DISTINCT doc_id FROM pos) d
+          CROSS JOIN grid c
+          LEFT JOIN pos p
+            ON p.doc_id = d.doc_id
+           AND p.y >= (c.yi * {h}) // {g} AND p.y < ((c.yi + 1) * {h}) // {g}
+           AND p.x >= (c.xi * {w}) // {g} AND p.x < ((c.xi + 1) * {w}) // {g}
+          GROUP BY 1, 2, 3
+        ), tot AS (
+          SELECT doc_id, SUM(gray) AS ts FROM pos GROUP BY 1
+        ), bits AS (
+          SELECT c.doc_id, c.yi * {g} + c.xi AS bitidx,
+                 CASE WHEN c.cs * {ta} >= t.ts * c.ca THEN 1 ELSE 0 END AS bit
+          FROM cells c JOIN tot t USING (doc_id)
+        ), sig AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN bitidx >= 32
+                          THEN bit * (CAST(1 AS BIGINT) << (bitidx - 32))
+                          ELSE 0 END) AS BIGINT) AS ahash_hi,
+                 CAST(SUM(CASE WHEN bitidx < 32
+                          THEN bit * (CAST(1 AS BIGINT) << bitidx)
+                          ELSE 0 END) AS BIGINT) AS ahash_lo
+          FROM bits GROUP BY 1
+        )
+        SELECT doc_id, ahash_hi, ahash_lo,
+               MIN(doc_id) OVER (PARTITION BY ahash_hi, ahash_lo)
+                 AS canonical_id,
+               CAST(COUNT(*) OVER (PARTITION BY ahash_hi, ahash_lo)
+                    AS BIGINT) AS cluster_size
+        FROM sig ORDER BY doc_id
+    """
