@@ -2194,6 +2194,49 @@ def r19_image_ahash_dedup(spark, sf_dir):
     return image_ahash_dedup(synth_images(docs)).orderBy("doc_id")
 
 
+def r20_stream_windowed_distinct(spark, sf_dir):
+    """Streaming distinct-count sketch: per-day HLL registers built as
+    a STREAMING aggregation (streaming/stream.py stream_hll_registers —
+    register max is merge-commutative, so micro-batch boundaries are
+    invisible and state is 2^p ints per window), then the tiny batch
+    harmonic fold (sketch.hll_estimate_registers). The oracle computes
+    the same per-day estimate from scratch; exact agreement certifies
+    the streaming register state equals the batch build. Complete mode:
+    the bounded replay must emit the final (unclosed-by-watermark) day
+    too — an always-on deployment would run append + a real watermark,
+    emitting each day's registers when it closes."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from unifydb_spark.operators.sketch import hll_estimate_registers
+    from unifydb_spark.streaming import read_event_stream, stream_hll_registers
+
+    name = "shll_" + uuid.uuid4().hex[:8]
+    src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = read_event_stream(spark, src_dir).select(
+        F.col("user_id").cast("string").alias("uid"), "ts"
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            stream_hll_registers(stream, "uid", window="1 day")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    regs = spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"), "max_rank"
+    )
+    return hll_estimate_registers(regs, ["day"]).orderBy("day")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2364,6 +2407,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r17_source_divergence": r17_source_divergence,
         "r18_windowed_distinct": r18_windowed_distinct,
         "r19_image_ahash_dedup": r19_image_ahash_dedup,
+        "r20_stream_windowed_distinct": r20_stream_windowed_distinct,
     }
 
 
@@ -2957,6 +3001,14 @@ def _operator_oracles() -> dict[str, str]:
         ),
         "r17_source_divergence": _t.source_divergence_sql("documents"),
         "r19_image_ahash_dedup": _m.image_ahash_dedup_sql("documents"),
+        # the streaming register build equals the batch build (register
+        # max is merge-commutative) — the oracle is the per-day (trailing
+        # window of 1) HLL estimate computed from scratch
+        "r20_stream_windowed_distinct": _sk.hll_windowed_distinct_sql(
+            "(SELECT CAST(user_id AS VARCHAR) AS uid, ts FROM events)",
+            "uid",
+            window_days=1,
+        ),
         "r18_windowed_distinct": _sk.hll_windowed_distinct_sql(
             "(SELECT CAST(user_id AS VARCHAR) AS uid, ts FROM events)",
             "uid",

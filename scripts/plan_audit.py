@@ -66,6 +66,7 @@ STREAMING = {
     "q55_stream_sessionize",
     "q42_stream_interval_join",
     "q88_stream_user_stats",
+    "r20_stream_windowed_distinct",
 }
 
 

@@ -456,3 +456,52 @@ def test_normalize_event_ts_rejects_unknown_encoding(spark):
     df = spark.createDataFrame([("2024-01-01",)], "ts string")
     with pytest.raises(ValueError, match="unsupported type"):
         normalize_event_ts(df)
+
+
+def test_stream_hll_registers_equal_batch(spark, tmp_path):
+    """Register max is merge-commutative: the streaming register table
+    (micro-batched file source) must be IDENTICAL to a batch build over
+    the same data — the property that makes the sketch streamable."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.sketch import hll_rank_cols
+    from unifydb_spark.streaming import stream_hll_registers
+
+    base = datetime(2026, 4, 1)
+    rows = [
+        (str(u % 37), base + timedelta(days=d, minutes=u))
+        for d in range(3)
+        for u in range(200)
+    ]
+    df = spark.createDataFrame(rows, "uid string, ts timestamp")
+    src = str(tmp_path / "src")
+    # several files -> several micro-batches under availableNow
+    df.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("uid string, ts timestamp").parquet(src)
+    )
+    q = (
+        stream_hll_registers(stream, "uid", window="1 day")
+        .writeStream.format("memory").queryName("shll_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["bucket"]): r["max_rank"]
+        for r in spark.table("shll_t").collect()
+    }
+    bucket, rank = hll_rank_cols("uid")
+    want = {
+        (r["ws"], r["bucket"]): r["max_rank"]
+        for r in df.groupBy(
+            F.window("ts", "1 day").getField("start").alias("ws"),
+            bucket.alias("bucket"),
+        )
+        .agg(F.max(rank).alias("max_rank"))
+        .collect()
+    }
+    assert got == want

@@ -781,3 +781,51 @@ def hll_windowed_distinct_sql(
                      END, 4) AS hll_est
         FROM agg ORDER BY day
     """
+
+
+def hll_rank_cols(key_col: str, p: int = 9):
+    """(bucket, rank) Column pair for the engine-portable HLL register
+    build — the shared primitive of hll_distinct / hll_windowed_distinct
+    and the streaming register aggregation (streaming/stream.py): low p
+    bits of the 60-bit md5 pick the bucket, LENGTH(BIN(w)) gives the
+    integer-exact rank."""
+    m = 1 << int(p)
+    wbits = 60 - int(p)
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col)), 1, 15), 16, 10)
+        .cast("long")
+    )
+    w = ((h - h % m) / m).cast("long")
+    rank = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits) - F.length(F.bin(w)) + 1
+    )
+    return (h % m), rank
+
+
+def hll_estimate_registers(
+    regs: DataFrame, group_cols: "list[str]", p: int = 9
+) -> DataFrame:
+    """Fold a register relation (group_cols..., max_rank) into per-group
+    estimates — the integer-exact harmonic sum + linear counting of
+    hll_distinct, factored so batch, windowed, and streaming register
+    builders share one estimator. Returns (group_cols..., hll_est)."""
+    m = 1 << int(p)
+    wbits = 60 - int(p)
+    shift = wbits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {shift} - max_rank)")
+        ).alias("si"),
+        F.count(F.lit(1)).alias("nonzero"),
+    )
+    agg = agg.withColumn(
+        "s", F.col("si").cast("double") / F.lit(float(1 << shift))
+    )
+    zeros = F.lit(m) - F.col("nonzero")
+    raw = F.lit(alpha * m * m) / (zeros + F.col("s"))
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 4).alias("hll_est"))

@@ -441,3 +441,39 @@ def make_user_stats_processor():
             pass
 
     return UserStats
+
+
+def stream_hll_registers(
+    events: DataFrame,
+    key_col: str = "uid",
+    window: str = "1 day",
+    watermark: str = "0 seconds",
+    p: int = 9,
+) -> DataFrame:
+    """Streaming per-window HLL register build: the distinct-count
+    sketch as a STREAMING aggregation. Register max is merge-
+    commutative, so micro-batch boundaries are invisible — the final
+    register table is identical to a batch build over the same data,
+    and state per window is bounded at 2^p integers no matter how many
+    events arrive (the property that makes approximate distinct viable
+    in always-on pipelines where exact distinct state grows without
+    bound). Emit the registers, not the estimate: the harmonic fold is
+    a tiny batch rollup over the sink (sketch.hll_estimate_registers),
+    keeping the streaming query single-aggregation.
+
+    Returns (window_start, bucket, max_rank) in append mode once the
+    watermark closes each window."""
+    from unifydb_spark.operators.sketch import hll_rank_cols
+
+    bucket, rank = hll_rank_cols(key_col, p)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("win"),
+            bucket.alias("bucket"),
+        )
+        .agg(F.max(rank).alias("max_rank"))
+        .select(
+            F.col("win.start").alias("window_start"), "bucket", "max_rank"
+        )
+    )
