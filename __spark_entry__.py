@@ -2237,6 +2237,22 @@ def r20_stream_windowed_distinct(spark, sf_dir):
     return hll_estimate_registers(regs, ["day"]).orderBy("day")
 
 
+def r21_join_skew_report(spark, sf_dir):
+    """Pre-join skew/strategy advisor (operators/stats.py
+    join_skew_report): measured row counts, exact key NDV, hottest-key
+    share per side, folded into the broadcast/salt/shuffle decision —
+    the offline version of what AQE only discovers at runtime. One
+    combinable aggregation per side; output is ONE row. Probed on the
+    events->user join against customer keys (skewed events side)."""
+    from unifydb_spark.operators.stats import join_skew_report
+
+    ev = _events_ts(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return join_skew_report(
+        ev, cust, "user_id", "c_custkey", broadcast_rows=100_000
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2408,6 +2424,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r18_windowed_distinct": r18_windowed_distinct,
         "r19_image_ahash_dedup": r19_image_ahash_dedup,
         "r20_stream_windowed_distinct": r20_stream_windowed_distinct,
+        "r21_join_skew_report": r21_join_skew_report,
     }
 
 
@@ -3001,6 +3018,10 @@ def _operator_oracles() -> dict[str, str]:
         ),
         "r17_source_divergence": _t.source_divergence_sql("documents"),
         "r19_image_ahash_dedup": _m.image_ahash_dedup_sql("documents"),
+        "r21_join_skew_report": _st.join_skew_report_sql(
+            "events", "customer", "user_id", "c_custkey",
+            broadcast_rows=100_000,
+        ),
         # the streaming register build equals the batch build (register
         # max is merge-commutative) — the oracle is the per-day (trailing
         # window of 1) HLL estimate computed from scratch

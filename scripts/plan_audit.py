@@ -53,6 +53,9 @@ BNLJ_ALLOWED = {
     # join (same corpus-constant shape as q61/q94) — bounded by
     # construction
     "r17_source_divergence",
+    # r21: the report is a (1-row left stats) x (1-row right stats)
+    # cross join — bounded by construction, same shape as q71
+    "r21_join_skew_report",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)

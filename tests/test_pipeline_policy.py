@@ -298,3 +298,32 @@ def test_length_histogram_shares(spark):
     assert out[-1]["cum_token_share"] == 1.0
     assert out[0]["cum_doc_share"] == round(2 / 6, 6)
     assert out[1]["cum_token_share"] == round(43 / 123, 6)
+
+
+def test_join_skew_report_strategies(spark):
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.stats import join_skew_report
+
+    big = spark.range(10000).select(
+        F.when(F.col("id") < 5000, F.lit(7)).otherwise(F.col("id")).alias("k")
+    )  # key 7 holds 50% of rows
+    small = spark.range(100).select(F.col("id").alias("k"))
+    uniform = spark.range(10000).select((F.col("id") % 1000).alias("k"))
+
+    [r] = join_skew_report(big, small, "k", "k", broadcast_rows=50).collect()
+    # small side over the broadcast bound, big side skewed -> salt
+    assert r["strategy"] == "salt_hot_keys"
+    assert r["left_top_share"] > 0.4
+    assert r["left_ndv"] == 5001
+
+    [r] = join_skew_report(big, small, "k", "k", broadcast_rows=1000).collect()
+    assert r["strategy"] == "broadcast_right"  # broadcast beats salting
+
+    [r] = join_skew_report(uniform, big, "k", "k", broadcast_rows=50).collect()
+    # right side is the skewed one now
+    assert r["strategy"] == "salt_hot_keys" and r["right_top_share"] > 0.4
+
+    [r] = join_skew_report(
+        uniform, uniform, "k", "k", broadcast_rows=50, skew_share=0.01
+    ).collect()
+    assert r["strategy"] == "shuffle_hash"  # 0.1% per key, no skew

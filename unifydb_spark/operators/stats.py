@@ -679,3 +679,107 @@ def length_histogram_sql(
                      / SUM(n_tokens) OVER (), 6) AS cum_token_share
         FROM bins ORDER BY bin_lo
     """
+
+
+def join_skew_report(
+    left: "DataFrame",
+    right: "DataFrame",
+    left_key: str,
+    right_key: str,
+    broadcast_rows: int = 1_000_000,
+    skew_share: float = 0.01,
+) -> "DataFrame":
+    """Pre-join skew/strategy report: row counts, exact key NDV, and
+    each side's hottest-key share, folded into the strategy decision a
+    planner (or the engineer reading this report) makes before a 100 TB
+    join — `broadcast` when a side fits executor memory, `salt` when a
+    hot key would pin one reducer (the q47 salted-join medicine), else
+    plain shuffle. This is the measured version of the decision: AQE's
+    skew handling only kicks in at runtime after the skewed task
+    exists; the report sees it coming from one aggregation pass per
+    side.
+
+    Shape: per side, one combinable groupBy(key) + a max over the
+    count relation (ndv-sized, never the raw rows); outputs ONE row.
+    Returns (left_rows, right_rows, left_ndv, right_ndv,
+    left_top_share, right_top_share, strategy)."""
+    def side_stats(df, key):
+        counts = df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return counts.agg(
+            F.sum("c").cast("bigint").alias("rows"),
+            F.count(F.lit(1)).cast("bigint").alias("ndv"),
+            F.max("c").cast("bigint").alias("top_c"),
+        )
+
+    l = side_stats(left, left_key).select(
+        F.col("rows").alias("left_rows"),
+        F.col("ndv").alias("left_ndv"),
+        F.col("top_c").alias("l_top"),
+    )
+    r = side_stats(right, right_key).select(
+        F.col("rows").alias("right_rows"),
+        F.col("ndv").alias("right_ndv"),
+        F.col("top_c").alias("r_top"),
+    )
+    j = l.crossJoin(F.broadcast(r))
+    lshare = F.col("l_top").cast("double") / F.col("left_rows")
+    rshare = F.col("r_top").cast("double") / F.col("right_rows")
+    strategy = (
+        F.when(F.col("right_rows") <= broadcast_rows, F.lit("broadcast_right"))
+        .when(F.col("left_rows") <= broadcast_rows, F.lit("broadcast_left"))
+        .when(
+            (lshare > skew_share) | (rshare > skew_share),
+            F.lit("salt_hot_keys"),
+        )
+        .otherwise(F.lit("shuffle_hash"))
+    )
+    return j.select(
+        "left_rows",
+        "right_rows",
+        "left_ndv",
+        "right_ndv",
+        F.round(lshare, 6).alias("left_top_share"),
+        F.round(rshare, 6).alias("right_top_share"),
+        strategy.alias("strategy"),
+    )
+
+
+def join_skew_report_sql(
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+    broadcast_rows: int = 1_000_000,
+    skew_share: float = 0.01,
+) -> str:
+    return f"""
+        WITH lc AS (
+          SELECT {left_key} AS k, COUNT(*) AS c FROM {left_table} GROUP BY 1
+        ), rc AS (
+          SELECT {right_key} AS k, COUNT(*) AS c FROM {right_table} GROUP BY 1
+        ), ls AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS left_rows,
+                 CAST(COUNT(*) AS BIGINT) AS left_ndv,
+                 CAST(MAX(c) AS BIGINT) AS l_top
+          FROM lc
+        ), rs AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS right_rows,
+                 CAST(COUNT(*) AS BIGINT) AS right_ndv,
+                 CAST(MAX(c) AS BIGINT) AS r_top
+          FROM rc
+        )
+        SELECT left_rows, right_rows, left_ndv, right_ndv,
+               ROUND(CAST(l_top AS DOUBLE) / left_rows, 6) AS left_top_share,
+               ROUND(CAST(r_top AS DOUBLE) / right_rows, 6) AS right_top_share,
+               CASE
+                 WHEN right_rows <= {int(broadcast_rows)} THEN 'broadcast_right'
+                 WHEN left_rows <= {int(broadcast_rows)} THEN 'broadcast_left'
+                 WHEN CAST(l_top AS DOUBLE) / left_rows > {float(skew_share)!r}
+                      OR CAST(r_top AS DOUBLE) / right_rows > {float(skew_share)!r}
+                   THEN 'salt_hot_keys'
+                 ELSE 'shuffle_hash'
+               END AS strategy
+        FROM ls, rs
+    """
