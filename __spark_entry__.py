@@ -2253,6 +2253,19 @@ def r21_join_skew_report(spark, sf_dir):
     )
 
 
+def r22_winsorize_scale(spark, sf_dir):
+    """Per-group feature scaling (operators/stats.py winsorize_scale):
+    clamp to the group's exact [p1, p99] quantiles, then z-score
+    against the clamped distribution with DECIMAL-exact moments —
+    three tiny shuffles, rows never leave the executors."""
+    from unifydb_spark.operators.stats import winsorize_scale
+
+    ev = _events_ts(spark, sf_dir)
+    return winsorize_scale(
+        ev, "event_type", "value", "event_id"
+    ).orderBy("event_id")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2425,6 +2438,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r19_image_ahash_dedup": r19_image_ahash_dedup,
         "r20_stream_windowed_distinct": r20_stream_windowed_distinct,
         "r21_join_skew_report": r21_join_skew_report,
+        "r22_winsorize_scale": r22_winsorize_scale,
     }
 
 
@@ -3021,6 +3035,9 @@ def _operator_oracles() -> dict[str, str]:
         "r21_join_skew_report": _st.join_skew_report_sql(
             "events", "customer", "user_id", "c_custkey",
             broadcast_rows=100_000,
+        ),
+        "r22_winsorize_scale": _st.winsorize_scale_sql(
+            "events", "event_type", "value", "event_id"
         ),
         # the streaming register build equals the batch build (register
         # max is merge-commutative) — the oracle is the per-day (trailing

@@ -85,6 +85,7 @@ HEADLINE = [
     "r19_image_ahash_dedup",
     "r20_stream_windowed_distinct",
     "r21_join_skew_report",
+    "r22_winsorize_scale",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus
     # index build is the untimed prepare step — production amortizes it)

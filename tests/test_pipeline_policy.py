@@ -327,3 +327,34 @@ def test_join_skew_report_strategies(spark):
         uniform, uniform, "k", "k", broadcast_rows=50, skew_share=0.01
     ).collect()
     assert r["strategy"] == "shuffle_hash"  # 0.1% per key, no skew
+
+
+def test_winsorize_scale_semantics(spark):
+    import statistics
+
+    from unifydb_spark.operators.stats import winsorize_scale
+
+    vals = list(range(1, 100)) + [10_000.0]  # one huge outlier
+    df = spark.createDataFrame(
+        [(i, "g", float(v)) for i, v in enumerate(vals)],
+        "id bigint, g string, v double",
+    )
+    out = {r["id"]: r for r in winsorize_scale(
+        df, "g", "v", "id", p_lo=0.05, p_hi=0.95).collect()}
+    # the outlier is clamped to the p95 quantile, not dropped
+    assert len(out) == 100
+    clamped = [out[i]["clamped"] for i in range(100)]
+    assert max(clamped) < 10_000.0
+    assert out[99]["clamped"] == max(clamped)
+    # z-scores standardize the clamped values
+    zs = [out[i]["zscore"] for i in range(100)]
+    m = statistics.mean(clamped)
+    sd = statistics.stdev(clamped)
+    for i in (0, 50, 99):
+        assert abs(zs[i] - (clamped[i] - m) / sd) < 1e-4
+    # zero-variance group -> NULL z, clamped = value
+    flat = spark.createDataFrame(
+        [(i, "f", 5.0) for i in range(10)], "id bigint, g string, v double"
+    )
+    rows = winsorize_scale(flat, "g", "v", "id").collect()
+    assert all(r["zscore"] is None and r["clamped"] == 5.0 for r in rows)

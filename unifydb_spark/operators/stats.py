@@ -783,3 +783,101 @@ def join_skew_report_sql(
                END AS strategy
         FROM ls, rs
     """
+
+
+def winsorize_scale(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> "DataFrame":
+    """Per-group feature scaling for training data: winsorize (clamp to
+    the group's [p_lo, p_hi] exact quantiles — heavy-tail damage
+    control that deletes nothing) then z-score against the CLAMPED
+    distribution's mean/std. The standard numeric-feature prep before a
+    model consumes telemetry: outliers stop dominating the scale, and
+    every group lands on a comparable unit.
+
+    Exactness: quantiles are the interpolated exact `percentile`
+    (quantile_cont parity); mean and the std's sum-of-squares
+    accumulate in DECIMAL(38,12) so they are order-independent, with
+    the sample-std formula sqrt((ss - s^2/n)/(n-1)) evaluated in the
+    same operation order on both engines. Zero-variance groups yield
+    NULL z.
+
+    Shape: one groupBy for quantiles (tiny result, broadcast back),
+    one groupBy for clamped moments (same), one final projection —
+    three small shuffles, rows never leave the executors."""
+    v = F.col(value_col).cast("double")
+    q = df.groupBy(group_col).agg(
+        F.percentile(v, F.lit(float(p_lo))).alias("_qlo"),
+        F.percentile(v, F.lit(float(p_hi))).alias("_qhi"),
+    )
+    clamped = (
+        df.join(F.broadcast(q), group_col)
+        .withColumn(
+            "_cl", F.least(F.greatest(v, F.col("_qlo")), F.col("_qhi"))
+        )
+    )
+    m = clamped.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_cl").cast("decimal(38,12)")).alias("_s"),
+        F.sum(
+            (F.col("_cl") * F.col("_cl")).cast("decimal(38,12)")
+        ).alias("_ss"),
+    )
+    withm = clamped.join(F.broadcast(m), group_col)
+    n = F.col("_n").cast("double")
+    s = F.col("_s").cast("string").cast("double")
+    ss = F.col("_ss").cast("string").cast("double")
+    mean = s / n
+    var = (ss - (s * s) / n) / (n - F.lit(1.0))
+    z = F.when(var > 0, (F.col("_cl") - mean) / F.sqrt(var))
+    return withm.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.round(v, 6).alias("value"),
+        F.round(F.col("_cl"), 6).alias("clamped"),
+        F.round(z, 6).alias("zscore"),
+    )
+
+
+def winsorize_scale_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> str:
+    v = f"CAST({value_col} AS DOUBLE)"
+    return f"""
+        WITH q AS (
+          SELECT {group_col},
+                 quantile_cont({v}, {float(p_lo)!r}) AS qlo,
+                 quantile_cont({v}, {float(p_hi)!r}) AS qhi
+          FROM {table} GROUP BY 1
+        ), cl AS (
+          SELECT t.{id_col}, t.{group_col}, {v} AS value,
+                 LEAST(GREATEST({v}, q.qlo), q.qhi) AS c
+          FROM {table} t JOIN q USING ({group_col})
+        ), m AS (
+          SELECT {group_col}, COUNT(*) AS n,
+                 CAST(CAST(SUM(CAST(c AS DECIMAL(38,12))) AS VARCHAR)
+                      AS DOUBLE) AS s,
+                 CAST(CAST(SUM(CAST(c * c AS DECIMAL(38,12))) AS VARCHAR)
+                      AS DOUBLE) AS ss
+          FROM cl GROUP BY 1
+        )
+        SELECT cl.{id_col}, cl.{group_col},
+               ROUND(cl.value, 6) AS value,
+               ROUND(cl.c, 6) AS clamped,
+               ROUND(CASE WHEN (ss - (s * s) / n) / (n - 1.0) > 0
+                     THEN (cl.c - s / n)
+                          / sqrt((ss - (s * s) / n) / (n - 1.0))
+                     END, 6) AS zscore
+        FROM cl JOIN m USING ({group_col})
+        ORDER BY {id_col}
+    """
