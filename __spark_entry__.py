@@ -2266,6 +2266,20 @@ def r22_winsorize_scale(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def r23_containment_pairs(spark, sf_dir):
+    """Overlap-coefficient near-dup pairs (operators/dedup.py
+    containment_pairs): |A∩B|/min(|A|,|B|) — catches short-inside-long
+    verbatim inclusion that Jaccard scores near zero. Lossless
+    asymmetric prefix filter (smaller doc's rarest-shingle prefix vs
+    the full relation of larger docs), exact verify on candidates."""
+    from unifydb_spark.operators.dedup import containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return containment_pairs(docs, n=3, threshold=0.8).orderBy("d1", "d2")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2439,6 +2453,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r20_stream_windowed_distinct": r20_stream_windowed_distinct,
         "r21_join_skew_report": r21_join_skew_report,
         "r22_winsorize_scale": r22_winsorize_scale,
+        "r23_containment_pairs": r23_containment_pairs,
     }
 
 
@@ -3038,6 +3053,9 @@ def _operator_oracles() -> dict[str, str]:
         ),
         "r22_winsorize_scale": _st.winsorize_scale_sql(
             "events", "event_type", "value", "event_id"
+        ),
+        "r23_containment_pairs": _d.containment_pairs_sql(
+            "documents", n=3, threshold=0.8
         ),
         # the streaming register build equals the batch build (register
         # max is merge-commutative) — the oracle is the per-day (trailing

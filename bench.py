@@ -86,6 +86,7 @@ HEADLINE = [
     "r20_stream_windowed_distinct",
     "r21_join_skew_report",
     "r22_winsorize_scale",
+    "r23_containment_pairs",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus
     # index build is the untimed prepare step — production amortizes it)

@@ -1004,3 +1004,37 @@ def test_winnow_short_doc_empty(spark):
     )
     # len < k -> no k-grams; len == k -> 1 hash but < w window -> none
     assert winnow_fingerprints(docs, k=8, w=4).count() == 0
+
+
+def test_containment_catches_short_inside_long(spark):
+    """A short doc quoted verbatim inside a much longer one: overlap
+    coefficient ~1.0 while Jaccard is far below any useful threshold —
+    the asymmetric case ngram_jaccard_pairs deliberately prunes away
+    (its lossless length filter requires comparable sizes)."""
+    short = "the famous quoted passage appears here word for word exactly"
+    filler = " ".join(f"filler{i} pad{i} text{i}" for i in range(40))
+    rows = [
+        (0, short),
+        (1, filler + " " + short + " " + filler),
+        (2, "a completely unrelated document about something else entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r["d1"], r["d2"]): r["containment"]
+           for r in D.containment_pairs(docs, n=3, threshold=0.9).collect()}
+    assert (0, 1) in got and got[(0, 1)] >= 0.99
+    assert not any(2 in p for p in got)
+    # jaccard at the same bar misses it (sizes are wildly asymmetric)
+    jac = {(r["d1"], r["d2"])
+           for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.9).collect()}
+    assert (0, 1) not in jac
+
+
+def test_containment_symmetric_pair_matches_jaccard_case(spark):
+    # identical docs: both metrics 1.0; containment must find them too
+    docs = spark.createDataFrame(
+        [(0, BASE), (1, BASE), (2, OTHER)], "doc_id bigint, text string"
+    )
+    got = {(r["d1"], r["d2"]): r["containment"]
+           for r in D.containment_pairs(docs, threshold=0.8).collect()}
+    assert got.get((0, 1)) == 1.0
+    assert not any(2 in p for p in got)

@@ -1549,3 +1549,140 @@ def winnow_pairs_sql(
         GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
         ORDER BY 1, 2
     """
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram OVERLAP COEFFICIENT
+    |A∩B| / min(|A|,|B|) >= threshold — the asymmetric complement of
+    ngram_jaccard_pairs: a short document contained verbatim inside a
+    long one scores ~1.0 here but near-zero Jaccard (the web-data case
+    of an article republished inside a boilerplate-heavy page). Returns
+    (d1, d2, common, containment), d1 < d2.
+
+    Candidate generation is lossless prefix filtering adapted to the
+    asymmetric threshold: the SMALLER doc of a qualifying pair must
+    share >= ceil(t*n_small) of its own shingles, so its
+    n - ceil(t*n) + 1 rarest shingles (df-ordered) must hit the pair
+    (pigeonhole) — its prefix joins against the FULL shingle relation
+    of docs at least as large (the larger side admits no own-size
+    prefix bound, since its required overlap depends on the other
+    doc's size). Rarest-first prefixes keep the fan-out at
+    sum(df(prefix shingle)) — the minimum any lossless containment
+    join can do; verification is array_intersect on candidates only."""
+    sh = tracked_persist(_doc_shingles(docs, text_col, n))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w_ord = Window.partitionBy("doc_id").orderBy("__df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("__pos", F.row_number().over(w_ord))
+        .withColumn(
+            "n_sh",
+            F.count(F.lit(1)).over(
+                w_ord.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("__pos")
+        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("doc_id", "shingle", "n_sh")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    full = sh.join(sizes, "doc_id")
+    cand = (
+        prefix.alias("a")
+        .join(
+            full.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("a.n_sh") <= F.col("b.n_sh")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("d1"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("d2"),
+        )
+        .distinct()
+    )
+    arrays = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("arr"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    a1 = arrays.select(
+        F.col("doc_id").alias("d1"), F.col("arr").alias("arr1"),
+        F.col("n_sh").alias("n1"),
+    )
+    a2 = arrays.select(
+        F.col("doc_id").alias("d2"), F.col("arr").alias("arr2"),
+        F.col("n_sh").alias("n2"),
+    )
+    common = F.size(F.array_intersect("arr1", "arr2"))
+    cont = common.cast("double") / F.least("n1", "n2").cast("double")
+    return (
+        cand.join(a1, "d1")
+        .join(a2, "d2")
+        .select(
+            "d1",
+            "d2",
+            common.cast("bigint").alias("common"),
+            F.round(cont, 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def containment_pairs_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split({text_col}, ' '), w -> w != '') AS ws
+          FROM {table}
+        ), sh AS (
+          SELECT DISTINCT doc_id, unnest({shingles_sql_expr(n)}) AS shingle
+          FROM toks
+        ), dfreq AS (
+          SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1
+        ), ranked AS (
+          SELECT sh.doc_id, sh.shingle,
+                 ROW_NUMBER() OVER (PARTITION BY sh.doc_id
+                                    ORDER BY df, sh.shingle) AS pos,
+                 COUNT(*) OVER (PARTITION BY sh.doc_id) AS n_sh
+          FROM sh JOIN dfreq USING (shingle)
+        ), prefix AS (
+          SELECT doc_id, shingle, n_sh FROM ranked
+          WHERE pos <= n_sh - CEIL({threshold} * n_sh) + 1
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+        ), cand AS (
+          SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS d1,
+                          GREATEST(a.doc_id, b.doc_id) AS d2
+          FROM prefix a
+          JOIN (SELECT sh.doc_id, sh.shingle, s.n_sh
+                FROM sh JOIN sizes s USING (doc_id)) b
+            ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+           AND a.n_sh <= b.n_sh
+        ), arrays AS (
+          SELECT doc_id, list(shingle) AS arr, COUNT(*) AS n_sh
+          FROM sh GROUP BY 1
+        )
+        SELECT c.d1, c.d2,
+               CAST(len(list_intersect(x.arr, y.arr)) AS BIGINT) AS common,
+               ROUND(CAST(len(list_intersect(x.arr, y.arr)) AS DOUBLE)
+                     / LEAST(x.n_sh, y.n_sh), 6) AS containment
+        FROM cand c
+        JOIN arrays x ON x.doc_id = c.d1
+        JOIN arrays y ON y.doc_id = c.d2
+        WHERE CAST(len(list_intersect(x.arr, y.arr)) AS DOUBLE)
+              / LEAST(x.n_sh, y.n_sh) >= {threshold}
+        ORDER BY d1, d2
+    """
