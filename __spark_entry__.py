@@ -2280,6 +2280,38 @@ def r23_containment_pairs(spark, sf_dir):
     return containment_pairs(docs, n=3, threshold=0.8).orderBy("d1", "d2")
 
 
+def r24_table_diff(spark, sf_dir):
+    """Snapshot diff between two table vintages (operators/quality.py
+    table_diff): added/removed/changed/unchanged per key from ONE
+    null-safe full outer join — the CDC/regression-audit primitive.
+    Vintages derive deterministically from documents (old drops
+    doc_id%10==0, new drops %11==0 and edits text on %7==0, lang on
+    %13==0) so both engines diff identical inputs."""
+    from unifydb_spark.operators.quality import table_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", "text", "lang"
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("xx"))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+        )
+    )
+    return table_diff(old, new, ["doc_id"], ["text", "lang"]).orderBy(
+        "doc_id"
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2454,6 +2486,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r21_join_skew_report": r21_join_skew_report,
         "r22_winsorize_scale": r22_winsorize_scale,
         "r23_containment_pairs": r23_containment_pairs,
+        "r24_table_diff": r24_table_diff,
     }
 
 
@@ -2620,6 +2653,7 @@ def _operator_oracles() -> dict[str, str]:
     from unifydb_spark.operators import olap as _ol
     from unifydb_spark.operators import search as _se
     from unifydb_spark.operators import sketch as _sk
+    from unifydb_spark.operators import quality as _ql
     from unifydb_spark.sources import ingest as _ingest
 
     pii_injected = """
@@ -3056,6 +3090,16 @@ def _operator_oracles() -> dict[str, str]:
         ),
         "r23_containment_pairs": _d.containment_pairs_sql(
             "documents", n=3, threshold=0.8
+        ),
+        "r24_table_diff": _ql.table_diff_sql(
+            "SELECT doc_id, text, lang FROM documents WHERE doc_id % 10 != 0",
+            "SELECT doc_id,"
+            " CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END"
+            " AS text,"
+            " CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang"
+            " FROM documents WHERE doc_id % 11 != 0",
+            ["doc_id"],
+            ["text", "lang"],
         ),
         # the streaming register build equals the batch build (register
         # max is merge-commutative) — the oracle is the per-day (trailing

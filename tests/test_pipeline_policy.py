@@ -358,3 +358,23 @@ def test_winsorize_scale_semantics(spark):
     )
     rows = winsorize_scale(flat, "g", "v", "id").collect()
     assert all(r["zscore"] is None and r["clamped"] == 5.0 for r in rows)
+
+
+def test_table_diff_statuses_null_safe(spark):
+    from unifydb_spark.operators.quality import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x"), (3, "c", "y"), (4, "d", "z")],
+        "k bigint, c1 string, c2 string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (3, "C", "Y"), (5, "e", "w")],
+        "k bigint, c1 string, c2 string",
+    )
+    out = {r["k"]: (r["status"], r["n_changed_cols"])
+           for r in table_diff(old, new, ["k"], ["c1", "c2"]).collect()}
+    assert out[1] == ("unchanged", 0)   # NULL == NULL is not a change
+    assert out[2] == ("changed", 1)     # value -> NULL IS a change
+    assert out[3] == ("changed", 2)
+    assert out[4] == ("removed", 0)
+    assert out[5] == ("added", 0)

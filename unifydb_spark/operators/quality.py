@@ -81,3 +81,91 @@ def check_referential(
 def dq_report(checks: list) -> DataFrame:
     """Union the per-check one-row frames into the report."""
     return reduce(DataFrame.unionByName, checks)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: "list[str]",
+    compare_cols: "list[str]",
+) -> DataFrame:
+    """Snapshot diff between two table vintages: per key, `added` /
+    `removed` / `changed` / `unchanged` — the "what did this pipeline
+    run actually do" primitive behind CDC audits, slowly-changing-dim
+    loads, and regression-checking a rewritten job against its
+    predecessor (the batch complement of the store's tx-level history).
+    Null-safe per-column comparison (a NULL->value transition IS a
+    change). Returns (key_cols..., status, n_changed_cols).
+
+    Shape: ONE full outer join hash-partitioned on the key, pure
+    Column comparisons — no collect, no window; at 100 TB this is the
+    canonical co-partitionable join (bucket both vintages by key and
+    the exchange disappears)."""
+    o = old.select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_o"),
+    )
+    nw = new.select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_n"),
+    )
+    j = o.join(nw, [f"__k_{k}" for k in key_cols], "full_outer")
+    n_changed = None
+    for c in compare_cols:
+        d = (~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))).cast("int")
+        n_changed = d if n_changed is None else n_changed + d
+    status = (
+        F.when(F.col("__in_o").isNull(), F.lit("added"))
+        .when(F.col("__in_n").isNull(), F.lit("removed"))
+        .when(n_changed > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *[F.col(f"__k_{k}").alias(k) for k in key_cols],
+        status.alias("status"),
+        F.when(
+            F.col("__in_o").isNotNull() & F.col("__in_n").isNotNull(),
+            n_changed,
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_changed_cols"),
+    )
+
+
+def table_diff_sql(
+    old_sql: str,
+    new_sql: str,
+    key_cols: "list[str]",
+    compare_cols: "list[str]",
+) -> str:
+    keys = ", ".join(key_cols)
+    ocols = ", ".join(f"o.{c} AS o_{c}" for c in compare_cols)
+    ncols = ", ".join(f"n.{c} AS n_{c}" for c in compare_cols)
+    n_changed = " + ".join(
+        f"CASE WHEN o_{c} IS DISTINCT FROM n_{c} THEN 1 ELSE 0 END"
+        for c in compare_cols
+    )
+    kcoal = ", ".join(
+        f"COALESCE(o.{k}, n.{k}) AS {k}" for k in key_cols
+    )
+    on = " AND ".join(f"o.{k} = n.{k}" for k in key_cols)
+    return f"""
+        WITH o AS ({old_sql}), n AS ({new_sql}),
+        j AS (
+          SELECT {kcoal}, {ocols}, {ncols},
+                 o.{key_cols[0]} IS NOT NULL AS in_o,
+                 n.{key_cols[0]} IS NOT NULL AS in_n
+          FROM o FULL OUTER JOIN n ON {on}
+        )
+        SELECT {keys},
+               CASE WHEN NOT in_o THEN 'added'
+                    WHEN NOT in_n THEN 'removed'
+                    WHEN {n_changed} > 0 THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               CAST(CASE WHEN in_o AND in_n THEN {n_changed}
+                         ELSE 0 END AS BIGINT) AS n_changed_cols
+        FROM j ORDER BY {keys}
+    """
