@@ -2312,6 +2312,20 @@ def r24_table_diff(spark, sf_dir):
     )
 
 
+def r25_rate_anomaly(spark, sf_dir):
+    """Event-rate anomaly monitor (operators/events.py rate_anomaly):
+    per (type, day) z-score of the day's count against the preceding
+    7 days on a DENSE day spine (zero-event days are the anomaly you
+    must not skip). Integer count moments — no float accumulation
+    before the final division. Everything after the one combinable
+    count runs on the calendar-sized relation."""
+    from unifydb_spark.operators.events import rate_anomaly
+
+    return rate_anomaly(_events_ts(spark, sf_dir)).orderBy(
+        "event_type", "day"
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2487,6 +2501,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r22_winsorize_scale": r22_winsorize_scale,
         "r23_containment_pairs": r23_containment_pairs,
         "r24_table_diff": r24_table_diff,
+        "r25_rate_anomaly": r25_rate_anomaly,
     }
 
 
@@ -3101,6 +3116,7 @@ def _operator_oracles() -> dict[str, str]:
             ["doc_id"],
             ["text", "lang"],
         ),
+        "r25_rate_anomaly": _ev.rate_anomaly_sql("events"),
         # the streaming register build equals the batch build (register
         # max is merge-commutative) — the oracle is the per-day (trailing
         # window of 1) HLL estimate computed from scratch

@@ -88,6 +88,7 @@ HEADLINE = [
     "r22_winsorize_scale",
     "r23_containment_pairs",
     "r24_table_diff",
+    "r25_rate_anomaly",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus
     # index build is the untimed prepare step — production amortizes it)

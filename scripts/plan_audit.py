@@ -56,6 +56,10 @@ BNLJ_ALLOWED = {
     # r21: the report is a (1-row left stats) x (1-row right stats)
     # cross join — bounded by construction, same shape as q71
     "r21_join_skew_report",
+    # r25: the day spine is (exploded 1-row min/max bounds) x (distinct
+    # event types) — a calendar x dimension cross join, bounded by
+    # construction and never touching raw rows
+    "r25_rate_anomaly",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)

@@ -245,3 +245,33 @@ def test_rolling_metrics_range_frame(spark):
     assert out[3] == (2, 7.0)       # e1 exactly 24h old -> excluded; e2 inside
     assert out[4] == (2, 4.0)       # peers see each other
     assert out[5] == (2, 4.0)
+
+
+def test_rate_anomaly_dense_spine_and_flags(spark):
+    """A day with ZERO events must appear (dense spine) and flag against
+    a steady baseline; warm-up days (< 2 history) yield NULL z."""
+    from datetime import datetime, timedelta
+
+    from unifydb_spark.operators.events import rate_anomaly
+
+    base = datetime(2026, 6, 1)
+    rows = []
+    # type 'a': 10 events/day for days 0-9, except day 7 has NONE and
+    # day 9 has 100 (spike)
+    for dday in range(10):
+        n = 0 if dday == 7 else (100 if dday == 9 else 10)
+        for i in range(n):
+            rows.append(("a", base + timedelta(days=dday, minutes=i)))
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r["day"]: r for r in rate_anomaly(ev, lookback_days=7).collect()}
+    assert len(out) == 10
+    d7 = (base + timedelta(days=7)).strftime("%Y-%m-%d")
+    d9 = (base + timedelta(days=9)).strftime("%Y-%m-%d")
+    d0 = base.strftime("%Y-%m-%d")
+    assert out[d7]["n_events"] == 0  # the dropped day exists in the output
+    # steady 10s before day 7 -> zero variance -> no z, no flag (an
+    # exactly-constant baseline cannot standardize); the SPIKE day has
+    # variance in its window (it saw the 0) and must flag
+    assert out[d9]["is_anomaly"] and out[d9]["zscore"] > 3
+    assert out[d0]["zscore"] is None  # no history at all
+    assert not out[d0]["is_anomaly"]

@@ -608,3 +608,142 @@ def rolling_metrics_sql(
                      RANGE BETWEEN {span - 1} PRECEDING AND CURRENT ROW)
         ORDER BY {seq_col}
     """
+
+
+def rate_anomaly(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    lookback_days: int = 7,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Event-rate anomaly flags: per (type, day), the z-score of the
+    day's event count against the PRECEDING `lookback_days` days'
+    counts — the pipeline-monitoring primitive ("did src X's volume
+    crater / explode today?") that catches upstream breakage before a
+    model trains on a silently skewed mixture. Detection is against
+    history only (the frame excludes today), on a DENSE day spine
+    (missing days count 0 — a day with no events at all is exactly the
+    anomaly you must not skip over). Rows with fewer than 2 history
+    days or zero variance yield NULL z / no flag.
+
+    Exactness: counts are integers; the mean/variance of the history
+    frame use bigint sum and sum-of-squares with the sample-variance
+    expression evaluated in the same operation order on both engines —
+    no float accumulation anywhere before the final division. Shape:
+    one combinable count, then everything runs on the calendar-sized
+    (days x types) relation: the spine cross join and windows never
+    touch raw rows."""
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    daily = (
+        events.select(F.col(type_col).alias("etype"), day.alias("d"))
+        .groupBy("etype", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from unifydb_spark.resources import tracked_persist
+
+    daily = tracked_persist(daily)
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = (
+        bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+        .crossJoin(F.broadcast(daily.select("etype").distinct()))
+    )
+    dense = spine.join(daily, ["etype", "d"], "left").select(
+        "etype", "d", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy("etype")
+        .orderBy("d")
+        .rowsBetween(-int(lookback_days), -1)
+    )
+    nh = F.count(F.lit(1)).over(w)
+    s = F.sum("c").over(w)
+    ss = F.sum(F.col("c") * F.col("c")).over(w)
+    nhd = nh.cast("double")
+    sd = s.cast("double")
+    ssd = ss.cast("double")
+    mean = sd / nhd
+    var = (ssd - (sd * sd) / nhd) / (nhd - F.lit(1.0))
+    z = F.when((nh >= 2) & (var > 0), (F.col("c") - mean) / F.sqrt(var))
+    return dense.select(
+        F.col("etype").alias(type_col),
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("d")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        F.col("c").cast("bigint").alias("n_events"),
+        nh.cast("bigint").alias("n_history"),
+        F.round(F.when(nh >= 1, mean), 6).alias("base_mean"),
+        F.round(z, 6).alias("zscore"),
+        F.coalesce(F.abs(z) > float(threshold), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+def rate_anomaly_sql(
+    table: str = "events",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    lookback_days: int = 7,
+    threshold: float = 3.0,
+) -> str:
+    lb = int(lookback_days)
+    return f"""
+        WITH daily AS (
+          SELECT {type_col} AS etype,
+                 CAST(date_trunc('day', {ts_col}) AS DATE)
+                   - DATE '1970-01-01' AS d,
+                 COUNT(*) AS c
+          FROM {table} GROUP BY 1, 2
+        ), bounds AS (
+          SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily
+        ), spine AS (
+          SELECT t.etype, CAST(u.d AS BIGINT) AS d
+          FROM (SELECT DISTINCT etype FROM daily) t,
+               bounds, unnest(generate_series(bounds.lo, bounds.hi)) AS u(d)
+        ), dense AS (
+          SELECT s.etype, s.d, CAST(COALESCE(daily.c, 0) AS BIGINT) AS c
+          FROM spine s LEFT JOIN daily USING (etype, d)
+        ), win AS (
+          SELECT etype, d, c,
+                 COUNT(*) OVER w AS nh,
+                 SUM(c) OVER w AS s,
+                 SUM(c * c) OVER w AS ss
+          FROM dense
+          WINDOW w AS (PARTITION BY etype ORDER BY d
+                       ROWS BETWEEN {lb} PRECEDING AND 1 PRECEDING)
+        )
+        SELECT etype AS {type_col},
+               strftime(DATE '1970-01-01' + CAST(d AS INT), '%Y-%m-%d')
+                 AS day,
+               c AS n_events,
+               CAST(nh AS BIGINT) AS n_history,
+               ROUND(CASE WHEN nh >= 1
+                     THEN CAST(s AS DOUBLE) / CAST(nh AS DOUBLE) END, 6)
+                 AS base_mean,
+               ROUND(CASE WHEN nh >= 2
+                          AND (CAST(ss AS DOUBLE)
+                               - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                                 / CAST(nh AS DOUBLE))
+                              / (CAST(nh AS DOUBLE) - 1.0) > 0
+                     THEN (c - CAST(s AS DOUBLE) / CAST(nh AS DOUBLE))
+                          / sqrt((CAST(ss AS DOUBLE)
+                                  - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                                    / CAST(nh AS DOUBLE))
+                                 / (CAST(nh AS DOUBLE) - 1.0))
+                     END, 6) AS zscore,
+               COALESCE(ABS(
+                 CASE WHEN nh >= 2
+                          AND (CAST(ss AS DOUBLE)
+                               - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                                 / CAST(nh AS DOUBLE))
+                              / (CAST(nh AS DOUBLE) - 1.0) > 0
+                 THEN (c - CAST(s AS DOUBLE) / CAST(nh AS DOUBLE))
+                      / sqrt((CAST(ss AS DOUBLE)
+                              - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                                / CAST(nh AS DOUBLE))
+                             / (CAST(nh AS DOUBLE) - 1.0))
+                 END) > {float(threshold)!r}, FALSE) AS is_anomaly
+        FROM win ORDER BY {type_col}, day
+    """
