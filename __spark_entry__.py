@@ -2326,6 +2326,32 @@ def r25_rate_anomaly(spark, sf_dir):
     )
 
 
+def r26_audio_fingerprint(spark, sf_dir):
+    """Energy-difference audio fingerprint (operators/multimodal.py
+    audio_fingerprint, Haitsma-Kalker integer core): real RIFF/WAV
+    decode -> exact windowed energies -> lag-compare bits packed into
+    one BIGINT. The oracle regenerates the synthetic samples
+    symbolically — decode-path certification, the r19 argument."""
+    from unifydb_spark.operators.multimodal import (
+        audio_fingerprint,
+        synth_audio,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return audio_fingerprint(synth_audio(docs)).orderBy("doc_id")
+
+
+def r27_scene_changes(spark, sf_dir):
+    """Video cut detection (operators/multimodal.py scene_changes):
+    real YUV4MPEG2 parse -> exact per-frame Y sums -> integer-rational
+    delta threshold (no float compares). Oracle regenerates the synth
+    planes symbolically."""
+    from unifydb_spark.operators.multimodal import scene_changes, synth_video
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return scene_changes(synth_video(docs)).orderBy("doc_id", "frame_idx")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2502,6 +2528,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r23_containment_pairs": r23_containment_pairs,
         "r24_table_diff": r24_table_diff,
         "r25_rate_anomaly": r25_rate_anomaly,
+        "r26_audio_fingerprint": r26_audio_fingerprint,
+        "r27_scene_changes": r27_scene_changes,
     }
 
 
@@ -3117,6 +3145,8 @@ def _operator_oracles() -> dict[str, str]:
             ["text", "lang"],
         ),
         "r25_rate_anomaly": _ev.rate_anomaly_sql("events"),
+        "r26_audio_fingerprint": _m.audio_fingerprint_sql("documents"),
+        "r27_scene_changes": _m.scene_changes_sql("documents"),
         # the streaming register build equals the batch build (register
         # max is merge-commutative) — the oracle is the per-day (trailing
         # window of 1) HLL estimate computed from scratch

@@ -89,6 +89,8 @@ HEADLINE = [
     "r23_containment_pairs",
     "r24_table_diff",
     "r25_rate_anomaly",
+    "r27_scene_changes",
+    "r26_audio_fingerprint",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus
     # index build is the untimed prepare step — production amortizes it)

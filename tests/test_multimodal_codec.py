@@ -303,3 +303,49 @@ def test_image_ahash_brightness_invariant_and_pairs(spark):
     assert pairs[(0, 1)] == 0
     assert (0, 2) in pairs and 0 < pairs[(0, 2)] <= 7  # small perturbation
     assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_audio_fingerprint_gain_invariant(spark):
+    """The energy-difference fingerprint survives uniform gain scaling
+    (the compare is scale-free) — the property that makes it a content
+    fingerprint rather than a byte hash."""
+    import numpy as np
+
+    from unifydb_spark.operators.multimodal import (
+        audio_fingerprint,
+        make_wav,
+    )
+
+    rng = np.random.RandomState(11)
+    base = (rng.randn(512) * 3000).astype(np.int16)
+    half = (base.astype(np.int32) // 2).astype(np.int16)  # -6 dB copy
+    other = (rng.randn(512) * 3000).astype(np.int16)
+    rows = [
+        (0, bytearray(make_wav(base))),
+        (1, bytearray(make_wav(half))),
+        (2, bytearray(make_wav(other))),
+    ]
+    au = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r["doc_id"]: r for r in audio_fingerprint(au).collect()}
+    assert out[0]["n_windows"] == 8
+    assert out[0]["fingerprint"] == out[1]["fingerprint"]  # gain-invariant
+    assert out[0]["fingerprint"] != out[2]["fingerprint"]
+
+
+def test_scene_changes_detects_planted_cut(spark):
+    import numpy as np
+
+    from unifydb_spark.operators.multimodal import make_y4m, scene_changes
+
+    dark = np.zeros((8, 8), dtype=np.uint8) + 10
+    bright = np.zeros((8, 8), dtype=np.uint8) + 240
+    frames = [dark, dark + 1, dark, bright, bright - 1, bright]
+    vid = spark.createDataFrame(
+        [(0, bytearray(make_y4m(frames, 8, 8)))],
+        "doc_id bigint, payload binary",
+    )
+    out = {r["frame_idx"]: r for r in scene_changes(vid).collect()}
+    assert len(out) == 6
+    assert not out[0]["is_cut"]  # first frame never a cut
+    assert out[3]["is_cut"]      # dark -> bright
+    assert not any(out[i]["is_cut"] for i in (1, 2, 4, 5))  # tiny deltas

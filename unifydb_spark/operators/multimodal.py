@@ -956,3 +956,164 @@ def image_ahash_dedup_sql(
                     AS BIGINT) AS cluster_size
         FROM sig ORDER BY doc_id
     """
+
+
+def audio_fingerprint(audio_df: DataFrame, window: int = 64) -> DataFrame:
+    """Energy-difference audio fingerprint (the Haitsma-Kalker
+    'Philips' scheme reduced to its integer core): per window of
+    `window` samples, the exact energy (sum of squares); bit j =
+    energy(j+1) > energy(j); bits pack into one BIGINT. Robust to
+    uniform gain changes in sign (the compare survives scaling) and
+    cheap enough to run as the screening pass before any content
+    match. Returns (doc_id, n_windows, fingerprint).
+
+    Real RIFF/WAV decode (decode_wav) inside Arrow-batched mapInPandas;
+    all arithmetic integer, so the fingerprint is engine- and
+    partition-exact and the SQL oracle regenerates it symbolically from
+    the synthetic sample formula — certifying the decode path the same
+    way r19 certifies the PNG path."""
+    w = int(window)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, _ch, samples = decode_wav(bytes(payload))
+                n_w = len(samples) // w
+                s = samples[: n_w * w].astype(np.int64).reshape(n_w, w)
+                energy = (s * s).sum(axis=1)
+                fp = 0
+                for j in range(1, n_w):
+                    if energy[j] > energy[j - 1]:
+                        fp |= 1 << (j - 1)
+                out.append((int(doc_id), int(n_w), fp))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_windows", "fingerprint"]
+            )
+
+    return audio_df.mapInPandas(
+        run, schema="doc_id bigint, n_windows bigint, fingerprint bigint"
+    )
+
+
+def audio_fingerprint_sql(
+    table: str = "documents", window: int = 64
+) -> str:
+    """Oracle: regenerate the synth_audio samples symbolically
+    (s_i = ((doc_id*31 + i*17) % 65536) - 32768 over
+    n = 256 + (doc_id % 7)*128), window the exact energies, lag-compare,
+    pack — same integers the real decode path must produce."""
+    w = int(window)
+    return f"""
+        WITH doc AS (
+          SELECT doc_id, 256 + (doc_id % 7) * 128 AS n FROM {table}
+        ), px AS (
+          SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+                 ((doc_id * 31 + u.i * 17) % 65536) - 32768 AS s
+          FROM doc, unnest(generate_series(0, n - 1)) AS u(i)
+        ), en AS (
+          SELECT doc_id, i // {w} AS win, SUM(s * s) AS e
+          FROM px GROUP BY 1, 2
+        ), bits AS (
+          SELECT doc_id, win,
+                 CASE WHEN e > lag(e) OVER (PARTITION BY doc_id
+                                            ORDER BY win)
+                      THEN 1 ELSE 0 END AS bit
+          FROM en
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(COALESCE(SUM(CASE WHEN win >= 1
+                        THEN bit * (CAST(1 AS BIGINT) << CAST(win - 1 AS INT))
+                        ELSE 0 END), 0) AS BIGINT) AS fingerprint
+        FROM bits GROUP BY 1 ORDER BY 1
+    """
+
+
+def scene_changes(video_df: DataFrame, threshold_num: int = 1, threshold_den: int = 8) -> DataFrame:
+    """Scene-change (cut) detection over video payloads: per frame, the
+    exact integer Y-plane sum; a cut is flagged when the absolute
+    frame-to-frame delta exceeds (threshold_num/threshold_den) of the
+    full-scale plane sum (255 * n_pixels) — the integer-rational
+    compare avoids float thresholds entirely (the q92 trick). The first
+    frame is never a cut. Returns (doc_id, frame_idx, luma_sum, delta,
+    is_cut).
+
+    Real YUV4MPEG2 parse (decode_y4m) in Arrow-batched mapInPandas;
+    1->n_frames fan-out inside the batch — the driver never sees a
+    byte, and per-video state is one previous-frame sum."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _fn, _fd, frames = decode_y4m(bytes(payload))
+                full = 255 * w * h
+                prev = None
+                for fi, y in enumerate(frames):
+                    s = int(y.astype(np.int64).sum())
+                    delta = 0 if prev is None else abs(s - prev)
+                    is_cut = (
+                        prev is not None
+                        and delta * threshold_den > full * threshold_num
+                    )
+                    out.append((int(doc_id), fi, s, delta, bool(is_cut)))
+                    prev = s
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "frame_idx", "luma_sum", "delta", "is_cut"],
+            )
+
+    return video_df.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, frame_idx bigint, luma_sum bigint,"
+            " delta bigint, is_cut boolean"
+        ),
+    )
+
+
+def scene_changes_sql(
+    table: str = "documents",
+    width: int = 8,
+    height: int = 8,
+    threshold_num: int = 1,
+    threshold_den: int = 8,
+) -> str:
+    """Oracle: regenerate synth_video's Y planes symbolically
+    (Y[f][i] = (doc_id*7 + f*13 + i*3) % 256, n = 5 + doc_id % 25
+    frames), frame sums + lag deltas + the same integer-rational cut
+    compare."""
+    n_px = int(width) * int(height)
+    full = 255 * n_px
+    return f"""
+        WITH doc AS (
+          SELECT doc_id, 5 + doc_id % 25 AS n_frames FROM {table}
+        ), fr AS (
+          SELECT doc_id, CAST(uf.f AS BIGINT) AS frame_idx
+          FROM doc, unnest(generate_series(0, n_frames - 1)) AS uf(f)
+        ), px AS (
+          SELECT f.doc_id, f.frame_idx,
+                 SUM((f.doc_id * 7 + f.frame_idx * 13 + u.i * 3) % 256)
+                   AS luma_sum
+          FROM fr f, unnest(generate_series(0, {n_px - 1})) AS u(i)
+          GROUP BY 1, 2
+        ), d AS (
+          SELECT doc_id, frame_idx, CAST(luma_sum AS BIGINT) AS luma_sum,
+                 CAST(COALESCE(ABS(luma_sum - lag(luma_sum)
+                      OVER (PARTITION BY doc_id ORDER BY frame_idx)), 0)
+                      AS BIGINT) AS delta,
+                 lag(luma_sum) OVER (PARTITION BY doc_id
+                                     ORDER BY frame_idx) IS NOT NULL
+                   AS has_prev
+          FROM px
+        )
+        SELECT doc_id, frame_idx, luma_sum, delta,
+               has_prev AND delta * {int(threshold_den)}
+                 > {full} * {int(threshold_num)} AS is_cut
+        FROM d ORDER BY doc_id, frame_idx
+    """
