@@ -231,3 +231,50 @@ def test_bpe_learn_fuzz_matches_reference(spark, words):
             vocab[w] = out
 
     assert bpe_learn(docs, n_merges=4) == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=3,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@example(docs=[["a", "b", "c"], ["a", "b", "c", "d", "e", "a", "b", "c"]])
+def test_containment_pairs_lossless_fuzz(spark, docs):
+    """The asymmetric prefix filter must be LOSSLESS: containment_pairs
+    equals the brute-force all-pairs overlap coefficient on random
+    small-alphabet corpora (heavy shingle collisions — the regime where
+    a broken prefix bound would silently drop pairs)."""
+    from unifydb_spark.operators.dedup import containment_pairs
+
+    t = 0.6
+    n = 2
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        (r["d1"], r["d2"]): (r["common"], r["containment"])
+        for r in containment_pairs(df, n=n, threshold=t).collect()
+    }
+
+    def sh(ws):
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    want = {}
+    sets = [sh(ws) for ws in docs]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            if not sets[i] or not sets[j]:
+                continue
+            c = len(sets[i] & sets[j])
+            cont = c / min(len(sets[i]), len(sets[j]))
+            if cont >= t:
+                want[(i, j)] = (c, round(cont, 6))
+    assert got == want
