@@ -168,6 +168,9 @@ def main():
     qs = entrymod.queries()
     for name, prepare in PREPARED.items():
         qs[name] = prepare(spark, sf_dir)
+    missing = [n for n in HEADLINE if n not in qs and n not in PREPARED]
+    if missing:  # loud, not silent: a renamed slot must fail the bench
+        raise SystemExit(f"HEADLINE names missing from queries(): {missing}")
     names = [n for n in HEADLINE if n in qs] or list(qs)
     # warm the JVM + parquet footers once (not counted)
     qs[names[0]](spark, sf_dir).count()
