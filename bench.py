@@ -35,6 +35,7 @@ HEADLINE = [
     "q34_sessionize",
     "q35_asof_join",
     "q51_regional_revenue",
+    "q52_curation_pipeline",
     "q67_top_customers",
     # round-4 additions: the r2 operator wave, previously un-benched at sf0.1
     "q41_retraction_snapshot",
