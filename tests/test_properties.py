@@ -278,3 +278,41 @@ def test_containment_pairs_lossless_fuzz(spark, docs):
             if cont >= t:
                 want[(i, j)] = (c, round(cont, 6))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**6),
+    st.integers(min_value=20, max_value=60),
+    st.integers(min_value=0, max_value=40),
+)
+def test_winnow_guarantee_fuzz(spark, seed, span_len, pos):
+    """Winnowing's no-false-negative guarantee, fuzzed: two random docs
+    sharing a planted span of length >= k + w - 1 ALWAYS share at least
+    one fingerprint (any window over the shared span selects the same
+    minimum in both docs)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 8, 4
+    rng = random.Random(seed)
+
+    def noise(n):
+        return "".join(rng.choice("abcdefghij ") for _ in range(n))
+
+    span = "".join(rng.choice("qrstuvwxyz") for _ in range(max(span_len, k + w - 1)))
+    a = noise(pos) + span + noise(30)
+    b = noise(37) + span + noise(pos)
+    docs = spark.createDataFrame(
+        [(0, a), (1, b)], "doc_id bigint, text string"
+    )
+    fps = winnow_fingerprints(docs, k=k, w=w)
+    shared = (
+        fps.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") == 2)
+        .count()
+    )
+    assert shared >= 1, (seed, span_len, pos)
