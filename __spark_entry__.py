@@ -2352,6 +2352,30 @@ def r27_scene_changes(spark, sf_dir):
     return scene_changes(synth_video(docs)).orderBy("doc_id", "frame_idx")
 
 
+def r28_regression_metrics(spark, sf_dir):
+    """Model-eval scoreboard (operators/stats.py regression_metrics):
+    per-group n/RMSE/MAE/bias/R^2 with every accumulator in
+    DECIMAL(38,12) — one combinable aggregation. The 'model' under
+    eval is the per-type mean predictor (computed identically on both
+    engines: decimal sum via the varchar hop / count), so R^2 is 0 by
+    construction and the error metrics are pure data properties."""
+    from unifydb_spark.operators.stats import regression_metrics
+
+    ev = _events_ts(spark, sf_dir)
+    means = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,12)"))
+            .cast("string")
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("pred")
+    )
+    scored = ev.join(F.broadcast(means), "event_type")
+    return regression_metrics(
+        scored, "event_type", "value", "pred"
+    ).orderBy("event_type")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2530,6 +2554,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r25_rate_anomaly": r25_rate_anomaly,
         "r26_audio_fingerprint": r26_audio_fingerprint,
         "r27_scene_changes": r27_scene_changes,
+        "r28_regression_metrics": r28_regression_metrics,
     }
 
 
@@ -3147,6 +3172,16 @@ def _operator_oracles() -> dict[str, str]:
         "r25_rate_anomaly": _ev.rate_anomaly_sql("events"),
         "r26_audio_fingerprint": _m.audio_fingerprint_sql("documents"),
         "r27_scene_changes": _m.scene_changes_sql("documents"),
+        "r28_regression_metrics": _st.regression_metrics_sql(
+            """(SELECT e.event_type, e.value, m.pred FROM events e JOIN (
+                 SELECT event_type,
+                        CAST(CAST(SUM(CAST(value AS DECIMAL(38,12)))
+                             AS VARCHAR) AS DOUBLE) / COUNT(*) AS pred
+                 FROM events GROUP BY 1) m USING (event_type))""",
+            "event_type",
+            "value",
+            "pred",
+        ),
         # the streaming register build equals the batch build (register
         # max is merge-commutative) — the oracle is the per-day (trailing
         # window of 1) HLL estimate computed from scratch

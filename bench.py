@@ -92,6 +92,7 @@ HEADLINE = [
     "r25_rate_anomaly",
     "r27_scene_changes",
     "r26_audio_fingerprint",
+    "r28_regression_metrics",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus
     # index build is the untimed prepare step — production amortizes it)

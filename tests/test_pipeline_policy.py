@@ -378,3 +378,30 @@ def test_table_diff_statuses_null_safe(spark):
     assert out[3] == ("changed", 2)
     assert out[4] == ("removed", 0)
     assert out[5] == ("added", 0)
+
+
+def test_regression_metrics_known_values(spark):
+    import math
+
+    from unifydb_spark.operators.stats import regression_metrics
+
+    # y = [1..5], pred = y + 1 -> bias 1, mae 1, rmse 1, r2 = 1 - 5/10
+    rows = [(i, "g", float(i), float(i + 1)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "id bigint, g string, y double, p double")
+    [r] = regression_metrics(df, "g", "y", "p").collect()
+    assert (r["n"], r["bias"], r["mae"], r["rmse"]) == (5, 1.0, 1.0, 1.0)
+    assert abs(r["r2"] - 0.5) < 1e-9
+    # perfect predictions
+    perf = spark.createDataFrame(
+        [(i, "g", float(i), float(i)) for i in range(1, 6)],
+        "id bigint, g string, y double, p double",
+    )
+    [r] = regression_metrics(perf, "g", "y", "p").collect()
+    assert (r["rmse"], r["mae"], r["bias"], r["r2"]) == (0.0, 0.0, 0.0, 1.0)
+    # constant label -> NULL r2 (no variance to explain)
+    flat = spark.createDataFrame(
+        [(i, "g", 3.0, 2.0) for i in range(5)],
+        "id bigint, g string, y double, p double",
+    )
+    [r] = regression_metrics(flat, "g", "y", "p").collect()
+    assert r["r2"] is None and r["bias"] == -1.0

@@ -881,3 +881,87 @@ def winsorize_scale_sql(
         FROM cl JOIN m USING ({group_col})
         ORDER BY {id_col}
     """
+
+
+def regression_metrics(
+    df: "DataFrame",
+    group_col: str,
+    label_col: str,
+    pred_col: str,
+) -> "DataFrame":
+    """Per-group regression eval metrics: n, RMSE, MAE, bias (mean
+    error), and R^2 — the scoreboard a model-quality gate reads after a
+    batch scoring job. Returns (group_col, n, rmse, mae, bias, r2).
+
+    Exactness: every accumulated quantity (error, |error|, error^2,
+    label, label^2) is cast to DECIMAL(38,12) per row before the sum,
+    so the distributed aggregation is order-independent; the final
+    expressions (divisions, sqrt, 1 - ss_res/ss_tot) evaluate in the
+    identical operation order on both engines. Zero-variance label
+    groups yield NULL r2. One combinable aggregation — a single
+    map-side-combined shuffle regardless of scale."""
+    y = F.col(label_col).cast("double")
+    p = F.col(pred_col).cast("double")
+    e = p - y
+    dec = "decimal(38,12)"
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(e.cast(dec)).alias("_se"),
+        F.sum(F.abs(e).cast(dec)).alias("_sae"),
+        F.sum((e * e).cast(dec)).alias("_sse"),
+        F.sum(y.cast(dec)).alias("_sy"),
+        F.sum((y * y).cast(dec)).alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    se = F.col("_se").cast("string").cast("double")
+    sae = F.col("_sae").cast("string").cast("double")
+    sse = F.col("_sse").cast("string").cast("double")
+    sy = F.col("_sy").cast("string").cast("double")
+    syy = F.col("_syy").cast("string").cast("double")
+    ss_tot = syy - (sy * sy) / n
+    r2 = F.when(ss_tot > 0, F.lit(1.0) - sse / ss_tot)
+    return agg.select(
+        F.col(group_col),
+        F.col("_n").cast("bigint").alias("n"),
+        F.round(F.sqrt(sse / n), 6).alias("rmse"),
+        F.round(sae / n, 6).alias("mae"),
+        # + 0.0 normalizes IEEE negative zero (a tiny negative mean
+        # error rounds to -0.0 on one engine and 0.0 on the other)
+        (F.round(se / n, 6) + F.lit(0.0)).alias("bias"),
+        (F.round(r2, 6) + F.lit(0.0)).alias("r2"),
+    )
+
+
+def regression_metrics_sql(
+    table: str,
+    group_col: str,
+    label_col: str,
+    pred_col: str,
+) -> str:
+    y = f"CAST({label_col} AS DOUBLE)"
+    p = f"CAST({pred_col} AS DOUBLE)"
+    e = f"({p} - {y})"
+    def dsum(expr):
+        return (
+            f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,12))) AS VARCHAR)"
+            " AS DOUBLE)"
+        )
+    return f"""
+        WITH agg AS (
+          SELECT {group_col}, COUNT(*) AS n,
+                 {dsum(e)} AS se,
+                 {dsum(f'ABS{e}')} AS sae,
+                 {dsum(f'({e} * {e})')} AS sse,
+                 {dsum(y)} AS sy,
+                 {dsum(f'({y} * {y})')} AS syy
+          FROM {table} GROUP BY 1
+        )
+        SELECT {group_col}, CAST(n AS BIGINT) AS n,
+               ROUND(sqrt(sse / n), 6) AS rmse,
+               ROUND(sae / n, 6) AS mae,
+               ROUND(se / n, 6) + 0.0 AS bias,
+               ROUND(CASE WHEN syy - (sy * sy) / n > 0
+                     THEN 1.0 - sse / (syy - (sy * sy) / n) END, 6) + 0.0
+                 AS r2
+        FROM agg ORDER BY {group_col}
+    """
