@@ -2376,6 +2376,50 @@ def r28_regression_metrics(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def r29_classification_report(spark, sf_dir):
+    """Per-group confusion-matrix report (operators/stats.py
+    classification_metrics): integer tp/fp/fn/tn from one combinable
+    aggregation, ratios only at the surface. Deterministic
+    label/pred derivation (value > 50 vs value > 49) puts a
+    disagreement band on the threshold boundary."""
+    from unifydb_spark.operators.stats import classification_metrics
+
+    ev = _events_ts(spark, sf_dir).select(
+        "event_type",
+        (F.col("value") > 50).alias("label"),
+        (F.col("value") > 49).alias("pred"),
+    )
+    return classification_metrics(
+        ev, "event_type", "label", "pred"
+    ).orderBy("event_type")
+
+
+def r30_binary_auc(spark, sf_dir):
+    """Exact Mann-Whitney ROC AUC per group (operators/stats.py
+    binary_auc): the rank-sum identity with tie-AVERAGED integer
+    doubled ranks — one sort-shuffle instead of the quadratic
+    pairwise definition; ties exact. Score = value + md5-derived
+    noise (the engine-portable hash trick), so AUC is strictly
+    between 0.5 and 1."""
+    from unifydb_spark.operators.stats import binary_auc
+
+    noise = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 41
+        - 20
+    ).cast("double")
+    ev = _events_ts(spark, sf_dir).select(
+        "event_type",
+        (F.col("value") > 50).alias("label"),
+        (F.col("value") + noise).alias("score"),
+    )
+    return binary_auc(ev, "event_type", "label", "score").orderBy(
+        "event_type"
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2555,6 +2599,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r26_audio_fingerprint": r26_audio_fingerprint,
         "r27_scene_changes": r27_scene_changes,
         "r28_regression_metrics": r28_regression_metrics,
+        "r29_classification_report": r29_classification_report,
+        "r30_binary_auc": r30_binary_auc,
     }
 
 
@@ -3172,6 +3218,21 @@ def _operator_oracles() -> dict[str, str]:
         "r25_rate_anomaly": _ev.rate_anomaly_sql("events"),
         "r26_audio_fingerprint": _m.audio_fingerprint_sql("documents"),
         "r27_scene_changes": _m.scene_changes_sql("documents"),
+        "r29_classification_report": _st.classification_metrics_sql(
+            "(SELECT event_type, value > 50 AS label, value > 49 AS pred"
+            " FROM events)",
+            "event_type",
+            "label",
+            "pred",
+        ),
+        "r30_binary_auc": _st.binary_auc_sql(
+            "(SELECT event_type, value > 50 AS label,"
+            " value + CAST((('0x' || substr(md5(CAST(event_id AS VARCHAR)),"
+            " 1, 8))::BIGINT % 41 - 20) AS DOUBLE) AS score FROM events)",
+            "event_type",
+            "label",
+            "score",
+        ),
         "r28_regression_metrics": _st.regression_metrics_sql(
             """(SELECT e.event_type, e.value, m.pred FROM events e JOIN (
                  SELECT event_type,

@@ -93,6 +93,8 @@ HEADLINE = [
     "r27_scene_changes",
     "r26_audio_fingerprint",
     "r28_regression_metrics",
+    "r30_binary_auc",
+    "r29_classification_report",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus
     # index build is the untimed prepare step — production amortizes it)

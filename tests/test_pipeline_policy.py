@@ -405,3 +405,57 @@ def test_regression_metrics_known_values(spark):
     )
     [r] = regression_metrics(flat, "g", "y", "p").collect()
     assert r["r2"] is None and r["bias"] == -1.0
+
+
+def test_binary_auc_matches_sklearn_formula(spark):
+    """Exact rank-sum AUC vs a brute-force pairwise computation,
+    including ties (counted 1/2)."""
+    import itertools
+    import random
+
+    from unifydb_spark.operators.stats import binary_auc
+
+    rng = random.Random(5)
+    rows = [
+        (i, "g", rng.random() < 0.4, float(rng.randint(0, 20)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, g string, y boolean, s double")
+    [r] = binary_auc(df, "g", "y", "s").collect()
+    pos = [s for _, _, y, s in rows if y]
+    neg = [s for _, _, y, s in rows if not y]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p, n in itertools.product(pos, neg)
+    )
+    want = wins / (len(pos) * len(neg))
+    assert abs(r["auc"] - want) < 2e-6  # operator rounds to 6 decimals
+    assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+    # degenerate: single-class group -> NULL
+    one = spark.createDataFrame(
+        [(1, "h", True, 1.0), (2, "h", True, 2.0)],
+        "id bigint, g string, y boolean, s double",
+    )
+    [r] = binary_auc(one, "g", "y", "s").collect()
+    assert r["auc"] is None
+
+
+def test_classification_metrics_confusion(spark):
+    from unifydb_spark.operators.stats import classification_metrics
+
+    rows = [
+        ("g", True, True)] * 6 + [("g", False, True)] * 2 + [
+        ("g", True, False)] * 1 + [("g", False, False)] * 11
+    df = spark.createDataFrame(rows, "g string, y boolean, p boolean")
+    [r] = classification_metrics(df, "g", "y", "p").collect()
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (6, 2, 1, 11)
+    assert r["precision"] == 0.75
+    assert abs(r["recall"] - 6 / 7) < 1e-6
+    assert r["accuracy"] == 0.85
+    # no positive predictions -> NULL precision/f1, recall 0
+    never = spark.createDataFrame(
+        [("h", True, False), ("h", False, False)],
+        "g string, y boolean, p boolean",
+    )
+    [r] = classification_metrics(never, "g", "y", "p").collect()
+    assert r["precision"] is None and r["f1"] is None and r["recall"] == 0.0

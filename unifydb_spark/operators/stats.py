@@ -965,3 +965,164 @@ def regression_metrics_sql(
                  AS r2
         FROM agg ORDER BY {group_col}
     """
+
+
+def classification_metrics(
+    df: "DataFrame",
+    group_col: str,
+    label_col: str,
+    pred_col: str,
+) -> "DataFrame":
+    """Per-group binary classification report: tp/fp/fn/tn and
+    precision/recall/F1/accuracy — pure integer confusion counts from
+    ONE combinable aggregation, divisions only at the surface
+    (engine-identical), NULL where undefined (no positive predictions
+    -> no precision). Returns (group_col, tp, fp, fn, tn, precision,
+    recall, f1, accuracy)."""
+    y = F.col(label_col).cast("boolean")
+    p = F.col(pred_col).cast("boolean")
+    agg = df.groupBy(group_col).agg(
+        F.sum((y & p).cast("long")).alias("tp"),
+        F.sum((~y & p).cast("long")).alias("fp"),
+        F.sum((y & ~p).cast("long")).alias("fn"),
+        F.sum((~y & ~p).cast("long")).alias("tn"),
+    )
+    tp, fp, fn, tn = [F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn")]
+    prec = F.when(tp + fp > 0, tp / (tp + fp))
+    rec = F.when(tp + fn > 0, tp / (tp + fn))
+    f1 = F.when(
+        (tp + fp > 0) & (tp + fn > 0) & (prec + rec > 0),
+        2.0 * prec * rec / (prec + rec),
+    )
+    acc = (tp + tn) / (tp + fp + fn + tn)
+    return agg.select(
+        F.col(group_col),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.col("tn").cast("bigint").alias("tn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        F.round(acc, 6).alias("accuracy"),
+    )
+
+
+def classification_metrics_sql(
+    table: str, group_col: str, label_col: str, pred_col: str
+) -> str:
+    y = f"CAST({label_col} AS BOOLEAN)"
+    p = f"CAST({pred_col} AS BOOLEAN)"
+    return f"""
+        WITH agg AS (
+          SELECT {group_col},
+                 CAST(SUM(CASE WHEN {y} AND {p} THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(SUM(CASE WHEN NOT {y} AND {p} THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(SUM(CASE WHEN {y} AND NOT {p} THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                 CAST(SUM(CASE WHEN NOT {y} AND NOT {p} THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          FROM {table} GROUP BY 1
+        )
+        SELECT {group_col}, tp, fp, fn, tn,
+               ROUND(CASE WHEN tp + fp > 0
+                     THEN CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + fp) END, 6)
+                 AS precision,
+               ROUND(CASE WHEN tp + fn > 0
+                     THEN CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + fn) END, 6)
+                 AS recall,
+               ROUND(CASE WHEN tp + fp > 0 AND tp + fn > 0
+                          AND (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + fp))
+                            + (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + fn)) > 0
+                     THEN 2.0 * (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + fp))
+                          * (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + fn))
+                          / ((CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + fp))
+                             + (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + fn)))
+                     END, 6) AS f1,
+               ROUND((CAST(tp AS DOUBLE) + tn)
+                     / (CAST(tp AS DOUBLE) + fp + fn + tn), 6) AS accuracy
+        FROM agg ORDER BY {group_col}
+    """
+
+
+def binary_auc(
+    df: "DataFrame",
+    group_col: str,
+    label_col: str,
+    score_col: str,
+) -> "DataFrame":
+    """Per-group exact ROC AUC via the Mann-Whitney rank-sum identity:
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg), with
+    tie-AVERAGED ranks. This is THE scalable AUC: the naive definition
+    compares every positive with every negative (quadratic); the
+    rank-sum needs one sort-shuffle and one aggregation, and ties are
+    handled exactly with integer arithmetic — doubled ranks
+    (2*rank + tie_count - 1) keep everything integral until the single
+    final division. Returns (group_col, n_pos, n_neg, auc); groups
+    lacking a class yield NULL auc."""
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("boolean")
+    s = F.col(score_col).cast("double")
+    w_rank = Window.partitionBy(group_col).orderBy(s)
+    w_tie = Window.partitionBy(group_col, s)
+    # doubled tie-averaged rank: 2*avg_rank = 2*rank + (ties - 1)
+    r2 = (
+        2 * F.rank().over(w_rank)
+        + F.count(F.lit(1)).over(w_tie)
+        - F.lit(1)
+    ).cast("long")
+    ranked = df.select(
+        F.col(group_col), y.alias("_y"), r2.alias("_r2")
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.sum(F.when(F.col("_y"), F.col("_r2"))).alias("_rpos2"),
+        F.sum(F.col("_y").cast("long")).alias("n_pos"),
+        F.sum((~F.col("_y")).cast("long")).alias("n_neg"),
+    )
+    npos = F.col("n_pos").cast("double")
+    nneg = F.col("n_neg").cast("double")
+    # AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos*n_neg); with doubled
+    # ranks: (rpos2 - n_pos*(n_pos+1)) / (2*n_pos*n_neg)
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        (
+            F.col("_rpos2").cast("double")
+            - npos * (npos + F.lit(1.0))
+        )
+        / (F.lit(2.0) * npos * nneg),
+    )
+    return agg.select(
+        F.col(group_col),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+    )
+
+
+def binary_auc_sql(
+    table: str, group_col: str, label_col: str, score_col: str
+) -> str:
+    y = f"CAST({label_col} AS BOOLEAN)"
+    s = f"CAST({score_col} AS DOUBLE)"
+    return f"""
+        WITH ranked AS (
+          SELECT {group_col}, {y} AS y,
+                 CAST(2 * RANK() OVER (PARTITION BY {group_col}
+                                       ORDER BY {s})
+                      + COUNT(*) OVER (PARTITION BY {group_col}, {s})
+                      - 1 AS BIGINT) AS r2
+          FROM {table}
+        ), agg AS (
+          SELECT {group_col},
+                 SUM(CASE WHEN y THEN r2 END) AS rpos2,
+                 CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                 CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+          FROM ranked GROUP BY 1
+        )
+        SELECT {group_col}, n_pos, n_neg,
+               ROUND(CASE WHEN n_pos > 0 AND n_neg > 0
+                     THEN (CAST(rpos2 AS DOUBLE)
+                           - CAST(n_pos AS DOUBLE) * (n_pos + 1.0))
+                          / (2.0 * CAST(n_pos AS DOUBLE) * n_neg)
+                     END, 6) AS auc
+        FROM agg ORDER BY {group_col}
+    """
