@@ -2420,6 +2420,30 @@ def r30_binary_auc(spark, sf_dir):
     )
 
 
+def r31_calibration_curve(spark, sf_dir):
+    """Reliability diagram (operators/stats.py calibration_curve): the
+    calibration half of the eval pair (r30 AUC = discrimination).
+    Min-max-normalized md5-noise scores, equal-width bins, DECIMAL-
+    exact mean scores, observed positive rate per bin."""
+    from unifydb_spark.operators.stats import calibration_curve
+
+    noise = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 41
+        - 20
+    ).cast("double")
+    ev = _events_ts(spark, sf_dir).select(
+        "event_type",
+        (F.col("value") > 50).alias("label"),
+        (F.col("value") + noise).alias("score"),
+    )
+    return calibration_curve(
+        ev, "event_type", "label", "score", n_bins=10
+    ).orderBy("event_type", "bin")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2601,6 +2625,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r28_regression_metrics": r28_regression_metrics,
         "r29_classification_report": r29_classification_report,
         "r30_binary_auc": r30_binary_auc,
+        "r31_calibration_curve": r31_calibration_curve,
     }
 
 
@@ -3232,6 +3257,15 @@ def _operator_oracles() -> dict[str, str]:
             "event_type",
             "label",
             "score",
+        ),
+        "r31_calibration_curve": _st.calibration_curve_sql(
+            "(SELECT event_type, value > 50 AS label,"
+            " value + CAST((('0x' || substr(md5(CAST(event_id AS VARCHAR)),"
+            " 1, 8))::BIGINT % 41 - 20) AS DOUBLE) AS score FROM events)",
+            "event_type",
+            "label",
+            "score",
+            n_bins=10,
         ),
         "r28_regression_metrics": _st.regression_metrics_sql(
             """(SELECT e.event_type, e.value, m.pred FROM events e JOIN (

@@ -94,6 +94,7 @@ HEADLINE = [
     "r26_audio_fingerprint",
     "r28_regression_metrics",
     "r30_binary_auc",
+    "r31_calibration_curve",
     "r29_classification_report",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus

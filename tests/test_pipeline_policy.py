@@ -459,3 +459,30 @@ def test_classification_metrics_confusion(spark):
     )
     [r] = classification_metrics(never, "g", "y", "p").collect()
     assert r["precision"] is None and r["f1"] is None and r["recall"] == 0.0
+
+
+def test_calibration_curve_semantics(spark):
+    from unifydb_spark.operators.stats import calibration_curve
+
+    # scores 0..99, label = score >= 50: a perfectly calibrated hard
+    # threshold -> bins below 0.5 have pos_rate 0, above have 1
+    rows = [(i, "g", float(i), i >= 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, g string, s double, y boolean")
+    out = {r["bin"]: r for r in calibration_curve(
+        df, "g", "y", "s", n_bins=10).collect()}
+    assert len(out) == 10
+    assert sum(r["n"] for r in out.values()) == 100
+    for b in range(5):
+        assert out[b]["pos_rate"] == 0.0
+    for b in range(5, 10):
+        assert out[b]["pos_rate"] == 1.0
+    # mean_score inside each bin sits within the bin's span
+    for b, r in out.items():
+        assert b / 10 <= r["mean_score"] <= (b + 1) / 10
+    # degenerate: constant score -> single bin 0
+    flat = spark.createDataFrame(
+        [(i, "h", 5.0, i % 2 == 0) for i in range(10)],
+        "id bigint, g string, s double, y boolean",
+    )
+    rows = calibration_curve(flat, "h"[:0] or "g", "y", "s").collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 0 and rows[0]["n"] == 10

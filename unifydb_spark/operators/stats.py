@@ -1126,3 +1126,87 @@ def binary_auc_sql(
                      END, 6) AS auc
         FROM agg ORDER BY {group_col}
     """
+
+
+def calibration_curve(
+    df: "DataFrame",
+    group_col: str,
+    label_col: str,
+    score_col: str,
+    n_bins: int = 10,
+) -> "DataFrame":
+    """Per-group reliability diagram: scores min-max normalized within
+    the group, bucketed into n_bins equal-width bins; per bin the count,
+    mean normalized score (DECIMAL-exact sum), and observed positive
+    rate. AUC (binary_auc) measures discrimination; this measures
+    CALIBRATION — together they are the standard eval pair. Returns
+    (group_col, bin, n, mean_score, pos_rate).
+
+    Shape: one tiny min/max aggregation broadcast back, then one
+    combinable groupBy — two small shuffles, output n_bins rows per
+    group. Degenerate groups (min == max) collapse into bin 0."""
+    y = F.col(label_col).cast("boolean")
+    s = F.col(score_col).cast("double")
+    mm = df.groupBy(group_col).agg(
+        F.min(s).alias("_lo"), F.max(s).alias("_hi")
+    )
+    j = df.join(F.broadcast(mm), group_col)
+    norm = F.when(
+        F.col("_hi") > F.col("_lo"),
+        (s - F.col("_lo")) / (F.col("_hi") - F.col("_lo")),
+    ).otherwise(F.lit(0.0))
+    b = F.least(
+        F.floor(norm * n_bins).cast("int"), F.lit(int(n_bins) - 1)
+    )
+    agg = j.groupBy(F.col(group_col), b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(norm.cast("decimal(38,12)")).alias("_ss"),
+        F.sum(y.cast("long")).alias("_np"),
+    )
+    return agg.select(
+        F.col(group_col),
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("_n").cast("bigint").alias("n"),
+        F.round(
+            F.col("_ss").cast("string").cast("double") / F.col("_n"), 6
+        ).alias("mean_score"),
+        F.round(
+            F.col("_np").cast("double") / F.col("_n"), 6
+        ).alias("pos_rate"),
+    )
+
+
+def calibration_curve_sql(
+    table: str,
+    group_col: str,
+    label_col: str,
+    score_col: str,
+    n_bins: int = 10,
+) -> str:
+    y = f"CAST({label_col} AS BOOLEAN)"
+    s = f"CAST({score_col} AS DOUBLE)"
+    nb = int(n_bins)
+    return f"""
+        WITH mm AS (
+          SELECT {group_col}, MIN({s}) AS lo, MAX({s}) AS hi
+          FROM {table} GROUP BY 1
+        ), nrm AS (
+          SELECT t.{group_col}, {y} AS y,
+                 CASE WHEN hi > lo THEN ({s} - lo) / (hi - lo)
+                      ELSE 0.0 END AS norm
+          FROM {table} t JOIN mm USING ({group_col})
+        ), agg AS (
+          SELECT {group_col},
+                 LEAST(CAST(FLOOR(norm * {nb}) AS INT), {nb - 1}) AS bin,
+                 COUNT(*) AS n,
+                 SUM(CAST(norm AS DECIMAL(38,12))) AS ss,
+                 SUM(CASE WHEN y THEN 1 ELSE 0 END) AS np
+          FROM nrm GROUP BY 1, 2
+        )
+        SELECT {group_col}, CAST(bin AS BIGINT) AS bin,
+               CAST(n AS BIGINT) AS n,
+               ROUND(CAST(CAST(ss AS VARCHAR) AS DOUBLE) / n, 6)
+                 AS mean_score,
+               ROUND(CAST(np AS DOUBLE) / n, 6) AS pos_rate
+        FROM agg ORDER BY {group_col}, bin
+    """
