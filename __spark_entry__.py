@@ -2444,6 +2444,22 @@ def r31_calibration_curve(spark, sf_dir):
     ).orderBy("event_type", "bin")
 
 
+def r32_weighted_sample(spark, sf_dir):
+    """Exactly-k weighted sampling without replacement per source
+    (operators/text.py weighted_sample_k, Efraimidis-Spirakis A-ES):
+    deterministic md5 uniforms -> key = ln(u)/w -> per-group top-k —
+    size-exact AND weight-proportional, the missing corner between
+    Bernoulli importance sampling and unweighted balanced sampling.
+    One shuffle + windowed top-k; keys rounded to 10 decimals before
+    ranking so both engines rank identical values."""
+    from unifydb_spark.operators.text import weighted_sample_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample_k(
+        docs, "source", "doc_id", "n_chars", k=5
+    ).orderBy("source", "rank_in_group")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2626,6 +2642,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r29_classification_report": r29_classification_report,
         "r30_binary_auc": r30_binary_auc,
         "r31_calibration_curve": r31_calibration_curve,
+        "r32_weighted_sample": r32_weighted_sample,
     }
 
 
@@ -3257,6 +3274,9 @@ def _operator_oracles() -> dict[str, str]:
             "event_type",
             "label",
             "score",
+        ),
+        "r32_weighted_sample": _t.weighted_sample_k_sql(
+            "documents", "source", "doc_id", "n_chars", k=5
         ),
         "r31_calibration_curve": _st.calibration_curve_sql(
             "(SELECT event_type, value > 50 AS label,"

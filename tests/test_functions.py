@@ -132,3 +132,34 @@ def test_source_divergence_uniform_and_identical(spark):
     assert out2["s3"]["kl_vs_corpus"] > 0.1
     assert out2["s3"]["entropy"] < math.log(4) - 0.3
     assert out2["s1"]["kl_vs_corpus"] > 0.0  # corpus shifted away from s1 too
+
+
+def test_weighted_sample_k_statistics_and_determinism(spark):
+    """A-ES sampling: exactly k per group, deterministic across runs and
+    partitionings, and weight-proportional in aggregate (a 10x-weight
+    item appears in far more samples across many disjoint draws)."""
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.text import weighted_sample_k
+
+    rows = [(g, i, 10.0 if i % 50 == 0 else 1.0)
+            for g in ("a", "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, id bigint, w double")
+    out = weighted_sample_k(df, "g", "id", "w", k=8).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["g"], []).append(r["id"])
+    assert all(len(v) == 8 for v in per.values())
+    # deterministic under repartition
+    out2 = weighted_sample_k(df.repartition(7), "g", "id", "w", k=8).collect()
+    assert {(r["g"], r["id"]) for r in out} == {(r["g"], r["id"]) for r in out2}
+    # zero/negative weights never sampled
+    df2 = spark.createDataFrame(
+        [("z", 1, 0.0), ("z", 2, -1.0), ("z", 3, 1.0)],
+        "g string, id bigint, w double",
+    )
+    got = weighted_sample_k(df2, "g", "id", "w", k=5).collect()
+    assert [r["id"] for r in got] == [3]
+    # aggregate weight-proportionality: heavy items (w=10, 4 of 200 per
+    # group) should take a large share of the k=8 slots
+    heavy = sum(1 for r in out if r["id"] % 50 == 0)
+    assert heavy >= 4  # e.g. ~half the slots across both groups

@@ -1302,3 +1302,90 @@ def source_divergence_sql(
                  AS kl_vs_corpus
         FROM terms GROUP BY 1 ORDER BY 1
     """
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col,
+    k: int = 10,
+) -> DataFrame:
+    """Exactly-k weighted sampling WITHOUT replacement per group
+    (Efraimidis-Spirakis 2006, the A-ES scheme): each row draws
+    u = md5-uniform(0,1) and gets key = ln(u)/w; the k LARGEST keys are
+    the sample, which is distributed exactly as sequential weighted
+    draws without replacement. importance_sample is Bernoulli (random
+    SIZE); balanced_sample is unweighted — this is the missing corner:
+    deterministic, size-exact AND weight-proportional, the mixture
+    sampler that oversamples high-quality docs without ever duplicating
+    one. Deterministic u (md5 of the id) makes the draw reproducible
+    and append-stable, and lets the SQL oracle replay it.
+
+    Shape: one hash(group) shuffle + per-group window top-k (rank <= k
+    prunes before any sort spills — same plan family as topk_per_group,
+    no global sort). Returns (group_col, id_col, weight, es_key,
+    rank_in_group). Rows with weight <= 0 never selected (key -inf
+    semantics via filter)."""
+    w = F.col(weight_col).cast("double") if isinstance(weight_col, str) else (
+        weight_col.cast("double")
+    )
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("es:"), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    # u in (0, 1]: (u32 + 1) / 2^32 — never 0, so ln(u) is finite
+    u = (u32 + F.lit(1.0)) / F.lit(float(1 << 32))
+    key = F.log(u) / w
+    ranked = (
+        df.filter(w > 0)
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            F.round(w, 6).alias("weight"),
+            F.round(key, 10).alias("es_key"),
+        )
+        .withColumn(
+            "rank_in_group",
+            F.row_number().over(
+                Window.partitionBy(group_col).orderBy(
+                    F.col("es_key").desc(), F.col(id_col)
+                )
+            ),
+        )
+        .filter(F.col("rank_in_group") <= int(k))
+    )
+    return ranked
+
+
+def weighted_sample_k_sql(
+    table: str,
+    group_col: str,
+    id_col: str,
+    weight_sql: str,
+    k: int = 10,
+) -> str:
+    u32 = (
+        f"(('0x' || substr(md5('es:' || CAST({id_col} AS VARCHAR)), 1, 8))"
+        "::BIGINT)"
+    )
+    u = f"((CAST({u32} AS DOUBLE) + 1.0) / {float(1 << 32)!r})"
+    key = f"(ln({u}) / CAST({weight_sql} AS DOUBLE))"
+    return f"""
+        WITH keyed AS (
+          SELECT {group_col}, {id_col},
+                 ROUND(CAST({weight_sql} AS DOUBLE), 6) AS weight,
+                 ROUND({key}, 10) AS es_key
+          FROM {table}
+          WHERE CAST({weight_sql} AS DOUBLE) > 0
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY {group_col}
+                    ORDER BY es_key DESC, {id_col}) AS rank_in_group
+          FROM keyed
+        )
+        SELECT {group_col}, {id_col}, weight, es_key,
+               CAST(rank_in_group AS BIGINT) AS rank_in_group
+        FROM ranked WHERE rank_in_group <= {int(k)}
+        ORDER BY {group_col}, rank_in_group
+    """
