@@ -2460,6 +2460,19 @@ def r32_weighted_sample(spark, sf_dir):
     ).orderBy("source", "rank_in_group")
 
 
+def r33_cms_join_size(spark, sf_dir):
+    """Join-size estimate without the join (operators/sketch.py
+    cms_join_size): count-min inner product, min over rows — one-sided
+    (est >= true), exact integer arithmetic, two broadcast-sized
+    sketches instead of a 100 TB shuffle. The planner input r21's
+    per-side skew report cannot see: cross-side key overlap."""
+    from unifydb_spark.operators.sketch import cms_join_size
+
+    ev = _events_ts(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return cms_join_size(ev, cust, "user_id", "c_custkey")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2643,6 +2656,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r30_binary_auc": r30_binary_auc,
         "r31_calibration_curve": r31_calibration_curve,
         "r32_weighted_sample": r32_weighted_sample,
+        "r33_cms_join_size": r33_cms_join_size,
     }
 
 
@@ -3277,6 +3291,10 @@ def _operator_oracles() -> dict[str, str]:
         ),
         "r32_weighted_sample": _t.weighted_sample_k_sql(
             "documents", "source", "doc_id", "n_chars", k=5
+        ),
+        "r33_cms_join_size": _sk.cms_join_size_sql(
+            "SELECT CAST(user_id AS VARCHAR) AS k FROM events",
+            "SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer",
         ),
         "r31_calibration_curve": _st.calibration_curve_sql(
             "(SELECT event_type, value > 50 AS label,"

@@ -96,6 +96,7 @@ HEADLINE = [
     "r30_binary_auc",
     "r31_calibration_curve",
     "r32_weighted_sample",
+    "r33_cms_join_size",
     "r29_classification_report",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus

@@ -394,3 +394,27 @@ def test_hll_windowed_distinct_tracks_truth(spark):
     # monotone ramp-up: the first 7 days see strictly growing windows
     days = sorted(out)
     assert out[days[6]] > out[days[0]]
+
+
+def test_cms_join_size_upper_bound_and_accuracy(spark):
+    """The inner-product estimate is a one-sided upper bound on the
+    true equi-join size, tight when the sketch is collision-light."""
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.sketch import cms_join_size
+
+    left = spark.range(1000).select((F.col("id") % 100).alias("k"))   # 10 each
+    right = spark.range(300).select((F.col("id") % 150).alias("k"))   # 2 each
+    # true join size: keys 0..99 shared, 10 * 2 each = 2000
+    true = left.join(right, "k").count()
+    assert true == 2000
+    [r] = cms_join_size(left, right, "k", "k").collect()
+    assert r["est_join_rows"] >= true              # never underestimates
+    # expected collision excess per row is ||L||1 * ||R||1 / w; min over
+    # d rows stays within a few multiples of it (CMS inner-product bound)
+    excess = 1000 * 300 / 256
+    assert r["est_join_rows"] <= true + 3 * excess
+    # disjoint keys -> only collision mass remains, far below true
+    disj = spark.range(300).select((F.col("id") % 150 + 1000).alias("k"))
+    [r2] = cms_join_size(left, disj, "k", "k").collect()
+    assert r2["est_join_rows"] <= 3 * excess
+    assert r2["est_join_rows"] < true
