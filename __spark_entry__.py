@@ -2473,6 +2473,28 @@ def r33_cms_join_size(spark, sf_dir):
     return cms_join_size(ev, cust, "user_id", "c_custkey")
 
 
+def r34_interval_union(spark, sf_dir):
+    """Total covered time under overlap (operators/events.py
+    interval_union_time): the sweep line as one windowed pass —
+    +1/-1 boundary events, running integer depth, covered pieces where
+    depth > 0. Intervals derive deterministically from events
+    (duration = event_id % 73 + 1 minutes) so both engines sweep
+    identical inputs; naive SUM(end-start) would double-count the
+    overlaps this measures correctly."""
+    from unifydb_spark.operators.events import interval_union_time
+
+    ev = _events_ts(spark, sf_dir)
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        F.timestamp_micros(
+            F.unix_micros("ts")
+            + (F.col("event_id") % 73 + 1) * 60_000_000
+        ).alias("end_ts"),
+    )
+    return interval_union_time(iv).orderBy("user_id")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2657,6 +2679,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r31_calibration_curve": r31_calibration_curve,
         "r32_weighted_sample": r32_weighted_sample,
         "r33_cms_join_size": r33_cms_join_size,
+        "r34_interval_union": r34_interval_union,
     }
 
 
@@ -3295,6 +3318,12 @@ def _operator_oracles() -> dict[str, str]:
         "r33_cms_join_size": _sk.cms_join_size_sql(
             "SELECT CAST(user_id AS VARCHAR) AS k FROM events",
             "SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer",
+        ),
+        "r34_interval_union": _ev.interval_union_time_sql(
+            "SELECT user_id, ts AS start_ts,"
+            " ts + ((event_id % 73 + 1) * INTERVAL 1 MINUTE) AS end_ts"
+            " FROM events",
+            "user_id",
         ),
         "r31_calibration_curve": _st.calibration_curve_sql(
             "(SELECT event_type, value > 50 AS label,"

@@ -97,6 +97,7 @@ HEADLINE = [
     "r31_calibration_curve",
     "r32_weighted_sample",
     "r33_cms_join_size",
+    "r34_interval_union",
     "r29_classification_report",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus

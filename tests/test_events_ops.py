@@ -275,3 +275,45 @@ def test_rate_anomaly_dense_spine_and_flags(spark):
     assert out[d9]["is_anomaly"] and out[d9]["zscore"] > 3
     assert out[d0]["zscore"] is None  # no history at all
     assert not out[d0]["is_anomaly"]
+
+
+def test_interval_union_overlap_semantics(spark):
+    from datetime import datetime
+
+    from unifydb_spark.operators.events import interval_union_time
+
+    M = 60_000_000  # one minute in us
+    t = datetime(2026, 7, 1, 12, 0, 0)
+
+    def ts(mins):
+        return datetime(2026, 7, 1, 12, 0, 0).replace(minute=0) \
+            .replace(minute=0)  # placeholder, replaced below
+
+    from datetime import timedelta
+
+    def at(mins):
+        return t + timedelta(minutes=mins)
+
+    rows = [
+        # user 1: [0,10) + [5,15) overlap -> covered 15; [20,25) disjoint
+        (1, at(0), at(10)),
+        (1, at(5), at(15)),
+        (1, at(20), at(25)),
+        # user 2: touching [0,5) + [5,10) merge seamlessly -> 10
+        (2, at(0), at(5)),
+        (2, at(5), at(10)),
+        # user 3: identical duplicated interval -> counted once
+        (3, at(0), at(7)),
+        (3, at(0), at(7)),
+    ]
+    iv = spark.createDataFrame(
+        rows, "user_id bigint, start_ts timestamp, end_ts timestamp"
+    )
+    out = {r["user_id"]: r for r in interval_union_time(iv).collect()}
+    assert out[1]["covered_us"] == 20 * M
+    assert out[1]["span_us"] == 25 * M
+    assert out[1]["n_intervals"] == 3
+    assert out[2]["covered_us"] == 10 * M == out[2]["span_us"]
+    assert out[3]["covered_us"] == 7 * M
+    # covered <= span universally
+    assert all(r["covered_us"] <= r["span_us"] for r in out.values())

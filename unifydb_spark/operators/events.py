@@ -747,3 +747,94 @@ def rate_anomaly_sql(
                  END) > {float(threshold)!r}, FALSE) AS is_anomaly
         FROM win ORDER BY {type_col}, day
     """
+
+
+def interval_union_time(
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """Total covered time per key from OVERLAPPING intervals — the
+    sweep line as a window pipeline: explode each [start, end) interval
+    into a +1/-1 boundary event, order by time per key, running depth;
+    a span between consecutive boundaries counts when the running depth
+    is positive. The classic 'total active/listening/session time'
+    metric that naive SUM(end - start) double-counts under overlap.
+    Returns (key, n_intervals, covered_us, span_us) with covered <=
+    span always.
+
+    Exactness: everything is integer epoch microseconds; boundary ties
+    order (+1 before -1 at the same instant: delta DESC) so touching
+    intervals [a,b) + [b,c) merge seamlessly on both engines. ONE
+    shuffle (hash by key); window state is a running integer."""
+    s_us = F.unix_micros(F.col(start_col))
+    e_us = F.unix_micros(F.col(end_col))
+    b = intervals.select(
+        F.col(key_col).alias("k"),
+        F.explode(
+            F.array(
+                F.struct(s_us.alias("t"), F.lit(1).alias("d")),
+                F.struct(e_us.alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("ev"),
+    ).select("k", F.col("ev.t").alias("t"), F.col("ev.d").alias("d"))
+    w = Window.partitionBy("k").orderBy(F.col("t").asc(), F.col("d").desc())
+    # ROWS frame (not the default RANGE): matches the oracle; exact-tie
+    # boundary rows contribute zero-length pieces either way, so peer
+    # order cannot affect the totals
+    depth = F.sum("d").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    nxt_t = F.lead("t").over(w)
+    spans = b.select(
+        "k",
+        ((nxt_t - F.col("t"))
+         * (depth > 0).cast("long")).alias("covered_piece"),
+        F.col("t"),
+    )
+    agg = spans.groupBy("k").agg(
+        F.sum("covered_piece").cast("bigint").alias("covered_us"),
+        (F.max("t") - F.min("t")).cast("bigint").alias("span_us"),
+    )
+    n = intervals.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals")
+    )
+    return agg.join(n, "k").select(
+        F.col("k").alias(key_col), "n_intervals", "covered_us", "span_us"
+    )
+
+
+def interval_union_time_sql(
+    intervals_sql: str,
+    key_col: str = "user_id",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> str:
+    """Oracle twin: identical boundary explosion (+1 before -1 on
+    ties), running depth, covered-piece sum. `intervals_sql` selects
+    (key_col, start_col, end_col)."""
+    return f"""
+        WITH iv AS ({intervals_sql}),
+        b AS (
+          SELECT {key_col} AS k, epoch_us({start_col}) AS t, 1 AS d FROM iv
+          UNION ALL
+          SELECT {key_col}, epoch_us({end_col}), -1 FROM iv
+        ), runs AS (
+          SELECT k, t, d,
+                 SUM(d) OVER (PARTITION BY k ORDER BY t ASC, d DESC
+                              ROWS UNBOUNDED PRECEDING) AS depth,
+                 LEAD(t) OVER (PARTITION BY k ORDER BY t ASC, d DESC)
+                   AS nxt_t
+          FROM b
+        ), agg AS (
+          SELECT k,
+                 CAST(SUM(CASE WHEN depth > 0 THEN nxt_t - t ELSE 0 END)
+                      AS BIGINT) AS covered_us,
+                 CAST(MAX(t) - MIN(t) AS BIGINT) AS span_us
+          FROM runs GROUP BY 1
+        ), n AS (
+          SELECT {key_col} AS k, CAST(COUNT(*) AS BIGINT) AS n_intervals
+          FROM iv GROUP BY 1
+        )
+        SELECT k AS {key_col}, n_intervals, covered_us, span_us
+        FROM agg JOIN n USING (k) ORDER BY {key_col}
+    """
