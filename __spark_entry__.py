@@ -2495,6 +2495,18 @@ def r34_interval_union(spark, sf_dir):
     return interval_union_time(iv).orderBy("user_id")
 
 
+def r35_mutual_information(spark, sf_dir):
+    """Categorical feature-relevance screen (operators/stats.py
+    mutual_information): MI + marginal entropies + normalized MI
+    between documents.source and documents.lang. Contingency-table-
+    sized after one combinable (x,y) count; DECIMAL-summed ln terms
+    (the r17 contract)."""
+    from unifydb_spark.operators.stats import mutual_information
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mutual_information(docs, "source", "lang")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2680,6 +2692,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r32_weighted_sample": r32_weighted_sample,
         "r33_cms_join_size": r33_cms_join_size,
         "r34_interval_union": r34_interval_union,
+        "r35_mutual_information": r35_mutual_information,
     }
 
 
@@ -3324,6 +3337,9 @@ def _operator_oracles() -> dict[str, str]:
             " ts + ((event_id % 73 + 1) * INTERVAL 1 MINUTE) AS end_ts"
             " FROM events",
             "user_id",
+        ),
+        "r35_mutual_information": _st.mutual_information_sql(
+            "documents", "source", "lang"
         ),
         "r31_calibration_curve": _st.calibration_curve_sql(
             "(SELECT event_type, value > 50 AS label,"

@@ -60,6 +60,11 @@ BNLJ_ALLOWED = {
     # event types) — a calendar x dimension cross join, bounded by
     # construction and never touching raw rows
     "r25_rate_anomaly",
+    # r35: the corpus total and the marginal-entropy scalars ride 1-row
+    # broadcast cross joins over the contingency-table-sized relations
+    # (same corpus-constant shape as q61/q94/r17) — bounded by
+    # construction
+    "r35_mutual_information",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)

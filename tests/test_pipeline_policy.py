@@ -486,3 +486,34 @@ def test_calibration_curve_semantics(spark):
     )
     rows = calibration_curve(flat, "h"[:0] or "g", "y", "s").collect()
     assert len(rows) == 1 and rows[0]["bin"] == 0 and rows[0]["n"] == 10
+
+
+def test_mutual_information_independence_and_identity(spark):
+    import math
+
+    from unifydb_spark.operators.stats import mutual_information
+
+    # independent uniform x (2 values) and y (4 values): MI = 0
+    rows = [(i, str(i % 2), str(i % 4 // 1)) for i in range(400)]
+    # careful: i%2 and i%4 are NOT independent; build a true product grid
+    rows = [(i, str(i % 2), str((i // 2) % 4)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, x string, y string")
+    [r] = mutual_information(df, "x", "y").collect()
+    assert r["mi"] == 0.0 and r["nmi"] == 0.0
+    assert abs(r["h_x"] - math.log(2)) < 1e-6
+    assert abs(r["h_y"] - math.log(4)) < 1e-6
+    # y == x: MI equals the entropy, NMI = 1
+    same = spark.createDataFrame(
+        [(i, str(i % 3), str(i % 3)) for i in range(300)],
+        "id bigint, x string, y string",
+    )
+    [r] = mutual_information(same, "x", "y").collect()
+    assert abs(r["mi"] - math.log(3)) < 1e-6
+    assert r["nmi"] == 1.0
+    # nulls excluded from the table
+    nn = spark.createDataFrame(
+        [(1, "a", "p"), (2, None, "q"), (3, "b", None), (4, "b", "q")],
+        "id bigint, x string, y string",
+    )
+    [r] = mutual_information(nn, "x", "y").collect()
+    assert r["n"] == 2

@@ -1210,3 +1210,134 @@ def calibration_curve_sql(
                ROUND(CAST(np AS DOUBLE) / n, 6) AS pos_rate
         FROM agg ORDER BY {group_col}, bin
     """
+
+
+def mutual_information(
+    df: "DataFrame",
+    x_col: str,
+    y_col: str,
+) -> "DataFrame":
+    """Mutual information between two categorical columns — the
+    feature-relevance screen ("does source predict language? does
+    event_type carry user information?") run before any model sees the
+    data. MI = sum_xy p_xy * ln(p_xy / (p_x * p_y)), plus both marginal
+    entropies and the normalized MI / min(Hx, Hy). Nulls excluded
+    (standard contingency-table semantics). Returns one row
+    (n, nx, ny, h_x, h_y, mi, nmi).
+
+    Exactness: the r17 contract — each cell's term is a double (ln
+    parity) cast to DECIMAL(30,15) before the sum, so the distributed
+    aggregation is order-independent. Shape: one (x,y) combinable
+    count; marginals derive from the cell relation (no second scan);
+    everything after is contingency-table-sized."""
+    from unifydb_spark.resources import tracked_persist
+
+    cells = tracked_persist(
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(
+            F.col(x_col).cast("string").alias("x"),
+            F.col(y_col).cast("string").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
+    my = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+    tot = cells.agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    j = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot.select("n")))
+    )
+    nd = F.col("n").cast("double")
+    pxy = F.col("c").cast("double") / nd
+    px = F.col("cx").cast("double") / nd
+    py = F.col("cy").cast("double") / nd
+    mi_term = (pxy * F.log(pxy / (px * py))).cast("decimal(30,15)")
+    mi = j.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count_distinct("x").cast("bigint").alias("nx"),
+        F.count_distinct("y").cast("bigint").alias("ny"),
+        F.sum(mi_term).cast("string").cast("double").alias("_mi"),
+    )
+    hx = mx.crossJoin(F.broadcast(tot.select("n"))).agg(
+        F.sum(
+            (
+                -(F.col("cx").cast("double") / F.col("n").cast("double"))
+                * F.log(F.col("cx").cast("double") / F.col("n").cast("double"))
+            ).cast("decimal(30,15)")
+        )
+        .cast("string")
+        .cast("double")
+        .alias("h_x")
+    )
+    hy = my.crossJoin(F.broadcast(tot.select("n"))).agg(
+        F.sum(
+            (
+                -(F.col("cy").cast("double") / F.col("n").cast("double"))
+                * F.log(F.col("cy").cast("double") / F.col("n").cast("double"))
+            ).cast("decimal(30,15)")
+        )
+        .cast("string")
+        .cast("double")
+        .alias("h_y")
+    )
+    out = mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    hmin = F.least("h_x", "h_y")
+    return out.select(
+        "n",
+        "nx",
+        "ny",
+        F.round("h_x", 6).alias("h_x"),
+        F.round("h_y", 6).alias("h_y"),
+        (F.round("_mi", 6) + F.lit(0.0)).alias("mi"),
+        (
+            F.round(
+                F.when(hmin > 0, F.col("_mi") / hmin), 6
+            )
+            + F.lit(0.0)
+        ).alias("nmi"),
+    )
+
+
+def mutual_information_sql(table: str, x_col: str, y_col: str) -> str:
+    return f"""
+        WITH cells AS (
+          SELECT CAST({x_col} AS VARCHAR) AS x,
+                 CAST({y_col} AS VARCHAR) AS y, COUNT(*) AS c
+          FROM {table}
+          WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+          GROUP BY 1, 2
+        ), mx AS (SELECT x, SUM(c) AS cx FROM cells GROUP BY 1),
+        my AS (SELECT y, SUM(c) AS cy FROM cells GROUP BY 1),
+        tot AS (SELECT SUM(c) AS n FROM cells),
+        mi AS (
+          SELECT CAST(MAX(n) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT x) AS BIGINT) AS nx,
+                 CAST(COUNT(DISTINCT y) AS BIGINT) AS ny,
+                 CAST(CAST(SUM(CAST(
+                   (CAST(c AS DOUBLE) / n)
+                   * ln((CAST(c AS DOUBLE) / n)
+                        / ((CAST(cx AS DOUBLE) / n) * (CAST(cy AS DOUBLE) / n)))
+                   AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE) AS _mi
+          FROM cells JOIN mx USING (x) JOIN my USING (y), tot
+        ), hx AS (
+          SELECT CAST(CAST(SUM(CAST(
+                   -(CAST(cx AS DOUBLE) / n) * ln(CAST(cx AS DOUBLE) / n)
+                 AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE) AS h_x
+          FROM mx, tot
+        ), hy AS (
+          SELECT CAST(CAST(SUM(CAST(
+                   -(CAST(cy AS DOUBLE) / n) * ln(CAST(cy AS DOUBLE) / n)
+                 AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE) AS h_y
+          FROM my, tot
+        )
+        SELECT n, nx, ny,
+               ROUND(h_x, 6) AS h_x, ROUND(h_y, 6) AS h_y,
+               ROUND(_mi, 6) + 0.0 AS mi,
+               ROUND(CASE WHEN LEAST(h_x, h_y) > 0
+                     THEN _mi / LEAST(h_x, h_y) END, 6) + 0.0 AS nmi
+        FROM mi, hx, hy
+    """
