@@ -2507,6 +2507,18 @@ def r35_mutual_information(spark, sf_dir):
     return mutual_information(docs, "source", "lang")
 
 
+def r36_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    streams (operators/events.py event_transitions): one lag window +
+    one type-pair-sized count, row-normalized probabilities — the
+    sequence-model input and cohort-drift fingerprint."""
+    from unifydb_spark.operators.events import event_transitions
+
+    return event_transitions(_events_ts(spark, sf_dir)).orderBy(
+        "from_type", "to_type"
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2693,6 +2705,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r33_cms_join_size": r33_cms_join_size,
         "r34_interval_union": r34_interval_union,
         "r35_mutual_information": r35_mutual_information,
+        "r36_event_transitions": r36_event_transitions,
     }
 
 
@@ -3341,6 +3354,7 @@ def _operator_oracles() -> dict[str, str]:
         "r35_mutual_information": _st.mutual_information_sql(
             "documents", "source", "lang"
         ),
+        "r36_event_transitions": _ev.event_transitions_sql("events"),
         "r31_calibration_curve": _st.calibration_curve_sql(
             "(SELECT event_type, value > 50 AS label,"
             " value + CAST((('0x' || substr(md5(CAST(event_id AS VARCHAR)),"

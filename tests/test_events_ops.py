@@ -317,3 +317,36 @@ def test_interval_union_overlap_semantics(spark):
     assert out[3]["covered_us"] == 7 * M
     # covered <= span universally
     assert all(r["covered_us"] <= r["span_us"] for r in out.values())
+
+
+def test_event_transitions_matrix(spark):
+    from datetime import datetime, timedelta
+
+    from unifydb_spark.operators.events import event_transitions
+
+    t0 = datetime(2026, 8, 1)
+    seqs = {1: ["a", "b", "a", "b", "c"], 2: ["a", "a", "b"]}
+    rows, eid = [], 0
+    for u, types in seqs.items():
+        for i, et in enumerate(types):
+            rows.append((eid, u, et, t0 + timedelta(minutes=i)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+    out = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in event_transitions(ev).collect()}
+    # transitions: u1 a->b, b->a, a->b, b->c; u2 a->a, a->b
+    # from 'a': a->b x3, a->a x1; from 'b': b->a x1, b->c x1
+    assert out[("a", "b")] == (3, 0.75)
+    assert out[("a", "a")] == (1, 0.25)
+    assert out[("b", "a")] == (1, 0.5)
+    assert out[("b", "c")] == (1, 0.5)
+    assert len(out) == 4  # no cross-user transition (u1 'c' -> u2 'a')
+    # row-stochastic: per from_type, probabilities sum to 1
+    import collections
+
+    sums = collections.defaultdict(float)
+    for (f, _t), (_n, p) in out.items():
+        sums[f] += p
+    assert all(abs(s - 1.0) < 1e-9 for s in sums.values())

@@ -838,3 +838,74 @@ def interval_union_time_sql(
         SELECT k AS {key_col}, n_intervals, covered_us, span_us
         FROM agg JOIN n USING (k) ORDER BY {key_col}
     """
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over the per-key event
+    stream: counts and row-normalized probabilities of (from_type ->
+    to_type) across consecutive events — the sequence-model input
+    (what follows a click?) and the behavioral fingerprint drift
+    monitors compare across cohorts. Returns (from_type, to_type, n,
+    p) with sum(p) = 1 per from_type.
+
+    Shape: one hash(key) shuffle for the lag window, then a
+    type-pair-sized combinable count; the normalization joins the
+    row totals back onto the pair relation (types^2 rows at most).
+    Determinism: (ts, seq) ordering, integer counts, one division."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(seq_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(key_col),
+            F.col(type_col).alias("to_type"),
+            F.lag(F.col(type_col)).over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("p"),
+        )
+    )
+
+
+def event_transitions_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> str:
+    return f"""
+        WITH lagged AS (
+          SELECT {type_col} AS to_type,
+                 LAG({type_col}) OVER (PARTITION BY {key_col}
+                      ORDER BY {ts_col}, {seq_col}) AS from_type
+          FROM {table}
+        ), pairs AS (
+          SELECT from_type, to_type, COUNT(*) AS n
+          FROM lagged WHERE from_type IS NOT NULL GROUP BY 1, 2
+        ), totals AS (
+          SELECT from_type, SUM(n) AS tot FROM pairs GROUP BY 1
+        )
+        SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+               ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p
+        FROM pairs JOIN totals USING (from_type)
+        ORDER BY from_type, to_type
+    """
