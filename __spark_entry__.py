@@ -2519,6 +2519,24 @@ def r36_event_transitions(spark, sf_dir):
     )
 
 
+def r37_topk_others(spark, sf_dir):
+    """Top-k categories + aggregated (other) tail per group in one pass
+    (operators/olap.py topk_with_others): report rows sum to the group
+    total without a second scan; everything after the first combinable
+    aggregation is category-sized. Nations per region by total account
+    balance."""
+    from unifydb_spark.operators.olap import topk_with_others
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = c.join(n, c["c_nationkey"] == n["n_nationkey"]).select(
+        "n_regionkey", "n_name", "c_acctbal"
+    )
+    return topk_with_others(
+        j, "n_regionkey", "n_name", "c_acctbal", k=3
+    ).orderBy("n_regionkey", "rank")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2706,6 +2724,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r34_interval_union": r34_interval_union,
         "r35_mutual_information": r35_mutual_information,
         "r36_event_transitions": r36_event_transitions,
+        "r37_topk_others": r37_topk_others,
     }
 
 
@@ -3355,6 +3374,14 @@ def _operator_oracles() -> dict[str, str]:
             "documents", "source", "lang"
         ),
         "r36_event_transitions": _ev.event_transitions_sql("events"),
+        "r37_topk_others": _ol.topk_with_others_sql(
+            "(SELECT n_regionkey, n_name, c_acctbal FROM customer"
+            " JOIN nation ON c_nationkey = n_nationkey)",
+            "n_regionkey",
+            "n_name",
+            "c_acctbal",
+            k=3,
+        ),
         "r31_calibration_curve": _st.calibration_curve_sql(
             "(SELECT event_type, value > 50 AS label,"
             " value + CAST((('0x' || substr(md5(CAST(event_id AS VARCHAR)),"

@@ -100,6 +100,7 @@ HEADLINE = [
     "r34_interval_union",
     "r35_mutual_information",
     "r36_event_transitions",
+    "r37_topk_others",
     "r29_classification_report",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus

@@ -418,3 +418,28 @@ def test_cms_join_size_upper_bound_and_accuracy(spark):
     [r2] = cms_join_size(left, disj, "k", "k").collect()
     assert r2["est_join_rows"] <= 3 * excess
     assert r2["est_join_rows"] < true
+
+
+def test_topk_with_others_completeness(spark):
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.olap import topk_with_others
+
+    rows = []
+    for cat in "abcdefg":
+        w = ord(cat) - ord("a") + 1  # g heaviest
+        rows += [("g1", cat, float(w))] * w
+    rows += [("g2", "x", 1.0), ("g2", "y", 2.0)]  # fewer than k cats
+    df = spark.createDataFrame(rows, "g string, cat string, v double")
+    out = topk_with_others(df, "g", "cat", "v", k=3).collect()
+    g1 = {r["category"]: r for r in out if r["g"] == "g1"}
+    # top-3 by sum(v) = w^2: g(49), f(36), e(25); others a-d
+    assert [g1[c]["rank"] for c in ("g", "f", "e")] == [1, 2, 3]
+    assert g1["(other)"]["rank"] == 4
+    assert g1["(other)"]["n"] == 1 + 2 + 3 + 4
+    assert g1["(other)"]["sum_value"] == 1.0 + 4 + 9 + 16
+    # completeness: rows sum to group totals
+    tot = sum(r["sum_value"] for r in out if r["g"] == "g1")
+    assert tot == sum(w * w for w in range(1, 8))
+    # small group: no (other) row
+    g2 = [r["category"] for r in out if r["g"] == "g2"]
+    assert sorted(g2) == ["x", "y"]

@@ -407,3 +407,93 @@ def pivot_metrics_sql(
         FROM {table}
         GROUP BY {row_col} ORDER BY {row_col}
     """
+
+
+def topk_with_others(
+    df: DataFrame,
+    group_col: str,
+    category_col: str,
+    value_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """The dashboard staple done in one pass: per group, the top-k
+    categories by exact value sum plus ONE aggregated `(other)` row
+    covering everything else — so the report is complete (rows sum to
+    the group total) without a second scan for the tail. Returns
+    (group_col, category, rank, n, sum_value); `(other)` carries
+    rank k+1, NULL-safe even when a group has <= k categories (no
+    `(other)` row then).
+
+    Shape: one combinable (group, category) aggregation collapses the
+    raw rows to category cardinality; the rank window and the
+    re-aggregation of the tail run on that collapsed relation —
+    category-sized, never row-sized. Deterministic: ties break by
+    category name; sums in DECIMAL via the varchar hop."""
+    from pyspark.sql import Window
+
+    base = df.groupBy(
+        F.col(group_col), F.col(category_col).alias("category")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(30,10)")).alias("s"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("s").desc(), F.col("category").asc()
+    )
+    ranked = base.withColumn("rnk", F.row_number().over(w))
+    labeled = ranked.select(
+        F.col(group_col),
+        F.when(F.col("rnk") <= k, F.col("category"))
+        .otherwise(F.lit("(other)"))
+        .alias("category"),
+        F.when(F.col("rnk") <= k, F.col("rnk"))
+        .otherwise(F.lit(k + 1))
+        .alias("rank"),
+        "n",
+        "s",
+    )
+    return (
+        labeled.groupBy(group_col, "category", "rank")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.round(
+                F.sum("s").cast("string").cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(group_col, "category", F.col("rank").cast("bigint").alias("rank"), "n", "sum_value")
+    )
+
+
+def topk_with_others_sql(
+    table: str,
+    group_col: str,
+    category_col: str,
+    value_col: str,
+    k: int = 5,
+) -> str:
+    return f"""
+        WITH base AS (
+          SELECT {group_col}, {category_col} AS category,
+                 COUNT(*) AS n,
+                 SUM(CAST({value_col} AS DECIMAL(30,10))) AS s
+          FROM {table} GROUP BY 1, 2
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY {group_col}
+                    ORDER BY s DESC, category ASC) AS rnk
+          FROM base
+        ), labeled AS (
+          SELECT {group_col},
+                 CASE WHEN rnk <= {int(k)} THEN category
+                      ELSE '(other)' END AS category,
+                 CASE WHEN rnk <= {int(k)} THEN rnk
+                      ELSE {int(k) + 1} END AS rank,
+                 n, s
+          FROM ranked
+        )
+        SELECT {group_col}, category, CAST(rank AS BIGINT) AS rank,
+               CAST(SUM(n) AS BIGINT) AS n,
+               ROUND(CAST(CAST(SUM(s) AS VARCHAR) AS DOUBLE), 4)
+                 AS sum_value
+        FROM labeled GROUP BY 1, 2, 3
+        ORDER BY {group_col}, rank
+    """
