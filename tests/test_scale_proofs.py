@@ -332,3 +332,51 @@ def test_cc_superstep_plan_bounds_on_hub(spark, hub_edges):
     from unifydb_spark.operators.graph import connected_components
 
     assert connected_components(hub_edges).count() == _nodes(hub_edges).count()
+
+
+def test_round6_window_ops_plan_shapes(spark):
+    """Plan-shape proofs for the round-6 window operators: no
+    single-partition exchanges, no global sorts; the rolling/sweep
+    pipelines run on ONE hash exchange."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.events import (
+        event_transitions,
+        interval_union_time,
+        rolling_metrics,
+    )
+    from unifydb_spark.operators.olap import topk_with_others
+
+    t0 = datetime(2026, 8, 1)
+    ev = spark.createDataFrame(
+        [(i, i % 7, "t" + str(i % 3), t0 + timedelta(minutes=i), float(i))
+         for i in range(500)],
+        "event_id bigint, user_id bigint, event_type string,"
+        " ts timestamp, value double",
+    )
+
+    def final_plan(df):
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+
+    p = final_plan(rolling_metrics(ev))
+    assert "Exchange SinglePartition" not in p
+    assert p.count("Exchange hashpartitioning") == 1  # hash(user) only
+
+    iv = ev.select(
+        "user_id", F.col("ts").alias("start_ts"),
+        F.timestamp_micros(F.unix_micros("ts") + 600_000_000).alias("end_ts"),
+    )
+    p = final_plan(interval_union_time(iv))
+    assert "Exchange SinglePartition" not in p
+    assert "rangepartitioning" not in p
+
+    p = final_plan(event_transitions(ev))
+    assert "Exchange SinglePartition" not in p
+
+    p = final_plan(topk_with_others(ev, "user_id", "event_type", "value", 2))
+    assert "Exchange SinglePartition" not in p
+    assert "rangepartitioning" not in p
