@@ -2537,6 +2537,23 @@ def r37_topk_others(spark, sf_dir):
     ).orderBy("n_regionkey", "rank")
 
 
+def r38_group_trend(spark, sf_dir):
+    """Per-type value trend over time (operators/stats.py group_trend):
+    exact OLS slope/intercept/r2 from five DECIMAL-accumulated sums in
+    ONE combinable aggregation — trend detection complementing r25's
+    level-shift monitor. x = epoch day."""
+    from unifydb_spark.operators.stats import group_trend
+
+    ev = _events_ts(spark, sf_dir)
+    x = F.datediff(F.to_date(F.col("ts")), F.lit("1970-01-01"))
+    return group_trend(
+        ev.select("event_type", x.alias("d"), "value"),
+        "event_type",
+        "d",
+        "value",
+    ).orderBy("event_type")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2725,6 +2742,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r35_mutual_information": r35_mutual_information,
         "r36_event_transitions": r36_event_transitions,
         "r37_topk_others": r37_topk_others,
+        "r38_group_trend": r38_group_trend,
     }
 
 
@@ -3374,6 +3392,12 @@ def _operator_oracles() -> dict[str, str]:
             "documents", "source", "lang"
         ),
         "r36_event_transitions": _ev.event_transitions_sql("events"),
+        "r38_group_trend": _st.group_trend_sql(
+            "events",
+            "event_type",
+            "CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'",
+            "value",
+        ),
         "r37_topk_others": _ol.topk_with_others_sql(
             "(SELECT n_regionkey, n_name, c_acctbal FROM customer"
             " JOIN nation ON c_nationkey = n_nationkey)",

@@ -101,6 +101,7 @@ HEADLINE = [
     "r35_mutual_information",
     "r36_event_transitions",
     "r37_topk_others",
+    "r38_group_trend",
     "r29_classification_report",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus

@@ -517,3 +517,31 @@ def test_mutual_information_independence_and_identity(spark):
     )
     [r] = mutual_information(nn, "x", "y").collect()
     assert r["n"] == 2
+
+
+def test_group_trend_known_line_and_degenerate(spark):
+    from unifydb_spark.operators.stats import group_trend
+
+    # exact line y = 3x + 7 -> slope 3, intercept 7, r2 = 1
+    rows = [(i, "g", float(i), 3.0 * i + 7.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id bigint, g string, x double, y double")
+    [r] = group_trend(df, "g", "x", "y").collect()
+    assert (r["slope"], r["intercept"], r["r2"]) == (3.0, 7.0, 1.0)
+    # noise-free anti-correlation
+    rows = [(i, "g", float(i), -2.0 * i) for i in range(20)]
+    df = spark.createDataFrame(rows, "id bigint, g string, x double, y double")
+    [r] = group_trend(df, "g", "x", "y").collect()
+    assert (r["slope"], r["intercept"], r["r2"]) == (-2.0, 0.0, 1.0)
+    # constant x -> NULL slope; constant y -> slope 0 with NULL r2
+    cx = spark.createDataFrame(
+        [(i, "g", 5.0, float(i)) for i in range(5)],
+        "id bigint, g string, x double, y double",
+    )
+    [r] = group_trend(cx, "g", "x", "y").collect()
+    assert r["slope"] is None
+    cy = spark.createDataFrame(
+        [(i, "g", float(i), 4.0) for i in range(5)],
+        "id bigint, g string, x double, y double",
+    )
+    [r] = group_trend(cy, "g", "x", "y").collect()
+    assert r["slope"] == 0.0 and r["r2"] is None

@@ -1341,3 +1341,89 @@ def mutual_information_sql(table: str, x_col: str, y_col: str) -> str:
                      THEN _mi / LEAST(h_x, h_y) END, 6) + 0.0 AS nmi
         FROM mi, hx, hy
     """
+
+
+def group_trend(
+    df: "DataFrame",
+    group_col: str,
+    x_col,
+    y_col: str,
+) -> "DataFrame":
+    """Per-group simple linear regression (exact OLS) in ONE combinable
+    aggregation — the trend detector that complements rate-anomaly's
+    level shifts: slope/intercept of y over x plus Pearson r^2, from
+    the five classic sums (x, y, xy, x^2, y^2), each accumulated in
+    DECIMAL(38,12) so the distributed reduction is order-independent.
+    Final expressions evaluate in identical operation order on both
+    engines; degenerate groups (no x or y variance) yield NULLs.
+    Returns (group_col, n, slope, intercept, r2)."""
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    dec = "decimal(38,12)"
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x.cast(dec)).alias("_sx"),
+        F.sum(y.cast(dec)).alias("_sy"),
+        F.sum((x * y).cast(dec)).alias("_sxy"),
+        F.sum((x * x).cast(dec)).alias("_sxx"),
+        F.sum((y * y).cast(dec)).alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("string").cast("double")
+    sy = F.col("_sy").cast("string").cast("double")
+    sxy = F.col("_sxy").cast("string").cast("double")
+    sxx = F.col("_sxx").cast("string").cast("double")
+    syy = F.col("_syy").cast("string").cast("double")
+    cov = sxy - (sx * sy) / n
+    varx = sxx - (sx * sx) / n
+    vary = syy - (sy * sy) / n
+    slope = F.when(varx > 0, cov / varx)
+    intercept = F.when(varx > 0, (sy - (cov / varx) * sx) / n)
+    r2 = F.when(
+        (varx > 0) & (vary > 0), (cov * cov) / (varx * vary)
+    )
+    return agg.select(
+        F.col(group_col),
+        F.col("_n").cast("bigint").alias("n"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (F.round(intercept, 6) + F.lit(0.0)).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def group_trend_sql(
+    table: str, group_col: str, x_sql: str, y_col: str
+) -> str:
+    x = f"CAST({x_sql} AS DOUBLE)"
+    y = f"CAST({y_col} AS DOUBLE)"
+
+    def dsum(expr):
+        return (
+            f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,12))) AS VARCHAR)"
+            " AS DOUBLE)"
+        )
+
+    return f"""
+        WITH agg AS (
+          SELECT {group_col}, COUNT(*) AS n,
+                 {dsum(x)} AS sx, {dsum(y)} AS sy,
+                 {dsum(f'({x} * {y})')} AS sxy,
+                 {dsum(f'({x} * {x})')} AS sxx,
+                 {dsum(f'({y} * {y})')} AS syy
+          FROM {table} GROUP BY 1
+        )
+        SELECT {group_col}, CAST(n AS BIGINT) AS n,
+               ROUND(CASE WHEN sxx - (sx * sx) / n > 0
+                     THEN (sxy - (sx * sy) / n) / (sxx - (sx * sx) / n)
+                     END, 6) + 0.0 AS slope,
+               ROUND(CASE WHEN sxx - (sx * sx) / n > 0
+                     THEN (sy - ((sxy - (sx * sy) / n)
+                                 / (sxx - (sx * sx) / n)) * sx) / n
+                     END, 6) + 0.0 AS intercept,
+               ROUND(CASE WHEN sxx - (sx * sx) / n > 0
+                          AND syy - (sy * sy) / n > 0
+                     THEN ((sxy - (sx * sy) / n) * (sxy - (sx * sy) / n))
+                          / ((sxx - (sx * sx) / n) * (syy - (sy * sy) / n))
+                     END, 6) AS r2
+        FROM agg ORDER BY {group_col}
+    """
