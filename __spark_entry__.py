@@ -2554,6 +2554,18 @@ def r38_group_trend(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def r39_json_props(spark, sf_dir):
+    """Semi-structured column aggregation (operators/olap.py
+    json_props_metrics): events.props parsed ONCE via from_json with an
+    EXPLICIT schema (JVM Jackson — no inference scan, no Python),
+    typed-field aggregation with malformed rows counted rather than
+    dropped."""
+    from unifydb_spark.operators.olap import json_props_metrics
+
+    ev = _events_ts(spark, sf_dir)
+    return json_props_metrics(ev).orderBy("event_type")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2743,6 +2755,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r36_event_transitions": r36_event_transitions,
         "r37_topk_others": r37_topk_others,
         "r38_group_trend": r38_group_trend,
+        "r39_json_props": r39_json_props,
     }
 
 
@@ -3398,6 +3411,7 @@ def _operator_oracles() -> dict[str, str]:
             "CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'",
             "value",
         ),
+        "r39_json_props": _ol.json_props_metrics_sql("events"),
         "r37_topk_others": _ol.topk_with_others_sql(
             "(SELECT n_regionkey, n_name, c_acctbal FROM customer"
             " JOIN nation ON c_nationkey = n_nationkey)",

@@ -102,6 +102,7 @@ HEADLINE = [
     "r36_event_transitions",
     "r37_topk_others",
     "r38_group_trend",
+    "r39_json_props",
     "r29_classification_report",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus

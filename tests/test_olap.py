@@ -443,3 +443,23 @@ def test_topk_with_others_completeness(spark):
     # small group: no (other) row
     g2 = [r["category"] for r in out if r["g"] == "g2"]
     assert sorted(g2) == ["x", "y"]
+
+
+def test_json_props_metrics_malformed_counted(spark):
+    from unifydb_spark.operators.olap import json_props_metrics
+
+    rows = [
+        ("a", '{"k": 10}'),
+        ("a", '{"k": 20}'),
+        ("a", '{oops'),          # malformed json
+        ("a", '{"other": 1}'),   # field missing
+        ("a", None),             # null props
+        ("b", '{"k": 7}'),
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, props string")
+    out = {r["event_type"]: r for r in json_props_metrics(ev).collect()}
+    assert out["a"]["n"] == 5
+    assert out["a"]["n_bad"] == 3       # malformed + missing + null
+    assert out["a"]["sum_field"] == 30
+    assert out["a"]["avg_field"] == 15.0  # avg over PRESENT values only
+    assert out["b"]["n_bad"] == 0 and out["b"]["sum_field"] == 7

@@ -497,3 +497,54 @@ def topk_with_others_sql(
         FROM labeled GROUP BY 1, 2, 3
         ORDER BY {group_col}, rank
     """
+
+
+def json_props_metrics(
+    events: DataFrame,
+    group_col: str = "event_type",
+    props_col: str = "props",
+    field: str = "k",
+) -> DataFrame:
+    """Semi-structured column handling the Spark-first way: parse a
+    JSON string column ONCE with an EXPLICIT schema (from_json — JVM
+    Jackson, codegen-adjacent, no Python) and aggregate the typed
+    field; malformed or field-missing rows are counted, not dropped
+    (the ingest-quarantine philosophy applied to a column). Returns
+    (group_col, n, n_bad, sum_field, avg_field).
+
+    Explicit schema, never schema_of_json inference: inference is an
+    extra scan and drifts between loads — same argument as
+    sources/ingest.py. One combinable aggregation; DECIMAL sums."""
+    parsed = F.from_json(F.col(props_col), f"{field} BIGINT")
+    v = parsed.getField(field)
+    return (
+        events.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(v.isNull().cast("long")).cast("bigint").alias("n_bad"),
+            F.sum(v).cast("bigint").alias("sum_field"),
+            F.round(
+                F.sum(v).cast("double") / F.count(v), 6
+            ).alias("avg_field"),
+        )
+    )
+
+
+def json_props_metrics_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    props_col: str = "props",
+    field: str = "k",
+) -> str:
+    v = (
+        f"TRY_CAST(TRY_CAST({props_col} AS JSON)->>'$.{field}' AS BIGINT)"
+    )
+    return f"""
+        SELECT {group_col},
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN {v} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bad,
+               CAST(SUM({v}) AS BIGINT) AS sum_field,
+               ROUND(CAST(SUM({v}) AS DOUBLE) / COUNT({v}), 6) AS avg_field
+        FROM {table} GROUP BY 1 ORDER BY 1
+    """
