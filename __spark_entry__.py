@@ -2566,6 +2566,19 @@ def r39_json_props(spark, sf_dir):
     return json_props_metrics(ev).orderBy("event_type")
 
 
+def r40_embedding_covariance(spark, sf_dir):
+    """Distributed covariance matrix of the embedding dimensions
+    (operators/similarity.py embedding_covariance): the corpus
+    collapses to d(d+1)/2 DECIMAL-exact pair sums in one combinable
+    pass; PCA's eigen step then runs locally on the tiny matrix
+    (pca_components). The canonical sufficient-statistics pattern for
+    classical ML at scale."""
+    from unifydb_spark.operators.similarity import embedding_covariance
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_covariance(emb).orderBy("i", "j")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2756,6 +2769,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r37_topk_others": r37_topk_others,
         "r38_group_trend": r38_group_trend,
         "r39_json_props": r39_json_props,
+        "r40_embedding_covariance": r40_embedding_covariance,
     }
 
 
@@ -3412,6 +3426,9 @@ def _operator_oracles() -> dict[str, str]:
             "value",
         ),
         "r39_json_props": _ol.json_props_metrics_sql("events"),
+        "r40_embedding_covariance": _s.embedding_covariance_sql(
+            "embeddings"
+        ),
         "r37_topk_others": _ol.topk_with_others_sql(
             "(SELECT n_regionkey, n_name, c_acctbal FROM customer"
             " JOIN nation ON c_nationkey = n_nationkey)",

@@ -103,6 +103,7 @@ HEADLINE = [
     "r37_topk_others",
     "r38_group_trend",
     "r39_json_props",
+    "r40_embedding_covariance",
     "r29_classification_report",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus

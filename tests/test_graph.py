@@ -127,3 +127,35 @@ def test_fixpoint_broadcast_path_matches_shuffle_path(spark):
     cc_s = {r["node"]: r["component"]
             for r in connected_components(edges, broadcast_labels=False).collect()}
     assert cc_b == cc_s
+
+
+def test_embedding_covariance_and_pca(spark):
+    """Covariance matches numpy on small data; PCA's top component of a
+    planted 1-D subspace captures ~all variance."""
+    import numpy as np
+
+    from unifydb_spark.operators.similarity import (
+        embedding_covariance,
+        pca_components,
+    )
+
+    rng = np.random.RandomState(9)
+    # points on a line in 4-D + tiny noise
+    t = rng.randn(120)
+    direction = np.array([0.5, -0.5, 0.5, 0.5])
+    X = np.outer(t, direction) + rng.randn(120, 4) * 0.01
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(120)],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = embedding_covariance(emb, dims=4).collect()
+    got = np.zeros((4, 4))
+    for r in rows:
+        got[r["i"] - 1, r["j"] - 1] = r["cov"]
+        got[r["j"] - 1, r["i"] - 1] = r["cov"]
+    want = np.cov(X.astype(np.float32).astype(np.float64), rowvar=False)
+    assert np.abs(got - want).max() < 1e-6
+    comps, ratio = pca_components(emb, dims=4, k=2)
+    assert ratio[0] > 0.99             # the planted line dominates
+    cosine = abs(float(comps[0] @ direction) / np.linalg.norm(direction))
+    assert cosine > 0.999              # first component aligns with it

@@ -628,3 +628,129 @@ def ann_recall_sql(
         FROM denom d LEFT JOIN hits h ON d.query_id = h.query_id
         ORDER BY d.query_id
     """
+
+
+def embedding_covariance(
+    emb: DataFrame, vec_col: str = "embedding", dims: int = 64
+) -> DataFrame:
+    """Exact covariance matrix of the embedding columns — the
+    distributed half of PCA/whitening: the data collapses to d(d+1)/2
+    DECIMAL-exact pair sums plus d marginal sums in ONE combinable
+    aggregation pass, and the eigen-decomposition then happens locally
+    on the tiny matrix (pca_components below). This is the canonical
+    'reduce to small sufficient statistics, solve on the driver'
+    pattern for classical ML at 100 TB. Returns (i, j, cov), 1-based,
+    i <= j, sample covariance (n-1).
+
+    Exactness: float32 inputs widen to float64 exactly; per-row pair
+    products cast to DECIMAL(38,12) before the sums, so the reduction
+    is order-independent and the oracle reproduces it bit-for-bit."""
+    d = int(dims)
+    v = F.col(vec_col)
+    idx = F.sequence(F.lit(1), F.lit(d))
+    pair_structs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i.cast("int"), F.lit(d)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (
+                        F.element_at(v, i.cast("int")).cast("double")
+                        * F.element_at(v, j.cast("int")).cast("double")
+                    ).cast("decimal(38,12)").alias("xy"),
+                ),
+            ),
+        )
+    )
+    from unifydb_spark.operators.dedup import _spread
+
+    sp = _spread(emb)
+    pair_sums = (
+        sp.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        .agg(F.sum("p.xy").alias("sxy"), F.count(F.lit(1)).alias("n"))
+    )
+    dim_sums = (
+        sp.select(F.posexplode(v).alias("i0", "x"))
+        .groupBy((F.col("i0") + 1).alias("i"))
+        .agg(F.sum(F.col("x").cast("double").cast("decimal(38,12)")).alias("sx"))
+    )
+    si = dim_sums.select(
+        F.col("i").alias("i"),
+        F.col("sx").cast("string").cast("double").alias("sxi"),
+    )
+    sj = dim_sums.select(
+        F.col("i").alias("j"),
+        F.col("sx").cast("string").cast("double").alias("sxj"),
+    )
+    j = (
+        pair_sums.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+    )
+    n = F.col("n").cast("double")
+    sxy = F.col("sxy").cast("string").cast("double")
+    cov = (sxy - (F.col("sxi") * F.col("sxj")) / n) / (n - F.lit(1.0))
+    return j.select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        (F.round(cov, 8) + F.lit(0.0)).alias("cov"),
+    )
+
+
+def embedding_covariance_sql(
+    table: str = "embeddings", vec_col: str = "embedding", dims: int = 64
+) -> str:
+    d = int(dims)
+    return f"""
+        WITH pairs AS (
+          SELECT CAST(ii.i AS INT) AS i, CAST(jj.j AS INT) AS j
+          FROM (SELECT unnest(range(1, {d + 1})) AS i) ii,
+               (SELECT unnest(range(1, {d + 1})) AS j) jj
+          WHERE ii.i <= jj.j
+        ), ps AS (
+          SELECT p.i, p.j,
+                 CAST(CAST(SUM(CAST(
+                   CAST(e.{vec_col}[p.i] AS DOUBLE)
+                   * CAST(e.{vec_col}[p.j] AS DOUBLE)
+                 AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxy,
+                 COUNT(*) AS n
+          FROM {table} e, pairs p GROUP BY 1, 2
+        ), ds AS (
+          SELECT CAST(dd.i AS INT) AS i,
+                 CAST(CAST(SUM(CAST(CAST(e.{vec_col}[CAST(dd.i AS INT)]
+                      AS DOUBLE) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+                   AS sx
+          FROM {table} e, (SELECT unnest(range(1, {d + 1})) AS i) dd
+          GROUP BY 1
+        )
+        SELECT CAST(ps.i AS BIGINT) AS i, CAST(ps.j AS BIGINT) AS j,
+               ROUND((sxy - (si.sx * sj.sx) / n) / (n - 1.0), 8) + 0.0
+                 AS cov
+        FROM ps JOIN ds si ON si.i = ps.i JOIN ds sj ON sj.i = ps.j
+        ORDER BY i, j
+    """
+
+
+def pca_components(
+    emb: DataFrame, vec_col: str = "embedding", dims: int = 64, k: int = 8
+):
+    """Local eigen-decomposition of the distributed covariance matrix:
+    returns (components ndarray [k, dims], explained_variance_ratio
+    ndarray [k]) — the driver-side half of the PCA pattern; the matrix
+    is d x d no matter the corpus size. Whitening/compression ahead of
+    ANN indexing composes with ivf_topk/rp signatures."""
+    import numpy as np
+
+    rows = embedding_covariance(emb, vec_col, dims).collect()
+    d = int(dims)
+    c = np.zeros((d, d))
+    for r in rows:
+        c[r["i"] - 1, r["j"] - 1] = r["cov"]
+        c[r["j"] - 1, r["i"] - 1] = r["cov"]
+    vals, vecs = np.linalg.eigh(c)
+    order = np.argsort(vals)[::-1][: int(k)]
+    comps = vecs[:, order].T
+    ratio = vals[order] / vals.sum()
+    return comps, ratio
