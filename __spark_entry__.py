@@ -2579,6 +2579,36 @@ def r40_embedding_covariance(spark, sf_dir):
     return embedding_covariance(emb).orderBy("i", "j")
 
 
+def r41_token_drift(spark, sf_dir):
+    """Token-mass drift report between corpus vintages (operators/
+    text.py token_drift): top-20 tokens by |probability delta| with
+    per-vintage mass — the WHAT-changed diagnosis behind a divergence
+    alarm. Vintages = even/odd doc_id halves (deterministic on both
+    engines); vocab-sized relations after one count per side."""
+    from unifydb_spark.operators.text import token_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        top_k=20,
+    )
+
+
+def r42_k_anonymity(spark, sf_dir):
+    """Re-identification risk audit (operators/quality.py
+    k_anonymity_report): share of rows in quasi-identifier groups
+    smaller than k — the privacy gate next to redact_pii. Quasi tuple:
+    (c_nationkey, c_mktsegment) over customers; everything after the
+    one combinable groupBy is cardinality-sized."""
+    from unifydb_spark.operators.quality import k_anonymity_report
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment"], k=5
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2770,6 +2800,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r38_group_trend": r38_group_trend,
         "r39_json_props": r39_json_props,
         "r40_embedding_covariance": r40_embedding_covariance,
+        "r41_token_drift": r41_token_drift,
+        "r42_k_anonymity": r42_k_anonymity,
     }
 
 
@@ -3428,6 +3460,14 @@ def _operator_oracles() -> dict[str, str]:
         "r39_json_props": _ol.json_props_metrics_sql("events"),
         "r40_embedding_covariance": _s.embedding_covariance_sql(
             "embeddings"
+        ),
+        "r42_k_anonymity": _ql.k_anonymity_report_sql(
+            "customer", ["c_nationkey", "c_mktsegment"], k=5
+        ),
+        "r41_token_drift": _t.token_drift_sql(
+            "SELECT text FROM documents WHERE doc_id % 2 = 0",
+            "SELECT text FROM documents WHERE doc_id % 2 = 1",
+            top_k=20,
         ),
         "r37_topk_others": _ol.topk_with_others_sql(
             "(SELECT n_regionkey, n_name, c_acctbal FROM customer"

@@ -104,6 +104,8 @@ HEADLINE = [
     "r38_group_trend",
     "r39_json_props",
     "r40_embedding_covariance",
+    "r42_k_anonymity",
+    "r41_token_drift",
     "r29_classification_report",
     # the incremental-ingest path that a living corpus actually runs daily:
     # timed against a PREBUILT persisted LSH index (the one-time corpus

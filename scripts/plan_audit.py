@@ -65,6 +65,10 @@ BNLJ_ALLOWED = {
     # (same corpus-constant shape as q61/q94/r17) — bounded by
     # construction
     "r35_mutual_information",
+    # r41: each vintage's token total rides a broadcast ONE-ROW cross
+    # join onto its vocab-sized count relation (q61/r17 shape) —
+    # bounded by construction
+    "r41_token_drift",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)

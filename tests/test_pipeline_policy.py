@@ -545,3 +545,29 @@ def test_group_trend_known_line_and_degenerate(spark):
     )
     [r] = group_trend(cy, "g", "x", "y").collect()
     assert r["slope"] == 0.0 and r["r2"] is None
+
+
+def test_k_anonymity_report_and_token_drift(spark):
+    from unifydb_spark.operators.quality import k_anonymity_report
+    from unifydb_spark.operators.text import token_drift
+
+    # 10 rows in group A, 3 in B, 1 in C -> with k=5: B and C at risk
+    rows = ([("a", "x")] * 10) + ([("b", "y")] * 3) + [("c", "z")]
+    df = spark.createDataFrame(rows, "q1 string, q2 string")
+    [r] = k_anonymity_report(df, ["q1", "q2"], k=5).collect()
+    assert r["n_rows"] == 14 and r["n_groups"] == 3
+    assert r["n_unique_rows"] == 1 and r["n_below_k"] == 2
+    assert r["rows_at_risk"] == 4
+    assert abs(r["risk_share"] - 4 / 14) < 1e-6
+    assert r["min_group"] == 1 and r["median_group"] == 3.0
+
+    old = spark.createDataFrame([(0, "aa bb bb cc")], "doc_id bigint, text string")
+    new = spark.createDataFrame([(1, "aa aa dd")], "doc_id bigint, text string")
+    drift = {r["tok"]: r for r in token_drift(old, new, top_k=10).collect()}
+    # bb: 0.5 -> 0; dd: 0 -> 1/3; aa: 0.25 -> 2/3; cc: 0.25 -> 0
+    assert drift["bb"]["p_new"] == 0.0 and drift["bb"]["p_old"] == 0.5
+    assert drift["dd"]["p_old"] == 0.0
+    assert abs(drift["aa"]["delta"] - (2 / 3 - 0.25)) < 1e-6
+    # ranking by |delta|: bb (0.5) first, aa (~0.4167) second
+    ordered = sorted(drift.values(), key=lambda r: -abs(r["delta"]))
+    assert ordered[0]["tok"] == "bb" and ordered[1]["tok"] == "aa"

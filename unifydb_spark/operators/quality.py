@@ -169,3 +169,74 @@ def table_diff_sql(
                          ELSE 0 END AS BIGINT) AS n_changed_cols
         FROM j ORDER BY {keys}
     """
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: "list[str]",
+    k: int = 5,
+) -> DataFrame:
+    """Re-identification risk audit over a quasi-identifier combination
+    (the privacy gate next to redact_pii's direct-identifier scrub): a
+    row is k-anonymous when at least k rows share its full
+    quasi-identifier tuple. Returns ONE row: (n_rows, n_groups,
+    n_unique_rows, n_below_k, rows_at_risk, risk_share, min_group,
+    median_group) — the numbers a release review reads before shipping
+    a dataset keyed on (zip, age, ...)-like combinations.
+
+    Shape: one combinable groupBy over the quasi tuple, then the
+    report aggregates the GROUP-SIZE relation — everything after the
+    first pass is cardinality-sized. Exact median of group sizes via
+    the percentile/quantile_cont parity contract."""
+    grp = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("gsz")
+    )
+    return grp.agg(
+        F.sum("gsz").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum((F.col("gsz") == 1).cast("long")).cast("bigint").alias(
+            "n_unique_rows"
+        ),
+        F.sum((F.col("gsz") < k).cast("long")).cast("bigint").alias(
+            "n_below_k"
+        ),
+        F.sum(F.when(F.col("gsz") < k, F.col("gsz")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.round(
+            F.sum(
+                F.when(F.col("gsz") < k, F.col("gsz")).otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("gsz"),
+            6,
+        ).alias("risk_share"),
+        F.min("gsz").cast("bigint").alias("min_group"),
+        F.round(
+            F.percentile(F.col("gsz").cast("double"), F.lit(0.5)), 4
+        ).alias("median_group"),
+    )
+
+
+def k_anonymity_report_sql(
+    table: str, quasi_cols: "list[str]", k: int = 5
+) -> str:
+    cols = ", ".join(quasi_cols)
+    return f"""
+        WITH grp AS (
+          SELECT {cols}, COUNT(*) AS gsz FROM {table} GROUP BY {cols}
+        )
+        SELECT CAST(SUM(gsz) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN gsz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unique_rows,
+               CAST(SUM(CASE WHEN gsz < {int(k)} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_below_k,
+               CAST(SUM(CASE WHEN gsz < {int(k)} THEN gsz ELSE 0 END)
+                    AS BIGINT) AS rows_at_risk,
+               ROUND(CAST(SUM(CASE WHEN gsz < {int(k)} THEN gsz ELSE 0 END)
+                     AS DOUBLE) / SUM(gsz), 6) AS risk_share,
+               CAST(MIN(gsz) AS BIGINT) AS min_group,
+               ROUND(quantile_cont(CAST(gsz AS DOUBLE), 0.5), 4)
+                 AS median_group
+        FROM grp
+    """

@@ -1389,3 +1389,88 @@ def weighted_sample_k_sql(
         FROM ranked WHERE rank_in_group <= {int(k)}
         ORDER BY {group_col}, rank_in_group
     """
+
+
+def token_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Distribution drift diagnosis between two corpus vintages: per
+    token, probability mass in each vintage and the delta, returning
+    the top_k tokens by |delta| — the "WHAT changed" report that the
+    scalar divergence (source_divergence) cannot give. The monitor a
+    continuously-ingested corpus runs per batch: a crawler change or an
+    upstream filter bug shows up as a handful of tokens swinging mass.
+    Returns (tok, p_old, p_new, delta), sorted by |delta| desc then
+    token.
+
+    Shape: one combinable token count per vintage (vocab-sized
+    relations), one full-outer token join, one top-k. Probabilities are
+    exact count ratios (one division, identical order both engines);
+    the |delta| ranking runs on a vocab-sized relation."""
+    def dist(df, name):
+        tok = (
+            df.select(F.explode(words_col(F.col(text_col))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        tot = tok.agg(F.sum("c").alias("n"))
+        return tok.crossJoin(F.broadcast(tot)).select(
+            "tok",
+            (F.col("c").cast("double") / F.col("n").cast("double")).alias(
+                name
+            ),
+        )
+
+    po = dist(old, "po")
+    pn = dist(new, "pn")
+    j = po.join(pn, "tok", "full_outer").select(
+        "tok",
+        F.coalesce("po", F.lit(0.0)).alias("po"),
+        F.coalesce("pn", F.lit(0.0)).alias("pn"),
+    )
+    delta = F.col("pn") - F.col("po")
+    return (
+        j.select(
+            "tok",
+            F.round("po", 8).alias("p_old"),
+            F.round("pn", 8).alias("p_new"),
+            (F.round(delta, 8) + F.lit(0.0)).alias("delta"),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), F.col("tok"))
+        .limit(int(top_k))
+    )
+
+
+def token_drift_sql(
+    old_sql: str,
+    new_sql: str,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> str:
+    def dist(src, name):
+        return f"""
+          SELECT u.tok,
+                 CAST(COUNT(*) AS DOUBLE)
+                   / SUM(COUNT(*)) OVER () AS {name}
+          FROM ({src}),
+               unnest(list_filter(string_split({text_col}, ' '),
+                                  w -> w != '')) AS u(tok)
+          GROUP BY 1
+        """
+
+    return f"""
+        WITH po AS ({dist(old_sql, 'po')}),
+        pn AS ({dist(new_sql, 'pn')}),
+        j AS (
+          SELECT COALESCE(po.tok, pn.tok) AS tok,
+                 COALESCE(po, 0.0) AS po, COALESCE(pn, 0.0) AS pn
+          FROM po FULL OUTER JOIN pn USING (tok)
+        )
+        SELECT tok, ROUND(po, 8) AS p_old, ROUND(pn, 8) AS p_new,
+               ROUND(pn - po, 8) + 0.0 AS delta
+        FROM j ORDER BY ABS(ROUND(pn - po, 8) + 0.0) DESC, tok
+        LIMIT {int(top_k)}
+    """
