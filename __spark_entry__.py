@@ -2609,6 +2609,19 @@ def r42_k_anonymity(spark, sf_dir):
     )
 
 
+def r43_rank_features(spark, sf_dir):
+    """Rank-based feature transforms (operators/olap.py rank_features):
+    ntile deciles (tie order pinned by id), percent_rank, cume_dist per
+    event_type over value — the distribution-free normalizations
+    complementing r22's parametric winsorize/z. One shared sort."""
+    from unifydb_spark.operators.olap import rank_features
+
+    ev = _events_ts(spark, sf_dir)
+    return rank_features(
+        ev, "event_type", "value", "event_id"
+    ).orderBy("event_id")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2802,6 +2815,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r40_embedding_covariance": r40_embedding_covariance,
         "r41_token_drift": r41_token_drift,
         "r42_k_anonymity": r42_k_anonymity,
+        "r43_rank_features": r43_rank_features,
     }
 
 
@@ -3460,6 +3474,9 @@ def _operator_oracles() -> dict[str, str]:
         "r39_json_props": _ol.json_props_metrics_sql("events"),
         "r40_embedding_covariance": _s.embedding_covariance_sql(
             "embeddings"
+        ),
+        "r43_rank_features": _ol.rank_features_sql(
+            "events", "event_type", "value", "event_id"
         ),
         "r42_k_anonymity": _ql.k_anonymity_report_sql(
             "customer", ["c_nationkey", "c_mktsegment"], k=5

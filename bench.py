@@ -105,6 +105,7 @@ HEADLINE = [
     "r39_json_props",
     "r40_embedding_covariance",
     "r42_k_anonymity",
+    "r43_rank_features",
     "r41_token_drift",
     "r29_classification_report",
     # the incremental-ingest path that a living corpus actually runs daily:

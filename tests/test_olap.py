@@ -463,3 +463,24 @@ def test_json_props_metrics_malformed_counted(spark):
     assert out["a"]["sum_field"] == 30
     assert out["a"]["avg_field"] == 15.0  # avg over PRESENT values only
     assert out["b"]["n_bad"] == 0 and out["b"]["sum_field"] == 7
+
+
+def test_rank_features_semantics(spark):
+    from unifydb_spark.operators.olap import rank_features
+
+    rows = [(i, "g", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, g string, v double")
+    out = {r["id"]: r for r in rank_features(df, "g", "v", "id", 10).collect()}
+    # distinct values 0..99: ntile = exact deciles, pct_rank = i/99,
+    # cume = (i+1)/100
+    for i in (0, 9, 10, 55, 99):
+        assert out[i]["tile"] == i // 10 + 1
+        assert abs(out[i]["pct_rank"] - i / 99) < 1e-6
+        assert abs(out[i]["cume"] - (i + 1) / 100) < 1e-6
+    # ties: equal values share pct_rank/cume but split tiles by id
+    tied = spark.createDataFrame(
+        [(i, "g", 1.0) for i in range(10)], "id bigint, g string, v double"
+    )
+    rows2 = rank_features(tied, "g", "v", "id", 2).collect()
+    assert all(r["pct_rank"] == 0.0 and r["cume"] == 1.0 for r in rows2)
+    assert sorted(r["tile"] for r in rows2) == [1] * 5 + [2] * 5

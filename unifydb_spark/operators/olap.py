@@ -548,3 +548,57 @@ def json_props_metrics_sql(
                ROUND(CAST(SUM({v}) AS DOUBLE) / COUNT({v}), 6) AS avg_field
         FROM {table} GROUP BY 1 ORDER BY 1
     """
+
+
+def rank_features(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Per-row rank-based feature transforms within a group: decile
+    (ntile), percent_rank, and cume_dist over the value ordering — the
+    distribution-free normalizations a feature pipeline applies when
+    winsorize/z-score's parametric assumptions don't hold. Ties broken
+    by id for engine-identical ntile boundaries (ntile splits PEERS
+    across tiles by position, so an undefined tie order would be
+    nondeterministic — the other two are tie-safe by definition but get
+    the same total order for consistency... note cume_dist/percent_rank
+    are computed on the VALUE ordering alone, per SQL semantics).
+    Returns (group_col, id_col, value, tile, pct_rank, cume).
+
+    One hash(group) shuffle; all three functions share one sort."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    w_id = Window.partitionBy(group_col).orderBy(v.asc(), F.col(id_col).asc())
+    w_v = Window.partitionBy(group_col).orderBy(v.asc())
+    return df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.round(v, 6).alias("value"),
+        F.ntile(int(n_tiles)).over(w_id).cast("bigint").alias("tile"),
+        F.round(F.percent_rank().over(w_v), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_v), 6).alias("cume"),
+    )
+
+
+def rank_features_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_tiles: int = 10,
+) -> str:
+    v = f"CAST({value_col} AS DOUBLE)"
+    return f"""
+        SELECT {group_col}, {id_col}, ROUND({v}, 6) AS value,
+               CAST(NTILE({int(n_tiles)}) OVER (PARTITION BY {group_col}
+                    ORDER BY {v}, {id_col}) AS BIGINT) AS tile,
+               ROUND(PERCENT_RANK() OVER (PARTITION BY {group_col}
+                     ORDER BY {v}), 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER (PARTITION BY {group_col}
+                     ORDER BY {v}), 6) AS cume
+        FROM {table} ORDER BY {id_col}
+    """
