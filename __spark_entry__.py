@@ -2622,6 +2622,29 @@ def r43_rank_features(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def r44_trimmed_mean(spark, sf_dir):
+    """Robust central tendency (operators/stats.py trimmed_mean): mean
+    over the exact [p5, p95] quantile band per event type — drops
+    corrupt tails rather than clamping them (r22's complement). Two
+    group-sized aggregations."""
+    from unifydb_spark.operators.stats import trimmed_mean
+
+    ev = _events_ts(spark, sf_dir)
+    return trimmed_mean(ev, "event_type", "value").orderBy("event_type")
+
+
+def r45_benford_report(spark, sf_dir):
+    """Benford first-digit forensic screen (operators/quality.py
+    benford_report) over order totals: observed vs log10(1+1/d) shares
+    with chi-square terms — the fabricated/unit-mangled-number
+    detector. First digits extracted structurally (mantissa leads under
+    any float rendering), one combinable digit count."""
+    from unifydb_spark.operators.quality import benford_report
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return benford_report(orders, "o_totalprice").orderBy("digit")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2816,6 +2839,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r41_token_drift": r41_token_drift,
         "r42_k_anonymity": r42_k_anonymity,
         "r43_rank_features": r43_rank_features,
+        "r44_trimmed_mean": r44_trimmed_mean,
+        "r45_benford_report": r45_benford_report,
     }
 
 
@@ -3474,6 +3499,12 @@ def _operator_oracles() -> dict[str, str]:
         "r39_json_props": _ol.json_props_metrics_sql("events"),
         "r40_embedding_covariance": _s.embedding_covariance_sql(
             "embeddings"
+        ),
+        "r44_trimmed_mean": _st.trimmed_mean_sql(
+            "events", "event_type", "value"
+        ),
+        "r45_benford_report": _ql.benford_report_sql(
+            "orders", "o_totalprice"
         ),
         "r43_rank_features": _ol.rank_features_sql(
             "events", "event_type", "value", "event_id"

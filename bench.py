@@ -106,6 +106,8 @@ HEADLINE = [
     "r40_embedding_covariance",
     "r42_k_anonymity",
     "r43_rank_features",
+    "r45_benford_report",
+    "r44_trimmed_mean",
     "r41_token_drift",
     "r29_classification_report",
     # the incremental-ingest path that a living corpus actually runs daily:

@@ -69,6 +69,9 @@ BNLJ_ALLOWED = {
     # join onto its vocab-sized count relation (q61/r17 shape) —
     # bounded by construction
     "r41_token_drift",
+    # r45: the digit-count total rides a broadcast ONE-ROW cross join
+    # onto the 9-row digit relation — bounded by construction
+    "r45_benford_report",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)

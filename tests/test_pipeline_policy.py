@@ -571,3 +571,40 @@ def test_k_anonymity_report_and_token_drift(spark):
     # ranking by |delta|: bb (0.5) first, aa (~0.4167) second
     ordered = sorted(drift.values(), key=lambda r: -abs(r["delta"]))
     assert ordered[0]["tok"] == "bb" and ordered[1]["tok"] == "aa"
+
+
+def test_trimmed_mean_drops_outlier_and_benford_detects(spark):
+    import math
+
+    from unifydb_spark.operators.quality import benford_report
+    from unifydb_spark.operators.stats import trimmed_mean
+
+    vals = [float(v) for v in range(1, 100)] + [10_000.0]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "id bigint, g string, v double"
+    )
+    [r] = trimmed_mean(df, "g", "v", 0.05, 0.95).collect()
+    assert r["n"] == 100 and r["n_used"] < 100
+    assert r["trimmed_mean"] < 60 < r["raw_mean"]  # outlier excluded
+
+    # Benford-conforming data: v = 10^u for uniform-ish u -> low chi2;
+    # uniform integers 1000..9999 -> flat first digits, huge chi2
+    conforming = spark.createDataFrame(
+        [(i, 10 ** (i * 3.0 / 9999)) for i in range(1, 10000)],
+        "id bigint, v double",
+    )
+    flat = spark.createDataFrame(
+        [(i, float(1000 + i)) for i in range(9000)], "id bigint, v double"
+    )
+    chi_c = sum(r["chi2_term"] for r in benford_report(conforming, "v").collect())
+    chi_f = sum(r["chi2_term"] for r in benford_report(flat, "v").collect())
+    assert chi_c < 100 < chi_f  # flat digits blow up the statistic
+    # shares: digit 1 under Benford ~0.301
+    d1 = [r for r in benford_report(conforming, "v").collect() if r["digit"] == 1][0]
+    assert abs(d1["obs_share"] - math.log10(2)) < 0.02
+    # zero/negative excluded
+    withz = spark.createDataFrame(
+        [(1, 0.0), (2, -5.0), (3, 42.0)], "id bigint, v double"
+    )
+    rows = benford_report(withz, "v").collect()
+    assert sum(r["n"] for r in rows) == 1

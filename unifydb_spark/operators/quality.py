@@ -240,3 +240,82 @@ def k_anonymity_report_sql(
                  AS median_group
         FROM grp
     """
+
+
+def benford_report(
+    df: DataFrame,
+    value_col: str,
+    group_col: "str | None" = None,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    forensic data-quality screen for fabricated or unit-mangled numeric
+    columns (real-world multiplicative data follows log10(1 + 1/d);
+    synthetic/uniform data flatly does not, which is exactly the
+    signal). Per digit 1-9: observed count, observed share, Benford
+    share, and the chi-square contribution; rows with value <= 0 are
+    excluded. Returns (digit, n, obs_share, benford_share, chi2_term).
+
+    First digit extracted STRUCTURALLY (first char of the non-zero
+    number rendered via format_number-free string math — substring of
+    CAST(value) after stripping sign/zeros/dot) — no log10 float
+    boundary hazards at powers of ten. One combinable digit count."""
+    v = F.col(value_col).cast("double")
+    # strip every char outside 1-9 (sign, zeros, dot, exponent marks):
+    # the first SIGNIFICANT digit leads the mantissa under any float
+    # rendering, so '0.00421' -> '421' and '1.2E-4' -> '124' agree
+    first = F.substring(
+        F.regexp_replace(F.abs(v).cast("string"), "[^1-9]*", ""), 1, 1
+    )
+    base = (
+        df.filter(v > 0)
+        .select(first.cast("int").alias("digit"))
+        .filter(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = base.agg(F.sum("n").alias("t"))
+    import math
+
+    benford = F.element_at(
+        F.array(*[F.lit(math.log10(1 + 1 / d)) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    j = base.crossJoin(F.broadcast(tot))
+    obs = F.col("n").cast("double") / F.col("t").cast("double")
+    exp = benford * F.col("t").cast("double")
+    chi = (F.col("n").cast("double") - exp) * (
+        F.col("n").cast("double") - exp
+    ) / exp
+    return j.select(
+        F.col("digit").cast("bigint").alias("digit"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(obs, 6).alias("obs_share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(chi, 6).alias("chi2_term"),
+    )
+
+
+def benford_report_sql(table: str, value_col: str) -> str:
+    import math
+
+    arr = ", ".join(repr(math.log10(1 + 1 / d)) for d in range(1, 10))
+    v = f"CAST({value_col} AS DOUBLE)"
+    return f"""
+        WITH base AS (
+          SELECT CAST(substr(regexp_replace(CAST(ABS({v}) AS VARCHAR),
+                      '[^1-9]*', '', 'g'), 1, 1) AS INT) AS digit,
+                 COUNT(*) AS n
+          FROM {table}
+          WHERE {v} > 0
+            AND substr(regexp_replace(CAST(ABS({v}) AS VARCHAR),
+                '[^1-9]*', '', 'g'), 1, 1) != ''
+          GROUP BY 1
+        ), tot AS (SELECT SUM(n) AS t FROM base)
+        SELECT CAST(digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n,
+               ROUND(CAST(n AS DOUBLE) / t, 6) AS obs_share,
+               ROUND(([{arr}])[digit], 6) AS benford_share,
+               ROUND((CAST(n AS DOUBLE) - ([{arr}])[digit] * t)
+                     * (CAST(n AS DOUBLE) - ([{arr}])[digit] * t)
+                     / (([{arr}])[digit] * t), 6) AS chi2_term
+        FROM base, tot ORDER BY digit
+    """

@@ -1427,3 +1427,77 @@ def group_trend_sql(
                      END, 6) AS r2
         FROM agg ORDER BY {group_col}
     """
+
+
+def trimmed_mean(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> "DataFrame":
+    """Per-group trimmed mean: the mean over values inside the group's
+    exact [p_lo, p_hi] quantile band — the robust central-tendency
+    summary between the median (discards almost everything) and the
+    mean (one outlier owns it); unlike winsorize_scale it DROPS the
+    tails rather than clamping them, which is the right call when tail
+    values are corrupt rather than extreme. Returns (group_col, n,
+    n_used, trimmed_mean, raw_mean).
+
+    Shape: one quantile aggregation broadcast back + one combinable
+    DECIMAL-sum pass — both group-sized results; the band filter is a
+    pure Column predicate."""
+    v = F.col(value_col).cast("double")
+    q = df.groupBy(group_col).agg(
+        F.percentile(v, F.lit(float(p_lo))).alias("_qlo"),
+        F.percentile(v, F.lit(float(p_hi))).alias("_qhi"),
+    )
+    j = df.join(F.broadcast(q), group_col)
+    inband = (v >= F.col("_qlo")) & (v <= F.col("_qhi"))
+    return j.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(inband.cast("long")).cast("bigint").alias("n_used"),
+        F.round(
+            F.sum(F.when(inband, v).otherwise(F.lit(0.0)).cast("decimal(38,12)"))
+            .cast("string")
+            .cast("double")
+            / F.sum(inband.cast("long")),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(
+            F.sum(v.cast("decimal(38,12)")).cast("string").cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("raw_mean"),
+    )
+
+
+def trimmed_mean_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> str:
+    v = f"CAST({value_col} AS DOUBLE)"
+    return f"""
+        WITH q AS (
+          SELECT {group_col},
+                 quantile_cont({v}, {float(p_lo)!r}) AS qlo,
+                 quantile_cont({v}, {float(p_hi)!r}) AS qhi
+          FROM {table} GROUP BY 1
+        )
+        SELECT t.{group_col},
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN {v} >= qlo AND {v} <= qhi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+               ROUND(CAST(CAST(SUM(CAST(CASE WHEN {v} >= qlo AND {v} <= qhi
+                          THEN {v} ELSE 0.0 END AS DECIMAL(38,12)))
+                     AS VARCHAR) AS DOUBLE)
+                     / SUM(CASE WHEN {v} >= qlo AND {v} <= qhi
+                           THEN 1 ELSE 0 END), 6) AS trimmed_mean,
+               ROUND(CAST(CAST(SUM(CAST({v} AS DECIMAL(38,12))) AS VARCHAR)
+                     AS DOUBLE) / COUNT(*), 6) AS raw_mean
+        FROM {table} t JOIN q USING ({group_col})
+        GROUP BY 1 ORDER BY 1
+    """
