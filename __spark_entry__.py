@@ -2645,6 +2645,31 @@ def r45_benford_report(spark, sf_dir):
     return benford_report(orders, "o_totalprice").orderBy("digit")
 
 
+def r46_gini_concentration(spark, sf_dir):
+    """Per-source Gini concentration of document mass (operators/
+    stats.py gini_coefficient over n_chars): the inequality summary
+    next to the share report — one ranking window + DECIMAL-exact
+    rank-product sums."""
+    from unifydb_spark.operators.stats import gini_coefficient
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gini_coefficient(
+        docs, "source", "n_chars", "doc_id"
+    ).orderBy("source")
+
+
+def r47_association_rules(spark, sf_dir):
+    """Market-basket rules over per-user event-type sets (operators/
+    events.py association_rules): support/confidence/lift per ordered
+    pair — distinct (basket,item) collapse first, pair join bounded by
+    the item domain, marginals broadcast."""
+    from unifydb_spark.operators.events import association_rules
+
+    return association_rules(_events_ts(spark, sf_dir)).orderBy(
+        "antecedent", "consequent"
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2841,6 +2866,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r43_rank_features": r43_rank_features,
         "r44_trimmed_mean": r44_trimmed_mean,
         "r45_benford_report": r45_benford_report,
+        "r46_gini_concentration": r46_gini_concentration,
+        "r47_association_rules": r47_association_rules,
     }
 
 
@@ -3500,6 +3527,10 @@ def _operator_oracles() -> dict[str, str]:
         "r40_embedding_covariance": _s.embedding_covariance_sql(
             "embeddings"
         ),
+        "r46_gini_concentration": _st.gini_coefficient_sql(
+            "documents", "source", "n_chars", "doc_id"
+        ),
+        "r47_association_rules": _ev.association_rules_sql("events"),
         "r44_trimmed_mean": _st.trimmed_mean_sql(
             "events", "event_type", "value"
         ),

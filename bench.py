@@ -107,6 +107,8 @@ HEADLINE = [
     "r42_k_anonymity",
     "r43_rank_features",
     "r45_benford_report",
+    "r47_association_rules",
+    "r46_gini_concentration",
     "r44_trimmed_mean",
     "r41_token_drift",
     "r29_classification_report",

@@ -350,3 +350,39 @@ def test_event_transitions_matrix(spark):
     for (f, _t), (_n, p) in out.items():
         sums[f] += p
     assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
+
+
+def test_gini_and_association_rules(spark):
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.events import association_rules
+    from unifydb_spark.operators.stats import gini_coefficient
+
+    # perfectly equal values -> gini 0; one owner of all mass -> ~1-1/n
+    eq = spark.createDataFrame(
+        [(i, "eq", 5.0) for i in range(100)], "id bigint, g string, v double"
+    )
+    uneq = spark.createDataFrame(
+        [(i, "un", 0.0) for i in range(99)] + [(99, "un", 1000.0)],
+        "id bigint, g string, v double",
+    )
+    out = {r["g"]: r["gini"] for r in gini_coefficient(
+        eq.union(uneq), "g", "v", "id").collect()}
+    assert out["eq"] == 0.0
+    assert abs(out["un"] - (1 - 1 / 100)) < 1e-6
+
+    # baskets: {a,b} x3, {a} x1, {b,c} x1 -> n_baskets 5
+    rows = []
+    for b in range(3):
+        rows += [(b, "a"), (b, "b")]
+    rows += [(3, "a"), (4, "b"), (4, "c")]
+    ev = spark.createDataFrame(rows, "user_id bigint, event_type string")
+    rules = {(r["antecedent"], r["consequent"]): r
+             for r in association_rules(ev, min_support=0.0).collect()}
+    ab = rules[("a", "b")]
+    assert ab["n_both"] == 3
+    assert ab["support"] == 0.6          # 3/5 baskets
+    assert ab["confidence"] == 0.75      # 3/4 a-baskets
+    assert abs(ab["lift"] - 0.75 / (4 / 5)) < 1e-6
+    ba = rules[("b", "a")]
+    assert ba["confidence"] == 0.75      # 3/4 b-baskets
+    assert ("c", "a") not in rules       # never co-occur

@@ -909,3 +909,104 @@ def event_transitions_sql(
         FROM pairs JOIN totals USING (from_type)
         ORDER BY from_type, to_type
     """
+
+
+def association_rules(
+    events: DataFrame,
+    basket_col: str = "user_id",
+    item_col: str = "event_type",
+    min_support: float = 0.01,
+) -> DataFrame:
+    """First-level market-basket association rules over per-key item
+    sets (each basket = the DISTINCT items of one key): for every
+    ordered item pair (a -> b), support, confidence and lift — the
+    classic co-occurrence screen ("users who click also purchase?")
+    that needs no iterative Apriori when the item domain is small
+    (event types, labels, tags). Returns (antecedent, consequent,
+    n_both, support, confidence, lift), support >= min_support.
+
+    Shape: one distinct (basket, item) aggregation collapses the raw
+    stream; the pair join is item-keyed WITHIN basket (fan-out bounded
+    by items-per-basket squared, i.e. the item-domain size, never the
+    corpus); item marginals broadcast back. Integer counts, divisions
+    only at the surface."""
+    bi = (
+        events.select(
+            F.col(basket_col).alias("b"), F.col(item_col).alias("item")
+        )
+        .distinct()
+    )
+    from unifydb_spark.resources import tracked_persist
+
+    bi = tracked_persist(bi)
+    n_baskets = bi.select("b").distinct().count()
+    item_counts = bi.groupBy("item").agg(F.count(F.lit(1)).alias("ni"))
+    pairs = (
+        bi.alias("x")
+        .join(
+            bi.alias("y"),
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.item") != F.col("y.item")),
+        )
+        .groupBy(
+            F.col("x.item").alias("antecedent"),
+            F.col("y.item").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = item_counts.select(
+        F.col("item").alias("antecedent"), F.col("ni").alias("na")
+    )
+    nc = item_counts.select(
+        F.col("item").alias("consequent"), F.col("ni").alias("nc")
+    )
+    j = pairs.join(F.broadcast(na), "antecedent").join(
+        F.broadcast(nc), "consequent"
+    )
+    nb = float(n_baskets)
+    support = F.col("n_both").cast("double") / F.lit(nb)
+    conf = F.col("n_both").cast("double") / F.col("na").cast("double")
+    lift = conf / (F.col("nc").cast("double") / F.lit(nb))
+    return (
+        j.select(
+            "antecedent",
+            "consequent",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.round(support, 6).alias("support"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .filter(F.col("support") >= float(min_support))
+    )
+
+
+def association_rules_sql(
+    table: str = "events",
+    basket_col: str = "user_id",
+    item_col: str = "event_type",
+    min_support: float = 0.01,
+) -> str:
+    return f"""
+        WITH bi AS (
+          SELECT DISTINCT {basket_col} AS b, {item_col} AS item
+          FROM {table}
+        ), nb AS (SELECT COUNT(DISTINCT b) AS n FROM bi),
+        ic AS (SELECT item, COUNT(*) AS ni FROM bi GROUP BY 1),
+        pairs AS (
+          SELECT x.item AS antecedent, y.item AS consequent,
+                 COUNT(*) AS n_both
+          FROM bi x JOIN bi y ON x.b = y.b AND x.item != y.item
+          GROUP BY 1, 2
+        )
+        SELECT antecedent, consequent,
+               CAST(n_both AS BIGINT) AS n_both,
+               ROUND(CAST(n_both AS DOUBLE) / nb.n, 6) AS support,
+               ROUND(CAST(n_both AS DOUBLE) / na.ni, 6) AS confidence,
+               ROUND((CAST(n_both AS DOUBLE) / na.ni)
+                     / (CAST(nc.ni AS DOUBLE) / nb.n), 6) AS lift
+        FROM pairs
+        JOIN ic na ON na.item = pairs.antecedent
+        JOIN ic nc ON nc.item = pairs.consequent, nb
+        WHERE CAST(n_both AS DOUBLE) / nb.n >= {float(min_support)!r}
+        ORDER BY antecedent, consequent
+    """

@@ -1501,3 +1501,80 @@ def trimmed_mean_sql(
         FROM {table} t JOIN q USING ({group_col})
         GROUP BY 1 ORDER BY 1
     """
+
+
+def gini_coefficient(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> "DataFrame":
+    """Per-group Gini concentration index over non-negative values —
+    the inequality summary a mixture designer reads next to the share
+    report ("is this source's token mass owned by a handful of
+    documents?"). Exact rank formulation G = 2*sum(i*x_(i)) /
+    (n*sum(x)) - (n+1)/n over ascending positional ranks; tied values
+    contribute identically under any tie order (the positional sum over
+    a tie block is permutation-invariant), with (value, id) ordering
+    pinning determinism anyway. Negative values are excluded (Gini is
+    defined over non-negative support). Returns (group_col, n,
+    total, gini).
+
+    Shape: one hash(group) shuffle, one ranking window, one combinable
+    DECIMAL-sum aggregation — rank products accumulate exactly."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    base = df.filter(v >= 0)
+    w = Window.partitionBy(group_col).orderBy(v.asc(), F.col(id_col).asc())
+    ranked = base.select(
+        F.col(group_col),
+        v.alias("_v"),
+        F.row_number().over(w).alias("_i"),
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_v").cast("decimal(38,12)")).alias("_s"),
+        F.sum(
+            (F.col("_i") * F.col("_v")).cast("decimal(38,12)")
+        ).alias("_is"),
+    )
+    n = F.col("_n").cast("double")
+    s = F.col("_s").cast("string").cast("double")
+    ixs = F.col("_is").cast("string").cast("double")
+    gini = F.when(
+        s > 0, (F.lit(2.0) * ixs) / (n * s) - (n + F.lit(1.0)) / n
+    )
+    return agg.select(
+        F.col(group_col),
+        F.col("_n").cast("bigint").alias("n"),
+        F.round(s, 4).alias("total"),
+        (F.round(gini, 6) + F.lit(0.0)).alias("gini"),
+    )
+
+
+def gini_coefficient_sql(
+    table: str, group_col: str, value_col: str, id_col: str
+) -> str:
+    v = f"CAST({value_col} AS DOUBLE)"
+    return f"""
+        WITH ranked AS (
+          SELECT {group_col}, {v} AS v,
+                 ROW_NUMBER() OVER (PARTITION BY {group_col}
+                      ORDER BY {v}, {id_col}) AS i
+          FROM {table} WHERE {v} >= 0
+        ), agg AS (
+          SELECT {group_col}, COUNT(*) AS n,
+                 CAST(CAST(SUM(CAST(v AS DECIMAL(38,12))) AS VARCHAR)
+                      AS DOUBLE) AS s,
+                 CAST(CAST(SUM(CAST(i * v AS DECIMAL(38,12))) AS VARCHAR)
+                      AS DOUBLE) AS ixs
+          FROM ranked GROUP BY 1
+        )
+        SELECT {group_col}, CAST(n AS BIGINT) AS n,
+               ROUND(s, 4) AS total,
+               ROUND(CASE WHEN s > 0
+                     THEN (2.0 * ixs) / (n * s) - (n + 1.0) / n END, 6)
+                 + 0.0 AS gini
+        FROM agg ORDER BY {group_col}
+    """
