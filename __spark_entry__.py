@@ -2670,6 +2670,27 @@ def r47_association_rules(spark, sf_dir):
     )
 
 
+def r48_token_pmi(spark, sf_dir):
+    """Collocation PMI over document co-occurrence (operators/text.py
+    token_pmi): top pairs by ln(n_ab*N/(n_a*n_b)) with df caps pruning
+    BEFORE the within-doc self-join (the hub argument) — pair fan-out
+    bounded by the capped per-doc vocabulary squared."""
+    from unifydb_spark.operators.text import token_pmi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_pmi(docs, min_df=5, max_df_frac=0.9, min_pair=5, top_k=30)
+
+
+def r49_session_paths(spark, sf_dir):
+    """Top navigation paths (operators/events.py session_paths):
+    gap-sessionized ordered event-type sequences counted corpus-wide —
+    per-session order pinned via sort_array over (ts,event_id) structs,
+    never a bare collect_list."""
+    from unifydb_spark.operators.events import session_paths
+
+    return session_paths(_events_ts(spark, sf_dir), top_k=20)
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2868,6 +2889,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r45_benford_report": r45_benford_report,
         "r46_gini_concentration": r46_gini_concentration,
         "r47_association_rules": r47_association_rules,
+        "r48_token_pmi": r48_token_pmi,
+        "r49_session_paths": r49_session_paths,
     }
 
 
@@ -3527,6 +3550,10 @@ def _operator_oracles() -> dict[str, str]:
         "r40_embedding_covariance": _s.embedding_covariance_sql(
             "embeddings"
         ),
+        "r48_token_pmi": _t.token_pmi_sql(
+            "documents", min_df=5, max_df_frac=0.9, min_pair=5, top_k=30
+        ),
+        "r49_session_paths": _ev.session_paths_sql("events", top_k=20),
         "r46_gini_concentration": _st.gini_coefficient_sql(
             "documents", "source", "n_chars", "doc_id"
         ),

@@ -108,6 +108,8 @@ HEADLINE = [
     "r43_rank_features",
     "r45_benford_report",
     "r47_association_rules",
+    "r49_session_paths",
+    "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",
     "r41_token_drift",

@@ -386,3 +386,43 @@ def test_gini_and_association_rules(spark):
     ba = rules[("b", "a")]
     assert ba["confidence"] == 0.75      # 3/4 b-baskets
     assert ("c", "a") not in rules       # never co-occur
+
+
+def test_session_paths_and_token_pmi(spark):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.events import session_paths
+    from unifydb_spark.operators.text import token_pmi
+
+    t0 = datetime(2026, 8, 2)
+    rows, eid = [], 0
+    # 3 users do a>b>c in one session; 1 user does a>b then (gap) c
+    for u in range(3):
+        for i, et in enumerate(["a", "b", "c"]):
+            rows.append((eid, u, et, t0 + timedelta(minutes=i))); eid += 1
+    rows.append((eid, 9, "a", t0)); eid += 1
+    rows.append((eid, 9, "b", t0 + timedelta(minutes=1))); eid += 1
+    rows.append((eid, 9, "c", t0 + timedelta(hours=5))); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+    out = {r["path"]: r for r in session_paths(ev, top_k=10).collect()}
+    assert out["a>b>c"]["n_sessions"] == 3
+    assert out["a>b"]["n_sessions"] == 1      # gap split the session
+    assert out["c"]["n_sessions"] == 1
+    assert out["a>b>c"]["avg_len"] == 3.0
+
+    # PMI: x,y always together; x,z never -> (x,y) high PMI, (x,z) absent
+    docs = spark.createDataFrame(
+        [(i, "x y filler%d" % (i % 7)) for i in range(20)]
+        + [(100 + i, "z other%d" % (i % 5)) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    got = {(r["tok_a"], r["tok_b"]): r["pmi"]
+           for r in token_pmi(docs, min_df=2, max_df_frac=1.0,
+                              min_pair=2, top_k=50).collect()}
+    import math
+
+    assert abs(got[("x", "y")] - math.log(20 * 40 / (20 * 20))) < 1e-6
+    assert ("x", "z") not in got

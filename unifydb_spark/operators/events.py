@@ -1010,3 +1010,94 @@ def association_rules_sql(
         WHERE CAST(n_both AS DOUBLE) / nb.n >= {float(min_support)!r}
         ORDER BY antecedent, consequent
     """
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top navigation paths: gap-sessionize (the q34 tagging), render
+    each session's ORDERED event-type sequence as a path string, count
+    identical paths corpus-wide — the "how do users actually move"
+    report behind funnel design. Returns the top_k paths by frequency
+    (ties by path), with (path, n_sessions, avg_len).
+
+    Determinism: the per-session sequence is fixed by sort_array over
+    (ts, event_id, type) structs — never a bare collect_list, whose
+    order is partition-dependent. Shape: the sessionize window (one
+    hash(user) shuffle), one session rollup, one path count — paths
+    are a heavy-tail relation far smaller than events."""
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > gap_us), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tagged = events.withColumn("session_seq", F.sum(new_sess).over(run))
+    per_sess = tagged.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_micros("ts").alias("t"),
+                            F.col("event_id").alias("e"),
+                            F.col("event_type").alias("et"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("et"),
+            ),
+        ).alias("path"),
+        F.count(F.lit(1)).alias("len"),
+    )
+    return (
+        per_sess.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.round(
+                F.sum("len").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_len"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(int(top_k))
+    )
+
+
+def session_paths_sql(
+    table: str = "events",
+    gap_minutes: int = 30,
+    top_k: int = 20,
+) -> str:
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    return f"""
+        WITH tagged AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM {table}
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), runs AS (
+          SELECT user_id, ts, event_id, event_type,
+                 SUM(new_sess) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS session_seq
+          FROM tagged
+        ), per_sess AS (
+          SELECT user_id, session_seq,
+                 array_to_string(list(event_type ORDER BY ts, event_id),
+                                 '>') AS path,
+                 COUNT(*) AS len
+          FROM runs GROUP BY 1, 2
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               ROUND(CAST(SUM(len) AS DOUBLE) / COUNT(*), 4) AS avg_len
+        FROM per_sess GROUP BY 1
+        ORDER BY n_sessions DESC, path LIMIT {int(top_k)}
+    """

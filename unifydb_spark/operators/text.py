@@ -1474,3 +1474,115 @@ def token_drift_sql(
         FROM j ORDER BY ABS(ROUND(pn - po, 8) + 0.0) DESC, tok
         LIMIT {int(top_k)}
     """
+
+
+def token_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_df: int = 5,
+    max_df_frac: float = 0.5,
+    min_pair: int = 5,
+    top_k: int = 30,
+) -> DataFrame:
+    """Document-level pointwise mutual information between token pairs
+    — the collocation finder ("which terms travel together far beyond
+    chance?") that seeds phrase vocabularies and reveals topical
+    structure. PMI = ln(n_ab * N / (n_a * n_b)) over DOCUMENT
+    frequencies; pairs unordered (a < b). Returns the top_k pairs by
+    PMI (ties by pair), with (tok_a, tok_b, n_a, n_b, n_ab, pmi).
+
+    Scale shape: the (doc, token) DISTINCT relation collapses the
+    corpus first; df caps (min_df noise floor, max_df_frac stopword
+    ceiling) prune BEFORE the within-doc self-join, so the pair
+    fan-out is bounded by the CAPPED per-doc vocabulary squared —
+    the same hub argument as winnowing/the inverted index."""
+    from unifydb_spark.operators.dedup import _spread
+
+    dt = tracked_persist(
+        _spread(docs)
+        .select(
+            "doc_id", F.explode(words_col(F.col(text_col))).alias("tok")
+        )
+        .distinct()
+    )
+    n_docs = dt.select("doc_id").distinct().count()
+    dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("nt"))
+    kept_toks = dfreq.filter(
+        (F.col("nt") >= int(min_df))
+        & (F.col("nt") <= float(max_df_frac) * n_docs)
+    )
+    kept = dt.join(F.broadcast(kept_toks), "tok")
+    pairs = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("tok_a"),
+            F.col("b.tok").alias("tok_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_pair))
+    )
+    na = kept_toks.select(F.col("tok").alias("tok_a"), F.col("nt").alias("n_a"))
+    nb = kept_toks.select(F.col("tok").alias("tok_b"), F.col("nt").alias("n_b"))
+    j = pairs.join(F.broadcast(na), "tok_a").join(F.broadcast(nb), "tok_b")
+    pmi = F.log(
+        F.col("n_ab").cast("double")
+        * F.lit(float(n_docs))
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return (
+        j.select(
+            "tok_a",
+            "tok_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+        .limit(int(top_k))
+    )
+
+
+def token_pmi_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    min_df: int = 5,
+    max_df_frac: float = 0.5,
+    min_pair: int = 5,
+    top_k: int = 30,
+) -> str:
+    return f"""
+        WITH dt AS (
+          SELECT DISTINCT doc_id, u.tok
+          FROM {table},
+               unnest(list_filter(string_split({text_col}, ' '),
+                                  w -> w != '')) AS u(tok)
+        ), nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dt),
+        dfq AS (SELECT tok, COUNT(*) AS nt FROM dt GROUP BY 1),
+        kept_t AS (
+          SELECT tok, nt FROM dfq, nd
+          WHERE nt >= {int(min_df)} AND nt <= {float(max_df_frac)!r} * nd.n
+        ), kept AS (
+          SELECT dt.doc_id, dt.tok, kept_t.nt
+          FROM dt JOIN kept_t USING (tok)
+        ), pairs AS (
+          SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_ab
+          FROM kept a JOIN kept b
+            ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING COUNT(*) >= {int(min_pair)}
+        )
+        SELECT tok_a, tok_b,
+               CAST(na.nt AS BIGINT) AS n_a, CAST(nb.nt AS BIGINT) AS n_b,
+               CAST(n_ab AS BIGINT) AS n_ab,
+               ROUND(ln(CAST(n_ab AS DOUBLE) * nd.n
+                        / (CAST(na.nt AS DOUBLE) * nb.nt)), 6) AS pmi
+        FROM pairs
+        JOIN kept_t na ON na.tok = pairs.tok_a
+        JOIN kept_t nb ON nb.tok = pairs.tok_b, nd
+        ORDER BY pmi DESC, tok_a, tok_b LIMIT {int(top_k)}
+    """
