@@ -2691,6 +2691,39 @@ def r49_session_paths(spark, sf_dir):
     return session_paths(_events_ts(spark, sf_dir), top_k=20)
 
 
+def r50_survival_curve(spark, sf_dir):
+    """Kaplan-Meier time-to-conversion (operators/events.py
+    survival_curve): per user, time from first click to first
+    subsequent purchase, CENSORED at the last event when no purchase
+    follows — the estimator that keeps non-converters as information.
+    Accumulations run over the distinct-duration grid; the running
+    product is exp(cumsum(round(ln(1 - d/n), 12)))."""
+    from unifydb_spark.operators.events import survival_curve
+
+    ev = _events_ts(spark, sf_dir)
+    um = F.unix_micros("ts")
+    base = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", um)).alias("tc"),
+        F.max(um).alias("tlast"),
+    ).filter(F.col("tc").isNotNull())
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", um.alias("tp"))
+        .join(base.select("user_id", "tc"), "user_id")
+        .filter(F.col("tp") >= F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("tp"))
+    )
+    dur = base.join(purch, "user_id", "left").select(
+        (
+            (F.coalesce(F.col("tp"), F.col("tlast")) - F.col("tc"))
+            / F.lit(60_000_000.0)
+        ).alias("duration"),
+        F.col("tp").isNotNull().alias("observed"),
+    )
+    return survival_curve(dur).orderBy("duration")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2891,6 +2924,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r47_association_rules": r47_association_rules,
         "r48_token_pmi": r48_token_pmi,
         "r49_session_paths": r49_session_paths,
+        "r50_survival_curve": r50_survival_curve,
     }
 
 
@@ -3549,6 +3583,26 @@ def _operator_oracles() -> dict[str, str]:
         "r39_json_props": _ol.json_props_metrics_sql("events"),
         "r40_embedding_covariance": _s.embedding_covariance_sql(
             "embeddings"
+        ),
+        "r50_survival_curve": _ev.survival_curve_sql(
+            """SELECT ((COALESCE(p.tp, b.tlast) - b.tc) / 60000000.0)
+                        AS duration,
+                      p.tp IS NOT NULL AS observed
+               FROM (SELECT user_id,
+                            MIN(CASE WHEN event_type = 'click'
+                                THEN epoch_us(ts) END) AS tc,
+                            MAX(epoch_us(ts)) AS tlast
+                     FROM events GROUP BY 1) b
+               LEFT JOIN (
+                 SELECT e.user_id, MIN(epoch_us(e.ts)) AS tp
+                 FROM events e JOIN (
+                   SELECT user_id,
+                          MIN(CASE WHEN event_type = 'click'
+                              THEN epoch_us(ts) END) AS tc
+                   FROM events GROUP BY 1) b2 USING (user_id)
+                 WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= b2.tc
+                 GROUP BY 1) p USING (user_id)
+               WHERE b.tc IS NOT NULL"""
         ),
         "r48_token_pmi": _t.token_pmi_sql(
             "documents", min_df=5, max_df_frac=0.9, min_pair=5, top_k=30

@@ -109,6 +109,7 @@ HEADLINE = [
     "r45_benford_report",
     "r47_association_rules",
     "r49_session_paths",
+    "r50_survival_curve",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

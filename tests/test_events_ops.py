@@ -426,3 +426,30 @@ def test_session_paths_and_token_pmi(spark):
 
     assert abs(got[("x", "y")] - math.log(20 * 40 / (20 * 20))) < 1e-6
     assert ("x", "z") not in got
+
+
+def test_survival_curve_km_semantics(spark):
+    """Kaplan-Meier hand-check: 10 subjects, events at t=1 (2), t=3 (3),
+    censored at t=2 (1), remaining 4 censored at t=5.
+    S(1) = 8/10; at t=3 n_risk = 7 -> S(3) = 0.8 * 4/7."""
+    from unifydb_spark.operators.events import survival_curve
+
+    rows = (
+        [(1.0, True)] * 2 + [(2.0, False)] + [(3.0, True)] * 3
+        + [(5.0, False)] * 4
+    )
+    df = spark.createDataFrame(rows, "duration double, observed boolean")
+    out = {r["duration"]: r for r in survival_curve(df).collect()}
+    assert out[1.0]["n_risk"] == 10 and out[1.0]["n_events"] == 2
+    assert abs(out[1.0]["survival"] - 0.8) < 1e-6
+    assert out[2.0]["n_risk"] == 8 and out[2.0]["n_censored"] == 1
+    assert abs(out[2.0]["survival"] - 0.8) < 1e-6  # censoring: no drop
+    assert out[3.0]["n_risk"] == 7
+    assert abs(out[3.0]["survival"] - 0.8 * 4 / 7) < 1e-6
+    assert out[5.0]["survival"] == out[3.0]["survival"]
+    # everyone-converts tail: survival hits exactly 0
+    allc = spark.createDataFrame(
+        [(1.0, True)] * 3 + [(2.0, True)] * 2, "duration double, observed boolean"
+    )
+    rows2 = {r["duration"]: r["survival"] for r in survival_curve(allc).collect()}
+    assert rows2[2.0] == 0.0 and rows2[1.0] == 0.4

@@ -1101,3 +1101,121 @@ def session_paths_sql(
         FROM per_sess GROUP BY 1
         ORDER BY n_sessions DESC, path LIMIT {int(top_k)}
     """
+
+
+def survival_curve(
+    durations: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "observed",
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over (duration, observed) pairs
+    — time-to-event analytics with CENSORING done right (users who
+    never converted are information, not missing data; dropping them
+    biases every naive "average time to purchase" report). S(t) is the
+    product over event times t_i <= t of (1 - d_i / n_i), with d_i the
+    events at t_i and n_i the at-risk count. Returns one row per
+    distinct duration (events or censorings): (duration, n_risk,
+    n_events, n_censored, survival).
+
+    Shape: one duration-level combinable count, then the at-risk and
+    survival accumulations run as windows over the DISTINCT-duration
+    relation (time-grid-sized, never row-sized). The running product
+    is exp(cumsum(ln(...))) — the ln-parity contract — with terms
+    rounded to 12 decimals before the cumulative sum so both engines
+    accumulate identical values; survival at a pure-censoring time
+    repeats the previous value (d_i = 0 -> ln term 0)."""
+    from pyspark.sql import Window
+
+    d = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("boolean")
+    per_t = (
+        durations.groupBy(d.alias("t"))
+        .agg(
+            F.sum(ev.cast("long")).alias("d_i"),
+            F.sum((~ev).cast("long")).alias("c_i"),
+        )
+    )
+    w_ord = Window.orderBy("t")
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    total = F.sum(F.col("d_i") + F.col("c_i")).over(w_all)
+    before = F.sum(F.col("d_i") + F.col("c_i")).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_risk = total - F.coalesce(before, F.lit(0))
+    stepped = per_t.select(
+        "t",
+        "d_i",
+        "c_i",
+        n_risk.alias("n_risk"),
+    )
+    run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    term = F.round(
+        F.log(
+            F.lit(1.0)
+            - F.col("d_i").cast("double") / F.col("n_risk").cast("double")
+        ),
+        12,
+    )
+    # d_i == n_risk (everyone still at risk converts) makes the factor
+    # 0: survival is EXACTLY 0 from that time on — handled as an
+    # explicit zero flag rather than ln(0) (Spark yields NULL, DuckDB
+    # errors; neither is the right 0)
+    hit_zero = F.max(
+        (F.col("d_i") == F.col("n_risk")).cast("int")
+    ).over(run)
+    surv = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.exp(
+            F.sum(
+                F.when(
+                    (F.col("d_i") > 0) & (F.col("d_i") < F.col("n_risk")),
+                    term,
+                ).otherwise(F.lit(0.0))
+            ).over(run)
+        )
+    )
+    return stepped.select(
+        F.round(F.col("t"), 6).alias("duration"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d_i").cast("bigint").alias("n_events"),
+        F.col("c_i").cast("bigint").alias("n_censored"),
+        F.round(surv, 6).alias("survival"),
+    )
+
+
+def survival_curve_sql(
+    durations_sql: str,
+    duration_col: str = "duration",
+    event_col: str = "observed",
+) -> str:
+    return f"""
+        WITH src AS ({durations_sql}),
+        per_t AS (
+          SELECT CAST({duration_col} AS DOUBLE) AS t,
+                 SUM(CASE WHEN {event_col} THEN 1 ELSE 0 END) AS d_i,
+                 SUM(CASE WHEN {event_col} THEN 0 ELSE 1 END) AS c_i
+          FROM src GROUP BY 1
+        ), stepped AS (
+          SELECT t, d_i, c_i,
+                 SUM(d_i + c_i) OVER ()
+                   - COALESCE(SUM(d_i + c_i) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS n_risk
+          FROM per_t
+        )
+        SELECT ROUND(t, 6) AS duration,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d_i AS BIGINT) AS n_events,
+               CAST(c_i AS BIGINT) AS n_censored,
+               ROUND(CASE WHEN MAX(CASE WHEN d_i = n_risk THEN 1 ELSE 0 END)
+                          OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+                     THEN 0.0
+                     ELSE EXP(SUM(CASE WHEN d_i > 0 AND d_i < n_risk
+                          THEN ROUND(ln(1.0 - CAST(d_i AS DOUBLE) / n_risk),
+                                     12)
+                          ELSE 0.0 END) OVER (ORDER BY t
+                            ROWS UNBOUNDED PRECEDING))
+                     END, 6) AS survival
+        FROM stepped ORDER BY duration
+    """
