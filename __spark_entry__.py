@@ -2724,6 +2724,18 @@ def r50_survival_curve(spark, sf_dir):
     return survival_curve(dur).orderBy("duration")
 
 
+def r51_vocab_growth(spark, sf_dir):
+    """Vocabulary growth curve / Heaps-law measurement (operators/
+    text.py vocab_growth): cumulative distinct tokens WITHOUT windowed
+    distinct — each token's first-occurrence document turns the curve
+    into a running count over the document grid. Sampled every 25
+    documents."""
+    from unifydb_spark.operators.text import vocab_growth
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_growth(docs, sample_every=25).orderBy("doc_seq")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2925,6 +2937,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r48_token_pmi": r48_token_pmi,
         "r49_session_paths": r49_session_paths,
         "r50_survival_curve": r50_survival_curve,
+        "r51_vocab_growth": r51_vocab_growth,
     }
 
 
@@ -3603,6 +3616,9 @@ def _operator_oracles() -> dict[str, str]:
                  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= b2.tc
                  GROUP BY 1) p USING (user_id)
                WHERE b.tc IS NOT NULL"""
+        ),
+        "r51_vocab_growth": _t.vocab_growth_sql(
+            "documents", sample_every=25
         ),
         "r48_token_pmi": _t.token_pmi_sql(
             "documents", min_df=5, max_df_frac=0.9, min_pair=5, top_k=30

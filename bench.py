@@ -110,6 +110,7 @@ HEADLINE = [
     "r47_association_rules",
     "r49_session_paths",
     "r50_survival_curve",
+    "r51_vocab_growth",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

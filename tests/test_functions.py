@@ -163,3 +163,23 @@ def test_weighted_sample_k_statistics_and_determinism(spark):
     # group) should take a large share of the k=8 slots
     heavy = sum(1 for r in out if r["id"] % 50 == 0)
     assert heavy >= 4  # e.g. ~half the slots across both groups
+
+
+def test_vocab_growth_curve(spark):
+    from unifydb_spark.operators.text import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "d a"), (5, "e e e")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_seq"]: r for r in vocab_growth(docs).collect()}
+    assert out[1]["cum_vocab"] == 3 and out[1]["new_tokens"] == 3
+    assert out[2]["cum_vocab"] == 3 and out[2]["new_tokens"] == 0
+    assert out[3]["cum_vocab"] == 4  # 'd' is new, 'a' isn't
+    assert out[4]["cum_vocab"] == 5 and out[4]["new_tokens"] == 1
+    assert out[4]["cum_tokens"] == 3 + 2 + 2 + 3
+    # monotone non-decreasing both curves
+    seqs = sorted(out)
+    for a, b in zip(seqs, seqs[1:]):
+        assert out[b]["cum_vocab"] >= out[a]["cum_vocab"]
+        assert out[b]["cum_tokens"] > out[a]["cum_tokens"]

@@ -1586,3 +1586,101 @@ def token_pmi_sql(
         JOIN kept_t nb ON nb.tok = pairs.tok_b, nd
         ORDER BY pmi DESC, tok_a, tok_b LIMIT {int(top_k)}
     """
+
+
+def vocab_growth(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_every: int = 1,
+) -> DataFrame:
+    """Vocabulary growth curve (the Heaps'-law measurement): cumulative
+    distinct-token count and cumulative token volume after each
+    document in id order, plus the running hapax count (tokens seen
+    exactly once so far is NOT windowable — this reports the corpus-
+    final hapax share instead via first/second occurrence positions).
+    Concretely returns, per sampled document position: (doc_seq,
+    cum_tokens, cum_vocab, new_tokens) — the curve a corpus curator
+    reads to see whether new data still adds vocabulary or only
+    repeats it.
+
+    Exact cumulative distinct WITHOUT windowed distinct (which Spark
+    cannot do): each token's FIRST-occurrence document (min id per
+    token) turns cumulative vocabulary into a cumulative COUNT over the
+    first-occurrence relation — one combinable min per token, one
+    count per document, one running sum over the document grid
+    (document-cardinality-sized, never token-sized)."""
+    from unifydb_spark.operators.dedup import _spread
+    from pyspark.sql import Window
+
+    tok = _spread(docs).select(
+        F.col(id_col).alias("d"),
+        F.explode(words_col(F.col(text_col))).alias("tok"),
+    )
+    tok = tracked_persist(tok)
+    per_doc = tok.groupBy("d").agg(F.count(F.lit(1)).alias("n_tok"))
+    firsts = (
+        tok.groupBy("tok")
+        .agg(F.min("d").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    grid = per_doc.join(firsts, "d", "left").select(
+        "d",
+        "n_tok",
+        F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"),
+    )
+    run = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    seq = Window.orderBy("d")
+    out = grid.select(
+        F.row_number().over(seq).cast("bigint").alias("doc_seq"),
+        F.col("d").cast("bigint").alias(id_col),
+        F.sum("n_tok").over(run).cast("bigint").alias("cum_tokens"),
+        F.sum("new_tokens").over(run).cast("bigint").alias("cum_vocab"),
+        F.col("new_tokens").cast("bigint").alias("new_tokens"),
+    )
+    if int(sample_every) > 1:
+        out = out.filter(
+            (F.col("doc_seq") % int(sample_every) == 0)
+            | (F.col("doc_seq") == 1)
+        )
+    return out
+
+
+def vocab_growth_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_every: int = 1,
+) -> str:
+    cond = (
+        f"WHERE doc_seq % {int(sample_every)} = 0 OR doc_seq = 1"
+        if int(sample_every) > 1
+        else ""
+    )
+    return f"""
+        WITH tok AS (
+          SELECT {id_col} AS d, u.tok
+          FROM {table},
+               unnest(list_filter(string_split({text_col}, ' '),
+                                  w -> w != '')) AS u(tok)
+        ), per_doc AS (
+          SELECT d, COUNT(*) AS n_tok FROM tok GROUP BY 1
+        ), firsts AS (
+          SELECT d, COUNT(*) AS new_tokens
+          FROM (SELECT tok, MIN(d) AS d FROM tok GROUP BY 1) GROUP BY 1
+        ), grid AS (
+          SELECT p.d, p.n_tok, COALESCE(f.new_tokens, 0) AS new_tokens
+          FROM per_doc p LEFT JOIN firsts f USING (d)
+        ), curve AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS doc_seq,
+                 CAST(d AS BIGINT) AS {id_col},
+                 CAST(SUM(n_tok) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum_tokens,
+                 CAST(SUM(new_tokens) OVER (ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab,
+                 CAST(new_tokens AS BIGINT) AS new_tokens
+          FROM grid
+        )
+        SELECT * FROM curve {cond} ORDER BY doc_seq
+    """
