@@ -2736,6 +2736,19 @@ def r51_vocab_growth(spark, sf_dir):
     return vocab_growth(docs, sample_every=25).orderBy("doc_seq")
 
 
+def r52_lorenz_points(spark, sf_dir):
+    """Lorenz curve sample points per source (operators/stats.py
+    lorenz_points over n_chars): the who-owns-the-mass curve behind
+    the r46 Gini scalar — ranking window + cumulative DECIMAL sums,
+    positional decile filter keeps points x groups rows."""
+    from unifydb_spark.operators.stats import lorenz_points
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lorenz_points(
+        docs, "source", "n_chars", "doc_id", n_points=10
+    ).orderBy("source", "point")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2938,6 +2951,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r49_session_paths": r49_session_paths,
         "r50_survival_curve": r50_survival_curve,
         "r51_vocab_growth": r51_vocab_growth,
+        "r52_lorenz_points": r52_lorenz_points,
     }
 
 
@@ -3616,6 +3630,9 @@ def _operator_oracles() -> dict[str, str]:
                  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= b2.tc
                  GROUP BY 1) p USING (user_id)
                WHERE b.tc IS NOT NULL"""
+        ),
+        "r52_lorenz_points": _st.lorenz_points_sql(
+            "documents", "source", "n_chars", "doc_id", n_points=10
         ),
         "r51_vocab_growth": _t.vocab_growth_sql(
             "documents", sample_every=25

@@ -111,6 +111,7 @@ HEADLINE = [
     "r49_session_paths",
     "r50_survival_curve",
     "r51_vocab_growth",
+    "r52_lorenz_points",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

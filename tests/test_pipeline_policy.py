@@ -608,3 +608,27 @@ def test_trimmed_mean_drops_outlier_and_benford_detects(spark):
     )
     rows = benford_report(withz, "v").collect()
     assert sum(r["n"] for r in rows) == 1
+
+
+def test_lorenz_points_shape(spark):
+    from unifydb_spark.operators.stats import lorenz_points
+
+    # equal values: Lorenz = diagonal (value_share == pop_share)
+    eq = spark.createDataFrame(
+        [(i, "eq", 2.0) for i in range(100)], "id bigint, g string, v double"
+    )
+    out = lorenz_points(eq, "g", "v", "id", 10).collect()
+    assert len(out) == 10
+    for r in out:
+        assert abs(r["value_share"] - r["pop_share"]) < 1e-6
+    assert out[-1]["pop_share"] == 1.0 and out[-1]["value_share"] == 1.0
+    # extreme concentration: bottom 90% own nothing
+    un = spark.createDataFrame(
+        [(i, "un", 0.0) for i in range(90)] + [(i, "un", 10.0) for i in range(90, 100)],
+        "id bigint, g string, v double",
+    )
+    pts = {r["point"]: r for r in lorenz_points(un, "g", "v", "id", 10).collect()}
+    assert pts[9]["value_share"] == 0.0
+    assert pts[10]["value_share"] == 1.0
+    # curve is convex-ish: value_share never exceeds pop_share
+    assert all(r["value_share"] <= r["pop_share"] + 1e-9 for r in pts.values())

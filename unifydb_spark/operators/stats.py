@@ -1578,3 +1578,111 @@ def gini_coefficient_sql(
                  + 0.0 AS gini
         FROM agg ORDER BY {group_col}
     """
+
+
+def lorenz_points(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_points: int = 10,
+) -> "DataFrame":
+    """Lorenz curve sample points per group — the curve behind the Gini
+    scalar (gini_coefficient): at each of n_points population-share
+    cuts, the cumulative share of total value owned by the bottom
+    fraction. The '20% of documents hold 80% of tokens' readout.
+    Returns (group_col, point, pop_share, value_share) at the row
+    positions ceil(k*n/n_points). Negative values excluded (same
+    domain as Gini).
+
+    Shape: one ranking window over (value, id) asc, cumulative DECIMAL
+    sums, then a positional filter keeps n_points rows per group —
+    output is points x groups regardless of scale."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    base = df.filter(v >= 0)
+    w = Window.partitionBy(group_col).orderBy(v.asc(), F.col(id_col).asc())
+    wa = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = base.select(
+        F.col(group_col),
+        v.alias("_v"),
+        F.row_number().over(w).alias("_i"),
+    ).select(
+        F.col(group_col),
+        "_i",
+        F.sum(
+            F.col("_v").cast("decimal(38,12)")
+        ).over(
+            Window.partitionBy(group_col)
+            .orderBy("_i")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_cum"),
+        F.count(F.lit(1)).over(wa).alias("_n"),
+        F.sum(F.col("_v").cast("decimal(38,12)")).over(wa).alias("_tot"),
+    )
+    k = int(n_points)
+    # keep rows at positions ceil(p*n/k), p=1..k (always includes n)
+    is_point = F.expr(
+        f"_i * {k} % _n = 0 OR _i = ceil(_i * {k} / _n) * _n / {k}"
+    )
+    # simpler exact condition: _i is the smallest index with
+    # _i >= p*n/k for some p — equivalently ceil(_i*k/n) > ceil((_i-1)*k/n)
+    is_point = F.expr(f"ceil(_i * {k} / _n) > ceil((_i - 1) * {k} / _n)")
+    pt = F.expr(f"cast(ceil(_i * {k} / _n) as bigint)")
+    return ranked.filter(is_point).select(
+        F.col(group_col),
+        pt.alias("point"),
+        F.round(F.col("_i").cast("double") / F.col("_n"), 6).alias(
+            "pop_share"
+        ),
+        F.round(
+            F.when(
+                F.col("_tot").cast("string").cast("double") > 0,
+                F.col("_cum").cast("string").cast("double")
+                / F.col("_tot").cast("string").cast("double"),
+            ),
+            6,
+        ).alias("value_share"),
+    )
+
+
+def lorenz_points_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_points: int = 10,
+) -> str:
+    v = f"CAST({value_col} AS DOUBLE)"
+    k = int(n_points)
+    return f"""
+        WITH ranked AS (
+          SELECT {group_col}, {v} AS v,
+                 ROW_NUMBER() OVER (PARTITION BY {group_col}
+                     ORDER BY {v}, {id_col}) AS i
+          FROM {table} WHERE {v} >= 0
+        ), acc AS (
+          SELECT {group_col}, i,
+                 SUM(CAST(v AS DECIMAL(38,12))) OVER (
+                   PARTITION BY {group_col} ORDER BY i
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 COUNT(*) OVER (PARTITION BY {group_col}) AS n,
+                 SUM(CAST(v AS DECIMAL(38,12))) OVER (
+                   PARTITION BY {group_col}) AS tot
+          FROM ranked
+        )
+        SELECT {group_col},
+               CAST(CEIL(i * {k} / CAST(n AS DOUBLE)) AS BIGINT) AS point,
+               ROUND(CAST(i AS DOUBLE) / n, 6) AS pop_share,
+               ROUND(CASE WHEN CAST(CAST(tot AS VARCHAR) AS DOUBLE) > 0
+                     THEN CAST(CAST(cum AS VARCHAR) AS DOUBLE)
+                          / CAST(CAST(tot AS VARCHAR) AS DOUBLE) END, 6)
+                 AS value_share
+        FROM acc
+        WHERE CEIL(i * {k} / CAST(n AS DOUBLE))
+              > CEIL((i - 1) * {k} / CAST(n AS DOUBLE))
+        ORDER BY {group_col}, point
+    """
