@@ -1624,14 +1624,11 @@ def lorenz_points(
         F.sum(F.col("_v").cast("decimal(38,12)")).over(wa).alias("_tot"),
     )
     k = int(n_points)
-    # keep rows at positions ceil(p*n/k), p=1..k (always includes n)
-    is_point = F.expr(
-        f"_i * {k} % _n = 0 OR _i = ceil(_i * {k} / _n) * _n / {k}"
-    )
-    # simpler exact condition: _i is the smallest index with
-    # _i >= p*n/k for some p — equivalently ceil(_i*k/n) > ceil((_i-1)*k/n)
-    is_point = F.expr(f"ceil(_i * {k} / _n) > ceil((_i - 1) * {k} / _n)")
-    pt = F.expr(f"cast(ceil(_i * {k} / _n) as bigint)")
+    # keep the LAST index of each population decile: floor(i*k/n)
+    # increments exactly when i crosses a p*n/k boundary from below,
+    # so each kept row is the bottom-p/k population's top member
+    is_point = F.expr(f"floor(_i * {k} / _n) > floor((_i - 1) * {k} / _n)")
+    pt = F.expr(f"cast(floor(_i * {k} / _n) as bigint)")
     return ranked.filter(is_point).select(
         F.col(group_col),
         pt.alias("point"),
@@ -1675,14 +1672,14 @@ def lorenz_points_sql(
           FROM ranked
         )
         SELECT {group_col},
-               CAST(CEIL(i * {k} / CAST(n AS DOUBLE)) AS BIGINT) AS point,
+               CAST(FLOOR(i * {k} / CAST(n AS DOUBLE)) AS BIGINT) AS point,
                ROUND(CAST(i AS DOUBLE) / n, 6) AS pop_share,
                ROUND(CASE WHEN CAST(CAST(tot AS VARCHAR) AS DOUBLE) > 0
                      THEN CAST(CAST(cum AS VARCHAR) AS DOUBLE)
                           / CAST(CAST(tot AS VARCHAR) AS DOUBLE) END, 6)
                  AS value_share
         FROM acc
-        WHERE CEIL(i * {k} / CAST(n AS DOUBLE))
-              > CEIL((i - 1) * {k} / CAST(n AS DOUBLE))
+        WHERE FLOOR(i * {k} / CAST(n AS DOUBLE))
+              > FLOOR((i - 1) * {k} / CAST(n AS DOUBLE))
         ORDER BY {group_col}, point
     """
