@@ -2749,6 +2749,79 @@ def r52_lorenz_points(spark, sf_dir):
     ).orderBy("source", "point")
 
 
+def r53_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift gate (operators/
+    stats.py ks_test): sup-norm ECDF distance between the 'click' and
+    'purchase' event-value distributions — integer cross-multiplied
+    cumulative counts over the distinct-value relation with the q91
+    range-partition offset scheme (no single-partition sort), one
+    division at the surface."""
+    from unifydb_spark.operators.stats import ks_test
+
+    ev = _events_ts(spark, sf_dir)
+    return ks_test(ev, "value", "event_type", "click", "purchase")
+
+
+def r54_chi_square(spark, sf_dir):
+    """Chi-square independence + Cramer's V for documents lang x source
+    (operators/stats.py chi_square_independence): the significance
+    companion to r35's mutual information — one combinable contingency
+    count, marginal-identity chi2 (empty cells never materialize),
+    DECIMAL-summed cell terms."""
+    from unifydb_spark.operators.stats import chi_square_independence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chi_square_independence(docs, "lang", "source")
+
+
+def r55_rater_agreement(spark, sf_dir):
+    """Cohen's kappa between two document-quality raters (operators/
+    stats.py cohens_kappa): rater A = char-length gate, rater B =
+    word-count gate — agreement beyond chance for heuristic-filter
+    pairs, one combinable 2x2 confusion pass."""
+    from unifydb_spark.operators.stats import cohens_kappa
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+    return cohens_kappa(
+        docs, F.col("n_chars") >= 200, words >= 35
+    )
+
+
+def r56_psi_drift(spark, sf_dir):
+    """Population Stability Index report for event values, earlier vs
+    later half split at the integer epoch midpoint (operators/stats.py
+    psi_report): equi-width bins off one bounds pass, Laplace-smoothed
+    shares, DECIMAL-summed (p-q)ln(p/q) terms — the production drift
+    monitor next to r53's exact KS."""
+    from unifydb_spark.operators.stats import psi_report
+
+    ev = _events_ts(spark, sf_dir)
+    return psi_report(ev, "value", "ts", n_bins=10).orderBy("bin")
+
+
+def r57_daily_acf(spark, sf_dir):
+    """Lag-1..7 autocorrelation of daily event counts on the dense day
+    spine (operators/events.py daily_acf): the seasonality detector —
+    all sums integer (one combinable day count), r_k one mirrored
+    double expression per lag, windows on the calendar-sized spine."""
+    from unifydb_spark.operators.events import daily_acf
+
+    return daily_acf(_events_ts(spark, sf_dir), max_lag=7).orderBy("lag")
+
+
+def r58_cusum_shift(spark, sf_dir):
+    """Two-sided CUSUM mean-shift detector over daily event counts
+    (operators/events.py cusum_shift): Page's recursion in its
+    closed window form S_t = C_t - min C_i, scaled by 20n into pure
+    integer arithmetic (slack mu/20, threshold mu) — the sustained-
+    drift complement to r25's per-day z-score."""
+    from unifydb_spark.operators.events import cusum_shift
+
+    return cusum_shift(_events_ts(spark, sf_dir)).orderBy("d")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -2952,6 +3025,12 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r50_survival_curve": r50_survival_curve,
         "r51_vocab_growth": r51_vocab_growth,
         "r52_lorenz_points": r52_lorenz_points,
+        "r53_ks_drift": r53_ks_drift,
+        "r54_chi_square": r54_chi_square,
+        "r55_rater_agreement": r55_rater_agreement,
+        "r56_psi_drift": r56_psi_drift,
+        "r57_daily_acf": r57_daily_acf,
+        "r58_cusum_shift": r58_cusum_shift,
     }
 
 
@@ -3631,6 +3710,20 @@ def _operator_oracles() -> dict[str, str]:
                  GROUP BY 1) p USING (user_id)
                WHERE b.tc IS NOT NULL"""
         ),
+        "r53_ks_drift": _st.ks_test_sql(
+            "events", "value", "event_type", "click", "purchase"
+        ),
+        "r54_chi_square": _st.chi_square_independence_sql(
+            "documents", "lang", "source"
+        ),
+        "r55_rater_agreement": _st.cohens_kappa_sql(
+            "documents",
+            "n_chars >= 200",
+            "len(list_filter(string_split(text, ' '), w -> w != '')) >= 35",
+        ),
+        "r56_psi_drift": _st.psi_report_sql("events", "value", "ts", 10),
+        "r57_daily_acf": _ev.daily_acf_sql("events", "ts", 7),
+        "r58_cusum_shift": _ev.cusum_shift_sql("events", "ts"),
         "r52_lorenz_points": _st.lorenz_points_sql(
             "documents", "source", "n_chars", "doc_id", n_points=10
         ),

@@ -112,6 +112,12 @@ HEADLINE = [
     "r50_survival_curve",
     "r51_vocab_growth",
     "r52_lorenz_points",
+    "r53_ks_drift",
+    "r54_chi_square",
+    "r55_rater_agreement",
+    "r56_psi_drift",
+    "r57_daily_acf",
+    "r58_cusum_shift",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

@@ -72,6 +72,18 @@ BNLJ_ALLOWED = {
     # r45: the digit-count total rides a broadcast ONE-ROW cross join
     # onto the 9-row digit relation — bounded by construction
     "r45_benford_report",
+    # r54: the contingency total (1 row) rides a broadcast cross join
+    # onto the contingency-table-sized cell relation — bounded by
+    # construction (q61/r17 corpus-constant shape)
+    "r54_chi_square",
+    # r56: the global min/max bounds and the half totals are 1-row
+    # broadcast cross joins (bounds onto raw rows is a pure-Column
+    # probe, totals onto the n_bins relation) — bounded by construction
+    "r56_psi_drift",
+    # r57/r58: the (n, S) series scalars ride 1-row broadcast cross
+    # joins onto the calendar-sized day spine — bounded by construction
+    "r57_daily_acf",
+    "r58_cusum_shift",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)

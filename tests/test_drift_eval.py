@@ -1,0 +1,194 @@
+"""Drift / significance / time-series operators added in round 7:
+exact two-sample KS, chi-square independence, Cohen's kappa, PSI,
+daily-count autocorrelation, and integer-exact CUSUM changepoints."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_ks_test_hand_computed(spark):
+    from unifydb_spark.operators.stats import ks_test
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 3.0), ("b", 4.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = ks_test(df, "v", "g", "a", "b").collect()[0]
+    # ECDF diff peaks at 2/3, first reached at v=2
+    assert out["n_a"] == 3 and out["n_b"] == 3
+    assert out["ks_d"] == pytest.approx(0.666667)
+    assert out["ks_at"] == 2.0
+
+
+def test_ks_test_identical_distributions_zero(spark):
+    from unifydb_spark.operators.stats import ks_test
+
+    rows = [("a", float(i % 5)) for i in range(50)] + [
+        ("b", float(i % 5)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = ks_test(df, "v", "g", "a", "b").collect()[0]
+    assert out["ks_d"] == 0.0
+
+
+def test_ks_test_ties_across_groups_exact(spark):
+    from unifydb_spark.operators.stats import ks_test
+
+    # all mass of each group at one value; b strictly above a
+    rows = [("a", 1.0)] * 4 + [("b", 2.0)] * 4
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = ks_test(df, "v", "g", "a", "b").collect()[0]
+    assert out["ks_d"] == 1.0 and out["ks_at"] == 1.0
+
+
+def test_chi_square_independent_is_zero(spark):
+    from unifydb_spark.operators.stats import chi_square_independence
+
+    # product structure => exact independence => chi2 == 0
+    rows = [
+        (x, y)
+        for x in ("p", "q")
+        for y in ("u", "v", "w")
+        for _ in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = chi_square_independence(df, "x", "y").collect()[0]
+    assert out["chi2"] == 0.0
+    assert out["dof"] == 2
+    assert out["cramers_v"] == 0.0
+
+
+def test_chi_square_perfect_association(spark):
+    from unifydb_spark.operators.stats import chi_square_independence
+
+    # x determines y => chi2 = n, V = 1 for a 2x2
+    rows = [("p", "u")] * 5 + [("q", "v")] * 7
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = chi_square_independence(df, "x", "y").collect()[0]
+    assert out["chi2"] == pytest.approx(12.0)
+    assert out["cramers_v"] == pytest.approx(1.0)
+    assert out["dof"] == 1
+
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    from unifydb_spark.operators.stats import cohens_kappa
+
+    df = spark.createDataFrame(
+        [(True, True)] * 6 + [(False, False)] * 4, ["a", "b"]
+    )
+    out = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    assert out["kappa"] == pytest.approx(1.0)
+    assert out["po"] == pytest.approx(1.0)
+
+    # independent raters at 50/50: po == pe == 0.5 -> kappa 0
+    rows = [(a, b) for a in (True, False) for b in (True, False)] * 3
+    out2 = cohens_kappa(
+        spark.createDataFrame(rows, ["a", "b"]), F.col("a"), F.col("b")
+    ).collect()[0]
+    assert out2["kappa"] == pytest.approx(0.0)
+
+
+def _ts(day: int, hour: int = 0):
+    return datetime.datetime(2024, 1, 1 + day, hour, 0, 0)
+
+
+def test_psi_zero_when_halves_identical(spark):
+    from unifydb_spark.operators.stats import psi_report
+
+    # same value multiset in each half => p == q in every bin => psi 0
+    rows = []
+    for half, day in ((0, 0), (1, 9)):
+        for i in range(40):
+            rows.append((_ts(day), float(i % 10)))
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = psi_report(df, "value", "ts", n_bins=5).collect()
+    assert len(out) == 5
+    assert all(r["psi"] == 0.0 for r in out)
+    assert all(r["term"] == 0.0 for r in out)
+    assert all(r["n_ref"] == r["n_cur"] == 8 for r in out)
+
+
+def test_psi_detects_shift(spark):
+    from unifydb_spark.operators.stats import psi_report
+
+    rows = [(_ts(0), float(i % 5)) for i in range(50)] + [
+        (_ts(9), 5.0 + float(i % 5)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = psi_report(df, "value", "ts", n_bins=10).collect()
+    assert out[0]["psi"] > 1.0  # disjoint supports => large PSI
+    n_ref_total = sum(r["n_ref"] for r in out)
+    n_cur_total = sum(r["n_cur"] for r in out)
+    assert n_ref_total == 50 and n_cur_total == 50
+
+
+def test_daily_acf_alternating_series(spark):
+    from unifydb_spark.operators.events import daily_acf
+
+    # counts 1,2,1,2,1,2 over six consecutive days
+    rows = []
+    for d in range(6):
+        for _ in range(1 if d % 2 == 0 else 2):
+            rows.append((_ts(d, 12),))
+    df = spark.createDataFrame(rows, ["ts"])
+    out = {r["lag"]: r for r in daily_acf(df, max_lag=3).collect()}
+    # mean 1.5, den 1.5; lag1: 5 pairs each -0.25 => -5/6
+    assert out[1]["acf"] == pytest.approx(-0.833333)
+    assert out[2]["acf"] == pytest.approx(0.666667)
+    assert out[1]["n_pairs"] == 5 and out[2]["n_pairs"] == 4
+
+
+def test_daily_acf_dense_spine_counts_missing_days_as_zero(spark):
+    from unifydb_spark.operators.events import daily_acf
+
+    # events only on days 0 and 2: spine makes day 1 an explicit zero
+    rows = [(_ts(0),), (_ts(2),)]
+    df = spark.createDataFrame(rows, ["ts"])
+    out = {r["lag"]: r for r in daily_acf(df, max_lag=1).collect()}
+    # series 1,0,1: mean 2/3, den 2/3; lag1 num = 2*(1/3)(-2/3)=-4/9
+    assert out[1]["n_pairs"] == 2
+    assert out[1]["acf"] == pytest.approx(-0.666667)
+
+
+def test_daily_acf_constant_series_null(spark):
+    from unifydb_spark.operators.events import daily_acf
+
+    rows = [(_ts(d),) for d in range(5)]
+    df = spark.createDataFrame(rows, ["ts"])
+    out = daily_acf(df, max_lag=2).collect()
+    assert all(r["acf"] is None for r in out)
+
+
+def test_cusum_flags_sustained_step(spark):
+    from unifydb_spark.operators.events import cusum_shift
+
+    # 10 quiet days (1/day), then 10 loud days (5/day): mu = 3;
+    # the positive CUSUM accumulates ~2-mu/20 per loud day and must
+    # cross h = mu within a few days; quiet days never flag
+    rows = []
+    for d in range(10):
+        rows.append((_ts(d),))
+    for d in range(10, 20):
+        for _ in range(5):
+            rows.append((_ts(d),))
+    df = spark.createDataFrame(rows, ["ts"])
+    out = cusum_shift(df).collect()
+    assert len(out) == 20
+    flagged = [r for r in out if r["flag_pos"]]
+    assert flagged and all(r["d"] >= out[10]["d"] for r in flagged)
+    assert not any(r["flag_pos"] for r in out[:10])
+    # monotone accumulation on the loud run
+    assert out[19]["cusum_pos"] > out[12]["cusum_pos"] > 0
+
+
+def test_cusum_no_flags_on_stationary_series(spark):
+    from unifydb_spark.operators.events import cusum_shift
+
+    rows = []
+    for d in range(12):
+        for _ in range(3):
+            rows.append((_ts(d),))
+    out = cusum_shift(spark.createDataFrame(rows, ["ts"])).collect()
+    assert not any(r["flag_pos"] or r["flag_neg"] for r in out)
+    # with x == mu every day, deviation is only the slack: cusum stays 0
+    assert all(r["cusum_pos"] == 0.0 for r in out)

@@ -1219,3 +1219,235 @@ def survival_curve_sql(
                      END, 6) AS survival
         FROM stepped ORDER BY duration
     """
+
+
+def daily_acf(
+    events: DataFrame, ts_col: str = "ts", max_lag: int = 7
+) -> DataFrame:
+    """Lag-1..max_lag autocorrelation of the DAILY event count series —
+    the seasonality detector behind every volume monitor (a strong
+    lag-7 says weekly cadence; a strong lag-1 says momentum/batch
+    arrival), computed on a DENSE day spine so zero-event days damp
+    the correlation instead of silently vanishing (the r25 spine
+    argument). Returns (lag, n_pairs, acf) with the full-series ACF
+    convention: r_k = sum((x_t - mu)(x_(t+k) - mu)) / sum((x_t - mu)^2)
+    with mu and the denominator over the WHOLE series.
+
+    Exactness: daily counts are integers; every sum feeding r_k
+    (sum x_t*x_(t+k) per lag, head/tail sums, S, SS, n) is an integer
+    aggregate, so r_k is one mirrored double expression evaluated once
+    per lag — no float accumulation anywhere. Scale: one combinable
+    day count collapses raw rows to the calendar; the lead-window runs
+    on the day-spine relation (bounded by calendar days, thousands of
+    rows at any data scale), which is the documented exception to the
+    no-unpartitioned-window rule — same as r25's per-type spine."""
+    from unifydb_spark.resources import tracked_persist
+
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    daily = (
+        events.select(day.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    daily = tracked_persist(daily)
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    dense = tracked_persist(
+        spine.join(daily, "d", "left").select(
+            "d", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+        )
+    )
+    tot = dense.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    w = Window.orderBy("d")
+    leads = dense.select(
+        "c",
+        *[
+            F.lead("c", k).over(w).alias(f"_l{k}")
+            for k in range(1, int(max_lag) + 1)
+        ],
+    )
+    stack_expr = ", ".join(
+        f"{k}, _l{k}" for k in range(1, int(max_lag) + 1)
+    )
+    pairs = (
+        leads.selectExpr(
+            "c", f"stack({int(max_lag)}, {stack_expr}) AS (lag, y)"
+        )
+        .filter(F.col("y").isNotNull())
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("c") * F.col("y")).alias("sxy"),
+            F.sum("c").alias("sx"),
+            F.sum("y").alias("sy"),
+        )
+    )
+    j = pairs.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nd
+    num = (
+        F.col("sxy").cast("double")
+        - mu * (F.col("sx") + F.col("sy")).cast("double")
+        + F.col("n_pairs").cast("double") * mu * mu
+    )
+    den = F.col("ss").cast("double") - F.col("s").cast("double") * mu
+    return j.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.when(den > 0, num / den), 6
+        ).alias("acf"),
+    )
+
+
+def daily_acf_sql(
+    table: str = "events", ts_col: str = "ts", max_lag: int = 7
+) -> str:
+    lags = ", ".join(str(k) for k in range(1, int(max_lag) + 1))
+    return f"""
+        WITH daily AS (
+          SELECT CAST(date_trunc('day', {ts_col}) AS DATE)
+                   - DATE '1970-01-01' AS d, COUNT(*) AS c
+          FROM {table} GROUP BY 1
+        ), bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+        spine AS (
+          SELECT unnest(range(lo, hi + 1)) AS d FROM bounds
+        ), dense AS (
+          SELECT s.d, CAST(COALESCE(daily.c, 0) AS BIGINT) AS c
+          FROM spine s LEFT JOIN daily USING (d)
+        ), tot AS (
+          SELECT COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS ss FROM dense
+        ), pairs AS (
+          SELECT l.lag,
+                 COUNT(*) AS n_pairs,
+                 SUM(a.c * b.c) AS sxy,
+                 SUM(a.c) AS sx, SUM(b.c) AS sy
+          FROM dense a
+          JOIN (SELECT unnest([{lags}]) AS lag) l ON TRUE
+          JOIN dense b ON b.d = a.d + l.lag
+          GROUP BY 1
+        )
+        SELECT CAST(lag AS INT) AS lag,
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               ROUND(CASE WHEN CAST(ss AS DOUBLE)
+                          - CAST(s AS DOUBLE)
+                            * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                     THEN (CAST(sxy AS DOUBLE)
+                           - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                             * CAST(sx + sy AS DOUBLE)
+                           + CAST(n_pairs AS DOUBLE)
+                             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                          / (CAST(ss AS DOUBLE)
+                             - CAST(s AS DOUBLE)
+                               * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                     END, 6) AS acf
+        FROM pairs, tot ORDER BY lag
+    """
+
+
+def cusum_shift(
+    events: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Two-sided CUSUM mean-shift detection over the daily event-count
+    series — the changepoint monitor that catches SUSTAINED small
+    drifts a per-day z-score (r25) never trips on: each side
+    accumulates deviations beyond a slack of mu/20 and flags when the
+    accumulated excursion exceeds h = mu (one full average day of
+    excess mass). Page's recursion S_t = max(0, S_(t-1) + dev_t) is
+    not a SQL window — but its closed form IS:
+    S_t = C_t - min_(i<=t) C_i for the unreset cumulative C, so the
+    whole detector is one cumulative-sum window plus one running-min
+    window on the day spine.
+
+    Exactness: with slack = mu/20 and h = mu, every quantity scales by
+    20n into integers (mu = S/n): pos_t = 20n*cumsum(x) - 21*t*S,
+    neg_t = 19*t*S - 20n*cumsum(x); flags compare integers to 20*S —
+    the entire detector is integer arithmetic, floats appear only in
+    the human-unit surface columns. Scale: one combinable day count;
+    windows run on the calendar-sized spine (r25's documented
+    exception); the (n, S) scalars ride one broadcast 1-row cross
+    join."""
+    from unifydb_spark.resources import tracked_persist
+
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    daily = (
+        events.select(day.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    daily = tracked_persist(daily)
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    dense = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    tot = dense.agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"))
+    j = dense.crossJoin(F.broadcast(tot))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    t_idx = F.row_number().over(Window.orderBy("d")).cast("long")
+    cum = F.sum("c").over(w).cast("long")
+    scaled = j.select(
+        "d",
+        "c",
+        "n",
+        "s",
+        (
+            F.lit(20) * F.col("n") * cum - F.lit(21) * t_idx * F.col("s")
+        ).alias("_kpos"),
+        (
+            F.lit(19) * t_idx * F.col("s") - F.lit(20) * F.col("n") * cum
+        ).alias("_kneg"),
+    )
+    run_min = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    spos = F.col("_kpos") - F.min("_kpos").over(run_min)
+    sneg = F.col("_kneg") - F.min("_kneg").over(run_min)
+    scale = (F.lit(20.0) * F.col("n").cast("double"))
+    return scaled.select(
+        "d",
+        F.col("c").cast("bigint").alias("c"),
+        F.round(spos.cast("double") / scale, 6).alias("cusum_pos"),
+        F.round(sneg.cast("double") / scale, 6).alias("cusum_neg"),
+        (spos > F.lit(20) * F.col("s")).alias("flag_pos"),
+        (sneg > F.lit(20) * F.col("s")).alias("flag_neg"),
+    )
+
+
+def cusum_shift_sql(table: str = "events", ts_col: str = "ts") -> str:
+    return f"""
+        WITH daily AS (
+          SELECT CAST(date_trunc('day', {ts_col}) AS DATE)
+                   - DATE '1970-01-01' AS d, COUNT(*) AS c
+          FROM {table} GROUP BY 1
+        ), bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+        spine AS (SELECT unnest(range(lo, hi + 1)) AS d FROM bounds),
+        dense AS (
+          SELECT s.d, CAST(COALESCE(daily.c, 0) AS BIGINT) AS c
+          FROM spine s LEFT JOIN daily USING (d)
+        ), tot AS (SELECT COUNT(*) AS n, SUM(c) AS s FROM dense),
+        scaled AS (
+          SELECT d, c, n, s,
+                 20 * n * SUM(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                   - 21 * ROW_NUMBER() OVER (ORDER BY d) * s AS kpos,
+                 19 * ROW_NUMBER() OVER (ORDER BY d) * s
+                   - 20 * n * SUM(c) OVER (ORDER BY d ROWS UNBOUNDED
+                                           PRECEDING) AS kneg
+          FROM dense, tot
+        )
+        SELECT d, c,
+               ROUND(CAST(kpos - MIN(kpos) OVER (ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / (20.0 * CAST(n AS DOUBLE)), 6) AS cusum_pos,
+               ROUND(CAST(kneg - MIN(kneg) OVER (ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / (20.0 * CAST(n AS DOUBLE)), 6) AS cusum_neg,
+               kpos - MIN(kpos) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                 > 20 * s AS flag_pos,
+               kneg - MIN(kneg) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                 > 20 * s AS flag_neg
+        FROM scaled ORDER BY d
+    """

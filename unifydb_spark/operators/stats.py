@@ -1683,3 +1683,494 @@ def lorenz_points_sql(
               > FLOOR((i - 1) * {k} / CAST(n AS DOUBLE))
         ORDER BY {group_col}, point
     """
+
+
+def ks_test(
+    df: "DataFrame",
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    num_partitions: int | None = None,
+) -> "DataFrame":
+    """Exact two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two groups: D = max over x of |F_a(x) - F_b(x)| —
+    the standard nonparametric drift gate ("did this source's length /
+    score distribution move between snapshots?") whose exactness PSI
+    (binned) and mean/stddev z-tests (parametric) both trade away.
+    Returns one row (n_a, n_b, ks_d, ks_at) where ks_at is the smallest
+    value achieving the supremum.
+
+    Exactness: the ECDF difference at each distinct value is the
+    integer |C_a*n_b - C_b*n_a| (cross-multiplied cumulative counts),
+    so the argmax and the tie-break are integer comparisons; the single
+    division happens once at the surface. Ties across groups are
+    handled exactly because the ECDFs are evaluated after ALL rows of
+    each distinct value.
+
+    Scale shape (the q91 global_row_number scheme, layout.py:46): the
+    raw rows collapse to one row per DISTINCT value (combinable
+    groupBy); the cumulative counts over that relation use
+    range-partition on value + per-partition subtotal offsets (an
+    O(n_partitions) driver artifact, never a data collect) + windows
+    partitioned BY the range-partition id — no Exchange
+    SinglePartition anywhere. The reference computes no two-sample
+    tests (SURVEY §2 R-rows end at stddev); this is the distributed
+    drift-gate extension."""
+    from unifydb_spark.resources import tracked_persist
+
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    per_val = (
+        df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+        .groupBy(v.alias("v"))
+        .agg(
+            F.sum((g == F.lit(group_a)).cast("long")).alias("ca"),
+            F.sum((g == F.lit(group_b)).cast("long")).alias("cb"),
+        )
+    )
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = tracked_persist(
+        per_val.repartitionByRange(n, F.col("v")).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    subtotals = {
+        r["_pid"]: (r["sa"], r["sb"])
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum("ca").alias("sa"), F.sum("cb").alias("sb"))
+        .collect()
+    }
+    off_a, off_b, acc_a, acc_b = {}, {}, 0, 0
+    for pid in sorted(subtotals):
+        off_a[pid], off_b[pid] = acc_a, acc_b
+        acc_a += subtotals[pid][0]
+        acc_b += subtotals[pid][1]
+    n_a, n_b = acc_a, acc_b
+    map_a = F.create_map(*[F.lit(x) for p in off_a for x in (p, off_a[p])])
+    map_b = F.create_map(*[F.lit(x) for p in off_b for x in (p, off_b[p])])
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = ranged.select(
+        "v",
+        (F.element_at(map_a, F.col("_pid")) + F.sum("ca").over(w)).alias("cum_a"),
+        (F.element_at(map_b, F.col("_pid")) + F.sum("cb").over(w)).alias("cum_b"),
+    ).select(
+        "v",
+        F.abs(
+            F.col("cum_a") * F.lit(n_b) - F.col("cum_b") * F.lit(n_a)
+        ).cast("long").alias("dnum"),
+    )
+    cum = tracked_persist(cum)
+    dmax = cum.agg(F.max("dnum").alias("dmax"))
+    return (
+        cum.join(F.broadcast(dmax), F.col("dnum") == F.col("dmax"))
+        .agg(F.min("v").alias("ks_at"), F.max("dnum").alias("_d"))
+        .select(
+            F.lit(n_a).cast("bigint").alias("n_a"),
+            F.lit(n_b).cast("bigint").alias("n_b"),
+            F.round(
+                F.col("_d").cast("double")
+                / (F.lit(float(n_a)) * F.lit(float(n_b))),
+                6,
+            ).alias("ks_d"),
+            F.round(F.col("ks_at"), 6).alias("ks_at"),
+        )
+    )
+
+
+def ks_test_sql(
+    table: str, value_col: str, group_col: str, group_a, group_b
+) -> str:
+    qa = f"'{group_a}'" if isinstance(group_a, str) else repr(group_a)
+    qb = f"'{group_b}'" if isinstance(group_b, str) else repr(group_b)
+    return f"""
+        WITH per_val AS (
+          SELECT CAST({value_col} AS DOUBLE) AS v,
+                 SUM(CASE WHEN {group_col} = {qa} THEN 1 ELSE 0 END) AS ca,
+                 SUM(CASE WHEN {group_col} = {qb} THEN 1 ELSE 0 END) AS cb
+          FROM {table}
+          WHERE {group_col} IN ({qa}, {qb}) AND {value_col} IS NOT NULL
+          GROUP BY 1
+        ), cum AS (
+          SELECT v,
+                 SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+                 SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+                 SUM(ca) OVER () AS n_a, SUM(cb) OVER () AS n_b
+          FROM per_val
+        ), d AS (
+          SELECT v, n_a, n_b,
+                 CAST(ABS(cum_a * n_b - cum_b * n_a) AS BIGINT) AS dnum
+          FROM cum
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               ROUND(CAST(dnum AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+                 AS ks_d,
+               ROUND(v, 6) AS ks_at
+        FROM d
+        WHERE dnum = (SELECT MAX(dnum) FROM d)
+        ORDER BY v LIMIT 1
+    """
+
+
+def chi_square_independence(
+    df: "DataFrame", x_col: str, y_col: str
+) -> "DataFrame":
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramer's V — the significance-flavored companion to
+    r35 mutual_information (MI says how MUCH the columns co-vary; the
+    chi-square statistic against its dof says whether the association
+    exceeds sampling noise). Returns one row
+    (n, n_x, n_y, dof, chi2, cramers_v).
+
+    Exactness: observed counts and marginals are integers; each cell's
+    (o-e)^2/e term is one mirrored double expression (e = rx*cy/N) cast
+    to DECIMAL(30,15) so the cross-cell SUM is order-independent (the
+    r17 ln-parity contract); rounding happens once at the surface.
+
+    Scale: one combinable (x,y) count collapses raw rows to the
+    contingency table; marginals derive from it (no second scan) and
+    join back as broadcasts; everything after the first groupBy is
+    cardinality-sized. Cells with zero observed count contribute
+    e (not 0) to the statistic; summing o-free terms via the marginal
+    identity chi2 = sum(o^2/e) - N avoids materializing empty cells
+    entirely."""
+    from unifydb_spark.resources import tracked_persist
+
+    x = F.col(x_col).cast("string")
+    y = F.col(y_col).cast("string")
+    cells = tracked_persist(
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(x.alias("x"), y.alias("y"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rx = cells.groupBy("x").agg(F.sum("o").alias("rx"))
+    cy = cells.groupBy("y").agg(F.sum("o").alias("cy"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("x").alias("n_x"),
+        F.count_distinct("y").alias("n_y"),
+    )
+    j = (
+        cells.join(F.broadcast(rx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    # chi2 = sum over OBSERVED cells of o^2/(rx*cy/N)  -  N
+    term = (
+        F.col("o").cast("double")
+        * F.col("o").cast("double")
+        / (
+            F.col("rx").cast("double")
+            * F.col("cy").cast("double")
+            / F.col("n").cast("double")
+        )
+    ).cast("decimal(30,15)")
+    agg = j.groupBy("n", "n_x", "n_y").agg(
+        F.sum(term).cast("string").cast("double").alias("_s")
+    )
+    chi2 = F.col("_s") - F.col("n").cast("double")
+    kmin = F.least(F.col("n_x"), F.col("n_y")).cast("double") - F.lit(1.0)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_x").cast("bigint").alias("n_x"),
+        F.col("n_y").cast("bigint").alias("n_y"),
+        ((F.col("n_x") - 1) * (F.col("n_y") - 1)).cast("bigint").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (F.col("n").cast("double") * kmin)), 6
+        ).alias("cramers_v"),
+    )
+
+
+def chi_square_independence_sql(table: str, x_col: str, y_col: str) -> str:
+    return f"""
+        WITH cells AS (
+          SELECT CAST({x_col} AS VARCHAR) AS x,
+                 CAST({y_col} AS VARCHAR) AS y, COUNT(*) AS o
+          FROM {table}
+          WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+          GROUP BY 1, 2
+        ), rx AS (SELECT x, SUM(o) AS rx FROM cells GROUP BY 1),
+        cy AS (SELECT y, SUM(o) AS cy FROM cells GROUP BY 1),
+        tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT x) AS n_x,
+                       COUNT(DISTINCT y) AS n_y FROM cells),
+        agg AS (
+          SELECT n, n_x, n_y,
+                 CAST(CAST(SUM(CAST(
+                   CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+                   / (CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                 AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE) AS s
+          FROM cells JOIN rx USING (x) JOIN cy USING (y), tot
+          GROUP BY 1, 2, 3
+        )
+        SELECT CAST(n AS BIGINT) AS n, CAST(n_x AS BIGINT) AS n_x,
+               CAST(n_y AS BIGINT) AS n_y,
+               CAST((n_x - 1) * (n_y - 1) AS BIGINT) AS dof,
+               ROUND(s - CAST(n AS DOUBLE), 6) AS chi2,
+               ROUND(SQRT((s - CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE)
+                        * (CAST(LEAST(n_x, n_y) AS DOUBLE) - 1.0))), 6)
+                 AS cramers_v
+        FROM agg
+    """
+
+
+def cohens_kappa(
+    df: "DataFrame", rater_a: "Column", rater_b: "Column"
+) -> "DataFrame":
+    """Cohen's kappa inter-rater agreement between two boolean
+    classifiers evaluated on the same rows — the eval-harness primitive
+    for "do my two quality heuristics / annotators / judge prompts
+    actually agree beyond chance?" (po alone is inflated whenever both
+    raters mostly say the same class). Returns one row
+    (n, n00, n01, n10, n11, po, pe, kappa).
+
+    Exactness: the 2x2 confusion cells are one combinable integer
+    aggregation; po, pe, kappa are mirrored double expressions over
+    those integers (single division order, no accumulation), rounded
+    once at the surface. Scale: one map-side-combinable pass, output is
+    one row."""
+    a = rater_a.cast("boolean")
+    b = rater_b.cast("boolean")
+    agg = df.filter(a.isNotNull() & b.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~a & ~b).cast("long")).alias("n00"),
+        F.sum((~a & b).cast("long")).alias("n01"),
+        F.sum((a & ~b).cast("long")).alias("n10"),
+        F.sum((a & b).cast("long")).alias("n11"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n00") + F.col("n11")).cast("double") / nd
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01")).cast("double")
+        + (F.col("n00") + F.col("n01")).cast("double")
+        * (F.col("n00") + F.col("n10")).cast("double")
+    ) / (nd * nd)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n00").cast("bigint").alias("n00"),
+        F.col("n01").cast("bigint").alias("n01"),
+        F.col("n10").cast("bigint").alias("n10"),
+        F.col("n11").cast("bigint").alias("n11"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+def cohens_kappa_sql(table: str, rater_a_sql: str, rater_b_sql: str) -> str:
+    return f"""
+        WITH agg AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CASE WHEN NOT ({rater_a_sql}) AND NOT ({rater_b_sql})
+                     THEN 1 ELSE 0 END) AS n00,
+                 SUM(CASE WHEN NOT ({rater_a_sql}) AND ({rater_b_sql})
+                     THEN 1 ELSE 0 END) AS n01,
+                 SUM(CASE WHEN ({rater_a_sql}) AND NOT ({rater_b_sql})
+                     THEN 1 ELSE 0 END) AS n10,
+                 SUM(CASE WHEN ({rater_a_sql}) AND ({rater_b_sql})
+                     THEN 1 ELSE 0 END) AS n11
+          FROM {table}
+          WHERE ({rater_a_sql}) IS NOT NULL AND ({rater_b_sql}) IS NOT NULL
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+               CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+               ROUND(CAST(n00 + n11 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+               ROUND((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                      + CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+               ROUND((CAST(n00 + n11 AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                         + CAST(n00 + n01 AS DOUBLE)
+                           * CAST(n00 + n10 AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                     / (1.0
+                        - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                           + CAST(n00 + n01 AS DOUBLE)
+                             * CAST(n00 + n10 AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+                 AS kappa
+        FROM agg
+    """
+
+
+def psi_report(
+    df: "DataFrame",
+    value_col: str,
+    split_col: str,
+    n_bins: int = 10,
+) -> "DataFrame":
+    """Population Stability Index between a reference and a current
+    population of a numeric metric — THE production drift monitor
+    (PSI < 0.1 stable, 0.1-0.25 shifting, > 0.25 act), here between the
+    earlier and later half of the data split at the midpoint of
+    `split_col` (epoch-microsecond midpoint — integer arithmetic, no
+    order statistics). Bins are EQUI-WIDTH over the global [min, max]:
+    quantile-edge PSI needs an exact order statistic per edge (that is
+    q97's histogram-narrowing machinery); equi-width keeps the whole
+    operator two combinable passes and the bin id one mirrored
+    floor((v-lo)/width) expression — the standard variant when the
+    binning must be reproducible across engines and snapshots. Returns
+    per-bin rows (bin, lo, hi, n_ref, n_cur, term, psi) with the total
+    repeated per row.
+
+    Exactness: bin ids and counts are integers off one mirrored double
+    floor; Laplace-smoothed shares p=(c+0.5)/(n+B/2) keep empty bins
+    finite; each (p-q)*ln(p/q) term is cast DECIMAL(30,15) before the
+    sum (r17 ln-parity contract); one surface rounding. Scale: pass 1
+    computes 4 scalars (min/max/split bounds), pass 2 is one combinable
+    (half, bin) count — the output relation is n_bins rows."""
+    from unifydb_spark.resources import tracked_persist
+
+    v = F.col(value_col).cast("double")
+    t = F.col(split_col).cast("timestamp").cast("double")
+    base = df.filter(v.isNotNull() & t.isNotNull()).select(
+        v.alias("v"), t.alias("t")
+    )
+    bounds = base.agg(
+        F.min("v").alias("vlo"),
+        F.max("v").alias("vhi"),
+        F.min("t").alias("tlo"),
+        F.max("t").alias("thi"),
+    )
+    b = F.lit(int(n_bins))
+    j = base.crossJoin(F.broadcast(bounds))
+    width = (F.col("vhi") - F.col("vlo")) / b.cast("double")
+    binc = F.least(
+        b - 1,
+        F.floor((F.col("v") - F.col("vlo")) / width).cast("int"),
+    )
+    is_ref = F.col("t") * F.lit(2.0) <= F.col("tlo") + F.col("thi")
+    occupied = (
+        j.groupBy(
+            binc.alias("bin"),
+            F.col("vlo"),
+            ((F.col("vhi") - F.col("vlo")) / b.cast("double")).alias("_w"),
+        )
+        .agg(
+            F.sum(is_ref.cast("long")).alias("n_ref"),
+            F.sum((~is_ref).cast("long")).alias("n_cur"),
+        )
+    )
+    # dense bin spine: a bin empty in BOTH halves still carries a
+    # (smoothed) term and must appear in the report
+    spine = bounds.select(
+        F.explode(F.sequence(F.lit(0), b - 1)).alias("bin"),
+        F.col("vlo"),
+        ((F.col("vhi") - F.col("vlo")) / b.cast("double")).alias("_w"),
+    )
+    cells = spine.join(occupied, ["bin", "vlo", "_w"], "left").select(
+        "bin",
+        "vlo",
+        "_w",
+        F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+    )
+    cells = tracked_persist(cells)
+    tot = cells.agg(
+        F.sum("n_ref").alias("tref"), F.sum("n_cur").alias("tcur")
+    )
+    half_b = float(n_bins) / 2.0
+    jt = cells.crossJoin(F.broadcast(tot))
+    p = (F.col("n_ref").cast("double") + F.lit(0.5)) / (
+        F.col("tref").cast("double") + F.lit(half_b)
+    )
+    q = (F.col("n_cur").cast("double") + F.lit(0.5)) / (
+        F.col("tcur").cast("double") + F.lit(half_b)
+    )
+    term = ((p - q) * F.log(p / q)).cast("decimal(30,15)")
+    terms = jt.select(
+        "bin",
+        F.round(F.col("vlo") + F.col("bin") * F.col("_w"), 6).alias("lo"),
+        F.round(F.col("vlo") + (F.col("bin") + 1) * F.col("_w"), 6).alias(
+            "hi"
+        ),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        term.alias("_term"),
+    )
+    terms = tracked_persist(terms)
+    psi = terms.agg(
+        F.round(F.sum("_term").cast("string").cast("double"), 6).alias("psi")
+    )
+    return terms.crossJoin(F.broadcast(psi)).select(
+        "bin",
+        "lo",
+        "hi",
+        "n_ref",
+        "n_cur",
+        F.round(F.col("_term").cast("string").cast("double"), 6).alias("term"),
+        "psi",
+    )
+
+
+def psi_report_sql(
+    table: str, value_col: str, split_col: str, n_bins: int = 10
+) -> str:
+    b = int(n_bins)
+    return f"""
+        WITH base AS (
+          SELECT CAST({value_col} AS DOUBLE) AS v,
+                 CAST(epoch_us(CAST({split_col} AS TIMESTAMP)) AS DOUBLE)
+                   / 1000000.0 AS t
+          FROM {table}
+          WHERE {value_col} IS NOT NULL AND {split_col} IS NOT NULL
+        ), bounds AS (
+          SELECT MIN(v) AS vlo, MAX(v) AS vhi,
+                 MIN(t) AS tlo, MAX(t) AS thi
+          FROM base
+        ), occupied AS (
+          SELECT LEAST({b} - 1,
+                   CAST(FLOOR((v - vlo) / ((vhi - vlo) / CAST({b} AS DOUBLE)))
+                        AS INT)) AS bin,
+                 vlo, (vhi - vlo) / CAST({b} AS DOUBLE) AS w,
+                 SUM(CASE WHEN t * 2.0 <= tlo + thi THEN 1 ELSE 0 END)
+                   AS n_ref,
+                 SUM(CASE WHEN t * 2.0 <= tlo + thi THEN 0 ELSE 1 END)
+                   AS n_cur
+          FROM base, bounds
+          GROUP BY 1, 2, 3
+        ), cells AS (
+          SELECT s.bin, s.vlo, s.w,
+                 CAST(COALESCE(o.n_ref, 0) AS BIGINT) AS n_ref,
+                 CAST(COALESCE(o.n_cur, 0) AS BIGINT) AS n_cur
+          FROM (SELECT unnest(range(0, {b})) AS bin, vlo,
+                       (vhi - vlo) / CAST({b} AS DOUBLE) AS w
+                FROM bounds) s
+          LEFT JOIN occupied o
+            ON o.bin = s.bin AND o.vlo = s.vlo AND o.w = s.w
+        ), tot AS (
+          SELECT SUM(n_ref) AS tref, SUM(n_cur) AS tcur FROM cells
+        ), terms AS (
+          SELECT bin,
+                 ROUND(vlo + bin * w, 6) AS lo,
+                 ROUND(vlo + (bin + 1) * w, 6) AS hi,
+                 CAST(n_ref AS BIGINT) AS n_ref,
+                 CAST(n_cur AS BIGINT) AS n_cur,
+                 CAST(((CAST(n_ref AS DOUBLE) + 0.5)
+                       / (CAST(tref AS DOUBLE) + {float(b) / 2.0!r})
+                       - (CAST(n_cur AS DOUBLE) + 0.5)
+                         / (CAST(tcur AS DOUBLE) + {float(b) / 2.0!r}))
+                      * LN(((CAST(n_ref AS DOUBLE) + 0.5)
+                            / (CAST(tref AS DOUBLE) + {float(b) / 2.0!r}))
+                           / ((CAST(n_cur AS DOUBLE) + 0.5)
+                              / (CAST(tcur AS DOUBLE) + {float(b) / 2.0!r})))
+                   AS DECIMAL(30,15)) AS term
+          FROM cells, tot
+        )
+        SELECT bin, lo, hi, n_ref, n_cur,
+               ROUND(CAST(CAST(term AS VARCHAR) AS DOUBLE), 6) AS term,
+               (SELECT ROUND(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE), 6)
+                FROM terms) AS psi
+        FROM terms ORDER BY bin
+    """
