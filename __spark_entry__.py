@@ -2822,6 +2822,45 @@ def r58_cusum_shift(spark, sf_dir):
     return cusum_shift(_events_ts(spark, sf_dir)).orderBy("d")
 
 
+def r59_edit_distance_join(spark, sf_dir):
+    """Typo-level near-dup pairs (operators/dedup.py
+    edit_distance_join): Levenshtein <= 1 on 40-char text keys via the
+    FastSS symmetric-delete blocker — an EXACT equi-join neighborhood
+    (never all-pairs), one levenshtein verify on blocked candidates;
+    the character-edit complement of q23/q24."""
+    from unifydb_spark.operators.dedup import edit_distance_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return edit_distance_join(
+        docs, "text", "doc_id", prefix_chars=40, max_dist=1
+    ).orderBy("id_a", "id_b")
+
+
+def r60_doc_perplexity(spark, sf_dir):
+    """LM-perplexity quality scores (operators/text.py doc_perplexity):
+    per-doc cross-entropy under an add-0.5 word-bigram model trained on
+    the corpus — the CCNet-style surprise filter; DECIMAL-summed
+    ln-terms, vocab-bounded count joins."""
+    from unifydb_spark.operators.text import doc_perplexity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_perplexity(docs).orderBy("doc_id")
+
+
+def r61_distinctive_terms(spark, sf_dir):
+    """Per-source distinctive vocabulary (operators/text.py
+    distinctive_terms): Monroe log-odds with informative Dirichlet
+    prior, z-scored — the "what makes this source different" report
+    that raw tf-idf/PMI rankings get wrong on rare terms; one
+    combinable count + vocab-sized scoring."""
+    from unifydb_spark.operators.text import distinctive_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return distinctive_terms(docs, top_k=5).orderBy(
+        "source", F.col("z").desc(), "term"
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3031,6 +3070,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r56_psi_drift": r56_psi_drift,
         "r57_daily_acf": r57_daily_acf,
         "r58_cusum_shift": r58_cusum_shift,
+        "r59_edit_distance_join": r59_edit_distance_join,
+        "r60_doc_perplexity": r60_doc_perplexity,
+        "r61_distinctive_terms": r61_distinctive_terms,
     }
 
 
@@ -3722,6 +3764,13 @@ def _operator_oracles() -> dict[str, str]:
             "len(list_filter(string_split(text, ' '), w -> w != '')) >= 35",
         ),
         "r56_psi_drift": _st.psi_report_sql("events", "value", "ts", 10),
+        "r59_edit_distance_join": _d.edit_distance_join_sql(
+            "documents", "text", "doc_id", prefix_chars=40, max_dist=1
+        ),
+        "r60_doc_perplexity": _t.doc_perplexity_sql("documents"),
+        "r61_distinctive_terms": _t.distinctive_terms_sql(
+            "documents", top_k=5
+        ),
         "r57_daily_acf": _ev.daily_acf_sql("events", "ts", 7),
         "r58_cusum_shift": _ev.cusum_shift_sql("events", "ts"),
         "r52_lorenz_points": _st.lorenz_points_sql(

@@ -118,6 +118,9 @@ HEADLINE = [
     "r56_psi_drift",
     "r57_daily_acf",
     "r58_cusum_shift",
+    "r59_edit_distance_join",
+    "r60_doc_perplexity",
+    "r61_distinctive_terms",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

@@ -84,6 +84,11 @@ BNLJ_ALLOWED = {
     # joins onto the calendar-sized day spine — bounded by construction
     "r57_daily_acf",
     "r58_cusum_shift",
+    # r60/r61: the next-token vocabulary size / corpus token total ride
+    # broadcast ONE-ROW cross joins (q61/r17 corpus-constant shape) —
+    # bounded by construction
+    "r60_doc_perplexity",
+    "r61_distinctive_terms",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)

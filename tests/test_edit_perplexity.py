@@ -1,0 +1,102 @@
+"""Round-7 text/dedup wave: FastSS edit-distance join, bigram-LM
+perplexity scoring, and Monroe log-odds distinctive terms."""
+
+import math
+
+import pytest
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_join_hand_cases(spark):
+    from unifydb_spark.operators.dedup import edit_distance_join
+
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "abxd"), (3, "abcde"), (4, "zzzz"), (5, "abcd")],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_join(docs).collect()
+    }
+    # substitution, insertion, exact duplicate — transposition (dist 2)
+    # and unrelated keys must NOT appear
+    assert out == {(1, 2): 1, (1, 3): 1, (1, 5): 0, (2, 5): 1, (3, 5): 1}
+
+
+def test_edit_join_blocking_is_lossless(spark):
+    from unifydb_spark.operators.dedup import edit_distance_join
+
+    # every string of length 1..3 over {a, b}: the deletion-neighborhood
+    # blocker must find EXACTLY the brute-force ed<=1 pairs
+    strings = []
+    for n in (1, 2, 3):
+        for i in range(2**n):
+            strings.append("".join("ab"[(i >> j) & 1] for j in range(n)))
+    rows = [(i, s) for i, s in enumerate(strings)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_join(docs).collect()
+    }
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i < j and _lev(a, b) <= 1:
+                want[(i, j)] = _lev(a, b)
+    assert got == want
+
+
+def test_doc_perplexity_hand_computed(spark):
+    from unifydb_spark.operators.text import doc_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "a a"), (2, "a b")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in doc_perplexity(docs).collect()}
+    # corpus bigrams: (<s>,a):2 (a,a):1 (a,b):1; contexts <s>:2 a:2; V=2
+    h1 = -(math.log(2.5 / 3.0) + math.log(1.5 / 3.0)) / 2.0
+    h2 = -(math.log(2.5 / 3.0) + math.log(1.5 / 3.0)) / 2.0
+    assert out[1]["n_tokens"] == 2
+    assert out[1]["cross_entropy"] == pytest.approx(h1, abs=1e-6)
+    assert out[2]["cross_entropy"] == pytest.approx(h2, abs=1e-6)
+    assert out[1]["ppl"] == pytest.approx(math.exp(out[1]["cross_entropy"]), abs=1e-3)
+
+
+def test_doc_perplexity_surprising_doc_scores_higher(spark):
+    from unifydb_spark.operators.text import doc_perplexity
+
+    common = [(i, "the cat sat on the mat") for i in range(1, 9)]
+    weird = [(9, "zq xv qq zz vx qz")]
+    docs = spark.createDataFrame(common + weird, ["doc_id", "text"])
+    out = {r["doc_id"]: r["cross_entropy"] for r in doc_perplexity(docs).collect()}
+    assert out[9] > out[1]
+
+
+def test_distinctive_terms_finds_group_marker(spark):
+    from unifydb_spark.operators.text import distinctive_terms
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "apple apple common words here", "A"))
+    for i in range(10, 20):
+        rows.append((i, "banana banana common words here", "B"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = distinctive_terms(docs, top_k=2).collect()
+    top = {}
+    for r in out:
+        top.setdefault(r["source"], []).append(r["term"])
+    assert top["A"][0] == "apple" and top["B"][0] == "banana"
+    assert all(len(v) == 2 for v in top.values())
+    za = {r["term"]: r["z"] for r in out if r["source"] == "A"}
+    assert za["apple"] > 0

@@ -1686,3 +1686,89 @@ def containment_pairs_sql(
               / LEAST(x.n_sh, y.n_sh) >= {threshold}
         ORDER BY d1, d2
     """
+
+
+def edit_distance_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_chars: int = 40,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Typo-level near-duplicate pairs: document pairs whose text key
+    (first `prefix_chars` chars) is within Levenshtein distance
+    `max_dist` (<= 1) — the character-edit complement of the token-set
+    deduplicators (Jaccard/MinHash see a one-char typo as a different
+    token; edit distance sees it as distance 1). The blocker is the
+    FastSS / symmetric-delete scheme: every key emits its 1-deletion
+    neighborhood (the key plus each single-character deletion), and
+    ed(a,b) <= 1 iff D1(a) and D1(b) intersect — an EXACT equi-join
+    blocker (substitution at i: both delete i; indel: the shorter key
+    is literally in both neighborhoods), never all-pairs. Shared
+    variants with ed = 2 (e.g. transpositions) survive blocking, so
+    candidates get one exact levenshtein verify. Returns
+    (id_a, id_b, dist) with id_a < id_b.
+
+    Scale: fan-out is prefix_chars+1 variants per row (bounded);
+    candidates join on the md5 of the variant (fixed-width shuffle
+    keys); the verify runs only on blocked pairs, bounded by true
+    near-duplicate density. The reference's dedup surface has no edit
+    metric (SURVEY §2) — this is the typo-tier extension of the
+    q23/q24 family."""
+    plen = int(prefix_chars)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.substring(F.col(text_col), 1, plen).alias("k"),
+    ).filter(F.length("k") > 0)
+    base = _spread(base)
+    variants = base.select(
+        "id",
+        "k",
+        F.explode(
+            F.expr(
+                f"array_union(array(k), transform(sequence(1, length(k)), "
+                f"i -> concat(substr(k, 1, i - 1), substr(k, i + 1, {plen}))))"
+            )
+        ).alias("v"),
+    ).select("id", "k", F.md5("v").alias("h"))
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.k").alias("ka"),
+            F.col("b.k").alias("kb"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("ka", "kb")
+    return cand.filter(dist <= int(max_dist)).select(
+        "id_a", "id_b", dist.cast("int").alias("dist")
+    )
+
+
+def edit_distance_join_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_chars: int = 40,
+    max_dist: int = 1,
+) -> str:
+    """Brute-force oracle: all id-ordered pairs under a length-band
+    prefilter, exact levenshtein — quadratic, fine at oracle scale."""
+    plen = int(prefix_chars)
+    return f"""
+        WITH k AS (
+          SELECT {id_col} AS id, substr({text_col}, 1, {plen}) AS k
+          FROM {table} WHERE length(substr({text_col}, 1, {plen})) > 0
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(levenshtein(a.k, b.k) AS INT) AS dist
+        FROM k a JOIN k b
+          ON a.id < b.id
+         AND abs(length(a.k) - length(b.k)) <= {int(max_dist)}
+        WHERE levenshtein(a.k, b.k) <= {int(max_dist)}
+        ORDER BY id_a, id_b
+    """

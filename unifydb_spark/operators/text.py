@@ -1684,3 +1684,253 @@ def vocab_growth_sql(
         )
         SELECT * FROM curve {cond} ORDER BY doc_seq
     """
+
+
+def doc_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-document cross-entropy under an add-k-smoothed word-bigram
+    language model trained on the corpus itself — the classic
+    LM-perplexity quality filter (CCNet/KenLM style, public method):
+    documents whose word sequences the corpus model finds surprising
+    (high nats/token) are encoding garbage, wrong-language, or
+    boilerplate-free noise. Each document starts from a BOS context
+    '<s>'; P(w|prev) = (c(prev,w) + k) / (c(prev) + k*V) with V the
+    next-token vocabulary. Returns (doc_id, n_tokens, cross_entropy,
+    ppl) in nats / e^nats.
+
+    Exactness: each token's ln-term is one mirrored double (division
+    then ln — the r17/q45 ln-parity contract), cast DECIMAL(30,15) so
+    the per-doc SUM is order-independent; one surface rounding, and
+    ppl = exp of the ALREADY-ROUNDED entropy so both engines
+    exponentiate the identical double.
+
+    Scale: one explode to (doc, prev, w) — linear; bigram and context
+    counts are vocab²-bounded combinable aggregates; the score join is
+    an equi-join on (prev, w); V rides a broadcast 1-row cross join
+    (q61/r17 corpus-constant shape). The whole pipeline is two shuffles
+    over the token relation plus vocab-sized joins."""
+    from unifydb_spark.operators.dedup import _spread
+    from unifydb_spark.resources import tracked_persist
+
+    base = _spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        words_col(F.col(text_col)).alias("ws"),
+    ).filter(F.size("ws") > 0)
+    toks = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws)), i -> named_struct("
+                "'prev', IF(i = 1, '<s>', element_at(ws, i - 1)), "
+                "'w', element_at(ws, i)))"
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.prev", "t.w")
+    toks = tracked_persist(toks)
+    cb = tracked_persist(
+        toks.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    cu = cb.groupBy("prev").agg(F.sum("c").alias("cp"))
+    vocab = cb.agg(F.count_distinct("w").alias("v"))
+    k = F.lit(float(add_k))
+    j = (
+        toks.join(cb, ["prev", "w"])
+        .join(F.broadcast(cu), "prev")
+        .crossJoin(F.broadcast(vocab))
+    )
+    term = F.log(
+        (F.col("c").cast("double") + k)
+        / (F.col("cp").cast("double") + k * F.col("v").cast("double"))
+    ).cast("decimal(30,15)")
+    scored = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(
+            -F.sum(term).cast("string").cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("cross_entropy"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "cross_entropy",
+        F.round(F.exp(F.col("cross_entropy")), 4).alias("ppl"),
+    )
+
+
+def doc_perplexity_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+) -> str:
+    k = float(add_k)
+    return f"""
+        WITH base AS (
+          SELECT {id_col} AS doc_id,
+                 list_filter(string_split({text_col}, ' '), w -> w != '')
+                   AS ws
+          FROM {table}
+        ), toks AS (
+          SELECT doc_id,
+                 CASE WHEN i = 1 THEN '<s>' ELSE ws[CAST(i - 1 AS INT)] END
+                   AS prev,
+                 ws[CAST(i AS INT)] AS w
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+                FROM base WHERE len(ws) > 0)
+        ), cb AS (
+          SELECT prev, w, COUNT(*) AS c FROM toks GROUP BY 1, 2
+        ), cu AS (
+          SELECT prev, SUM(c) AS cp FROM cb GROUP BY 1
+        ), vocab AS (SELECT COUNT(DISTINCT w) AS v FROM cb),
+        scored AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 ROUND(-CAST(CAST(SUM(CAST(LN(
+                       (CAST(c AS DOUBLE) + {k!r})
+                       / (CAST(cp AS DOUBLE) + {k!r} * CAST(v AS DOUBLE)))
+                     AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*), 6) AS cross_entropy
+          FROM toks JOIN cb USING (prev, w) JOIN cu USING (prev), vocab
+          GROUP BY 1
+        )
+        SELECT doc_id, n_tokens, cross_entropy,
+               ROUND(EXP(cross_entropy), 4) AS ppl
+        FROM scored ORDER BY doc_id
+    """
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_k: int = 5,
+    prior_strength: float = 10.0,
+) -> DataFrame:
+    """Per-group distinctive vocabulary by weighted log-odds with an
+    informative Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    "Fightin' Words" — public method): for each group, the terms most
+    OVER-represented vs the rest of the corpus, z-scored so rare-term
+    noise doesn't dominate the way raw tf-idf or PMI rankings do. The
+    prior is the corpus distribution scaled to `prior_strength`
+    pseudo-tokens. Returns (group, term, c_in, z) — the top_k terms per
+    group by z, tie-broken by term.
+
+    Exactness: counts are integers; each term's delta/z is one mirrored
+    double expression (two ln, one sqrt — no accumulation), rounded
+    before the ranking window so both engines rank identical doubles.
+    Scale: one explode + one (group, term) combinable count; the rest
+    runs on vocab-sized relations (group totals broadcast, corpus
+    totals a 1-row cross join); the top-k window partitions by group
+    over a vocab-sized input."""
+    from unifydb_spark.operators.dedup import _spread
+    from unifydb_spark.resources import tracked_persist
+    from pyspark.sql import Window
+
+    tok = (
+        _spread(docs)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(words_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("c_in"))
+    )
+    tok = tracked_persist(tok)
+    corpus = tok.groupBy("term").agg(F.sum("c_in").alias("c_all"))
+    grp_tot = tok.groupBy("grp").agg(F.sum("c_in").alias("n_g"))
+    corp_tot = corpus.agg(F.sum("c_all").alias("n"))
+    a0 = F.lit(float(prior_strength))
+    j = (
+        tok.join(corpus, "term")
+        .join(F.broadcast(grp_tot), "grp")
+        .crossJoin(F.broadcast(corp_tot))
+    )
+    aw = a0 * F.col("c_all").cast("double") / F.col("n").cast("double")
+    y_in = F.col("c_in").cast("double")
+    y_out = (F.col("c_all") - F.col("c_in")).cast("double")
+    n_in = F.col("n_g").cast("double")
+    n_out = (F.col("n") - F.col("n_g")).cast("double")
+    delta = F.log(
+        (y_in + aw) / (n_in + a0 - y_in - aw)
+    ) - F.log((y_out + aw) / (n_out + a0 - y_out - aw))
+    z = delta / F.sqrt(
+        F.lit(1.0) / (y_in + aw) + F.lit(1.0) / (y_out + aw)
+    )
+    scored = j.select(
+        "grp", "term", F.col("c_in"), F.round(z, 6).alias("z")
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("z").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(top_k))
+        .select(
+            F.col("grp").alias(group_col),
+            "term",
+            F.col("c_in").cast("bigint").alias("c_in"),
+            "z",
+        )
+    )
+
+
+def distinctive_terms_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    group_col: str = "source",
+    top_k: int = 5,
+    prior_strength: float = 10.0,
+) -> str:
+    a0 = float(prior_strength)
+    return f"""
+        WITH tok AS (
+          SELECT {group_col} AS grp, u.term, COUNT(*) AS c_in
+          FROM (
+            SELECT {group_col},
+                   list_filter(string_split({text_col}, ' '), w -> w != '')
+                     AS ws
+            FROM {table}
+          ), unnest(ws) AS u(term)
+          GROUP BY 1, 2
+        ), corpus AS (SELECT term, SUM(c_in) AS c_all FROM tok GROUP BY 1),
+        grp_tot AS (SELECT grp, SUM(c_in) AS n_g FROM tok GROUP BY 1),
+        corp_tot AS (SELECT SUM(c_all) AS n FROM corpus),
+        scored AS (
+          SELECT grp, term, c_in,
+                 ROUND((LN((CAST(c_in AS DOUBLE)
+                            + {a0!r} * CAST(c_all AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                           / (CAST(n_g AS DOUBLE) + {a0!r}
+                              - CAST(c_in AS DOUBLE)
+                              - {a0!r} * CAST(c_all AS DOUBLE)
+                                / CAST(n AS DOUBLE)))
+                        - LN((CAST(c_all - c_in AS DOUBLE)
+                              + {a0!r} * CAST(c_all AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                             / (CAST(n - n_g AS DOUBLE) + {a0!r}
+                                - CAST(c_all - c_in AS DOUBLE)
+                                - {a0!r} * CAST(c_all AS DOUBLE)
+                                  / CAST(n AS DOUBLE))))
+                       / SQRT(1.0 / (CAST(c_in AS DOUBLE)
+                                     + {a0!r} * CAST(c_all AS DOUBLE)
+                                       / CAST(n AS DOUBLE))
+                              + 1.0 / (CAST(c_all - c_in AS DOUBLE)
+                                       + {a0!r} * CAST(c_all AS DOUBLE)
+                                         / CAST(n AS DOUBLE))), 6) AS z
+          FROM tok JOIN corpus USING (term) JOIN grp_tot USING (grp),
+               corp_tot
+        )
+        SELECT grp AS {group_col}, term, CAST(c_in AS BIGINT) AS c_in, z
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+                      ORDER BY z DESC, term ASC) AS rk
+          FROM scored
+        )
+        WHERE rk <= {int(top_k)}
+        ORDER BY {group_col}, z DESC, term
+    """
