@@ -2861,6 +2861,106 @@ def r61_distinctive_terms(spark, sf_dir):
     )
 
 
+def r62_melt_profile(spark, sf_dir):
+    """Wide-to-long reshape + per-metric profile (operators/olap.py
+    melt_profile): the four lineitem measures unpivoted through one
+    Expand node and profiled (n/nulls/min/max/DECIMAL-exact avg/
+    stddev) in the same map-side-combinable pass."""
+    from unifydb_spark.operators.olap import melt_profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return melt_profile(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ).orderBy("metric")
+
+
+def r63_zonemap_prune(spark, sf_dir):
+    """Layout advisor (operators/layout.py zonemap_prune_profile):
+    blocks-scanned under insertion order vs an o_orderdate-clustered
+    order for a 30-day range predicate, measured from per-block zone
+    maps over the scalable q91 row numbering — the offline
+    should-we-ZORDER measurement; all-integer until the one scan_frac
+    division."""
+    from unifydb_spark.operators.layout import zonemap_prune_profile
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "_d", F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    )
+    return zonemap_prune_profile(
+        orders,
+        "_d",
+        [("clustered", ["_d", "o_orderkey"]), ("insertion", ["o_orderkey"])],
+        n_blocks=64,
+    ).orderBy("layout")
+
+
+def r64_hist2d(spark, sf_dir):
+    """Joint-distribution histogram (operators/olap.py hist2d): event
+    hour-of-day x value in equi-width cells with counts and shares —
+    the 2-D drift/profile companion to q81's 1-D histogram; one bounds
+    pass + one combinable cell count."""
+    from unifydb_spark.operators.olap import hist2d
+
+    ev = _events_ts(spark, sf_dir).select(
+        F.hour("ts").cast("double").alias("hour_of_day"), "value"
+    )
+    return hist2d(ev, "hour_of_day", "value", n_x=24, n_y=10).orderBy(
+        "bx", "by"
+    )
+
+
+def r65_stream_topk(spark, sf_dir):
+    """Streaming per-day top-3 event types (streaming/stream.py
+    stream_windowed_counts): counts build as a STREAMING aggregation
+    (merge-commutative, state bounded by the key domain); the rank cut
+    happens in a tiny batch window over the emitted counts because a
+    rank is not incrementally maintainable — same split as r20's
+    registers-then-fold. Complete mode for the bounded replay; exact
+    agreement with the batch oracle certifies state == batch build."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+    from unifydb_spark.streaming import (
+        read_event_stream,
+        stream_windowed_counts,
+    )
+
+    name = "stopk_" + uuid.uuid4().hex[:8]
+    src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = read_event_stream(spark, src_dir).select("event_type", "ts")
+    with _stream_state_partitions(spark):
+        q = (
+            stream_windowed_counts(stream, "event_type", window="1 day")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    counts = spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        F.col("key").alias("event_type"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("day", "rk")
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3073,6 +3173,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r59_edit_distance_join": r59_edit_distance_join,
         "r60_doc_perplexity": r60_doc_perplexity,
         "r61_distinctive_terms": r61_distinctive_terms,
+        "r62_melt_profile": r62_melt_profile,
+        "r63_zonemap_prune": r63_zonemap_prune,
+        "r64_hist2d": r64_hist2d,
+        "r65_stream_topk": r65_stream_topk,
     }
 
 
@@ -3768,6 +3872,49 @@ def _operator_oracles() -> dict[str, str]:
             "documents", "text", "doc_id", prefix_chars=40, max_dist=1
         ),
         "r60_doc_perplexity": _t.doc_perplexity_sql("documents"),
+        "r62_melt_profile": _ol.melt_profile_sql(
+            "lineitem",
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        ),
+        "r63_zonemap_prune": _lay.zonemap_prune_profile_sql(
+            "orders",
+            "CAST(date_trunc('day', o_orderdate) AS DATE)"
+            " - DATE '1970-01-01'",
+            [
+                (
+                    "clustered",
+                    [
+                        "CAST(date_trunc('day', o_orderdate) AS DATE)"
+                        " - DATE '1970-01-01'",
+                        "o_orderkey",
+                    ],
+                ),
+                ("insertion", ["o_orderkey"]),
+            ],
+            n_blocks=64,
+        ),
+        "r64_hist2d": _ol.hist2d_sql(
+            "events",
+            "CAST(EXTRACT(hour FROM ts) AS DOUBLE)",
+            "value",
+            n_x=24,
+            n_y=10,
+        ),
+        "r65_stream_topk": """
+            WITH counts AS (
+              SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                     event_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT day, event_type, n, CAST(rk AS INT) AS rk
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+                          ORDER BY n DESC, event_type ASC) AS rk
+              FROM counts
+            )
+            WHERE rk <= 3 ORDER BY day, rk
+        """,
         "r61_distinctive_terms": _t.distinctive_terms_sql(
             "documents", top_k=5
         ),

@@ -121,6 +121,10 @@ HEADLINE = [
     "r59_edit_distance_join",
     "r60_doc_perplexity",
     "r61_distinctive_terms",
+    "r62_melt_profile",
+    "r63_zonemap_prune",
+    "r64_hist2d",
+    "r65_stream_topk",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

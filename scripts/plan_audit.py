@@ -89,6 +89,10 @@ BNLJ_ALLOWED = {
     # bounded by construction
     "r60_doc_perplexity",
     "r61_distinctive_terms",
+    # r64: the global min/max bounds (1 row) broadcast onto raw rows as
+    # a pure-Column bin probe, and the cell total (1 row) onto the
+    # n_x*n_y cell relation — bounded by construction (r56 shape)
+    "r64_hist2d",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)
@@ -103,6 +107,7 @@ STREAMING = {
     "q42_stream_interval_join",
     "q88_stream_user_stats",
     "r20_stream_windowed_distinct",
+    "r65_stream_topk",
 }
 
 

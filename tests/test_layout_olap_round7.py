@@ -1,0 +1,133 @@
+"""Round-7 warehouse/layout wave: melt+profile, zone-map prune advisor,
+2-D histogram, streaming windowed counts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_melt_profile_hand_computed(spark):
+    from unifydb_spark.operators.olap import melt_profile
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 10.0), (2, 2.0, 20.0), (3, 3.0, None)],
+        ["id", "a", "b"],
+    )
+    out = {r["metric"]: r for r in melt_profile(df, ["id"], ["a", "b"]).collect()}
+    assert out["a"]["n"] == 3 and out["a"]["n_null"] == 0
+    assert out["a"]["avg_val"] == 2.0 and out["a"]["stddev_val"] == 1.0
+    assert out["b"]["n"] == 3 and out["b"]["n_null"] == 1
+    assert out["b"]["avg_val"] == 15.0
+    assert out["b"]["min_val"] == 10.0 and out["b"]["max_val"] == 20.0
+
+
+def test_melt_profile_is_single_shuffle(spark):
+    from unifydb_spark.operators.olap import melt_profile
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    df = melt_profile(li, ["l_orderkey"], ["l_quantity", "l_tax"])
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Expand" in plan
+
+
+def test_zonemap_prune_clustered_beats_insertion(spark):
+    from unifydb_spark.operators.layout import zonemap_prune_profile
+
+    # predicate column cycles out of phase with the insertion key, so
+    # insertion-order blocks all straddle the predicate range while the
+    # clustered order isolates it
+    rows = [(i, (i * 7) % 1000) for i in range(1, 2001)]
+    df = spark.createDataFrame(rows, ["k", "d"])
+    out = {
+        r["layout"]: r
+        for r in zonemap_prune_profile(
+            df,
+            "d",
+            [("clustered", ["d", "k"]), ("insertion", ["k"])],
+            n_blocks=20,
+            pred_lo_off=100,
+            pred_hi_off=149,
+        ).collect()
+    }
+    assert out["insertion"]["blocks_scanned"] >= 15  # nearly all straddle
+    assert out["clustered"]["blocks_scanned"] < 4
+    assert out["clustered"]["rows_scanned"] < out["insertion"]["rows_scanned"]
+    # exactly the predicate-matching rows (d in [100,149] -> 100 rows of
+    # 2000) must survive clustered pruning, give or take block edges
+    assert out["clustered"]["rows_scanned"] >= 100
+
+
+def test_zonemap_total_rows_conserved(spark):
+    from unifydb_spark.operators.layout import zonemap_prune_profile
+
+    rows = [(i, i % 50) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, ["k", "d"])
+    out = zonemap_prune_profile(
+        df, "d", [("by_d", ["d", "k"])], n_blocks=10,
+        pred_lo_off=0, pred_hi_off=49,
+    ).collect()[0]
+    # predicate covers the full domain: nothing prunable
+    assert out["blocks_scanned"] == 10
+    assert out["rows_scanned"] == 300
+    assert out["scan_frac"] == 1.0
+
+
+def test_hist2d_counts_and_shares(spark):
+    from unifydb_spark.operators.olap import hist2d
+
+    rows = [(float(x), float(y)) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = hist2d(df, "x", "y", n_x=2, n_y=2).collect()
+    assert len(out) == 4
+    assert all(r["n"] == 4 for r in out)
+    assert all(r["share"] == 0.25 for r in out)
+    # max values land in the top bin via the LEAST clamp
+    assert {(r["bx"], r["by"]) for r in out} == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+def test_stream_windowed_counts_matches_batch(spark, tmp_path):
+    import shutil
+
+    from unifydb_spark.streaming import (
+        read_event_stream,
+        stream_windowed_counts,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", str(src / "events.parquet")
+    )
+    from unifydb_spark.values import normalize_event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = read_event_stream(spark, str(src)).select("event_type", "ts")
+    q = (
+        stream_windowed_counts(stream, "event_type", window="1 day")
+        .writeStream.format("memory")
+        .queryName("t_stopk")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window_start"], r["key"]): r["n"]
+        for r in spark.table("t_stopk").collect()
+    }
+    batch = normalize_event_ts(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    want = {
+        (r["w"], r["event_type"]): r["n"]
+        for r in batch.groupBy(
+            F.date_trunc("day", "ts").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -292,3 +292,130 @@ def curriculum_profile_sql(
                MAX({score_col}) AS max_{score_col}
         FROM ranked GROUP BY 1 ORDER BY 1
     """
+
+
+def zonemap_prune_profile(
+    df: DataFrame,
+    pred_col: str,
+    layouts: Sequence[tuple],
+    n_blocks: int = 64,
+    pred_lo_off: int = 180,
+    pred_hi_off: int = 209,
+) -> DataFrame:
+    """Layout advisor: how many parquet-file-sized blocks a range
+    predicate on `pred_col` could SKIP under each candidate row order —
+    the offline measurement behind "should we OPTIMIZE/ZORDER this
+    table". For each (label, order_cols) layout, rows are assigned to
+    `n_blocks` equal blocks in that order (block = (rn-1)*B div n via
+    the scalable q91 row numbering — no single-partition sort), each
+    block's [min, max] zone map of pred_col is computed, and a fixed
+    range predicate [data_min + lo_off, data_min + hi_off] is tested
+    against the zone maps exactly the way a reader prunes row groups:
+    skip iff block_max < lo or block_min > hi. Returns one row per
+    layout: (layout, n_blocks, blocks_scanned, rows_scanned,
+    scan_frac) — insertion order typically scans everything; an order
+    clustered on pred_col scans ~the predicate's selectivity.
+
+    Everything is integer arithmetic (block ids, zone bounds, counts)
+    except the one scan_frac division. Scale: per layout, one
+    range-partitioned numbering + one combinable block rollup; the
+    final report is n_layouts rows. Zone maps ARE the distributed
+    replacement for the reference's B-tree covering orders
+    (/root/reference/src/unifydb/storage.clj — one sorted index per
+    order): at 100 TB you don't keep a second sorted copy, you measure
+    which single layout buys the most pruning."""
+    from pyspark.sql import functions as F
+
+    p = F.col(pred_col).cast("long")
+    bounds = df.agg(
+        F.min(p).alias("dmin"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    dmin, n = int(bounds["dmin"]), int(bounds["n"])
+    lo = dmin + int(pred_lo_off)
+    hi = dmin + int(pred_hi_off)
+    B = int(n_blocks)
+    reports = []
+    for label, order_cols in layouts:
+        numbered = global_row_number(
+            df.select(p.alias("_p"), *[F.col(c) for c in order_cols]),
+            list(order_cols),
+            out_col="_gix",
+        )
+        blocks = (
+            numbered.select(
+                F.expr(f"((_gix - 1) * {B}) DIV {n}").alias("blk"), "_p"
+            )
+            .groupBy("blk")
+            .agg(
+                F.min("_p").alias("bmin"),
+                F.max("_p").alias("bmax"),
+                F.count(F.lit(1)).alias("rows"),
+            )
+        )
+        scanned = ~((F.col("bmax") < F.lit(lo)) | (F.col("bmin") > F.lit(hi)))
+        reports.append(
+            blocks.agg(
+                F.lit(label).alias("layout"),
+                F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+                F.sum(scanned.cast("long")).cast("bigint").alias(
+                    "blocks_scanned"
+                ),
+                F.sum(
+                    F.when(scanned, F.col("rows")).otherwise(F.lit(0))
+                ).cast("bigint").alias("rows_scanned"),
+                F.round(
+                    F.sum(F.when(scanned, F.col("rows")).otherwise(F.lit(0)))
+                    .cast("double")
+                    / F.lit(float(n)),
+                    6,
+                ).alias("scan_frac"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def zonemap_prune_profile_sql(
+    table: str,
+    pred_sql: str,
+    layouts: Sequence[tuple],
+    n_blocks: int = 64,
+    pred_lo_off: int = 180,
+    pred_hi_off: int = 209,
+) -> str:
+    B = int(n_blocks)
+    arms = []
+    for label, order_cols in layouts:
+        order = ", ".join(order_cols)
+        arms.append(f"""
+          SELECT '{label}' AS layout, n_blocks, blocks_scanned,
+                 rows_scanned, scan_frac FROM (
+            WITH numbered AS (
+              SELECT CAST({pred_sql} AS BIGINT) AS p,
+                     ROW_NUMBER() OVER (ORDER BY {order}) AS rn,
+                     COUNT(*) OVER () AS n,
+                     MIN(CAST({pred_sql} AS BIGINT)) OVER () AS dmin
+              FROM {table}
+            ), blocks AS (
+              SELECT ((rn - 1) * {B}) // n AS blk,
+                     MIN(p) AS bmin, MAX(p) AS bmax, COUNT(*) AS nrows,
+                     MAX(n) AS n, MAX(dmin) AS dmin
+              FROM numbered GROUP BY 1
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(CASE WHEN bmax < dmin + {int(pred_lo_off)}
+                            OR bmin > dmin + {int(pred_hi_off)}
+                            THEN 0 ELSE 1 END) AS BIGINT) AS blocks_scanned,
+                   CAST(SUM(CASE WHEN bmax < dmin + {int(pred_lo_off)}
+                            OR bmin > dmin + {int(pred_hi_off)}
+                            THEN 0 ELSE nrows END) AS BIGINT) AS rows_scanned,
+                   ROUND(CAST(SUM(CASE WHEN bmax < dmin + {int(pred_lo_off)}
+                              OR bmin > dmin + {int(pred_hi_off)}
+                              THEN 0 ELSE nrows END) AS DOUBLE)
+                         / CAST(MAX(n) AS DOUBLE), 6) AS scan_frac
+            FROM blocks
+          )""")
+    union = " UNION ALL ".join(arms)
+    return f"SELECT * FROM ({union}) ORDER BY layout"

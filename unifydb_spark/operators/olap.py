@@ -602,3 +602,183 @@ def rank_features_sql(
                      ORDER BY {v}), 6) AS cume
         FROM {table} ORDER BY {id_col}
     """
+
+
+def melt_profile(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Wide-to-long reshape (melt/unpivot) + per-metric profile: the
+    warehouse reshaping primitive every feature pipeline needs when a
+    row of N metric columns must become N rows of (metric, value) — a
+    schema change, so the reference's EAV fact model (SURVEY §2 T-rows;
+    attributes ARE rows) gets it for free while columnar tables need
+    the explicit operator. Profiles each metric in the same pass:
+    (metric, n, n_null, min_val, max_val, avg_val, stddev_val).
+
+    Unpivot is an Expand node — each input row fans out to
+    len(value_cols) rows BEFORE the exchange, and partial aggregation
+    collapses them map-side, so the shuffle carries len(value_cols)
+    partial states per task, not data. Exactness: sums and
+    sums-of-squares accumulate as DECIMAL (order-independent); the
+    variance combine and sqrt are one mirrored double expression."""
+    long = df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        "metric",
+        "value",
+    )
+    v = F.col("value").cast("double")
+    vd = v.cast("decimal(38,12)")
+    v2 = (v * v).cast("decimal(38,12)")
+    agg = long.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.isnull(v).cast("long")).cast("bigint").alias("n_null"),
+        F.round(F.min(v), 6).alias("min_val"),
+        F.round(F.max(v), 6).alias("max_val"),
+        F.sum(vd).cast("string").cast("double").alias("_s"),
+        F.sum(v2).cast("string").cast("double").alias("_ss"),
+        F.count(v).alias("_nv"),
+    )
+    nv = F.col("_nv").cast("double")
+    mean = F.col("_s") / nv
+    var = (F.col("_ss") - F.col("_s") * mean) / (nv - F.lit(1.0))
+    return agg.select(
+        "metric",
+        "n",
+        "n_null",
+        "min_val",
+        "max_val",
+        F.round(mean, 6).alias("avg_val"),
+        F.round(
+            F.when(F.col("_nv") > 1, F.sqrt(F.greatest(var, F.lit(0.0)))),
+            6,
+        ).alias("stddev_val"),
+    )
+
+
+def melt_profile_sql(
+    table: str, id_cols: Sequence[str], value_cols: Sequence[str]
+) -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS metric, CAST({c} AS DOUBLE) AS value FROM {table}"
+        for c in value_cols
+    )
+    return f"""
+        WITH long AS ({arms}),
+        agg AS (
+          SELECT metric,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_null,
+                 ROUND(MIN(value), 6) AS min_val,
+                 ROUND(MAX(value), 6) AS max_val,
+                 CAST(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS VARCHAR)
+                      AS DOUBLE) AS s,
+                 CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,12)))
+                      AS VARCHAR) AS DOUBLE) AS ss,
+                 COUNT(value) AS nv
+          FROM long GROUP BY 1
+        )
+        SELECT metric, n, n_null, min_val, max_val,
+               ROUND(s / CAST(nv AS DOUBLE), 6) AS avg_val,
+               ROUND(CASE WHEN nv > 1 THEN SQRT(GREATEST(
+                     (ss - s * (s / CAST(nv AS DOUBLE)))
+                     / (CAST(nv AS DOUBLE) - 1.0), 0.0)) END, 6)
+                 AS stddev_val
+        FROM agg ORDER BY metric
+    """
+
+
+def hist2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_x: int = 12,
+    n_y: int = 10,
+) -> DataFrame:
+    """Two-dimensional density histogram: equi-width bins over the
+    global [min, max] of both axes, with each cell's count and share —
+    the joint-distribution profile behind correlation eyeballing and
+    2-D drift monitors (a 1-D histogram per axis can look identical
+    while the joint structure moves). Returns occupied cells only:
+    (bx, by, x_lo, y_lo, n, share).
+
+    Exactness: bin ids are one mirrored floor((v-lo)/width) double op
+    off integer-exact bounds; counts are integers; share = n/total is
+    one final division. Scale: pass 1 is a 4-scalar bounds aggregate,
+    pass 2 one combinable (bx, by) count — bounded by n_x*n_y cells on
+    the wire after map-side combine."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("x"), y.alias("y")
+    )
+    bounds = base.agg(
+        F.min("x").alias("xlo"),
+        F.max("x").alias("xhi"),
+        F.min("y").alias("ylo"),
+        F.max("y").alias("yhi"),
+    )
+    bx_n = F.lit(int(n_x))
+    by_n = F.lit(int(n_y))
+    j = base.crossJoin(F.broadcast(bounds))
+    wx = (F.col("xhi") - F.col("xlo")) / bx_n.cast("double")
+    wy = (F.col("yhi") - F.col("ylo")) / by_n.cast("double")
+    bx = F.least(bx_n - 1, F.floor((F.col("x") - F.col("xlo")) / wx).cast("int"))
+    by = F.least(by_n - 1, F.floor((F.col("y") - F.col("ylo")) / wy).cast("int"))
+    cells = j.groupBy(
+        bx.alias("bx"),
+        by.alias("by"),
+        F.col("xlo"),
+        F.col("ylo"),
+        wx.alias("_wx"),
+        wy.alias("_wy"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from unifydb_spark.resources import tracked_persist
+
+    cells = tracked_persist(cells)
+    tot = cells.agg(F.sum("n").alias("total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "bx",
+        "by",
+        F.round(F.col("xlo") + F.col("bx") * F.col("_wx"), 6).alias("x_lo"),
+        F.round(F.col("ylo") + F.col("by") * F.col("_wy"), 6).alias("y_lo"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("total").cast("double"), 6)
+        .alias("share"),
+    )
+
+
+def hist2d_sql(
+    table: str, x_col: str, y_col: str, n_x: int = 12, n_y: int = 10
+) -> str:
+    nx, ny = int(n_x), int(n_y)
+    return f"""
+        WITH base AS (
+          SELECT CAST({x_col} AS DOUBLE) AS x, CAST({y_col} AS DOUBLE) AS y
+          FROM {table}
+          WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+        ), bounds AS (
+          SELECT MIN(x) AS xlo, MAX(x) AS xhi,
+                 MIN(y) AS ylo, MAX(y) AS yhi FROM base
+        ), cells AS (
+          SELECT LEAST({nx} - 1, CAST(FLOOR((x - xlo)
+                   / ((xhi - xlo) / CAST({nx} AS DOUBLE))) AS INT)) AS bx,
+                 LEAST({ny} - 1, CAST(FLOOR((y - ylo)
+                   / ((yhi - ylo) / CAST({ny} AS DOUBLE))) AS INT)) AS by,
+                 xlo, ylo,
+                 (xhi - xlo) / CAST({nx} AS DOUBLE) AS wx,
+                 (yhi - ylo) / CAST({ny} AS DOUBLE) AS wy,
+                 COUNT(*) AS n
+          FROM base, bounds
+          GROUP BY 1, 2, 3, 4, 5, 6
+        ), tot AS (SELECT SUM(n) AS total FROM cells)
+        SELECT bx, by,
+               ROUND(xlo + bx * wx, 6) AS x_lo,
+               ROUND(ylo + by * wy, 6) AS y_lo,
+               CAST(n AS BIGINT) AS n,
+               ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+        FROM cells, tot ORDER BY bx, by
+    """

@@ -477,3 +477,31 @@ def stream_hll_registers(
             F.col("win.start").alias("window_start"), "bucket", "max_rank"
         )
     )
+
+
+def stream_windowed_counts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    window: str = "1 day",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming per-window key counts — the state half of a streaming
+    top-k: COUNT is merge-commutative, so micro-batch boundaries are
+    invisible and the final (window, key) table is identical to a batch
+    build over the same data; state per window is bounded by the key
+    domain, not the event volume. Emit the counts, not the ranking: a
+    rank is NOT incrementally maintainable (one late event can reorder
+    every row below it), so the top-k cut is a tiny batch window over
+    the closed counts — the same emit-the-mergeable-state,
+    fold-downstream split as stream_hll_registers.
+
+    Returns (window_start, key, n) rows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("win"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "key", "n")
+    )
