@@ -2961,6 +2961,87 @@ def r65_stream_topk(spark, sf_dir):
     )
 
 
+def r66_theil_decomposition(spark, sf_dir):
+    """Theil-T inequality with exact between/within split (operators/
+    stats.py theil_decomposition) over per-source document mass — the
+    decomposition Gini (r46) lacks: re-weight sources vs re-sample
+    within one. DECIMAL-summed ratio*ln terms, group-sized joins."""
+    from unifydb_spark.operators.stats import theil_decomposition
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return theil_decomposition(docs, "source", "n_chars").orderBy("source")
+
+
+def r67_wilson_rates(spark, sf_dir):
+    """Per-priority order-fulfillment rate with Wilson score intervals
+    (operators/stats.py wilson_rates): the correct small-n confidence
+    band for proportions — one combinable (n, k) pass, the interval a
+    mirrored double expression over two integers."""
+    from unifydb_spark.operators.stats import wilson_rates
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return wilson_rates(
+        orders, "o_orderpriority", F.col("o_orderstatus") == "F"
+    ).orderBy("o_orderpriority")
+
+
+def r68_hill_tail(spark, sf_dir):
+    """Hill tail-exponent estimate over the top-200 document lengths
+    (operators/stats.py hill_tail): the how-heavy-is-the-tail scalar
+    behind salting/packing/hub thresholds; TakeOrderedAndProject
+    selection (never a global sort), DECIMAL-summed ln terms."""
+    from unifydb_spark.operators.stats import hill_tail
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hill_tail(docs, "n_chars", "doc_id", k=200)
+
+
+def r69_stream_psi(spark, sf_dir):
+    """Always-on drift monitor (streaming/stream.py
+    stream_binned_counts + operators/stats.py psi_between_windows):
+    per-day equi-width histogram state builds as a STREAMING
+    aggregation (merge-commutative, n_bins ints per window), then
+    day-over-day PSI folds in batch over the emitted counts — the
+    streaming twin of r56. Complete mode for the bounded replay; the
+    oracle recomputes both halves from scratch."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from unifydb_spark.operators.stats import psi_between_windows
+    from unifydb_spark.streaming import (
+        read_event_stream,
+        stream_binned_counts,
+    )
+
+    name = "spsi_" + uuid.uuid4().hex[:8]
+    src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = read_event_stream(spark, src_dir).select("value", "ts")
+    with _stream_state_partitions(spark):
+        q = (
+            stream_binned_counts(
+                stream, "value", window="1 day", lo=0.0, width=10.0,
+                n_bins=12,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    counts = spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "bin",
+        "n",
+    )
+    return psi_between_windows(counts, n_bins=12).orderBy("day")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3177,6 +3258,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r63_zonemap_prune": r63_zonemap_prune,
         "r64_hist2d": r64_hist2d,
         "r65_stream_topk": r65_stream_topk,
+        "r66_theil_decomposition": r66_theil_decomposition,
+        "r67_wilson_rates": r67_wilson_rates,
+        "r68_hill_tail": r68_hill_tail,
+        "r69_stream_psi": r69_stream_psi,
     }
 
 
@@ -3900,6 +3985,24 @@ def _operator_oracles() -> dict[str, str]:
             "value",
             n_x=24,
             n_y=10,
+        ),
+        "r66_theil_decomposition": _st.theil_decomposition_sql(
+            "documents", "source", "n_chars"
+        ),
+        "r67_wilson_rates": _st.wilson_rates_sql(
+            "orders", "o_orderpriority", "o_orderstatus = 'F'"
+        ),
+        "r68_hill_tail": _st.hill_tail_sql(
+            "documents", "n_chars", "doc_id", k=200
+        ),
+        "r69_stream_psi": _st.psi_between_windows_sql(
+            """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                      LEAST(11, GREATEST(0, CAST(FLOOR(
+                        (CAST(value AS DOUBLE) - 0.0) / 10.0) AS INT)))
+                        AS bin,
+                      COUNT(*) AS n
+               FROM events GROUP BY 1, 2""",
+            n_bins=12,
         ),
         "r65_stream_topk": """
             WITH counts AS (

@@ -93,6 +93,16 @@ BNLJ_ALLOWED = {
     # a pure-Column bin probe, and the cell total (1 row) onto the
     # n_x*n_y cell relation — bounded by construction (r56 shape)
     "r64_hist2d",
+    # r66: the corpus (n, S) total rides a broadcast ONE-ROW cross join
+    # onto the group-sized relation — bounded by construction
+    "r66_theil_decomposition",
+    # r68: the x_(k+1) boundary (1 row) broadcast onto the k+1-row
+    # top relation — bounded by construction
+    "r68_hill_tail",
+    # r69: the n_bins spine (12 rows) broadcast onto the distinct-days
+    # relation — calendar x bins, bounded by construction (r18/r25
+    # spine shape)
+    "r69_stream_psi",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)

@@ -3,6 +3,7 @@ exact two-sample KS, chi-square independence, Cohen's kappa, PSI,
 daily-count autocorrelation, and integer-exact CUSUM changepoints."""
 
 import datetime
+import math
 
 import pytest
 from pyspark.sql import functions as F
@@ -192,3 +193,99 @@ def test_cusum_no_flags_on_stationary_series(spark):
     assert not any(r["flag_pos"] or r["flag_neg"] for r in out)
     # with x == mu every day, deviation is only the slack: cusum stays 0
     assert all(r["cusum_pos"] == 0.0 for r in out)
+
+
+def test_theil_decomposition_identity(spark):
+    from unifydb_spark.operators.stats import theil_decomposition
+
+    # two groups, known values: verify T = sum(within) + sum(between)
+    # against a direct python computation
+    rows = [("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 6.0), ("b", 10.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = theil_decomposition(df, "g", "v").collect()
+    xs = [v for _, v in rows]
+    mu = sum(xs) / len(xs)
+    t_direct = sum((x / mu) * math.log(x / mu) for x in xs) / len(xs)
+    t_from_parts = sum(r["contrib_within"] + r["contrib_between"] for r in out)
+    assert t_from_parts == pytest.approx(t_direct, abs=1e-5)
+    # equal-value group has zero within-inequality
+    eq = theil_decomposition(
+        spark.createDataFrame([("c", 5.0)] * 4, ["g", "v"]), "g", "v"
+    ).collect()[0]
+    assert eq["theil_g"] == 0.0
+
+
+def test_wilson_rates_known_values(spark):
+    from unifydb_spark.operators.stats import wilson_rates
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("g", i < 8) for i in range(10)], ["grp", "s"]
+    )
+    out = wilson_rates(df, "grp", F.col("s")).collect()[0]
+    assert out["n"] == 10 and out["k"] == 8 and out["rate"] == 0.8
+    # Wilson 95% interval for 8/10: approx [0.49, 0.94]
+    assert 0.47 < out["ci_lo"] < 0.51
+    assert 0.92 < out["ci_hi"] < 0.96
+    assert out["ci_lo"] < out["rate"] < out["ci_hi"]
+
+
+def test_wilson_rates_extreme_p_stays_in_unit_interval(spark):
+    from unifydb_spark.operators.stats import wilson_rates
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("g", True)] * 3, ["grp", "s"])
+    out = wilson_rates(df, "grp", F.col("s")).collect()[0]
+    assert out["rate"] == 1.0
+    assert 0.0 <= out["ci_lo"] < 1.0 and out["ci_hi"] <= 1.0
+
+
+def test_hill_tail_pareto_recovers_alpha(spark):
+    from unifydb_spark.operators.stats import hill_tail
+
+    # deterministic Pareto(alpha=2) sample via inverse CDF on a fixed
+    # grid: x = (1-u)^(-1/2), u = (i+0.5)/n
+    n = 2000
+    rows = [
+        (i, (1.0 - (i + 0.5) / n) ** -0.5) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = hill_tail(df, "v", "id", k=200).collect()[0]
+    assert out["k"] == 200
+    assert out["alpha"] == pytest.approx(2.0, rel=0.15)
+
+
+def test_hill_tail_boundary_ties_use_fixed_k(spark):
+    from unifydb_spark.operators.stats import hill_tail
+
+    # many ties at the k+1 boundary: ln(1)=0 terms keep H = sum/k exact
+    rows = [(i, 1.0) for i in range(50)] + [(100 + i, 10.0) for i in range(5)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = hill_tail(df, "v", "id", k=10).collect()[0]
+    # top-11: five 10.0s and six 1.0s; x_(k+1)=1.0; H = 5*ln(10)/10
+    assert out["x_kplus1"] == 1.0
+    assert out["hill_h"] == pytest.approx(5 * math.log(10.0) / 10.0, abs=1e-6)
+
+
+def test_psi_between_windows_identical_days_zero(spark):
+    from unifydb_spark.operators.stats import psi_between_windows
+
+    rows = []
+    for day in ("2024-01-01", "2024-01-02"):
+        for b in range(4):
+            rows.append((day, b, 10))
+    counts = spark.createDataFrame(rows, ["day", "bin", "n"])
+    out = psi_between_windows(counts, n_bins=4).collect()
+    assert len(out) == 1  # only the day with a predecessor
+    assert out[0]["day"] == "2024-01-02"
+    assert out[0]["psi_vs_prev"] == 0.0
+    assert out[0]["n_day"] == 40
+
+
+def test_psi_between_windows_shift_detected(spark):
+    from unifydb_spark.operators.stats import psi_between_windows
+
+    rows = [("2024-01-01", 0, 100), ("2024-01-02", 3, 100)]
+    counts = spark.createDataFrame(rows, ["day", "bin", "n"])
+    out = psi_between_windows(counts, n_bins=4).collect()[0]
+    assert out["psi_vs_prev"] > 3.0  # disjoint bins => large PSI

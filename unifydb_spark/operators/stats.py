@@ -2174,3 +2174,393 @@ def psi_report_sql(
                 FROM terms) AS psi
         FROM terms ORDER BY bin
     """
+
+
+def theil_decomposition(
+    df: "DataFrame", group_col: str, value_col: str
+) -> "DataFrame":
+    """Theil-T inequality with its exact between/within decomposition —
+    the property Gini (r46) famously lacks: T = T_between + T_within
+    splits corpus concentration into "sources differ in mean" vs
+    "inequality inside each source", which is the number a mixture
+    designer actually acts on (re-weight sources vs re-sample within
+    one). Positive values only (Theil is defined over positive
+    support). Returns per-group rows (group, n_g, mean_g, theil_g,
+    contrib_within, contrib_between); the corpus T is the sum of the
+    two contrib columns over all rows.
+
+    Exactness: each (x/mu_g) ln(x/mu_g) term is one mirrored double
+    cast DECIMAL(30,15) before the per-group SUM (r17 contract); group
+    means are single divisions of DECIMAL-exact sums; the global mean
+    rides a broadcast 1-row cross join. Scale: one combinable
+    per-group (sum, count), one equi-join of rows against group-sized
+    stats for the within terms, then everything is group-sized."""
+    from unifydb_spark.resources import tracked_persist
+
+    v = F.col(value_col).cast("double")
+    base = tracked_persist(
+        df.filter(v > 0).select(F.col(group_col).alias("grp"), v.alias("x"))
+    )
+    gstats = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(F.col("x").cast("decimal(38,12)"))
+        .cast("string")
+        .cast("double")
+        .alias("s_g"),
+    )
+    tot = gstats.agg(
+        F.sum("n_g").alias("n"),
+        F.round(F.sum(F.col("s_g").cast("decimal(38,12)")), 12)
+        .cast("string")
+        .cast("double")
+        .alias("s"),
+    )
+    mu_g = F.col("s_g") / F.col("n_g").cast("double")
+    jr = base.join(F.broadcast(gstats), "grp")
+    ratio = F.col("x") / (F.col("s_g") / F.col("n_g").cast("double"))
+    term = (ratio * F.log(ratio)).cast("decimal(30,15)")
+    within = jr.groupBy("grp").agg(
+        F.sum(term).cast("string").cast("double").alias("_tw")
+    )
+    g = (
+        gstats.join(within, "grp")
+        .crossJoin(F.broadcast(tot))
+    )
+    mu = F.col("s") / F.col("n").cast("double")
+    theil_g = F.col("_tw") / F.col("n_g").cast("double")
+    w_g = (
+        F.col("n_g").cast("double")
+        / F.col("n").cast("double")
+        * (mu_g / mu)
+    )
+    return g.select(
+        F.col("grp").alias(group_col),
+        F.col("n_g").cast("bigint").alias("n_g"),
+        F.round(mu_g, 6).alias("mean_g"),
+        F.round(theil_g, 6).alias("theil_g"),
+        F.round(w_g * theil_g, 6).alias("contrib_within"),
+        F.round(w_g * F.log(mu_g / mu), 6).alias("contrib_between"),
+    )
+
+
+def theil_decomposition_sql(
+    table: str, group_col: str, value_col: str
+) -> str:
+    v = f"CAST({value_col} AS DOUBLE)"
+    return f"""
+        WITH base AS (
+          SELECT {group_col} AS grp, {v} AS x FROM {table} WHERE {v} > 0
+        ), gstats AS (
+          SELECT grp, COUNT(*) AS n_g,
+                 CAST(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS VARCHAR)
+                      AS DOUBLE) AS s_g,
+                 CAST(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS VARCHAR)
+                      AS DOUBLE) AS s_g2
+          FROM base GROUP BY 1
+        ), tot AS (
+          SELECT SUM(n_g) AS n,
+                 CAST(CAST(SUM(CAST(s_g2 AS DECIMAL(38,12))) AS VARCHAR)
+                      AS DOUBLE) AS s
+          FROM gstats
+        ), within AS (
+          SELECT grp,
+                 CAST(CAST(SUM(CAST(
+                   (x / (s_g / CAST(n_g AS DOUBLE)))
+                   * LN(x / (s_g / CAST(n_g AS DOUBLE)))
+                 AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE) AS tw
+          FROM base JOIN gstats USING (grp) GROUP BY 1
+        )
+        SELECT grp AS {group_col},
+               CAST(n_g AS BIGINT) AS n_g,
+               ROUND(s_g / CAST(n_g AS DOUBLE), 6) AS mean_g,
+               ROUND(tw / CAST(n_g AS DOUBLE), 6) AS theil_g,
+               ROUND((CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ((s_g / CAST(n_g AS DOUBLE))
+                        / (s / CAST(n AS DOUBLE)))
+                     * (tw / CAST(n_g AS DOUBLE)), 6) AS contrib_within,
+               ROUND((CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ((s_g / CAST(n_g AS DOUBLE))
+                        / (s / CAST(n AS DOUBLE)))
+                     * LN((s_g / CAST(n_g AS DOUBLE))
+                          / (s / CAST(n AS DOUBLE))), 6) AS contrib_between
+        FROM gstats JOIN within USING (grp), tot
+        ORDER BY 1
+    """
+
+
+def wilson_rates(
+    df: "DataFrame",
+    group_col: str,
+    success: "Column",
+    z: float = 1.96,
+) -> "DataFrame":
+    """Per-group success rate with its Wilson score interval — the
+    correct small-n confidence band for proportions (the normal
+    approximation p ± z*sqrt(pq/n) collapses at p near 0/1 and small n,
+    exactly where pipeline gates operate). Returns (group, n, k, rate,
+    ci_lo, ci_hi). All inputs to the interval are the two integers
+    (n, k); the interval is one mirrored double expression; clamped to
+    [0, 1] structurally by the formula. One combinable pass."""
+    s = success.cast("boolean")
+    agg = df.filter(s.isNotNull()).groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(s.cast("long")).alias("k")
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    z2 = F.lit(float(z) * float(z))
+    denom = F.lit(1.0) + z2 / nd
+    center = (p + z2 / (F.lit(2.0) * nd)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nd
+            + z2 / (F.lit(4.0) * nd * nd)
+        )
+        / denom
+    )
+    return agg.select(
+        F.col(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    )
+
+
+def wilson_rates_sql(
+    table: str, group_col: str, success_sql: str, z: float = 1.96
+) -> str:
+    zf = float(z)
+    z2 = zf * zf
+    return f"""
+        WITH agg AS (
+          SELECT {group_col}, COUNT(*) AS n,
+                 SUM(CASE WHEN {success_sql} THEN 1 ELSE 0 END) AS k
+          FROM {table}
+          WHERE ({success_sql}) IS NOT NULL
+          GROUP BY 1
+        )
+        SELECT {group_col},
+               CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+               ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+               ROUND(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                      + {z2!r} / (2.0 * CAST(n AS DOUBLE)))
+                     / (1.0 + {z2!r} / CAST(n AS DOUBLE))
+                     - {zf!r} * SQRT(
+                         (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                         / CAST(n AS DOUBLE)
+                         + {z2!r} / (4.0 * CAST(n AS DOUBLE)
+                                     * CAST(n AS DOUBLE)))
+                       / (1.0 + {z2!r} / CAST(n AS DOUBLE)), 6) AS ci_lo,
+               ROUND(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                      + {z2!r} / (2.0 * CAST(n AS DOUBLE)))
+                     / (1.0 + {z2!r} / CAST(n AS DOUBLE))
+                     + {zf!r} * SQRT(
+                         (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                         / CAST(n AS DOUBLE)
+                         + {z2!r} / (4.0 * CAST(n AS DOUBLE)
+                                     * CAST(n AS DOUBLE)))
+                       / (1.0 + {z2!r} / CAST(n AS DOUBLE)), 6) AS ci_hi
+        FROM agg ORDER BY 1
+    """
+
+
+def hill_tail(
+    df: "DataFrame",
+    value_col: str,
+    id_col: str,
+    k: int = 200,
+) -> "DataFrame":
+    """Hill estimator of the power-law tail exponent over the top-k
+    order statistics: H = (1/k) * sum ln(x_(i) / x_(k+1)), alpha = 1/H
+    — the quantitative "how heavy is the document-length / degree /
+    value tail" behind every skew decision (salting thresholds, packing
+    bin sizes, hub cutoffs in q32/q36 are all tail-exponent calls).
+    Returns one row (k, x_kplus1, hill_h, alpha).
+
+    The top-(k+1) selection orders by (value desc, id) so boundary ties
+    resolve identically on both engines; it compiles to
+    TakeOrderedAndProject (per-partition top-k, merge on the driver —
+    never a global sort). The ln terms over the k-row relation are
+    DECIMAL-summed; x_(k+1) joins back as a broadcast 1-row min."""
+    from unifydb_spark.resources import tracked_persist
+
+    v = F.col(value_col).cast("double")
+    top = tracked_persist(
+        df.filter(v > 0)
+        .select(v.alias("x"), F.col(id_col).alias("_id"))
+        .orderBy(F.col("x").desc(), F.col("_id").asc())
+        .limit(int(k) + 1)
+    )
+    xmin = top.agg(F.min("x").alias("x_k1"))
+    terms = (
+        top.crossJoin(F.broadcast(xmin))
+        .filter(F.col("x") > F.col("x_k1"))
+        .select(
+            F.log(F.col("x") / F.col("x_k1")).cast("decimal(30,15)").alias(
+                "t"
+            ),
+            "x_k1",
+        )
+    )
+    agg = terms.groupBy("x_k1").agg(
+        F.count(F.lit(1)).alias("_kk"),
+        F.sum("t").cast("string").cast("double").alias("_s"),
+    )
+    h = F.col("_s") / F.lit(float(k))
+    return agg.select(
+        F.lit(int(k)).cast("int").alias("k"),
+        F.round(F.col("x_k1"), 6).alias("x_kplus1"),
+        F.round(h, 6).alias("hill_h"),
+        F.round(F.lit(1.0) / h, 6).alias("alpha"),
+    )
+
+
+def hill_tail_sql(
+    table: str, value_col: str, id_col: str, k: int = 200
+) -> str:
+    kk = int(k)
+    v = f"CAST({value_col} AS DOUBLE)"
+    return f"""
+        WITH top AS (
+          SELECT {v} AS x FROM {table} WHERE {v} > 0
+          ORDER BY {v} DESC, {id_col} ASC LIMIT {kk + 1}
+        ), xmin AS (SELECT MIN(x) AS x_k1 FROM top),
+        agg AS (
+          SELECT x_k1, COUNT(*) AS kk,
+                 CAST(CAST(SUM(CAST(LN(x / x_k1) AS DECIMAL(30,15)))
+                      AS VARCHAR) AS DOUBLE) AS s
+          FROM top, xmin WHERE x > x_k1 GROUP BY 1
+        )
+        SELECT CAST({kk} AS INT) AS k,
+               ROUND(x_k1, 6) AS x_kplus1,
+               ROUND(s / {float(kk)!r}, 6) AS hill_h,
+               ROUND(1.0 / (s / {float(kk)!r}), 6) AS alpha
+        FROM agg
+    """
+
+
+def psi_between_windows(
+    counts: "DataFrame",
+    day_col: str = "day",
+    bin_col: str = "bin",
+    n_col: str = "n",
+    n_bins: int = 12,
+) -> "DataFrame":
+    """PSI of each window's metric histogram against the PREVIOUS
+    window — the fold half of the streaming drift monitor (pair of
+    stream_binned_counts): consecutive-window PSI is the "did today's
+    traffic change shape vs yesterday" alarm, computed entirely on the
+    (windows x bins)-sized count relation the stream emits. Day keys
+    are 'yyyy-MM-dd' strings; the previous day is resolved by date
+    arithmetic, so a fully missing window simply yields no row (its
+    successor compares against the gap — by design: an empty day IS
+    maximal drift and r25 already alarms on volume). Returns
+    (day, n_day, psi_vs_prev) for every day with a predecessor.
+
+    Exactness: bins densify over a (days x n_bins) spine so both
+    sides see identical zero cells; Laplace-smoothed shares and
+    DECIMAL-summed (p-q)ln(p/q) terms (the r56 formulation). Scale:
+    everything runs on the calendar x bins relation."""
+    from unifydb_spark.resources import tracked_persist
+
+    days = counts.select(F.col(day_col).alias("day")).distinct()
+    spine = days.crossJoin(
+        F.broadcast(
+            counts.sparkSession.range(int(n_bins)).select(
+                F.col("id").cast("int").alias("bin")
+            )
+        )
+    )
+    dense = tracked_persist(
+        spine.join(
+            counts.select(
+                F.col(day_col).alias("day"),
+                F.col(bin_col).cast("int").alias("bin"),
+                F.col(n_col).cast("long").alias("n"),
+            ),
+            ["day", "bin"],
+            "left",
+        ).select("day", "bin", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    tots = dense.groupBy("day").agg(F.sum("n").alias("tot"))
+    cur = (
+        dense.join(F.broadcast(tots), "day")
+        .select(
+            "day",
+            "bin",
+            F.col("n").alias("n_cur"),
+            F.col("tot").alias("t_cur"),
+            F.date_format(
+                F.date_sub(F.to_date("day"), 1), "yyyy-MM-dd"
+            ).alias("prev_day"),
+        )
+    )
+    prev = dense.join(F.broadcast(tots), "day").select(
+        F.col("day").alias("prev_day"),
+        "bin",
+        F.col("n").alias("n_prev"),
+        F.col("tot").alias("t_prev"),
+    )
+    j = cur.join(prev, ["prev_day", "bin"])
+    half_b = float(n_bins) / 2.0
+    p = (F.col("n_prev").cast("double") + F.lit(0.5)) / (
+        F.col("t_prev").cast("double") + F.lit(half_b)
+    )
+    q = (F.col("n_cur").cast("double") + F.lit(0.5)) / (
+        F.col("t_cur").cast("double") + F.lit(half_b)
+    )
+    term = ((p - q) * F.log(p / q)).cast("decimal(30,15)")
+    return j.groupBy("day").agg(
+        F.max("t_cur").cast("bigint").alias("n_day"),
+        F.round(F.sum(term).cast("string").cast("double"), 6).alias(
+            "psi_vs_prev"
+        ),
+    )
+
+
+def psi_between_windows_sql(
+    counts_cte: str, n_bins: int = 12
+) -> str:
+    """Oracle over a `counts` CTE with columns (day, bin, n)."""
+    b = int(n_bins)
+    return f"""
+        WITH counts AS ({counts_cte}),
+        days AS (SELECT DISTINCT day FROM counts),
+        spine AS (
+          SELECT day, CAST(u.b AS INT) AS bin
+          FROM days, unnest(range(0, {b})) AS u(b)
+        ), dense AS (
+          SELECT s.day, s.bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+          FROM spine s LEFT JOIN counts c
+            ON c.day = s.day AND CAST(c.bin AS INT) = s.bin
+        ), tots AS (SELECT day, SUM(n) AS tot FROM dense GROUP BY 1),
+        cur AS (
+          SELECT d.day, d.bin, d.n AS n_cur, t.tot AS t_cur,
+                 strftime(CAST(d.day AS DATE) - INTERVAL 1 DAY,
+                          '%Y-%m-%d') AS prev_day
+          FROM dense d JOIN tots t USING (day)
+        ), prev AS (
+          SELECT d.day AS prev_day, d.bin, d.n AS n_prev, t.tot AS t_prev
+          FROM dense d JOIN tots t USING (day)
+        )
+        SELECT c.day,
+               CAST(MAX(c.t_cur) AS BIGINT) AS n_day,
+               ROUND(CAST(CAST(SUM(CAST(
+                 ((CAST(n_prev AS DOUBLE) + 0.5)
+                  / (CAST(t_prev AS DOUBLE) + {float(b) / 2.0!r})
+                  - (CAST(n_cur AS DOUBLE) + 0.5)
+                    / (CAST(t_cur AS DOUBLE) + {float(b) / 2.0!r}))
+                 * LN(((CAST(n_prev AS DOUBLE) + 0.5)
+                       / (CAST(t_prev AS DOUBLE) + {float(b) / 2.0!r}))
+                      / ((CAST(n_cur AS DOUBLE) + 0.5)
+                         / (CAST(t_cur AS DOUBLE) + {float(b) / 2.0!r})))
+               AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE), 6)
+                 AS psi_vs_prev
+        FROM cur c JOIN prev p
+          ON p.prev_day = c.prev_day AND p.bin = c.bin
+        GROUP BY 1 ORDER BY 1
+    """

@@ -505,3 +505,38 @@ def stream_windowed_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("win.start").alias("window_start"), "key", "n")
     )
+
+
+def stream_binned_counts(
+    events: DataFrame,
+    value_col: str = "value",
+    window: str = "1 day",
+    watermark: str = "0 seconds",
+    lo: float = 0.0,
+    width: float = 10.0,
+    n_bins: int = 12,
+) -> DataFrame:
+    """Streaming per-window equi-width histogram of a metric — the
+    state half of an always-on drift monitor: bin counts are
+    merge-commutative (micro-batch boundaries invisible, state bounded
+    at n_bins integers per window), and any distribution distance
+    (PSI, chi-square, binned KS) folds downstream over the closed
+    windows. Bin edges are CONFIGURED (lo + i*width, clamped into
+    [0, n_bins-1]) rather than data-derived: a streaming query cannot
+    pre-scan global min/max, and fixed edges are what makes
+    window-over-window comparisons meaningful at all. Returns
+    (window_start, bin, n)."""
+    v = F.col(value_col).cast("double")
+    b = F.least(
+        F.lit(int(n_bins) - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((v - F.lit(float(lo))) / F.lit(float(width))).cast("int"),
+        ),
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "bin", "n")
+    )
