@@ -125,6 +125,10 @@ HEADLINE = [
     "r63_zonemap_prune",
     "r64_hist2d",
     "r65_stream_topk",
+    "r66_theil_decomposition",
+    "r67_wilson_rates",
+    "r68_hill_tail",
+    "r69_stream_psi",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

@@ -199,15 +199,26 @@ def embedding_rp_signatures(
     md5('rp:' || d) — one md5 per dimension, bit b extracted by shifts
     (the same 2-radix-conversion packing as the text SimHash).
 
-    Projections accumulate in DECIMAL(38,18) (weights are exactly ±1),
-    so the sign — and therefore the signature — is bit-identical under
-    any partitioning, and the SQL oracle reproduces it. Data-independent
-    (no centroid fit): the single-pass complement to IVF for streaming
-    or incremental corpora."""
+    Projections accumulate as BIGINT micro-units (each coordinate
+    rounded once to 1e-6, weights exactly ±1): integer sums are
+    order-independent under any partitioning AND an order of magnitude
+    cheaper than the round-5 DECIMAL(38,18) accumulation (64 decimal
+    aggregates dominated q56's wall time), with the identical
+    engine-portability guarantee — both engines round half-away-from-
+    zero and sum exact integers. The 1e-6 quantization only moves bits
+    whose projection is within 32 ulp-millionths of the hyperplane,
+    where the bit is noise anyway. Data-independent (no centroid fit):
+    the single-pass complement to IVF for streaming or incremental
+    corpora."""
     ex = (
         _spread(emb)
         .select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "x"))
-        .withColumn("x", F.col("x").cast("double"))
+        .withColumn(
+            "m",
+            F.round(F.col("x").cast("double") * F.lit(1000000.0)).cast(
+                "bigint"
+            ),
+        )
         .withColumn("h", F.md5(F.concat(F.lit("rp:"), F.col("dim"))))
         .withColumn("h1", F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint"))
         .withColumn("h2", F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint"))
@@ -220,7 +231,7 @@ def embedding_rp_signatures(
         else:
             src, shift = F.col("h2"), 4 * (16 - j) + kk
         bit = F.shiftright(src, shift).bitwiseAND(F.lit(1))
-        contrib = F.col("x").cast(DEC) * (bit * 2 - 1)
+        contrib = F.col("m") * (bit * 2 - 1)
         bit_sums.append(F.sum(contrib).alias(f"s{b}"))
     sums = ex.groupBy(id_col).agg(*bit_sums)
     hi = None
@@ -317,9 +328,7 @@ def embedding_rp_sql(
         j, kk = b // 4 + 1, b % 4
         nib = f"(strpos('0123456789abcdef', substr(h, {j}, 1)) - 1)"
         bit = f"((({nib}) >> {kk}) & 1)"
-        sum_exprs.append(
-            f"SUM(CAST(x AS DECIMAL(38,18)) * ({bit} * 2 - 1)) AS s{b}"
-        )
+        sum_exprs.append(f"SUM(m * ({bit} * 2 - 1)) AS s{b}")
     lo = " + ".join(
         f"(CASE WHEN s{b} > 0 THEN 1 ELSE 0 END)::BIGINT * {1 << (b % 32)}"
         for b in range(32)
@@ -338,7 +347,8 @@ def embedding_rp_sql(
     return f"""
         WITH ex AS (
           SELECT {id_col} AS vid, i - 1 AS dimn,
-                 CAST({vec_col}[i] AS DOUBLE) AS x,
+                 CAST(ROUND(CAST({vec_col}[i] AS DOUBLE) * 1000000.0)
+                      AS BIGINT) AS m,
                  md5('rp:' || CAST(i - 1 AS VARCHAR)) AS h
           FROM {table}, generate_series(1, {dim}) AS t(i)
         ), sums AS (
