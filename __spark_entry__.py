@@ -3042,6 +3042,37 @@ def r69_stream_psi(spark, sf_dir):
     return psi_between_windows(counts, n_bins=12).orderBy("day")
 
 
+def r70_ddsketch_quantiles(spark, sf_dir):
+    """Relative-error quantile sketch (operators/sketch.py
+    ddsketch_quantiles): DDSketch log-buckets per event type —
+    VALUE-relative error bounds where KLL's are rank-relative, and a
+    bit-reproducible, oracle-checkable sketch (deterministic bucket
+    function, count-sum merge). One combinable (group, bucket) count."""
+    from unifydb_spark.operators.sketch import ddsketch_quantiles
+
+    ev = _events_ts(spark, sf_dir)
+    return ddsketch_quantiles(
+        ev, "event_type", "value", rel_err=0.01
+    ).orderBy("event_type", "p")
+
+
+def r71_lift_curve(spark, sf_dir):
+    """Cumulative gains / lift table (operators/stats.py lift_curve):
+    events ranked by value as a purchase-propensity score, cut into
+    deciles on the q91 scalable numbering — per-decile response rate,
+    cumulative capture, cumulative lift; the targeting eval AUC
+    summarizes away."""
+    from unifydb_spark.operators.stats import lift_curve
+
+    ev = _events_ts(spark, sf_dir)
+    return lift_curve(
+        ev,
+        "value",
+        (F.col("event_type") == "purchase").cast("int"),
+        "event_id",
+    ).orderBy("bucket")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3262,6 +3293,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r67_wilson_rates": r67_wilson_rates,
         "r68_hill_tail": r68_hill_tail,
         "r69_stream_psi": r69_stream_psi,
+        "r70_ddsketch_quantiles": r70_ddsketch_quantiles,
+        "r71_lift_curve": r71_lift_curve,
     }
 
 
@@ -3985,6 +4018,15 @@ def _operator_oracles() -> dict[str, str]:
             "value",
             n_x=24,
             n_y=10,
+        ),
+        "r70_ddsketch_quantiles": _sk.ddsketch_quantiles_sql(
+            "events", "event_type", "value", rel_err=0.01
+        ),
+        "r71_lift_curve": _st.lift_curve_sql(
+            "events",
+            "value",
+            "event_type = 'purchase'",
+            "event_id",
         ),
         "r66_theil_decomposition": _st.theil_decomposition_sql(
             "documents", "source", "n_chars"

@@ -129,6 +129,8 @@ HEADLINE = [
     "r67_wilson_rates",
     "r68_hill_tail",
     "r69_stream_psi",
+    "r70_ddsketch_quantiles",
+    "r71_lift_curve",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

@@ -289,3 +289,57 @@ def test_psi_between_windows_shift_detected(spark):
     counts = spark.createDataFrame(rows, ["day", "bin", "n"])
     out = psi_between_windows(counts, n_bins=4).collect()[0]
     assert out["psi_vs_prev"] > 3.0  # disjoint bins => large PSI
+
+
+def test_ddsketch_relative_error_bound(spark):
+    from unifydb_spark.operators.sketch import ddsketch_quantiles
+
+    # deterministic lognormal-ish spread via quadratic growth
+    rows = [("g", 1.0 + (i * i) % 9973 / 10.0) for i in range(5000)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = ddsketch_quantiles(
+        df, "grp", "v", rel_err=0.01, probs=(0.5, 0.9, 0.99)
+    ).collect()
+    xs = sorted(v for _, v in rows)
+    for r in out:
+        k = max(1, math.ceil(r["p"] * len(xs)))
+        true = xs[k - 1]
+        assert abs(r["est"] - true) / true <= 0.0101, (r["p"], r["est"], true)
+
+
+def test_ddsketch_merge_invariance_under_partitioning(spark):
+    from unifydb_spark.operators.sketch import ddsketch_quantiles
+
+    rows = [("g", float(1 + i % 97)) for i in range(2000)]
+    a = ddsketch_quantiles(
+        spark.createDataFrame(rows, ["grp", "v"]).repartition(1), "grp", "v"
+    ).collect()
+    b = ddsketch_quantiles(
+        spark.createDataFrame(rows, ["grp", "v"]).repartition(32), "grp", "v"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_lift_curve_perfect_ranking(spark):
+    from unifydb_spark.operators.stats import lift_curve
+
+    # scores perfectly separate: top 20% of scores are ALL the positives
+    rows = [(i, float(1000 - i), i < 20) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "score", "y"])
+    out = {r["bucket"]: r for r in lift_curve(df, "score", "y", "id").collect()}
+    assert out[0]["rate"] == 1.0 and out[1]["rate"] == 1.0
+    assert out[1]["cum_capture"] == 1.0  # all positives inside 2 deciles
+    assert out[0]["cum_lift"] == 5.0  # 100% rate vs 20% base
+    assert all(out[b]["n_pos"] == 0 for b in range(2, 10))
+
+
+def test_lift_curve_random_scores_lift_one(spark):
+    from unifydb_spark.operators.stats import lift_curve
+
+    # label independent of score: every decile's lift ~= 1 exactly when
+    # positives are spread uniformly by construction
+    rows = [(i, float(i % 10), i % 5 == 0) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "score", "y"])
+    out = lift_curve(df, "score", "y", "id").collect()
+    assert out[-1]["cum_capture"] == 1.0
+    assert out[-1]["cum_lift"] == 1.0

@@ -82,14 +82,19 @@ def global_row_number(
     omap = F.create_map(
         *[F.lit(v) for pid in offsets for v in (pid, offsets[pid])]
     )
+    # internal temp names must not shadow the caller's out_col (this
+    # bit twice: out_col="_rn" was silently dropped)
+    assert out_col not in ("__gn_rn", "_pid"), out_col
     w = Window.partitionBy("_pid").orderBy(*cols)
     return (
-        ranged.withColumn("_rn", F.row_number().over(w))
+        ranged.withColumn("__gn_rn", F.row_number().over(w))
         .withColumn(
             out_col,
-            (F.element_at(omap, F.col("_pid")) + F.col("_rn")).cast("bigint"),
+            (F.element_at(omap, F.col("_pid")) + F.col("__gn_rn")).cast(
+                "bigint"
+            ),
         )
-        .drop("_pid", "_rn")
+        .drop("_pid", "__gn_rn")
     )
 
 

@@ -906,3 +906,150 @@ def cms_join_size_sql(
         )
         SELECT CAST(MIN(ip) AS BIGINT) AS est_join_rows FROM ip
     """
+
+
+def ddsketch_quantiles(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    rel_err: float = 0.01,
+    probs: tuple = (0.5, 0.9, 0.99),
+) -> "DataFrame":
+    """Relative-error quantile sketch (the DDSketch bucket scheme,
+    Masson et al. VLDB 2019 — public method): values bucket at
+    ceil(log_gamma(x)) with gamma = (1+a)/(1-a), so any quantile
+    answered from bucket counts is within relative error `a` of the
+    true value — the guarantee KLL/percentile_approx cannot give
+    (their error is in RANK; a p99 latency can come back 40% off in
+    VALUE). Buckets are a pure deterministic function of the value, so
+    unlike KLL the sketch is bit-reproducible under any partitioning
+    AND oracle-checkable exactly. Positive values only (log domain).
+    Returns (group, p, est, n_buckets, n) per requested quantile.
+
+    Scale: one combinable (group, bucket) count — the sketch IS the
+    count relation, bounded by ~log_gamma(max/min) buckets per group
+    (a few hundred at 1% for any realistic range); merge = count sum,
+    so partial aggregation does all the work map-side. The quantile
+    fold runs on the bucket relation with one cumulative window per
+    group. Estimate = 2*gamma^b/(gamma+1), the bucket's midpoint in
+    log space.
+
+    Exactness contract: the bucket index ceil(ln(x)/ln(gamma)) is one
+    mirrored double expression (ln parity, r17 contract); near-exact
+    powers can land on either side of an integer only when BOTH
+    engines' ln results differ — not observed; the index and counts
+    are integers thereafter, and gamma^b folds through pow on both
+    engines."""
+    from pyspark.sql import Window
+
+    a = float(rel_err)
+    gamma = (1.0 + a) / (1.0 - a)
+    v = F.col(value_col).cast("double")
+    buckets = (
+        df.filter(v > 0)
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            F.ceil(F.log(v) / F.lit(__import__("math").log(gamma)))
+            .cast("long")
+            .alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from unifydb_spark.resources import tracked_persist
+
+    buckets = tracked_persist(buckets)
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("grp")
+    cum = buckets.select(
+        "grp",
+        "b",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wt).alias("n"),
+        F.count(F.lit(1)).over(wt).alias("n_buckets"),
+    )
+    rows = []
+    for p in probs:
+        pf = float(p)
+        # target rank ceil(p*n) with a floor of 1
+        target = F.greatest(
+            F.lit(1), F.ceil(F.lit(pf) * F.col("n")).cast("long")
+        )
+        first_hit = cum.filter(F.col("cum") >= target).groupBy(
+            "grp"
+        ).agg(
+            F.min("b").alias("b"),
+            F.max("n").alias("n"),
+            F.max("n_buckets").alias("n_buckets"),
+        )
+        est = (
+            F.lit(2.0)
+            * F.pow(F.lit(gamma), F.col("b").cast("double"))
+            / F.lit(gamma + 1.0)
+        )
+        rows.append(
+            first_hit.select(
+                F.col("grp").alias(group_col),
+                F.lit(pf).alias("p"),
+                F.round(est, 6).alias("est"),
+                F.col("n_buckets").cast("bigint").alias("n_buckets"),
+                F.col("n").cast("bigint").alias("n"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def ddsketch_quantiles_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    rel_err: float = 0.01,
+    probs: tuple = (0.5, 0.9, 0.99),
+) -> str:
+    import math as _m
+
+    a = float(rel_err)
+    gamma = (1.0 + a) / (1.0 - a)
+    lng = _m.log(gamma)
+    arms = []
+    for p in probs:
+        pf = float(p)
+        arms.append(f"""
+          SELECT grp AS {group_col}, {pf!r} AS p,
+                 ROUND(2.0 * POW({gamma!r}, CAST(b AS DOUBLE))
+                       / {gamma + 1.0!r}, 6) AS est,
+                 CAST(n_buckets AS BIGINT) AS n_buckets,
+                 CAST(n AS BIGINT) AS n
+          FROM (
+            SELECT grp, MIN(b) AS b, MAX(n) AS n,
+                   MAX(n_buckets) AS n_buckets
+            FROM cum
+            WHERE cum >= GREATEST(1, CAST(CEIL({pf!r} * n) AS BIGINT))
+            GROUP BY grp
+          )""")
+    union = " UNION ALL ".join(arms)
+    return f"""
+        WITH buckets AS (
+          SELECT {group_col} AS grp,
+                 CAST(CEIL(LN(CAST({value_col} AS DOUBLE)) / {lng!r})
+                      AS BIGINT) AS b,
+                 COUNT(*) AS c
+          FROM {table}
+          WHERE CAST({value_col} AS DOUBLE) > 0
+          GROUP BY 1, 2
+        ), cum AS (
+          SELECT grp, b,
+                 SUM(c) OVER (PARTITION BY grp ORDER BY b
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(c) OVER (PARTITION BY grp) AS n,
+                 COUNT(*) OVER (PARTITION BY grp) AS n_buckets
+          FROM buckets
+        )
+        SELECT * FROM ({union}) ORDER BY {group_col}, p
+    """

@@ -2564,3 +2564,119 @@ def psi_between_windows_sql(
           ON p.prev_day = c.prev_day AND p.bin = c.bin
         GROUP BY 1 ORDER BY 1
     """
+
+
+def lift_curve(
+    df: "DataFrame",
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> "DataFrame":
+    """Cumulative gains / lift table: rank rows by model score
+    descending, cut into `n_buckets` equal buckets, and report each
+    bucket's response rate, cumulative capture (share of all positives
+    reached so far) and cumulative lift vs the base rate — the
+    campaign-targeting / triage-ordering eval that AUC (r30) summarizes
+    away ("how much of the value do the top 2 deciles hold?").
+    Returns (bucket, n, n_pos, rate, cum_capture, cum_lift).
+
+    Ranking uses the q91 scalable numbering on (score desc, id) — a
+    unique composite, no single-partition sort; the bucket id is
+    integer ((rn-1)*B div n). Counts are integers; every rate is a
+    single mirrored division off a cumulative window over the
+    B-row bucket relation."""
+    from pyspark.sql import Window
+    from unifydb_spark.operators.layout import global_row_number
+
+    s = F.col(score_col).cast("double")
+    lbl = label_col if not isinstance(label_col, str) else F.col(label_col)
+    y = lbl.cast("boolean")
+    base = df.select(
+        (-s).alias("_neg_s"), F.col(id_col).alias("_id"), y.alias("_y")
+    )
+    n = base.count()
+    numbered = global_row_number(base, ["_neg_s", "_id"], out_col="_gix")
+    B = int(n_buckets)
+    buckets = (
+        numbered.select(
+            F.expr(f"((_gix - 1) * {B}) DIV {n}").alias("bucket"), "_y"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_y").cast("long")).alias("n_pos"),
+        )
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy()
+    cum_pos = F.sum("n_pos").over(w)
+    cum_n = F.sum("n").over(w)
+    all_pos = F.sum("n_pos").over(tot)
+    all_n = F.sum("n").over(tot)
+    base_rate = all_pos.cast("double") / all_n.cast("double")
+    return buckets.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.round(F.col("n_pos").cast("double") / F.col("n").cast("double"), 6)
+        .alias("rate"),
+        F.round(
+            F.when(
+                all_pos > 0, cum_pos.cast("double") / all_pos.cast("double")
+            ),
+            6,
+        ).alias("cum_capture"),
+        F.round(
+            F.when(
+                all_pos > 0,
+                (cum_pos.cast("double") / cum_n.cast("double")) / base_rate,
+            ),
+            6,
+        ).alias("cum_lift"),
+    )
+
+
+def lift_curve_sql(
+    table: str,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> str:
+    B = int(n_buckets)
+    return f"""
+        WITH numbered AS (
+          SELECT CAST({label_col} AS BOOLEAN) AS y,
+                 ROW_NUMBER() OVER (
+                   ORDER BY CAST({score_col} AS DOUBLE) DESC, {id_col} ASC
+                 ) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM {table}
+        ), buckets AS (
+          SELECT ((rn - 1) * {B}) // n AS bucket,
+                 COUNT(*) AS n,
+                 SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos
+          FROM numbered GROUP BY 1
+        )
+        SELECT CAST(bucket AS INT) AS bucket,
+               CAST(n AS BIGINT) AS n,
+               CAST(n_pos AS BIGINT) AS n_pos,
+               ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+               ROUND(CASE WHEN SUM(n_pos) OVER () > 0 THEN
+                 CAST(SUM(n_pos) OVER (ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(SUM(n_pos) OVER () AS DOUBLE) END, 6)
+                 AS cum_capture,
+               ROUND(CASE WHEN SUM(n_pos) OVER () > 0 THEN
+                 (CAST(SUM(n_pos) OVER (ORDER BY bucket
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                  / CAST(SUM(n) OVER (ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE))
+                 / (CAST(SUM(n_pos) OVER () AS DOUBLE)
+                    / CAST(SUM(n) OVER () AS DOUBLE)) END, 6) AS cum_lift
+        FROM buckets ORDER BY bucket
+    """
