@@ -3073,6 +3073,17 @@ def r71_lift_curve(spark, sf_dir):
     ).orderBy("bucket")
 
 
+def r72_dedup_eval(spark, sf_dir):
+    """Dedup-method operating point (operators/dedup.py dedup_eval):
+    precision/recall/F1 of the MinHash-LSH candidate screen (q24)
+    against the exact n-gram-Jaccard truth (q23) — the measured
+    justification for LSH parameters before a full-corpus run; the
+    dedup twin of q90's ANN recall gauge. Pair-relation joins only."""
+    from unifydb_spark.operators.dedup import dedup_eval
+
+    return dedup_eval(_docs(spark, sf_dir))
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3295,6 +3306,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r69_stream_psi": r69_stream_psi,
         "r70_ddsketch_quantiles": r70_ddsketch_quantiles,
         "r71_lift_curve": r71_lift_curve,
+        "r72_dedup_eval": r72_dedup_eval,
     }
 
 
@@ -4019,6 +4031,7 @@ def _operator_oracles() -> dict[str, str]:
             n_x=24,
             n_y=10,
         ),
+        "r72_dedup_eval": _d.dedup_eval_sql("documents"),
         "r70_ddsketch_quantiles": _sk.ddsketch_quantiles_sql(
             "events", "event_type", "value", rel_err=0.01
         ),

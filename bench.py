@@ -131,6 +131,7 @@ HEADLINE = [
     "r69_stream_psi",
     "r70_ddsketch_quantiles",
     "r71_lift_curve",
+    "r72_dedup_eval",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

@@ -100,3 +100,23 @@ def test_distinctive_terms_finds_group_marker(spark):
     assert all(len(v) == 2 for v in top.values())
     za = {r["term"]: r["z"] for r in out if r["source"] == "A"}
     assert za["apple"] > 0
+
+
+def test_dedup_eval_planted_duplicates(spark):
+    from unifydb_spark.operators.dedup import dedup_eval
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),  # near-dup of 1
+        (3, "completely different words about spark catalyst optimizer plans"),
+        (4, base),             # exact dup of 1
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup_eval(docs).collect()[0]
+    # truth must contain the (1,2),(1,4),(2,4) cluster; LSH must recall
+    # exact dups (identical signatures) so n_both >= 1
+    assert out["n_truth"] == 3
+    assert out["n_both"] >= 1
+    assert out["recall"] is not None and 0.0 < out["recall"] <= 1.0
+    assert out["precision"] is not None

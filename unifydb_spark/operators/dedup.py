@@ -1782,3 +1782,108 @@ def edit_distance_join_sql(
         WHERE levenshtein(a.k, b.k) <= {int(max_dist)}
         ORDER BY id_a, id_b
     """
+
+
+def dedup_eval(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Dedup-method evaluation gauge: precision/recall of the MinHash-
+    LSH candidate pairs (q24's sub-quadratic screen) against the exact
+    n-gram-Jaccard ground truth (q23's ppjoin) on the same corpus — the
+    dedup twin of q90's ANN recall gauge, and the number that justifies
+    an LSH parameter choice (k, bands) before a 100 TB run: LSH recall
+    is probabilistic in theory, so you MEASURE it on a sample and ship
+    the parameters with their observed operating point. Returns one row
+    (n_truth, n_pred, n_both, precision, recall, f1).
+
+    Scale: composes two already-bounded pipelines (prefix-filtered
+    verify join; banded equi-join) and one full-outer pair join that is
+    bounded by the two pair sets — pair relations, never the corpus.
+    The counts are integers; the three ratios are single mirrored
+    divisions."""
+    truth = ngram_jaccard_pairs(docs, text_col, n, threshold).select(
+        "d1", "d2", F.lit(1).alias("_t")
+    )
+    pred = minhash_lsh_pairs(docs, text_col, n, k, bands).select(
+        "d1", "d2", F.lit(1).alias("_p")
+    )
+    j = truth.join(pred, ["d1", "d2"], "full")
+    agg = j.agg(
+        F.sum(F.col("_t").isNotNull().cast("long")).alias("n_truth"),
+        F.sum(F.col("_p").isNotNull().cast("long")).alias("n_pred"),
+        F.sum(
+            (F.col("_t").isNotNull() & F.col("_p").isNotNull()).cast("long")
+        ).alias("n_both"),
+    )
+    prec = F.when(
+        F.col("n_pred") > 0,
+        F.col("n_both").cast("double") / F.col("n_pred").cast("double"),
+    )
+    rec = F.when(
+        F.col("n_truth") > 0,
+        F.col("n_both").cast("double") / F.col("n_truth").cast("double"),
+    )
+    return agg.select(
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("n_both").cast("bigint").alias("n_both"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(
+                (F.col("n_pred") > 0)
+                & (F.col("n_truth") > 0)
+                & (F.col("n_both") > 0),
+                F.lit(2.0)
+                * (prec * rec)
+                / (prec + rec),
+            ),
+            6,
+        ).alias("f1"),
+    )
+
+
+def dedup_eval_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    k: int = 8,
+    bands: int = 4,
+) -> str:
+    return f"""
+        WITH truth AS ({ngram_jaccard_sql(table, text_col, n, threshold)}),
+        pred AS ({minhash_lsh_sql(table, text_col, n, k, bands)}),
+        j AS (
+          SELECT COALESCE(t.d1, p.d1) AS d1, COALESCE(t.d2, p.d2) AS d2,
+                 t.d1 IS NOT NULL AS in_t, p.d1 IS NOT NULL AS in_p
+          FROM truth t FULL OUTER JOIN pred p
+            ON t.d1 = p.d1 AND t.d2 = p.d2
+        ), agg AS (
+          SELECT SUM(CASE WHEN in_t THEN 1 ELSE 0 END) AS n_truth,
+                 SUM(CASE WHEN in_p THEN 1 ELSE 0 END) AS n_pred,
+                 SUM(CASE WHEN in_t AND in_p THEN 1 ELSE 0 END) AS n_both
+          FROM j
+        )
+        SELECT CAST(n_truth AS BIGINT) AS n_truth,
+               CAST(n_pred AS BIGINT) AS n_pred,
+               CAST(n_both AS BIGINT) AS n_both,
+               ROUND(CASE WHEN n_pred > 0 THEN
+                 CAST(n_both AS DOUBLE) / CAST(n_pred AS DOUBLE) END, 6)
+                 AS precision,
+               ROUND(CASE WHEN n_truth > 0 THEN
+                 CAST(n_both AS DOUBLE) / CAST(n_truth AS DOUBLE) END, 6)
+                 AS recall,
+               ROUND(CASE WHEN n_pred > 0 AND n_truth > 0 AND n_both > 0
+                 THEN 2.0 * ((CAST(n_both AS DOUBLE) / CAST(n_pred AS DOUBLE))
+                      * (CAST(n_both AS DOUBLE) / CAST(n_truth AS DOUBLE)))
+                      / ((CAST(n_both AS DOUBLE) / CAST(n_pred AS DOUBLE))
+                         + (CAST(n_both AS DOUBLE)
+                            / CAST(n_truth AS DOUBLE))) END, 6) AS f1
+        FROM agg
+    """
