@@ -3084,6 +3084,54 @@ def r72_dedup_eval(spark, sf_dir):
     return dedup_eval(_docs(spark, sf_dir))
 
 
+def r73_stream_cms(spark, sf_dir):
+    """Streaming per-day count-min sketch (streaming/stream.py
+    stream_cms + operators/sketch.py cms_estimate_windows): counter
+    state builds as a streaming aggregation bounded at depth*width
+    ints per window regardless of key cardinality — the sketched
+    complement to r65's exact top-k; per-(day, type) point estimates
+    fold downstream from the emitted counters. The oracle rebuilds the
+    identical sketch (same md5 slots) from batch."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from unifydb_spark.operators.sketch import cms_estimate_windows
+    from unifydb_spark.streaming import read_event_stream, stream_cms
+
+    name = "scms_" + uuid.uuid4().hex[:8]
+    src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = read_event_stream(spark, src_dir).select("event_type", "ts")
+    with _stream_state_partitions(spark):
+        q = (
+            stream_cms(stream, "event_type", window="1 day")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    sketch = spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "row",
+        "slot",
+        "c",
+    )
+    keys = (
+        _events_ts(spark, sf_dir)
+        .select(F.col("event_type"))
+        .distinct()
+    )
+    return cms_estimate_windows(sketch, keys, "event_type").orderBy(
+        "day", "event_type"
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3307,6 +3355,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r70_ddsketch_quantiles": r70_ddsketch_quantiles,
         "r71_lift_curve": r71_lift_curve,
         "r72_dedup_eval": r72_dedup_eval,
+        "r73_stream_cms": r73_stream_cms,
     }
 
 
@@ -4032,6 +4081,36 @@ def _operator_oracles() -> dict[str, str]:
             n_y=10,
         ),
         "r72_dedup_eval": _d.dedup_eval_sql("documents"),
+        "r73_stream_cms": (lambda w=256, d=4: (
+            "WITH entries AS ("
+            + " UNION ALL ".join(
+                "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+                f"{i} AS row, "
+                "(CAST(('0x' || substr(md5(CAST("
+                f"{i}"
+                " AS VARCHAR) || ':' || event_type), 1, 15)) AS BIGINT) "
+                f"% {w}) AS slot FROM events"
+                for i in range(d)
+            )
+            + "), sketch AS (SELECT day, row, slot, COUNT(*) AS c "
+            "FROM entries GROUP BY 1, 2, 3), "
+            "keys AS (SELECT DISTINCT event_type FROM events), "
+            "days AS (SELECT DISTINCT day FROM sketch), "
+            "probes AS ("
+            + " UNION ALL ".join(
+                f"SELECT event_type, {i} AS row, "
+                "(CAST(('0x' || substr(md5(CAST("
+                f"{i}"
+                " AS VARCHAR) || ':' || event_type), 1, 15)) AS BIGINT) "
+                f"% {w}) AS slot FROM keys"
+                for i in range(d)
+            )
+            + ") SELECT d.day, p.event_type, "
+            "CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS cms_est "
+            "FROM days d CROSS JOIN probes p LEFT JOIN sketch s "
+            "ON s.day = d.day AND s.row = p.row AND s.slot = p.slot "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ))(),
         "r70_ddsketch_quantiles": _sk.ddsketch_quantiles_sql(
             "events", "event_type", "value", rel_err=0.01
         ),

@@ -132,6 +132,7 @@ HEADLINE = [
     "r70_ddsketch_quantiles",
     "r71_lift_curve",
     "r72_dedup_eval",
+    "r73_stream_cms",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

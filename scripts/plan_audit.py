@@ -103,6 +103,10 @@ BNLJ_ALLOWED = {
     # relation — calendar x bins, bounded by construction (r18/r25
     # spine shape)
     "r69_stream_psi",
+    # r73: the depth*keys probe relation broadcast onto the
+    # distinct-windows relation — calendar x probes, bounded by
+    # construction (r69 shape)
+    "r73_stream_cms",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)

@@ -131,3 +131,49 @@ def test_stream_windowed_counts_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_cms_matches_batch_sketch(spark, tmp_path):
+    import shutil
+
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.sketch import count_min_build
+    from unifydb_spark.streaming import read_event_stream, stream_cms
+    from unifydb_spark.values import normalize_event_ts
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", str(src / "events.parquet")
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = read_event_stream(spark, str(src)).select("event_type", "ts")
+    q = (
+        stream_cms(stream, "event_type", window="1 day")
+        .writeStream.format("memory")
+        .queryName("t_scms")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (str(r["window_start"]), r["row"], r["slot"]): r["c"]
+        for r in spark.table("t_scms").collect()
+    }
+    batch = normalize_event_ts(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    want = {}
+    days = [
+        r["w"]
+        for r in batch.select(F.date_trunc("day", "ts").alias("w"))
+        .distinct()
+        .collect()
+    ]
+    for w in days:
+        sub = batch.filter(F.date_trunc("day", "ts") == w)
+        for r in count_min_build(sub, "event_type").collect():
+            want[(str(w), r["row"], r["slot"])] = r["c"]
+    assert got == want

@@ -1053,3 +1053,43 @@ def ddsketch_quantiles_sql(
         )
         SELECT * FROM ({union}) ORDER BY {group_col}, p
     """
+
+
+def cms_estimate_windows(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    window_col: str = "day",
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Per-window point estimates from a windowed CMS (stream_cms's
+    emitted counters): for every (window, key) in windows x keys,
+    min over the depth rows of the counter at the key's slot (absent
+    slot = 0). Probe relation = windows x keys x depth — all
+    dimension-sized; the sketch side is windows x d x w counters.
+    Returns (window_col, key_col, cms_est)."""
+    w, d = int(width), int(depth)
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _slot(F.col(key_col), i, w).alias("slot"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("e"),
+    ).select(key_col, "e.row", "e.slot")
+    windows = sketch.select(window_col).distinct()
+    grid = windows.crossJoin(F.broadcast(probes))
+    return (
+        grid.join(F.broadcast(sketch), [window_col, "row", "slot"], "left")
+        .groupBy(window_col, key_col)
+        .agg(
+            F.min(F.coalesce("c", F.lit(0))).cast("bigint").alias("cms_est")
+        )
+    )

@@ -540,3 +540,47 @@ def stream_binned_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("win.start").alias("window_start"), "bin", "n")
     )
+
+
+def stream_cms(
+    events: DataFrame,
+    key_col: str = "event_type",
+    window: str = "1 day",
+    watermark: str = "0 seconds",
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Streaming per-window count-min sketch: each event explodes into
+    `depth` (row, slot) entries (the same md5 slot function as the
+    batch CMS, sketch.py _slot) and the counters build as a streaming
+    aggregation — counter addition is merge-commutative, so the final
+    register table equals a batch build, and state per window is
+    bounded at depth*width integers NO MATTER the key cardinality —
+    the property that makes per-window frequency tracking viable when
+    the key domain is too large for r65's exact counts. Emit the
+    counters; point estimates (min over rows) fold downstream.
+    Returns (window_start, row, slot, c)."""
+    from unifydb_spark.operators.sketch import _slot
+
+    w, d = int(width), int(depth)
+    entries = events.withWatermark("ts", watermark).select(
+        "ts",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _slot(F.col(key_col), i, w).alias("slot"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("e"),
+    ).select("ts", "e.row", "e.slot")
+    return (
+        entries.groupBy(
+            F.window("ts", window).alias("win"), "row", "slot"
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("win.start").alias("window_start"), "row", "slot", "c")
+    )
