@@ -3132,6 +3132,38 @@ def r73_stream_cms(spark, sf_dir):
     )
 
 
+def r74_active_users(spark, sf_dir):
+    """DAU/WAU/MAU + stickiness per day (operators/events.py
+    active_users): EXACT trailing-window distincts via the user-day
+    scatter (r18's argument, exact instead of sketched) — fan-out over
+    the users x days relation, never raw events; dense day spine."""
+    from unifydb_spark.operators.events import active_users
+
+    return active_users(_events_ts(spark, sf_dir)).orderBy("d")
+
+
+def r75_new_returning(spark, sf_dir):
+    """New-vs-returning daily split (operators/events.py
+    new_vs_returning): first-seen day is one combinable per-user MIN;
+    the acquisition-vs-retention decomposition of every growth
+    dashboard."""
+    from unifydb_spark.operators.events import new_vs_returning
+
+    return new_vs_returning(_events_ts(spark, sf_dir)).orderBy("d")
+
+
+def r76_engagement_curve(spark, sf_dir):
+    """Power-user engagement curve (operators/events.py
+    engagement_curve): users by exact count of active days with
+    cumulative shares — the L30-style habit histogram; two combinable
+    aggregations, windows over the histogram relation."""
+    from unifydb_spark.operators.events import engagement_curve
+
+    return engagement_curve(_events_ts(spark, sf_dir)).orderBy(
+        "active_days"
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3356,6 +3388,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r71_lift_curve": r71_lift_curve,
         "r72_dedup_eval": r72_dedup_eval,
         "r73_stream_cms": r73_stream_cms,
+        "r74_active_users": r74_active_users,
+        "r75_new_returning": r75_new_returning,
+        "r76_engagement_curve": r76_engagement_curve,
     }
 
 
@@ -4081,6 +4116,9 @@ def _operator_oracles() -> dict[str, str]:
             n_y=10,
         ),
         "r72_dedup_eval": _d.dedup_eval_sql("documents"),
+        "r74_active_users": _ev.active_users_sql("events"),
+        "r75_new_returning": _ev.new_vs_returning_sql("events"),
+        "r76_engagement_curve": _ev.engagement_curve_sql("events"),
         "r73_stream_cms": (lambda w=256, d=4: (
             "WITH entries AS ("
             + " UNION ALL ".join(

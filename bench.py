@@ -133,6 +133,9 @@ HEADLINE = [
     "r71_lift_curve",
     "r72_dedup_eval",
     "r73_stream_cms",
+    "r74_active_users",
+    "r75_new_returning",
+    "r76_engagement_curve",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

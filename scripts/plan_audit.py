@@ -107,6 +107,9 @@ BNLJ_ALLOWED = {
     # distinct-windows relation — calendar x probes, bounded by
     # construction (r69 shape)
     "r73_stream_cms",
+    # r76: the user total (1 row) rides a broadcast cross join onto the
+    # active-days histogram relation — bounded by construction
+    "r76_engagement_curve",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)

@@ -343,3 +343,56 @@ def test_lift_curve_random_scores_lift_one(spark):
     out = lift_curve(df, "score", "y", "id").collect()
     assert out[-1]["cum_capture"] == 1.0
     assert out[-1]["cum_lift"] == 1.0
+
+
+def test_active_users_hand_computed(spark):
+    from unifydb_spark.operators.events import active_users
+
+    # user 1 active days 0,1; user 2 active day 1 only
+    rows = [(1, _ts(0)), (1, _ts(1)), (1, _ts(1, 5)), (2, _ts(1))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r["d"]: r for r in active_users(df).collect()}
+    d0 = min(out)
+    assert out[d0]["dau"] == 1 and out[d0]["wau"] == 1 and out[d0]["mau"] == 1
+    assert out[d0 + 1]["dau"] == 2
+    assert out[d0 + 1]["wau"] == 2  # both users within trailing 7d
+    assert out[d0 + 1]["stickiness"] == 1.0
+
+
+def test_active_users_trailing_window_expires(spark):
+    from unifydb_spark.operators.events import active_users
+
+    # user 1 on day 0, user 2 on day 10: WAU at day 10 must NOT count
+    # user 1 (outside trailing 7), MAU must (within trailing 30)
+    rows = [(1, _ts(0)), (2, _ts(10))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r["d"]: r for r in active_users(df).collect()}
+    d0 = min(out)
+    assert out[d0 + 10]["wau"] == 1
+    assert out[d0 + 10]["mau"] == 2
+    assert out[d0 + 5]["dau"] == 0 and out[d0 + 5]["wau"] == 1
+
+
+def test_new_vs_returning(spark):
+    from unifydb_spark.operators.events import new_vs_returning
+
+    rows = [(1, _ts(0)), (2, _ts(0)), (1, _ts(1)), (3, _ts(1))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r["d"]: r for r in new_vs_returning(df).collect()}
+    d0 = min(out)
+    assert out[d0]["new_users"] == 2 and out[d0]["returning"] == 0
+    assert out[d0 + 1]["new_users"] == 1 and out[d0 + 1]["returning"] == 1
+    assert out[d0 + 1]["new_frac"] == 0.5
+
+
+def test_engagement_curve_shares(spark):
+    from unifydb_spark.operators.events import engagement_curve
+
+    # 3 users with 1 active day, 1 user with 3 active days
+    rows = [(1, _ts(0)), (2, _ts(0)), (3, _ts(1)),
+            (4, _ts(0)), (4, _ts(1)), (4, _ts(2))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r["active_days"]: r for r in engagement_curve(df).collect()}
+    assert out[1]["users"] == 3 and out[3]["users"] == 1
+    assert out[1]["user_share"] == 0.75
+    assert out[3]["cum_share"] == 1.0

@@ -1451,3 +1451,247 @@ def cusum_shift_sql(table: str = "events", ts_col: str = "ts") -> str:
                  > 20 * s AS flag_neg
         FROM scaled ORDER BY d
     """
+
+
+def active_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily/weekly/monthly active users per day with the stickiness
+    ratio (DAU/MAU) — the product-analytics pulse every warehouse
+    serves. EXACT trailing-window distincts via the scatter trick:
+    distinct is not additive over windows, but each active (user, day)
+    can claim membership in every trailing window it belongs to —
+    scatter each distinct user-day to the next 6 / 29 days, dedupe
+    (user, target day), count per day (the r18 windowed-distinct
+    argument, exact instead of sketched). Returns
+    (d, dau, wau, mau, stickiness) on the dense day spine; stickiness
+    NULL where MAU is 0.
+
+    Scale: the working set collapses to distinct (user, day) rows
+    immediately (one combinable distinct); the scatter fan-out is x7
+    and x30 over THAT relation (users x days, not events), and the
+    count-distinct shuffles hash (target-day, user) — evenly spread.
+    For windows where even users x 30 is too wide, r18's HLL registers
+    are the documented approximation."""
+    from unifydb_spark.resources import tracked_persist
+
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    ud = tracked_persist(
+        events.select(
+            F.col(user_col).alias("u"), day.alias("d0")
+        ).distinct()
+    )
+    bounds = ud.agg(F.min("d0").alias("lo"), F.max("d0").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    dau = ud.groupBy(F.col("d0").alias("d")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+
+    def _trailing(width: int, name: str) -> DataFrame:
+        scat = ud.select(
+            "u",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d0") + F.lit(width - 1))
+            ).alias("d"),
+        ).distinct()
+        return scat.groupBy("d").agg(F.count(F.lit(1)).alias(name))
+
+    wau = _trailing(7, "wau")
+    mau = _trailing(30, "mau")
+    out = (
+        spine.join(dau, "d", "left")
+        .join(wau, "d", "left")
+        .join(mau, "d", "left")
+        .select(
+            "d",
+            F.coalesce("dau", F.lit(0)).cast("bigint").alias("dau"),
+            F.coalesce("wau", F.lit(0)).cast("bigint").alias("wau"),
+            F.coalesce("mau", F.lit(0)).cast("bigint").alias("mau"),
+            F.round(
+                F.when(
+                    F.coalesce("mau", F.lit(0)) > 0,
+                    F.coalesce("dau", F.lit(0)).cast("double")
+                    / F.col("mau").cast("double"),
+                ),
+                6,
+            ).alias("stickiness"),
+        )
+    )
+    return out
+
+
+def active_users_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    return f"""
+        WITH ud AS (
+          SELECT DISTINCT {user_col} AS u,
+                 CAST(date_trunc('day', {ts_col}) AS DATE)
+                   - DATE '1970-01-01' AS d0
+          FROM {table}
+        ), bounds AS (SELECT MIN(d0) AS lo, MAX(d0) AS hi FROM ud),
+        spine AS (SELECT unnest(range(lo, hi + 1)) AS d FROM bounds),
+        dau AS (SELECT d0 AS d, COUNT(*) AS dau FROM ud GROUP BY 1),
+        wau AS (
+          SELECT d, COUNT(*) AS wau FROM (
+            SELECT DISTINCT u, d0 + s.x AS d
+            FROM ud, (SELECT unnest(range(0, 7)) AS x) s
+          ) GROUP BY 1
+        ), mau AS (
+          SELECT d, COUNT(*) AS mau FROM (
+            SELECT DISTINCT u, d0 + s.x AS d
+            FROM ud, (SELECT unnest(range(0, 30)) AS x) s
+          ) GROUP BY 1
+        )
+        SELECT s.d,
+               CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
+               CAST(COALESCE(wau.wau, 0) AS BIGINT) AS wau,
+               CAST(COALESCE(mau.mau, 0) AS BIGINT) AS mau,
+               ROUND(CASE WHEN COALESCE(mau.mau, 0) > 0 THEN
+                 CAST(COALESCE(dau.dau, 0) AS DOUBLE)
+                 / CAST(mau.mau AS DOUBLE) END, 6) AS stickiness
+        FROM spine s
+        LEFT JOIN dau ON dau.d = s.d
+        LEFT JOIN wau ON wau.d = s.d
+        LEFT JOIN mau ON mau.d = s.d
+        ORDER BY s.d
+    """
+
+
+def new_vs_returning(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-day split of active users into NEW (first-ever-seen today)
+    vs RETURNING — the acquisition-vs-retention decomposition of every
+    growth dashboard. A user's first day is a per-user MIN (one
+    combinable agg); the daily split is one distinct user-day count
+    partitioned by the first-day comparison. Returns
+    (d, active, new_users, returning, new_frac)."""
+    from unifydb_spark.resources import tracked_persist
+
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    ud = tracked_persist(
+        events.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    )
+    first = ud.groupBy("u").agg(F.min("d").alias("first_d"))
+    j = ud.join(first, "u")
+    agg = j.groupBy("d").agg(
+        F.count(F.lit(1)).alias("active"),
+        F.sum((F.col("d") == F.col("first_d")).cast("long")).alias(
+            "new_users"
+        ),
+    )
+    return agg.select(
+        "d",
+        F.col("active").cast("bigint").alias("active"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        (F.col("active") - F.col("new_users")).cast("bigint").alias(
+            "returning"
+        ),
+        F.round(
+            F.col("new_users").cast("double") / F.col("active").cast("double"),
+            6,
+        ).alias("new_frac"),
+    )
+
+
+def new_vs_returning_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    return f"""
+        WITH ud AS (
+          SELECT DISTINCT {user_col} AS u,
+                 CAST(date_trunc('day', {ts_col}) AS DATE)
+                   - DATE '1970-01-01' AS d
+          FROM {table}
+        ), first AS (SELECT u, MIN(d) AS first_d FROM ud GROUP BY 1),
+        agg AS (
+          SELECT d, COUNT(*) AS active,
+                 SUM(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS new_users
+          FROM ud JOIN first USING (u) GROUP BY 1
+        )
+        SELECT d, CAST(active AS BIGINT) AS active,
+               CAST(new_users AS BIGINT) AS new_users,
+               CAST(active - new_users AS BIGINT) AS returning,
+               ROUND(CAST(new_users AS DOUBLE) / CAST(active AS DOUBLE), 6)
+                 AS new_frac
+        FROM agg ORDER BY d
+    """
+
+
+def engagement_curve(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Engagement (power-user) curve: how many users were active on
+    exactly k distinct days — the L30-style histogram whose right-hand
+    mass IS the product's habit strength, and the corpus analog of
+    "how many contributors write most of the data". Two combinable
+    aggregations (user-day distinct -> per-user day count -> histogram)
+    plus user-share ratios. Returns (active_days, users, user_share,
+    cum_share) ordered by active_days."""
+    from pyspark.sql import Window
+    from unifydb_spark.resources import tracked_persist
+
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    ud = (
+        events.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    )
+    per_user = ud.groupBy("u").agg(F.count(F.lit(1)).alias("k"))
+    hist = tracked_persist(
+        per_user.groupBy("k").agg(F.count(F.lit(1)).alias("users"))
+    )
+    tot = hist.agg(F.sum("users").alias("n"))
+    w = (
+        Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("int").alias("active_days"),
+            F.col("users").cast("bigint").alias("users"),
+            F.round(
+                F.col("users").cast("double") / F.col("n").cast("double"), 6
+            ).alias("user_share"),
+            F.round(
+                F.sum("users").over(w).cast("double")
+                / F.col("n").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+    )
+
+
+def engagement_curve_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    return f"""
+        WITH ud AS (
+          SELECT DISTINCT {user_col} AS u,
+                 CAST(date_trunc('day', {ts_col}) AS DATE)
+                   - DATE '1970-01-01' AS d
+          FROM {table}
+        ), per_user AS (SELECT u, COUNT(*) AS k FROM ud GROUP BY 1),
+        hist AS (SELECT k, COUNT(*) AS users FROM per_user GROUP BY 1),
+        tot AS (SELECT SUM(users) AS n FROM hist)
+        SELECT CAST(k AS INT) AS active_days,
+               CAST(users AS BIGINT) AS users,
+               ROUND(CAST(users AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS user_share,
+               ROUND(CAST(SUM(users) OVER (ORDER BY k
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / CAST(n AS DOUBLE), 6) AS cum_share
+        FROM hist, tot ORDER BY active_days
+    """
