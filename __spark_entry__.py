@@ -3164,6 +3164,59 @@ def r76_engagement_curve(spark, sf_dir):
     )
 
 
+def r77_growth_accounting(spark, sf_dir):
+    """Monthly growth accounting (operators/olap.py growth_accounting):
+    revenue = customers x orders/customer x AOV with MoM growth —
+    DECIMAL revenue sums, two combinable collapses, lag window on the
+    month relation."""
+    from unifydb_spark.operators.olap import growth_accounting
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return growth_accounting(orders).orderBy("month")
+
+
+def r78_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (operators/olap.py rfm_segments):
+    quintile scores via exact quantile THRESHOLDS (combinable compare,
+    no customer-relation sort), per-segment rollup with DECIMAL-exact
+    monetary averages."""
+    from unifydb_spark.operators.olap import rfm_segments
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return rfm_segments(orders).orderBy("r_score", "f_score", "m_score")
+
+
+def r79_kcore(spark, sf_dir):
+    """k-core decomposition (operators/graph.py kcore) of the
+    user<->event-type bipartite graph: iterative peel to fixpoint on
+    the DataFrame side, EXACTLY-unrolled peels in the SQL oracle —
+    equal by fixpoint idempotence, so a data-dependent iteration gets
+    an exact oracle with no convergence assumption."""
+    from pyspark.sql import Window
+    from unifydb_spark.operators.graph import kcore
+
+    ev = _events_ts(spark, sf_dir)
+    types = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "tnode",
+            F.row_number().over(Window.orderBy("event_type"))
+            + F.lit(20_000_000),
+        )
+    )
+    edges = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .join(F.broadcast(types), "event_type")
+        .select(
+            F.col("user_id").cast("long").alias("src"),
+            F.col("tnode").cast("long").alias("dst"),
+        )
+    )
+    return kcore(edges, k=3).orderBy("node")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3391,6 +3444,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r74_active_users": r74_active_users,
         "r75_new_returning": r75_new_returning,
         "r76_engagement_curve": r76_engagement_curve,
+        "r77_growth_accounting": r77_growth_accounting,
+        "r78_rfm_segments": r78_rfm_segments,
+        "r79_kcore": r79_kcore,
     }
 
 
@@ -4117,6 +4173,19 @@ def _operator_oracles() -> dict[str, str]:
         ),
         "r72_dedup_eval": _d.dedup_eval_sql("documents"),
         "r74_active_users": _ev.active_users_sql("events"),
+        "r77_growth_accounting": _ol.growth_accounting_sql("orders"),
+        "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
+        "r79_kcore": _g.kcore_sql(
+            """SELECT CAST(user_id AS BIGINT) AS src,
+                      CAST(tnode AS BIGINT) AS dst
+               FROM (SELECT DISTINCT user_id, event_type FROM events) ue
+               JOIN (SELECT event_type,
+                            20000000 + ROW_NUMBER() OVER (ORDER BY event_type)
+                              AS tnode
+                     FROM (SELECT DISTINCT event_type FROM events)) t
+                 USING (event_type)""",
+            k=3,
+        ),
         "r75_new_returning": _ev.new_vs_returning_sql("events"),
         "r76_engagement_curve": _ev.engagement_curve_sql("events"),
         "r73_stream_cms": (lambda w=256, d=4: (

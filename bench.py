@@ -136,6 +136,9 @@ HEADLINE = [
     "r74_active_users",
     "r75_new_returning",
     "r76_engagement_curve",
+    "r77_growth_accounting",
+    "r78_rfm_segments",
+    "r79_kcore",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

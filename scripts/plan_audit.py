@@ -110,6 +110,10 @@ BNLJ_ALLOWED = {
     # r76: the user total (1 row) rides a broadcast cross join onto the
     # active-days histogram relation — bounded by construction
     "r76_engagement_curve",
+    # r78: the reference date and the quantile-edge row (1 row each)
+    # ride broadcast cross joins onto orders / the customer relation —
+    # bounded by construction (r44 trimmed-mean shape)
+    "r78_rfm_segments",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)

@@ -159,3 +159,39 @@ def test_embedding_covariance_and_pca(spark):
     assert ratio[0] > 0.99             # the planted line dominates
     cosine = abs(float(comps[0] @ direction) / np.linalg.norm(direction))
     assert cosine > 0.999              # first component aligns with it
+
+
+def test_kcore_hand_graph(spark):
+    from unifydb_spark.operators.graph import kcore
+
+    # triangle {1,2,3} + pendant chain 3-4-5: 2-core is exactly the
+    # triangle (4 and 5 peel: 5 has degree 1, then 4 drops to 1)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    out = {r["node"]: r["core_deg"] for r in kcore(edges, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cascading_peel(spark):
+    from unifydb_spark.operators.graph import kcore
+
+    # a path graph has an empty 2-core (peeling cascades end to end)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["src", "dst"]
+    )
+    assert kcore(edges, k=2).count() == 0
+
+
+def test_kcore_every_member_has_k_neighbors_in_core(spark):
+    from unifydb_spark.operators.graph import kcore
+
+    # two triangles joined by one bridge edge: 2-core = both triangles;
+    # the bridge endpoints keep degree 3 (2 triangle + 1 bridge)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        ["src", "dst"],
+    )
+    rows = kcore(edges, k=2).collect()
+    assert {r["node"] for r in rows} == {1, 2, 3, 4, 5, 6}
+    assert all(r["core_deg"] >= 2 for r in rows)

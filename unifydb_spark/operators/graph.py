@@ -405,3 +405,88 @@ def pagerank_sql(edges_cte: str, iters: int = 10, damping: float = 0.85) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, ROUND(rank, 10) AS rank FROM {prev} ORDER BY node"
     )
+
+
+def kcore(edges: DataFrame, k: int = 2, max_rounds: int = 20) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph where every
+    node keeps >= k neighbors INSIDE the subgraph — the standard
+    "dense-community scaffold vs peripheral fringe" cut (spam rings and
+    co-citation cores survive; one-off edges peel away), which raw
+    degree (q79) cannot see because degree counts peripheral neighbors
+    too. Peels iteratively: drop nodes with in-subgraph degree < k,
+    recompute, repeat to fixpoint (bounded by `max_rounds`). Returns
+    surviving (node, core_deg).
+
+    The SQL oracle unrolls EXACTLY max_rounds peels; the DataFrame side
+    stops early at the fixpoint — equal regardless, because peeling is
+    idempotent at the fixpoint (extra unrolled rounds change nothing).
+    That turns a data-dependent iteration into an exactly-checkable
+    operator without a convergence assumption; tests assert real
+    convergence margins.
+
+    Scale: each round is one combinable degree count + two semi-joins
+    hash-partitioned on the edge endpoints; the edge relation shrinks
+    monotonically. Rounds needed in practice ~ graph diameter of the
+    peeled fringe (single digits); the checkpoint-every-round pattern
+    of connected_components applies beyond toy scale."""
+    from unifydb_spark.resources import tracked_persist
+
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    core = tracked_persist(und)
+    prev_edges = core.count()
+    for _ in range(int(max_rounds)):
+        keep = (
+            core.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= int(k))
+            .select(F.col("src").alias("node"))
+        )
+        nxt = tracked_persist(
+            core.join(
+                keep.select(F.col("node").alias("src")), "src", "left_semi"
+            ).join(
+                keep.select(F.col("node").alias("dst")), "dst", "left_semi"
+            )
+        )
+        n_edges = nxt.count()
+        core = nxt
+        if n_edges == prev_edges:
+            break
+        prev_edges = n_edges
+    return (
+        core.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+        .filter(F.col("core_deg") >= int(k))
+    )
+
+
+def kcore_sql(edges_cte: str, k: int = 2, max_rounds: int = 20) -> str:
+    """Unrolled-peel oracle: exactly max_rounds rounds (see kcore's
+    fixpoint-idempotence argument for why this equals early stopping)."""
+    kk = int(k)
+    ctes = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM ({edges_cte}) "
+        f"UNION ALL SELECT dst AS src, src AS dst FROM ({edges_cte})))"
+    ]
+    for i in range(int(max_rounds)):
+        ctes.append(
+            f"n{i + 1} AS MATERIALIZED (SELECT src AS node FROM e{i} "
+            f"GROUP BY 1 HAVING COUNT(*) >= {kk})"
+        )
+        ctes.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i} e "
+            f"JOIN n{i + 1} a ON e.src = a.node "
+            f"JOIN n{i + 1} b ON e.dst = b.node)"
+        )
+    last = f"e{int(max_rounds)}"
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg"
+        f" FROM {last} GROUP BY 1 HAVING COUNT(*) >= {kk} ORDER BY 1"
+    )

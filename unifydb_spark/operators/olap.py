@@ -782,3 +782,223 @@ def hist2d_sql(
                ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
         FROM cells, tot ORDER BY bx, by
     """
+
+
+def growth_accounting(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Monthly growth accounting: revenue decomposed into the three
+    levers every operating review reads — active customers x orders
+    per customer x average order value — with month-over-month growth
+    on each. Returns (month, revenue, customers, orders, aov,
+    orders_per_cust, revenue_mom) ordered by month.
+
+    Exactness: revenue accumulates as DECIMAL (order-independent);
+    counts are integers; the ratios and MoM growth are single mirrored
+    divisions; month keys are 'yyyy-MM' strings (engine-identical
+    rendering, the round-5 date-output rule). Scale: one combinable
+    (month, customer) pass collapses to customer-month, a second to
+    months; the lag window runs on the month relation (calendar-
+    sized)."""
+    month = F.date_format(F.col(date_col), "yyyy-MM")
+    cm = (
+        orders.groupBy(
+            month.alias("month"), F.col(cust_col).alias("c")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_ord"),
+            F.sum(F.col(amount_col).cast("decimal(38,12)")).alias("rev"),
+        )
+    )
+    m = cm.groupBy("month").agg(
+        F.count(F.lit(1)).alias("customers"),
+        F.sum("n_ord").alias("orders"),
+        F.sum("rev").cast("string").cast("double").alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    prev_rev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        F.round(F.col("revenue"), 4).alias("revenue"),
+        F.col("customers").cast("bigint").alias("customers"),
+        F.col("orders").cast("bigint").alias("orders"),
+        F.round(
+            F.col("revenue") / F.col("orders").cast("double"), 6
+        ).alias("aov"),
+        F.round(
+            F.col("orders").cast("double") / F.col("customers").cast("double"),
+            6,
+        ).alias("orders_per_cust"),
+        F.round(
+            F.when(
+                prev_rev > 0,
+                (F.col("revenue") - prev_rev) / prev_rev,
+            ),
+            6,
+        ).alias("revenue_mom"),
+    )
+
+
+def growth_accounting_sql(
+    table: str = "orders",
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> str:
+    return f"""
+        WITH cm AS (
+          SELECT strftime({date_col}, '%Y-%m') AS month, {cust_col} AS c,
+                 COUNT(*) AS n_ord,
+                 SUM(CAST({amount_col} AS DECIMAL(38,12))) AS rev
+          FROM {table} GROUP BY 1, 2
+        ), m AS (
+          SELECT month, COUNT(*) AS customers, SUM(n_ord) AS orders,
+                 CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS revenue
+          FROM cm GROUP BY 1
+        )
+        SELECT month,
+               ROUND(revenue, 4) AS revenue,
+               CAST(customers AS BIGINT) AS customers,
+               CAST(orders AS BIGINT) AS orders,
+               ROUND(revenue / CAST(orders AS DOUBLE), 6) AS aov,
+               ROUND(CAST(orders AS DOUBLE) / CAST(customers AS DOUBLE), 6)
+                 AS orders_per_cust,
+               ROUND(CASE WHEN LAG(revenue) OVER (ORDER BY month) > 0 THEN
+                 (revenue - LAG(revenue) OVER (ORDER BY month))
+                 / LAG(revenue) OVER (ORDER BY month) END, 6) AS revenue_mom
+        FROM m ORDER BY month
+    """
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation: customers scored 1..n_tiles on Recency (days
+    since last order, lower is better), Frequency (order count) and
+    Monetary (total spend), via exact quantile THRESHOLDS rather than
+    a rank window — the threshold compare is combinable and avoids
+    sorting the customer relation (the q91-vs-ntile tradeoff decided
+    the other way: segment EDGES matter here, not stable per-row
+    ranks). Scores: 1 + number of quintile edges strictly below the
+    customer's value (recency inverted). Returns per-segment rollup
+    (r_score, f_score, m_score, customers, total_monetary).
+
+    Exactness: per-customer aggregates are integer/DECIMAL; the
+    quantile edges are interpolated doubles computed identically on
+    both engines (the module-docstring percentile parity) and the
+    strict < compare is mirrored; the final rollup is combinable."""
+    ref = orders.agg(
+        F.max(F.to_date(F.col(date_col))).alias("_ref")
+    )
+    per_cust = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy(F.col(cust_col).alias("c"))
+        .agg(
+            F.min(
+                F.datediff(F.col("_ref"), F.to_date(F.col(date_col)))
+            ).cast("double").alias("rec"),
+            F.count(F.lit(1)).cast("double").alias("freq"),
+            # mon_dec stays DECIMAL end-to-end for the rollup (a
+            # double->decimal recast rounds differently per engine at
+            # the 12th digit and can flip a ROUND boundary); mon is the
+            # double view the quantile edges need
+            F.sum(F.col(amount_col).cast("decimal(38,12)")).alias("mon_dec"),
+        )
+    ).withColumn("mon", F.col("mon_dec").cast("string").cast("double"))
+    from unifydb_spark.resources import tracked_persist
+
+    per_cust = tracked_persist(per_cust)
+    t = int(n_tiles)
+    qs = [i / t for i in range(1, t)]
+    edges = per_cust.agg(
+        *[
+            F.percentile(F.col(c), F.lit(q)).alias(f"_{c}{i}")
+            for c in ("rec", "freq", "mon")
+            for i, q in enumerate(qs)
+        ]
+    )
+    j = per_cust.crossJoin(F.broadcast(edges))
+
+    def score(c: str, invert: bool):
+        acc = F.lit(1)
+        for i in range(len(qs)):
+            acc = acc + (F.col(c) > F.col(f"_{c}{i}")).cast("int")
+        return (F.lit(t + 1) - acc) if invert else acc
+
+    seg = j.select(
+        score("rec", True).alias("r_score"),
+        score("freq", False).alias("f_score"),
+        score("mon", False).alias("m_score"),
+        "mon_dec",
+    )
+    # total, not average: the source prices carry two decimals, so the
+    # DECIMAL total rounds exactly on both engines, while an average is
+    # a repeating decimal whose ROUND boundary the engines disagree on
+    # (Spark rounds the double's exact binary expansion; DuckDB rounds
+    # after a 10^k multiply)
+    return seg.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("customers"),
+        F.round(
+            F.sum("mon_dec").cast("string").cast("double"), 2
+        ).alias("total_monetary"),
+    )
+
+
+def rfm_segments_sql(
+    table: str = "orders",
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 5,
+) -> str:
+    t = int(n_tiles)
+    qs = [i / t for i in range(1, t)]
+    edge_sel = ", ".join(
+        f"quantile_cont({c}, {q!r}) AS {c}{i}"
+        for c in ("rec", "freq", "mon")
+        for i, q in enumerate(qs)
+    )
+
+    def score(c: str, invert: bool) -> str:
+        acc = " + ".join(
+            f"(CASE WHEN {c} > {c}{i} THEN 1 ELSE 0 END)"
+            for i in range(len(qs))
+        )
+        base = f"(1 + {acc})"
+        return f"({t + 1} - {base})" if invert else base
+
+    return f"""
+        WITH ref AS (
+          SELECT MAX(CAST(date_trunc('day', {date_col}) AS DATE)) AS refd
+          FROM {table}
+        ), per_cust AS (
+          SELECT {cust_col} AS c,
+                 CAST(MIN(refd - CAST(date_trunc('day', {date_col}) AS DATE))
+                      AS DOUBLE) AS rec,
+                 CAST(COUNT(*) AS DOUBLE) AS freq,
+                 SUM(CAST({amount_col} AS DECIMAL(38,12))) AS mon_dec,
+                 CAST(CAST(SUM(CAST({amount_col} AS DECIMAL(38,12)))
+                      AS VARCHAR) AS DOUBLE) AS mon
+          FROM {table}, ref GROUP BY 1
+        ), edges AS (SELECT {edge_sel} FROM per_cust),
+        seg AS (
+          SELECT {score('rec', True)} AS r_score,
+                 {score('freq', False)} AS f_score,
+                 {score('mon', False)} AS m_score,
+                 mon_dec
+          FROM per_cust, edges
+        )
+        SELECT r_score, f_score, m_score,
+               CAST(COUNT(*) AS BIGINT) AS customers,
+               ROUND(CAST(CAST(SUM(mon_dec) AS VARCHAR) AS DOUBLE), 2)
+                 AS total_monetary
+        FROM seg GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """
