@@ -3217,6 +3217,44 @@ def r79_kcore(spark, sf_dir):
     return kcore(edges, k=3).orderBy("node")
 
 
+def r80_seasonal_anomaly(spark, sf_dir):
+    """Weekday-profile-adjusted volume anomalies (operators/events.py
+    seasonal_anomaly): each (type, day) z-scored against OTHER days of
+    the same weekday (leave-one-out) on the dense spine — the
+    seasonality fix for r25's trailing window, which alarms every
+    weekend on weekly-cadenced traffic. Integer moments, one mirrored
+    expression per row."""
+    from unifydb_spark.operators.events import seasonal_anomaly
+
+    return seasonal_anomaly(_events_ts(spark, sf_dir)).orderBy(
+        "etype", "d"
+    )
+
+
+def r81_peak_concurrency(spark, sf_dir):
+    """Peak concurrent sessions via the exact sweep line (operators/
+    events.py peak_concurrency over q34's sessionization): +1/-1
+    boundary events, running sum, max — capacity planning's first
+    number; ends sort before starts at the same instant (half-open
+    intervals)."""
+    from unifydb_spark.operators.events import peak_concurrency, sessionize
+
+    sess = sessionize(_events_ts(spark, sf_dir), gap_minutes=30)
+    return peak_concurrency(sess, "session_start", "session_end")
+
+
+def r82_cohort_ltv(spark, sf_dir):
+    """Cohort LTV triangle (operators/olap.py cohort_ltv): revenue by
+    first-purchase-month cohort x months-since-acquisition with
+    cumulative LTV per customer — the spend-weighted view q66's
+    retention counts can't give. Integer month arithmetic, DECIMAL
+    revenue end-to-end."""
+    from unifydb_spark.operators.olap import cohort_ltv
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return cohort_ltv(orders, max_age=12).orderBy("cohort", "age")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3447,6 +3485,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r77_growth_accounting": r77_growth_accounting,
         "r78_rfm_segments": r78_rfm_segments,
         "r79_kcore": r79_kcore,
+        "r80_seasonal_anomaly": r80_seasonal_anomaly,
+        "r81_peak_concurrency": r81_peak_concurrency,
+        "r82_cohort_ltv": r82_cohort_ltv,
     }
 
 
@@ -4174,6 +4215,14 @@ def _operator_oracles() -> dict[str, str]:
         "r72_dedup_eval": _d.dedup_eval_sql("documents"),
         "r74_active_users": _ev.active_users_sql("events"),
         "r77_growth_accounting": _ol.growth_accounting_sql("orders"),
+        "r80_seasonal_anomaly": _ev.seasonal_anomaly_sql("events"),
+        "r81_peak_concurrency": _ev.peak_concurrency_sql(
+            "SELECT epoch_us(session_start) / 1000000.0 AS s, "
+            "epoch_us(session_end) / 1000000.0 AS e FROM ("
+            + _ev.sessionize_sql(gap_minutes=30)
+            + ")"
+        ),
+        "r82_cohort_ltv": _ol.cohort_ltv_sql("orders", max_age=12),
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,

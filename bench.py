@@ -139,6 +139,9 @@ HEADLINE = [
     "r77_growth_accounting",
     "r78_rfm_segments",
     "r79_kcore",
+    "r80_seasonal_anomaly",
+    "r81_peak_concurrency",
+    "r82_cohort_ltv",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

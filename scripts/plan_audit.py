@@ -114,6 +114,14 @@ BNLJ_ALLOWED = {
     # ride broadcast cross joins onto orders / the customer relation —
     # bounded by construction (r44 trimmed-mean shape)
     "r78_rfm_segments",
+    # r80: the day spine is (exploded 1-row bounds) x (distinct event
+    # types) — calendar x dimension, bounded by construction (r25
+    # shape)
+    "r80_seasonal_anomaly",
+    # r81: the 1-row peak and 1-row interval-count relations ride
+    # broadcast cross joins onto the boundary relation — bounded by
+    # construction (q71 report shape)
+    "r81_peak_concurrency",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)

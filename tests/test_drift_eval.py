@@ -90,7 +90,9 @@ def test_cohens_kappa_perfect_and_chance(spark):
 
 
 def _ts(day: int, hour: int = 0):
-    return datetime.datetime(2024, 1, 1 + day, hour, 0, 0)
+    return datetime.datetime(2024, 1, 1, hour, 0, 0) + datetime.timedelta(
+        days=day
+    )
 
 
 def test_psi_zero_when_halves_identical(spark):
@@ -396,3 +398,92 @@ def test_engagement_curve_shares(spark):
     assert out[1]["users"] == 3 and out[3]["users"] == 1
     assert out[1]["user_share"] == 0.75
     assert out[3]["cum_share"] == 1.0
+
+
+def test_seasonal_anomaly_weekday_cadence_not_flagged(spark):
+    from unifydb_spark.operators.events import seasonal_anomaly
+
+    # perfect weekly cadence: weekdays 5/day, weekend-position days
+    # 1/day over 4 weeks — NO day should be anomalous under the
+    # weekday-profile baseline (r25's trailing window would flag them)
+    rows = []
+    for d in range(28):
+        n = 1 if d % 7 in (5, 6) else 5
+        for _ in range(n):
+            rows.append(("click", _ts(d)))
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    out = seasonal_anomaly(df).collect()
+    assert len(out) == 28
+    assert not any(r["anomaly"] for r in out)
+    assert all(r["z"] is None or abs(r["z"]) < 1e-9 for r in out)
+
+
+def test_seasonal_anomaly_flags_weekday_break(spark):
+    from unifydb_spark.operators.events import seasonal_anomaly
+
+    # same cadence but one weekday explodes 30x; small natural jitter
+    # keeps the leave-one-out variance nonzero
+    rows = []
+    for d in range(35):
+        n = 5 + (d % 3) if d % 7 < 5 else 1
+        if d == 14:
+            n = 150
+        for _ in range(n):
+            rows.append(("click", _ts(d)))
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    out = {r["d"]: r for r in seasonal_anomaly(df).collect()}
+    d0 = min(out)
+    assert out[d0 + 14]["anomaly"]
+    normal = [r for d, r in out.items() if d != d0 + 14]
+    assert sum(1 for r in normal if r["anomaly"]) == 0
+
+
+def test_peak_concurrency_hand_case(spark):
+    from unifydb_spark.operators.events import peak_concurrency
+
+    # intervals: [0,10) [5,15) [9,12) overlap 3-deep at t=9; [20,30)
+    rows = [
+        (_ts(0, 0), _ts(0, 10)),
+        (_ts(0, 5), _ts(0, 15)),
+        (_ts(0, 9), _ts(0, 12)),
+        (_ts(0, 20), _ts(1, 6)),
+    ]
+    df = spark.createDataFrame(rows, ["s", "e"])
+    out = peak_concurrency(df, "s", "e").collect()[0]
+    assert out["peak"] == 3 and out["n_intervals"] == 4
+    # peak first reached when the third interval opens (hour 9)
+    import calendar
+
+    assert out["peak_at"] == calendar.timegm(_ts(0, 9).timetuple())
+
+
+def test_peak_concurrency_touching_intervals_do_not_overlap(spark):
+    from unifydb_spark.operators.events import peak_concurrency
+
+    # [0,5) and [5,10): half-open — end before start at t=5, peak 1
+    rows = [(_ts(0, 0), _ts(0, 5)), (_ts(0, 5), _ts(0, 10))]
+    df = spark.createDataFrame(rows, ["s", "e"])
+    out = peak_concurrency(df, "s", "e").collect()[0]
+    assert out["peak"] == 1
+
+
+def test_cohort_ltv_hand_case(spark):
+    from unifydb_spark.operators.olap import cohort_ltv
+    import datetime
+
+    rows = [
+        (1, datetime.date(2024, 1, 5), 100.0),
+        (1, datetime.date(2024, 2, 7), 50.0),
+        (2, datetime.date(2024, 1, 20), 30.0),
+        (3, datetime.date(2024, 2, 1), 80.0),
+    ]
+    df = spark.createDataFrame(rows, ["o_custkey", "o_orderdate", "o_totalprice"])
+    out = {(r["cohort"], r["age"]): r for r in cohort_ltv(df).collect()}
+    jan = out[("2024-01", 0)]
+    assert jan["cohort_size"] == 2 and jan["revenue"] == 130.0
+    assert jan["cum_ltv_per_customer"] == 65.0
+    jan1 = out[("2024-01", 1)]
+    assert jan1["revenue"] == 50.0
+    assert jan1["cum_ltv_per_customer"] == 90.0  # (130+50)/2
+    feb = out[("2024-02", 0)]
+    assert feb["cohort_size"] == 1 and feb["revenue"] == 80.0

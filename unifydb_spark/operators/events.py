@@ -1695,3 +1695,244 @@ def engagement_curve_sql(
                      / CAST(n AS DOUBLE), 6) AS cum_share
         FROM hist, tot ORDER BY active_days
     """
+
+
+def seasonal_anomaly(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonality-adjusted volume anomalies: each (type, day)'s count
+    z-scored against the SAME WEEKDAY's other days — the Monday-vs-
+    Sunday fix for r25's trailing-window monitor, which flags every
+    weekend as an anomaly on weekly-cadenced traffic. Leave-one-out
+    baseline (the day under test is excluded from its own mean/var) on
+    the dense day spine. Rows with < 3 same-weekday peers or zero
+    variance yield NULL z.
+
+    Exactness: per-weekday sums and sums-of-squares are integers; the
+    leave-one-out mean/variance is one mirrored double expression per
+    row. Scale: one combinable day count; the weekday profile joins
+    back on (type, weekday) — a 7 x types relation; everything after
+    the collapse is calendar-sized."""
+    from unifydb_spark.resources import tracked_persist
+
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    daily = (
+        events.select(F.col(type_col).alias("etype"), day.alias("d"))
+        .groupBy("etype", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    daily = tracked_persist(daily)
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    ).crossJoin(F.broadcast(daily.select("etype").distinct()))
+    dense = tracked_persist(
+        spine.join(daily, ["etype", "d"], "left").select(
+            "etype",
+            "d",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+            (F.col("d") % 7).cast("int").alias("wd"),
+        )
+    )
+    prof = dense.groupBy("etype", "wd").agg(
+        F.count(F.lit(1)).alias("nw"),
+        F.sum("c").alias("sw"),
+        F.sum(F.col("c") * F.col("c")).alias("ssw"),
+    )
+    j = dense.join(F.broadcast(prof), ["etype", "wd"])
+    # leave-one-out: remove this day's own contribution
+    n1 = (F.col("nw") - 1).cast("double")
+    s1 = (F.col("sw") - F.col("c")).cast("double")
+    ss1 = (F.col("ssw") - F.col("c") * F.col("c")).cast("double")
+    mean = s1 / n1
+    var = (ss1 - s1 * s1 / n1) / (n1 - F.lit(1.0))
+    z = F.when(
+        (F.col("nw") >= 4) & (var > 0),
+        (F.col("c").cast("double") - mean) / F.sqrt(var),
+    )
+    return j.select(
+        "etype",
+        "d",
+        F.col("wd"),
+        F.col("c").cast("bigint").alias("c"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > F.lit(float(threshold)), F.lit(False)).alias(
+            "anomaly"
+        ),
+    )
+
+
+def seasonal_anomaly_sql(
+    table: str = "events",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    threshold: float = 3.0,
+) -> str:
+    return f"""
+        WITH daily AS (
+          SELECT {type_col} AS etype,
+                 CAST(date_trunc('day', {ts_col}) AS DATE)
+                   - DATE '1970-01-01' AS d,
+                 COUNT(*) AS c
+          FROM {table} GROUP BY 1, 2
+        ), bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+        spine AS (
+          SELECT t.etype, s.d
+          FROM (SELECT unnest(range(lo, hi + 1)) AS d FROM bounds) s,
+               (SELECT DISTINCT etype FROM daily) t
+        ), dense AS (
+          SELECT s.etype, s.d,
+                 CAST(COALESCE(daily.c, 0) AS BIGINT) AS c,
+                 CAST(s.d % 7 AS INT) AS wd
+          FROM spine s LEFT JOIN daily
+            ON daily.etype = s.etype AND daily.d = s.d
+        ), prof AS (
+          SELECT etype, wd, COUNT(*) AS nw, SUM(c) AS sw,
+                 SUM(c * c) AS ssw
+          FROM dense GROUP BY 1, 2
+        )
+        SELECT d.etype, d.d, d.wd, d.c,
+               ROUND(CASE WHEN nw >= 4
+                     AND (CAST(ssw - d.c * d.c AS DOUBLE)
+                          - CAST(sw - d.c AS DOUBLE)
+                            * (CAST(sw - d.c AS DOUBLE)
+                               / CAST(nw - 1 AS DOUBLE)))
+                         / (CAST(nw - 1 AS DOUBLE) - 1.0) > 0
+                     THEN (CAST(d.c AS DOUBLE)
+                           - CAST(sw - d.c AS DOUBLE)
+                             / CAST(nw - 1 AS DOUBLE))
+                          / SQRT((CAST(ssw - d.c * d.c AS DOUBLE)
+                                  - CAST(sw - d.c AS DOUBLE)
+                                    * (CAST(sw - d.c AS DOUBLE)
+                                       / CAST(nw - 1 AS DOUBLE)))
+                                 / (CAST(nw - 1 AS DOUBLE) - 1.0))
+                     END, 6) AS z,
+               COALESCE(ABS(CASE WHEN nw >= 4
+                     AND (CAST(ssw - d.c * d.c AS DOUBLE)
+                          - CAST(sw - d.c AS DOUBLE)
+                            * (CAST(sw - d.c AS DOUBLE)
+                               / CAST(nw - 1 AS DOUBLE)))
+                         / (CAST(nw - 1 AS DOUBLE) - 1.0) > 0
+                     THEN (CAST(d.c AS DOUBLE)
+                           - CAST(sw - d.c AS DOUBLE)
+                             / CAST(nw - 1 AS DOUBLE))
+                          / SQRT((CAST(ssw - d.c * d.c AS DOUBLE)
+                                  - CAST(sw - d.c AS DOUBLE)
+                                    * (CAST(sw - d.c AS DOUBLE)
+                                       / CAST(nw - 1 AS DOUBLE)))
+                                 / (CAST(nw - 1 AS DOUBLE) - 1.0))
+                     END) > {float(threshold)!r}, FALSE) AS anomaly
+        FROM dense d JOIN prof USING (etype, wd)
+        ORDER BY etype, d
+    """
+
+
+def peak_concurrency(
+    sessions: DataFrame,
+    start_col: str,
+    end_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Peak concurrency: the maximum number of simultaneously-open
+    intervals — capacity planning's first question (max concurrent
+    sessions/streams/connections), answered exactly by the sweep line:
+    +1 at each start, -1 strictly at each end, running sum over the
+    boundary relation, max. Ends sort before starts at the same
+    microsecond (a session ending exactly when another starts does not
+    overlap it — half-open [start, end) semantics). Returns one row
+    (or one per group): (n_intervals, peak, peak_at) with peak_at the
+    earliest boundary achieving the max.
+
+    Scale: the boundary relation is 2x intervals — everything after is
+    windows over it; grouped mode partitions the sweep by group. The
+    global mode's single-partition window is the documented exception
+    ONLY when boundaries are calendar-bounded; for raw 100 TB session
+    logs run the grouped mode (e.g. per shard/tenant) or pre-bucket
+    by coarse time range (q91 offset scheme applies)."""
+    from pyspark.sql import Window
+    from unifydb_spark.resources import tracked_persist
+
+    s = F.col(start_col).cast("timestamp").cast("double")
+    e = F.col(end_col).cast("timestamp").cast("double")
+    gcols = [group_col] if group_col else []
+    base = sessions.filter(s.isNotNull() & e.isNotNull())
+    starts = base.select(
+        *gcols, s.alias("t"), F.lit(1).alias("delta"), F.lit(1).alias("ord")
+    )
+    ends = base.select(
+        *gcols, e.alias("t"), F.lit(-1).alias("delta"), F.lit(0).alias("ord")
+    )
+    bounds = tracked_persist(starts.union(ends))
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("t", "ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = bounds.select(
+        *gcols, "t", F.sum("delta").over(w).alias("cur")
+    )
+    run = tracked_persist(run)
+    peak = run.groupBy(*gcols).agg(F.max("cur").alias("peak"))
+    at = (
+        run.join(F.broadcast(peak), [*gcols] if gcols else None)
+        if gcols
+        else run.crossJoin(F.broadcast(peak))
+    )
+    n_int = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_intervals")
+    )
+    first_at = (
+        at.filter(F.col("cur") == F.col("peak"))
+        .groupBy(*gcols, "peak")
+        .agg(F.min("t").alias("_at"))
+    )
+    out = (
+        first_at.join(n_int, [*gcols]) if gcols else first_at.crossJoin(n_int)
+    )
+    return out.select(
+        *gcols,
+        F.col("n_intervals").cast("bigint").alias("n_intervals"),
+        F.col("peak").cast("bigint").alias("peak"),
+        F.round(F.col("_at"), 6).alias("peak_at"),
+    )
+
+
+def peak_concurrency_sql(
+    intervals_cte: str, group_col: str | None = None
+) -> str:
+    """Oracle over an `iv` CTE with columns (s, e) as epoch-second
+    doubles (+ group_col if grouped)."""
+    g = f"{group_col}, " if group_col else ""
+    part = f"PARTITION BY {group_col} " if group_col else ""
+    gb = f"GROUP BY {group_col}" if group_col else ""
+    return f"""
+        WITH iv AS ({intervals_cte}),
+        bounds AS (
+          SELECT {g}s AS t, 1 AS delta, 1 AS ord FROM iv
+          UNION ALL
+          SELECT {g}e AS t, -1 AS delta, 0 AS ord FROM iv
+        ), run AS (
+          SELECT {g}t,
+                 SUM(delta) OVER ({part}ORDER BY t, ord
+                   ROWS UNBOUNDED PRECEDING) AS cur
+          FROM bounds
+        ), peak AS (
+          SELECT {g}MAX(cur) AS peak FROM run {gb}
+        ), n AS (
+          SELECT {g}COUNT(*) AS n_intervals FROM iv {gb}
+        )
+        SELECT {('n.' + group_col + ', ') if group_col else ''}
+               CAST(n.n_intervals AS BIGINT) AS n_intervals,
+               CAST(p.peak AS BIGINT) AS peak,
+               ROUND(MIN(r.t), 6) AS peak_at
+        FROM run r
+        JOIN peak p ON r.cur = p.peak
+          {('AND r.' + group_col + ' = p.' + group_col) if group_col else ''}
+        JOIN n ON TRUE
+          {('AND n.' + group_col + ' = p.' + group_col) if group_col else ''}
+        GROUP BY {('n.' + group_col + ', ') if group_col else ''}
+                 n.n_intervals, p.peak
+    """

@@ -1002,3 +1002,105 @@ def rfm_segments_sql(
         FROM seg GROUP BY 1, 2, 3
         ORDER BY 1, 2, 3
     """
+
+
+def cohort_ltv(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    max_age: int = 12,
+) -> DataFrame:
+    """Cohort LTV triangle: customers grouped by first-purchase month,
+    revenue accumulated by months-since-acquisition — the
+    lifetime-value view that q66's retention counts can't give
+    (retained users who spend nothing look identical to whales there).
+    Returns (cohort, age, cohort_size, revenue, cum_ltv_per_customer)
+    for age 0..max_age.
+
+    Exactness: month arithmetic is integer (year*12 + month); revenue
+    accumulates as DECIMAL and the cumulative window sums the ALREADY
+    DECIMAL-exact per-cell revenue, so the running LTV is
+    order-independent; one division per row at the surface. Scale: a
+    per-customer MIN (combinable), one (cohort, age) collapse, windows
+    over the cohorts x ages triangle."""
+    mi = (F.year(F.col(date_col)) * 12 + F.month(F.col(date_col))).cast(
+        "long"
+    )
+    base = orders.select(
+        F.col(cust_col).alias("c"),
+        mi.alias("m"),
+        F.col(amount_col).cast("decimal(38,12)").alias("amt"),
+    )
+    from unifydb_spark.resources import tracked_persist
+
+    base = tracked_persist(base)
+    first = base.groupBy("c").agg(F.min("m").alias("m0"))
+    sizes = first.groupBy("m0").agg(F.count(F.lit(1)).alias("cohort_size"))
+    j = base.join(first, "c").withColumn("age", (F.col("m") - F.col("m0")).cast("int"))
+    cells = (
+        j.filter(F.col("age") <= int(max_age))
+        .groupBy("m0", "age")
+        .agg(F.sum("amt").alias("rev"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("m0")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = cells.join(F.broadcast(sizes), "m0").select(
+        F.format_string(
+            "%04d-%02d",
+            F.expr("(m0 - 1) DIV 12").cast("int"),
+            (((F.col("m0") - 1) % 12) + 1).cast("int"),
+        ).alias("cohort"),
+        F.col("age"),
+        F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        F.round(F.col("rev").cast("string").cast("double"), 4).alias(
+            "revenue"
+        ),
+        F.round(
+            F.sum("rev").over(w).cast("string").cast("double")
+            / F.col("cohort_size").cast("double"),
+            6,
+        ).alias("cum_ltv_per_customer"),
+    )
+    return out
+
+
+def cohort_ltv_sql(
+    table: str = "orders",
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    max_age: int = 12,
+) -> str:
+    return f"""
+        WITH base AS (
+          SELECT {cust_col} AS c,
+                 CAST(EXTRACT(year FROM {date_col}) * 12
+                      + EXTRACT(month FROM {date_col}) AS BIGINT) AS m,
+                 CAST({amount_col} AS DECIMAL(38,12)) AS amt
+          FROM {table}
+        ), first AS (SELECT c, MIN(m) AS m0 FROM base GROUP BY 1),
+        sizes AS (SELECT m0, COUNT(*) AS cohort_size FROM first GROUP BY 1),
+        cells AS (
+          SELECT m0, CAST(m - m0 AS INT) AS age, SUM(amt) AS rev
+          FROM base JOIN first USING (c)
+          WHERE m - m0 <= {int(max_age)}
+          GROUP BY 1, 2
+        )
+        SELECT printf('%04d-%02d', CAST((m0 - 1) // 12 AS INT),
+                      CAST((m0 - 1) % 12 + 1 AS INT)) AS cohort,
+               age,
+               CAST(cohort_size AS BIGINT) AS cohort_size,
+               ROUND(CAST(CAST(rev AS VARCHAR) AS DOUBLE), 4) AS revenue,
+               ROUND(CAST(CAST(SUM(rev) OVER (PARTITION BY m0 ORDER BY age
+                       ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE)
+                     / CAST(cohort_size AS DOUBLE), 6)
+                 AS cum_ltv_per_customer
+        FROM cells JOIN sizes USING (m0)
+        ORDER BY cohort, age
+    """
