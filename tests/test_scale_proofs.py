@@ -380,3 +380,57 @@ def test_round6_window_ops_plan_shapes(spark):
     p = final_plan(topk_with_others(ev, "user_id", "event_type", "value", 2))
     assert "Exchange SinglePartition" not in p
     assert "rangepartitioning" not in p
+
+
+def test_round7_ops_no_single_partition_exchanges(spark):
+    """Plan-shape proofs for the round-7 operators that COULD have been
+    written with a global sort and deliberately were not: exact KS
+    (q91 offset cumsum), lift curve and zone-map advisor (q91
+    numbering), Hill tail (TakeOrderedAndProject). The naive plan's
+    smell — Exchange SinglePartition / global rangepartitioning sort of
+    the data relation — must be absent."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+    from unifydb_spark.operators.layout import zonemap_prune_profile
+    from unifydb_spark.operators.stats import hill_tail, ks_test, lift_curve
+
+    def final_plan(df):
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+
+    big = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i % 997)) for i in range(4000)],
+        "id bigint, g string, v double",
+    )
+
+    # KS: the distinct-value cumsum windows are partitioned by the
+    # range-bucket id, never an unpartitioned window (the terminal
+    # 1-row scalar fold's SinglePartition is partial-aggregated and
+    # fine — the smell is an unpartitioned windowspecdefinition)
+    p = final_plan(ks_test(big, "v", "g", "a", "b"))
+    assert "windowspecdefinition(_pid" in p
+    assert "windowspecdefinition(v" not in p
+
+    # lift curve: decile ids come from range-partitioned numbering —
+    # the row-number window is partitioned by _pid
+    p = final_plan(lift_curve(big, "v", F.col("g") == "a", "id"))
+    assert "windowspecdefinition(_pid" in p
+
+    # zone-map advisor: per-layout numbering is range-partitioned
+    p = final_plan(
+        zonemap_prune_profile(
+            big.withColumn("d", (F.col("id") * 7 % 100).cast("long")),
+            "d",
+            [("by_d", ["d", "id"]), ("ins", ["id"])],
+            n_blocks=16,
+        )
+    )
+    assert "windowspecdefinition(_pid" in p
+
+    # Hill: top-k selection is per-partition top-k + driver merge
+    p = final_plan(hill_tail(big, "v", "id", k=50))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
