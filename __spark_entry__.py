@@ -3255,6 +3255,16 @@ def r82_cohort_ltv(spark, sf_dir):
     return cohort_ltv(orders, max_age=12).orderBy("cohort", "age")
 
 
+def r83_char_entropy(spark, sf_dir):
+    """Per-doc character Shannon entropy (operators/text.py
+    char_entropy): the encoding-garbage / template-spam detector
+    orthogonal to word stats — one linear explode + one combinable
+    (doc, char) count; DECIMAL-summed -p*log2(p) terms."""
+    from unifydb_spark.operators.text import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3488,6 +3498,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r80_seasonal_anomaly": r80_seasonal_anomaly,
         "r81_peak_concurrency": r81_peak_concurrency,
         "r82_cohort_ltv": r82_cohort_ltv,
+        "r83_char_entropy": r83_char_entropy,
     }
 
 
@@ -4223,6 +4234,7 @@ def _operator_oracles() -> dict[str, str]:
             + ")"
         ),
         "r82_cohort_ltv": _ol.cohort_ltv_sql("orders", max_age=12),
+        "r83_char_entropy": _t.char_entropy_sql("documents"),
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,

@@ -142,6 +142,7 @@ HEADLINE = [
     "r80_seasonal_anomaly",
     "r81_peak_concurrency",
     "r82_cohort_ltv",
+    "r83_char_entropy",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

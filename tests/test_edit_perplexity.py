@@ -120,3 +120,16 @@ def test_dedup_eval_planted_duplicates(spark):
     assert out["n_both"] >= 1
     assert out["recall"] is not None and 0.0 < out["recall"] <= 1.0
     assert out["precision"] is not None
+
+
+def test_char_entropy_known_values(spark):
+    from unifydb_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert out[1]["entropy_bits"] == 0.0  # single symbol
+    assert out[2]["entropy_bits"] == 1.0  # two equiprobable symbols
+    assert out[3]["entropy_bits"] == 2.0  # four equiprobable symbols
+    assert out[3]["distinct_chars"] == 4 and out[3]["n_chars"] == 4

@@ -1934,3 +1934,73 @@ def distinctive_terms_sql(
         WHERE rk <= {int(top_k)}
         ORDER BY {group_col}, z DESC, term
     """
+
+
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    encoding-garbage detector orthogonal to word statistics: mojibake
+    and base64 blobs run HIGH (near-uniform byte usage), template spam
+    and char-run padding run LOW; natural language sits in a tight
+    band. The compression-ratio proxy without a compressor dependency.
+    Returns (doc_id, n_chars, distinct_chars, entropy_bits).
+
+    Exactness: per-(doc, char) counts are integers; each -p*log2(p)
+    term is one mirrored double cast DECIMAL(30,15) before the per-doc
+    sum (r17 contract). Scale: one explode to characters (linear, the
+    tokenizer's shape) + one combinable (doc, char) count — the scored
+    relation is docs x alphabet."""
+    from unifydb_spark.operators.dedup import _spread
+
+    t = F.col(text_col)
+    chars = (
+        _spread(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(t, "(?!^)")).alias("ch"),
+        )
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from unifydb_spark.resources import tracked_persist
+
+    chars = tracked_persist(chars)
+    tot = chars.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    j = chars.join(tot, "doc_id")
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = (-p * F.log2(p)).cast("decimal(30,15)")
+    return j.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_chars"),
+        F.round(F.sum(term).cast("string").cast("double"), 6).alias(
+            "entropy_bits"
+        ),
+    )
+
+
+def char_entropy_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    return f"""
+        WITH chars AS (
+          SELECT {id_col} AS doc_id, u.ch, COUNT(*) AS c
+          FROM (
+            SELECT {id_col}, string_split_regex({text_col}, '') AS cs
+            FROM {table}
+          ), unnest(cs) AS u(ch)
+          WHERE u.ch != ''
+          GROUP BY 1, 2
+        ), tot AS (SELECT doc_id, SUM(c) AS n FROM chars GROUP BY 1)
+        SELECT doc_id,
+               CAST(MAX(n) AS BIGINT) AS n_chars,
+               CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+               ROUND(CAST(CAST(SUM(CAST(
+                 -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 * LOG2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE), 6)
+                 AS entropy_bits
+        FROM chars JOIN tot USING (doc_id)
+        GROUP BY 1 ORDER BY 1
+    """
