@@ -3265,6 +3265,40 @@ def r83_char_entropy(spark, sf_dir):
     return char_entropy(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def r84_common_prefix(spark, sf_dir):
+    """Per-source boilerplate-prefix detector (operators/text.py
+    common_prefix_report): the set LCP via LCP(min, max) of the sorted
+    strings — one combinable MIN/MAX per group, k-search on one string
+    pair per group."""
+    from unifydb_spark.operators.text import common_prefix_report
+
+    return common_prefix_report(_docs(spark, sf_dir)).orderBy("source")
+
+
+def r85_novelty_curve(spark, sf_dir):
+    """Content-novelty decay (operators/text.py novelty_curve): the
+    fraction of each corpus slice's bigram occurrences that are FIRST
+    occurrences — the crawl-stop / dedup-budget curve (r51's
+    occurrence-mass cousin); first occurrence is a combinable MIN over
+    the q91 slice numbering."""
+    from unifydb_spark.operators.text import novelty_curve
+
+    return novelty_curve(_docs(spark, sf_dir), n_buckets=20).orderBy(
+        "bucket"
+    )
+
+
+def r86_overdispersion(spark, sf_dir):
+    """Poisson-null burstiness check (operators/events.py
+    overdispersion_check): daily-count Fano factor + CV per event type
+    on the dense spine — the regime question every z-threshold monitor
+    (r25/r80) should calibrate on; integer moments, types-sized
+    output."""
+    from unifydb_spark.operators.events import overdispersion_check
+
+    return overdispersion_check(_events_ts(spark, sf_dir)).orderBy("etype")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3499,6 +3533,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r81_peak_concurrency": r81_peak_concurrency,
         "r82_cohort_ltv": r82_cohort_ltv,
         "r83_char_entropy": r83_char_entropy,
+        "r84_common_prefix": r84_common_prefix,
+        "r85_novelty_curve": r85_novelty_curve,
+        "r86_overdispersion": r86_overdispersion,
     }
 
 
@@ -4235,6 +4272,11 @@ def _operator_oracles() -> dict[str, str]:
         ),
         "r82_cohort_ltv": _ol.cohort_ltv_sql("orders", max_age=12),
         "r83_char_entropy": _t.char_entropy_sql("documents"),
+        "r84_common_prefix": _t.common_prefix_report_sql("documents"),
+        "r85_novelty_curve": _t.novelty_curve_sql(
+            "documents", n_buckets=20
+        ),
+        "r86_overdispersion": _ev.overdispersion_check_sql("events"),
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,

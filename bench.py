@@ -143,6 +143,9 @@ HEADLINE = [
     "r81_peak_concurrency",
     "r82_cohort_ltv",
     "r83_char_entropy",
+    "r84_common_prefix",
+    "r85_novelty_curve",
+    "r86_overdispersion",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

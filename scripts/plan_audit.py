@@ -122,6 +122,10 @@ BNLJ_ALLOWED = {
     # broadcast cross joins onto the boundary relation — bounded by
     # construction (q71 report shape)
     "r81_peak_concurrency",
+    # r86: the day spine is (exploded 1-row bounds) x (distinct event
+    # types) — calendar x dimension, bounded by construction (r25/r80
+    # shape)
+    "r86_overdispersion",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)

@@ -133,3 +133,66 @@ def test_char_entropy_known_values(spark):
     assert out[2]["entropy_bits"] == 1.0  # two equiprobable symbols
     assert out[3]["entropy_bits"] == 2.0  # four equiprobable symbols
     assert out[3]["distinct_chars"] == 4 and out[3]["n_chars"] == 4
+
+
+def test_common_prefix_detects_boilerplate(spark):
+    from unifydb_spark.operators.text import common_prefix_report
+
+    rows = [
+        (1, "HEADER v2 | the actual content one", "crawl"),
+        (2, "HEADER v2 | different body text here", "crawl"),
+        (3, "HEADER v2 | yet another payload", "crawl"),
+        (4, "no banner at all", "clean"),
+        (5, "other text entirely", "clean"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in common_prefix_report(docs).collect()}
+    assert out["crawl"]["lcp"] == "HEADER v2 | "
+    assert out["crawl"]["lcp_len"] == 12
+    assert out["clean"]["lcp_len"] == 0 and out["clean"]["lcp"] == ""
+
+
+def test_common_prefix_single_doc_is_whole_prefix(spark):
+    from unifydb_spark.operators.text import common_prefix_report
+
+    docs = spark.createDataFrame(
+        [(1, "only document", "s")], ["doc_id", "text", "source"]
+    )
+    out = common_prefix_report(docs).collect()[0]
+    assert out["lcp"] == "only document"
+
+
+def test_novelty_curve_repeats_decay(spark):
+    from unifydb_spark.operators.text import novelty_curve
+
+    # first half unique content, second half verbatim repeats of it
+    uniq = [(i, f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(10)]
+    reps = [(10 + i, uniq[i][1]) for i in range(10)]
+    docs = spark.createDataFrame(uniq + reps, ["doc_id", "text"])
+    out = {r["bucket"]: r for r in novelty_curve(docs, n_buckets=2).collect()}
+    assert out[0]["novelty_rate"] == 1.0  # all first occurrences
+    assert out[1]["novelty_rate"] == 0.0  # all repeats
+
+
+def test_overdispersion_detects_bursts(spark):
+    import datetime
+
+    from unifydb_spark.operators.events import overdispersion_check
+
+    def ts(d):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+
+    rows = []
+    # steady: 4/day for 12 days (fano ~ 0) ; bursty: 0 or 12 alternating
+    for d in range(12):
+        for _ in range(4):
+            rows.append(("steady", ts(d)))
+        if d % 2 == 0:
+            for _ in range(12):
+                rows.append(("bursty", ts(d)))
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    out = {r["etype"]: r for r in overdispersion_check(df).collect()}
+    assert out["steady"]["fano"] == 0.0
+    assert not out["steady"]["overdispersed"]
+    assert out["bursty"]["fano"] > 5.0
+    assert out["bursty"]["overdispersed"]

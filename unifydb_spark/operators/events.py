@@ -1936,3 +1936,107 @@ def peak_concurrency_sql(
         GROUP BY {('n.' + group_col + ', ') if group_col else ''}
                  n.n_intervals, p.peak
     """
+
+
+def overdispersion_check(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    fano_threshold: float = 1.5,
+) -> DataFrame:
+    """Over-dispersion check on daily counts per type: the Fano factor
+    (variance/mean) and coefficient of variation against the Poisson
+    null (Fano == 1) — the upstream question every volume monitor
+    calibrates on ("are arrivals bursty or Poisson-ish?"): z-score
+    thresholds tuned on Poisson-looking traffic misfire badly on
+    bursty traffic, and this one number says which regime each stream
+    is in. Dense day spine (zero days count). Returns (etype, n_days,
+    mean_c, fano, cv, overdispersed).
+
+    Exactness: integer daily counts, integer sum/sum-of-squares; mean,
+    sample variance, Fano and CV are one mirrored double expression
+    per type; the threshold compare multiplies through so it stays off
+    the float boundary only when variance is exactly threshold*mean —
+    accepted (both engines compute the identical doubles). Scale: one
+    combinable day count; everything after is types-sized."""
+    from unifydb_spark.resources import tracked_persist
+
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    daily = (
+        events.select(F.col(type_col).alias("etype"), day.alias("d"))
+        .groupBy("etype", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    daily = tracked_persist(daily)
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    ).crossJoin(F.broadcast(daily.select("etype").distinct()))
+    dense = spine.join(daily, ["etype", "d"], "left").select(
+        "etype", "d", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    agg = dense.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    nd = F.col("n_days").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = (
+        F.col("ss").cast("double") - F.col("s").cast("double") * mean
+    ) / (nd - F.lit(1.0))
+    fano = F.when(mean > 0, var / mean)
+    return agg.select(
+        "etype",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(mean, 6).alias("mean_c"),
+        F.round(fano, 6).alias("fano"),
+        F.round(F.when(mean > 0, F.sqrt(var) / mean), 6).alias("cv"),
+        F.coalesce(fano > F.lit(float(fano_threshold)), F.lit(False)).alias(
+            "overdispersed"
+        ),
+    )
+
+
+def overdispersion_check_sql(
+    table: str = "events",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    fano_threshold: float = 1.5,
+) -> str:
+    mean = "CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)"
+    var = (
+        f"(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * ({mean}))"
+        f" / (CAST(n_days AS DOUBLE) - 1.0)"
+    )
+    fano = f"CASE WHEN {mean} > 0 THEN ({var}) / ({mean}) END"
+    return f"""
+        WITH daily AS (
+          SELECT {type_col} AS etype,
+                 CAST(date_trunc('day', {ts_col}) AS DATE)
+                   - DATE '1970-01-01' AS d,
+                 COUNT(*) AS c
+          FROM {table} GROUP BY 1, 2
+        ), bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+        spine AS (
+          SELECT t.etype, s.d
+          FROM (SELECT unnest(range(lo, hi + 1)) AS d FROM bounds) s,
+               (SELECT DISTINCT etype FROM daily) t
+        ), dense AS (
+          SELECT s.etype, s.d, CAST(COALESCE(daily.c, 0) AS BIGINT) AS c
+          FROM spine s LEFT JOIN daily
+            ON daily.etype = s.etype AND daily.d = s.d
+        ), agg AS (
+          SELECT etype, COUNT(*) AS n_days, SUM(c) AS s,
+                 SUM(c * c) AS ss
+          FROM dense GROUP BY 1
+        )
+        SELECT etype, CAST(n_days AS BIGINT) AS n_days,
+               ROUND({mean}, 6) AS mean_c,
+               ROUND({fano}, 6) AS fano,
+               ROUND(CASE WHEN {mean} > 0
+                     THEN SQRT({var}) / ({mean}) END, 6) AS cv,
+               COALESCE(({fano}) > {float(fano_threshold)!r}, FALSE)
+                 AS overdispersed
+        FROM agg ORDER BY etype
+    """

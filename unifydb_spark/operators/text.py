@@ -2004,3 +2004,202 @@ def char_entropy_sql(
         FROM chars JOIN tot USING (doc_id)
         GROUP BY 1 ORDER BY 1
     """
+
+
+def common_prefix_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    max_check: int = 200,
+) -> DataFrame:
+    """Per-group longest common prefix of ALL documents — the template
+    /boilerplate-header detector ("every doc from this crawler starts
+    with the same 80-char banner"), which char/word frequency stats
+    miss because the banner's tokens are individually unremarkable.
+    Uses the sorted-strings property: the LCP of a whole set equals
+    LCP(min(set), max(set)) — so the scan collapses to one combinable
+    MIN/MAX per group and the LCP itself is computed on ONE string
+    pair per group. Returns (group, n_docs, lcp_len, lcp), lcp
+    truncated to max_check chars.
+
+    Exactness: string MIN/MAX and substring equality are byte-exact on
+    both engines; the k-search explodes 0..max_check per GROUP (not
+    per row). Scale: one combinable agg; everything after is
+    group-sized."""
+    g = F.col(group_col).alias("grp")
+    mm = (
+        docs.groupBy(g)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.col(text_col)).alias("_lo"),
+            F.max(F.col(text_col)).alias("_hi"),
+        )
+    )
+    cap = int(max_check)
+    k = (
+        mm.select(
+            "grp",
+            "n_docs",
+            "_lo",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.least(
+                        F.length("_lo"), F.length("_hi"), F.lit(cap)
+                    ),
+                )
+            ).alias("k"),
+            F.col("_hi"),
+        )
+        .filter(
+            F.substring(F.col("_lo"), 1, F.col("k").cast("int"))
+            == F.substring(F.col("_hi"), 1, F.col("k").cast("int"))
+        )
+        .groupBy("grp", "n_docs", "_lo")
+        .agg(F.max("k").cast("int").alias("lcp_len"))
+    )
+    return k.select(
+        F.col("grp").alias(group_col),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "lcp_len",
+        F.expr("substring(_lo, 1, lcp_len)").alias("lcp"),
+    )
+
+
+def common_prefix_report_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    group_col: str = "source",
+    max_check: int = 200,
+) -> str:
+    cap = int(max_check)
+    return f"""
+        WITH mm AS (
+          SELECT {group_col} AS grp, COUNT(*) AS n_docs,
+                 MIN({text_col}) AS lo, MAX({text_col}) AS hi
+          FROM {table} GROUP BY 1
+        ), ks AS (
+          SELECT grp, n_docs, lo,
+                 MAX(u.k) AS lcp_len
+          FROM mm, unnest(range(0, LEAST(length(lo), length(hi), {cap})
+                                + 1)) AS u(k)
+          WHERE substr(lo, 1, CAST(u.k AS INT))
+                = substr(hi, 1, CAST(u.k AS INT))
+          GROUP BY 1, 2, 3
+        )
+        SELECT grp AS {group_col},
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(lcp_len AS INT) AS lcp_len,
+               substr(lo, 1, CAST(lcp_len AS INT)) AS lcp
+        FROM ks ORDER BY 1
+    """
+
+
+def novelty_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    n_buckets: int = 20,
+    ngram: int = 2,
+) -> DataFrame:
+    """Content-novelty decay: stream the corpus in `order_col` order,
+    bucket it into n_buckets equal slices, and measure what fraction
+    of each bucket's n-gram occurrences are FIRST occurrences — the
+    "is new data still adding new content or just repeating the
+    corpus" curve that drives crawl-stop / dedup-budget decisions
+    (r51's vocabulary growth is its unigram-type cousin; this is
+    occurrence-mass over n-grams). Returns (bucket, n_grams,
+    novel_grams, novelty_rate).
+
+    Exactness: the first occurrence of each distinct n-gram is a
+    combinable MIN over the order key; bucket ids are integer rank
+    arithmetic off the q91-style numbering of DISTINCT order keys
+    (documents), so ties and gaps in doc ids are immaterial. Scale:
+    explode + two combinable aggs; the join back to buckets is
+    gram-keyed."""
+    from unifydb_spark.operators.dedup import _spread
+    from unifydb_spark.resources import tracked_persist
+
+    B = int(n_buckets)
+    ids = docs.select(F.col(order_col).alias("oid")).distinct()
+    n = ids.count()
+    from unifydb_spark.operators.layout import global_row_number
+
+    numbered = global_row_number(ids, ["oid"], out_col="_gix")
+    bucket = numbered.select(
+        "oid", F.expr(f"((_gix - 1) * {B}) DIV {n}").alias("bucket")
+    )
+    grams = (
+        _spread(docs)
+        .select(
+            F.col(order_col).alias("oid"),
+            F.explode(
+                shingles_col(words_col(F.col(text_col)), int(ngram))
+            ).alias("gm"),
+        )
+        .join(bucket, "oid")
+    )
+    grams = tracked_persist(grams)
+    firsts = grams.groupBy("gm").agg(F.min("bucket").alias("first_b"))
+    j = grams.join(firsts, "gm")
+    return (
+        j.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                (
+                    (F.col("bucket") == F.col("first_b"))
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("novel_grams"),
+        )
+        .select(
+            "bucket",
+            "n_grams",
+            "novel_grams",
+            F.round(
+                F.col("novel_grams").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+def novelty_curve_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    n_buckets: int = 20,
+    ngram: int = 2,
+) -> str:
+    B = int(n_buckets)
+    return f"""
+        WITH ids AS (
+          SELECT {order_col} AS oid,
+                 ((ROW_NUMBER() OVER (ORDER BY {order_col}) - 1) * {B})
+                   // COUNT(*) OVER () AS bucket
+          FROM (SELECT DISTINCT {order_col} FROM {table})
+        ), toks AS (
+          SELECT {order_col} AS oid,
+                 list_filter(string_split({text_col}, ' '), w -> w != '')
+                   AS ws
+          FROM {table}
+        ), grams AS (
+          SELECT i.bucket, u.gm
+          FROM toks t JOIN ids i ON t.oid = i.oid,
+               unnest({shingles_sql_expr(int(ngram))}) AS u(gm)
+        ), firsts AS (
+          SELECT gm, MIN(bucket) AS first_b FROM grams GROUP BY 1
+        )
+        SELECT g.bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN g.bucket = f.first_b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS novel_grams,
+               ROUND(CAST(SUM(CASE WHEN g.bucket = f.first_b
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_rate
+        FROM grams g JOIN firsts f USING (gm)
+        GROUP BY 1 ORDER BY 1
+    """
