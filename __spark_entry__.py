@@ -3299,6 +3299,31 @@ def r86_overdispersion(spark, sf_dir):
     return overdispersion_check(_events_ts(spark, sf_dir)).orderBy("etype")
 
 
+def r87_weighted_quantiles(spark, sf_dir):
+    """Weighted quantiles per source (operators/stats.py
+    weighted_quantiles): document-length quantiles BY CHARACTER MASS
+    (n_chars as weight) — the mixture-design quantile unweighted r09
+    gets wrong whenever size and count diverge; integer cross-
+    multiplied threshold, distinct-value collapse."""
+    from unifydb_spark.operators.stats import weighted_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_quantiles(
+        docs, "source", "n_chars", "n_chars"
+    ).orderBy("source", "p")
+
+
+def r88_day_overlap(spark, sf_dir):
+    """Day-over-day active-user overlap (operators/events.py
+    day_overlap): Jaccard + return-rate of consecutive days' user
+    sets — the daily behavioral-churn pulse between cohort retention
+    (q66) and DAU (r74); one distinct collapse + one hash(user)
+    self-join."""
+    from unifydb_spark.operators.events import day_overlap
+
+    return day_overlap(_events_ts(spark, sf_dir)).orderBy("d")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3536,6 +3561,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r84_common_prefix": r84_common_prefix,
         "r85_novelty_curve": r85_novelty_curve,
         "r86_overdispersion": r86_overdispersion,
+        "r87_weighted_quantiles": r87_weighted_quantiles,
+        "r88_day_overlap": r88_day_overlap,
     }
 
 
@@ -4277,6 +4304,10 @@ def _operator_oracles() -> dict[str, str]:
             "documents", n_buckets=20
         ),
         "r86_overdispersion": _ev.overdispersion_check_sql("events"),
+        "r87_weighted_quantiles": _st.weighted_quantiles_sql(
+            "documents", "source", "n_chars", "n_chars"
+        ),
+        "r88_day_overlap": _ev.day_overlap_sql("events"),
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,

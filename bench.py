@@ -146,6 +146,8 @@ HEADLINE = [
     "r84_common_prefix",
     "r85_novelty_curve",
     "r86_overdispersion",
+    "r87_weighted_quantiles",
+    "r88_day_overlap",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

@@ -487,3 +487,42 @@ def test_cohort_ltv_hand_case(spark):
     assert jan1["cum_ltv_per_customer"] == 90.0  # (130+50)/2
     feb = out[("2024-02", 0)]
     assert feb["cohort_size"] == 1 and feb["revenue"] == 80.0
+
+
+def test_weighted_quantiles_hand_case(spark):
+    from unifydb_spark.operators.stats import weighted_quantiles
+
+    # values 1 (weight 1), 2 (weight 1), 10 (weight 8): by count the
+    # median is 2; by WEIGHT the median is 10 (cumw hits 5/10 there)
+    rows = [("g", 1.0, 1), ("g", 2.0, 1), ("g", 10.0, 8)]
+    df = spark.createDataFrame(rows, ["grp", "v", "w"])
+    out = {r["p"]: r for r in weighted_quantiles(df, "grp", "v", "w").collect()}
+    assert out[0.5]["value"] == 10.0
+    assert out[0.25]["value"] == 10.0  # cum 2/10 < 2.5 until 10
+    assert out[0.5]["w_total"] == 10
+
+
+def test_weighted_quantiles_uniform_weights_match_unweighted_rank(spark):
+    from unifydb_spark.operators.stats import weighted_quantiles
+
+    rows = [("g", float(v), 1) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, ["grp", "v", "w"])
+    out = {r["p"]: r["value"] for r in weighted_quantiles(df, "grp", "v", "w").collect()}
+    # lower order statistic at ceil(p*n)
+    assert out[0.25] == 3.0 and out[0.5] == 5.0 and out[0.75] == 8.0
+
+
+def test_day_overlap_hand_case(spark):
+    from unifydb_spark.operators.events import day_overlap
+
+    # day0: {1,2,3}; day1: {2,3,4}; day2: {9}
+    rows = [(1, _ts(0)), (2, _ts(0)), (3, _ts(0)),
+            (2, _ts(1)), (3, _ts(1)), (4, _ts(1)),
+            (9, _ts(2))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r["d"]: r for r in day_overlap(df).collect()}
+    d0 = min(out) - 1
+    assert out[d0 + 1]["returned"] == 2
+    assert out[d0 + 1]["jaccard"] == 0.5  # 2 / (3+3-2)
+    assert out[d0 + 1]["return_rate"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[d0 + 2]["returned"] == 0 and out[d0 + 2]["jaccard"] == 0.0

@@ -2040,3 +2040,96 @@ def overdispersion_check_sql(
                  AS overdispersed
         FROM agg ORDER BY etype
     """
+
+
+def day_overlap(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-over-day active-user overlap: Jaccard and return-rate of
+    each day's active user set against the PREVIOUS day — the
+    behavioral-churn pulse between r66's cohort retention (too coarse
+    for daily ops) and r74's DAU (no identity linkage at all).
+    Returns (d, active, returned, jaccard, return_rate) for days with
+    a predecessor, where returned = |users(d) ∩ users(d-1)|.
+
+    Exactness: set sizes are integer counts off one distinct user-day
+    collapse and one self-join on (user, d = d+1); Jaccard's union is
+    |A| + |B| - |A∩B| — no distinct over a union needed. Scale: the
+    join is hash(user)-keyed over the users x days relation."""
+    from unifydb_spark.resources import tracked_persist
+
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    ud = tracked_persist(
+        events.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    )
+    daily = ud.groupBy("d").agg(F.count(F.lit(1)).alias("active"))
+    prev = ud.select("u", (F.col("d") + 1).alias("d"))
+    inter = (
+        ud.join(prev, ["u", "d"])
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("returned"))
+    )
+    pd_ = daily.select(
+        (F.col("d") + 1).alias("d"), F.col("active").alias("prev_active")
+    )
+    j = (
+        daily.join(pd_, "d")
+        .join(inter, "d", "left")
+        .select(
+            "d",
+            "active",
+            F.coalesce("returned", F.lit(0)).alias("returned"),
+            "prev_active",
+        )
+    )
+    union = (
+        F.col("active") + F.col("prev_active") - F.col("returned")
+    ).cast("double")
+    return j.select(
+        "d",
+        F.col("active").cast("bigint").alias("active"),
+        F.col("returned").cast("bigint").alias("returned"),
+        F.round(F.col("returned").cast("double") / union, 6).alias(
+            "jaccard"
+        ),
+        F.round(
+            F.col("returned").cast("double")
+            / F.col("prev_active").cast("double"),
+            6,
+        ).alias("return_rate"),
+    )
+
+
+def day_overlap_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    return f"""
+        WITH ud AS (
+          SELECT DISTINCT {user_col} AS u,
+                 CAST(date_trunc('day', {ts_col}) AS DATE)
+                   - DATE '1970-01-01' AS d
+          FROM {table}
+        ), daily AS (SELECT d, COUNT(*) AS active FROM ud GROUP BY 1),
+        inter AS (
+          SELECT a.d, COUNT(*) AS returned
+          FROM ud a JOIN ud b ON a.u = b.u AND b.d = a.d - 1
+          GROUP BY 1
+        )
+        SELECT c.d,
+               CAST(c.active AS BIGINT) AS active,
+               CAST(COALESCE(i.returned, 0) AS BIGINT) AS returned,
+               ROUND(CAST(COALESCE(i.returned, 0) AS DOUBLE)
+                     / CAST(c.active + p.active
+                            - COALESCE(i.returned, 0) AS DOUBLE), 6)
+                 AS jaccard,
+               ROUND(CAST(COALESCE(i.returned, 0) AS DOUBLE)
+                     / CAST(p.active AS DOUBLE), 6) AS return_rate
+        FROM daily c
+        JOIN daily p ON p.d = c.d - 1
+        LEFT JOIN inter i ON i.d = c.d
+        ORDER BY c.d
+    """

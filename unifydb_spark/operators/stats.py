@@ -2680,3 +2680,112 @@ def lift_curve_sql(
                     / CAST(SUM(n) OVER () AS DOUBLE)) END, 6) AS cum_lift
         FROM buckets ORDER BY bucket
     """
+
+
+def weighted_quantiles(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    probs: tuple = (0.25, 0.5, 0.75),
+) -> "DataFrame":
+    """Per-group WEIGHTED quantiles (lower weighted order statistic):
+    the value at which cumulative weight first reaches p * total
+    weight — the mixture-design quantile ("the median document BY
+    TOKEN MASS, not by document count"), which unweighted quantiles
+    (r09/q97) get wrong whenever size and count diverge (always, for
+    corpora). Integer-exact: weights are summed as integers and the
+    threshold compare is cross-multiplied (cumw * 1 >= p_num * W /
+    p_den), so no float edge decides a quantile. Returns
+    (group, p, value, w_total).
+
+    Scale: one combinable (group, value) weight collapse, then a
+    group-partitioned cumulative window over the distinct-value
+    relation and one first-hit MIN per (group, p) — the same
+    distinct-collapse shape as r53's KS."""
+    from pyspark.sql import Window
+    from unifydb_spark.resources import tracked_persist
+
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("long")
+    per_val = (
+        df.filter(v.isNotNull() & w.isNotNull() & (w > 0))
+        .groupBy(F.col(group_col).alias("grp"), v.alias("v"))
+        .agg(F.sum(w).alias("wv"))
+    )
+    win = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("grp")
+    cum = tracked_persist(
+        per_val.select(
+            "grp",
+            "v",
+            F.sum("wv").over(win).alias("cumw"),
+            F.sum("wv").over(tot).alias("wtot"),
+        )
+    )
+    rows = []
+    for p in probs:
+        frac = float(p)
+        num = int(round(frac * 1_000_000))
+        hit = (
+            cum.filter(
+                F.col("cumw") * F.lit(1_000_000)
+                >= F.lit(num) * F.col("wtot")
+            )
+            .groupBy("grp")
+            .agg(F.min("v").alias("value"), F.max("wtot").alias("wtot"))
+        )
+        rows.append(
+            hit.select(
+                F.col("grp").alias(group_col),
+                F.lit(frac).alias("p"),
+                F.round(F.col("value"), 6).alias("value"),
+                F.col("wtot").cast("bigint").alias("w_total"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def weighted_quantiles_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    probs: tuple = (0.25, 0.5, 0.75),
+) -> str:
+    arms = []
+    for p in probs:
+        frac = float(p)
+        num = int(round(frac * 1_000_000))
+        arms.append(f"""
+          SELECT grp AS {group_col}, {frac!r} AS p,
+                 ROUND(MIN(v), 6) AS value,
+                 CAST(MAX(wtot) AS BIGINT) AS w_total
+          FROM cum
+          WHERE cumw * 1000000 >= {num} * wtot
+          GROUP BY grp""")
+    union = " UNION ALL ".join(arms)
+    return f"""
+        WITH per_val AS (
+          SELECT {group_col} AS grp, CAST({value_col} AS DOUBLE) AS v,
+                 SUM(CAST({weight_col} AS BIGINT)) AS wv
+          FROM {table}
+          WHERE {value_col} IS NOT NULL AND {weight_col} IS NOT NULL
+            AND CAST({weight_col} AS BIGINT) > 0
+          GROUP BY 1, 2
+        ), cum AS (
+          SELECT grp, v,
+                 SUM(wv) OVER (PARTITION BY grp ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS cumw,
+                 SUM(wv) OVER (PARTITION BY grp) AS wtot
+          FROM per_val
+        )
+        SELECT * FROM ({union}) ORDER BY {group_col}, p
+    """
