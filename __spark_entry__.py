@@ -3324,6 +3324,17 @@ def r88_day_overlap(spark, sf_dir):
     return day_overlap(_events_ts(spark, sf_dir)).orderBy("d")
 
 
+def r89_corpus_card(spark, sf_dir):
+    """One-query corpus datasheet (operators/text.py corpus_card):
+    volume, exact dup rate, language diversity, length central
+    tendency, vocabulary and TTR as a long-format (metric, value)
+    report — the dataset-card headline numbers in one composed plan of
+    combinable aggregates."""
+    from unifydb_spark.operators.text import corpus_card
+
+    return corpus_card(_docs(spark, sf_dir)).orderBy("metric")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3563,6 +3574,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r86_overdispersion": r86_overdispersion,
         "r87_weighted_quantiles": r87_weighted_quantiles,
         "r88_day_overlap": r88_day_overlap,
+        "r89_corpus_card": r89_corpus_card,
     }
 
 
@@ -4308,6 +4320,7 @@ def _operator_oracles() -> dict[str, str]:
             "documents", "source", "n_chars", "n_chars"
         ),
         "r88_day_overlap": _ev.day_overlap_sql("events"),
+        "r89_corpus_card": _t.corpus_card_sql("documents"),
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,

@@ -148,6 +148,7 @@ HEADLINE = [
     "r86_overdispersion",
     "r87_weighted_quantiles",
     "r88_day_overlap",
+    "r89_corpus_card",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

@@ -126,6 +126,10 @@ BNLJ_ALLOWED = {
     # types) — calendar x dimension, bounded by construction (r25/r80
     # shape)
     "r86_overdispersion",
+    # r89: three 1-row scalar relations (base stats, top-lang count,
+    # vocab size) cross-join into the 11-row card — bounded by
+    # construction (q71 report shape)
+    "r89_corpus_card",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)

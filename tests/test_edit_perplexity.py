@@ -196,3 +196,22 @@ def test_overdispersion_detects_bursts(spark):
     assert not out["steady"]["overdispersed"]
     assert out["bursty"]["fano"] > 5.0
     assert out["bursty"]["overdispersed"]
+
+
+def test_corpus_card_hand_computed(spark):
+    from unifydb_spark.operators.text import corpus_card
+
+    rows = [
+        (1, "a b c", "en", "s1"),
+        (2, "a b c", "en", "s1"),      # exact dup of 1
+        (3, "d e", "fr", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = {r["metric"]: r["value"] for r in corpus_card(docs).collect()}
+    assert out["n_docs"] == 3.0
+    assert out["n_tokens"] == 8.0
+    assert out["exact_dup_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["n_langs"] == 2.0 and out["n_sources"] == 2.0
+    assert out["top_lang_share"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["vocab_size"] == 5.0
+    assert out["type_token_ratio"] == pytest.approx(5 / 8, abs=1e-6)

@@ -2203,3 +2203,149 @@ def novelty_curve_sql(
         FROM grams g JOIN firsts f USING (gm)
         GROUP BY 1 ORDER BY 1
     """
+
+
+def corpus_card(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-query corpus datasheet: the headline numbers a dataset card
+    leads with — volume (docs/tokens/chars), exact duplicate rate,
+    language diversity, length central tendency, vocabulary size and
+    type-token ratio — as a LONG-format (metric, value) report so the
+    card renders/diffs trivially and new metrics append without schema
+    changes. Returns ~11 rows.
+
+    Every metric is a combinable aggregate or a ratio of two (exact
+    counts, one interpolated median under the module percentile-parity
+    note); the vocabulary branch is the only token-keyed shuffle.
+    Scale: three passes over collapsing relations (raw -> per-doc ->
+    scalars; tokens -> vocab), all map-side combinable; output is
+    constant-sized."""
+    from unifydb_spark.operators.dedup import _spread
+    from unifydb_spark.resources import tracked_persist
+
+    t = F.col(text_col)
+    per_doc = tracked_persist(
+        _spread(docs).select(
+            F.col(id_col).alias("_id"),
+            t.alias("_t"),
+            F.col(lang_col).alias("_lang"),
+            F.col(source_col).alias("_src"),
+            F.size(words_col(t)).cast("long").alias("_ntok"),
+            F.length(t).cast("long").alias("_nch"),
+        )
+    )
+    base = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_ntok").alias("n_tokens"),
+        F.sum("_nch").alias("n_chars"),
+        F.count_distinct("_t").alias("n_distinct_texts"),
+        F.count_distinct("_lang").alias("n_langs"),
+        F.count_distinct("_src").alias("n_sources"),
+        F.percentile(F.col("_nch").cast("double"), F.lit(0.5)).alias(
+            "med_len"
+        ),
+    )
+    top_lang = (
+        per_doc.groupBy("_lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("top_lang_docs"))
+    )
+    vocab = (
+        per_doc.select(F.explode(words_col(F.col("_t"))).alias("w"))
+        .agg(F.count_distinct("w").alias("vocab"))
+    )
+    j = base.crossJoin(F.broadcast(top_lang)).crossJoin(F.broadcast(vocab))
+
+    def row(name, col):
+        return j.select(
+            F.lit(name).alias("metric"), F.round(col, 6).alias("value")
+        )
+
+    nd = F.col("n_docs").cast("double")
+    out = row("n_docs", nd)
+    for name, col in [
+        ("n_tokens", F.col("n_tokens").cast("double")),
+        ("n_chars", F.col("n_chars").cast("double")),
+        ("exact_dup_rate",
+         (F.col("n_docs") - F.col("n_distinct_texts")).cast("double") / nd),
+        ("n_langs", F.col("n_langs").cast("double")),
+        ("n_sources", F.col("n_sources").cast("double")),
+        ("top_lang_share", F.col("top_lang_docs").cast("double") / nd),
+        ("mean_doc_tokens", F.col("n_tokens").cast("double") / nd),
+        ("median_doc_chars", F.col("med_len")),
+        ("vocab_size", F.col("vocab").cast("double")),
+        ("type_token_ratio",
+         F.col("vocab").cast("double") / F.col("n_tokens").cast("double")),
+    ]:
+        out = out.unionByName(row(name, col))
+    return out
+
+
+def corpus_card_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> str:
+    return f"""
+        WITH per_doc AS (
+          SELECT {id_col} AS id, {text_col} AS t,
+                 {lang_col} AS lang, {source_col} AS src,
+                 len(list_filter(string_split({text_col}, ' '),
+                     w -> w != '')) AS ntok,
+                 length({text_col}) AS nch
+          FROM {table}
+        ), base AS (
+          SELECT COUNT(*) AS n_docs, SUM(ntok) AS n_tokens,
+                 SUM(nch) AS n_chars,
+                 COUNT(DISTINCT t) AS n_distinct_texts,
+                 COUNT(DISTINCT lang) AS n_langs,
+                 COUNT(DISTINCT src) AS n_sources,
+                 quantile_cont(CAST(nch AS DOUBLE), 0.5) AS med_len
+          FROM per_doc
+        ), top_lang AS (
+          SELECT MAX(c) AS top_lang_docs FROM (
+            SELECT lang, COUNT(*) AS c FROM per_doc GROUP BY 1)
+        ), vocab AS (
+          SELECT COUNT(DISTINCT u.w) AS vocab
+          FROM (SELECT list_filter(string_split({text_col}, ' '),
+                       w -> w != '') AS ws FROM {table}),
+               unnest(ws) AS u(w)
+        )
+        SELECT metric, value FROM (
+          SELECT 'n_docs' AS metric,
+                 ROUND(CAST(n_docs AS DOUBLE), 6) AS value
+          FROM base, top_lang, vocab
+          UNION ALL SELECT 'n_tokens', ROUND(CAST(n_tokens AS DOUBLE), 6)
+            FROM base, top_lang, vocab
+          UNION ALL SELECT 'n_chars', ROUND(CAST(n_chars AS DOUBLE), 6)
+            FROM base, top_lang, vocab
+          UNION ALL SELECT 'exact_dup_rate',
+            ROUND(CAST(n_docs - n_distinct_texts AS DOUBLE)
+                  / CAST(n_docs AS DOUBLE), 6)
+            FROM base, top_lang, vocab
+          UNION ALL SELECT 'n_langs', ROUND(CAST(n_langs AS DOUBLE), 6)
+            FROM base, top_lang, vocab
+          UNION ALL SELECT 'n_sources', ROUND(CAST(n_sources AS DOUBLE), 6)
+            FROM base, top_lang, vocab
+          UNION ALL SELECT 'top_lang_share',
+            ROUND(CAST(top_lang_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+            FROM base, top_lang, vocab
+          UNION ALL SELECT 'mean_doc_tokens',
+            ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+            FROM base, top_lang, vocab
+          UNION ALL SELECT 'median_doc_chars', ROUND(med_len, 6)
+            FROM base, top_lang, vocab
+          UNION ALL SELECT 'vocab_size', ROUND(CAST(vocab AS DOUBLE), 6)
+            FROM base, top_lang, vocab
+          UNION ALL SELECT 'type_token_ratio',
+            ROUND(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+            FROM base, top_lang, vocab
+        ) ORDER BY metric
+    """
