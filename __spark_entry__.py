@@ -3335,6 +3335,17 @@ def r89_corpus_card(spark, sf_dir):
     return corpus_card(_docs(spark, sf_dir)).orderBy("metric")
 
 
+def r90_embedding_health(spark, sf_dir):
+    """Embedding-health diagnostics per label (operators/similarity.py
+    embedding_health): average norm, mean-vector norm, and the
+    anisotropy ratio ||mean||/avg_norm — the representation-collapse
+    detector; DECIMAL per-dimension sums, ordered-fold norms (q27
+    contract), groups x dims relations after one linear explode."""
+    from unifydb_spark.operators.similarity import embedding_health
+
+    return embedding_health(_emb(spark, sf_dir)).orderBy("label")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3575,6 +3586,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r87_weighted_quantiles": r87_weighted_quantiles,
         "r88_day_overlap": r88_day_overlap,
         "r89_corpus_card": r89_corpus_card,
+        "r90_embedding_health": r90_embedding_health,
     }
 
 
@@ -4321,6 +4333,7 @@ def _operator_oracles() -> dict[str, str]:
         ),
         "r88_day_overlap": _ev.day_overlap_sql("events"),
         "r89_corpus_card": _t.corpus_card_sql("documents"),
+        "r90_embedding_health": _s.embedding_health_sql("embeddings"),
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,

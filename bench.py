@@ -149,6 +149,7 @@ HEADLINE = [
     "r87_weighted_quantiles",
     "r88_day_overlap",
     "r89_corpus_card",
+    "r90_embedding_health",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

@@ -526,3 +526,22 @@ def test_day_overlap_hand_case(spark):
     assert out[d0 + 1]["jaccard"] == 0.5  # 2 / (3+3-2)
     assert out[d0 + 1]["return_rate"] == pytest.approx(2 / 3, abs=1e-6)
     assert out[d0 + 2]["returned"] == 0 and out[d0 + 2]["jaccard"] == 0.0
+
+
+def test_embedding_health_collapse_vs_spread(spark):
+    from unifydb_spark.operators.similarity import embedding_health
+
+    # 'collapsed': all vectors identical -> anisotropy 1;
+    # 'spread': vectors cancel pairwise -> mean 0 -> anisotropy 0
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.0, 0.0, 0.0], "collapsed"))
+    for i in range(6, 12):
+        sign = 1.0 if i % 2 == 0 else -1.0
+        rows.append((i, [sign, 0.0, 0.0, 0.0], "spread"))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r["label"]: r for r in embedding_health(df).collect()}
+    assert out["collapsed"]["anisotropy"] == 1.0
+    assert out["collapsed"]["avg_norm"] == 1.0
+    assert out["spread"]["anisotropy"] == 0.0
+    assert out["spread"]["mean_norm"] == 0.0

@@ -754,3 +754,122 @@ def pca_components(
     comps = vecs[:, order].T
     ratio = vals[order] / vals.sum()
     return comps, ratio
+
+
+def embedding_health(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Per-group embedding-health diagnostics: vector count, average
+    L2 norm, the norm of the MEAN vector, and the anisotropy ratio
+    ||mean|| / avg_norm — the collapse detector every embedding
+    pipeline should watch (a healthy spread has mean near the origin,
+    ratio near 0; representation collapse / a dominant direction pulls
+    it toward 1; a drifting encoder moves it between snapshots).
+    Returns (group, n, avg_norm, mean_norm, anisotropy).
+
+    Exactness: per-dimension mean-vector sums accumulate as
+    DECIMAL(38,12) (order-independent); each vector's own norm is the
+    ordered double fold shared with the cosine operators (q27
+    contract) and the per-group average of those norms is a
+    DECIMAL-cast sum; the final sqrt/division is one mirrored
+    expression. Scale: one posexplode (linear, the embedding-op
+    shape) + one combinable (group, dim) sum — everything after is
+    groups x dims."""
+    from unifydb_spark.resources import tracked_persist
+
+    base = tracked_persist(
+        emb.select(
+            F.col(group_col).alias("grp"),
+            F.col(vec_col).alias("v"),
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_nrm"),
+        )
+    )
+    norms = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_nrm").cast("decimal(38,12)"))
+        .cast("string")
+        .cast("double")
+        .alias("_snorm"),
+    )
+    dims = (
+        base.select("grp", F.posexplode("v").alias("dim", "x"))
+        .groupBy("grp", "dim")
+        .agg(
+            F.sum(F.col("x").cast("double").cast("decimal(38,12)"))
+            .cast("string")
+            .cast("double")
+            .alias("sx")
+        )
+    )
+    mean_norm2 = dims.join(norms.select("grp", "n"), "grp").groupBy(
+        "grp"
+    ).agg(
+        F.sum(
+            (
+                (F.col("sx") / F.col("n").cast("double"))
+                * (F.col("sx") / F.col("n").cast("double"))
+            ).cast("decimal(38,12)")
+        )
+        .cast("string")
+        .cast("double")
+        .alias("_mn2")
+    )
+    j = norms.join(mean_norm2, "grp")
+    avg_norm = F.col("_snorm") / F.col("n").cast("double")
+    mean_norm = F.sqrt(F.col("_mn2"))
+    return j.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(avg_norm, 6).alias("avg_norm"),
+        F.round(mean_norm, 6).alias("mean_norm"),
+        F.round(mean_norm / avg_norm, 6).alias("anisotropy"),
+    )
+
+
+def embedding_health_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    dim: int = 64,
+) -> str:
+    from unifydb_spark.operators.similarity import dot_sql
+
+    n2 = dot_sql(vec_col, vec_col, dim)
+    return f"""
+        WITH base AS (
+          SELECT {group_col} AS grp, {vec_col} AS v,
+                 SQRT({n2}) AS nrm
+          FROM {table}
+        ), norms AS (
+          SELECT grp, COUNT(*) AS n,
+                 CAST(CAST(SUM(CAST(nrm AS DECIMAL(38,12))) AS VARCHAR)
+                      AS DOUBLE) AS snorm
+          FROM base GROUP BY 1
+        ), dims AS (
+          SELECT grp, i AS dim,
+                 CAST(CAST(SUM(CAST(CAST(v[i] AS DOUBLE)
+                      AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sx
+          FROM base, generate_series(1, {int(dim)}) AS t(i)
+          GROUP BY 1, 2
+        ), mn AS (
+          SELECT d.grp,
+                 CAST(CAST(SUM(CAST(
+                   (d.sx / CAST(n.n AS DOUBLE))
+                   * (d.sx / CAST(n.n AS DOUBLE))
+                 AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS mn2
+          FROM dims d JOIN norms n USING (grp)
+          GROUP BY 1
+        )
+        SELECT grp AS {group_col},
+               CAST(n AS BIGINT) AS n,
+               ROUND(snorm / CAST(n AS DOUBLE), 6) AS avg_norm,
+               ROUND(SQRT(mn2), 6) AS mean_norm,
+               ROUND(SQRT(mn2) / (snorm / CAST(n AS DOUBLE)), 6)
+                 AS anisotropy
+        FROM norms JOIN mn USING (grp)
+        ORDER BY 1
+    """
