@@ -3346,6 +3346,19 @@ def r90_embedding_health(spark, sf_dir):
     return embedding_health(_emb(spark, sf_dir)).orderBy("label")
 
 
+def r91_temporal_split_audit(spark, sf_dir):
+    """Temporal train/valid/test split + entity-leakage audit
+    (operators/quality.py temporal_split_audit): time-fraction cuts
+    (70/20/10, integer-epoch arithmetic), per-split counts, and the
+    train∩test user overlap whose user-level features would leak —
+    the eval-hygiene gate next to r06's holdout split."""
+    from unifydb_spark.operators.quality import temporal_split_audit
+
+    return temporal_split_audit(_events_ts(spark, sf_dir)).orderBy(
+        "split"
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3587,6 +3600,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r88_day_overlap": r88_day_overlap,
         "r89_corpus_card": r89_corpus_card,
         "r90_embedding_health": r90_embedding_health,
+        "r91_temporal_split_audit": r91_temporal_split_audit,
     }
 
 
@@ -4334,6 +4348,9 @@ def _operator_oracles() -> dict[str, str]:
         "r88_day_overlap": _ev.day_overlap_sql("events"),
         "r89_corpus_card": _t.corpus_card_sql("documents"),
         "r90_embedding_health": _s.embedding_health_sql("embeddings"),
+        "r91_temporal_split_audit": _ql.temporal_split_audit_sql(
+            "events"
+        ),
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,

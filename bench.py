@@ -150,6 +150,7 @@ HEADLINE = [
     "r88_day_overlap",
     "r89_corpus_card",
     "r90_embedding_health",
+    "r91_temporal_split_audit",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

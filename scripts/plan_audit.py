@@ -130,6 +130,9 @@ BNLJ_ALLOWED = {
     # vocab size) cross-join into the 11-row card — bounded by
     # construction (q71 report shape)
     "r89_corpus_card",
+    # r91: the 1-row [min, max] epoch bounds broadcast onto raw rows as
+    # a pure-Column split probe — bounded by construction (r56 shape)
+    "r91_temporal_split_audit",
 }
 # Arrow-batched pandas UDFs on the hot path by design (deep seq-pattern
 # unifier; cc-cmp sequence sort keys)

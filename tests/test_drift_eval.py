@@ -545,3 +545,30 @@ def test_embedding_health_collapse_vs_spread(spark):
     assert out["collapsed"]["avg_norm"] == 1.0
     assert out["spread"]["anisotropy"] == 0.0
     assert out["spread"]["mean_norm"] == 0.0
+
+
+def test_temporal_split_audit_counts_and_leakage(spark):
+    from unifydb_spark.operators.quality import temporal_split_audit
+
+    # 10 hourly events on one day: cuts at 70% / 90% of the [0, 9]h
+    # span; user 1 appears in train AND test (leak), user 9 only test
+    rows = [(1, _ts(0, h)) for h in range(7)]
+    rows += [(5, _ts(0, 7)), (1, _ts(0, 8)), (9, _ts(0, 9))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r["split"]: r for r in temporal_split_audit(df).collect()}
+    # span 9h: train <= 6.3h -> hours 0-6; valid <= 8.1h -> 7,8; test 9
+    assert out["train"]["n_rows"] == 7 and out["train"]["users"] == 1
+    assert out["valid"]["n_rows"] == 2
+    assert out["test"]["n_rows"] == 1 and out["test"]["users"] == 1
+    # user 9 is test-only: no leakage rows
+    assert out["_leakage"]["n_rows"] == 0 and out["_leakage"]["users"] == 0
+
+
+def test_temporal_split_audit_flags_leaking_user(spark):
+    from unifydb_spark.operators.quality import temporal_split_audit
+
+    rows = [(1, _ts(0, h)) for h in range(9)] + [(1, _ts(0, 9))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r["split"]: r for r in temporal_split_audit(df).collect()}
+    assert out["_leakage"]["users"] == 1
+    assert out["_leakage"]["n_rows"] == out["test"]["n_rows"]

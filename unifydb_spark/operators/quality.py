@@ -319,3 +319,109 @@ def benford_report_sql(table: str, value_col: str) -> str:
                      / (([{arr}])[digit] * t), 6) AS chi2_term
         FROM base, tot ORDER BY digit
     """
+
+
+def temporal_split_audit(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    train_frac_num: int = 7,
+    valid_frac_num: int = 2,
+    denom: int = 10,
+) -> DataFrame:
+    """Temporal train/valid/test split + entity-leakage audit: cut the
+    timeline at integer-epoch fractions of [min, max] (train 70% /
+    valid 20% / test 10% by TIME, not by rows — the only split that
+    respects causality), report per-split row (n_rows) and user counts, and —
+    the part everyone forgets — count the users that appear on BOTH
+    sides of the train/test cut: any user-level feature computed over
+    train leaks those users' test behavior. Returns one row per split
+    (split, rows, users, t_lo, t_hi) plus a '_leakage' row whose
+    `users` is the train∩test user count and `n_rows` is the test rows
+    belonging to leaking users.
+
+    Exactness: cut points are integer microsecond arithmetic
+    (min + frac*(max-min) with integer num/denom); all outputs are
+    integer counts. Scale: one bounds pass, one combinable
+    (split, user) collapse; the leakage intersection is a hash(user)
+    semi-join of user sets."""
+    from pyspark.sql import functions as F
+    from unifydb_spark.resources import tracked_persist
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(F.col(user_col).alias("u"), us.alias("t"))
+    bounds = base.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    j = base.crossJoin(F.broadcast(bounds))
+    span = F.col("hi") - F.col("lo")
+    c1 = F.col("lo") + (span * F.lit(int(train_frac_num))) / F.lit(
+        int(denom)
+    )
+    c2 = F.col("lo") + (
+        span * F.lit(int(train_frac_num) + int(valid_frac_num))
+    ) / F.lit(int(denom))
+    split = (
+        F.when(F.col("t").cast("double") <= c1, F.lit("train"))
+        .when(F.col("t").cast("double") <= c2, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = tracked_persist(j.select("u", "t", split.alias("split")))
+    per_split = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct("u").cast("bigint").alias("users"),
+        F.min("t").cast("bigint").alias("t_lo"),
+        F.max("t").cast("bigint").alias("t_hi"),
+    )
+    train_u = tagged.filter(F.col("split") == "train").select("u").distinct()
+    test_rows = tagged.filter(F.col("split") == "test")
+    leak_rows = test_rows.join(train_u, "u", "left_semi")
+    leak = leak_rows.agg(
+        F.lit("_leakage").alias("split"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct("u").cast("bigint").alias("users"),
+        F.min("t").cast("bigint").alias("t_lo"),
+        F.max("t").cast("bigint").alias("t_hi"),
+    )
+    return per_split.unionByName(leak)
+
+
+def temporal_split_audit_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    train_frac_num: int = 7,
+    valid_frac_num: int = 2,
+    denom: int = 10,
+) -> str:
+    tn, vn, dn = int(train_frac_num), int(valid_frac_num), int(denom)
+    return f"""
+        WITH base AS (
+          SELECT {user_col} AS u, epoch_us({ts_col}) AS t FROM {table}
+        ), bounds AS (SELECT MIN(t) AS lo, MAX(t) AS hi FROM base),
+        tagged AS (
+          SELECT u, t,
+                 CASE WHEN CAST(t AS DOUBLE)
+                           <= lo + ((hi - lo) * {tn}) / {dn} THEN 'train'
+                      WHEN CAST(t AS DOUBLE)
+                           <= lo + ((hi - lo) * {tn + vn}) / {dn}
+                        THEN 'valid'
+                      ELSE 'test' END AS split
+          FROM base, bounds
+        ), per_split AS (
+          SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(COUNT(DISTINCT u) AS BIGINT) AS users,
+                 CAST(MIN(t) AS BIGINT) AS t_lo,
+                 CAST(MAX(t) AS BIGINT) AS t_hi
+          FROM tagged GROUP BY 1
+        ), leak AS (
+          SELECT '_leakage' AS split,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(COUNT(DISTINCT u) AS BIGINT) AS users,
+                 CAST(MIN(t) AS BIGINT) AS t_lo,
+                 CAST(MAX(t) AS BIGINT) AS t_hi
+          FROM tagged te
+          WHERE te.split = 'test'
+            AND te.u IN (SELECT u FROM tagged WHERE split = 'train')
+        )
+        SELECT * FROM per_split UNION ALL SELECT * FROM leak
+        ORDER BY split
+    """
