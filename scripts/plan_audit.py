@@ -147,7 +147,8 @@ STREAMING = {
     "q42_stream_interval_join",
     "q88_stream_user_stats",
     "r20_stream_windowed_distinct",
-    "r65_stream_topk",
+    # r65 is NOT skipped: its batch fold (memory-sink counts -> rank
+    # window) is auditable, same rule as r69/r73 (ADVICE r7).
 }
 
 

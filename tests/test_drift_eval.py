@@ -269,6 +269,22 @@ def test_hill_tail_boundary_ties_use_fixed_k(spark):
     assert out["hill_h"] == pytest.approx(5 * math.log(10.0) / 10.0, abs=1e-6)
 
 
+def test_hill_tail_fewer_than_k_positive_values(spark):
+    """ADVICE r7: with n_pos < k+1 the divisor is the observed number of
+    top-order statistics (n_pos - 1), not the requested k — a constant-k
+    divisor would silently underestimate H and inflate alpha."""
+    from unifydb_spark.operators.stats import hill_tail
+
+    rows = [(0, 100.0), (1, 10.0), (2, 10.0), (3, 1.0)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = hill_tail(df, "v", "id", k=200).collect()[0]
+    # top-4 (all positives): x_(k+1) -> min = 1.0; 3 order statistics
+    # above it; H = (ln(100) + 2*ln(10)) / 3
+    assert out["x_kplus1"] == 1.0
+    want = (math.log(100.0) + 2 * math.log(10.0)) / 3.0
+    assert out["hill_h"] == pytest.approx(want, abs=1e-6)
+
+
 def test_psi_between_windows_identical_days_zero(spark):
     from unifydb_spark.operators.stats import psi_between_windows
 

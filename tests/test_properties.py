@@ -185,6 +185,22 @@ def test_edn_dumps_loads_roundtrip(v):
     assert edn.loads(edn.dumps(v)) == v
 
 
+def test_edn_reads_reference_id_tag():
+    """Tag parity (reference /root/reference/src/data_readers.clj:1):
+    `#unifydb/id` is accepted as an input alias for our documented
+    `#unifydb/ref` — both read to the same Ref, and we keep emitting
+    `#unifydb/ref` on the wire."""
+    from unifydb_spark import edn
+    from unifydb_spark.values import Ref
+
+    assert edn.loads("#unifydb/id 42") == Ref(42)
+    assert edn.loads("#unifydb/ref 42") == Ref(42)
+    assert edn.loads("[#unifydb/id 1 #unifydb/ref 2]") == [Ref(1), Ref(2)]
+    # round-trip through our emitter stays on the documented form
+    assert "#unifydb/ref 42" in edn.dumps(Ref(42))
+    assert edn.loads(edn.dumps(Ref(42))) == Ref(42)
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     st.lists(

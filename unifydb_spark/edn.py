@@ -151,6 +151,15 @@ class _Reader:
             if not isinstance(n, int):
                 self.error("#unifydb/ref expects an integer")
             return Ref(n)
+        if self.s.startswith("#unifydb/id", self.i):
+            # input alias: the reference's tag for the same boxed-ID
+            # concept (/root/reference/src/data_readers.clj:1) — accepted
+            # on read; we keep EMITTING #unifydb/ref (documented form)
+            self.i += len("#unifydb/id")
+            n = self.read()
+            if not isinstance(n, int):
+                self.error("#unifydb/id expects an integer")
+            return Ref(n)
         self.error("unsupported dispatch")
 
     def read_token(self):

@@ -1725,6 +1725,12 @@ def edit_distance_join(
     near-duplicate density. The reference's dedup surface has no edit
     metric (SURVEY §2) — this is the typo-tier extension of the
     q23/q24 family."""
+    if int(max_dist) > 1:
+        raise ValueError(
+            "edit_distance_join: the 1-deletion (FastSS) blocker is only "
+            "complete for max_dist <= 1; got max_dist=%d. Use a d-deletion "
+            "neighborhood blocker for larger distances." % int(max_dist)
+        )
     plen = int(prefix_chars)
     base = docs.select(
         F.col(id_col).alias("id"),

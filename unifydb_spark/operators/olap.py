@@ -726,8 +726,15 @@ def hist2d(
     j = base.crossJoin(F.broadcast(bounds))
     wx = (F.col("xhi") - F.col("xlo")) / bx_n.cast("double")
     wy = (F.col("yhi") - F.col("ylo")) / by_n.cast("double")
-    bx = F.least(bx_n - 1, F.floor((F.col("x") - F.col("xlo")) / wx).cast("int"))
-    by = F.least(by_n - 1, F.floor((F.col("y") - F.col("ylo")) / wy).cast("int"))
+    # Degenerate axis (max == min): width 0 → NaN bin, least() skips the
+    # null and buckets at n-1 while DuckDB diverges — force bin 0 on
+    # both engines (ADVICE r7, same fix as psi_report).
+    bx = F.when(F.col("xhi") == F.col("xlo"), F.lit(0)).otherwise(
+        F.least(bx_n - 1, F.floor((F.col("x") - F.col("xlo")) / wx).cast("int"))
+    )
+    by = F.when(F.col("yhi") == F.col("ylo"), F.lit(0)).otherwise(
+        F.least(by_n - 1, F.floor((F.col("y") - F.col("ylo")) / wy).cast("int"))
+    )
     cells = j.groupBy(
         bx.alias("bx"),
         by.alias("by"),
@@ -764,10 +771,12 @@ def hist2d_sql(
           SELECT MIN(x) AS xlo, MAX(x) AS xhi,
                  MIN(y) AS ylo, MAX(y) AS yhi FROM base
         ), cells AS (
-          SELECT LEAST({nx} - 1, CAST(FLOOR((x - xlo)
-                   / ((xhi - xlo) / CAST({nx} AS DOUBLE))) AS INT)) AS bx,
-                 LEAST({ny} - 1, CAST(FLOOR((y - ylo)
-                   / ((yhi - ylo) / CAST({ny} AS DOUBLE))) AS INT)) AS by,
+          SELECT CASE WHEN xhi = xlo THEN 0
+                 ELSE LEAST({nx} - 1, CAST(FLOOR((x - xlo)
+                   / ((xhi - xlo) / CAST({nx} AS DOUBLE))) AS INT)) END AS bx,
+                 CASE WHEN yhi = ylo THEN 0
+                 ELSE LEAST({ny} - 1, CAST(FLOOR((y - ylo)
+                   / ((yhi - ylo) / CAST({ny} AS DOUBLE))) AS INT)) END AS by,
                  xlo, ylo,
                  (xhi - xlo) / CAST({nx} AS DOUBLE) AS wx,
                  (yhi - ylo) / CAST({ny} AS DOUBLE) AS wy,

@@ -2046,9 +2046,15 @@ def psi_report(
     b = F.lit(int(n_bins))
     j = base.crossJoin(F.broadcast(bounds))
     width = (F.col("vhi") - F.col("vlo")) / b.cast("double")
-    binc = F.least(
-        b - 1,
-        F.floor((F.col("v") - F.col("vlo")) / width).cast("int"),
+    # Degenerate domain (max == min): width 0 makes (v-lo)/width NaN and
+    # least() skips the null, silently bucketing at bin n_bins-1 while
+    # DuckDB diverges — force bin 0 identically on both engines
+    # (ADVICE r7). Mirrored in psi_report_sql.
+    binc = F.when(F.col("vhi") == F.col("vlo"), F.lit(0)).otherwise(
+        F.least(
+            b - 1,
+            F.floor((F.col("v") - F.col("vlo")) / width).cast("int"),
+        )
     )
     is_ref = F.col("t") * F.lit(2.0) <= F.col("tlo") + F.col("thi")
     occupied = (
@@ -2130,9 +2136,10 @@ def psi_report_sql(
                  MIN(t) AS tlo, MAX(t) AS thi
           FROM base
         ), occupied AS (
-          SELECT LEAST({b} - 1,
+          SELECT CASE WHEN vhi = vlo THEN 0
+                 ELSE LEAST({b} - 1,
                    CAST(FLOOR((v - vlo) / ((vhi - vlo) / CAST({b} AS DOUBLE)))
-                        AS INT)) AS bin,
+                        AS INT)) END AS bin,
                  vlo, (vhi - vlo) / CAST({b} AS DOUBLE) AS w,
                  SUM(CASE WHEN t * 2.0 <= tlo + thi THEN 1 ELSE 0 END)
                    AS n_ref,
@@ -2395,7 +2402,9 @@ def hill_tail(
         .orderBy(F.col("x").desc(), F.col("_id").asc())
         .limit(int(k) + 1)
     )
-    xmin = top.agg(F.min("x").alias("x_k1"))
+    xmin = top.agg(
+        F.min("x").alias("x_k1"), F.count(F.lit(1)).alias("_ntop")
+    )
     terms = (
         top.crossJoin(F.broadcast(xmin))
         .filter(F.col("x") > F.col("x_k1"))
@@ -2404,13 +2413,18 @@ def hill_tail(
                 "t"
             ),
             "x_k1",
+            "_ntop",
         )
     )
-    agg = terms.groupBy("x_k1").agg(
-        F.count(F.lit(1)).alias("_kk"),
+    agg = terms.groupBy("x_k1", "_ntop").agg(
         F.sum("t").cast("string").cast("double").alias("_s"),
     )
-    h = F.col("_s") / F.lit(float(k))
+    # Divide by the number of top-order statistics actually observed,
+    # min(k, n_pos - 1) = ntop - 1: with fewer than k+1 positive values
+    # the constant-k divisor silently underestimates H (ADVICE r7).
+    # NOT the strictly-greater term count — boundary ties contribute
+    # ln(1)=0 but still count among the k. Mirrored in hill_tail_sql.
+    h = F.col("_s") / (F.col("_ntop") - 1).cast("double")
     return agg.select(
         F.lit(int(k)).cast("int").alias("k"),
         F.round(F.col("x_k1"), 6).alias("x_kplus1"),
@@ -2428,17 +2442,17 @@ def hill_tail_sql(
         WITH top AS (
           SELECT {v} AS x FROM {table} WHERE {v} > 0
           ORDER BY {v} DESC, {id_col} ASC LIMIT {kk + 1}
-        ), xmin AS (SELECT MIN(x) AS x_k1 FROM top),
+        ), xmin AS (SELECT MIN(x) AS x_k1, COUNT(*) AS ntop FROM top),
         agg AS (
-          SELECT x_k1, COUNT(*) AS kk,
+          SELECT x_k1, ntop,
                  CAST(CAST(SUM(CAST(LN(x / x_k1) AS DECIMAL(30,15)))
                       AS VARCHAR) AS DOUBLE) AS s
-          FROM top, xmin WHERE x > x_k1 GROUP BY 1
+          FROM top, xmin WHERE x > x_k1 GROUP BY 1, 2
         )
         SELECT CAST({kk} AS INT) AS k,
                ROUND(x_k1, 6) AS x_kplus1,
-               ROUND(s / {float(kk)!r}, 6) AS hill_h,
-               ROUND(1.0 / (s / {float(kk)!r}), 6) AS alpha
+               ROUND(s / CAST(ntop - 1 AS DOUBLE), 6) AS hill_h,
+               ROUND(1.0 / (s / CAST(ntop - 1 AS DOUBLE)), 6) AS alpha
         FROM agg
     """
 
@@ -2727,14 +2741,22 @@ def weighted_quantiles(
             F.sum("wv").over(tot).alias("wtot"),
         )
     )
+    import math
+
     rows = []
     for p in probs:
         frac = float(p)
         num = int(round(frac * 1_000_000))
+        # Reduce p to lowest terms and compare in DECIMAL(38,0):
+        # cumw * 1e6 overflows BIGINT once a group's weight mass passes
+        # ~9.2e12 (token counts at 100 TB scale) — ADVICE r7. Mirrored
+        # in weighted_quantiles_sql.
+        g = math.gcd(num, 1_000_000) or 1
+        num_r, den_r = num // g, 1_000_000 // g
         hit = (
             cum.filter(
-                F.col("cumw") * F.lit(1_000_000)
-                >= F.lit(num) * F.col("wtot")
+                F.col("cumw").cast("decimal(38,0)") * F.lit(den_r)
+                >= F.lit(num_r) * F.col("wtot").cast("decimal(38,0)")
             )
             .groupBy("grp")
             .agg(F.min("v").alias("value"), F.max("wtot").alias("wtot"))
@@ -2760,16 +2782,21 @@ def weighted_quantiles_sql(
     weight_col: str,
     probs: tuple = (0.25, 0.5, 0.75),
 ) -> str:
+    import math
+
     arms = []
     for p in probs:
         frac = float(p)
         num = int(round(frac * 1_000_000))
+        g = math.gcd(num, 1_000_000) or 1
+        num_r, den_r = num // g, 1_000_000 // g
         arms.append(f"""
           SELECT grp AS {group_col}, {frac!r} AS p,
                  ROUND(MIN(v), 6) AS value,
                  CAST(MAX(wtot) AS BIGINT) AS w_total
           FROM cum
-          WHERE cumw * 1000000 >= {num} * wtot
+          WHERE CAST(cumw AS DECIMAL(38,0)) * {den_r}
+                >= {num_r} * CAST(wtot AS DECIMAL(38,0))
           GROUP BY grp""")
     union = " UNION ALL ".join(arms)
     return f"""

