@@ -1701,10 +1701,11 @@ def q86_bpe_merges(spark, sf_dir):
     """BPE merge learning (operators/text.py bpe_learn): 64 merges over
     the corpus word-frequency table via exact batched selection (each
     round proves a prefix of disjoint top pairs is what the sequential
-    loop would pick, then applies them in one vocab rewrite) — iterative
-    argmax (like q72 kmeans) so it has NO SQL oracle; the driver records
-    a rows-only check and tests/test_operators.py pins merge-for-merge
-    parity with a pure-Python sequential reference at 6 and 64 merges."""
+    loop would pick, then applies them in one vocab rewrite). The
+    DuckDB oracle unrolls the SEQUENTIAL loop exactly (64 argmax +
+    rewrite levels, text.py bpe_learn_unrolled_sql) — sound because the
+    batched selection is pinned equal to the sequential loop by
+    tests/test_operators.py (6 and 64 merges) and the fuzz suite."""
     from unifydb_spark.operators.text import bpe_learn
 
     merges = bpe_learn(_docs(spark, sf_dir), n_merges=64)
@@ -1737,10 +1738,12 @@ def q89_bpe_encode(spark, sf_dir):
     merges, then tokenize the corpus with them — per-doc whitespace word
     count, BPE token count, char count. The merge kernel runs over
     DISTINCT WORDS only (vocab-sized mapInPandas) and joins back via a
-    broadcast; the corpus is never touched by Python. Like q86, the
-    iterative merge semantics have no SQL oracle (rows-only check);
-    tests pin word-level parity with the training fold's pure-Python
-    reference."""
+    broadcast; the corpus is never touched by Python. The DuckDB oracle
+    (text.py bpe_encode_unrolled_sql) relearns the merges via the same
+    unrolled sequential chain as q86, then expresses the greedy merge
+    fold as leftmost non-overlapping replace over separator-wrapped
+    token states — a full value-hash check; tests additionally pin
+    word-level parity with the pure-Python kernel."""
     from unifydb_spark.operators.text import bpe_encode, bpe_learn
 
     docs = _docs(spark, sf_dir)
@@ -3359,6 +3362,38 @@ def r91_temporal_split_audit(spark, sf_dir):
     )
 
 
+def r92_historical_multiattr(spark, sf_dir):
+    """Multi-attribute query under HISTORICAL mode — the non-pivot
+    compile path (query/compile.py _group_pivots: the EAV pivot is
+    disabled when db.historical or a past-tx snapshot, correctly —
+    tombstones and versions must stay visible), so each attribute
+    pattern becomes its own scan and the conjunction joins them on the
+    shared entity var: 4 attributes = 3 entity self-joins. Exists to
+    keep a tracked bench number on that join pipeline at sf0.1
+    (VERDICT r7 ask #8); semantics unchanged vs the pivot path on a
+    retraction-free store, which is exactly what the oracle asserts."""
+    eng = _engine(spark, sf_dir)
+    return eng.query(
+        {
+            "find": ["?ck", "?name", "?bal", "?seg"],
+            "where": [
+                ["?c", ":customer/custkey", "?ck"],
+                ["?c", ":customer/name", "?name"],
+                ["?c", ":customer/acctbal", "?bal"],
+                ["?c", ":customer/mktsegment", "?seg"],
+                [("<", "?ck", 501)],
+            ],
+            "sort-by": ["?ck"],
+        },
+        eng.db(historical=True),
+    ).select(
+        F.col("ck").alias("c_custkey"),
+        F.col("name").alias("c_name"),
+        F.col("bal").alias("c_acctbal"),
+        F.col("seg").alias("c_mktsegment"),
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3601,6 +3636,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r89_corpus_card": r89_corpus_card,
         "r90_embedding_health": r90_embedding_health,
         "r91_temporal_split_audit": r91_temporal_split_audit,
+        "r92_historical_multiattr": r92_historical_multiattr,
     }
 
 
@@ -3942,8 +3978,12 @@ def _operator_oracles() -> dict[str, str]:
                    arg_max(value, event_id) AS last_value
             FROM events GROUP BY user_id ORDER BY user_id
         """,
-        # q89_bpe_encode: rows-only by design (iterative merge semantics,
-        # like q86); parity pinned in tests against the pure-Python kernel
+        # q86/q89 BPE: upgraded r8 from rows-only to exact via the
+        # fixed-unroll trick (kcore_sql precedent) — n_merges sequential
+        # argmax+rewrite levels; the batched DataFrame selection is
+        # proven equal to the sequential loop by the pinned tests
+        "q86_bpe_merges": _t.bpe_learn_unrolled_sql(n_merges=64),
+        "q89_bpe_encode": _t.bpe_encode_unrolled_sql(n_merges=32),
         "q90_ann_recall": _s.ann_recall_sql(
             n_centroids=16, nprobe=2, n_queries=8, k=10
         ),
@@ -4351,6 +4391,12 @@ def _operator_oracles() -> dict[str, str]:
         "r91_temporal_split_audit": _ql.temporal_split_audit_sql(
             "events"
         ),
+        # r92: the non-pivot (historical) compile path is semantically a
+        # plain multi-column projection on a retraction-free store
+        "r92_historical_multiattr": """
+            SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey < 501 ORDER BY c_custkey
+        """,
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,

@@ -151,6 +151,7 @@ HEADLINE = [
     "r89_corpus_card",
     "r90_embedding_health",
     "r91_temporal_split_audit",
+    "r92_historical_multiattr",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

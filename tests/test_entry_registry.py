@@ -39,11 +39,13 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_rows_only_queries_are_documented():
-    # Queries without an oracle get only the weak rows-only check; keep the
-    # list deliberate so a missing oracle is a choice, not an accident.
+    # Queries without an oracle get only the weak rows-only check; as of
+    # round 8 every entry has a DuckDB oracle (the last two, BPE, were
+    # upgraded via the fixed-unroll trick) — keep the set empty so a
+    # missing oracle is a loud choice, not an accident.
     entry = _load_entry()
     rows_only = set(entry.queries()) - set(entry.oracle_sql())
-    assert rows_only <= {"q86_bpe_merges", "q89_bpe_encode"}, sorted(rows_only)
+    assert rows_only == set(), sorted(rows_only)
 
 
 def test_readme_counts_match_registry():

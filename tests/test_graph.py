@@ -195,3 +195,25 @@ def test_kcore_every_member_has_k_neighbors_in_core(spark):
     rows = kcore(edges, k=2).collect()
     assert {r["node"] for r in rows} == {1, 2, 3, 4, 5, 6}
     assert all(r["core_deg"] >= 2 for r in rows)
+
+
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    """Scale regression (sf1 stress finding): a path graph of length
+    1000 has diameter 1000 — plain min-label propagation would need
+    1000 supersteps and silently stall at max_iter; pointer jumping
+    must converge in O(log diameter) supersteps with the correct
+    single component."""
+    from unifydb_spark import instrument
+    from unifydb_spark.operators.graph import connected_components
+
+    n = 1000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["src", "dst"]
+    )
+    instrument.reset()
+    cc = connected_components(edges, max_iter=25)
+    rows = cc.collect()
+    assert len(rows) == n + 1
+    assert {r["component"] for r in rows} == {0}
+    steps = instrument.counters.get("cc_supersteps", 99)
+    assert steps <= 15, f"chain of {n} took {steps} supersteps"

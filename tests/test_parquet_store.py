@@ -75,3 +75,58 @@ def test_pull_on_parquet(eng):
          "where": [["?e", ":name", "Benjamin"]]}
     )
     assert got[0][0] == {"name": "Benjamin", "aliases": ["B", "Benny"]}
+
+
+def test_concurrent_transact_serializes(spark, tmp_path_factory):
+    """Single-writer contract (reference transact.clj:116-137 — all
+    writes serialize through one transactor thread; btree.clj:2-4): two
+    threads calling transact() concurrently against the same parquet
+    store must serialize — DISTINCT tx-ids, all entity ids unique, and
+    every transaction's facts visible afterward."""
+    import threading
+
+    path = str(tmp_path_factory.mktemp("pqc") / "facts")
+    store = FactStore(spark, ParquetBackend(spark, path))
+    eng = Engine(spark, store)
+    eng.transact([["add", "seed", ":name", "name-seed"]])
+
+    reports, errors = [], []
+    barrier = threading.Barrier(2)
+
+    def writer(tag):
+        try:
+            barrier.wait(timeout=30)
+            for i in range(3):
+                reports.append(
+                    eng.transact(
+                        [["add", f"{tag}{i}", ":name", f"name-{tag}{i}"]]
+                    )
+                )
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(t,)) for t in ("a", "b")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert errors == []
+    assert len(reports) == 6
+    tx_ids = [r["tempids"]["unifydb.tx"] for r in reports]
+    assert len(set(tx_ids)) == 6, f"tx-ids collided: {sorted(tx_ids)}"
+    ent_ids = [
+        eid for r in reports for k, eid in r["tempids"].items()
+        if k != "unifydb.tx"
+    ]
+    assert len(set(ent_ids)) == len(ent_ids), "entity ids collided"
+    # every write visible in the final snapshot
+    rows = eng.query_rows(
+        {"find": ["?n"], "where": [["?e", ":name", "?n"]]}
+    )
+    names = sorted(n for (n,) in rows)
+    assert names == sorted(
+        ["name-seed"]
+        + [f"name-{t}{i}" for t in ("a", "b") for i in range(3)]
+    )

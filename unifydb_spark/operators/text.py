@@ -2349,3 +2349,100 @@ def corpus_card_sql(
             FROM base, top_lang, vocab
         ) ORDER BY metric
     """
+
+
+def _bpe_unrolled_levels(n_merges: int) -> str:
+    """Shared CTE chain for the BPE oracles: `n_merges` unrolled
+    sequential merge levels over the word-frequency table — the
+    fixed-unroll trick that certified k-core (graph.kcore_sql): the
+    DataFrame side's batched selection is PROVEN equal to the
+    one-merge-at-a-time loop (tests pin it), and the sequential loop is
+    exactly expressible as one argmax + one rewrite per level.
+
+    Token-state representation: each token wrapped in its own chr(31)
+    separators ('\\x1fa\\x1f\\x1fb\\x1f'), so applying merge (l, r) is a
+    plain leftmost-non-overlapping replace() — which IS the greedy
+    merge fold (bpe_word_tokens): matches never share characters, and
+    scanning resumes after each replacement exactly like the
+    out[-1]-check loop. Every CTE is MATERIALIZED (round-7 gotcha:
+    DuckDB inlines CTEs, and a twice-referenced chain would expand
+    exponentially)."""
+    s = "chr(31)"
+    parts = [
+        f"""words AS MATERIALIZED (
+          SELECT w, COUNT(*) AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> '' GROUP BY w
+        ), s0 AS MATERIALIZED (
+          SELECT w, cnt,
+                 regexp_replace(w, '(.)', {s} || '\\1' || {s}, 'g') AS state
+          FROM words
+        )"""
+    ]
+    for i in range(1, int(n_merges) + 1):
+        parts.append(f"""pc{i} AS MATERIALIZED (
+          SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+            SELECT cnt, trim(t[i], {s}) AS l, trim(t[i+1], {s}) AS r
+            FROM (SELECT cnt, string_split(state, {s} || {s}) AS t
+                  FROM s{i - 1}),
+                 unnest(generate_series(1, len(t) - 1)) AS u(i)
+          ) GROUP BY l, r
+        ), m{i} AS MATERIALIZED (
+          SELECT {i - 1} AS step, l, r, l || r AS merged, pc
+          FROM pc{i} ORDER BY pc DESC, l, r LIMIT 1
+        ), s{i} AS MATERIALIZED (
+          SELECT w, cnt,
+                 CASE WHEN m.l IS NULL THEN state
+                 ELSE replace(state, {s}||m.l||{s}||{s}||m.r||{s},
+                              {s}||m.l||m.r||{s}) END AS state
+          FROM s{i - 1} LEFT JOIN m{i} m ON TRUE
+        )""")
+    return ",\n".join(parts)
+
+
+def bpe_learn_unrolled_sql(n_merges: int = 64) -> str:
+    """DuckDB oracle for bpe_learn: the merge table from `n_merges`
+    unrolled sequential levels (see _bpe_unrolled_levels). Upgrades
+    q86 from rows-only to a full value-hash check."""
+    union = " UNION ALL ".join(
+        f"SELECT * FROM m{i}" for i in range(1, int(n_merges) + 1)
+    )
+    return f"""
+        WITH {_bpe_unrolled_levels(n_merges)}
+        SELECT CAST(step AS INT) AS step, l AS "left", r AS "right",
+               merged, CAST(pc AS BIGINT) AS pair_count
+        FROM ({union}) ORDER BY step
+    """
+
+
+def bpe_encode_unrolled_sql(n_merges: int = 32) -> str:
+    """DuckDB oracle for bpe_encode over merges learned by the same
+    unrolled chain: per-doc word/token/char counts, token count = the
+    final state's token-list length per distinct word joined back onto
+    per-doc word occurrences (mirroring the vocab-sized kernel +
+    broadcast join). Upgrades q89 from rows-only to a full value-hash
+    check."""
+    s = "chr(31)"
+    n = int(n_merges)
+    return f"""
+        WITH {_bpe_unrolled_levels(n)},
+        docw AS MATERIALIZED (
+          SELECT doc_id, w, COUNT(*) AS cnt
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          WHERE w <> '' GROUP BY doc_id, w
+        ),
+        wtok AS MATERIALIZED (
+          SELECT w, len(string_split(state, {s} || {s})) AS n_word_tokens
+          FROM s{n}
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(SUM(dw.cnt), 0) AS BIGINT) AS n_words,
+               CAST(COALESCE(SUM(dw.cnt * wt.n_word_tokens), 0) AS BIGINT)
+                 AS n_tokens,
+               CAST(LENGTH(d.text) AS INT) AS n_chars
+        FROM documents d
+        LEFT JOIN docw dw ON d.doc_id = dw.doc_id
+        LEFT JOIN wtok wt ON dw.w = wt.w
+        GROUP BY d.doc_id, d.text ORDER BY d.doc_id
+    """

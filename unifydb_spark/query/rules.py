@@ -341,7 +341,10 @@ def _fixpoint(db, name: str, env: "RulesEnv") -> C.Rel:
         totals[n] = C.Rel(df, dict(r.vars))
         deltas[n] = totals[n]
 
-    for _ in range(env.max_iterations):
+    from unifydb_spark import instrument
+
+    for _round in range(env.max_iterations):
+        instrument.note("rule_fixpoint_rounds", _round + 1)
         new_deltas: dict[str, C.Rel] = {}
         any_new = False
         for n in scc:

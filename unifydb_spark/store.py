@@ -311,6 +311,18 @@ class FactStore:
         self.report_filters: list[Callable[[dict], dict]] = [filter_auth_facts]
         self._schema_cache: dict = {}
         self._attr_types_cache: Optional[tuple] = None
+        # The reference serializes ALL writes through one transactor
+        # thread (src/unifydb/transact.clj:116-137; the B-trees say
+        # "NOT THREAD SAFE, only write in the single-threaded
+        # transactor", btree.clj:2-4). Mirror that contract in-process:
+        # transact() holds this lock across id allocation + append, so
+        # concurrent callers serialize — distinct tx-ids, both visible.
+        # Cross-PROCESS writers remain a documented single-writer
+        # assumption (a Delta/optimistic-commit backend would lift it,
+        # SURVEY §4 / kvstore.clj:13-23).
+        import threading
+
+        self._tx_lock = threading.Lock()
 
     # ---- reads -----------------------------------------------------------
 
@@ -541,7 +553,18 @@ class FactStore:
 
         Returns the tx-report ``{"db_after": Db, "tx_data": [facts],
         "tempids": {str: int}}`` (shape: src/unifydb/transact.clj:109-112).
+
+        Concurrency: serialized per store via `_tx_lock` — the in-process
+        equivalent of the reference's single transactor thread
+        (transact.clj:116-137). Two threads transacting concurrently get
+        distinct tx-ids and both transactions are visible.
         """
+        with self._tx_lock:
+            return self._transact_serialized(tx_data, now_millis)
+
+    def _transact_serialized(
+        self, tx_data: list, now_millis: Optional[int] = None
+    ) -> dict:
         if now_millis is None:
             now_millis = int(time.time() * 1000)
         stmts = list(tx_data) + [["add", TX_TEMPID, TX_INSTANT_ATTR, now_millis]]
