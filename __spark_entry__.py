@@ -874,6 +874,23 @@ def q35_asof_join(spark, sf_dir):
 from contextlib import contextmanager
 
 
+def _stage_stream_source(src: str, dst: str) -> None:
+    """Copy a parquet table into a stream-source staging dir. Driver
+    testdata tables are single files; scratch data written by Spark
+    (fixtures/sf1) are DIRECTORIES of part files — flatten those into
+    the staging dir (the file-source stream lists one level, it does
+    not recurse into subdirectories)."""
+    import shutil
+    from pathlib import Path
+
+    srcp, dstp = Path(src), Path(dst)
+    if srcp.is_dir():
+        for i, part in enumerate(sorted(srcp.glob("*.parquet"))):
+            shutil.copy(part, dstp.parent / f"{dstp.stem}_{i}.parquet")
+    else:
+        shutil.copy(src, dst)
+
+
 @contextmanager
 def _stream_state_partitions(spark, n: int = 8):
     """Scope spark.sql.shuffle.partitions around a streaming query: state
@@ -904,7 +921,7 @@ def q33_stream_windowed_metrics(spark, sf_dir):
     name = "wm_" + uuid.uuid4().hex[:8]
     # the file-source stream wants a directory of files
     src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    _stage_stream_source(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     stream = read_event_stream(spark, src_dir)
     with _stream_state_partitions(spark):
         q = (
@@ -938,7 +955,7 @@ def q40_stream_stateful_latest(spark, sf_dir):
 
     name = "lw_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    _stage_stream_source(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     with _stream_state_partitions(spark):
         q = (
             running_latest(read_event_stream(spark, src_dir))
@@ -1113,7 +1130,7 @@ def q54_stream_dedup(spark, sf_dir):
 
     name = "dd_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
-    shutil.copy(f"{sf_dir}/documents.parquet", f"{src_dir}/documents.parquet")
+    _stage_stream_source(f"{sf_dir}/documents.parquet", f"{src_dir}/documents.parquet")
     with _stream_state_partitions(spark):
         q = (
             stream_dedup_state(read_document_stream(spark, src_dir))
@@ -1142,7 +1159,7 @@ def q55_stream_sessionize(spark, sf_dir):
 
     name = "ss_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    _stage_stream_source(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     with _stream_state_partitions(spark):
         q = (
             session_metrics(read_event_stream(spark, src_dir), gap_minutes=30)
@@ -1324,7 +1341,7 @@ def q42_stream_interval_join(spark, sf_dir):
 
     name = "ij_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    _stage_stream_source(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     with _stream_state_partitions(spark):
         q = (
             interval_join(read_event_stream(spark, src_dir), lookback_minutes=30)
@@ -1611,7 +1628,7 @@ def q88_stream_user_stats(spark, sf_dir):
 
     name = "us_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    _stage_stream_source(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     with _stream_state_partitions(spark):
         q = (
             user_stats_stateful(read_event_stream(spark, src_dir))
@@ -2217,7 +2234,7 @@ def r20_stream_windowed_distinct(spark, sf_dir):
 
     name = "shll_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    _stage_stream_source(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     stream = read_event_stream(spark, src_dir).select(
         F.col("user_id").cast("string").alias("uid"), "ts"
     )
@@ -2934,7 +2951,7 @@ def r65_stream_topk(spark, sf_dir):
 
     name = "stopk_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    _stage_stream_source(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     stream = read_event_stream(spark, src_dir).select("event_type", "ts")
     with _stream_state_partitions(spark):
         q = (
@@ -3019,7 +3036,7 @@ def r69_stream_psi(spark, sf_dir):
 
     name = "spsi_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    _stage_stream_source(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     stream = read_event_stream(spark, src_dir).select("value", "ts")
     with _stream_state_partitions(spark):
         q = (
@@ -3104,7 +3121,7 @@ def r73_stream_cms(spark, sf_dir):
 
     name = "scms_" + uuid.uuid4().hex[:8]
     src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    _stage_stream_source(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     stream = read_event_stream(spark, src_dir).select("event_type", "ts")
     with _stream_state_partitions(spark):
         q = (

@@ -81,6 +81,13 @@ def main():
         SparkSession.builder.master("local[8]")
         .appName("oracle-check")
         .config("spark.sql.shuffle.partitions", "8")
+        # match bench.py's driver sizing: at sf1-scale sweeps the default
+        # 1g driver rejects AQE auto-broadcasts ("not enough memory to
+        # build and broadcast") that are fine under a realistic budget
+        .config(
+            "spark.driver.memory",
+            __import__("os").environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -89,10 +96,18 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        # driver testdata = single parquet files; scratch data written by
+        # Spark (e.g. fixtures/sf1, scripts/gen_scale_data.py) =
+        # directories of part files — glob those for DuckDB
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     import __spark_entry__ as entrymod

@@ -74,9 +74,16 @@ def _spread(docs: DataFrame) -> DataFrame:
 
 
 def _doc_shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
-    sh = shingles_col(words_col(F.col(text_col)), n)
-    return (
-        _spread(docs).select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    # materialize the words array through a projection before the shingle
+    # transform: an unnamed words expression is re-inlined (split+filter
+    # recomputed) per shingle element — measured 5x on this path at
+    # sf0.1, same recompute class as the winnow O(n^2) fix (r8)
+    wdocs = _spread(docs).select(
+        "doc_id", words_col(F.col(text_col)).alias("__ws")
+    )
+    sh = shingles_col(F.col("__ws"), n)
+    return wdocs.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
     )
 
 
@@ -1112,7 +1119,16 @@ def chunk_dedup_stats(
     pairs, so it is linear in corpus size — the property that lets the
     C4 paragraph filter run on web-scale crawls."""
     cw = int(chunk_words)
-    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    # words materialized through a projection: slicing an unnamed
+    # split+filter expression inside the chunk transform recomputes the
+    # split per chunk (the r8 winnow recompute class)
+    staged = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "").alias(
+            "__ws"
+        ),
+    )
+    ws = F.col("__ws")
     nc = F.greatest(
         F.floor((F.size(ws) + (cw - 1)) / cw).cast("int") - 1, F.lit(0)
     )
@@ -1120,7 +1136,7 @@ def chunk_dedup_stats(
         F.sequence(F.lit(0), nc),
         lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i * cw + 1, cw))),
     )
-    exploded = docs.select("doc_id", F.explode(chunks).alias("h"))
+    exploded = staged.select("doc_id", F.explode(chunks).alias("h"))
     counts = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
     return (
         exploded.join(counts, "h")
@@ -1195,8 +1211,12 @@ def source_overlap_matrix(
         _spread(docs)
         .select(
             F.col(source_col).alias("src"),
+            words_col(F.col(text_col)).alias("__ws"),
+        )
+        .select(
+            "src",
             F.explode(
-                F.array_distinct(shingles_col(words_col(F.col(text_col)), n))
+                F.array_distinct(shingles_col(F.col("__ws"), n))
             ).alias("shingle"),
         )
         .distinct()
@@ -1280,9 +1300,14 @@ def dup_span_coverage(
 
     Returns (doc_id, n_tokens, dup_starts, covered_tokens) for every
     doc, zeros included."""
-    ws = words_col(F.col(text_col))
-    toks = _spread(docs).select(
-        "doc_id", F.size(ws).alias("n_tokens"), shingles_col(ws, n).alias("sh")
+    toks = (
+        _spread(docs)
+        .select("doc_id", words_col(F.col(text_col)).alias("__ws"))
+        .select(
+            "doc_id",
+            F.size("__ws").alias("n_tokens"),
+            shingles_col(F.col("__ws"), n).alias("sh"),
+        )
     )
     pos = toks.select(
         "doc_id", F.posexplode("sh").alias("p0", "gram")
@@ -1312,7 +1337,10 @@ def dup_span_coverage(
         )
     )
     return (
-        docs.select("doc_id", F.size(ws).alias("n_tokens"))
+        docs.select(
+            "doc_id",
+            F.size(words_col(F.col(text_col))).alias("n_tokens"),
+        )
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
@@ -1438,7 +1466,14 @@ def winnow_fingerprints(
     Shape: pure per-row array expressions (substr/md5/transform/
     array_min — all codegen'd, no Python, no shuffle); the explode is
     the only row-multiplying step and is bounded by len(text)/1 per doc
-    pre-dedup, ~2/(w+1) of k-gram count after."""
+    pre-dedup, ~2/(w+1) of k-gram count after.
+
+    The k-gram hash array is MATERIALIZED through a projection boundary
+    before the sliding-window min: referencing the unnamed `hashes`
+    expression inside the window transform re-inlines it, so every one
+    of the ~n windows recomputed the full n-element md5 array —
+    O(n^2) md5s per document. The sf1 stress bench caught it (r15 was
+    727 s of a 1049 s run; 51 s -> 1.4 s at sf0.1 after the split)."""
     t = F.col(text_col)
     n = F.length(t)
     empty_i = F.array().cast("array<int>")
@@ -1451,18 +1486,16 @@ def winnow_fingerprints(
             F.substring(F.md5(t.substr(i, F.lit(k))), 1, 15), 16, 10
         ).cast("long"),
     )
-    nh = F.size(hashes)
+    hashed = _spread(docs).select("doc_id", hashes.alias("h"))
+    hcol = F.col("h")
+    nh = F.size(hcol)
     widx = F.when(
         nh >= w, F.sequence(F.lit(1), (nh - (w - 1)).cast("int"))
     ).otherwise(empty_i)
     fps = F.array_distinct(
-        F.transform(widx, lambda j: F.array_min(F.slice(hashes, j, w)))
+        F.transform(widx, lambda j: F.array_min(F.slice(hcol, j, w)))
     )
-    return (
-        _spread(docs)
-        .select("doc_id", F.explode(fps).alias("fp"))
-        .distinct()
-    )
+    return hashed.select("doc_id", F.explode(fps).alias("fp")).distinct()
 
 
 def winnow_pairs(

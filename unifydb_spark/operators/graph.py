@@ -341,6 +341,9 @@ def shortest_paths(edges: DataFrame, sources: list[int], max_iter: int = 20) -> 
             # re-checkpointing it would rewrite all rows every superstep
             dist = dist.unionByName(nxt)
             frontier = nxt
+        from unifydb_spark import instrument
+
+        instrument.note("bfs_supersteps", d)
         return dist
     finally:
         und.unpersist()
@@ -364,20 +367,45 @@ def degrees_sql(edges_cte: str) -> str:
     """
 
 
-def connected_components_sql(edges_cte: str) -> str:
-    return f"""
-        WITH RECURSIVE edges AS ({edges_cte}),
-        und AS (
+def connected_components_sql(edges_cte: str, rounds: int = 16) -> str:
+    """Unrolled min-label propagation + pointer jumping (the kcore_sql
+    fixed-unroll trick): `rounds` levels, each one neighbor-min
+    propagation and one label(label) shortcut, handling diameter up to
+    2^rounds; idempotent at the fixpoint, so extra levels change
+    nothing and equality with the DataFrame fixpoint needs no
+    convergence assumption (the DF side raises if IT doesn't converge).
+
+    Replaces the original `WITH RECURSIVE reach(node, lbl)` transitive-
+    closure oracle, which materializes node x component-size label
+    pairs — ~5 BILLION rows on the sf1 graph whose components are
+    region-sized (the sf1 stress run timed it out). Every CTE is
+    MATERIALIZED (DuckDB inlines by default; each level is referenced
+    twice)."""
+    parts = [
+        f"""edges AS MATERIALIZED ({edges_cte}),
+        und AS MATERIALIZED (
           SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
         ),
-        nodes AS (SELECT src AS node FROM und UNION SELECT dst FROM und),
-        reach(node, lbl) AS (
-          SELECT node, node FROM nodes
-          UNION
-          SELECT u.dst, r.lbl FROM und u JOIN reach r ON u.src = r.node
-        )
-        SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
-        ORDER BY node
+        l0 AS MATERIALIZED (
+          SELECT node, node AS lbl FROM
+            (SELECT src AS node FROM und UNION SELECT dst FROM und)
+        )"""
+    ]
+    for i in range(1, int(rounds) + 1):
+        parts.append(f"""p{i} AS MATERIALIZED (
+          SELECT n.node, LEAST(n.lbl, COALESCE(p.m, n.lbl)) AS lbl
+          FROM l{i - 1} n LEFT JOIN (
+            SELECT u.dst AS node, MIN(x.lbl) AS m
+            FROM und u JOIN l{i - 1} x ON u.src = x.node GROUP BY u.dst
+          ) p ON n.node = p.node
+        ), l{i} AS MATERIALIZED (
+          SELECT a.node, LEAST(a.lbl, COALESCE(b.lbl, a.lbl)) AS lbl
+          FROM p{i} a LEFT JOIN p{i} b ON a.lbl = b.node
+        )""")
+    body = ",\n".join(parts)
+    return f"""
+        WITH {body}
+        SELECT node, lbl AS component FROM l{int(rounds)} ORDER BY node
     """
 
 

@@ -224,12 +224,21 @@ def fingerprint(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     stable under small edits away from the minimal shingle. Lexicographic
     min over hex strings is engine-portable."""
     t = F.col(text_col)
-    sh = shingles_col(words_col(t), n)
-    minshingle = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    return docs.select(
+    # shingles materialized through a projection: nesting the unnamed
+    # shingle expression inside the md5 transform re-inlines it per
+    # element (the r8 winnow O(n^2) recompute class)
+    staged = docs.select(
         "doc_id",
         F.md5(t).alias("content_md5"),
-        minshingle.alias("shingle_fp"),
+        words_col(t).alias("__ws"),
+    ).select(
+        "doc_id",
+        "content_md5",
+        shingles_col(F.col("__ws"), n).alias("__sh"),
+    )
+    minshingle = F.array_min(F.transform(F.col("__sh"), lambda s: F.md5(s)))
+    return staged.select(
+        "doc_id", "content_md5", minshingle.alias("shingle_fp")
     )
 
 
@@ -2133,8 +2142,12 @@ def novelty_curve(
         _spread(docs)
         .select(
             F.col(order_col).alias("oid"),
+            words_col(F.col(text_col)).alias("__ws"),
+        )
+        .select(
+            "oid",
             F.explode(
-                shingles_col(words_col(F.col(text_col)), int(ngram))
+                shingles_col(F.col("__ws"), int(ngram))
             ).alias("gm"),
         )
         .join(bucket, "oid")

@@ -199,18 +199,24 @@ def stream_decontaminate(
 
     from unifydb_spark.operators.text import shingles_col, words_col
 
+    # words materialized per projection before the shingle transform
+    # (the r8 recompute fix — see dedup._doc_shingles)
     sh = docs.select(
+        "doc_id", words_col(F.col(text_col)).alias("__ws")
+    ).select(
         "doc_id",
         F.explode(
-            F.array_distinct(shingles_col(words_col(F.col(text_col)), n))
+            F.array_distinct(shingles_col(F.col("__ws"), n))
         ).alias("shingle"),
     )
     bench_sh = broadcast(
-        benchmark.select(
+        benchmark.select(words_col(F.col(text_col)).alias("__ws"))
+        .select(
             F.explode(
-                F.array_distinct(shingles_col(words_col(F.col(text_col)), n))
+                F.array_distinct(shingles_col(F.col("__ws"), n))
             ).alias("shingle")
-        ).distinct()
+        )
+        .distinct()
     )
     return (
         sh.join(bench_sh, "shingle", "left_semi")
