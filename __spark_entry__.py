@@ -3411,6 +3411,29 @@ def r92_historical_multiattr(spark, sf_dir):
     )
 
 
+def r93_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText-style quality rule report (operators/
+    quality.py gopher_rules): word-count bounds, mean word length,
+    stopword presence, duplicate-word fraction, top-bigram share, and
+    the composite pass flag — the standard pre-training filter battery
+    as one explode + two combinable groupBys. The pass flag is computed
+    on the ROUNDED report columns identically in both engines, so the
+    boolean cannot diverge on a float boundary."""
+    from unifydb_spark.operators.quality import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def r94_script_mix(spark, sf_dir):
+    """Character-class profile (operators/quality.py script_mix):
+    letters/digits/space/other counts + class-share entropy per doc —
+    the zero-shuffle 'prose or noise' signal; counts are regexp length
+    differences, entropy follows the DECIMAL ln-parity contract."""
+    from unifydb_spark.operators.quality import script_mix
+
+    return script_mix(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3654,6 +3677,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r90_embedding_health": r90_embedding_health,
         "r91_temporal_split_audit": r91_temporal_split_audit,
         "r92_historical_multiattr": r92_historical_multiattr,
+        "r93_gopher_rules": r93_gopher_rules,
+        "r94_script_mix": r94_script_mix,
     }
 
 
@@ -4414,6 +4439,8 @@ def _operator_oracles() -> dict[str, str]:
             SELECT c_custkey, c_name, c_acctbal, c_mktsegment
             FROM customer WHERE c_custkey < 501 ORDER BY c_custkey
         """,
+        "r93_gopher_rules": _ql.gopher_rules_sql("documents"),
+        "r94_script_mix": _ql.script_mix_sql("documents"),
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,

@@ -152,6 +152,8 @@ HEADLINE = [
     "r90_embedding_health",
     "r91_temporal_split_audit",
     "r92_historical_multiattr",
+    "r93_gopher_rules",
+    "r94_script_mix",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

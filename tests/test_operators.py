@@ -1038,3 +1038,55 @@ def test_containment_symmetric_pair_matches_jaccard_case(spark):
            for r in D.containment_pairs(docs, threshold=0.8).collect()}
     assert got.get((0, 1)) == 1.0
     assert not any(2 in p for p in got)
+
+
+def test_gopher_rules_edge_cases(spark):
+    """r93: empty doc, sub-50-word doc, stopword-rich passing doc, and a
+    repetition-heavy doc that fails on top-2gram share."""
+    from unifydb_spark.operators.quality import gopher_rules
+
+    passing = (
+        "the quick brown fox jumps over a lazy dog and then walks "
+        "to the market for some fresh fruit with friends on sunday "
+        "morning while birds sing softly in tall trees near water "
+        "because autumn light makes everything look golden of course "
+        "people gather outside enjoying warm drinks reading papers"
+    )
+    repeaty = "spam ham " * 40  # top 2-gram dominates
+    rows = [
+        (0, ""),
+        (1, "tiny doc"),
+        (2, passing.strip()),
+        (3, repeaty.strip()),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict() for r in gopher_rules(docs).collect()}
+    assert out[0]["n_words"] == 0 and out[0]["passes"] is False
+    assert out[1]["n_words"] == 2 and out[1]["passes"] is False
+    assert out[2]["n_words"] >= 50 and out[2]["stop_hits"] >= 2
+    assert out[2]["passes"] is True
+    assert out[3]["top_2gram_share"] > 0.2 and out[3]["passes"] is False
+    # dup_word_frac: 80 words, 2 distinct -> 1 - 2/80
+    assert abs(out[3]["dup_word_frac"] - (1 - 2 / 80)) < 1e-9
+
+
+def test_script_mix_counts_and_entropy(spark):
+    """r94: class counts are exact length differences; entropy matches
+    the closed form; empty and single-class docs are guarded."""
+    import math
+
+    from unifydb_spark.operators.quality import script_mix
+
+    rows = [(0, "ab12 !"), (1, ""), (2, "aaaa")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict() for r in script_mix(docs).collect()}
+    r0 = out[0]
+    assert (r0["n_letters"], r0["n_digits"], r0["n_space"], r0["n_other"]) == (
+        2, 2, 1, 1,
+    )
+    want = -sum(
+        (c / 6) * math.log(c / 6) for c in (2, 2, 1, 1)
+    )
+    assert abs(r0["class_entropy"] - round(want, 6)) < 1e-6
+    assert out[1]["n_chars"] == 0 and out[1]["class_entropy"] == 0.0
+    assert out[2]["class_entropy"] == 0.0  # single class: -1*ln(1) = 0

@@ -425,3 +425,231 @@ def temporal_split_audit_sql(
         SELECT * FROM per_split UNION ALL SELECT * FROM leak
         ORDER BY split
     """
+
+
+def gopher_rules(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """Gopher/MassiveText-style per-document quality rule report — the
+    standard pre-training text filter battery (word-count bounds, mean
+    word length, stopword presence, repetition signals) as one
+    DataFrame pass. Adapted to word-granularity for single-line corpora:
+    the repetition signals are the duplicate-word fraction and the top
+    bigram share (the classic "most frequent 2-gram occupies too much of
+    the document" rule). Returns per doc: (doc_id, n_words,
+    mean_word_len, stop_hits, dup_word_frac, top_2gram_share, passes).
+
+    passes = 50 <= n_words <= 100000 AND 3 <= mean_word_len <= 10 AND
+    stop_hits >= 2 AND dup_word_frac <= 0.6 AND top_2gram_share <= 0.2
+    — evaluated on the ROUNDED report columns, identically in the SQL
+    twin, so the boolean can never diverge on a float boundary.
+
+    Scale: one explode -> two combinable groupBys (words; bigrams via a
+    per-doc lead window) joined back doc-sized; no pairs, no collects.
+    The reference has no quality surface (SURVEY §2.6) — this extends
+    the LLM-pipeline battery next to text_stats (q19) and the
+    winsorize/outlier reports."""
+    from pyspark.sql import Window
+
+    from unifydb_spark.operators.text import STOPWORDS, words_col
+
+    stops = sorted(STOPWORDS["en"])
+    toks = (
+        docs.select("doc_id", words_col(F.col(text_col)).alias("__ws"))
+        .select("doc_id", F.posexplode("__ws").alias("pos", "w"))
+    )
+    wordstats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).alias("sum_len"),
+        F.count_distinct("w").alias("n_distinct"),
+        F.count_distinct(
+            F.when(F.col("w").isin(stops), F.col("w"))
+        ).alias("stop_hits"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.withColumn("nxt", F.lead("w").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "nxt").alias("g"))
+    )
+    gstats = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_g"), F.sum("c").alias("n_g"))
+    )
+    rep = (
+        docs.select("doc_id")
+        .join(wordstats, "doc_id", "left")
+        .join(gstats, "doc_id", "left")
+    )
+    n_words = F.coalesce("n_words", F.lit(0)).cast("bigint")
+    mean_len = F.round(
+        F.col("sum_len").cast("double") / F.col("n_words").cast("double"), 4
+    )
+    dup_frac = F.round(
+        F.lit(1.0)
+        - F.col("n_distinct").cast("double") / F.col("n_words").cast("double"),
+        6,
+    )
+    top_share = F.round(
+        F.col("top_g").cast("double") / F.col("n_g").cast("double"), 6
+    )
+    out = rep.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        F.coalesce("stop_hits", F.lit(0)).cast("int").alias("stop_hits"),
+        F.coalesce(dup_frac, F.lit(0.0)).alias("dup_word_frac"),
+        F.coalesce(top_share, F.lit(0.0)).alias("top_2gram_share"),
+    )
+    passes = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("stop_hits") >= 2)
+        & (F.col("dup_word_frac") <= 0.6)
+        & (F.col("top_2gram_share") <= 0.2)
+    )
+    return out.select("*", F.coalesce(passes, F.lit(False)).alias("passes"))
+
+
+def gopher_rules_sql(table: str = "documents", text_col: str = "text") -> str:
+    stops = "', '".join(
+        sorted(__import__(
+            "unifydb_spark.operators.text", fromlist=["STOPWORDS"]
+        ).STOPWORDS["en"])
+    )
+    return f"""
+        WITH base AS MATERIALIZED (
+          SELECT doc_id,
+                 list_filter(string_split({text_col}, ' '), w -> w <> '')
+                   AS ws
+          FROM {table}
+        ), toks AS MATERIALIZED (
+          SELECT doc_id, i AS pos, ws[i] AS w
+          FROM base, unnest(generate_series(1, len(ws))) AS u(i)
+        ), wordstats AS (
+          SELECT doc_id, COUNT(*) AS n_words, SUM(LENGTH(w)) AS sum_len,
+                 COUNT(DISTINCT w) AS n_distinct,
+                 COUNT(DISTINCT CASE WHEN w IN ('{stops}') THEN w END)
+                   AS stop_hits
+          FROM toks GROUP BY doc_id
+        ), grams AS (
+          SELECT t.doc_id, t.w || ' ' || n.w AS g
+          FROM toks t JOIN toks n
+            ON n.doc_id = t.doc_id AND n.pos = t.pos + 1
+        ), gstats AS (
+          SELECT doc_id, MAX(c) AS top_g, SUM(c) AS n_g FROM (
+            SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2
+          ) GROUP BY doc_id
+        ), rep AS (
+          SELECT d.doc_id,
+                 CAST(COALESCE(ws.n_words, 0) AS BIGINT) AS n_words,
+                 ROUND(CAST(ws.sum_len AS DOUBLE)
+                       / CAST(ws.n_words AS DOUBLE), 4) AS mean_word_len,
+                 CAST(COALESCE(ws.stop_hits, 0) AS INT) AS stop_hits,
+                 COALESCE(ROUND(1.0 - CAST(ws.n_distinct AS DOUBLE)
+                       / CAST(ws.n_words AS DOUBLE), 6), 0.0)
+                   AS dup_word_frac,
+                 COALESCE(ROUND(CAST(g.top_g AS DOUBLE)
+                       / CAST(g.n_g AS DOUBLE), 6), 0.0) AS top_2gram_share
+          FROM {table} d
+          LEFT JOIN wordstats ws ON d.doc_id = ws.doc_id
+          LEFT JOIN gstats g ON d.doc_id = g.doc_id
+        )
+        SELECT doc_id, n_words, mean_word_len, stop_hits, dup_word_frac,
+               top_2gram_share,
+               COALESCE(n_words >= 50 AND n_words <= 100000
+                        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                        AND stop_hits >= 2 AND dup_word_frac <= 0.6
+                        AND top_2gram_share <= 0.2, FALSE) AS passes
+        FROM rep ORDER BY doc_id
+    """
+
+
+def script_mix(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """Per-document character-class profile: letters / digits /
+    whitespace / other counts plus the class-share entropy — the
+    cheap 'is this prose, a table dump, or base64 noise' signal every
+    multilingual/column-soup filter starts from (a script histogram at
+    character-class granularity; full Unicode script tables are the
+    same shape with more classes). Zero-shuffle codegen projection.
+
+    Exactness: counts are length-differences of regexp_replace (both
+    engines, identical patterns); each -p*ln(p) term is cast
+    DECIMAL(30,15) before the sum (r17 ln-parity contract), zero-count
+    classes contribute nothing (ln(0) guarded on both engines)."""
+    t = F.col(text_col)
+    n = F.length(t)
+    letters = n - F.length(F.regexp_replace(t, "[A-Za-z]", ""))
+    digits = n - F.length(F.regexp_replace(t, "[0-9]", ""))
+    space = n - F.length(F.regexp_replace(t, "[ ]", ""))
+    other = n - letters - digits - space
+    counts = [letters, digits, space, other]
+
+    def term(c):
+        p = c.cast("double") / n.cast("double")
+        return F.when(
+            c > 0, (-p * F.log(p)).cast("decimal(30,15)")
+        ).otherwise(F.lit(0).cast("decimal(30,15)"))
+
+    total = term(counts[0])
+    for c in counts[1:]:
+        total = (total + term(c)).cast("decimal(30,15)")
+    ent = F.round(total.cast("string").cast("double"), 6)
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chars"),
+        letters.cast("bigint").alias("n_letters"),
+        digits.cast("bigint").alias("n_digits"),
+        space.cast("bigint").alias("n_space"),
+        other.cast("bigint").alias("n_other"),
+        F.when(n > 0, ent).otherwise(F.lit(0.0)).alias("class_entropy"),
+    )
+
+
+def script_mix_sql(table: str = "documents", text_col: str = "text") -> str:
+    def cnt(pat):
+        return (
+            f"LENGTH({text_col}) - LENGTH(regexp_replace("
+            f"{text_col}, '{pat}', '', 'g'))"
+        )
+
+    letters, digits, space = cnt("[A-Za-z]"), cnt("[0-9]"), cnt("[ ]")
+    return f"""
+        WITH c AS (
+          SELECT doc_id, LENGTH({text_col}) AS n,
+                 {letters} AS letters, {digits} AS digits,
+                 {space} AS space
+          FROM {table}
+        ), k AS (
+          SELECT doc_id, n, letters, digits, space,
+                 n - letters - digits - space AS other
+          FROM c
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+               CAST(letters AS BIGINT) AS n_letters,
+               CAST(digits AS BIGINT) AS n_digits,
+               CAST(space AS BIGINT) AS n_space,
+               CAST(other AS BIGINT) AS n_other,
+               CASE WHEN n > 0 THEN ROUND(CAST(CAST(
+                 CAST(CAST(CAST(
+                   CASE WHEN letters > 0 THEN CAST(
+                     -(CAST(letters AS DOUBLE)/n) * LN(CAST(letters AS DOUBLE)/n)
+                     AS DECIMAL(30,15)) ELSE CAST(0 AS DECIMAL(30,15)) END
+                   + CASE WHEN digits > 0 THEN CAST(
+                     -(CAST(digits AS DOUBLE)/n) * LN(CAST(digits AS DOUBLE)/n)
+                     AS DECIMAL(30,15)) ELSE CAST(0 AS DECIMAL(30,15)) END
+                   AS DECIMAL(30,15))
+                   + CASE WHEN space > 0 THEN CAST(
+                     -(CAST(space AS DOUBLE)/n) * LN(CAST(space AS DOUBLE)/n)
+                     AS DECIMAL(30,15)) ELSE CAST(0 AS DECIMAL(30,15)) END
+                   AS DECIMAL(30,15))
+                   + CASE WHEN other > 0 THEN CAST(
+                     -(CAST(other AS DOUBLE)/n) * LN(CAST(other AS DOUBLE)/n)
+                     AS DECIMAL(30,15)) ELSE CAST(0 AS DECIMAL(30,15)) END
+                   AS DECIMAL(30,15))
+                 AS VARCHAR) AS DOUBLE), 6)
+               ELSE 0.0 END AS class_entropy
+        FROM k ORDER BY doc_id
+    """
