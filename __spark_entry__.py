@@ -3434,6 +3434,27 @@ def r94_script_mix(spark, sf_dir):
     return script_mix(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def r95_dedup_savings(spark, sf_dir):
+    """Dedup savings sign-off table (operators/dedup.py dedup_savings):
+    per cluster size, clusters/docs/chars and what the canonical-keep
+    election drops — the 'bytes saved at this threshold' report that
+    justifies a dedup operating point, composing the executed pipeline
+    (ppjoin pairs -> CC clusters -> window argmax -> rollup)."""
+    from unifydb_spark.operators.dedup import dedup_savings
+
+    return dedup_savings(_docs(spark, sf_dir)).orderBy("cluster_size")
+
+
+def r96_packing_waste(spark, sf_dir):
+    """Context-length planning table (operators/text.py packing_waste):
+    per candidate context length, the padding waste of per-document
+    batching (integer slot arithmetic, one combinable aggregate per L)
+    — the baseline number sequence packing gets compared against."""
+    from unifydb_spark.operators.text import packing_waste
+
+    return packing_waste(_docs(spark, sf_dir)).orderBy("context_len")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3679,6 +3700,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r92_historical_multiattr": r92_historical_multiattr,
         "r93_gopher_rules": r93_gopher_rules,
         "r94_script_mix": r94_script_mix,
+        "r95_dedup_savings": r95_dedup_savings,
+        "r96_packing_waste": r96_packing_waste,
     }
 
 
@@ -4441,6 +4464,8 @@ def _operator_oracles() -> dict[str, str]:
         """,
         "r93_gopher_rules": _ql.gopher_rules_sql("documents"),
         "r94_script_mix": _ql.script_mix_sql("documents"),
+        "r95_dedup_savings": _d.dedup_savings_sql("documents"),
+        "r96_packing_waste": _t.packing_waste_sql("documents"),
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,

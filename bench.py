@@ -154,6 +154,8 @@ HEADLINE = [
     "r92_historical_multiattr",
     "r93_gopher_rules",
     "r94_script_mix",
+    "r95_dedup_savings",
+    "r96_packing_waste",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

@@ -1090,3 +1090,42 @@ def test_script_mix_counts_and_entropy(spark):
     assert abs(r0["class_entropy"] - round(want, 6)) < 1e-6
     assert out[1]["n_chars"] == 0 and out[1]["class_entropy"] == 0.0
     assert out[2]["class_entropy"] == 0.0  # single class: -1*ln(1) = 0
+
+
+def test_dedup_savings_accounting(spark):
+    """r95: exact duplicates cluster and the savings rollup accounts
+    every doc and char exactly once; singletons drop nothing."""
+    from unifydb_spark.operators.dedup import dedup_savings
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(0, text), (1, text), (2, "totally different words here"),
+            (3, text + " extra")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["cluster_size"]: r.asDict()
+           for r in dedup_savings(docs, threshold=0.8).collect()}
+    total_docs = sum(r["docs"] for r in out.values())
+    total_chars = sum(r["chars_total"] for r in out.values())
+    assert total_docs == 4
+    assert total_chars == sum(len(t) for _, t in rows)
+    # docs 0,1 are exact dups; 3 is a near-dup of them at 0.8 jaccard
+    big = max(out)
+    assert big >= 2 and out[big]["docs_dropped"] == out[big]["docs"] - out[big]["n_clusters"]
+    if 1 in out:
+        assert out[1]["docs_dropped"] == 0 and out[1]["chars_dropped"] == 0
+
+
+def test_packing_waste_integer_arithmetic(spark):
+    """r96: slots = ceil(n_tok/L); padded = slots*L - tokens; exact."""
+    from unifydb_spark.operators.text import packing_waste
+
+    rows = [(0, " ".join(["w"] * 10)), (1, " ".join(["w"] * 5)), (2, "")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["context_len"]: r.asDict()
+           for r in packing_waste(docs, context_lengths=(4, 16)).collect()}
+    # L=4: doc0 -> 3 slots, doc1 -> 2 slots, doc2 -> 0; tokens 15
+    assert out[4]["slots"] == 5 and out[4]["tokens"] == 15
+    assert out[4]["padded_tokens"] == 5 * 4 - 15
+    # L=16: 1 + 1 + 0 slots
+    assert out[16]["slots"] == 2
+    assert out[16]["padded_tokens"] == 32 - 15
+    assert abs(out[16]["waste_frac"] - round(17 / 32, 6)) < 1e-9

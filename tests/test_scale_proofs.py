@@ -434,3 +434,41 @@ def test_round7_ops_no_single_partition_exchanges(spark):
     p = final_plan(hill_tail(big, "v", "id", k=50))
     assert "TakeOrderedAndProject" in p
     assert "Exchange rangepartitioning" not in p
+
+
+def test_winnow_fingerprints_single_md5_in_plan(spark):
+    """r8 recompute regression guard: winnowing's k-gram md5 array must
+    be materialized through a projection BEFORE the sliding-window min.
+    If the unnamed hash expression leaks into the per-window lambda,
+    the optimizer re-inlines it and the optimized plan carries md5
+    inside the window transform too — O(n^2) md5s per document (727s of
+    a 1049s sf1 bench). One md5 occurrence == one evaluation site."""
+    from unifydb_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(0, "abcdefghijklmnop qrstuv")], "doc_id bigint, text string"
+    )
+    plan = (
+        winnow_fingerprints(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("md5") == 1, f"md5 inlined {plan.count('md5')}x"
+
+
+def test_doc_shingles_single_split_in_plan(spark):
+    """Same guard for the shingle path: the words split+filter must
+    appear once (materialized column), not once per shingle element."""
+    from unifydb_spark.operators.dedup import _doc_shingles
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f")], "doc_id bigint, text string"
+    )
+    plan = (
+        _doc_shingles(docs, "text", 3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 1, plan

@@ -1926,3 +1926,78 @@ def dedup_eval_sql(
                             / CAST(n_truth AS DOUBLE))) END, 6) AS f1
         FROM agg
     """
+
+
+def dedup_savings(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The dedup SAVINGS report a data team signs off on before running
+    the drop: per cluster size, how many clusters exist, how many docs
+    and characters they hold, and how many of each the canonical-keep
+    election removes — the "bytes saved at this threshold" table that
+    justifies (or rejects) a dedup operating point, composing the same
+    machinery the pipeline executes (canonical_keep = ppjoin pairs ->
+    CC clusters -> window argmax). Returns (cluster_size, n_clusters,
+    docs, docs_dropped, chars_total, chars_dropped) ordered by size.
+
+    Scale: everything after canonical_keep is one doc-sized join and a
+    combinable two-level rollup — the output relation is bounded by
+    the largest cluster size."""
+    kept = canonical_keep(docs, text_col, n, threshold)
+    sized = kept.join(
+        docs.select("doc_id", F.length(F.col(text_col)).alias("_len")),
+        "doc_id",
+    )
+    per_cluster = sized.groupBy("canonical_id", "cluster_size").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("dropped"),
+        F.sum("_len").alias("chars"),
+        F.sum(F.when(~F.col("keep"), F.col("_len")).otherwise(0)).alias(
+            "chars_dropped"
+        ),
+    )
+    return (
+        per_cluster.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("docs").cast("bigint").alias("docs"),
+            F.sum("dropped").cast("bigint").alias("docs_dropped"),
+            F.sum("chars").cast("bigint").alias("chars_total"),
+            F.sum("chars_dropped").cast("bigint").alias("chars_dropped"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def dedup_savings_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    kept = canonical_keep_sql(table, text_col, n, threshold)
+    return f"""
+        WITH kept AS MATERIALIZED ({kept}),
+        sized AS (
+          SELECT k.*, LENGTH(d.{text_col}) AS len
+          FROM kept k JOIN {table} d USING (doc_id)
+        ), per_cluster AS (
+          SELECT canonical_id, cluster_size,
+                 COUNT(*) AS docs,
+                 SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS dropped,
+                 SUM(len) AS chars,
+                 SUM(CASE WHEN NOT keep THEN len ELSE 0 END)
+                   AS chars_dropped
+          FROM sized GROUP BY 1, 2
+        )
+        SELECT cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(docs) AS BIGINT) AS docs,
+               CAST(SUM(dropped) AS BIGINT) AS docs_dropped,
+               CAST(SUM(chars) AS BIGINT) AS chars_total,
+               CAST(SUM(chars_dropped) AS BIGINT) AS chars_dropped
+        FROM per_cluster GROUP BY cluster_size ORDER BY cluster_size
+    """

@@ -2459,3 +2459,87 @@ def bpe_encode_unrolled_sql(n_merges: int = 32) -> str:
         LEFT JOIN wtok wt ON dw.w = wt.w
         GROUP BY d.doc_id, d.text ORDER BY d.doc_id
     """
+
+
+def packing_waste(
+    docs: DataFrame,
+    text_col: str = "text",
+    context_lengths: tuple = (128, 512, 2048),
+) -> DataFrame:
+    """Context-length planning table: for each candidate context length
+    L, the padding waste of per-document batching — every doc occupies
+    ceil(n_tok / L) slots of L tokens, so padded = slots*L - n_tok and
+    waste_frac = padded / (tokens + padded). The one-row-per-L report a
+    training team reads next to the length histogram (r14) when
+    choosing L (small L truncates nothing here but fragments long docs;
+    large L drowns short docs in padding). Sequence packing reduces the
+    waste — this table is the BASELINE it gets compared to.
+
+    Exactness: token counts are whitespace-word counts (integer); slots
+    and padded are integer arithmetic (DIV/ceil); waste_frac is one
+    final rounded division. Scale: one combinable aggregation per L
+    over a single token-count projection — no shuffle beyond the
+    scalar aggregates."""
+    counts = docs.select(
+        F.size(words_col(F.col(text_col))).cast("bigint").alias("n_tok")
+    )
+    from unifydb_spark.resources import tracked_persist
+
+    counts = tracked_persist(counts)
+    out = None
+    for L in context_lengths:
+        li = int(L)
+        slots = F.expr(f"CAST(ceil(n_tok / CAST({li} AS DOUBLE)) AS BIGINT)")
+        row = counts.agg(
+            F.lit(li).cast("int").alias("context_len"),
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens"),
+            F.sum(slots).cast("bigint").alias("slots"),
+            (F.sum(slots) * li - F.sum("n_tok")).cast("bigint").alias(
+                "padded_tokens"
+            ),
+            F.round(
+                (F.sum(slots) * li - F.sum("n_tok")).cast("double")
+                / (F.sum(slots) * li).cast("double"),
+                6,
+            ).alias("waste_frac"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def packing_waste_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    context_lengths: tuple = (128, 512, 2048),
+) -> str:
+    arms = []
+    for L in context_lengths:
+        li = int(L)
+        arms.append(f"""
+          SELECT CAST({li} AS INT) AS context_len,
+                 CAST(COUNT(*) AS BIGINT) AS docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS tokens,
+                 CAST(SUM(slots) AS BIGINT) AS slots,
+                 CAST(SUM(slots) * {li} - SUM(n_tok) AS BIGINT)
+                   AS padded_tokens,
+                 ROUND(CAST(SUM(slots) * {li} - SUM(n_tok) AS DOUBLE)
+                       / CAST(SUM(slots) * {li} AS DOUBLE), 6) AS waste_frac
+          FROM counts_{li}""")
+    ctes = ", ".join(
+        f"""counts_{int(L)} AS (
+          SELECT n_tok,
+                 CAST(ceil(n_tok / CAST({int(L)} AS DOUBLE)) AS BIGINT)
+                   AS slots
+          FROM base)"""
+        for L in context_lengths
+    )
+    union = " UNION ALL ".join(arms)
+    return f"""
+        WITH base AS MATERIALIZED (
+          SELECT CAST(len(list_filter(string_split({text_col}, ' '),
+                                      w -> w <> '')) AS BIGINT) AS n_tok
+          FROM {table}
+        ), {ctes}
+        {union} ORDER BY context_len
+    """
