@@ -3455,6 +3455,31 @@ def r96_packing_waste(spark, sf_dir):
     return packing_waste(_docs(spark, sf_dir)).orderBy("context_len")
 
 
+def r97_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source mixing at tau=0.5 (operators/text.py
+    temperature_mix): per source, raw token count, proportional vs
+    temperature share, and the sampled token budget. tau fixed at 0.5
+    because sqrt is correctly rounded under IEEE (pow is not) — the
+    shares agree bit-for-bit across engines; the sqrt terms sum under
+    the DECIMAL contract."""
+    from unifydb_spark.operators.text import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir)).orderBy("source")
+
+
+def r98_mad_outliers(spark, sf_dir):
+    """MAD robust outliers per event type (operators/stats.py
+    mad_outliers): median and median-absolute-deviation from the exact
+    grouped narrowing quantiler (two shared-round passes), then the
+    count beyond 3 * 1.4826 * MAD — the outlier detector z-scores (r22)
+    cannot be because the outliers drag their own threshold."""
+    from unifydb_spark.operators.stats import mad_outliers
+
+    return mad_outliers(
+        _events_ts(spark, sf_dir), "event_type", "value"
+    ).orderBy("event_type")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3702,6 +3727,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r94_script_mix": r94_script_mix,
         "r95_dedup_savings": r95_dedup_savings,
         "r96_packing_waste": r96_packing_waste,
+        "r97_temperature_mix": r97_temperature_mix,
+        "r98_mad_outliers": r98_mad_outliers,
     }
 
 
@@ -4466,6 +4493,10 @@ def _operator_oracles() -> dict[str, str]:
         "r94_script_mix": _ql.script_mix_sql("documents"),
         "r95_dedup_savings": _d.dedup_savings_sql("documents"),
         "r96_packing_waste": _t.packing_waste_sql("documents"),
+        "r97_temperature_mix": _t.temperature_mix_sql("documents"),
+        "r98_mad_outliers": _st.mad_outliers_sql(
+            "events", "event_type", "value"
+        ),
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,

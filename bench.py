@@ -156,6 +156,8 @@ HEADLINE = [
     "r94_script_mix",
     "r95_dedup_savings",
     "r96_packing_waste",
+    "r97_temperature_mix",
+    "r98_mad_outliers",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

@@ -110,6 +110,10 @@ BNLJ_ALLOWED = {
     # r76: the user total (1 row) rides a broadcast cross join onto the
     # active-days histogram relation — bounded by construction
     "r76_engagement_curve",
+    # r97: the 1-row (total tokens, sqrt-sum) aggregate broadcast onto
+    # the sources-sized counts relation — bounded by construction
+    # (q71 report shape)
+    "r97_temperature_mix",
     # r78: the reference date and the quantile-edge row (1 row each)
     # ride broadcast cross joins onto orders / the customer relation —
     # bounded by construction (r44 trimmed-mean shape)

@@ -1129,3 +1129,37 @@ def test_packing_waste_integer_arithmetic(spark):
     assert out[16]["slots"] == 2
     assert out[16]["padded_tokens"] == 32 - 15
     assert abs(out[16]["waste_frac"] - round(17 / 32, 6)) < 1e-9
+
+
+def test_temperature_mix_shares(spark):
+    """r97: temperature shares follow sqrt weighting; budgets sum to
+    ~total; proportional shares are raw fractions."""
+    from unifydb_spark.operators.text import temperature_mix
+
+    rows = [(0, "a b c d", "big"), (1, "a b c d", "big"),
+            (2, "a b c d", "big"), (3, "a b c d", "big"),
+            (4, "x y z w", "small")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r["source"]: r.asDict()
+           for r in temperature_mix(docs, total_budget=100).collect()}
+    assert out["big"]["n_tokens"] == 16 and out["small"]["n_tokens"] == 4
+    assert abs(out["big"]["prop_share"] - 0.8) < 1e-9
+    # sqrt weighting: 4 vs 2 -> 2/3 vs 1/3
+    assert abs(out["big"]["temp_share"] - round(2 / 3, 6)) < 1e-9
+    assert abs(out["small"]["temp_share"] - round(1 / 3, 6)) < 1e-9
+    assert abs(out["big"]["token_budget"] + out["small"]["token_budget"] - 100.0) < 0.02
+
+
+def test_mad_outliers_robustness(spark):
+    """r98: one extreme value does not drag the MAD threshold; the
+    extreme is flagged, the inliers are not."""
+    from unifydb_spark.operators.stats import mad_outliers
+
+    rows = [("g", float(v)) for v in (10, 11, 12, 13, 14, 1000)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = mad_outliers(df, "grp", "v").collect()[0]
+    assert out["n"] == 6
+    assert out["median"] == 12.5
+    # deviations: 2.5,1.5,0.5,0.5,1.5,987.5 -> MAD = 1.5
+    assert out["mad"] == 1.5
+    assert out["n_outliers"] == 1

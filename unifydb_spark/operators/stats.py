@@ -2823,3 +2823,91 @@ def weighted_quantiles_sql(
         )
         SELECT * FROM ({union}) ORDER BY {group_col}, p
     """
+
+
+def mad_outliers(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> "DataFrame":
+    """Robust per-group outlier report via the Median Absolute
+    Deviation: median, MAD = median(|x - median|), and the count of
+    values beyond k * 1.4826 * MAD (1.4826 scales MAD to sigma under
+    normality) — the outlier detector that, unlike z-scores (r22), is
+    not itself dragged by the outliers it hunts. Returns (group, n,
+    median, mad, n_outliers) ordered by group.
+
+    Exactness: both medians come from the exact histogram-narrowing
+    grouped quantiler (r09 machinery — no per-executor value buffers),
+    ROUNDED to 4 decimals before the deviation/threshold arithmetic on
+    BOTH engines, so every downstream comparison sees identical
+    doubles. Scale: two narrowing passes (shared rounds across groups)
+    + one combinable count — the entire driver state is
+    O(groups) quantile targets."""
+    from unifydb_spark.resources import tracked_persist
+
+    base = tracked_persist(
+        df.select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(value_col).cast("double").alias("v"),
+        ).filter(F.col("v").isNotNull())
+    )
+    med = exact_group_quantiles_scalable(
+        base, "grp", "v", probs=(0.5,)
+    ).select(F.col("grp"), F.col("value").alias("med"))
+    dev = tracked_persist(
+        base.join(F.broadcast(med), "grp").select(
+            "grp", "v", "med", F.abs(F.col("v") - F.col("med")).alias("d")
+        )
+    )
+    mad = exact_group_quantiles_scalable(
+        dev, "grp", "d", probs=(0.5,)
+    ).select(F.col("grp"), F.col("value").alias("mad"))
+    thresh = F.lit(float(k)) * F.lit(1.4826) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .groupBy("grp", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("d") > thresh, 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            F.col("med").alias("median"),
+            "mad",
+            "n_outliers",
+        )
+        .orderBy(group_col)
+    )
+
+
+def mad_outliers_sql(
+    table: str, group_col: str, value_col: str, k: float = 3.0
+) -> str:
+    return f"""
+        WITH base AS MATERIALIZED (
+          SELECT CAST({group_col} AS VARCHAR) AS grp,
+                 CAST({value_col} AS DOUBLE) AS v
+          FROM {table} WHERE {value_col} IS NOT NULL
+        ), med AS MATERIALIZED (
+          SELECT grp, ROUND(CAST(median(v) AS DOUBLE), 4) AS med
+          FROM base GROUP BY grp
+        ), dev AS MATERIALIZED (
+          SELECT b.grp, b.v, m.med, ABS(b.v - m.med) AS d
+          FROM base b JOIN med m USING (grp)
+        ), mad AS MATERIALIZED (
+          SELECT grp, ROUND(CAST(median(d) AS DOUBLE), 4) AS mad
+          FROM dev GROUP BY grp
+        )
+        SELECT d.grp AS {group_col},
+               CAST(COUNT(*) AS BIGINT) AS n,
+               d.med AS median, m.mad AS mad,
+               CAST(SUM(CASE WHEN d.d > {float(k)!r} * 1.4826 * m.mad
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m USING (grp)
+        GROUP BY d.grp, d.med, m.mad ORDER BY d.grp
+    """

@@ -2543,3 +2543,98 @@ def packing_waste_sql(
         ), {ctes}
         {union} ORDER BY context_len
     """
+
+
+def temperature_mix(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    total_budget: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled source mixing at tau = 0.5 (the multilingual
+    sampling formula: p_i ∝ n_i^tau, here sqrt — upsamples small
+    sources, downsamples dominant ones relative to proportional
+    sampling): per source, its raw token count, proportional share,
+    temperature share, and the sampled token budget out of
+    `total_budget`. The table a mixture designer reads next to the
+    Theil decomposition (r66) when balancing a corpus.
+
+    tau is FIXED at 0.5 on purpose: sqrt is correctly rounded under
+    IEEE 754 on every platform, so the Spark and DuckDB shares agree
+    bit-for-bit — a general pow(x, tau) is not, and would hash-diverge
+    in the last ulp. Scale: one combinable per-source count + a
+    broadcast 1-row total; output is sources-sized."""
+    counts = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.size(words_col(F.col(text_col))).cast("bigint").alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    # per-source sqrt terms are cast DECIMAL(30,15) before the sum
+    # (r17 contract): a raw double sum is partition-order-dependent and
+    # would hash-diverge from DuckDB's order
+    tot = counts.agg(
+        F.sum("n_tokens").alias("_tot"),
+        F.sum(
+            F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(30,15)")
+        )
+        .cast("string")
+        .cast("double")
+        .alias("_tsum"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.col("n_tokens").cast("double")
+                / F.col("_tot").cast("double"),
+                6,
+            ).alias("prop_share"),
+            F.round(
+                F.sqrt(F.col("n_tokens").cast("double")) / F.col("_tsum"),
+                6,
+            ).alias("temp_share"),
+            F.round(
+                F.lit(float(total_budget))
+                * F.sqrt(F.col("n_tokens").cast("double"))
+                / F.col("_tsum"),
+                2,
+            ).alias("token_budget"),
+        )
+        .orderBy("source")
+    )
+
+
+def temperature_mix_sql(
+    table: str = "documents",
+    source_col: str = "source",
+    text_col: str = "text",
+    total_budget: int = 1_000_000,
+) -> str:
+    return f"""
+        WITH counts AS MATERIALIZED (
+          SELECT {source_col} AS source,
+                 SUM(CAST(len(list_filter(string_split({text_col}, ' '),
+                                          w -> w <> '')) AS BIGINT))
+                   AS n_tokens
+          FROM {table} GROUP BY 1
+        ), tot AS (
+          SELECT SUM(n_tokens) AS _tot,
+                 CAST(CAST(SUM(CAST(SQRT(CAST(n_tokens AS DOUBLE))
+                       AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE) AS _tsum
+          FROM counts
+        )
+        SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+               ROUND(CAST(n_tokens AS DOUBLE) / CAST(_tot AS DOUBLE), 6)
+                 AS prop_share,
+               ROUND(SQRT(CAST(n_tokens AS DOUBLE)) / _tsum, 6)
+                 AS temp_share,
+               ROUND({float(total_budget)!r}
+                     * SQRT(CAST(n_tokens AS DOUBLE)) / _tsum, 2)
+                 AS token_budget
+        FROM counts, tot ORDER BY source
+    """
