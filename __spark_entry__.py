@@ -3480,6 +3480,33 @@ def r98_mad_outliers(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def r99_ccnet_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (operators/quality.py
+    ccnet_buckets, Wenzek et al. 2020): the corpus bigram-LM score
+    (r60's doc_perplexity) cut at each language's exact 1/3 and 2/3
+    cross-entropy quantiles into head / middle / tail — the standard
+    keep-head-and-middle curation gate for web-scale pretraining data.
+    Boundaries come from the grouped histogram-narrowing quantiler
+    (r09's machinery — no per-language total sort); assignment is a
+    broadcast join of the langs x 2 cut table."""
+    from unifydb_spark.operators.quality import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf_dir)).orderBy("lang", "bucket")
+
+
+def r100_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/quality.py dsir_weights, Xie
+    et al. 2023): hashed word-bigram bucket multinomials fit on a
+    target source vs the raw rest, each doc scored with its log
+    importance weight sum_b c[b] * ln(p_target[b]/p_raw[b]) — the
+    published recipe for resampling a raw crawl toward a quality
+    target. One linear explode, a combinable (doc, bucket) groupBy,
+    and a <= 256-row broadcast log-ratio table."""
+    from unifydb_spark.operators.quality import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3729,6 +3756,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r96_packing_waste": r96_packing_waste,
         "r97_temperature_mix": r97_temperature_mix,
         "r98_mad_outliers": r98_mad_outliers,
+        "r99_ccnet_buckets": r99_ccnet_buckets,
+        "r100_dsir_weights": r100_dsir_weights,
     }
 
 
@@ -4497,6 +4526,8 @@ def _operator_oracles() -> dict[str, str]:
         "r98_mad_outliers": _st.mad_outliers_sql(
             "events", "event_type", "value"
         ),
+        "r99_ccnet_buckets": _ql.ccnet_buckets_sql("documents"),
+        "r100_dsir_weights": _ql.dsir_weights_sql("documents"),
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,

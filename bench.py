@@ -158,6 +158,8 @@ HEADLINE = [
     "r96_packing_waste",
     "r97_temperature_mix",
     "r98_mad_outliers",
+    "r99_ccnet_buckets",
+    "r100_dsir_weights",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

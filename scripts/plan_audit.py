@@ -114,6 +114,14 @@ BNLJ_ALLOWED = {
     # the sources-sized counts relation — bounded by construction
     # (q71 report shape)
     "r97_temperature_mix",
+    # r99: composes r60's doc_perplexity — the next-token vocabulary
+    # size rides the same broadcast ONE-ROW cross join (q61/r17
+    # corpus-constant shape) — bounded by construction
+    "r99_ccnet_buckets",
+    # r100: the (n_target, n_raw) feature totals (1 row) ride a
+    # broadcast cross join onto the <= n_buckets-row bucket-count
+    # relation — bounded by construction (q61/r17 shape)
+    "r100_dsir_weights",
     # r78: the reference date and the quantile-edge row (1 row each)
     # ride broadcast cross joins onto orders / the customer relation —
     # bounded by construction (r44 trimmed-mean shape)

@@ -1163,3 +1163,51 @@ def test_mad_outliers_robustness(spark):
     # deviations: 2.5,1.5,0.5,0.5,1.5,987.5 -> MAD = 1.5
     assert out["mad"] == 1.5
     assert out["n_outliers"] == 1
+
+
+def test_ccnet_buckets_terciles(spark):
+    """r99: per-lang exact tercile cuts; head <= middle <= tail by
+    construction; doc with no tokens excluded; bucket counts cover all
+    scored docs."""
+    from unifydb_spark.operators.quality import ccnet_buckets
+
+    # 9 en docs with strictly increasing "surprisal": doc i repeats a
+    # common bigram (low ce) vs unique-word docs (high ce); plus an
+    # empty doc that must vanish.
+    rows = [(i, "alpha beta " * 3 + " ".join(f"w{i}x{j}" for j in range(i)), "en")
+            for i in range(9)]
+    rows.append((99, "", "en"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = ccnet_buckets(docs).collect()
+    by_bucket = {r["bucket"]: r for r in out}
+    assert set(by_bucket) <= {"head", "middle", "tail"}
+    assert sum(r["n_docs"] for r in out) == 9  # empty doc dropped
+    for r in out:
+        assert r["head_cut"] <= r["tail_cut"]
+    if "head" in by_bucket and "tail" in by_bucket:
+        assert by_bucket["head"]["mean_ce"] <= by_bucket["tail"]["mean_ce"]
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """r100: a raw doc sharing the target's bigrams outscores a raw doc
+    with alien bigrams; single-word docs are excluded; n_feats = word
+    count - 1."""
+    from unifydb_spark.operators.quality import dsir_weights
+
+    rows = [
+        (0, "good clean prose about science and method", "tgt"),
+        (1, "good clean prose about science and method", "tgt"),
+        (2, "good clean prose about science and method", "raw"),
+        (3, "zz yy xx ww vv uu tt", "raw"),
+        (4, "solo", "raw"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r["doc_id"]: r.asDict()
+           for r in dsir_weights(docs, target_source="tgt").collect()}
+    assert 4 not in out  # one word -> no bigram
+    assert out[0]["is_target"] and not out[2]["is_target"]
+    assert out[2]["n_feats"] == 6 and out[3]["n_feats"] == 6
+    # target-like raw doc scores strictly higher than the alien doc
+    assert out[2]["log_weight"] > out[3]["log_weight"]
+    # identical text => identical weight regardless of side
+    assert out[0]["log_weight"] == out[2]["log_weight"]

@@ -653,3 +653,275 @@ def script_mix_sql(table: str = "documents", text_col: str = "text") -> str:
                ELSE 0.0 END AS class_entropy
         FROM k ORDER BY doc_id
     """
+
+
+def ccnet_buckets(
+    docs: "DataFrame",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public
+    method): score every document with the corpus bigram LM
+    (doc_perplexity), cut each language at its exact 1/3 and 2/3
+    cross-entropy quantiles, and label docs head / middle / tail —
+    the standard "keep head+middle, drop tail" curation gate for
+    web-scale pretraining data. Returns one row per (lang, bucket):
+    (lang, bucket, n_docs, mean_ce, head_cut, tail_cut).
+
+    Scale: the tercile boundaries come from the grouped
+    histogram-narrowing quantiler (exact_group_quantiles_scalable,
+    r09) — NO per-language total sort, driver state O(langs * 2) —
+    then bucket assignment is a broadcast join of the langs x 2
+    boundary table. Compare-on-rounded: cross_entropy is rounded to 6
+    decimals by doc_perplexity and the cuts to 4 by the quantiler, so
+    the <= comparisons see identical doubles in both engines; mean_ce
+    is a DECIMAL(30,15) order-independent sum divided once.
+
+    Docs with no tokens carry no LM score and are excluded in both
+    engines (the inner join on the scored relation)."""
+    from unifydb_spark.operators.stats import exact_group_quantiles_scalable
+    from unifydb_spark.operators.text import doc_perplexity
+    from unifydb_spark.resources import tracked_persist
+
+    ppl = doc_perplexity(docs, text_col=text_col, id_col=id_col)
+    scored = tracked_persist(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
+        .join(ppl.select("doc_id", "cross_entropy"), "doc_id")
+    )
+    bounds = exact_group_quantiles_scalable(
+        scored, "lang", "cross_entropy", probs=(1 / 3, 2 / 3)
+    )
+    bmap = bounds.groupBy("lang").agg(
+        F.min("value").alias("head_cut"), F.max("value").alias("tail_cut")
+    )
+    ce = F.col("cross_entropy")
+    bucket = (
+        F.when(ce <= F.col("head_cut"), F.lit("head"))
+        .when(ce <= F.col("tail_cut"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(bmap), "lang")
+        .select("lang", bucket.alias("bucket"), ce.alias("ce"),
+                "head_cut", "tail_cut")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("ce").cast("decimal(30,15)"))
+                .cast("string").cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("mean_ce"),
+            F.max("head_cut").alias("head_cut"),
+            F.max("tail_cut").alias("tail_cut"),
+        )
+    )
+
+
+def ccnet_buckets_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> str:
+    from unifydb_spark.operators.text import doc_perplexity_sql
+
+    p1, p2 = 1 / 3, 2 / 3
+    ppl = doc_perplexity_sql(table, text_col=text_col, id_col=id_col)
+    return f"""
+        WITH ppl AS (SELECT * FROM ({ppl})),
+        scored AS (
+          SELECT d.{lang_col} AS lang, p.doc_id, p.cross_entropy
+          FROM {table} d JOIN ppl p ON d.{id_col} = p.doc_id
+        ), cuts AS (
+          SELECT lang,
+                 ROUND(quantile_cont(cross_entropy, {p1!r}), 4) AS head_cut,
+                 ROUND(quantile_cont(cross_entropy, {p2!r}), 4) AS tail_cut
+          FROM scored GROUP BY 1
+        ), labeled AS (
+          SELECT s.lang,
+                 CASE WHEN s.cross_entropy <= c.head_cut THEN 'head'
+                      WHEN s.cross_entropy <= c.tail_cut THEN 'middle'
+                      ELSE 'tail' END AS bucket,
+                 s.cross_entropy AS ce, c.head_cut, c.tail_cut
+          FROM scored s JOIN cuts c USING (lang)
+        )
+        SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(CAST(CAST(SUM(CAST(ce AS DECIMAL(30,15))) AS VARCHAR)
+                     AS DOUBLE) / COUNT(*), 6) AS mean_ce,
+               MAX(head_cut) AS head_cut, MAX(tail_cut) AS tail_cut
+        FROM labeled GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def dsir_weights(
+    docs: "DataFrame",
+    target_source: str = "src7",
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> "DataFrame":
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public method):
+    featurize every document into hashed word-bigram buckets, fit
+    add-1-smoothed bucket multinomials on the TARGET slice (docs from
+    `target_source`) and on the RAW slice (everything else), and score
+    each doc with its log importance weight
+    sum_b c_doc[b] * ln(p_target[b] / p_raw[b]) — the standard recipe
+    for resampling a raw crawl toward a high-quality target
+    distribution. Returns (doc_id, is_target, n_feats, log_weight),
+    docs with >= 2 words only (a bigram needs two).
+
+    Scale: one linear bigram explode -> a (doc, bucket) combinable
+    groupBy -> the bucket log-ratio table is <= n_buckets rows and
+    rides a broadcast join; totals ride a 1-row broadcast cross join.
+    Two shuffles over the feature relation, everything else bounded.
+
+    Exactness: each bucket's log-ratio is ln(double)-cast-DECIMAL(30,15)
+    twice (target minus raw, exact decimal subtraction); each doc term
+    re-enters doubles through the VARCHAR round-trip, multiplies by the
+    integer count (IEEE-identical in both engines), and re-casts to
+    DECIMAL(30,15) so the per-doc sum is order-independent; one surface
+    rounding. Bucket = first 8 md5 hex digits of 'dsir:<bigram>' mod
+    n_buckets — the md5_u32 cross-engine hash primitive."""
+    from unifydb_spark.operators.text import words_col
+    from unifydb_spark.resources import tracked_persist
+
+    B = int(n_buckets)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(source_col) == F.lit(target_source)).alias("tgt"),
+        words_col(F.col(text_col)).alias("ws"),
+    ).filter(F.size("ws") >= 2)
+    feats = base.select(
+        "doc_id",
+        "tgt",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(ws)), i -> "
+                "concat(element_at(ws, i - 1), ' ', element_at(ws, i)))"
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        "tgt",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("g"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(B),
+        ).alias("b"),
+    )
+    dcounts = tracked_persist(
+        feats.groupBy("doc_id", "tgt", "b").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    sides = dcounts.groupBy("b").agg(
+        F.sum(F.when(F.col("tgt"), F.col("c")).otherwise(F.lit(0))).alias("ct"),
+        F.sum(F.when(~F.col("tgt"), F.col("c")).otherwise(F.lit(0))).alias("cr"),
+    )
+    totals = dcounts.groupBy().agg(
+        F.sum(F.when(F.col("tgt"), F.col("c")).otherwise(F.lit(0))).alias("nt"),
+        F.sum(F.when(~F.col("tgt"), F.col("c")).otherwise(F.lit(0))).alias("nr"),
+    )
+    lr = (
+        sides.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.col("ct").cast("double") + F.lit(1.0))
+                    / (F.col("nt").cast("double") + F.lit(float(B)))
+                ).cast("decimal(30,15)")
+                - F.log(
+                    (F.col("cr").cast("double") + F.lit(1.0))
+                    / (F.col("nr").cast("double") + F.lit(float(B)))
+                ).cast("decimal(30,15)")
+            ).alias("lr"),
+        )
+    )
+    term = (
+        F.col("c").cast("double")
+        * F.col("lr").cast("string").cast("double")
+    ).cast("decimal(30,15)")
+    return (
+        dcounts.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "tgt")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.round(
+                F.sum(term).cast("string").cast("double"), 6
+            ).alias("log_weight"),
+        )
+        .select(
+            "doc_id",
+            F.col("tgt").alias("is_target"),
+            "n_feats",
+            "log_weight",
+        )
+    )
+
+
+def dsir_weights_sql(
+    table: str = "documents",
+    target_source: str = "src7",
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> str:
+    from unifydb_spark.operators.text import md5_u32_sql
+
+    B = int(n_buckets)
+    bucket = md5_u32_sql("g", "dsir")
+    return f"""
+        WITH base AS (
+          SELECT {id_col} AS doc_id,
+                 ({source_col} = '{target_source}') AS tgt,
+                 list_filter(string_split({text_col}, ' '), w -> w != '')
+                   AS ws
+          FROM {table}
+        ), grams AS (
+          SELECT doc_id, tgt,
+                 ws[CAST(i - 1 AS INT)] || ' ' || ws[CAST(i AS INT)] AS g
+          FROM (SELECT doc_id, tgt, ws,
+                       unnest(range(2, len(ws) + 1)) AS i
+                FROM base WHERE len(ws) >= 2)
+        ), feats AS (
+          SELECT doc_id, tgt, {bucket} % {B} AS b FROM grams
+        ), dcounts AS (
+          SELECT doc_id, tgt, b, COUNT(*) AS c
+          FROM feats GROUP BY 1, 2, 3
+        ), sides AS (
+          SELECT b,
+                 SUM(CASE WHEN tgt THEN c ELSE 0 END) AS ct,
+                 SUM(CASE WHEN NOT tgt THEN c ELSE 0 END) AS cr
+          FROM dcounts GROUP BY 1
+        ), totals AS (
+          SELECT SUM(CASE WHEN tgt THEN c ELSE 0 END) AS nt,
+                 SUM(CASE WHEN NOT tgt THEN c ELSE 0 END) AS nr
+          FROM dcounts
+        ), lr AS (
+          SELECT b,
+                 CAST(LN((CAST(ct AS DOUBLE) + 1.0)
+                         / (CAST(nt AS DOUBLE) + {float(B)!r}))
+                   AS DECIMAL(30,15))
+                 - CAST(LN((CAST(cr AS DOUBLE) + 1.0)
+                           / (CAST(nr AS DOUBLE) + {float(B)!r}))
+                   AS DECIMAL(30,15)) AS lr
+          FROM sides, totals
+        )
+        SELECT doc_id, tgt AS is_target,
+               CAST(SUM(c) AS BIGINT) AS n_feats,
+               ROUND(CAST(CAST(SUM(CAST(
+                 CAST(c AS DOUBLE) * CAST(CAST(lr AS VARCHAR) AS DOUBLE)
+                 AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE), 6)
+                 AS log_weight
+        FROM dcounts JOIN lr USING (b)
+        GROUP BY 1, 2 ORDER BY doc_id
+    """
