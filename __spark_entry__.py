@@ -3507,6 +3507,35 @@ def r100_dsir_weights(spark, sf_dir):
     return dsir_weights(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def r101_semdedup(spark, sf_dir):
+    """SemDeDup (operators/similarity.py semdedup, Abbas et al. 2023):
+    embedding dedup scoped by k-means clusters — drop any vector whose
+    cosine to a lower-id vector in the SAME cluster exceeds tau. The
+    quadratic term is confined within clusters (the paper's point: k
+    bounds the pair sets), the cluster self-join is an equi-join on
+    (cluster, dim), and all dots ride DECIMAL(38,18) partial sums. The
+    oracle unrolls the identical k-means iterations (q72 machinery)."""
+    from unifydb_spark.operators.similarity import semdedup
+
+    return semdedup(
+        _emb(spark, sf_dir), k=8, iters=3, tau=0.92
+    ).orderBy("vec_id")
+
+
+def r102_cluster_silhouette(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per cluster
+    (operators/similarity.py cluster_silhouette): a = cosine distance
+    to the own induced centroid, b = min distance to any other, s =
+    (b-a)/max(a,b), averaged per cluster via a DECIMAL(30,15) sum of
+    engine-identical doubles — the O(n*k) clustering-quality gauge
+    (never the O(n^2) pairwise original)."""
+    from unifydb_spark.operators.similarity import cluster_silhouette
+
+    return cluster_silhouette(
+        _emb(spark, sf_dir), k=8, iters=3
+    ).orderBy("cluster")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3758,6 +3787,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r98_mad_outliers": r98_mad_outliers,
         "r99_ccnet_buckets": r99_ccnet_buckets,
         "r100_dsir_weights": r100_dsir_weights,
+        "r101_semdedup": r101_semdedup,
+        "r102_cluster_silhouette": r102_cluster_silhouette,
     }
 
 
@@ -4528,6 +4559,10 @@ def _operator_oracles() -> dict[str, str]:
         ),
         "r99_ccnet_buckets": _ql.ccnet_buckets_sql("documents"),
         "r100_dsir_weights": _ql.dsir_weights_sql("documents"),
+        "r101_semdedup": _s.semdedup_sql(k=8, iters=3, tau=0.92),
+        "r102_cluster_silhouette": _s.cluster_silhouette_sql(
+            k=8, iters=3
+        ),
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,

@@ -160,6 +160,8 @@ HEADLINE = [
     "r98_mad_outliers",
     "r99_ccnet_buckets",
     "r100_dsir_weights",
+    "r101_semdedup",
+    "r102_cluster_silhouette",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

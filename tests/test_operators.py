@@ -1211,3 +1211,42 @@ def test_dsir_weights_favor_target_like_docs(spark):
     assert out[2]["log_weight"] > out[3]["log_weight"]
     # identical text => identical weight regardless of side
     assert out[0]["log_weight"] == out[2]["log_weight"]
+
+
+def test_semdedup_drops_within_cluster_neardups(spark):
+    """r101: an exact duplicate of a lower-id vector is dropped; an
+    orthogonal vector survives; every input vector gets a verdict."""
+    from unifydb_spark.operators.similarity import semdedup
+
+    dim = 4
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),      # dup of 0
+        (3, [0.99, 0.01, 0.0, 0.0]),    # near-dup of 0
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: r.asDict()
+           for r in semdedup(emb, k=2, iters=2, tau=0.95).collect()}
+    assert len(out) == 5
+    assert out[0]["kept"] is True
+    assert out[2]["kept"] is False  # identical to 0, same cluster
+    assert out[1]["kept"] is True and out[4]["kept"] is True
+
+
+def test_cluster_silhouette_separated_beats_mixed(spark):
+    """r102: two tight well-separated bundles score near 1; silhouette
+    is bounded in [-1, 1] and n covers all points."""
+    from unifydb_spark.operators.similarity import cluster_silhouette
+
+    rows = []
+    for i in range(6):   # bundle A along e1
+        rows.append((i * 2, [1.0, 0.001 * i, 0.0, 0.0]))
+        rows.append((i * 2 + 1, [0.001 * i, 0.0, 0.0, 1.0]))  # bundle B
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = cluster_silhouette(emb, k=2, iters=3).collect()
+    assert sum(r["n"] for r in out) == 12
+    for r in out:
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+    assert max(r["mean_silhouette"] for r in out) > 0.8
