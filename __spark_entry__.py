@@ -3536,6 +3536,20 @@ def r102_cluster_silhouette(spark, sf_dir):
     ).orderBy("cluster")
 
 
+def r103_quality_logreg(spark, sf_dir):
+    """Logistic-regression quality classifier TRAINED ON THE ENGINE
+    (operators/quality.py quality_logreg): 5 batch-gradient-descent
+    iterations over the engine-certified rounded gopher_rules feature
+    columns, label = (lang == 'en'). Each iteration is ONE
+    map-side-combinable full-scan aggregation (six DECIMAL(30,15)
+    gradient sums); the 6 weights are a bounded driver artifact (the
+    grouped-quantiler contract). The oracle unrolls the identical
+    iterations in MATERIALIZED 1-row weight CTEs."""
+    from unifydb_spark.operators.quality import quality_logreg
+
+    return quality_logreg(_docs(spark, sf_dir))
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3789,6 +3803,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r100_dsir_weights": r100_dsir_weights,
         "r101_semdedup": r101_semdedup,
         "r102_cluster_silhouette": r102_cluster_silhouette,
+        "r103_quality_logreg": r103_quality_logreg,
     }
 
 
@@ -4563,6 +4578,7 @@ def _operator_oracles() -> dict[str, str]:
         "r102_cluster_silhouette": _s.cluster_silhouette_sql(
             k=8, iters=3
         ),
+        "r103_quality_logreg": _ql.quality_logreg_sql("documents"),
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,

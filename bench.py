@@ -162,6 +162,7 @@ HEADLINE = [
     "r100_dsir_weights",
     "r101_semdedup",
     "r102_cluster_silhouette",
+    "r103_quality_logreg",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

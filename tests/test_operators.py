@@ -1250,3 +1250,25 @@ def test_cluster_silhouette_separated_beats_mixed(spark):
     for r in out:
         assert -1.0 <= r["mean_silhouette"] <= 1.0
     assert max(r["mean_silhouette"] for r in out) > 0.8
+
+
+def test_quality_logreg_learns_separable_label(spark):
+    """r103: on a corpus where label == (lang='en') correlates with
+    stopword-rich text, 5 GD steps move the stopword weight positive
+    and train accuracy beats the majority class."""
+    from unifydb_spark.operators.quality import quality_logreg
+
+    en = ("the quick brown fox and the lazy dog are in the yard with "
+          "a ball of yarn for the cat")
+    xx = "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10 zz11 zz12"
+    rows = [(i, en + f" extra{i}", "en") for i in range(10)]
+    rows += [(100 + i, xx + f" extra{i}", "xx") for i in range(10)]
+    rows.append((999, "", "en"))  # no words -> excluded
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = quality_logreg(docs).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["n"] == 20  # empty doc excluded
+    assert r["w_stop"] > 0.0  # stopword hits predict English
+    assert r["n_correct"] >= 15
+    assert r["train_logloss"] > 0.0

@@ -925,3 +925,188 @@ def dsir_weights_sql(
         FROM dcounts JOIN lr USING (b)
         GROUP BY 1, 2 ORDER BY doc_id
     """
+
+
+def quality_logreg(
+    docs: "DataFrame",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    pos_lang: str = "en",
+    iters: int = 5,
+    lr: float = 0.1,
+) -> "DataFrame":
+    """Train a logistic-regression quality classifier ON THE ENGINE:
+    batch gradient descent, fixed iterations, deterministic end to end
+    — the lightweight fastText-style quality-filter trainer every
+    curation pipeline keeps (public method; cf. the CCNet/LLaMA
+    "quality classifier" filters). Features are the ENGINE-CERTIFIED
+    rounded gopher_rules report columns (ln(1+n_words), mean word
+    length, dup-word fraction, top-bigram share, stopword hits) with
+    label y = (lang == pos_lang); docs with no words carry no features
+    and are excluded in both engines.
+
+    Returns ONE row: (n bigint, w_bias..w_stop rounded 6,
+    train_logloss rounded 6, n_correct bigint).
+
+    Shape per iteration: ONE full-scan combinable aggregation (six
+    DECIMAL(30,15) gradient sums + a count); the 6 weights are a
+    bounded driver artifact (the grouped-quantiler contract — O(1)
+    scalars per round, never data rows). At 100 TB each GD step is one
+    map-side-combinable pass; iterations are the only serial axis.
+
+    Exactness: z = b + w1*x1 + ... + w5*x5 is the same left-associated
+    chain of identical doubles in both engines; p = 1/(1+exp(-z));
+    each gradient/logloss term re-casts to DECIMAL(30,15) so sums are
+    order-independent; weights update as w - lr * (decimal-sum /
+    count) in plain IEEE doubles (Python mirrors SQL's ::DOUBLE
+    arithmetic). The oracle unrolls the identical iterations in
+    MATERIALIZED 1-row weight CTEs."""
+    from unifydb_spark.resources import tracked_persist
+
+    base = gopher_rules(docs, text_col=text_col).filter(F.col("n_words") > 0)
+    feats = tracked_persist(
+        base.join(
+            docs.select("doc_id", F.col(lang_col).alias("__lang")), "doc_id"
+        ).select(
+            "doc_id",
+            F.log(F.lit(1.0) + F.col("n_words").cast("double")).alias("x1"),
+            F.col("mean_word_len").alias("x2"),
+            F.col("dup_word_frac").alias("x3"),
+            F.col("top_2gram_share").alias("x4"),
+            F.col("stop_hits").cast("double").alias("x5"),
+            F.when(F.col("__lang") == F.lit(pos_lang), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("y"),
+        )
+    )
+    xs = ["x1", "x2", "x3", "x4", "x5"]
+    w = [0.0] * 6  # bias + 5 feature weights
+
+    def zcol(wv):
+        z = F.lit(float(wv[0]))
+        for j, c in enumerate(xs):
+            z = z + F.lit(float(wv[j + 1])) * F.col(c)
+        return z
+
+    lrf = float(lr)
+    for _ in range(int(iters)):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-zcol(w)))
+        aggs = [F.count(F.lit(1)).alias("n")]
+        aggs.append(
+            F.sum((p - F.col("y")).cast("decimal(30,15)"))
+            .cast("string").cast("double").alias("g0")
+        )
+        for j, c in enumerate(xs):
+            aggs.append(
+                F.sum(((p - F.col("y")) * F.col(c)).cast("decimal(30,15)"))
+                .cast("string").cast("double").alias(f"g{j + 1}")
+            )
+        row = feats.agg(*aggs).collect()[0]
+        n = row["n"]
+        w = [w[j] - lrf * (row[f"g{j}"] / n) for j in range(6)]
+
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-zcol(w)))
+    ll = -(
+        F.col("y") * F.log(p)
+        + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+    ).cast("decimal(30,15)")
+    correct = F.when(
+        (zcol(w) >= F.lit(0.0)) == (F.col("y") >= F.lit(0.5)), 1
+    ).otherwise(0)
+    out = feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(ll).cast("string").cast("double") / F.count(F.lit(1)), 6
+        ).alias("train_logloss"),
+        F.sum(correct).cast("bigint").alias("n_correct"),
+    )
+    for j, name in enumerate(
+        ["w_bias", "w_logn", "w_mwl", "w_dup", "w_top2", "w_stop"]
+    ):
+        out = out.withColumn(name, F.round(F.lit(float(w[j])), 6))
+    return out.select(
+        "n", "w_bias", "w_logn", "w_mwl", "w_dup", "w_top2", "w_stop",
+        "train_logloss", "n_correct",
+    )
+
+
+def quality_logreg_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    pos_lang: str = "en",
+    iters: int = 5,
+    lr: float = 0.1,
+) -> str:
+    g = gopher_rules_sql(table, text_col)
+    xs = ["x1", "x2", "x3", "x4", "x5"]
+    ctes = [
+        f"""feats AS MATERIALIZED (
+          SELECT g.doc_id,
+                 LN(1.0::DOUBLE + CAST(g.n_words AS DOUBLE)) AS x1,
+                 g.mean_word_len AS x2,
+                 g.dup_word_frac AS x3,
+                 g.top_2gram_share AS x4,
+                 CAST(g.stop_hits AS DOUBLE) AS x5,
+                 CASE WHEN d.{lang_col} = '{pos_lang}'
+                      THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y
+          FROM ({g}) g JOIN {table} d ON g.doc_id = d.doc_id
+          WHERE g.n_words > 0
+        )""",
+        """w0 AS MATERIALIZED (
+          SELECT 0.0::DOUBLE AS b, 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2,
+                 0.0::DOUBLE AS w3, 0.0::DOUBLE AS w4, 0.0::DOUBLE AS w5
+        )""",
+    ]
+    z = "(w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4 + w.w5*f.x5)"
+    sig = f"(1.0::DOUBLE / (1.0::DOUBLE + EXP(-{z})))"
+    dec = "DECIMAL(30,15)"
+    for t in range(1, int(iters) + 1):
+        gsums = [
+            f"CAST(CAST(SUM(CAST(({sig} - f.y) AS {dec})) AS VARCHAR)"
+            f" AS DOUBLE) / COUNT(*) AS g0"
+        ]
+        for j, c in enumerate(xs):
+            gsums.append(
+                f"CAST(CAST(SUM(CAST(({sig} - f.y) * f.{c} AS {dec}))"
+                f" AS VARCHAR) AS DOUBLE) / COUNT(*) AS g{j + 1}"
+            )
+        ctes.append(
+            f"""grad{t} AS MATERIALIZED (
+              SELECT {', '.join(gsums)}
+              FROM feats f, w{t - 1} w
+            )"""
+        )
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+              SELECT w.b - {lr!r}::DOUBLE * g.g0 AS b,
+                     w.w1 - {lr!r}::DOUBLE * g.g1 AS w1,
+                     w.w2 - {lr!r}::DOUBLE * g.g2 AS w2,
+                     w.w3 - {lr!r}::DOUBLE * g.g3 AS w3,
+                     w.w4 - {lr!r}::DOUBLE * g.g4 AS w4,
+                     w.w5 - {lr!r}::DOUBLE * g.g5 AS w5
+              FROM w{t - 1} w, grad{t} g
+            )"""
+        )
+    wN = f"w{int(iters)}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MAX(w.b), 6) AS w_bias,
+               ROUND(MAX(w.w1), 6) AS w_logn,
+               ROUND(MAX(w.w2), 6) AS w_mwl,
+               ROUND(MAX(w.w3), 6) AS w_dup,
+               ROUND(MAX(w.w4), 6) AS w_top2,
+               ROUND(MAX(w.w5), 6) AS w_stop,
+               ROUND(CAST(CAST(SUM(CAST(
+                 -(f.y * LN({sig})
+                   + (1.0::DOUBLE - f.y) * LN(1.0::DOUBLE - {sig}))
+                 AS {dec})) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+                 AS train_logloss,
+               CAST(SUM(CASE WHEN ({z} >= 0.0::DOUBLE)
+                                  = (f.y >= 0.5::DOUBLE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM feats f, {wN} w
+    """
+    )
