@@ -3550,6 +3550,28 @@ def r103_quality_logreg(spark, sf_dir):
     return quality_logreg(_docs(spark, sf_dir))
 
 
+def r104_l_diversity(spark, sf_dir):
+    """Distinct l-diversity audit (operators/quality.py
+    l_diversity_report): a quasi-identifier group that is large
+    (k-anonymous, r42) but sensitive-homogeneous still leaks — this
+    reports groups with < l distinct sensitive values plus the worst
+    single-value share (max_homogeneity). Quasi tuple: (c_nationkey,
+    c_mktsegment); sensitive: the customer's account-balance sign
+    bucket. One combinable (quasi, sensitive) groupBy, then
+    cardinality-sized collapses."""
+    from unifydb_spark.operators.quality import l_diversity_report
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumn(
+        "bal_bucket",
+        F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+        .when(F.col("c_acctbal") < 5000, F.lit("mid"))
+        .otherwise(F.lit("high")),
+    )
+    return l_diversity_report(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_bucket", l=3
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3804,6 +3826,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r101_semdedup": r101_semdedup,
         "r102_cluster_silhouette": r102_cluster_silhouette,
         "r103_quality_logreg": r103_quality_logreg,
+        "r104_l_diversity": r104_l_diversity,
     }
 
 
@@ -4579,6 +4602,16 @@ def _operator_oracles() -> dict[str, str]:
             k=8, iters=3
         ),
         "r103_quality_logreg": _ql.quality_logreg_sql("documents"),
+        "r104_l_diversity": _ql.l_diversity_report_sql(
+            """(SELECT c_nationkey, c_mktsegment,
+                       CASE WHEN c_acctbal < 0 THEN 'neg'
+                            WHEN c_acctbal < 5000 THEN 'mid'
+                            ELSE 'high' END AS bal_bucket
+                FROM customer)""",
+            ["c_nationkey", "c_mktsegment"],
+            "bal_bucket",
+            l=3,
+        ),
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,

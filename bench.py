@@ -163,6 +163,7 @@ HEADLINE = [
     "r101_semdedup",
     "r102_cluster_silhouette",
     "r103_quality_logreg",
+    "r104_l_diversity",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

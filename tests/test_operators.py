@@ -1272,3 +1272,16 @@ def test_quality_logreg_learns_separable_label(spark):
     assert r["w_stop"] > 0.0  # stopword hits predict English
     assert r["n_correct"] >= 15
     assert r["train_logloss"] > 0.0
+
+
+def test_l_diversity_flags_homogeneous_group(spark):
+    """r104: a large-but-homogeneous quasi group is flagged below l
+    while a diverse group of the same size is not."""
+    from unifydb_spark.operators.quality import l_diversity_report
+
+    rows = [("z1", "a")] * 6 + [("z2", x) for x in "abcdef"]
+    df = spark.createDataFrame(rows, "zone string, diag string")
+    r = l_diversity_report(df, ["zone"], "diag", l=3).collect()[0].asDict()
+    assert r["n_rows"] == 12 and r["n_groups"] == 2
+    assert r["n_below_l"] == 1 and r["rows_at_risk"] == 6
+    assert r["min_l"] == 1 and r["max_homogeneity"] == 1.0

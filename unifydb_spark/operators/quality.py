@@ -1110,3 +1110,85 @@ def quality_logreg_sql(
         FROM feats f, {wN} w
     """
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: "list[str]",
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007, public
+    method) — the companion gate to k_anonymity_report: a
+    quasi-identifier group is l-diverse when it contains at least l
+    DISTINCT values of the sensitive attribute; a group that is large
+    (k-anonymous) but sensitive-homogeneous still leaks. Returns ONE
+    row: (n_rows, n_groups, n_below_l, rows_at_risk, risk_share,
+    min_l, median_l, max_homogeneity) — max_homogeneity is the worst
+    single-value share within any group (1.0 = some group is fully
+    homogeneous), the headline a release review checks first.
+
+    Shape: one combinable groupBy over (quasi, sensitive) — the only
+    pass over raw rows — then two cardinality-sized collapses; the
+    exact median rides the percentile/quantile_cont parity contract."""
+    cell = df.groupBy(
+        *[F.col(c) for c in quasi_cols], F.col(sensitive_col).alias("__s")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    grp = cell.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.sum("c").alias("gsz"),
+        F.count(F.lit(1)).alias("lv"),
+        F.max("c").alias("topc"),
+    )
+    return grp.agg(
+        F.sum("gsz").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum((F.col("lv") < l).cast("long")).cast("bigint").alias(
+            "n_below_l"
+        ),
+        F.sum(F.when(F.col("lv") < l, F.col("gsz")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.round(
+            F.sum(
+                F.when(F.col("lv") < l, F.col("gsz")).otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("gsz"),
+            6,
+        ).alias("risk_share"),
+        F.min("lv").cast("bigint").alias("min_l"),
+        F.round(
+            F.percentile(F.col("lv").cast("double"), F.lit(0.5)), 4
+        ).alias("median_l"),
+        F.round(
+            F.max(F.col("topc").cast("double") / F.col("gsz").cast("double")),
+            6,
+        ).alias("max_homogeneity"),
+    )
+
+
+def l_diversity_report_sql(
+    table: str, quasi_cols: "list[str]", sensitive_col: str, l: int = 3
+) -> str:
+    cols = ", ".join(quasi_cols)
+    return f"""
+        WITH cell AS (
+          SELECT {cols}, {sensitive_col} AS __s, COUNT(*) AS c
+          FROM {table} GROUP BY {cols}, {sensitive_col}
+        ), grp AS (
+          SELECT {cols}, SUM(c) AS gsz, COUNT(*) AS lv, MAX(c) AS topc
+          FROM cell GROUP BY {cols}
+        )
+        SELECT CAST(SUM(gsz) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN lv < {int(l)} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_below_l,
+               CAST(SUM(CASE WHEN lv < {int(l)} THEN gsz ELSE 0 END)
+                    AS BIGINT) AS rows_at_risk,
+               ROUND(CAST(SUM(CASE WHEN lv < {int(l)} THEN gsz ELSE 0 END)
+                     AS DOUBLE) / SUM(gsz), 6) AS risk_share,
+               CAST(MIN(lv) AS BIGINT) AS min_l,
+               ROUND(quantile_cont(CAST(lv AS DOUBLE), 0.5), 4) AS median_l,
+               ROUND(MAX(CAST(topc AS DOUBLE) / CAST(gsz AS DOUBLE)), 6)
+                 AS max_homogeneity
+        FROM grp
+    """
