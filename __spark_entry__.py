@@ -3572,6 +3572,19 @@ def r104_l_diversity(spark, sf_dir):
     )
 
 
+def r105_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap CI for the mean order total (operators/
+    stats.py bootstrap_ci, Chamandy et al. 2012): each row draws its
+    own deterministic md5-derived Poisson(1) weight per replicate, so
+    every replicate mean is one combinable aggregation — the only
+    bootstrap that distributes. 32 replicates; everything after the
+    groupBy(replicate) is R-sized."""
+    from unifydb_spark.operators.stats import bootstrap_ci
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return bootstrap_ci(orders, "o_totalprice", "o_orderkey")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3827,6 +3840,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r102_cluster_silhouette": r102_cluster_silhouette,
         "r103_quality_logreg": r103_quality_logreg,
         "r104_l_diversity": r104_l_diversity,
+        "r105_bootstrap_ci": r105_bootstrap_ci,
     }
 
 
@@ -4611,6 +4625,9 @@ def _operator_oracles() -> dict[str, str]:
             ["c_nationkey", "c_mktsegment"],
             "bal_bucket",
             l=3,
+        ),
+        "r105_bootstrap_ci": _st.bootstrap_ci_sql(
+            "orders", "o_totalprice", "o_orderkey"
         ),
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(

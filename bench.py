@@ -164,6 +164,7 @@ HEADLINE = [
     "r102_cluster_silhouette",
     "r103_quality_logreg",
     "r104_l_diversity",
+    "r105_bootstrap_ci",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

@@ -122,6 +122,10 @@ BNLJ_ALLOWED = {
     # broadcast cross join onto the <= n_buckets-row bucket-count
     # relation — bounded by construction (q61/r17 shape)
     "r100_dsir_weights",
+    # r105: the report is a (1-row full-data mean) x (1-row CI from the
+    # R-sized replicate relation) cross join — bounded by construction
+    # (q71 report shape)
+    "r105_bootstrap_ci",
     # r78: the reference date and the quantile-edge row (1 row each)
     # ride broadcast cross joins onto orders / the customer relation —
     # bounded by construction (r44 trimmed-mean shape)

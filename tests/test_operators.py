@@ -1285,3 +1285,19 @@ def test_l_diversity_flags_homogeneous_group(spark):
     assert r["n_rows"] == 12 and r["n_groups"] == 2
     assert r["n_below_l"] == 1 and r["rows_at_risk"] == 6
     assert r["min_l"] == 1 and r["max_homogeneity"] == 1.0
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    """r105: CI brackets the sample mean for a well-behaved sample,
+    and the deterministic hash weights make reruns identical."""
+    from unifydb_spark.operators.stats import bootstrap_ci
+
+    rows = [(i, float(100 + (i * 37) % 50)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k bigint, v double")
+    r1 = bootstrap_ci(df, "v", "k").collect()[0].asDict()
+    r2 = bootstrap_ci(df, "v", "k").collect()[0].asDict()
+    assert r1 == r2
+    assert r1["n"] == 400 and r1["n_replicates"] == 32
+    assert r1["ci_lo"] <= r1["mean"] <= r1["ci_hi"]
+    # a 95% CI on 400 near-uniform values is tight
+    assert r1["ci_hi"] - r1["ci_lo"] < 10.0

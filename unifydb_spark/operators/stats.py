@@ -2911,3 +2911,149 @@ def mad_outliers_sql(
         FROM dev d JOIN mad m USING (grp)
         GROUP BY d.grp, d.med, m.mad ORDER BY d.grp
     """
+
+
+# Cumulative Poisson(1) probabilities c_k = e^-1 * sum_{i<=k} 1/i!,
+# shared verbatim by the DataFrame op and the SQL oracle so the
+# hash -> weight mapping is bit-identical in both engines.
+_POIS1_CUM = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253,
+)
+
+
+def bootstrap_ci(
+    df: "DataFrame",
+    value_col: str,
+    key_col: str,
+    n_replicates: int = 32,
+    salt: str = "boot",
+    lo_p: float = 0.025,
+    hi_p: float = 0.975,
+) -> "DataFrame":
+    """Poisson-bootstrap confidence interval for the mean (the
+    streaming/scale bootstrap of Chamandy et al. 2012, public method):
+    classical bootstrap resampling needs n draws per replicate from one
+    coordinated sampler — impossible to distribute — but Binomial(n,
+    1/n) -> Poisson(1), so each ROW independently draws its own weight
+    per replicate and every replicate mean is one combinable
+    aggregation. Weights are DETERMINISTIC: u = md5(salt:key:replicate)
+    first-8-hex / 16^8, inverse-CDF'd through the shared _POIS1_CUM
+    thresholds (truncated at 8, P(>8) ~ 1e-5) — reproducible across
+    engines, partitionings and reruns, like every sampler in this repo.
+
+    Returns ONE row: (n bigint, mean, ci_lo, ci_hi, n_replicates) —
+    mean is the full-data DECIMAL-exact mean; ci_lo/ci_hi are the
+    lo_p/hi_p quantiles of the replicate means (percentile /
+    quantile_cont parity contract over an n_replicates-sized
+    relation).
+
+    Scale: one explode to rows x R, one combinable groupBy(replicate)
+    (R partial sums per task), then all remaining relations are
+    R-sized. No collect, no sort over raw rows."""
+    R = int(n_replicates)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"),
+                        F.col("__k").cast("string"),
+                        F.lit(":"),
+                        F.col("__r").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16 ** 8))
+    )
+    w = F.lit(len(_POIS1_CUM))
+    for k in range(len(_POIS1_CUM) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CUM[k]), F.lit(k)).otherwise(w)
+    ex = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(value_col).cast("double").alias("__x"),
+        F.explode(F.sequence(F.lit(1), F.lit(R))).alias("__r"),
+    ).select("__r", "__x", w.alias("__w"))
+    reps = ex.groupBy("__r").agg(
+        (
+            F.sum((F.col("__w").cast("double") * F.col("__x"))
+                  .cast("decimal(30,15)"))
+            .cast("string").cast("double")
+            / F.sum("__w").cast("double")
+        ).alias("rmean")
+    )
+    base = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.col(value_col).cast("double").cast("decimal(30,15)"))
+            .cast("string").cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+    )
+    ci = reps.agg(
+        F.round(
+            F.percentile(F.col("rmean"), F.lit(float(lo_p))), 6
+        ).alias("ci_lo"),
+        F.round(
+            F.percentile(F.col("rmean"), F.lit(float(hi_p))), 6
+        ).alias("ci_hi"),
+    )
+    return base.crossJoin(F.broadcast(ci)).select(
+        "n",
+        F.round("mean", 6).alias("mean"),
+        "ci_lo",
+        "ci_hi",
+        F.lit(R).cast("int").alias("n_replicates"),
+    )
+
+
+def bootstrap_ci_sql(
+    table: str,
+    value_col: str,
+    key_col: str,
+    n_replicates: int = 32,
+    salt: str = "boot",
+    lo_p: float = 0.025,
+    hi_p: float = 0.975,
+) -> str:
+    from unifydb_spark.operators.text import md5_u32_sql
+
+    R = int(n_replicates)
+    u32 = md5_u32_sql(
+        f"CAST({key_col} AS VARCHAR) || ':' || CAST(__r AS VARCHAR)", salt
+    )
+    u = f"(CAST({u32} AS DOUBLE) / {float(16 ** 8)!r})"
+    w = str(len(_POIS1_CUM))
+    for k in range(len(_POIS1_CUM) - 1, -1, -1):
+        w = f"CASE WHEN {u} < {_POIS1_CUM[k]!r} THEN {k} ELSE {w} END"
+    return f"""
+        WITH ex AS MATERIALIZED (
+          SELECT __r, CAST({value_col} AS DOUBLE) AS __x, {w} AS __w
+          FROM {table}, unnest(range(1, {R} + 1)) AS t(__r)
+        ), reps AS (
+          SELECT __r,
+                 CAST(CAST(SUM(CAST(CAST(__w AS DOUBLE) * __x
+                       AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE)
+                   / CAST(SUM(__w) AS DOUBLE) AS rmean
+          FROM ex GROUP BY 1
+        ), base AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(CAST(SUM(CAST(CAST({value_col} AS DOUBLE)
+                       AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) AS mean
+          FROM {table}
+        ), ci AS (
+          SELECT ROUND(quantile_cont(rmean, {float(lo_p)!r}), 6) AS ci_lo,
+                 ROUND(quantile_cont(rmean, {float(hi_p)!r}), 6) AS ci_hi
+          FROM reps
+        )
+        SELECT n, ROUND(mean, 6) AS mean, ci_lo, ci_hi,
+               CAST({R} AS INT) AS n_replicates
+        FROM base, ci
+    """
