@@ -3585,6 +3585,35 @@ def r105_bootstrap_ci(spark, sf_dir):
     return bootstrap_ci(orders, "o_totalprice", "o_orderkey")
 
 
+def r106_target_encoding(spark, sf_dir):
+    """Leakage-free out-of-fold target encoding (operators/stats.py
+    target_encoding): the mean-encoding a row sees excludes its own
+    md5-deterministic fold via the total-minus-own-fold identity —
+    ONE combinable groupBy(category, fold), then category-sized
+    arithmetic; no per-fold rescan, no window over raw rows.
+    Categories: o_orderpriority; target: o_totalprice; fold key:
+    o_custkey (all rows of a customer share a fold — the grouped
+    leakage unit, same argument as r91's temporal split)."""
+    from unifydb_spark.operators.stats import target_encoding
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return target_encoding(
+        orders, "o_orderpriority", "o_totalprice", "o_custkey"
+    ).orderBy("cat", "fold")
+
+
+def r107_cuped_lift(spark, sf_dir):
+    """CUPED variance-reduced A/B lift (operators/stats.py cuped_lift,
+    Deng et al. 2013): calendar-midpoint pre-period value as the
+    covariate, md5-deterministic 50/50 arms, theta = cov/var from
+    DECIMAL-exact per-arm moment sums, adjusted variance via the
+    closed form var(Y - tX) — one pass over raw rows, then 2-row
+    arithmetic."""
+    from unifydb_spark.operators.stats import cuped_lift
+
+    return cuped_lift(_events_ts(spark, sf_dir))
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3841,6 +3870,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r103_quality_logreg": r103_quality_logreg,
         "r104_l_diversity": r104_l_diversity,
         "r105_bootstrap_ci": r105_bootstrap_ci,
+        "r106_target_encoding": r106_target_encoding,
+        "r107_cuped_lift": r107_cuped_lift,
     }
 
 
@@ -4629,6 +4660,10 @@ def _operator_oracles() -> dict[str, str]:
         "r105_bootstrap_ci": _st.bootstrap_ci_sql(
             "orders", "o_totalprice", "o_orderkey"
         ),
+        "r106_target_encoding": _st.target_encoding_sql(
+            "orders", "o_orderpriority", "o_totalprice", "o_custkey"
+        ),
+        "r107_cuped_lift": _st.cuped_lift_sql("events"),
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,

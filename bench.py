@@ -165,6 +165,8 @@ HEADLINE = [
     "r103_quality_logreg",
     "r104_l_diversity",
     "r105_bootstrap_ci",
+    "r106_target_encoding",
+    "r107_cuped_lift",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

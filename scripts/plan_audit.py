@@ -126,6 +126,10 @@ BNLJ_ALLOWED = {
     # R-sized replicate relation) cross join — bounded by construction
     # (q71 report shape)
     "r105_bootstrap_ci",
+    # r107: the day bounds (1 row) broadcast onto raw rows (r56 shape),
+    # and the report is pooled x arm0 x arm1 — three 1-row relations —
+    # bounded by construction
+    "r107_cuped_lift",
     # r78: the reference date and the quantile-edge row (1 row each)
     # ride broadcast cross joins onto orders / the customer relation —
     # bounded by construction (r44 trimmed-mean shape)

@@ -1301,3 +1301,52 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     assert r1["ci_lo"] <= r1["mean"] <= r1["ci_hi"]
     # a 95% CI on 400 near-uniform values is tight
     assert r1["ci_hi"] - r1["ci_lo"] < 10.0
+
+
+def test_target_encoding_excludes_own_fold(spark):
+    """r106: the encoding a fold sees equals the mean over the OTHER
+    folds' rows; a single-fold category gets NULL."""
+    from unifydb_spark.operators.stats import target_encoding
+
+    rows = [(i, "a", float(i % 7)) for i in range(60)]
+    rows += [(1000, "solo", 42.0)]
+    df = spark.createDataFrame(rows, "k bigint, cat string, y double")
+    out = target_encoding(df, "cat", "y", "k", n_folds=3).collect()
+    by = {(r["cat"], r["fold"]): r.asDict() for r in out}
+    # manual oracle for category 'a'
+    import hashlib
+    def fold(k):
+        return int(hashlib.md5(f"fold:{k}".encode()).hexdigest()[:8], 16) % 3
+    sums = {f: [0.0, 0] for f in range(3)}
+    for i in range(60):
+        f = fold(i)
+        sums[f][0] += float(i % 7); sums[f][1] += 1
+    tot, n = sum(s[0] for s in sums.values()), sum(s[1] for s in sums.values())
+    for f in range(3):
+        exp = (tot - sums[f][0]) / (n - sums[f][1])
+        assert abs(by[("a", f)]["enc_oof"] - exp) < 1e-6
+    solo = [r for (c, f), r in by.items() if c == "solo"]
+    assert len(solo) == 1 and solo[0]["enc_oof"] is None
+
+
+def test_cuped_reduces_variance_on_correlated_metric(spark):
+    """r107: when pre and post periods are strongly correlated per
+    user, CUPED reports a large variance reduction and theta near the
+    regression slope."""
+    import datetime
+
+    from unifydb_spark.operators.stats import cuped_lift
+
+    rows = []
+    for u in range(50):
+        base = float(10 + (u * 13) % 40)
+        for d in (1, 2, 3):       # pre period
+            rows.append((u, datetime.datetime(2024, 1, d), base))
+        for d in (20, 21, 22):    # post period: post ~ pre + noise
+            rows.append((u, datetime.datetime(2024, 1, d),
+                         base + float((u * 7) % 5)))
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    r = cuped_lift(df).collect()[0].asDict()
+    assert r["n_units"] == 50
+    assert r["var_reduction_pct"] > 80.0
+    assert 0.5 < r["theta"] < 1.5

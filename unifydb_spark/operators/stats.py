@@ -3057,3 +3057,318 @@ def bootstrap_ci_sql(
                CAST({R} AS INT) AS n_replicates
         FROM base, ci
     """
+
+
+def target_encoding(
+    df: "DataFrame",
+    cat_col: str,
+    target_col: str,
+    key_col: str,
+    n_folds: int = 5,
+    salt: str = "fold",
+) -> "DataFrame":
+    """Leakage-free out-of-fold target encoding (the standard
+    mean-encoding recipe for categorical features, public method —
+    cf. Micci-Barreca 2001 + the K-fold variant every gradient-boosting
+    pipeline uses): the encoding a row sees must exclude its OWN
+    fold's rows, or the feature leaks the label. Folds are
+    deterministic (md5(salt:key) mod n_folds — append-stable, the
+    holdout-split contract); the out-of-fold mean is computed by the
+    total-minus-own-fold identity, so the whole operator is ONE
+    combinable groupBy(category, fold) followed by
+    category-cardinality-sized arithmetic — no per-fold rescan of the
+    raw rows, no window over raw rows.
+
+    Returns (cat, fold, n_in_fold, n_oof, enc_oof): enc_oof =
+    (sum_cat - sum_cat_fold) / (n_cat - n_cat_fold), NULL when the
+    category appears only in that fold (no out-of-fold rows).
+    DECIMAL(30,15) partial sums keep the subtraction exact; one
+    surface rounding."""
+    fold = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"),
+                               F.col(key_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(int(n_folds)),
+    )
+    cell = (
+        df.select(
+            F.col(cat_col).alias("cat"),
+            fold.alias("fold"),
+            F.col(target_col).cast("double").alias("y"),
+        )
+        .groupBy("cat", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("nf"),
+            F.sum(F.col("y").cast("decimal(30,15)")).alias("sf"),
+        )
+    )
+    tot = cell.groupBy(F.col("cat").alias("tcat")).agg(
+        F.sum("nf").alias("nc"), F.sum("sf").alias("sc")
+    )
+    j = cell.join(F.broadcast(tot), F.col("cat") == F.col("tcat"))
+    oof_n = (F.col("nc") - F.col("nf")).cast("bigint")
+    oof_sum = (F.col("sc") - F.col("sf")).cast("string").cast("double")
+    return j.select(
+        "cat",
+        F.col("fold").cast("int").alias("fold"),
+        F.col("nf").cast("bigint").alias("n_in_fold"),
+        oof_n.alias("n_oof"),
+        F.when(
+            oof_n > 0, F.round(oof_sum / oof_n.cast("double"), 6)
+        ).alias("enc_oof"),
+    )
+
+
+def target_encoding_sql(
+    table: str,
+    cat_col: str,
+    target_col: str,
+    key_col: str,
+    n_folds: int = 5,
+    salt: str = "fold",
+) -> str:
+    from unifydb_spark.operators.text import md5_u32_sql
+
+    u32 = md5_u32_sql(key_col, salt)
+    return f"""
+        WITH cell AS (
+          SELECT {cat_col} AS cat, {u32} % {int(n_folds)} AS fold,
+                 COUNT(*) AS nf,
+                 SUM(CAST(CAST({target_col} AS DOUBLE)
+                     AS DECIMAL(30,15))) AS sf
+          FROM {table} GROUP BY 1, 2
+        ), tot AS (
+          SELECT cat, SUM(nf) AS nc, SUM(sf) AS sc FROM cell GROUP BY 1
+        )
+        SELECT c.cat, CAST(c.fold AS INT) AS fold,
+               CAST(c.nf AS BIGINT) AS n_in_fold,
+               CAST(t.nc - c.nf AS BIGINT) AS n_oof,
+               CASE WHEN t.nc - c.nf > 0 THEN
+                 ROUND(CAST(CAST(t.sc - c.sf AS VARCHAR) AS DOUBLE)
+                       / CAST(t.nc - c.nf AS DOUBLE), 6)
+               END AS enc_oof
+        FROM cell c JOIN tot t USING (cat)
+        ORDER BY c.cat, c.fold
+    """
+
+
+def cuped_lift(
+    df: "DataFrame",
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    salt: str = "arm",
+) -> "DataFrame":
+    """CUPED variance-reduced A/B lift (Deng et al. 2013, public
+    method): the pre-period covariate X absorbs between-user variance
+    from the experiment metric Y — Y' = Y - theta * X with theta =
+    cov(X, Y) / var(X) — typically halving the sample needed for the
+    same power. Here the calendar midpoint splits each unit's activity
+    into pre (X = value sum, day <= mid) and post (Y, day > mid), and
+    the arm is a deterministic md5 coin (md5(salt:unit) mod 2 — the
+    hash_sample contract, so assignment is reproducible and
+    append-stable). Returns ONE row: (n_units, theta, var_y, var_yadj,
+    var_reduction_pct, lift_raw, lift_cuped).
+
+    Shape: one pass to per-unit (arm, x, y) — a combinable groupBy
+    with the day bounds riding a 1-row broadcast cross join — then a
+    2-row per-arm moment relation (n, Sx, Sy, Sxy, Sxx, Syy as
+    DECIMAL(30,15) sums); every downstream formula (pooled theta,
+    variances via the closed form var(Y - tX) = var_y - 2t*cov +
+    t^2*var_x, lifts) is identically-ordered double arithmetic over
+    those exact sums — no second pass over raw rows, no collect.
+
+    theta is 0 when var(X) is 0 (identical CASE in both engines)."""
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    bounds = df.agg(
+        F.min(day).alias("mn"), F.max(day).alias("mx")
+    )
+    arm = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"),
+                               F.col(unit_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(2),
+    )
+    mid = F.expr("(mn + mx) DIV 2")
+    per_unit = (
+        df.select(
+            F.col(unit_col).alias("u"),
+            day.alias("d"),
+            F.col(value_col).cast("double").alias("v"),
+            arm.alias("arm"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .groupBy("u", "arm")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("d") <= mid, F.col("v"))
+                    .cast("decimal(30,15)")
+                ).cast("string").cast("double"),
+                F.lit(0.0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("d") > mid, F.col("v"))
+                    .cast("decimal(30,15)")
+                ).cast("string").cast("double"),
+                F.lit(0.0),
+            ).alias("y"),
+        )
+    )
+    dec = "decimal(30,15)"
+    arms = per_unit.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("string").cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("string").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec))
+        .cast("string").cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec))
+        .cast("string").cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec))
+        .cast("string").cast("double").alias("syy"),
+    )
+    pooled = arms.agg(
+        F.sum("n").cast("double").alias("n"),
+        F.sum(F.col("sx").cast(dec)).cast("string").cast("double").alias("sx"),
+        F.sum(F.col("sy").cast(dec)).cast("string").cast("double").alias("sy"),
+        F.sum(F.col("sxy").cast(dec)).cast("string").cast("double")
+        .alias("sxy"),
+        F.sum(F.col("sxx").cast(dec)).cast("string").cast("double")
+        .alias("sxx"),
+        F.sum(F.col("syy").cast(dec)).cast("string").cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    mean_x = F.col("sx") / n
+    mean_y = F.col("sy") / n
+    var_x = F.col("sxx") / n - mean_x * mean_x
+    var_y = F.col("syy") / n - mean_y * mean_y
+    cov = F.col("sxy") / n - mean_x * mean_y
+    theta = F.when(var_x > F.lit(0.0), cov / var_x).otherwise(F.lit(0.0))
+    var_adj = var_y - F.lit(2.0) * theta * cov + theta * theta * var_x
+    g = pooled.select(
+        n.cast("bigint").alias("n_units"),
+        theta.alias("th"),
+        var_y.alias("vy"),
+        var_adj.alias("va"),
+    )
+    a0 = arms.filter(F.col("arm") == 0).select(
+        (F.col("sy") / F.col("n")).alias("my0"),
+        (F.col("sx") / F.col("n")).alias("mx0"),
+    )
+    a1 = arms.filter(F.col("arm") == 1).select(
+        (F.col("sy") / F.col("n")).alias("my1"),
+        (F.col("sx") / F.col("n")).alias("mx1"),
+    )
+    return (
+        g.crossJoin(F.broadcast(a0))
+        .crossJoin(F.broadcast(a1))
+        .select(
+            "n_units",
+            F.round("th", 6).alias("theta"),
+            F.round("vy", 4).alias("var_y"),
+            F.round("va", 4).alias("var_yadj"),
+            F.round(
+                F.when(
+                    F.col("vy") > F.lit(0.0),
+                    F.lit(100.0)
+                    * (F.lit(1.0) - F.col("va") / F.col("vy")),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("var_reduction_pct"),
+            F.round(F.col("my1") - F.col("my0"), 6).alias("lift_raw"),
+            F.round(
+                (F.col("my1") - F.col("my0"))
+                - F.col("th") * (F.col("mx1") - F.col("mx0")),
+                6,
+            ).alias("lift_cuped"),
+        )
+    )
+
+
+def cuped_lift_sql(
+    table: str,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    salt: str = "arm",
+) -> str:
+    from unifydb_spark.operators.text import md5_u32_sql
+
+    u32 = md5_u32_sql(unit_col, salt)
+    d2d = "CAST(CAST(SUM(CAST({e} AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE)"
+    return f"""
+        WITH bounds AS (
+          SELECT MIN(date_diff('day', DATE '1970-01-01',
+                               CAST({ts_col} AS DATE))) AS mn,
+                 MAX(date_diff('day', DATE '1970-01-01',
+                               CAST({ts_col} AS DATE))) AS mx
+          FROM {table}
+        ), per_unit AS (
+          SELECT {unit_col} AS u, {u32} % 2 AS arm,
+                 COALESCE({d2d.format(e=f'''CASE WHEN
+                   date_diff('day', DATE '1970-01-01',
+                             CAST({ts_col} AS DATE)) <= (mn + mx) // 2
+                   THEN CAST({value_col} AS DOUBLE) END''')}, 0.0)
+                   AS x,
+                 COALESCE({d2d.format(e=f'''CASE WHEN
+                   date_diff('day', DATE '1970-01-01',
+                             CAST({ts_col} AS DATE)) > (mn + mx) // 2
+                   THEN CAST({value_col} AS DOUBLE) END''')}, 0.0)
+                   AS y
+          FROM {table}, bounds GROUP BY 1, 2
+        ), arms AS (
+          SELECT arm, COUNT(*) AS n,
+                 {d2d.format(e='x')} AS sx,
+                 {d2d.format(e='y')} AS sy,
+                 {d2d.format(e='x * y')} AS sxy,
+                 {d2d.format(e='x * x')} AS sxx,
+                 {d2d.format(e='y * y')} AS syy
+          FROM per_unit GROUP BY 1
+        ), pooled AS (
+          SELECT CAST(SUM(n) AS DOUBLE) AS n,
+                 {d2d.format(e='sx')} AS sx,
+                 {d2d.format(e='sy')} AS sy,
+                 {d2d.format(e='sxy')} AS sxy,
+                 {d2d.format(e='sxx')} AS sxx,
+                 {d2d.format(e='syy')} AS syy
+          FROM arms
+        ), g AS (
+          SELECT CAST(n AS BIGINT) AS n_units,
+                 CASE WHEN sxx / n - (sx / n) * (sx / n) > 0.0::DOUBLE
+                      THEN (sxy / n - (sx / n) * (sy / n))
+                           / (sxx / n - (sx / n) * (sx / n))
+                      ELSE 0.0::DOUBLE END AS th,
+                 syy / n - (sy / n) * (sy / n) AS vy,
+                 sxy / n - (sx / n) * (sy / n) AS cv,
+                 sxx / n - (sx / n) * (sx / n) AS vx
+          FROM pooled
+        ), a0 AS (
+          SELECT sy / n AS my0, sx / n AS mx0 FROM arms WHERE arm = 0
+        ), a1 AS (
+          SELECT sy / n AS my1, sx / n AS mx1 FROM arms WHERE arm = 1
+        )
+        SELECT n_units, ROUND(th, 6) AS theta, ROUND(vy, 4) AS var_y,
+               ROUND(vy - 2.0::DOUBLE * th * cv + th * th * vx, 4)
+                 AS var_yadj,
+               ROUND(CASE WHEN vy > 0.0::DOUBLE THEN
+                       100.0::DOUBLE
+                       * (1.0::DOUBLE
+                          - (vy - 2.0::DOUBLE * th * cv + th * th * vx)
+                            / vy)
+                     ELSE 0.0::DOUBLE END, 4) AS var_reduction_pct,
+               ROUND(my1 - my0, 6) AS lift_raw,
+               ROUND((my1 - my0) - th * (mx1 - mx0), 6) AS lift_cuped
+        FROM g, a0, a1
+    """
