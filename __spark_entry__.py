@@ -3614,6 +3614,19 @@ def r107_cuped_lift(spark, sf_dir):
     return cuped_lift(_events_ts(spark, sf_dir))
 
 
+def r108_ab_health(spark, sf_dir):
+    """A/B experiment health readout (operators/stats.py ab_health):
+    sample-ratio-mismatch z (the Fabijan et al. check that gates every
+    experiment readout), plus the minimum detectable effect at
+    alpha=.05/80% power with raw vs CUPED-adjusted variance — the
+    'how much sooner can we ship' number. Same md5 arms and midpoint
+    covariate as r107, so all three readouts describe one
+    experiment."""
+    from unifydb_spark.operators.stats import ab_health
+
+    return ab_health(_events_ts(spark, sf_dir))
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3872,6 +3885,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r105_bootstrap_ci": r105_bootstrap_ci,
         "r106_target_encoding": r106_target_encoding,
         "r107_cuped_lift": r107_cuped_lift,
+        "r108_ab_health": r108_ab_health,
     }
 
 
@@ -4664,6 +4678,7 @@ def _operator_oracles() -> dict[str, str]:
             "orders", "o_orderpriority", "o_totalprice", "o_custkey"
         ),
         "r107_cuped_lift": _st.cuped_lift_sql("events"),
+        "r108_ab_health": _st.ab_health_sql("events"),
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,

@@ -167,6 +167,7 @@ HEADLINE = [
     "r105_bootstrap_ci",
     "r106_target_encoding",
     "r107_cuped_lift",
+    "r108_ab_health",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

@@ -130,6 +130,9 @@ BNLJ_ALLOWED = {
     # and the report is pooled x arm0 x arm1 — three 1-row relations —
     # bounded by construction
     "r107_cuped_lift",
+    # r108: same shapes as r107 (bounds onto raw rows; pooled x n0 x n1
+    # 1-row report) — bounded by construction
+    "r108_ab_health",
     # r78: the reference date and the quantile-edge row (1 row each)
     # ride broadcast cross joins onto orders / the customer relation —
     # bounded by construction (r44 trimmed-mean shape)

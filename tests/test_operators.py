@@ -1350,3 +1350,22 @@ def test_cuped_reduces_variance_on_correlated_metric(spark):
     assert r["n_units"] == 50
     assert r["var_reduction_pct"] > 80.0
     assert 0.5 < r["theta"] < 1.5
+
+
+def test_ab_health_srm_and_mde(spark):
+    """r108: balanced md5 arms pass the SRM gate; CUPED MDE <= raw MDE
+    when pre/post correlate; both MDEs positive."""
+    import datetime
+
+    from unifydb_spark.operators.stats import ab_health
+
+    rows = []
+    for u in range(80):
+        base = float(5 + (u * 11) % 30)
+        rows.append((u, datetime.datetime(2024, 3, 1), base))
+        rows.append((u, datetime.datetime(2024, 3, 20), base + float(u % 3)))
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    r = ab_health(df).collect()[0].asDict()
+    assert r["n_arm0"] + r["n_arm1"] == 80
+    assert r["srm_flag"] is False
+    assert 0.0 < r["mde_cuped"] <= r["mde_raw"]

@@ -3372,3 +3372,211 @@ def cuped_lift_sql(
                ROUND((my1 - my0) - th * (mx1 - mx0), 6) AS lift_cuped
         FROM g, a0, a1
     """
+
+
+# z_{alpha/2} for alpha=0.05 and z_beta for 80% power — the standard
+# power-analysis constants, shared verbatim by both engines.
+_Z_ALPHA2 = 1.959963984540054
+_Z_BETA = 0.8416212335729143
+
+
+def ab_health(
+    df: "DataFrame",
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    salt: str = "arm",
+) -> "DataFrame":
+    """A/B experiment health readout (public methods: the SRM check of
+    Fabijan et al. 2019 + classical power analysis + CUPED): the three
+    numbers an experimentation platform shows before anyone reads a
+    lift. Returns ONE row:
+      - n_arm0/n_arm1 and srm_z = (n1 - n0)/sqrt(n0 + n1), srm_flag
+        (|z| > 3 — a sample-ratio mismatch means the assignment or
+        logging is broken and every downstream readout is invalid);
+      - mde_raw: the minimum detectable effect at alpha=.05 / 80%
+        power, (z_a/2 + z_b) * sqrt(2 * var_y / n_min);
+      - mde_cuped: same with CUPED's adjusted variance (r107's closed
+        form) — the "how much sooner can we ship" number.
+
+    Arms and the pre/post covariate reuse the r107 machinery (same
+    md5 coin, same calendar-midpoint split), so srm/power/lift
+    readouts all describe the SAME experiment. One pass to per-unit
+    rows, 2-row moments, scalar arithmetic after."""
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    bounds = df.agg(F.min(day).alias("mn"), F.max(day).alias("mx"))
+    arm = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"),
+                               F.col(unit_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(2),
+    )
+    mid = F.expr("(mn + mx) DIV 2")
+    dec = "decimal(30,15)"
+    per_unit = (
+        df.select(
+            F.col(unit_col).alias("u"),
+            day.alias("d"),
+            F.col(value_col).cast("double").alias("v"),
+            arm.alias("arm"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .groupBy("u", "arm")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("d") <= mid, F.col("v")).cast(dec))
+                .cast("string").cast("double"),
+                F.lit(0.0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("d") > mid, F.col("v")).cast(dec))
+                .cast("string").cast("double"),
+                F.lit(0.0),
+            ).alias("y"),
+        )
+    )
+    arms = per_unit.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("string").cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("string").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec))
+        .cast("string").cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec))
+        .cast("string").cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec))
+        .cast("string").cast("double").alias("syy"),
+    )
+    pooled = arms.agg(
+        F.sum("n").cast("double").alias("n"),
+        F.sum(F.col("sx").cast(dec)).cast("string").cast("double").alias("sx"),
+        F.sum(F.col("sy").cast(dec)).cast("string").cast("double").alias("sy"),
+        F.sum(F.col("sxy").cast(dec)).cast("string").cast("double")
+        .alias("sxy"),
+        F.sum(F.col("sxx").cast(dec)).cast("string").cast("double")
+        .alias("sxx"),
+        F.sum(F.col("syy").cast(dec)).cast("string").cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    mean_x, mean_y = F.col("sx") / n, F.col("sy") / n
+    var_x = F.col("sxx") / n - mean_x * mean_x
+    var_y = F.col("syy") / n - mean_y * mean_y
+    cov = F.col("sxy") / n - mean_x * mean_y
+    theta = F.when(var_x > F.lit(0.0), cov / var_x).otherwise(F.lit(0.0))
+    var_adj = var_y - F.lit(2.0) * theta * cov + theta * theta * var_x
+    g = pooled.select(var_y.alias("vy"), var_adj.alias("va"))
+    n0 = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n0")
+    )
+    n1 = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1")
+    )
+    zc = F.lit(_Z_ALPHA2 + _Z_BETA)
+    nmin = F.least(F.col("n0"), F.col("n1")).cast("double")
+    srm_z = (
+        (F.col("n1") - F.col("n0")).cast("double")
+        / F.sqrt((F.col("n0") + F.col("n1")).cast("double"))
+    )
+    return (
+        g.crossJoin(F.broadcast(n0)).crossJoin(F.broadcast(n1))
+        .select(
+            F.col("n0").cast("bigint").alias("n_arm0"),
+            F.col("n1").cast("bigint").alias("n_arm1"),
+            F.round(srm_z, 6).alias("srm_z"),
+            (F.abs(srm_z) > F.lit(3.0)).alias("srm_flag"),
+            F.round(zc * F.sqrt(F.lit(2.0) * F.col("vy") / nmin), 6)
+            .alias("mde_raw"),
+            F.round(zc * F.sqrt(F.lit(2.0) * F.col("va") / nmin), 6)
+            .alias("mde_cuped"),
+        )
+    )
+
+
+def ab_health_sql(
+    table: str,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    salt: str = "arm",
+) -> str:
+    from unifydb_spark.operators.text import md5_u32_sql
+
+    u32 = md5_u32_sql(unit_col, salt)
+    d2d = "CAST(CAST(SUM(CAST({e} AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE)"
+    zc = repr(_Z_ALPHA2 + _Z_BETA)
+    return f"""
+        WITH bounds AS (
+          SELECT MIN(date_diff('day', DATE '1970-01-01',
+                               CAST({ts_col} AS DATE))) AS mn,
+                 MAX(date_diff('day', DATE '1970-01-01',
+                               CAST({ts_col} AS DATE))) AS mx
+          FROM {table}
+        ), per_unit AS (
+          SELECT {unit_col} AS u, {u32} % 2 AS arm,
+                 COALESCE({d2d.format(e=f'''CASE WHEN
+                   date_diff('day', DATE '1970-01-01',
+                             CAST({ts_col} AS DATE)) <= (mn + mx) // 2
+                   THEN CAST({value_col} AS DOUBLE) END''')}, 0.0)
+                   AS x,
+                 COALESCE({d2d.format(e=f'''CASE WHEN
+                   date_diff('day', DATE '1970-01-01',
+                             CAST({ts_col} AS DATE)) > (mn + mx) // 2
+                   THEN CAST({value_col} AS DOUBLE) END''')}, 0.0)
+                   AS y
+          FROM {table}, bounds GROUP BY 1, 2
+        ), arms AS (
+          SELECT arm, COUNT(*) AS n,
+                 {d2d.format(e='x')} AS sx,
+                 {d2d.format(e='y')} AS sy,
+                 {d2d.format(e='x * y')} AS sxy,
+                 {d2d.format(e='x * x')} AS sxx,
+                 {d2d.format(e='y * y')} AS syy
+          FROM per_unit GROUP BY 1
+        ), pooled AS (
+          SELECT CAST(SUM(n) AS DOUBLE) AS n,
+                 {d2d.format(e='sx')} AS sx, {d2d.format(e='sy')} AS sy,
+                 {d2d.format(e='sxy')} AS sxy, {d2d.format(e='sxx')} AS sxx,
+                 {d2d.format(e='syy')} AS syy
+          FROM arms
+        ), g AS (
+          SELECT syy / n - (sy / n) * (sy / n) AS vy,
+                 (syy / n - (sy / n) * (sy / n))
+                 - 2.0::DOUBLE
+                   * (CASE WHEN sxx / n - (sx / n) * (sx / n) > 0.0::DOUBLE
+                           THEN (sxy / n - (sx / n) * (sy / n))
+                                / (sxx / n - (sx / n) * (sx / n))
+                           ELSE 0.0::DOUBLE END)
+                   * (sxy / n - (sx / n) * (sy / n))
+                 + (CASE WHEN sxx / n - (sx / n) * (sx / n) > 0.0::DOUBLE
+                         THEN (sxy / n - (sx / n) * (sy / n))
+                              / (sxx / n - (sx / n) * (sx / n))
+                         ELSE 0.0::DOUBLE END)
+                   * (CASE WHEN sxx / n - (sx / n) * (sx / n) > 0.0::DOUBLE
+                           THEN (sxy / n - (sx / n) * (sy / n))
+                                / (sxx / n - (sx / n) * (sx / n))
+                           ELSE 0.0::DOUBLE END)
+                   * (sxx / n - (sx / n) * (sx / n)) AS va
+          FROM pooled
+        ), n0 AS (SELECT n AS n0 FROM arms WHERE arm = 0),
+        n1 AS (SELECT n AS n1 FROM arms WHERE arm = 1)
+        SELECT CAST(n0 AS BIGINT) AS n_arm0, CAST(n1 AS BIGINT) AS n_arm1,
+               ROUND(CAST(n1 - n0 AS DOUBLE)
+                     / sqrt(CAST(n0 + n1 AS DOUBLE)), 6) AS srm_z,
+               (ABS(CAST(n1 - n0 AS DOUBLE)
+                    / sqrt(CAST(n0 + n1 AS DOUBLE))) > 3.0::DOUBLE)
+                 AS srm_flag,
+               ROUND({zc}::DOUBLE
+                     * sqrt(2.0::DOUBLE * vy
+                            / CAST(LEAST(n0, n1) AS DOUBLE)), 6)
+                 AS mde_raw,
+               ROUND({zc}::DOUBLE
+                     * sqrt(2.0::DOUBLE * va
+                            / CAST(LEAST(n0, n1) AS DOUBLE)), 6)
+                 AS mde_cuped
+        FROM g, n0, n1
+    """
