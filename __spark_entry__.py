@@ -3627,6 +3627,39 @@ def r108_ab_health(spark, sf_dir):
     return ab_health(_events_ts(spark, sf_dir))
 
 
+def r109_ratio_metric_ci(spark, sf_dir):
+    """Delta-method CI for a ratio-of-sums metric (operators/stats.py
+    ratio_metric_ci, Deng/Knoblich/Lu 2018): purchase revenue per
+    event, with per-user totals as the independence unit — the
+    experimentation-platform treatment of CTR-like metrics, where the
+    naive SE is simply wrong. Two combinable groupBys (unit totals,
+    DECIMAL moments), then scalar arithmetic."""
+    from unifydb_spark.operators.stats import ratio_metric_ci
+
+    ev = _events_ts(spark, sf_dir)
+    return ratio_metric_ci(
+        ev,
+        "user_id",
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(F.lit(0.0)),
+        F.lit(1.0),
+    )
+
+
+def r110_transition_entropy(spark, sf_dir):
+    """Next-event predictability (operators/events.py
+    transition_entropy): conditional entropy H(next|prev) per source
+    state over r36's transition process — deterministic funnels score
+    ~0, anywhere-next hubs ~ln k; perplexity = e^H is the effective
+    branching factor. One lag-window shuffle, then type²-bounded
+    arithmetic."""
+    from unifydb_spark.operators.events import transition_entropy
+
+    return transition_entropy(_events_ts(spark, sf_dir)).orderBy(
+        "from_type"
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3886,6 +3919,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r106_target_encoding": r106_target_encoding,
         "r107_cuped_lift": r107_cuped_lift,
         "r108_ab_health": r108_ab_health,
+        "r109_ratio_metric_ci": r109_ratio_metric_ci,
+        "r110_transition_entropy": r110_transition_entropy,
     }
 
 
@@ -4679,6 +4714,14 @@ def _operator_oracles() -> dict[str, str]:
         ),
         "r107_cuped_lift": _st.cuped_lift_sql("events"),
         "r108_ab_health": _st.ab_health_sql("events"),
+        "r109_ratio_metric_ci": _st.ratio_metric_ci_sql(
+            "events",
+            "user_id",
+            "CASE WHEN event_type = 'purchase' THEN value "
+            "ELSE 0.0 END",
+            "1.0",
+        ),
+        "r110_transition_entropy": _ev.transition_entropy_sql("events"),
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,

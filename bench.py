@@ -168,6 +168,8 @@ HEADLINE = [
     "r106_target_encoding",
     "r107_cuped_lift",
     "r108_ab_health",
+    "r109_ratio_metric_ci",
+    "r110_transition_entropy",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

@@ -133,6 +133,10 @@ BNLJ_ALLOWED = {
     # r108: same shapes as r107 (bounds onto raw rows; pooled x n0 x n1
     # 1-row report) — bounded by construction
     "r108_ab_health",
+    # r110: the grand transition total (1 row) rides a broadcast cross
+    # join onto the types-sized per-state relation — bounded by
+    # construction (q61/r17 shape)
+    "r110_transition_entropy",
     # r78: the reference date and the quantile-edge row (1 row each)
     # ride broadcast cross joins onto orders / the customer relation —
     # bounded by construction (r44 trimmed-mean shape)

@@ -1369,3 +1369,54 @@ def test_ab_health_srm_and_mde(spark):
     assert r["n_arm0"] + r["n_arm1"] == 80
     assert r["srm_flag"] is False
     assert 0.0 < r["mde_cuped"] <= r["mde_raw"]
+
+
+def test_ratio_metric_ci_vs_manual_delta(spark):
+    """r109: the delta-method SE matches a hand computation on a tiny
+    per-unit table, and the ratio is sum/sum (not mean-of-ratios)."""
+    from unifydb_spark.operators.stats import ratio_metric_ci
+
+    rows = [(0, 2.0, 10.0), (1, 6.0, 10.0), (2, 4.0, 20.0)]
+    df = spark.createDataFrame(rows, "u bigint, nu double, de double")
+    r = ratio_metric_ci(
+        df, "u", F.col("nu"), F.col("de")
+    ).collect()[0].asDict()
+    assert r["n_units"] == 3
+    assert abs(r["ratio"] - 12.0 / 40.0) < 1e-9
+    import math
+    n, mn, md, R = 3, 4.0, 40.0 / 3, 0.3
+    vn = ((2-4)**2 + (6-4)**2 + (4-4)**2) / 2
+    vd = sum((x - md)**2 for x in (10.0, 10.0, 20.0)) / 2
+    cov = ((2-4)*(10-md) + (6-4)*(10-md) + (4-4)*(20-md)) / 2
+    se = math.sqrt((vn - 2*R*cov + R*R*vd) / (n * md * md))
+    assert abs(r["se"] - round(se, 6)) < 1e-6
+    assert r["ci_lo"] < r["ratio"] < r["ci_hi"]
+
+
+def test_transition_entropy_funnel_vs_hub(spark):
+    """r110: a deterministic A->B funnel has entropy 0; a uniform
+    2-way hub has entropy ln 2; shares sum to 1."""
+    import datetime
+    import math
+
+    from unifydb_spark.operators.events import transition_entropy
+
+    rows = []
+    eid = 0
+    for u in range(4):  # A always followed by B
+        for i in range(3):
+            rows.append((eid, u, datetime.datetime(2024, 1, 1, u, i * 2), "A")); eid += 1
+            rows.append((eid, u, datetime.datetime(2024, 1, 1, u, i * 2 + 1), "B")); eid += 1
+    # B followed half by A (the next loop) and half by C
+    for u in range(4, 6):
+        rows.append((eid, u, datetime.datetime(2024, 1, 2, u), "H")); eid += 1
+        rows.append((eid, u, datetime.datetime(2024, 1, 2, u, 1), "X")); eid += 1
+        rows.append((eid, u, datetime.datetime(2024, 1, 2, u, 2), "H")); eid += 1
+        rows.append((eid, u, datetime.datetime(2024, 1, 2, u, 3), "Y")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    out = {r["from_type"]: r.asDict() for r in transition_entropy(ev).collect()}
+    assert out["A"]["entropy"] == 0.0 and out["A"]["perplexity"] == 1.0
+    assert abs(out["H"]["entropy"] - round(math.log(2), 6)) < 1e-6
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-3

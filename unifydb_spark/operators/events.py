@@ -2133,3 +2133,109 @@ def day_overlap_sql(
         LEFT JOIN inter i ON i.d = c.d
         ORDER BY c.d
     """
+
+
+def transition_entropy(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Next-event predictability: the conditional entropy H(next |
+    prev = t) of the first-order transition process (r36's matrix),
+    per source state — the behavioral-analytics number that says
+    which states are deterministic funnels (H ~ 0) and which are
+    anywhere-next hubs (H ~ ln k). Returns per from_type:
+    (from_type, n_out, n_next_types, entropy, perplexity, share) —
+    perplexity = e^H is the effective branching factor; share is the
+    state's fraction of all transitions (so the overall conditional
+    entropy is sum(share * entropy), computable from this relation).
+
+    Shape: one hash(key) shuffle for the lag window, a type²-bounded
+    combinable count, then arithmetic on the tiny pair relation.
+    Exactness: each -p*ln(p) term is a mirrored double cast
+    DECIMAL(30,15) (the r17/q45 ln-parity contract); perplexity
+    exponentiates the ALREADY-ROUNDED entropy; share is an integer
+    ratio rounded once."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(seq_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(type_col).alias("to_type"),
+            F.lag(F.col(type_col)).over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("c").alias("ct"))
+    term = (
+        -(F.col("c").cast("double") / F.col("ct").cast("double"))
+        * F.log(F.col("c").cast("double") / F.col("ct").cast("double"))
+    ).cast("decimal(30,15)")
+    per_state = (
+        pairs.join(F.broadcast(tot), "from_type")
+        .groupBy("from_type")
+        .agg(
+            F.max("ct").cast("bigint").alias("n_out"),
+            F.count(F.lit(1)).cast("bigint").alias("n_next_types"),
+            F.round(
+                F.sum(term).cast("string").cast("double"), 6
+            ).alias("entropy"),
+        )
+    )
+    grand = tot.agg(F.sum("ct").alias("gt"))
+    return (
+        per_state.crossJoin(F.broadcast(grand))
+        .select(
+            "from_type",
+            "n_out",
+            "n_next_types",
+            "entropy",
+            F.round(F.exp(F.col("entropy")), 4).alias("perplexity"),
+            F.round(
+                F.col("n_out").cast("double") / F.col("gt").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )
+
+
+def transition_entropy_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> str:
+    return f"""
+        WITH pairs AS (
+          SELECT from_type, to_type, COUNT(*) AS c FROM (
+            SELECT {type_col} AS to_type,
+                   LAG({type_col}) OVER (
+                     PARTITION BY {key_col}
+                     ORDER BY {ts_col} ASC, {seq_col} ASC) AS from_type
+            FROM {table}
+          ) WHERE from_type IS NOT NULL GROUP BY 1, 2
+        ), tot AS (
+          SELECT from_type, SUM(c) AS ct FROM pairs GROUP BY 1
+        ), per_state AS (
+          SELECT p.from_type,
+                 CAST(MAX(t.ct) AS BIGINT) AS n_out,
+                 CAST(COUNT(*) AS BIGINT) AS n_next_types,
+                 ROUND(CAST(CAST(SUM(CAST(
+                   -(CAST(p.c AS DOUBLE) / CAST(t.ct AS DOUBLE))
+                   * LN(CAST(p.c AS DOUBLE) / CAST(t.ct AS DOUBLE))
+                   AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE), 6)
+                   AS entropy
+          FROM pairs p JOIN tot t USING (from_type)
+          GROUP BY 1
+        ), grand AS (SELECT SUM(ct) AS gt FROM tot)
+        SELECT from_type, n_out, n_next_types, entropy,
+               ROUND(EXP(entropy), 4) AS perplexity,
+               ROUND(CAST(n_out AS DOUBLE) / CAST(gt AS DOUBLE), 6)
+                 AS share
+        FROM per_state, grand ORDER BY from_type
+    """

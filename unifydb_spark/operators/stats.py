@@ -3580,3 +3580,122 @@ def ab_health_sql(
                  AS mde_cuped
         FROM g, n0, n1
     """
+
+
+def ratio_metric_ci(
+    df: "DataFrame",
+    unit_col: str,
+    num_expr,
+    den_expr,
+    z: float = 1.959963984540054,
+) -> "DataFrame":
+    """Delta-method CI for a ratio-of-sums metric (the standard
+    experimentation-platform treatment of CTR-like metrics, public
+    method — Deng, Knoblich & Lu 2018): R = sum(num)/sum(den) over
+    per-unit totals is NOT a mean of independent values (units
+    contribute unequal denominators), so the naive SE is wrong; the
+    delta method gives var(R) ~= (v_n - 2R*cov + R^2*v_d) /
+    (n * mean_den^2) from per-unit (num, den) moments. Returns ONE
+    row: (n_units, ratio, se, ci_lo, ci_hi).
+
+    num_expr / den_expr are per-ROW Columns (e.g. a value for one
+    event type, a count indicator); the per-unit totals are one
+    combinable groupBy, the moments a second (DECIMAL(30,15) sums),
+    and everything after is scalar double arithmetic identical in
+    both engines. Sample (n-1) variance/covariance; se is NULL when
+    n < 2 or mean_den == 0 (identical CASE on both sides)."""
+    dec = "decimal(30,15)"
+    per_unit = (
+        df.groupBy(F.col(unit_col).alias("u"))
+        .agg(
+            F.coalesce(
+                F.sum(num_expr.cast("double").cast(dec))
+                .cast("string").cast("double"),
+                F.lit(0.0),
+            ).alias("nu"),
+            F.coalesce(
+                F.sum(den_expr.cast("double").cast(dec))
+                .cast("string").cast("double"),
+                F.lit(0.0),
+            ).alias("de"),
+        )
+    )
+    m = per_unit.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("nu").cast(dec)).cast("string").cast("double")
+        .alias("sn"),
+        F.sum(F.col("de").cast(dec)).cast("string").cast("double")
+        .alias("sd"),
+        F.sum((F.col("nu") * F.col("nu")).cast(dec))
+        .cast("string").cast("double").alias("snn"),
+        F.sum((F.col("de") * F.col("de")).cast(dec))
+        .cast("string").cast("double").alias("sdd"),
+        F.sum((F.col("nu") * F.col("de")).cast(dec))
+        .cast("string").cast("double").alias("snd"),
+    )
+    n = F.col("n")
+    mn, md = F.col("sn") / n, F.col("sd") / n
+    vn = (F.col("snn") - n * mn * mn) / (n - F.lit(1.0))
+    vd = (F.col("sdd") - n * md * md) / (n - F.lit(1.0))
+    cov = (F.col("snd") - n * mn * md) / (n - F.lit(1.0))
+    ratio = F.col("sn") / F.col("sd")
+    var_r = (vn - F.lit(2.0) * ratio * cov + ratio * ratio * vd) / (
+        n * md * md
+    )
+    se = F.when(
+        (n > F.lit(1.0)) & (md != F.lit(0.0)), F.sqrt(var_r)
+    )
+    return m.select(
+        n.cast("bigint").alias("n_units"),
+        F.round(ratio, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(ratio - F.lit(float(z)) * se, 6).alias("ci_lo"),
+        F.round(ratio + F.lit(float(z)) * se, 6).alias("ci_hi"),
+    )
+
+
+def ratio_metric_ci_sql(
+    table: str,
+    unit_col: str,
+    num_sql: str,
+    den_sql: str,
+    z: float = 1.959963984540054,
+) -> str:
+    d2d = "CAST(CAST(SUM(CAST({e} AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE)"
+    return f"""
+        WITH per_unit AS (
+          SELECT {unit_col} AS u,
+                 COALESCE({d2d.format(e=f"CAST({num_sql} AS DOUBLE)")}, 0.0)
+                   AS nu,
+                 COALESCE({d2d.format(e=f"CAST({den_sql} AS DOUBLE)")}, 0.0)
+                   AS de
+          FROM {table} GROUP BY 1
+        ), m AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 {d2d.format(e='nu')} AS sn,
+                 {d2d.format(e='de')} AS sd,
+                 {d2d.format(e='nu * nu')} AS snn,
+                 {d2d.format(e='de * de')} AS sdd,
+                 {d2d.format(e='nu * de')} AS snd
+          FROM per_unit
+        ), g AS (
+          SELECT CAST(n AS BIGINT) AS n_units,
+                 sn / sd AS ratio,
+                 CASE WHEN n > 1.0::DOUBLE AND sd / n != 0.0::DOUBLE THEN
+                   sqrt(
+                     ((snn - n * (sn / n) * (sn / n)) / (n - 1.0::DOUBLE)
+                      - 2.0::DOUBLE * (sn / sd)
+                        * ((snd - n * (sn / n) * (sd / n))
+                           / (n - 1.0::DOUBLE))
+                      + (sn / sd) * (sn / sd)
+                        * ((sdd - n * (sd / n) * (sd / n))
+                           / (n - 1.0::DOUBLE)))
+                     / (n * (sd / n) * (sd / n)))
+                 END AS se
+          FROM m
+        )
+        SELECT n_units, ROUND(ratio, 6) AS ratio, ROUND(se, 6) AS se,
+               ROUND(ratio - {float(z)!r} * se, 6) AS ci_lo,
+               ROUND(ratio + {float(z)!r} * se, 6) AS ci_hi
+        FROM g
+    """
