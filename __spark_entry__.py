@@ -3660,6 +3660,42 @@ def r110_transition_entropy(spark, sf_dir):
     )
 
 
+def r111_heaps_fit(spark, sf_dir):
+    """Heaps'-law fit (operators/text.py heaps_fit): V(N) ~ K * N^beta
+    by OLS on (ln N, ln V) over r51's vocabulary-growth curve — the
+    one-number 'is new data still adding vocabulary' summary. Five
+    DECIMAL sums over the doc-sized curve relation, then mirrored
+    scalar arithmetic."""
+    from unifydb_spark.operators.text import heaps_fit
+
+    return heaps_fit(_docs(spark, sf_dir))
+
+
+def r112_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit (operators/text.py zipf_fit): f(r) ~ C * r^-alpha
+    by OLS on (ln rank, ln count) over the top-1000 token frequencies
+    (distributed TakeOrdered, deterministic count-desc/token-asc
+    ties); alpha spikes on boilerplate-dominated corpora and flattens
+    on encoding noise. The rank window and OLS sums run on the
+    1000-row relation — bounded by construction."""
+    from unifydb_spark.operators.text import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir))
+
+
+def r113_language_confusion(spark, sf_dir):
+    """Language-ID eval (operators/text.py language_confusion): the
+    q20 heuristic scored against the labeled lang column as a
+    confusion matrix with per-class recall — the gate check before
+    trusting the cheap classifier in a filter. langs²-bounded matrix
+    from one combinable groupBy."""
+    from unifydb_spark.operators.text import language_confusion
+
+    return language_confusion(_docs(spark, sf_dir)).orderBy(
+        "actual", "predicted"
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3921,6 +3957,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r108_ab_health": r108_ab_health,
         "r109_ratio_metric_ci": r109_ratio_metric_ci,
         "r110_transition_entropy": r110_transition_entropy,
+        "r111_heaps_fit": r111_heaps_fit,
+        "r112_zipf_fit": r112_zipf_fit,
+        "r113_language_confusion": r113_language_confusion,
     }
 
 
@@ -4722,6 +4761,9 @@ def _operator_oracles() -> dict[str, str]:
             "1.0",
         ),
         "r110_transition_entropy": _ev.transition_entropy_sql("events"),
+        "r111_heaps_fit": _t.heaps_fit_sql("documents"),
+        "r112_zipf_fit": _t.zipf_fit_sql("documents"),
+        "r113_language_confusion": _t.language_confusion_sql("documents"),
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,

@@ -170,6 +170,9 @@ HEADLINE = [
     "r108_ab_health",
     "r109_ratio_metric_ci",
     "r110_transition_entropy",
+    "r111_heaps_fit",
+    "r112_zipf_fit",
+    "r113_language_confusion",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

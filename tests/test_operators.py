@@ -1420,3 +1420,57 @@ def test_transition_entropy_funnel_vs_hub(spark):
     assert out["A"]["entropy"] == 0.0 and out["A"]["perplexity"] == 1.0
     assert abs(out["H"]["entropy"] - round(math.log(2), 6)) < 1e-6
     assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-3
+
+
+def test_heaps_fit_on_synthetic_power_law(spark):
+    """r111: a corpus built to grow vocab as sqrt(N) fits beta ~ 0.5
+    with r2 near 1."""
+    from unifydb_spark.operators.text import heaps_fit
+
+    rows = []
+    tok = 0
+    for d in range(40):
+        words = []
+        # each doc: 20 tokens, of which ~sqrt-growth new tokens
+        new = max(1, int(((d + 1) ** 0.5 - d ** 0.5) * 10))
+        for _ in range(new):
+            words.append(f"w{tok}"); tok += 1
+        while len(words) < 20:
+            words.append("w0")
+        rows.append((d, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    r = heaps_fit(docs).collect()[0].asDict()
+    assert r["n_points"] == 40
+    assert 0.2 < r["beta"] < 0.9 and r["r2"] > 0.9
+
+
+def test_zipf_fit_on_exact_power_law(spark):
+    """r112: frequencies f(r) = round(1000 * r^-1) recover alpha ~ 1."""
+    from unifydb_spark.operators.text import zipf_fit
+
+    words = []
+    for r in range(1, 60):
+        words += [f"t{r:03d}"] * max(1, int(1000 / r))
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id bigint, text string"
+    )
+    out = zipf_fit(docs, top_n=50).collect()[0].asDict()
+    assert out["n_points"] == 50
+    assert 0.9 < out["alpha"] < 1.1 and out["r2"] > 0.98
+
+
+def test_language_confusion_diagonal(spark):
+    """r113: stopword-rich English/Spanish docs land on the diagonal
+    with recall 1.0."""
+    from unifydb_spark.operators.text import language_confusion
+
+    rows = [
+        (0, "the and of to in for on with that", "en"),
+        (1, "the quick brown fox and the dog", "en"),
+        (2, "el la de que y en un por con", "es"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {(r["actual"], r["predicted"]): r.asDict()
+           for r in language_confusion(docs).collect()}
+    assert out[("en", "en")]["n"] == 2 and out[("en", "en")]["recall"] == 1.0
+    assert out[("es", "es")]["n"] == 1

@@ -2638,3 +2638,248 @@ def temperature_mix_sql(
                  AS token_budget
         FROM counts, tot ORDER BY source
     """
+
+
+def heaps_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law fit over the r51 vocabulary-growth curve (public
+    corpus law, Heaps 1978): V(N) ~ K * N^beta, fit by ordinary least
+    squares on (ln N, ln V) over every curve point — beta ~0.4-0.6 for
+    natural text; a corpus whose beta collapses toward 0 is repeating
+    itself (the one-number summary of what r51's curve shows
+    visually). Returns ONE row: (n_points, beta, k, r2).
+
+    Shape: the curve relation is document-cardinality-sized (r51's
+    contract); OLS needs five DECIMAL(30,15) sums over it — one
+    combinable aggregation — then scalar double arithmetic identical
+    in both engines (each ln term is a mirrored double; slope,
+    intercept and R² are the same left-associated formulas)."""
+    dec = "decimal(30,15)"
+    vg = vocab_growth(docs, text_col=text_col, id_col=id_col)
+    pts = vg.filter(
+        (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)
+    ).select(
+        F.log(F.col("cum_tokens").cast("double")).alias("x"),
+        F.log(F.col("cum_vocab").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("string").cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("string").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec))
+        .cast("string").cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec))
+        .cast("string").cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec))
+        .cast("string").cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    dxx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    dxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    beta = dxy / dxx
+    intercept = (F.col("sy") - beta * F.col("sx")) / n
+    r2 = (dxy * dxy) / (dxx * dyy)
+    return m.select(
+        n.cast("bigint").alias("n_points"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp(intercept), 6).alias("k"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def heaps_fit_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    vg = vocab_growth_sql(table, text_col=text_col, id_col=id_col)
+    d2d = "CAST(CAST(SUM(CAST({e} AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE)"
+    return f"""
+        WITH vg AS MATERIALIZED (SELECT * FROM ({vg})),
+        pts AS (
+          SELECT LN(CAST(cum_tokens AS DOUBLE)) AS x,
+                 LN(CAST(cum_vocab AS DOUBLE)) AS y
+          FROM vg WHERE cum_tokens > 0 AND cum_vocab > 0
+        ), m AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 {d2d.format(e='x')} AS sx, {d2d.format(e='y')} AS sy,
+                 {d2d.format(e='x * y')} AS sxy,
+                 {d2d.format(e='x * x')} AS sxx,
+                 {d2d.format(e='y * y')} AS syy
+          FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_points,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+               ROUND(EXP((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                                * sx) / n), 6) AS k,
+               ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                 AS r2
+        FROM m
+    """
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the token frequency spectrum (public corpus
+    law): f(r) ~ C * r^-alpha, fit by OLS on (ln rank, ln count) over
+    the top_n most frequent tokens — alpha ~1 for natural text; a
+    corpus whose alpha spikes is dominated by boilerplate tokens, one
+    that flattens has lost its function-word backbone (encoding
+    noise). Returns ONE row: (n_points, alpha, c, r2).
+
+    Shape: one combinable token count, a distributed TakeOrdered for
+    the top_n (count desc, token asc — deterministic ties), then the
+    rank window and the five OLS DECIMAL sums run on the top_n-sized
+    relation — bounded by construction. alpha is the NEGATED slope."""
+    from pyspark.sql import Window
+
+    from unifydb_spark.operators.dedup import _spread
+
+    dec = "decimal(30,15)"
+    counts = (
+        _spread(docs)
+        .select(F.explode(words_col(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(int(top_n))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    pts = counts.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("string").cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("string").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec))
+        .cast("string").cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec))
+        .cast("string").cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec))
+        .cast("string").cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    dxx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    dxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = dxy / dxx
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = (dxy * dxy) / (dxx * dyy)
+    return m.select(
+        n.cast("bigint").alias("n_points"),
+        F.round(-slope, 6).alias("alpha"),
+        F.round(F.exp(intercept), 6).alias("c"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def zipf_fit_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> str:
+    d2d = "CAST(CAST(SUM(CAST({e} AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE)"
+    return f"""
+        WITH counts AS (
+          SELECT tok, COUNT(*) AS c FROM (
+            SELECT unnest(list_filter(string_split({text_col}, ' '),
+                                      w -> w != '')) AS tok
+            FROM {table}
+          ) GROUP BY 1 ORDER BY c DESC, tok ASC LIMIT {int(top_n)}
+        ), pts AS (
+          SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC)
+                         AS DOUBLE)) AS x,
+                 LN(CAST(c AS DOUBLE)) AS y
+          FROM counts
+        ), m AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 {d2d.format(e='x')} AS sx, {d2d.format(e='y')} AS sy,
+                 {d2d.format(e='x * y')} AS sxy,
+                 {d2d.format(e='x * x')} AS sxx,
+                 {d2d.format(e='y * y')} AS syy
+          FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_points,
+               ROUND(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6)
+                 AS alpha,
+               ROUND(EXP((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                                * sx) / n), 6) AS c,
+               ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                 AS r2
+        FROM m
+    """
+
+
+def language_confusion(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Confusion matrix for the heuristic language ID (q20) against
+    the labeled lang column — the eval that says whether the cheap
+    classifier is good enough to gate on (per-pair counts + recall of
+    the true class). Returns (actual, predicted, n, recall): recall =
+    n / total(actual), so the diagonal rows read directly as
+    per-class recall.
+
+    Shape: the q20 scorer is zero-shuffle per doc; the matrix is one
+    combinable groupBy bounded by langs² rows; recall joins the
+    actual-class totals back onto the matrix (langs-sized)."""
+    pred = language_id(docs, text_col=text_col).select(
+        "doc_id", "predicted_lang"
+    )
+    j = docs.select(
+        "doc_id", F.col(lang_col).alias("actual")
+    ).join(pred, "doc_id")
+    cm = j.groupBy("actual", F.col("predicted_lang").alias("predicted")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cm.groupBy(F.col("actual").alias("a2")).agg(
+        F.sum("n").alias("na")
+    )
+    return (
+        cm.join(F.broadcast(tot), F.col("actual") == F.col("a2"))
+        .select(
+            "actual",
+            "predicted",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.col("na").cast("double"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def language_confusion_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> str:
+    inner = language_id_sql(table, text_col)
+    return f"""
+        WITH pred AS MATERIALIZED (SELECT * FROM ({inner})),
+        cm AS (
+          SELECT d.{lang_col} AS actual, p.predicted_lang AS predicted,
+                 COUNT(*) AS n
+          FROM {table} d JOIN pred p ON d.doc_id = p.doc_id
+          GROUP BY 1, 2
+        ), tot AS (
+          SELECT actual, SUM(n) AS na FROM cm GROUP BY 1
+        )
+        SELECT c.actual, c.predicted, CAST(c.n AS BIGINT) AS n,
+               ROUND(CAST(c.n AS DOUBLE) / CAST(t.na AS DOUBLE), 6)
+                 AS recall
+        FROM cm c JOIN tot t USING (actual)
+        ORDER BY c.actual, c.predicted
+    """
