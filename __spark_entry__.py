@@ -3696,6 +3696,45 @@ def r113_language_confusion(spark, sf_dir):
     )
 
 
+def r114_stream_transitions(spark, sf_dir):
+    """r36's transition matrix as a STATEFUL stream
+    (streaming/stream.py stream_transitions, applyInPandasWithState):
+    state per user is ONE (event_id, type) pair — O(users) regardless
+    of stream length — and each micro-batch emits marginal (from, to)
+    counts whose sum equals the batch lag-window matrix (the
+    streaming==batch pin; the oracle runs the batch form). The
+    behavioral-drift input without replaying history."""
+    import tempfile
+    import uuid
+
+    from unifydb_spark.streaming import read_event_stream, stream_transitions
+
+    name = "tr_" + uuid.uuid4().hex[:8]
+    src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
+    _stage_stream_source(
+        f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet"
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            stream_transitions(read_event_stream(spark, src_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="unifydb_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -3960,6 +3999,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r111_heaps_fit": r111_heaps_fit,
         "r112_zipf_fit": r112_zipf_fit,
         "r113_language_confusion": r113_language_confusion,
+        "r114_stream_transitions": r114_stream_transitions,
     }
 
 
@@ -4764,6 +4804,17 @@ def _operator_oracles() -> dict[str, str]:
         "r111_heaps_fit": _t.heaps_fit_sql("documents"),
         "r112_zipf_fit": _t.zipf_fit_sql("documents"),
         "r113_language_confusion": _t.language_confusion_sql("documents"),
+        "r114_stream_transitions": """
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+              SELECT event_type AS to_type,
+                     LAG(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS from_type
+              FROM events
+            ) WHERE from_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "r78_rfm_segments": _ol.rfm_segments_sql("orders"),
         "r79_kcore": _g.kcore_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,

@@ -173,6 +173,7 @@ HEADLINE = [
     "r111_heaps_fit",
     "r112_zipf_fit",
     "r113_language_confusion",
+    "r114_stream_transitions",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

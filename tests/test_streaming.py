@@ -631,3 +631,51 @@ def test_stream_hll_registers_equal_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_transitions_equals_batch_lag(spark, tmp_path):
+    """r114: summed per-batch transition counts equal the batch
+    lag-window matrix, with state carrying the last event across
+    batches."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = []
+    eid = 0
+    for u in range(6):
+        for i, t in enumerate(["view", "click", "view", "purchase"]):
+            rows.append((eid, u, datetime.datetime(2024, 5, 1, u, i), t))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    src = str(tmp_path / "events.parquet")
+    df.repartition(3).write.parquet(src)
+
+    from unifydb_spark.streaming import stream_transitions
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    name = "tr_test"
+    q = (
+        stream_transitions(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in spark.table(name)
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("cnt").alias("n"))
+        .collect()
+    }
+    assert got[("view", "click")] == 6
+    assert got[("click", "view")] == 6
+    assert got[("view", "purchase")] == 6
+    assert sum(got.values()) == 18

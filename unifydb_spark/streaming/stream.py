@@ -686,3 +686,56 @@ def stream_cms(
         .agg(F.count(F.lit(1)).alias("c"))
         .select(F.col("win.start").alias("window_start"), "row", "slot", "c")
     )
+
+
+_TRANS_STATE = "last_eid bigint, last_type string"
+_TRANS_OUT = "user_id bigint, from_type string, to_type string, cnt bigint"
+
+
+def _transitions_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user transition counter: state = the last event (by ts,
+    event_id order) seen so far; each batch sorts its rows, prepends
+    the carried last event, and emits this batch's (from, to) counts.
+    Summing emitted counts over batches equals the batch lag-window
+    matrix — the streaming==batch pin the oracle asserts."""
+    (user_id,) = key
+    if state.exists:
+        last_eid, last_type = state.get
+    else:
+        last_eid, last_type = -1, None
+    counts: dict = {}
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for eid, etype in zip(pdf["event_id"], pdf["event_type"]):
+            if last_type is not None:
+                k = (last_type, str(etype))
+                counts[k] = counts.get(k, 0) + 1
+            last_eid, last_type = int(eid), str(etype)
+    state.update((last_eid, last_type))
+    if not counts:
+        return
+    yield pd.DataFrame(
+        [(int(user_id), f, t, c) for (f, t), c in sorted(counts.items())],
+        columns=["user_id", "from_type", "to_type", "cnt"],
+    )
+
+
+def stream_transitions(events: DataFrame) -> DataFrame:
+    """r36's first-order transition matrix as a STATEFUL streaming
+    operator: state per user is one (event_id, type) pair — O(users)
+    state regardless of stream length — and each micro-batch emits its
+    marginal (from, to) counts, which downstream sum into the same
+    matrix the batch lag-window computes. The streaming form of the
+    behavioral-drift input: a monitor diffs the per-window matrices
+    (the r56/r69 PSI machinery) without ever replaying history."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _transitions_fn,
+        outputStructType=_TRANS_OUT,
+        stateStructType=_TRANS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
