@@ -3735,6 +3735,31 @@ def r114_stream_transitions(spark, sf_dir):
     )
 
 
+def r115_blocklist_report(spark, sf_dir):
+    """Term-blocklist gate report (operators/quality.py
+    blocklist_report, the RefinedWeb/C4 recipe): per source, docs
+    hitting any blocklisted word (case-insensitive), hit rate, and
+    occurrence totals. Pure Column hit count (zero shuffle per doc) +
+    one combinable source groupBy."""
+    from unifydb_spark.operators.quality import blocklist_report
+
+    return blocklist_report(_docs(spark, sf_dir)).orderBy("source")
+
+
+def r116_negative_samples(spark, sf_dir):
+    """Deterministic contrastive negative sampler (operators/
+    quality.py negative_samples): k hash-drawn negatives per anchor
+    via a dense q91 row-number index — the probe -> negative lookup
+    is ONE equi-join on the index, linear in n*k, never all-pairs;
+    reproducible across engines and reruns (the hash_sample
+    contract)."""
+    from unifydb_spark.operators.quality import negative_samples
+
+    return negative_samples(_docs(spark, sf_dir), k=4).orderBy(
+        "anchor_id", "j"
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4000,6 +4025,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r112_zipf_fit": r112_zipf_fit,
         "r113_language_confusion": r113_language_confusion,
         "r114_stream_transitions": r114_stream_transitions,
+        "r115_blocklist_report": r115_blocklist_report,
+        "r116_negative_samples": r116_negative_samples,
     }
 
 
@@ -4804,6 +4831,10 @@ def _operator_oracles() -> dict[str, str]:
         "r111_heaps_fit": _t.heaps_fit_sql("documents"),
         "r112_zipf_fit": _t.zipf_fit_sql("documents"),
         "r113_language_confusion": _t.language_confusion_sql("documents"),
+        "r115_blocklist_report": _ql.blocklist_report_sql("documents"),
+        "r116_negative_samples": _ql.negative_samples_sql(
+            "documents", k=4
+        ),
         "r114_stream_transitions": """
             SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
             FROM (

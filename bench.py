@@ -174,6 +174,8 @@ HEADLINE = [
     "r112_zipf_fit",
     "r113_language_confusion",
     "r114_stream_transitions",
+    "r115_blocklist_report",
+    "r116_negative_samples",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

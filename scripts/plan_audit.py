@@ -137,6 +137,10 @@ BNLJ_ALLOWED = {
     # join onto the types-sized per-state relation — bounded by
     # construction (q61/r17 shape)
     "r110_transition_entropy",
+    # r116: the corpus row count N (1 row) rides a broadcast cross join
+    # onto the anchor index before the k-probe explode — bounded by
+    # construction (q61/r17 shape)
+    "r116_negative_samples",
     # r78: the reference date and the quantile-edge row (1 row each)
     # ride broadcast cross joins onto orders / the customer relation —
     # bounded by construction (r44 trimmed-mean shape)

@@ -1474,3 +1474,40 @@ def test_language_confusion_diagonal(spark):
            for r in language_confusion(docs).collect()}
     assert out[("en", "en")]["n"] == 2 and out[("en", "en")]["recall"] == 1.0
     assert out[("es", "es")]["n"] == 1
+
+
+def test_blocklist_report_counts_hits(spark):
+    """r115: flagged docs and occurrence totals per source; clean
+    sources report zero."""
+    from unifydb_spark.operators.quality import blocklist_report
+
+    rows = [
+        (0, "win the casino jackpot casino tonight", "bad"),
+        (1, "a perfectly ordinary document", "bad"),
+        (2, "another clean document", "ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r["source"]: r.asDict() for r in blocklist_report(docs).collect()}
+    assert out["bad"]["n_flagged"] == 1 and out["bad"]["total_hits"] == 3
+    assert out["bad"]["flag_rate"] == 0.5
+    assert out["ok"]["n_flagged"] == 0
+
+
+def test_negative_samples_deterministic_no_self(spark):
+    """r116: k negatives per anchor (minus self-draws), never the
+    anchor itself, identical across reruns."""
+    from unifydb_spark.operators.quality import negative_samples
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(30)], "doc_id bigint"
+    )
+    a = negative_samples(docs, k=3).collect()
+    b = negative_samples(docs, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a:
+        assert r["negative_id"] != r["anchor_id"]
+    per_anchor = {}
+    for r in a:
+        per_anchor.setdefault(r["anchor_id"], 0)
+        per_anchor[r["anchor_id"]] += 1
+    assert all(2 <= v <= 3 for v in per_anchor.values())

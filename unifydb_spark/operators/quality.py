@@ -1192,3 +1192,182 @@ def l_diversity_report_sql(
                  AS max_homogeneity
         FROM grp
     """
+
+
+BLOCKLIST_DEFAULT = (
+    "casino", "viagra", "lottery", "jackpot", "porn",
+)
+
+
+def blocklist_report(
+    docs: "DataFrame",
+    terms: "tuple[str, ...]" = BLOCKLIST_DEFAULT,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> "DataFrame":
+    """Blocklist filtering report (the standard term-blocklist gate of
+    RefinedWeb/C4 — public method): per source, how many documents hit
+    any blocklisted term (word-boundary, case-insensitive), the hit
+    rate, and total term occurrences — the number a curation review
+    reads before deciding whether a source needs the expensive
+    classifier pass. Returns (source, n_docs, n_flagged, flag_rate,
+    total_hits).
+
+    Shape: the hit count is a pure Column expression (lowercase split
+    + list filter — zero shuffle per doc), then ONE combinable groupBy
+    over the source dimension. Integer counts; one surface rounding."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    hits = F.size(
+        F.filter(words, lambda w: w.isin([t.lower() for t in terms]))
+    )
+    per_doc = docs.select(
+        F.col(source_col).alias("source"), hits.alias("h")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("h") > 0).cast("long")).cast("bigint")
+            .alias("n_flagged"),
+            F.round(
+                F.sum((F.col("h") > 0).cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("flag_rate"),
+            F.sum("h").cast("bigint").alias("total_hits"),
+        )
+    )
+
+
+def blocklist_report_sql(
+    table: str = "documents",
+    terms: "tuple[str, ...]" = BLOCKLIST_DEFAULT,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    tl = ", ".join(f"'{t.lower()}'" for t in terms)
+    hits = (
+        f"len(list_filter(string_split(lower({text_col}), ' '), "
+        f"w -> w IN ({tl})))"
+    )
+    return f"""
+        WITH per_doc AS (
+          SELECT {source_col} AS source, {hits} AS h FROM {table}
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_flagged,
+               ROUND(CAST(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END)
+                     AS DOUBLE) / COUNT(*), 6) AS flag_rate,
+               CAST(SUM(h) AS BIGINT) AS total_hits
+        FROM per_doc GROUP BY 1 ORDER BY 1
+    """
+
+
+def negative_samples(
+    docs: "DataFrame",
+    k: int = 4,
+    id_col: str = "doc_id",
+    salt: str = "neg",
+) -> "DataFrame":
+    """Deterministic in-batch negative sampling for contrastive
+    training (the standard recipe behind CLIP/DPR-style training data
+    — public method): for each anchor document, k pseudo-random
+    negatives drawn by hashing (anchor, j) into a dense 1..N index —
+    reproducible across engines, partitionings and reruns (the
+    hash_sample contract), with self-draws dropped. Returns
+    (anchor_id, j, negative_id).
+
+    Shape: the dense index is q91's global row number (range-partition
+    offsets — no single-partition sort); N rides a 1-row broadcast
+    cross join; each anchor explodes to k probe rows and the probe ->
+    negative lookup is ONE equi-join on the index. Linear in n*k —
+    never an all-pairs."""
+    from unifydb_spark.operators.layout import global_row_number
+
+    idx = global_row_number(
+        docs.select(F.col(id_col)), [id_col], out_col="ridx"
+    )
+    n_row = idx.agg(F.count(F.lit(1)).alias("nn"))
+    probes = (
+        idx.select(F.col(id_col).alias("anchor_id"),
+                   F.col("ridx").alias("a_idx"))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "anchor_id",
+            "a_idx",
+            "nn",
+            F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("j"),
+        )
+        .select(
+            "anchor_id",
+            "j",
+            (
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{salt}:"),
+                                    F.col("anchor_id").cast("string"),
+                                    F.lit(":"),
+                                    F.col("j").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                    F.col("nn"),
+                )
+                + F.lit(1)
+            ).alias("t_idx"),
+            "a_idx",
+        )
+        .filter(F.col("t_idx") != F.col("a_idx"))
+    )
+    return (
+        probes.join(
+            idx.select(F.col(id_col).alias("negative_id"),
+                       F.col("ridx").alias("t_idx")),
+            "t_idx",
+        )
+        .select("anchor_id", F.col("j").cast("int").alias("j"),
+                "negative_id")
+    )
+
+
+def negative_samples_sql(
+    table: str = "documents",
+    k: int = 4,
+    id_col: str = "doc_id",
+    salt: str = "neg",
+) -> str:
+    from unifydb_spark.operators.text import md5_u32_sql
+
+    u32 = md5_u32_sql(
+        f"CAST(anchor_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)", salt
+    )
+    return f"""
+        WITH idx AS (
+          SELECT {id_col},
+                 ROW_NUMBER() OVER (ORDER BY {id_col}) AS ridx
+          FROM {table}
+        ), n_row AS (SELECT COUNT(*) AS nn FROM idx),
+        probes0 AS (
+          SELECT i.{id_col} AS anchor_id, i.ridx AS a_idx,
+                 n_row.nn AS nn, t.j AS j
+          FROM idx i, n_row, range(1, {int(k)} + 1) AS t(j)
+        ),
+        probes AS (
+          SELECT anchor_id, j, ({u32} % nn) + 1 AS t_idx, a_idx
+          FROM probes0
+        )
+        SELECT p.anchor_id, CAST(p.j AS INT) AS j,
+               i.{id_col} AS negative_id
+        FROM probes p JOIN idx i ON p.t_idx = i.ridx
+        WHERE p.t_idx != p.a_idx
+        ORDER BY p.anchor_id, p.j
+    """
