@@ -3760,6 +3760,18 @@ def r116_negative_samples(spark, sf_dir):
     )
 
 
+def r117_icc_design_effect(spark, sf_dir):
+    """Intraclass correlation + design effect (operators/stats.py
+    icc_design_effect, classical one-way ANOVA): how correlated event
+    values are within a user cluster, and DEFF = 1 + (m-1)*ICC — the
+    'your cluster-randomized experiment needs DEFF times more users'
+    readout that closes the r107-r109 experimentation family. One
+    combinable per-cluster pass, then scalar mirrored arithmetic."""
+    from unifydb_spark.operators.stats import icc_design_effect
+
+    return icc_design_effect(_events_ts(spark, sf_dir), "user_id", "value")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4027,6 +4039,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r114_stream_transitions": r114_stream_transitions,
         "r115_blocklist_report": r115_blocklist_report,
         "r116_negative_samples": r116_negative_samples,
+        "r117_icc_design_effect": r117_icc_design_effect,
     }
 
 
@@ -4834,6 +4847,9 @@ def _operator_oracles() -> dict[str, str]:
         "r115_blocklist_report": _ql.blocklist_report_sql("documents"),
         "r116_negative_samples": _ql.negative_samples_sql(
             "documents", k=4
+        ),
+        "r117_icc_design_effect": _st.icc_design_effect_sql(
+            "events", "user_id", "value"
         ),
         "r114_stream_transitions": """
             SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n

@@ -176,6 +176,7 @@ HEADLINE = [
     "r114_stream_transitions",
     "r115_blocklist_report",
     "r116_negative_samples",
+    "r117_icc_design_effect",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

@@ -1511,3 +1511,21 @@ def test_negative_samples_deterministic_no_self(spark):
         per_anchor.setdefault(r["anchor_id"], 0)
         per_anchor[r["anchor_id"]] += 1
     assert all(2 <= v <= 3 for v in per_anchor.values())
+
+
+def test_icc_design_effect_extremes(spark):
+    """r117: identical-within-cluster values give ICC ~ 1 and
+    DEFF ~ m; within-cluster-noise-only gives ICC 0 and DEFF 1."""
+    from unifydb_spark.operators.stats import icc_design_effect
+
+    tight = [(g, float(g * 10)) for g in range(6) for _ in range(4)]
+    df = spark.createDataFrame(tight, "g bigint, v double")
+    r = icc_design_effect(df, "g", "v").collect()[0].asDict()
+    assert r["n_groups"] == 6 and r["m_bar"] == 4.0
+    assert r["icc"] == 1.0 and abs(r["deff"] - 4.0) < 1e-9
+
+    # same mean everywhere, within-group variation only -> MSB < MSW
+    noisy = [(g, float(i)) for g in range(6) for i in range(4)]
+    df2 = spark.createDataFrame(noisy, "g bigint, v double")
+    r2 = icc_design_effect(df2, "g", "v").collect()[0].asDict()
+    assert r2["icc"] == 0.0 and r2["deff"] == 1.0

@@ -3699,3 +3699,119 @@ def ratio_metric_ci_sql(
                ROUND(ratio + {float(z)!r} * se, 6) AS ci_hi
         FROM g
     """
+
+
+def icc_design_effect(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+) -> "DataFrame":
+    """Intraclass correlation + design effect (classical one-way ANOVA
+    estimator, public method; the experiment-design readout for
+    cluster-randomized metrics): ICC = (MSB - MSW) / (MSB + (m_bar -
+    1) * MSW) with m_bar the average cluster size, and DEFF = 1 +
+    (m_bar - 1) * ICC — how many times more units a cluster-randomized
+    experiment needs than an independent-unit one. Returns ONE row:
+    (n_groups, n_rows, m_bar, msb, msw, icc, deff).
+
+    Shape: one combinable groupBy(group) for per-cluster (n, sum,
+    sumsq) DECIMAL partials, then group-cardinality-sized sums and
+    scalar double arithmetic mirrored across engines. ICC clamps at 0
+    when MSB < MSW (identical CASE both sides); NULL when fewer than
+    2 groups or no within-group df."""
+    dec = "decimal(30,15)"
+    g = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(F.col("v").cast(dec)).alias("s"),
+            F.sum((F.col("v") * F.col("v")).cast(dec)).alias("ss"),
+        )
+    )
+    m = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("m").cast("double").alias("n"),
+        F.sum(F.col("s").cast(dec)).cast("string").cast("double")
+        .alias("st"),
+        F.sum(F.col("ss").cast(dec)).cast("string").cast("double")
+        .alias("sst"),
+        F.sum(
+            (
+                (F.col("s").cast("string").cast("double")
+                 * F.col("s").cast("string").cast("double"))
+                / F.col("m").cast("double")
+            ).cast(dec)
+        ).cast("string").cast("double").alias("sb"),
+    )
+    k, n = F.col("k"), F.col("n")
+    # SSB = sum(s_g^2/m_g) - st^2/n ; SSW = sst - sum(s_g^2/m_g)
+    ssb = F.col("sb") - (F.col("st") * F.col("st")) / n
+    ssw = F.col("sst") - F.col("sb")
+    msb = ssb / (k - F.lit(1.0))
+    msw = ssw / (n - k)
+    mbar = n / k
+    icc_raw = (msb - msw) / (msb + (mbar - F.lit(1.0)) * msw)
+    icc = F.when(
+        (k > F.lit(1.0)) & (n > k),
+        F.when(icc_raw > F.lit(0.0), icc_raw).otherwise(F.lit(0.0)),
+    )
+    return m.select(
+        k.cast("bigint").alias("n_groups"),
+        n.cast("bigint").alias("n_rows"),
+        F.round(mbar, 4).alias("m_bar"),
+        F.round(msb, 6).alias("msb"),
+        F.round(msw, 6).alias("msw"),
+        F.round(icc, 6).alias("icc"),
+        F.round(F.lit(1.0) + (mbar - F.lit(1.0)) * icc, 4).alias("deff"),
+    )
+
+
+def icc_design_effect_sql(
+    table: str, group_col: str, value_col: str
+) -> str:
+    dec = "DECIMAL(30,15)"
+    d2d = f"CAST(CAST(SUM(CAST({{e}} AS {dec})) AS VARCHAR) AS DOUBLE)"
+    return f"""
+        WITH g AS (
+          SELECT {group_col} AS g, COUNT(*) AS m,
+                 SUM(CAST(CAST({value_col} AS DOUBLE) AS {dec})) AS s,
+                 SUM(CAST(CAST({value_col} AS DOUBLE)
+                          * CAST({value_col} AS DOUBLE) AS {dec})) AS ss
+          FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1
+        ), m AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+                 CAST(SUM(m) AS DOUBLE) AS n,
+                 {d2d.format(e='s')} AS st,
+                 {d2d.format(e='ss')} AS sst,
+                 {d2d.format(e=('(CAST(CAST(s AS VARCHAR) AS DOUBLE)'
+                                ' * CAST(CAST(s AS VARCHAR) AS DOUBLE))'
+                                ' / CAST(m AS DOUBLE)'))} AS sb
+          FROM g
+        ), f AS (
+          SELECT k, n, n / k AS mbar,
+                 (sb - (st * st) / n) / (k - 1.0::DOUBLE) AS msb,
+                 (sst - sb) / (n - k) AS msw
+          FROM m
+        ), r AS (
+          SELECT k, n, mbar, msb, msw,
+                 CASE WHEN k > 1.0::DOUBLE AND n > k THEN
+                   CASE WHEN (msb - msw)
+                             / (msb + (mbar - 1.0::DOUBLE) * msw)
+                             > 0.0::DOUBLE
+                        THEN (msb - msw)
+                             / (msb + (mbar - 1.0::DOUBLE) * msw)
+                        ELSE 0.0::DOUBLE END
+                 END AS icc
+          FROM f
+        )
+        SELECT CAST(k AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n_rows,
+               ROUND(mbar, 4) AS m_bar, ROUND(msb, 6) AS msb,
+               ROUND(msw, 6) AS msw, ROUND(icc, 6) AS icc,
+               ROUND(1.0::DOUBLE + (mbar - 1.0::DOUBLE) * icc, 4) AS deff
+        FROM r
+    """
