@@ -3772,6 +3772,19 @@ def r117_icc_design_effect(spark, sf_dir):
     return icc_design_effect(_events_ts(spark, sf_dir), "user_id", "value")
 
 
+def r118_image_stats(spark, sf_dir):
+    """Per-image luminance-distribution quality stats (operators/
+    multimodal.py image_stats): histogram entropy, type-1 p05/p95,
+    contrast, distinct levels — the blank/flat-image screen a
+    multimodal pipeline runs before any embedding model. The codec
+    boundary (REAL PNG decode in mapInPandas) emits only integers;
+    the oracle replays the synthetic pixel formula symbolically
+    (the r19/q83 certification move)."""
+    from unifydb_spark.operators.multimodal import image_stats, synth_images
+
+    return image_stats(synth_images(_docs(spark, sf_dir))).orderBy("doc_id")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4040,6 +4053,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r115_blocklist_report": r115_blocklist_report,
         "r116_negative_samples": r116_negative_samples,
         "r117_icc_design_effect": r117_icc_design_effect,
+        "r118_image_stats": r118_image_stats,
     }
 
 
@@ -4851,6 +4865,7 @@ def _operator_oracles() -> dict[str, str]:
         "r117_icc_design_effect": _st.icc_design_effect_sql(
             "events", "user_id", "value"
         ),
+        "r118_image_stats": _m.image_stats_sql("documents"),
         "r114_stream_transitions": """
             SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
             FROM (

@@ -177,6 +177,7 @@ HEADLINE = [
     "r115_blocklist_report",
     "r116_negative_samples",
     "r117_icc_design_effect",
+    "r118_image_stats",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

@@ -349,3 +349,21 @@ def test_scene_changes_detects_planted_cut(spark):
     assert not out[0]["is_cut"]  # first frame never a cut
     assert out[3]["is_cut"]      # dark -> bright
     assert not any(out[i]["is_cut"] for i in (1, 2, 4, 5))  # tiny deltas
+
+
+def test_image_stats_flat_vs_gradient(spark):
+    """r118: a flat image has entropy 0 / contrast 0; a gradient image
+    has positive entropy and contrast; n_pixels matches w*h."""
+    import numpy as np
+
+    from unifydb_spark.operators.multimodal import image_stats, make_png
+
+    flat = np.full((4, 4, 3), 7, dtype=np.uint8)
+    grad = (np.arange(48, dtype=np.int64) % 256).astype(np.uint8).reshape(4, 4, 3)
+    rows = [(0, bytearray(make_png(flat))), (1, bytearray(make_png(grad)))]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r["doc_id"]: r.asDict() for r in image_stats(df).collect()}
+    assert out[0]["n_pixels"] == 16 and out[0]["n_distinct"] == 1
+    assert out[0]["entropy"] == 0.0 and out[0]["contrast"] == 0
+    assert out[1]["entropy"] > 0.0 and out[1]["contrast"] > 0
+    assert out[1]["p05"] <= out[1]["p95"]

@@ -1117,3 +1117,128 @@ def scene_changes_sql(
                  > {full} * {int(threshold_num)} AS is_cut
         FROM d ORDER BY doc_id, frame_idx
     """
+
+
+def image_gray_hist(image_df: DataFrame) -> DataFrame:
+    """Integer grayscale histogram per image over the REAL decode path
+    (decode_image): grayscale = per-pixel channel sum (0..765, scale-
+    free integers — no float rounding), one (doc_id, gray, cnt) row
+    per occupied level. The Arrow-batched mapInPandas emits ONLY
+    integers; every float statistic is computed downstream in engine
+    expressions, so the codec boundary stays bit-exact."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _c, arr = decode_image(bytes(payload))
+                g = arr.astype(np.int64).sum(axis=2).reshape(-1)
+                vals, cnts = np.unique(g, return_counts=True)
+                for v, c in zip(vals, cnts):
+                    out.append((int(doc_id), int(v), int(c)))
+            yield pd.DataFrame(out, columns=["doc_id", "gray", "cnt"])
+
+    return image_df.mapInPandas(
+        run, schema="doc_id bigint, gray int, cnt bigint"
+    )
+
+
+def image_stats(image_df: DataFrame) -> DataFrame:
+    """Per-image luminance-distribution quality stats — the blank/flat
+    image filter a multimodal pretraining pipeline runs before any
+    embedding model (public recipe: low-entropy or low-contrast
+    screens): entropy of the grayscale histogram, type-1 p05/p95
+    order statistics, contrast = p95 - p05, distinct level count.
+    Returns (doc_id, n_pixels, n_distinct, p05, p95, contrast,
+    entropy).
+
+    Shape: the codec boundary emits only integers (image_gray_hist);
+    the per-doc cumulative window runs over the histogram relation
+    (<= 766 rows per doc, bounded by the gray domain); entropy terms
+    follow the -p ln p DECIMAL(30,15) parity contract. The oracle
+    replays the synthetic pixel formula symbolically, so the REAL
+    PNG decode is hash-verified end to end (the r19/q83 move)."""
+    from pyspark.sql import Window
+
+    hist = image_gray_hist(image_df)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("gray")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("doc_id")
+    h = hist.select(
+        "doc_id",
+        "gray",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(tot).alias("n"),
+    )
+    k05 = F.ceil(F.col("n") * F.lit(5) / F.lit(100))
+    k95 = F.ceil(F.col("n") * F.lit(95) / F.lit(100))
+    term = (
+        -(F.col("cnt").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("cnt").cast("double") / F.col("n").cast("double"))
+    ).cast("decimal(30,15)")
+    return h.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_pixels"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.min(F.when(F.col("cum") >= k05, F.col("gray"))).cast("int")
+        .alias("p05"),
+        F.min(F.when(F.col("cum") >= k95, F.col("gray"))).cast("int")
+        .alias("p95"),
+        (
+            F.min(F.when(F.col("cum") >= k95, F.col("gray")))
+            - F.min(F.when(F.col("cum") >= k05, F.col("gray")))
+        ).cast("int").alias("contrast"),
+        F.round(
+            F.sum(term).cast("string").cast("double"), 6
+        ).alias("entropy"),
+    )
+
+
+def image_stats_sql(
+    table: str = "documents", width: int = 8, height: int = 6
+) -> str:
+    """Oracle: replay synth_images' pixel formula symbolically —
+    gray(p) = sum_c (doc_id*5 + (3p + c)*11) % 256 — then the same
+    histogram/window/entropy arithmetic."""
+    npix = width * height
+    g = (
+        "((doc_id * 5 + (3 * p) * 11) % 256"
+        " + (doc_id * 5 + (3 * p + 1) * 11) % 256"
+        " + (doc_id * 5 + (3 * p + 2) * 11) % 256)"
+    )
+    return f"""
+        WITH px AS (
+          SELECT doc_id, {g} AS gray
+          FROM (SELECT doc_id FROM {table}),
+               range(0, {npix}) AS t(p)
+        ), hist AS (
+          SELECT doc_id, CAST(gray AS INT) AS gray, COUNT(*) AS cnt
+          FROM px GROUP BY 1, 2
+        ), h AS (
+          SELECT doc_id, gray, cnt,
+                 SUM(cnt) OVER (PARTITION BY doc_id ORDER BY gray
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(cnt) OVER (PARTITION BY doc_id) AS n
+          FROM hist
+        )
+        SELECT doc_id,
+               CAST(MAX(n) AS BIGINT) AS n_pixels,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MIN(CASE WHEN cum >= CEIL(n * 5 / 100)
+                             THEN gray END) AS INT) AS p05,
+               CAST(MIN(CASE WHEN cum >= CEIL(n * 95 / 100)
+                             THEN gray END) AS INT) AS p95,
+               CAST(MIN(CASE WHEN cum >= CEIL(n * 95 / 100) THEN gray END)
+                    - MIN(CASE WHEN cum >= CEIL(n * 5 / 100) THEN gray END)
+                 AS INT) AS contrast,
+               ROUND(CAST(CAST(SUM(CAST(
+                 -(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                 * LN(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                 AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE), 6) AS entropy
+        FROM h GROUP BY doc_id ORDER BY doc_id
+    """
