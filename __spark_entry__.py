@@ -3785,6 +3785,20 @@ def r118_image_stats(spark, sf_dir):
     return image_stats(synth_images(_docs(spark, sf_dir))).orderBy("doc_id")
 
 
+def r119_exp_smoothing(spark, sf_dir):
+    """Exponential smoothing over the per-type daily series
+    (operators/events.py exp_smoothing): the recursion s_t = a*x_t +
+    (1-a)*s_{t-1} computed by its CLOSED FORM — weights are
+    exp(k*ln(1-a)) under the exp/ln parity contract, terms are
+    DECIMAL-summed, the day-pair self-join is calendar²-bounded — so
+    a data-dependent recursion needs no unrolled oracle at all."""
+    from unifydb_spark.operators.events import exp_smoothing
+
+    return exp_smoothing(_events_ts(spark, sf_dir)).orderBy(
+        "event_type", "day"
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4054,6 +4068,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r116_negative_samples": r116_negative_samples,
         "r117_icc_design_effect": r117_icc_design_effect,
         "r118_image_stats": r118_image_stats,
+        "r119_exp_smoothing": r119_exp_smoothing,
     }
 
 
@@ -4866,6 +4881,7 @@ def _operator_oracles() -> dict[str, str]:
             "events", "user_id", "value"
         ),
         "r118_image_stats": _m.image_stats_sql("documents"),
+        "r119_exp_smoothing": _ev.exp_smoothing_sql("events"),
         "r114_stream_transitions": """
             SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
             FROM (

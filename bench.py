@@ -178,6 +178,7 @@ HEADLINE = [
     "r116_negative_samples",
     "r117_icc_design_effect",
     "r118_image_stats",
+    "r119_exp_smoothing",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

@@ -453,3 +453,31 @@ def test_survival_curve_km_semantics(spark):
     )
     rows2 = {r["duration"]: r["survival"] for r in survival_curve(allc).collect()}
     assert rows2[2.0] == 0.0 and rows2[1.0] == 0.4
+
+
+def test_exp_smoothing_matches_recursion(spark):
+    """r119: the closed form equals the textbook recursion s_t =
+    a*x_t + (1-a)*s_{t-1} with s_0 = x_0."""
+    import datetime
+
+    from unifydb_spark.operators.events import exp_smoothing
+
+    xs = [10.0, 20.0, 5.0, 40.0, 15.0]
+    rows = [
+        (i, 1, datetime.datetime(2024, 6, 1 + i), "m", x)
+        for i, x in enumerate(xs)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double",
+    )
+    out = {r["day"]: r["level"]
+           for r in exp_smoothing(ev, alpha=0.3).collect()}
+    a, s = 0.3, xs[0]
+    exp = {f"2024-06-0{1}": round(s, 6)}
+    for i, x in enumerate(xs[1:], start=1):
+        s = a * x + (1 - a) * s
+        exp[f"2024-06-0{1 + i}"] = round(s, 6)
+    for day, lv in exp.items():
+        assert abs(out[day] - lv) < 1e-5, (day, out[day], lv)

@@ -2239,3 +2239,114 @@ def transition_entropy_sql(
                  AS share
         FROM per_state, grand ORDER BY from_type
     """
+
+
+def exp_smoothing(
+    events: DataFrame,
+    alpha: float = 0.3,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Simple exponential smoothing over the per-type daily value
+    series (classical forecasting, public method): s_t = a*x_t +
+    (1-a)*s_{t-1} with s_0 = x_0 — the baseline every anomaly/forecast
+    comparison starts from. The recursion is data-dependent, so it is
+    computed by its CLOSED FORM instead: s_t = sum_i w(t,i)*x_i with
+    w(t,0) = (1-a)^t and w(t,i>=1) = a*(1-a)^(t-i) — each weight is
+    exp(k * ln(1-a)) (the exp/ln parity contract, NO pow), each term a
+    mirrored double cast DECIMAL(30,15), so the sum is
+    order-independent and engine-identical with no unrolling. Returns
+    (event_type, day, x, level) where level is the smoothed value.
+
+    Shape: one combinable daily collapse, then a per-type (i <= t)
+    day-pair self-join — calendar²-bounded (the r25/r57 day-spine
+    contract), never touching raw rows twice."""
+    from pyspark.sql import Window
+
+    a = float(alpha)
+    ln1a = F.lit(1.0) - F.lit(a)
+    daily = (
+        events.groupBy(
+            F.col(type_col).alias("t"),
+            F.to_date(F.col(ts_col)).alias("day"),
+        )
+        .agg(
+            F.sum(F.col(value_col).cast("double").cast("decimal(30,15)"))
+            .cast("string").cast("double").alias("x")
+        )
+    )
+    wseq = Window.partitionBy("t").orderBy("day")
+    idx = daily.select(
+        "t", "day", "x",
+        (F.row_number().over(wseq) - 1).alias("i"),
+    )
+    l = idx.select(
+        F.col("t").alias("lt"), F.col("i").alias("li"), F.col("x").alias("lx")
+    )
+    r = idx.select("t", "day", F.col("i").alias("ti"))
+    k = (F.col("ti") - F.col("li")).cast("double")
+    w = F.when(
+        F.col("li") == 0, F.exp(k * F.log(ln1a))
+    ).otherwise(F.lit(a) * F.exp(k * F.log(ln1a)))
+    pairs = (
+        r.join(l, (F.col("lt") == F.col("t")) & (F.col("li") <= F.col("ti")))
+        .select(
+            "t", "day", "ti",
+            (F.col("lx") * w).cast("decimal(30,15)").alias("term"),
+        )
+    )
+    out = pairs.groupBy("t", "day").agg(
+        F.round(
+            F.sum("term").cast("string").cast("double"), 6
+        ).alias("level")
+    )
+    return (
+        out.join(idx.select("t", "day", "x"), ["t", "day"])
+        .select(
+            F.col("t").alias(type_col),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("x", 6).alias("x"),
+            "level",
+        )
+    )
+
+
+def exp_smoothing_sql(
+    table: str = "events",
+    alpha: float = 0.3,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    a = float(alpha)
+    return f"""
+        WITH daily AS (
+          SELECT {type_col} AS t, CAST({ts_col} AS DATE) AS day,
+                 CAST(CAST(SUM(CAST(CAST({value_col} AS DOUBLE)
+                       AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE) AS x
+          FROM {table} GROUP BY 1, 2
+        ), idx AS (
+          SELECT t, day, x,
+                 ROW_NUMBER() OVER (PARTITION BY t ORDER BY day) - 1 AS i
+          FROM daily
+        ), pairs AS (
+          SELECT r.t, r.day, r.i AS ti,
+                 CAST(l.x * (CASE WHEN l.i = 0
+                   THEN EXP(CAST(r.i - l.i AS DOUBLE)
+                            * LN(1.0::DOUBLE - {a!r}))
+                   ELSE {a!r} * EXP(CAST(r.i - l.i AS DOUBLE)
+                                    * LN(1.0::DOUBLE - {a!r})) END)
+                   AS DECIMAL(30,15)) AS term
+          FROM idx r JOIN idx l ON l.t = r.t AND l.i <= r.i
+        ), lvl AS (
+          SELECT t, day,
+                 ROUND(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE), 6)
+                   AS level
+          FROM pairs GROUP BY 1, 2
+        )
+        SELECT i.t AS {type_col}, strftime(i.day, '%Y-%m-%d') AS day,
+               ROUND(i.x, 6) AS x, lvl.level
+        FROM idx i JOIN lvl ON lvl.t = i.t AND lvl.day = i.day
+        ORDER BY 1, 2
+    """
