@@ -3799,6 +3799,17 @@ def r119_exp_smoothing(spark, sf_dir):
     )
 
 
+def r120_readability(spark, sf_dir):
+    """Flesch reading-ease + Flesch-Kincaid grade per doc (operators/
+    quality.py readability_report): the classic text-difficulty
+    features (words/sentence, vowel-group syllable heuristic) as pure
+    Column regexp counts — zero shuffle, zero explode; scores are
+    mirrored left-associated double formulas."""
+    from unifydb_spark.operators.quality import readability_report
+
+    return readability_report(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4069,6 +4080,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r117_icc_design_effect": r117_icc_design_effect,
         "r118_image_stats": r118_image_stats,
         "r119_exp_smoothing": r119_exp_smoothing,
+        "r120_readability": r120_readability,
     }
 
 
@@ -4882,6 +4894,7 @@ def _operator_oracles() -> dict[str, str]:
         ),
         "r118_image_stats": _m.image_stats_sql("documents"),
         "r119_exp_smoothing": _ev.exp_smoothing_sql("events"),
+        "r120_readability": _ql.readability_report_sql("documents"),
         "r114_stream_transitions": """
             SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
             FROM (

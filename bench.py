@@ -179,6 +179,7 @@ HEADLINE = [
     "r117_icc_design_effect",
     "r118_image_stats",
     "r119_exp_smoothing",
+    "r120_readability",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

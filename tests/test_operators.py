@@ -1529,3 +1529,21 @@ def test_icc_design_effect_extremes(spark):
     df2 = spark.createDataFrame(noisy, "g bigint, v double")
     r2 = icc_design_effect(df2, "g", "v").collect()[0].asDict()
     assert r2["icc"] == 0.0 and r2["deff"] == 1.0
+
+
+def test_readability_simple_vs_complex(spark):
+    """r120: short simple sentences score higher reading ease than
+    polysyllabic run-ons; wordless doc gets NULL scores."""
+    from unifydb_spark.operators.quality import readability_report
+
+    simple = "the cat sat. the dog ran. we go now."
+    complx = ("extraordinarily sophisticated considerations regarding "
+              "multidimensional organizational infrastructures "
+              "necessitate comprehensive reevaluation")
+    rows = [(0, simple), (1, complx), (2, "")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict() for r in readability_report(docs).collect()}
+    assert out[0]["n_sentences"] == 3
+    assert out[0]["fre"] > out[1]["fre"]
+    assert out[1]["fk_grade"] > out[0]["fk_grade"]
+    assert out[2]["fre"] is None and out[2]["fk_grade"] is None

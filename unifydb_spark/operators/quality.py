@@ -1371,3 +1371,96 @@ def negative_samples_sql(
         WHERE p.t_idx != p.a_idx
         ORDER BY p.anchor_id, p.j
     """
+
+
+def readability_report(
+    docs: "DataFrame",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Flesch readability battery (public formulas, Flesch 1948 /
+    Kincaid 1975) — the classic text-difficulty features quality
+    classifiers lean on: words per sentence, syllables per word
+    (approximated by vowel-group counting — the standard heuristic),
+    Flesch reading-ease 206.835 - 1.015*(W/S) - 84.6*(Sy/W) and the
+    Flesch-Kincaid grade 0.39*(W/S) + 11.8*(Sy/W) - 15.59. Returns
+    per doc: (doc_id, n_sentences, n_words, n_syllables, fre, fk_grade)
+    — NULL scores for wordless docs (identical CASE both engines).
+
+    Shape: every count is a pure Column expression (regexp counts and
+    length differences — zero shuffle, zero explode); the two scores
+    are the same left-associated double formulas in both engines with
+    one surface rounding. Sentences = periods/!/? runs + 1 clamp;
+    syllable groups = runs of [aeiouy], min 1 per word."""
+    t = F.lower(F.col(text_col))
+    n_words = F.size(
+        F.filter(F.split(t, " "), lambda w: w != F.lit(""))
+    ).cast("bigint")
+    n_sent = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.regexp_count(t, F.lit(r"[.!?]+")).cast("bigint"),
+    )
+    # vowel-group count per doc; every word contributes >= 1 syllable:
+    # syllables = max(vowel_groups, 1) per word ~ vowel groups overall
+    # + the number of vowel-less words
+    vgroups = F.regexp_count(t, F.lit(r"[aeiouy]+")).cast("bigint")
+    novowel = F.size(
+        F.filter(
+            F.split(t, " "),
+            lambda w: (w != F.lit("")) & ~w.rlike("[aeiouy]"),
+        )
+    ).cast("bigint")
+    n_syll = vgroups + novowel
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syll.cast("double") / n_words.cast("double")
+    fre = (
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    )
+    fk = (
+        F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    )
+    has = n_words > 0
+    return docs.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+        F.when(has, F.round(fre, 4)).alias("fre"),
+        F.when(has, F.round(fk, 4)).alias("fk_grade"),
+    )
+
+
+def readability_report_sql(
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    t = f"lower({text_col})"
+    words = f"list_filter(string_split({t}, ' '), w -> w != '')"
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 GREATEST(1, CAST(len(regexp_extract_all({t}, '[.!?]+'))
+                               AS BIGINT)) AS n_sentences,
+                 CAST(len({words}) AS BIGINT) AS n_words,
+                 CAST(len(regexp_extract_all({t}, '[aeiouy]+')) AS BIGINT)
+                 + CAST(len(list_filter({words},
+                     w -> NOT regexp_matches(w, '[aeiouy]')))
+                   AS BIGINT) AS n_syllables
+          FROM {table}
+        )
+        SELECT doc_id, n_sentences, n_words, n_syllables,
+               CASE WHEN n_words > 0 THEN
+                 ROUND(206.835::DOUBLE
+                       - 1.015::DOUBLE * (CAST(n_words AS DOUBLE)
+                                          / CAST(n_sentences AS DOUBLE))
+                       - 84.6::DOUBLE * (CAST(n_syllables AS DOUBLE)
+                                         / CAST(n_words AS DOUBLE)), 4)
+               END AS fre,
+               CASE WHEN n_words > 0 THEN
+                 ROUND(0.39::DOUBLE * (CAST(n_words AS DOUBLE)
+                                       / CAST(n_sentences AS DOUBLE))
+                       + 11.8::DOUBLE * (CAST(n_syllables AS DOUBLE)
+                                         / CAST(n_words AS DOUBLE))
+                       - 15.59::DOUBLE, 4)
+               END AS fk_grade
+        FROM c ORDER BY doc_id
+    """
