@@ -3810,6 +3810,39 @@ def r120_readability(spark, sf_dir):
     return readability_report(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def r121_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (operators/graph.py degree_assortativity,
+    Newman 2002) of the user<->event-type bipartite graph (r79's edge
+    list): Pearson correlation of endpoint degrees over symmetrized
+    edges — strongly negative here by construction (users link to few
+    hub types), the structural fingerprint a graph monitor tracks.
+    One degree groupBy + two equi-joins + DECIMAL moments."""
+    from pyspark.sql import Window
+
+    from unifydb_spark.operators.graph import degree_assortativity
+
+    ev = _events_ts(spark, sf_dir)
+    types = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "tnode",
+            F.row_number().over(Window.orderBy("event_type"))
+            + F.lit(20_000_000),
+        )
+    )
+    edges = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .join(F.broadcast(types), "event_type")
+        .select(
+            F.col("user_id").cast("long").alias("src"),
+            F.col("tnode").cast("long").alias("dst"),
+        )
+    )
+    return degree_assortativity(edges)
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4081,6 +4114,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r118_image_stats": r118_image_stats,
         "r119_exp_smoothing": r119_exp_smoothing,
         "r120_readability": r120_readability,
+        "r121_degree_assortativity": r121_degree_assortativity,
     }
 
 
@@ -4895,6 +4929,16 @@ def _operator_oracles() -> dict[str, str]:
         "r118_image_stats": _m.image_stats_sql("documents"),
         "r119_exp_smoothing": _ev.exp_smoothing_sql("events"),
         "r120_readability": _ql.readability_report_sql("documents"),
+        "r121_degree_assortativity": _g.degree_assortativity_sql(
+            """SELECT CAST(user_id AS BIGINT) AS src,
+                      CAST(tnode AS BIGINT) AS dst
+               FROM (SELECT DISTINCT user_id, event_type FROM events) ue
+               JOIN (SELECT event_type,
+                            20000000 + ROW_NUMBER() OVER (ORDER BY event_type)
+                              AS tnode
+                     FROM (SELECT DISTINCT event_type FROM events)) t
+                 USING (event_type)"""
+        ),
         "r114_stream_transitions": """
             SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
             FROM (

@@ -180,6 +180,7 @@ HEADLINE = [
     "r118_image_stats",
     "r119_exp_smoothing",
     "r120_readability",
+    "r121_degree_assortativity",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

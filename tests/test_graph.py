@@ -217,3 +217,19 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
     assert {r["component"] for r in rows} == {0}
     steps = instrument.counters.get("cc_supersteps", 99)
     assert steps <= 15, f"chain of {n} took {steps} supersteps"
+
+
+def test_degree_assortativity_star_vs_clique(spark):
+    """r121: a star is maximally disassortative (r = -1); a clique is
+    regular (zero variance -> NULL r)."""
+    from unifydb_spark.operators.graph import degree_assortativity
+
+    star = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(star, "src bigint, dst bigint")
+    r = degree_assortativity(df).collect()[0].asDict()
+    assert r["n_edges"] == 5 and r["r"] == -1.0
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df2 = spark.createDataFrame(clique, "src bigint, dst bigint")
+    r2 = degree_assortativity(df2).collect()[0].asDict()
+    assert r2["n_edges"] == 6 and r2["r"] is None

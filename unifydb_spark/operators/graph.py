@@ -565,3 +565,87 @@ def kcore_sql(edges_cte: str, k: int = 2, max_rounds: int = 20) -> str:
         + f" SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg"
         f" FROM {last} GROUP BY 1 HAVING COUNT(*) >= {kk} ORDER BY 1"
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, public method):
+    the Pearson correlation of endpoint degrees over edges — positive
+    when hubs link to hubs (social cores), negative when hubs link to
+    leaves (star/bipartite shapes). The one-number structural
+    fingerprint monitors track next to the degree distribution.
+    Input: undirected edge list (src, dst), one row per edge. Returns
+    ONE row: (n_edges, mean_deg_end, r).
+
+    Closed form over edge-endpoint degrees (each edge counted in both
+    directions, the standard symmetrization): with j,k the endpoint
+    degrees over directed edge copies, r = [S_jk/M - (S_j/M)^2] /
+    [S_jj/M - (S_j/M)^2]. Shape: one degree groupBy, two equi-joins
+    of degrees onto edges, DECIMAL(30,15) moment sums, scalar double
+    arithmetic mirrored across engines. NULL when the variance is 0
+    (regular graph), identical CASE both sides."""
+    dec = "decimal(30,15)"
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    j = (
+        und.join(deg.select(F.col("node").alias("src"),
+                            F.col("d").alias("dj")), "src")
+        .join(deg.select(F.col("node").alias("dst"),
+                         F.col("d").alias("dk")), "dst")
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum(F.col("dj").cast(dec)).cast("string").cast("double")
+        .alias("sj"),
+        F.sum((F.col("dj") * F.col("dk")).cast(dec))
+        .cast("string").cast("double").alias("sjk"),
+        F.sum((F.col("dj") * F.col("dj")).cast(dec))
+        .cast("string").cast("double").alias("sjj"),
+    )
+    mm = F.col("m")
+    mu = F.col("sj") / mm
+    num = F.col("sjk") / mm - mu * mu
+    den = F.col("sjj") / mm - mu * mu
+    return m.select(
+        (mm / F.lit(2.0)).cast("bigint").alias("n_edges"),
+        F.round(mu, 6).alias("mean_deg_end"),
+        F.round(
+            F.when(den > F.lit(0.0), num / den), 6
+        ).alias("r"),
+    )
+
+
+def degree_assortativity_sql(edges_cte: str) -> str:
+    dec = "DECIMAL(30,15)"
+    return f"""
+        WITH e AS ({edges_cte}),
+        und AS (
+          SELECT src, dst FROM e
+          UNION ALL SELECT dst AS src, src AS dst FROM e
+        ), deg AS (
+          SELECT src AS node, COUNT(*) AS d FROM und GROUP BY 1
+        ), j AS (
+          SELECT u.src, u.dst, a.d AS dj, b.d AS dk
+          FROM und u JOIN deg a ON u.src = a.node
+                     JOIN deg b ON u.dst = b.node
+        ), m AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+                 CAST(CAST(SUM(CAST(dj AS {dec})) AS VARCHAR) AS DOUBLE)
+                   AS sj,
+                 CAST(CAST(SUM(CAST(dj * dk AS {dec})) AS VARCHAR)
+                   AS DOUBLE) AS sjk,
+                 CAST(CAST(SUM(CAST(dj * dj AS {dec})) AS VARCHAR)
+                   AS DOUBLE) AS sjj
+          FROM j
+        )
+        SELECT CAST(m / 2.0::DOUBLE AS BIGINT) AS n_edges,
+               ROUND(sj / m, 6) AS mean_deg_end,
+               ROUND(CASE WHEN sjj / m - (sj / m) * (sj / m) > 0.0::DOUBLE
+                          THEN (sjk / m - (sj / m) * (sj / m))
+                               / (sjj / m - (sj / m) * (sj / m))
+                     END, 6) AS r
+        FROM m
+    """
