@@ -3843,6 +3843,39 @@ def r121_degree_assortativity(spark, sf_dir):
     return degree_assortativity(edges)
 
 
+def r122_hits(spark, sf_dir):
+    """HITS hubs & authorities (operators/graph.py hits_scores,
+    Kleinberg 1999) on the user->event-type graph: 5 fixed
+    max-normalized iterations, per-node DECIMAL(38,18) sums, the
+    iteration max riding a 1-row broadcast cross join; the oracle
+    unrolls the identical iterations (the q32/q72 fixed-iteration
+    contract)."""
+    from pyspark.sql import Window
+
+    from unifydb_spark.operators.graph import hits_scores
+
+    ev = _events_ts(spark, sf_dir)
+    types = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "tnode",
+            F.row_number().over(Window.orderBy("event_type"))
+            + F.lit(20_000_000),
+        )
+    )
+    edges = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .join(F.broadcast(types), "event_type")
+        .select(
+            F.col("user_id").cast("long").alias("src"),
+            F.col("tnode").cast("long").alias("dst"),
+        )
+    )
+    return hits_scores(edges, iters=5).orderBy("kind", "node")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4115,6 +4148,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r119_exp_smoothing": r119_exp_smoothing,
         "r120_readability": r120_readability,
         "r121_degree_assortativity": r121_degree_assortativity,
+        "r122_hits": r122_hits,
     }
 
 
@@ -4929,6 +4963,17 @@ def _operator_oracles() -> dict[str, str]:
         "r118_image_stats": _m.image_stats_sql("documents"),
         "r119_exp_smoothing": _ev.exp_smoothing_sql("events"),
         "r120_readability": _ql.readability_report_sql("documents"),
+        "r122_hits": _g.hits_sql(
+            """SELECT CAST(user_id AS BIGINT) AS src,
+                      CAST(tnode AS BIGINT) AS dst
+               FROM (SELECT DISTINCT user_id, event_type FROM events) ue
+               JOIN (SELECT event_type,
+                            20000000 + ROW_NUMBER() OVER (ORDER BY event_type)
+                              AS tnode
+                     FROM (SELECT DISTINCT event_type FROM events)) t
+                 USING (event_type)""",
+            iters=5,
+        ),
         "r121_degree_assortativity": _g.degree_assortativity_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,
                       CAST(tnode AS BIGINT) AS dst

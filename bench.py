@@ -181,6 +181,7 @@ HEADLINE = [
     "r119_exp_smoothing",
     "r120_readability",
     "r121_degree_assortativity",
+    "r122_hits",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

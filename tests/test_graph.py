@@ -233,3 +233,20 @@ def test_degree_assortativity_star_vs_clique(spark):
     df2 = spark.createDataFrame(clique, "src bigint, dst bigint")
     r2 = degree_assortativity(df2).collect()[0].asDict()
     assert r2["n_edges"] == 6 and r2["r"] is None
+
+
+def test_hits_star_authority(spark):
+    """r122: items pointed at by many hubs win authority; in a pure
+    star (all users -> one item), that item's authority is 1 and all
+    hubs tie at 1."""
+    from unifydb_spark.operators.graph import hits_scores
+
+    edges = [(u, 100) for u in range(5)] + [(0, 200)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = {(r["kind"], r["node"]): r["score"]
+           for r in hits_scores(df, iters=3).collect()}
+    assert out[("authority", 100)] == 1.0
+    assert out[("authority", 200)] < 1.0
+    assert out[("hub", 0)] == 1.0  # points at both
+    for u in range(1, 5):
+        assert out[("hub", u)] < 1.0

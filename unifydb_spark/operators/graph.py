@@ -649,3 +649,126 @@ def degree_assortativity_sql(edges_cte: str) -> str:
                      END, 6) AS r
         FROM m
     """
+
+
+def hits_scores(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, public method), fixed
+    iterations with max-normalization each half-step — the second
+    spectral fixpoint beside PageRank (q32): on a user->item graph,
+    authorities rank the items pointed at by good hubs and hubs the
+    users pointing at good authorities. Returns (node, kind, score)
+    with kind in ('hub', 'authority'), scores max-normalized to 1.
+
+    Determinism: per-node sums accumulate in DECIMAL(38,18) and
+    re-enter doubles through the VARCHAR round-trip; each
+    normalization divides by the iteration max (a 1-row broadcast
+    cross join — the q61/r17 corpus-constant shape), so every double
+    op is mirrored in the unrolled SQL oracle. localCheckpoint per
+    iteration keeps the lineage flat (the q32/q72 fixpoint
+    contract).
+
+    Shape per iteration: two equi-joins of node-sized score relations
+    onto the (pre-checkpointed) edge list + two combinable groupBys —
+    the same node-sized-exchange argument as PageRank's shuffle
+    path."""
+    dec = "decimal(38,18)"
+    ej = edges.select("src", "dst").localCheckpoint()
+    hub = (
+        ej.select("src").distinct()
+        .withColumn("h", F.lit(1.0))
+        .localCheckpoint()
+    )
+    auth = None
+    for _ in range(int(iters)):
+        a0 = (
+            ej.join(hub, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum(F.col("h").cast(dec))
+                .cast("string").cast("double").alias("a")
+            )
+        )
+        amax = a0.agg(F.max("a").alias("am"))
+        auth = (
+            a0.crossJoin(F.broadcast(amax))
+            .select("dst", (F.col("a") / F.col("am")).alias("a"))
+            .localCheckpoint()
+        )
+        h0 = (
+            ej.join(auth, "dst")
+            .groupBy("src")
+            .agg(
+                F.sum(F.col("a").cast(dec))
+                .cast("string").cast("double").alias("h")
+            )
+        )
+        hmax = h0.agg(F.max("h").alias("hm"))
+        hub = (
+            h0.crossJoin(F.broadcast(hmax))
+            .select("src", (F.col("h") / F.col("hm")).alias("h"))
+            .localCheckpoint()
+        )
+    return hub.select(
+        F.col("src").alias("node"),
+        F.lit("hub").alias("kind"),
+        F.round("h", 6).alias("score"),
+    ).unionAll(
+        auth.select(
+            F.col("dst").alias("node"),
+            F.lit("authority").alias("kind"),
+            F.round("a", 6).alias("score"),
+        )
+    )
+
+
+def hits_sql(edges_cte: str, iters: int = 5) -> str:
+    dec = "DECIMAL(38,18)"
+    ctes = [
+        f"e AS MATERIALIZED ({edges_cte})",
+        "h0 AS MATERIALIZED (SELECT DISTINCT src, 1.0::DOUBLE AS h FROM e)",
+    ]
+    prev_h = "h0"
+    prev_a = None
+    for i in range(1, int(iters) + 1):
+        ctes.append(
+            f"""a{i}raw AS MATERIALIZED (
+              SELECT e.dst,
+                     CAST(CAST(SUM(CAST(p.h AS {dec})) AS VARCHAR)
+                       AS DOUBLE) AS a
+              FROM e JOIN {prev_h} p ON e.src = p.src
+              GROUP BY 1
+            )"""
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+              SELECT dst, a / (SELECT MAX(a) FROM a{i}raw) AS a
+              FROM a{i}raw
+            )"""
+        )
+        ctes.append(
+            f"""h{i}raw AS MATERIALIZED (
+              SELECT e.src,
+                     CAST(CAST(SUM(CAST(p.a AS {dec})) AS VARCHAR)
+                       AS DOUBLE) AS h
+              FROM e JOIN a{i} p ON e.dst = p.dst
+              GROUP BY 1
+            )"""
+        )
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+              SELECT src, h / (SELECT MAX(h) FROM h{i}raw) AS h
+              FROM h{i}raw
+            )"""
+        )
+        prev_h, prev_a = f"h{i}", f"a{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT src AS node, 'hub' AS kind, ROUND(h, 6) AS score
+        FROM {prev_h}
+        UNION ALL
+        SELECT dst AS node, 'authority' AS kind, ROUND(a, 6) AS score
+        FROM {prev_a}
+        ORDER BY kind, node
+    """
+    )
