@@ -3876,6 +3876,20 @@ def r122_hits(spark, sf_dir):
     return hits_scores(edges, iters=5).orderBy("kind", "node")
 
 
+def r123_join_fanout(spark, sf_dir):
+    """Exact join-cardinality advisory (operators/olap.py
+    join_fanout_report): per-key count histograms on both sides give
+    the exact output size sum cL*cR, the worst single-key fanout, and
+    the amplification ratio — the check run BEFORE a many-to-many
+    join (here lineitem x lineitem on l_partkey) that r33's count-min
+    version estimates with sketches. Never executes the candidate
+    join."""
+    from unifydb_spark.operators.olap import join_fanout_report
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return join_fanout_report(li, li, "l_partkey", "l_partkey")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4149,6 +4163,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r120_readability": r120_readability,
         "r121_degree_assortativity": r121_degree_assortativity,
         "r122_hits": r122_hits,
+        "r123_join_fanout": r123_join_fanout,
     }
 
 
@@ -4963,6 +4978,9 @@ def _operator_oracles() -> dict[str, str]:
         "r118_image_stats": _m.image_stats_sql("documents"),
         "r119_exp_smoothing": _ev.exp_smoothing_sql("events"),
         "r120_readability": _ql.readability_report_sql("documents"),
+        "r123_join_fanout": _ol.join_fanout_report_sql(
+            "lineitem", "lineitem", "l_partkey", "l_partkey"
+        ),
         "r122_hits": _g.hits_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,
                       CAST(tnode AS BIGINT) AS dst

@@ -182,6 +182,7 @@ HEADLINE = [
     "r120_readability",
     "r121_degree_assortativity",
     "r122_hits",
+    "r123_join_fanout",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

@@ -484,3 +484,24 @@ def test_rank_features_semantics(spark):
     rows2 = rank_features(tied, "g", "v", "id", 2).collect()
     assert all(r["pct_rank"] == 0.0 and r["cume"] == 1.0 for r in rows2)
     assert sorted(r["tile"] for r in rows2) == [1] * 5 + [2] * 5
+
+
+def test_join_fanout_exact_product(spark):
+    """r123: rows_out = sum over shared keys of cl*cr; max_key_out is
+    the worst key; the candidate join is never executed but the
+    numbers match an actual join."""
+    from unifydb_spark.operators.olap import join_fanout_report
+
+    l = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], "k bigint"
+    )
+    r = spark.createDataFrame(
+        [(1,), (1,), (1,), (3,), (9,)], "k bigint"
+    )
+    rep = join_fanout_report(l, r, "k", "k").collect()[0].asDict()
+    assert rep["n_left"] == 4 and rep["n_right"] == 5
+    assert rep["n_keys_both"] == 2
+    assert rep["rows_out"] == 2 * 3 + 1 * 1
+    assert rep["max_key_out"] == 6
+    actual = l.join(r, "k").count()
+    assert actual == rep["rows_out"]

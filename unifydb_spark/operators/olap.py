@@ -1113,3 +1113,72 @@ def cohort_ltv_sql(
         FROM cells JOIN sizes USING (m0)
         ORDER BY cohort, age
     """
+
+
+def join_fanout_report(
+    left: "DataFrame",
+    right: "DataFrame",
+    left_key: str,
+    right_key: str,
+) -> "DataFrame":
+    """Exact join-cardinality advisory (the check a pipeline runs
+    BEFORE an equi-join it cannot afford to get wrong — the exact
+    complement of the r33 count-min estimate): per-key count
+    histograms on both sides give the exact output size sum_k
+    cL(k)*cR(k), the worst single-key fanout, and the amplification
+    ratio vs the larger input. Returns ONE row: (n_left, n_right,
+    n_keys_both, rows_out, max_key_out, amplification).
+
+    Shape: one combinable groupBy per side (key-cardinality-sized),
+    an equi-join of the two count relations, integer arithmetic
+    everywhere; amplification is the only division, rounded once.
+    Never executes the candidate join itself."""
+    cl = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cl")
+    )
+    cr = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    j = cl.join(cr, "k")
+    tot_l = left.count()
+    tot_r = right.count()
+    base = float(max(tot_l, tot_r, 1))
+    return j.agg(
+        F.lit(int(tot_l)).cast("bigint").alias("n_left"),
+        F.lit(int(tot_r)).cast("bigint").alias("n_right"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys_both"),
+        F.sum(F.col("cl") * F.col("cr")).cast("bigint").alias("rows_out"),
+        F.max(F.col("cl") * F.col("cr")).cast("bigint").alias("max_key_out"),
+        F.round(
+            F.sum(F.col("cl") * F.col("cr")).cast("double") / F.lit(base),
+            4,
+        ).alias("amplification"),
+    )
+
+
+def join_fanout_report_sql(
+    left_table: str, right_table: str, left_key: str, right_key: str
+) -> str:
+    return f"""
+        WITH cl AS (
+          SELECT {left_key} AS k, COUNT(*) AS cl
+          FROM {left_table} GROUP BY 1
+        ), cr AS (
+          SELECT {right_key} AS k, COUNT(*) AS cr
+          FROM {right_table} GROUP BY 1
+        ), tl AS (SELECT COUNT(*) AS n_left FROM {left_table}),
+        tr AS (SELECT COUNT(*) AS n_right FROM {right_table}),
+        j AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_both,
+                 CAST(SUM(cl * cr) AS BIGINT) AS rows_out,
+                 CAST(MAX(cl * cr) AS BIGINT) AS max_key_out
+          FROM cl JOIN cr USING (k)
+        )
+        SELECT CAST(n_left AS BIGINT) AS n_left,
+               CAST(n_right AS BIGINT) AS n_right,
+               n_keys_both, rows_out, max_key_out,
+               ROUND(CAST(rows_out AS DOUBLE)
+                     / CAST(GREATEST(n_left, n_right, 1) AS DOUBLE), 4)
+                 AS amplification
+        FROM j, tl, tr
+    """
