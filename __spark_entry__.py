@@ -3890,6 +3890,18 @@ def r123_join_fanout(spark, sf_dir):
     return join_fanout_report(li, li, "l_partkey", "l_partkey")
 
 
+def r124_entropy_rate(spark, sf_dir):
+    """Corpus entropy rate (operators/text.py entropy_rate): bigram
+    conditional entropy H(W|prev) plus unigram H(W) and the context
+    gain, in nats/token — the one-number corpus predictability where
+    r60 scores single documents. Vocab²-bounded count relations (the
+    r60 machinery), -p ln p DECIMAL parity terms, totals on 1-row
+    broadcasts."""
+    from unifydb_spark.operators.text import entropy_rate
+
+    return entropy_rate(_docs(spark, sf_dir))
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4164,6 +4176,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r121_degree_assortativity": r121_degree_assortativity,
         "r122_hits": r122_hits,
         "r123_join_fanout": r123_join_fanout,
+        "r124_entropy_rate": r124_entropy_rate,
     }
 
 
@@ -4981,6 +4994,7 @@ def _operator_oracles() -> dict[str, str]:
         "r123_join_fanout": _ol.join_fanout_report_sql(
             "lineitem", "lineitem", "l_partkey", "l_partkey"
         ),
+        "r124_entropy_rate": _t.entropy_rate_sql("documents"),
         "r122_hits": _g.hits_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,
                       CAST(tnode AS BIGINT) AS dst

@@ -183,6 +183,7 @@ HEADLINE = [
     "r121_degree_assortativity",
     "r122_hits",
     "r123_join_fanout",
+    "r124_entropy_rate",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

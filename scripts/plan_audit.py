@@ -141,6 +141,9 @@ BNLJ_ALLOWED = {
     # onto the anchor index before the k-probe explode — bounded by
     # construction (q61/r17 shape)
     "r116_negative_samples",
+    # r124: the report is (1-row conditional entropy) x (1-row unigram
+    # entropy) — bounded by construction (q71 report shape)
+    "r124_entropy_rate",
     # r78: the reference date and the quantile-edge row (1 row each)
     # ride broadcast cross joins onto orders / the customer relation —
     # bounded by construction (r44 trimmed-mean shape)

@@ -1547,3 +1547,19 @@ def test_readability_simple_vs_complex(spark):
     assert out[0]["fre"] > out[1]["fre"]
     assert out[1]["fk_grade"] > out[0]["fk_grade"]
     assert out[2]["fre"] is None and out[2]["fk_grade"] is None
+
+
+def test_entropy_rate_repetitive_vs_diverse(spark):
+    """r124: a deterministic word cycle has near-zero conditional
+    entropy but positive unigram entropy (h_gain ~ h_unigram); i.i.d.
+    diverse text keeps h_rate close to h_unigram."""
+    from unifydb_spark.operators.text import entropy_rate
+
+    cyc = spark.createDataFrame(
+        [(0, "a b c " * 50)], "doc_id bigint, text string"
+    )
+    r = entropy_rate(cyc).collect()[0].asDict()
+    assert r["n_tokens"] == 150
+    assert r["h_rate"] < 0.1          # next word ~deterministic
+    assert r["h_unigram"] > 1.0       # 3 roughly equal unigrams
+    assert abs(r["h_gain"] - (r["h_unigram"] - r["h_rate"])) < 1e-9

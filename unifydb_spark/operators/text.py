@@ -2883,3 +2883,113 @@ def language_confusion_sql(
         FROM cm c JOIN tot t USING (actual)
         ORDER BY c.actual, c.predicted
     """
+
+
+def entropy_rate(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus entropy rate (Shannon): the bigram conditional entropy
+    H(W | prev) = sum_prev p(prev) * H(W | prev) over the word
+    process, in nats/token — the one-number predictability of a
+    corpus (drops when boilerplate repeats, rises on encoding noise;
+    directly comparable across sources or quality buckets, where r60
+    scores single documents). Also reports the unigram entropy H(W)
+    and the information lost to context, H(W) - H(W|prev). Returns
+    ONE row: (n_tokens, n_bigrams, h_unigram, h_rate, h_gain).
+
+    Shape: the (prev, w) and unigram count relations are
+    vocab²/vocab-bounded combinable aggregates (the r60 machinery);
+    entropy terms follow the -p ln p DECIMAL(30,15) parity contract
+    with totals on 1-row broadcast cross joins."""
+    from unifydb_spark.operators.dedup import _spread
+    from unifydb_spark.resources import tracked_persist
+
+    base = _spread(docs).select(
+        words_col(F.col(text_col)).alias("ws")
+    ).filter(F.size("ws") > 0)
+    toks = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws)), i -> named_struct("
+                "'prev', IF(i = 1, '<s>', element_at(ws, i - 1)), "
+                "'w', element_at(ws, i)))"
+            )
+        ).alias("t")
+    ).select("t.prev", "t.w")
+    toks = tracked_persist(toks)
+    cb = toks.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = toks.count()
+    nl = F.lit(float(n_tok))
+    # joint term: -(c/N) ln(c/cp) summed over bigrams = H(W|prev)
+    cu = cb.groupBy("prev").agg(F.sum("c").alias("cp"))
+    cond_term = (
+        -(F.col("c").cast("double") / nl)
+        * F.log(F.col("c").cast("double") / F.col("cp").cast("double"))
+    ).cast("decimal(30,15)")
+    h_rate = (
+        cb.join(F.broadcast(cu), "prev")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(cond_term).cast("string").cast("double").alias("hr"),
+        )
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    uni_term = (
+        -(F.col("c").cast("double") / nl)
+        * F.log(F.col("c").cast("double") / nl)
+    ).cast("decimal(30,15)")
+    h_uni = uni.agg(
+        F.sum(uni_term).cast("string").cast("double").alias("hu")
+    )
+    return (
+        h_rate.crossJoin(F.broadcast(h_uni))
+        .select(
+            F.lit(int(n_tok)).cast("bigint").alias("n_tokens"),
+            "n_bigrams",
+            F.round("hu", 6).alias("h_unigram"),
+            F.round("hr", 6).alias("h_rate"),
+            F.round(F.col("hu") - F.col("hr"), 6).alias("h_gain"),
+        )
+    )
+
+
+def entropy_rate_sql(
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    return f"""
+        WITH base AS (
+          SELECT list_filter(string_split({text_col}, ' '), w -> w != '')
+                   AS ws
+          FROM {table}
+        ), toks AS MATERIALIZED (
+          SELECT CASE WHEN i = 1 THEN '<s>'
+                      ELSE ws[CAST(i - 1 AS INT)] END AS prev,
+                 ws[CAST(i AS INT)] AS w
+          FROM (SELECT ws, unnest(range(1, len(ws) + 1)) AS i
+                FROM base WHERE len(ws) > 0)
+        ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nl FROM toks),
+        cb AS (
+          SELECT prev, w, COUNT(*) AS c FROM toks GROUP BY 1, 2
+        ), cu AS (
+          SELECT prev, SUM(c) AS cp FROM cb GROUP BY 1
+        ), hr AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(CAST(SUM(CAST(
+                   -(CAST(c AS DOUBLE) / nl)
+                   * LN(CAST(c AS DOUBLE) / CAST(cp AS DOUBLE))
+                   AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE) AS hr
+          FROM cb JOIN cu USING (prev), n
+        ), hu AS (
+          SELECT CAST(CAST(SUM(CAST(
+                   -(CAST(c AS DOUBLE) / nl)
+                   * LN(CAST(c AS DOUBLE) / nl)
+                   AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE) AS hu
+          FROM (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1), n
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS n_tokens,
+               n_bigrams, ROUND(hu, 6) AS h_unigram,
+               ROUND(hr, 6) AS h_rate, ROUND(hu - hr, 6) AS h_gain
+        FROM hr, hu
+    """
