@@ -3902,6 +3902,42 @@ def r124_entropy_rate(spark, sf_dir):
     return entropy_rate(_docs(spark, sf_dir))
 
 
+def r125_term_burstiness(spark, sf_dir):
+    """Term burstiness (operators/text.py term_burstiness, Church &
+    Gale 1995): variance-to-mean ratio of per-doc term counts over
+    the top-50 terms — content words clump (VMR >> 1), glue spreads
+    (VMR ~ 1). Integer totals over PRESENT docs only (absent docs
+    contribute 0 to both sums), so no dense doc x term relation."""
+    from unifydb_spark.operators.text import term_burstiness
+
+    return term_burstiness(_docs(spark, sf_dir)).orderBy("term")
+
+
+def r126_skyline(spark, sf_dir):
+    """2-D skyline / Pareto front (operators/olap.py skyline_2d,
+    Börzsönyi et al. 2001 — the SKYLINE OF operator Spark lacks):
+    customers undominated on (order count, total spend). The q91
+    range-partition prefix trick — per-partition running y-max plus a
+    bounded partition-maxima prefix map — so there is NO
+    single-partition sort; equal points keep the lowest key."""
+    from unifydb_spark.operators.olap import skyline_2d
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("string").cast("double"),
+            2,
+        ).alias("spend"),
+    )
+    return (
+        skyline_2d(per_cust, "n_orders", "spend", "o_custkey")
+        .select("o_custkey", "n_orders", "spend")
+        .orderBy("o_custkey")
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4177,6 +4213,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r122_hits": r122_hits,
         "r123_join_fanout": r123_join_fanout,
         "r124_entropy_rate": r124_entropy_rate,
+        "r125_term_burstiness": r125_term_burstiness,
+        "r126_skyline": r126_skyline,
     }
 
 
@@ -4995,6 +5033,19 @@ def _operator_oracles() -> dict[str, str]:
             "lineitem", "lineitem", "l_partkey", "l_partkey"
         ),
         "r124_entropy_rate": _t.entropy_rate_sql("documents"),
+        "r125_term_burstiness": _t.term_burstiness_sql("documents"),
+        "r126_skyline": _ol.skyline_2d_sql(
+            """(SELECT o_custkey,
+                       CAST(COUNT(*) AS BIGINT) AS n_orders,
+                       ROUND(CAST(CAST(SUM(CAST(o_totalprice
+                             AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE), 2)
+                         AS spend
+                FROM orders GROUP BY 1)""",
+            "n_orders",
+            "spend",
+            "o_custkey",
+            ["o_custkey", "n_orders", "spend"],
+        ),
         "r122_hits": _g.hits_sql(
             """SELECT CAST(user_id AS BIGINT) AS src,
                       CAST(tnode AS BIGINT) AS dst

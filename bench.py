@@ -184,6 +184,8 @@ HEADLINE = [
     "r122_hits",
     "r123_join_fanout",
     "r124_entropy_rate",
+    "r125_term_burstiness",
+    "r126_skyline",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

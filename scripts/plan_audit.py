@@ -144,6 +144,10 @@ BNLJ_ALLOWED = {
     # r124: the report is (1-row conditional entropy) x (1-row unigram
     # entropy) — bounded by construction (q71 report shape)
     "r124_entropy_rate",
+    # r125: the corpus doc count N (1 row) rides a broadcast cross join
+    # onto the top_n-sized term relation — bounded by construction
+    # (q61/r17 shape)
+    "r125_term_burstiness",
     # r78: the reference date and the quantile-edge row (1 row each)
     # ride broadcast cross joins onto orders / the customer relation —
     # bounded by construction (r44 trimmed-mean shape)

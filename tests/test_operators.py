@@ -1563,3 +1563,43 @@ def test_entropy_rate_repetitive_vs_diverse(spark):
     assert r["h_rate"] < 0.1          # next word ~deterministic
     assert r["h_unigram"] > 1.0       # 3 roughly equal unigrams
     assert abs(r["h_gain"] - (r["h_unigram"] - r["h_rate"])) < 1e-9
+
+
+def test_term_burstiness_clumped_vs_uniform(spark):
+    """r125: a term appearing 5x in one doc is burstier than one
+    appearing once in each of 5 docs (same total)."""
+    from unifydb_spark.operators.text import term_burstiness
+
+    rows = [(0, "clump clump clump clump clump even"),
+            (1, "even x"), (2, "even x"), (3, "even x"), (4, "even x")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["term"]: r.asDict() for r in term_burstiness(docs, top_n=10).collect()}
+    assert out["clump"]["total"] == 5 and out["clump"]["df"] == 1
+    assert out["even"]["total"] == 5 and out["even"]["df"] == 5
+    assert out["clump"]["vmr"] > out["even"]["vmr"]
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    """r126: the range-partitioned skyline equals the O(n^2)
+    dominance definition on random-ish points."""
+    from unifydb_spark.operators.olap import skyline_2d
+
+    pts = [(i, (i * 37) % 50, float((i * 101) % 73)) for i in range(200)]
+    df = spark.createDataFrame(pts, "pid bigint, x bigint, y double")
+    got = sorted(
+        r["pid"] for r in skyline_2d(df, "x", "y", "pid").collect()
+    )
+    def dominated(a, b):
+        return (b[1] >= a[1] and b[2] >= a[2]
+                and (b[1] > a[1] or b[2] > a[2]))
+    brute = []
+    seen = set()
+    for a in sorted(pts, key=lambda p: (-p[1], -p[2], p[0])):
+        if any(dominated(a, b) for b in pts if b[0] != a[0]):
+            continue
+        key = (a[1], a[2])
+        if key in seen:
+            continue  # duplicate points: keep lowest id only
+        seen.add(key)
+        brute.append(a[0])
+    assert got == sorted(brute)

@@ -1182,3 +1182,90 @@ def join_fanout_report_sql(
                  AS amplification
         FROM j, tl, tr
     """
+
+
+def skyline_2d(
+    df: "DataFrame",
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto front, maximize both axes — Börzsönyi et
+    al. 2001's SKYLINE OF operator, which Spark lacks): rows not
+    strictly dominated by any other row. The multi-objective
+    selection primitive (best customers by spend AND frequency; best
+    documents by quality AND length) a curation pipeline otherwise
+    fakes with arbitrary weighted sums.
+
+    Scalable single-pass design (the q91 range-partition prefix
+    trick — NO single-partition sort): range-partition by (x desc,
+    y desc, id), compute each partition's running y-max in order,
+    collect only the P partition maxima (a bounded driver artifact),
+    turn them into a prefix-max literal map, and keep a row iff its y
+    exceeds both the prefix max of earlier partitions and the running
+    max of earlier rows in its own partition. Deterministic: equal
+    (x, y) duplicates keep the lowest id. Returns the input columns
+    of the skyline rows.
+
+    The persisted range frame is required for correctness: the count
+    and filter jobs must see the SAME sampled range boundaries."""
+    from unifydb_spark.resources import tracked_persist
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    order = [F.col(x_col).desc(), F.col(y_col).desc(), F.col(id_col).asc()]
+    ranged = tracked_persist(
+        df.repartitionByRange(n, *order).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    pmax = {
+        r["_pid"]: r["m"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.max(F.col(y_col).cast("double")).alias("m"))
+        .collect()
+    }
+    prefix, acc = {}, float("-inf")
+    for pid in sorted(pmax):
+        prefix[pid] = acc
+        acc = max(acc, pmax[pid])
+    pmap = F.create_map(
+        *[F.lit(v) for pid in prefix for v in (pid, prefix[pid])]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runprev = F.max(F.col(y_col).cast("double")).over(w)
+    best_before = F.greatest(
+        F.element_at(pmap, F.col("_pid")),
+        F.coalesce(runprev, F.lit(float("-inf"))),
+    )
+    return (
+        ranged.withColumn("_keep", F.col(y_col).cast("double") > best_before)
+        .filter("_keep")
+        .drop("_pid", "_keep")
+    )
+
+
+def skyline_2d_sql(
+    table: str, x_col: str, y_col: str, id_col: str,
+    select_cols: "Sequence[str]",
+) -> str:
+    """Oracle: single-node window form — kept iff y exceeds the
+    running max over all strictly-preceding rows in (x desc, y desc,
+    id) order."""
+    cols = ", ".join(select_cols)
+    return f"""
+        WITH o AS (
+          SELECT *,
+                 MAX(CAST({y_col} AS DOUBLE)) OVER (
+                   ORDER BY {x_col} DESC, {y_col} DESC, {id_col} ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prevmax
+          FROM {table}
+        )
+        SELECT {cols} FROM o
+        WHERE prevmax IS NULL OR CAST({y_col} AS DOUBLE) > prevmax
+        ORDER BY {id_col}
+    """

@@ -2993,3 +2993,99 @@ def entropy_rate_sql(
                ROUND(hr, 6) AS h_rate, ROUND(hu - hr, 6) AS h_gain
         FROM hr, hu
     """
+
+
+def term_burstiness(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """Term burstiness (Church & Gale 1995, public method): the
+    variance-to-mean ratio of a term's per-document count across ALL
+    documents — function words spread evenly (VMR ~ 1, Poisson-like)
+    while content words clump into the few documents about that topic
+    (VMR >> 1). The corpus-linguistics gauge that separates topical
+    vocabulary from glue, over the top_n most frequent terms. Returns
+    (term, total, df, mean_pdoc, vmr).
+
+    Exactness: per-doc counts are integers; with N docs, mean = T/N
+    and var = (S2 - T^2/N)/N from integer totals T = sum c and S2 =
+    sum c^2 over PRESENT docs only (absent docs contribute 0 to both
+    sums), so no dense doc x term relation is ever built. Both
+    divisions are mirrored doubles, one surface rounding.
+
+    Shape: one token explode + a (term, doc) combinable groupBy; the
+    top_n filter is a distributed TakeOrdered broadcast back onto the
+    term relation; N rides a 1-row broadcast (q61/r17 shape)."""
+    from unifydb_spark.operators.dedup import _spread
+
+    tok = _spread(docs).select(
+        F.col("doc_id").alias("d"),
+        F.explode(words_col(F.col(text_col))).alias("term"),
+    )
+    td = tok.groupBy("term", "d").agg(F.count(F.lit(1)).alias("c"))
+    stats = td.groupBy("term").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    top = F.broadcast(
+        stats.orderBy(F.col("total").desc(), F.col("term").asc())
+        .limit(int(top_n))
+        .select("term")
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    t = F.col("total").cast("double")
+    n = F.col("nd").cast("double")
+    mean = t / n
+    var = (F.col("s2").cast("double") - (t * t) / n) / n
+    return (
+        stats.join(top, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term",
+            F.col("total").cast("bigint").alias("total"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(mean, 6).alias("mean_pdoc"),
+            F.round(
+                F.when(mean > F.lit(0.0), var / mean), 6
+            ).alias("vmr"),
+        )
+    )
+
+
+def term_burstiness_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    top_n: int = 50,
+) -> str:
+    return f"""
+        WITH tok AS (
+          SELECT doc_id AS d,
+                 unnest(list_filter(string_split({text_col}, ' '),
+                                    w -> w != '')) AS term
+          FROM {table}
+        ), td AS (
+          SELECT term, d, COUNT(*) AS c FROM tok GROUP BY 1, 2
+        ), stats AS (
+          SELECT term, SUM(c) AS total, COUNT(*) AS df,
+                 SUM(c * c) AS s2
+          FROM td GROUP BY 1
+        ), top AS (
+          SELECT term FROM stats
+          ORDER BY total DESC, term ASC LIMIT {int(top_n)}
+        ), nd AS (SELECT COUNT(*) AS nd FROM {table})
+        SELECT s.term, CAST(s.total AS BIGINT) AS total,
+               CAST(s.df AS BIGINT) AS df,
+               ROUND(CAST(s.total AS DOUBLE) / CAST(nd AS DOUBLE), 6)
+                 AS mean_pdoc,
+               ROUND(CASE WHEN CAST(s.total AS DOUBLE) / CAST(nd AS DOUBLE)
+                               > 0.0::DOUBLE THEN
+                 ((CAST(s.s2 AS DOUBLE)
+                   - (CAST(s.total AS DOUBLE) * CAST(s.total AS DOUBLE))
+                     / CAST(nd AS DOUBLE)) / CAST(nd AS DOUBLE))
+                 / (CAST(s.total AS DOUBLE) / CAST(nd AS DOUBLE))
+               END, 6) AS vmr
+        FROM stats s JOIN top USING (term), nd
+        ORDER BY s.term
+    """
