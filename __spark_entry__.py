@@ -3938,6 +3938,25 @@ def r126_skyline(spark, sf_dir):
     )
 
 
+def r127_threshold_tuning(spark, sf_dir):
+    """Decision-threshold tuning curve (operators/stats.py
+    threshold_tuning): P/R/F1 of `predict English iff stop_hits >= t`
+    for every observed score — the deploy-step after any scorer (the
+    r103/r113 companions). One combinable groupBy(score); the
+    cumulative window runs over the score-cardinality-bounded
+    histogram relation (the length_histogram contract)."""
+    from unifydb_spark.operators.quality import gopher_rules
+    from unifydb_spark.operators.stats import threshold_tuning
+
+    docs = _docs(spark, sf_dir)
+    scored = gopher_rules(docs).select("doc_id", "stop_hits").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return threshold_tuning(
+        scored, "stop_hits", F.col("lang") == F.lit("en")
+    ).orderBy(F.col("threshold").desc())
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4215,6 +4234,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r124_entropy_rate": r124_entropy_rate,
         "r125_term_burstiness": r125_term_burstiness,
         "r126_skyline": r126_skyline,
+        "r127_threshold_tuning": r127_threshold_tuning,
     }
 
 
@@ -5034,6 +5054,12 @@ def _operator_oracles() -> dict[str, str]:
         ),
         "r124_entropy_rate": _t.entropy_rate_sql("documents"),
         "r125_term_burstiness": _t.term_burstiness_sql("documents"),
+        "r127_threshold_tuning": _st.threshold_tuning_sql(
+            """(SELECT g.stop_hits, d.lang
+                FROM ({gr}) g JOIN documents d ON g.doc_id = d.doc_id)""",
+            "stop_hits",
+            "lang = 'en'",
+        ).replace("{gr}", _ql.gopher_rules_sql("documents")),
         "r126_skyline": _ol.skyline_2d_sql(
             """(SELECT o_custkey,
                        CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -186,6 +186,7 @@ HEADLINE = [
     "r124_entropy_rate",
     "r125_term_burstiness",
     "r126_skyline",
+    "r127_threshold_tuning",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

@@ -148,6 +148,10 @@ BNLJ_ALLOWED = {
     # onto the top_n-sized term relation — bounded by construction
     # (q61/r17 shape)
     "r125_term_burstiness",
+    # r127: the total-positives row (1 row) rides a broadcast cross
+    # join onto the score-cardinality-bounded histogram relation —
+    # bounded by construction (q61/r17 shape)
+    "r127_threshold_tuning",
     # r78: the reference date and the quantile-edge row (1 row each)
     # ride broadcast cross joins onto orders / the customer relation —
     # bounded by construction (r44 trimmed-mean shape)

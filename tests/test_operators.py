@@ -1603,3 +1603,19 @@ def test_skyline_2d_matches_bruteforce(spark):
         seen.add(key)
         brute.append(a[0])
     assert got == sorted(brute)
+
+
+def test_threshold_tuning_perfect_separator(spark):
+    """r127: a perfectly separating score reaches F1 = 1 at the right
+    threshold; recall is monotone nonincreasing in the threshold."""
+    from unifydb_spark.operators.stats import threshold_tuning
+
+    rows = [(i, 10.0 + i, True) for i in range(5)]
+    rows += [(100 + i, float(i), False) for i in range(5)]
+    df = spark.createDataFrame(rows, "k bigint, s double, y boolean")
+    out = threshold_tuning(df, "s", F.col("y")).collect()
+    by_t = {r["threshold"]: r.asDict() for r in out}
+    assert by_t[10.0]["f1"] == 1.0 and by_t[10.0]["tp"] == 5
+    ordered = sorted(out, key=lambda r: -r["threshold"])
+    recalls = [r["recall"] for r in ordered]
+    assert recalls == sorted(recalls)

@@ -3815,3 +3815,112 @@ def icc_design_effect_sql(
                ROUND(1.0::DOUBLE + (mbar - 1.0::DOUBLE) * icc, 4) AS deff
         FROM r
     """
+
+
+def threshold_tuning(
+    df: "DataFrame",
+    score_col: str,
+    label_col,
+) -> "DataFrame":
+    """Decision-threshold tuning curve (the step after training any
+    scorer, e.g. r103's quality classifier — public method): for every
+    DISTINCT observed score s, the confusion counts and P/R/F1 of the
+    rule `predict positive iff score >= s`. Reading the table top-down
+    is the precision/recall trade; argmax F1 is the deployed
+    threshold. Returns per threshold: (threshold, tp, fp, fn,
+    precision, recall, f1) ordered by threshold descending.
+
+    Shape: one combinable groupBy(score) with per-score positive/total
+    counts (score-cardinality-sized — the histogram contract), then
+    cumulative sums ordered by score DESC over that bounded relation
+    and two broadcast 1-row totals. Integer counts; the three ratios
+    are mirrored single divisions, NULL when undefined (no predicted
+    positives / no true positives) identically in both engines."""
+    per_score = (
+        df.select(
+            F.col(score_col).cast("double").alias("s"),
+            F.when(label_col, 1).otherwise(0).alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("pos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = per_score.agg(
+        F.sum("pos").alias("tot_pos")
+    )
+    cum = per_score.select(
+        "s",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cp"),
+    ).crossJoin(F.broadcast(tot))
+    tp = F.col("cp")
+    fp = F.col("cn") - F.col("cp")
+    fn = F.col("tot_pos") - F.col("cp")
+    prec = F.when(
+        F.col("cn") > 0, tp.cast("double") / F.col("cn").cast("double")
+    )
+    rec = F.when(
+        F.col("tot_pos") > 0,
+        tp.cast("double") / F.col("tot_pos").cast("double"),
+    )
+    f1 = F.when(
+        (F.lit(2) * tp + fp + fn) > 0,
+        (F.lit(2) * tp).cast("double")
+        / (F.lit(2) * tp + fp + fn).cast("double"),
+    )
+    return cum.select(
+        F.col("s").alias("threshold"),
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def threshold_tuning_sql(
+    table: str,
+    score_col: str,
+    label_sql: str,
+) -> str:
+    return f"""
+        WITH per_score AS (
+          SELECT CAST({score_col} AS DOUBLE) AS s, COUNT(*) AS n,
+                 SUM(CASE WHEN {label_sql} THEN 1 ELSE 0 END) AS pos
+          FROM {table} GROUP BY 1
+        ), tot AS (SELECT SUM(pos) AS tot_pos FROM per_score),
+        cum AS (
+          SELECT s,
+                 SUM(n) OVER (ORDER BY s DESC
+                              ROWS UNBOUNDED PRECEDING) AS cn,
+                 SUM(pos) OVER (ORDER BY s DESC
+                                ROWS UNBOUNDED PRECEDING) AS cp,
+                 tot_pos
+          FROM per_score, tot
+        )
+        SELECT s AS threshold,
+               CAST(cp AS BIGINT) AS tp,
+               CAST(cn - cp AS BIGINT) AS fp,
+               CAST(tot_pos - cp AS BIGINT) AS fn,
+               ROUND(CASE WHEN cn > 0
+                          THEN CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)
+                     END, 6) AS precision,
+               ROUND(CASE WHEN tot_pos > 0
+                          THEN CAST(cp AS DOUBLE) / CAST(tot_pos AS DOUBLE)
+                     END, 6) AS recall,
+               ROUND(CASE WHEN 2 * cp + (cn - cp) + (tot_pos - cp) > 0
+                          THEN CAST(2 * cp AS DOUBLE)
+                               / CAST(2 * cp + (cn - cp) + (tot_pos - cp)
+                                 AS DOUBLE)
+                     END, 6) AS f1
+        FROM cum ORDER BY threshold DESC
+    """
