@@ -3957,6 +3957,27 @@ def r127_threshold_tuning(spark, sf_dir):
     ).orderBy(F.col("threshold").desc())
 
 
+def r128_group_skyline(spark, sf_dir):
+    """Per-language document skyline (operators/olap.py
+    group_skyline_2d): docs undominated on (n_chars, stopword hits)
+    within their language — the grouped Pareto form where the window
+    partitions by group, so scaling is free (groups distribute across
+    tasks; the global r126 trick exists precisely for the ungrouped
+    case)."""
+    from unifydb_spark.operators.olap import group_skyline_2d
+    from unifydb_spark.operators.quality import gopher_rules
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", "lang", "n_chars").join(
+        gopher_rules(docs).select("doc_id", "stop_hits"), "doc_id"
+    )
+    return (
+        group_skyline_2d(scored, "lang", "n_chars", "stop_hits", "doc_id")
+        .select("lang", "doc_id", "n_chars", "stop_hits")
+        .orderBy("lang", "doc_id")
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4235,6 +4256,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r125_term_burstiness": r125_term_burstiness,
         "r126_skyline": r126_skyline,
         "r127_threshold_tuning": r127_threshold_tuning,
+        "r128_group_skyline": r128_group_skyline,
     }
 
 
@@ -5054,6 +5076,16 @@ def _operator_oracles() -> dict[str, str]:
         ),
         "r124_entropy_rate": _t.entropy_rate_sql("documents"),
         "r125_term_burstiness": _t.term_burstiness_sql("documents"),
+        "r128_group_skyline": _ol.group_skyline_2d_sql(
+            """(SELECT d.doc_id, d.lang, d.n_chars, g.stop_hits
+                FROM documents d
+                JOIN ({gr}) g ON d.doc_id = g.doc_id)""",
+            "lang",
+            "n_chars",
+            "stop_hits",
+            "doc_id",
+            ["lang", "doc_id", "n_chars", "stop_hits"],
+        ).replace("{gr}", _ql.gopher_rules_sql("documents")),
         "r127_threshold_tuning": _st.threshold_tuning_sql(
             """(SELECT g.stop_hits, d.lang
                 FROM ({gr}) g JOIN documents d ON g.doc_id = d.doc_id)""",

@@ -187,6 +187,7 @@ HEADLINE = [
     "r125_term_burstiness",
     "r126_skyline",
     "r127_threshold_tuning",
+    "r128_group_skyline",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

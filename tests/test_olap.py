@@ -505,3 +505,25 @@ def test_join_fanout_exact_product(spark):
     assert rep["max_key_out"] == 6
     actual = l.join(r, "k").count()
     assert actual == rep["rows_out"]
+
+
+def test_group_skyline_scoped_dominance(spark):
+    """r128: dominance is scoped within each group - a point dominated
+    globally can still be on its own group's skyline."""
+    from pyspark.sql import functions as F
+
+    from unifydb_spark.operators.olap import group_skyline_2d
+
+    rows = [
+        ("a", 1, 10, 10.0),   # a's best - kept
+        ("a", 2, 5, 5.0),     # dominated within a
+        ("b", 3, 6, 6.0),     # b's best - kept though a#1 dominates it
+        ("b", 4, 6, 6.0),     # duplicate point, higher id - dropped
+        ("b", 5, 7, 1.0),     # higher x, lower y - kept
+    ]
+    df = spark.createDataFrame(rows, "g string, pid bigint, x bigint, y double")
+    got = sorted(
+        r["pid"]
+        for r in group_skyline_2d(df, "g", "x", "y", "pid").collect()
+    )
+    assert got == [1, 3, 5]

@@ -1269,3 +1269,58 @@ def skyline_2d_sql(
         WHERE prevmax IS NULL OR CAST({y_col} AS DOUBLE) > prevmax
         ORDER BY {id_col}
     """
+
+
+def group_skyline_2d(
+    df: "DataFrame",
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group 2-D skyline: r126's Pareto dominance scoped within
+    each group (the per-language best-documents / per-segment
+    best-customers form). Unlike the global skyline, grouping makes
+    the scalable shape FREE: the running y-max window partitions by
+    the group, so Spark distributes groups across tasks with no
+    range-partition bookkeeping — the grouped-mode counterpart the
+    global r126 trick exists to avoid needing. Same dominance rule:
+    keep a row iff its y exceeds the running max over strictly
+    preceding rows in (x desc, y desc, id) order; equal points keep
+    the lowest id."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(x_col).desc(), F.col(y_col).desc(),
+                 F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prevmax = F.max(F.col(y_col).cast("double")).over(w)
+    return (
+        df.withColumn("_pm", prevmax)
+        .filter(
+            F.col("_pm").isNull()
+            | (F.col(y_col).cast("double") > F.col("_pm"))
+        )
+        .drop("_pm")
+    )
+
+
+def group_skyline_2d_sql(
+    table: str, group_col: str, x_col: str, y_col: str, id_col: str,
+    select_cols: "Sequence[str]",
+) -> str:
+    cols = ", ".join(select_cols)
+    return f"""
+        WITH o AS (
+          SELECT *,
+                 MAX(CAST({y_col} AS DOUBLE)) OVER (
+                   PARTITION BY {group_col}
+                   ORDER BY {x_col} DESC, {y_col} DESC, {id_col} ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prevmax
+          FROM {table}
+        )
+        SELECT {cols} FROM o
+        WHERE prevmax IS NULL OR CAST({y_col} AS DOUBLE) > prevmax
+        ORDER BY {group_col}, {id_col}
+    """
