@@ -3978,6 +3978,23 @@ def r128_group_skyline(spark, sf_dir):
     )
 
 
+def r129_slice_report(spark, sf_dir):
+    """Per-slice quality audit (operators/quality.py slice_report, the
+    SliceFinder eval-ops pattern): gopher-pass rate per (lang, source)
+    slice vs the corpus rate with a two-proportion z flag — the
+    'which pocket is dragging quality' table. ONE combinable groupBy
+    over the slice tuple; corpus totals on a 1-row broadcast."""
+    from unifydb_spark.operators.quality import gopher_rules, slice_report
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", "lang", "source").join(
+        gopher_rules(docs).select("doc_id", "passes"), "doc_id"
+    )
+    return slice_report(
+        scored, ["lang", "source"], F.col("passes")
+    ).orderBy("lang", "source")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4257,6 +4274,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r126_skyline": r126_skyline,
         "r127_threshold_tuning": r127_threshold_tuning,
         "r128_group_skyline": r128_group_skyline,
+        "r129_slice_report": r129_slice_report,
     }
 
 
@@ -5076,6 +5094,13 @@ def _operator_oracles() -> dict[str, str]:
         ),
         "r124_entropy_rate": _t.entropy_rate_sql("documents"),
         "r125_term_burstiness": _t.term_burstiness_sql("documents"),
+        "r129_slice_report": _ql.slice_report_sql(
+            """(SELECT d.doc_id, d.lang, d.source, g.passes
+                FROM documents d
+                JOIN ({gr}) g ON d.doc_id = g.doc_id)""",
+            ["lang", "source"],
+            "passes",
+        ).replace("{gr}", _ql.gopher_rules_sql("documents")),
         "r128_group_skyline": _ol.group_skyline_2d_sql(
             """(SELECT d.doc_id, d.lang, d.n_chars, g.stop_hits
                 FROM documents d

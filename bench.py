@@ -188,6 +188,7 @@ HEADLINE = [
     "r126_skyline",
     "r127_threshold_tuning",
     "r128_group_skyline",
+    "r129_slice_report",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

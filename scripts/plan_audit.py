@@ -152,6 +152,10 @@ BNLJ_ALLOWED = {
     # join onto the score-cardinality-bounded histogram relation —
     # bounded by construction (q61/r17 shape)
     "r127_threshold_tuning",
+    # r129: the corpus totals (1 row) ride a broadcast cross join onto
+    # the slice-cardinality-bounded cell relation — bounded by
+    # construction (q61/r17 shape)
+    "r129_slice_report",
     # r78: the reference date and the quantile-edge row (1 row each)
     # ride broadcast cross joins onto orders / the customer relation —
     # bounded by construction (r44 trimmed-mean shape)

@@ -1619,3 +1619,22 @@ def test_threshold_tuning_perfect_separator(spark):
     ordered = sorted(out, key=lambda r: -r["threshold"])
     recalls = [r["recall"] for r in ordered]
     assert recalls == sorted(recalls)
+
+
+def test_slice_report_flags_bad_pocket(spark):
+    """r129: a slice whose pass rate collapses vs the corpus baseline
+    gets a large negative z and the flag; a matching slice does not."""
+    from unifydb_spark.operators.quality import slice_report
+
+    rows = [("en", "good", True)] * 80 + [("en", "good", False)] * 20
+    rows += [("xx", "bad", False)] * 40 + [("xx", "bad", True)] * 2
+    df = spark.createDataFrame(rows, "lang string, src string, ok boolean")
+    out = {(r["lang"], r["src"]): r.asDict()
+           for r in slice_report(df, ["lang", "src"], F.col("ok")).collect()}
+    bad = out[("xx", "bad")]
+    good = out[("en", "good")]
+    assert bad["flagged"] is True and bad["z"] < -3
+    # the flag is two-sided: the good slice deviates POSITIVELY from
+    # the corpus baseline (dragged down by the bad pocket)
+    assert good["z"] > 0 and bad["z"] < good["z"]
+    assert abs(bad["corpus_rate"] - good["corpus_rate"]) < 1e-9

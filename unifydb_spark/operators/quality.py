@@ -1464,3 +1464,106 @@ def readability_report_sql(
                END AS fk_grade
         FROM c ORDER BY doc_id
     """
+
+
+def slice_report(
+    docs: "DataFrame",
+    slice_cols: "list[str]",
+    flag_col,
+    z_crit: float = 3.0,
+) -> "DataFrame":
+    """Per-slice quality audit (the slice-finding eval-ops pattern,
+    public method — cf. SliceFinder, Chung et al. 2019): for every
+    value combination of the slice columns, the pass rate of a boolean
+    quality flag vs the corpus rate, with a two-proportion z-score
+    against the corpus baseline and a |z| >= z_crit flag — the "which
+    language x source pocket is dragging quality" table a curation
+    review reads first. Returns per slice: (slice cols..., n, n_pass,
+    rate, corpus_rate, z, flagged).
+
+    Shape: ONE combinable groupBy over the slice tuple (the only pass
+    over raw rows); the corpus totals ride a 1-row broadcast cross
+    join; z = (p_s - p_c) / sqrt(p_c * (1 - p_c) / n_s) is mirrored
+    double arithmetic, NULL when the baseline is degenerate (p_c in
+    {0, 1}) identically in both engines."""
+    cell = (
+        docs.select(
+            *[F.col(c) for c in slice_cols],
+            F.when(flag_col, 1).otherwise(0).alias("__y"),
+        )
+        .groupBy(*[F.col(c) for c in slice_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("n_pass"),
+        )
+    )
+    tot = cell.agg(
+        F.sum("n").alias("tn"), F.sum("n_pass").alias("tp")
+    )
+    pc = F.col("tp").cast("double") / F.col("tn").cast("double")
+    ps = F.col("n_pass").cast("double") / F.col("n").cast("double")
+    z = F.when(
+        (pc > F.lit(0.0)) & (pc < F.lit(1.0)),
+        (ps - pc)
+        / F.sqrt(pc * (F.lit(1.0) - pc) / F.col("n").cast("double")),
+    )
+    return cell.crossJoin(F.broadcast(tot)).select(
+        *[F.col(c) for c in slice_cols],
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pass").cast("bigint").alias("n_pass"),
+        F.round(ps, 6).alias("rate"),
+        F.round(pc, 6).alias("corpus_rate"),
+        F.round(z, 4).alias("z"),
+        F.coalesce(
+            F.abs(z) >= F.lit(float(z_crit)), F.lit(False)
+        ).alias("flagged"),
+    )
+
+
+def slice_report_sql(
+    table: str,
+    slice_cols: "list[str]",
+    flag_sql: str,
+    z_crit: float = 3.0,
+) -> str:
+    cols = ", ".join(slice_cols)
+    return f"""
+        WITH cell AS (
+          SELECT {cols}, COUNT(*) AS n,
+                 SUM(CASE WHEN {flag_sql} THEN 1 ELSE 0 END) AS n_pass
+          FROM {table} GROUP BY {cols}
+        ), tot AS (
+          SELECT SUM(n) AS tn, SUM(n_pass) AS tp FROM cell
+        )
+        SELECT {cols}, CAST(n AS BIGINT) AS n,
+               CAST(n_pass AS BIGINT) AS n_pass,
+               ROUND(CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS rate,
+               ROUND(CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE), 6)
+                 AS corpus_rate,
+               ROUND(CASE WHEN CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)
+                               > 0.0::DOUBLE
+                           AND CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)
+                               < 1.0::DOUBLE THEN
+                 (CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+                 / sqrt((CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+                        * (1.0::DOUBLE
+                           - CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+                        / CAST(n AS DOUBLE))
+               END, 4) AS z,
+               COALESCE(ABS(CASE WHEN CAST(tp AS DOUBLE)
+                                      / CAST(tn AS DOUBLE) > 0.0::DOUBLE
+                                  AND CAST(tp AS DOUBLE)
+                                      / CAST(tn AS DOUBLE) < 1.0::DOUBLE
+                                 THEN
+                   (CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE)
+                    - CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+                   / sqrt((CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+                          * (1.0::DOUBLE
+                             - CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+                          / CAST(n AS DOUBLE))
+                 END) >= {float(z_crit)!r}, FALSE) AS flagged
+        FROM cell, tot
+        ORDER BY {cols}
+    """
