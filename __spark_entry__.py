@@ -3995,6 +3995,17 @@ def r129_slice_report(spark, sf_dir):
     ).orderBy("lang", "source")
 
 
+def r130_bounce_report(spark, sf_dir):
+    """Daily session-quality dashboard (operators/events.py
+    bounce_report): session count, bounce rate (single-event
+    sessions), mean events, exact median duration — composed on q34's
+    gap sessionizer (one user shuffle) + one combinable day
+    collapse."""
+    from unifydb_spark.operators.events import bounce_report
+
+    return bounce_report(_events_ts(spark, sf_dir)).orderBy("day")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4275,6 +4286,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r127_threshold_tuning": r127_threshold_tuning,
         "r128_group_skyline": r128_group_skyline,
         "r129_slice_report": r129_slice_report,
+        "r130_bounce_report": r130_bounce_report,
     }
 
 
@@ -5094,6 +5106,7 @@ def _operator_oracles() -> dict[str, str]:
         ),
         "r124_entropy_rate": _t.entropy_rate_sql("documents"),
         "r125_term_burstiness": _t.term_burstiness_sql("documents"),
+        "r130_bounce_report": _ev.bounce_report_sql("events"),
         "r129_slice_report": _ql.slice_report_sql(
             """(SELECT d.doc_id, d.lang, d.source, g.passes
                 FROM documents d

@@ -189,6 +189,7 @@ HEADLINE = [
     "r127_threshold_tuning",
     "r128_group_skyline",
     "r129_slice_report",
+    "r130_bounce_report",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

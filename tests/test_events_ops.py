@@ -481,3 +481,29 @@ def test_exp_smoothing_matches_recursion(spark):
         exp[f"2024-06-0{1 + i}"] = round(s, 6)
     for day, lv in exp.items():
         assert abs(out[day] - lv) < 1e-5, (day, out[day], lv)
+
+
+def test_bounce_report_counts(spark):
+    """r130: a lone event is a bounce; a 3-event burst is one session
+    with 3 events; rates follow."""
+    import datetime
+
+    from unifydb_spark.operators.events import bounce_report
+
+    base = datetime.datetime(2024, 7, 1, 12, 0)
+    rows = [
+        (0, 1, base, "view", 1.0),                       # bounce
+        (1, 2, base, "view", 1.0),                       # session of 3
+        (2, 2, base + datetime.timedelta(minutes=5), "click", 1.0),
+        (3, 2, base + datetime.timedelta(minutes=10), "buy", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double",
+    )
+    r = bounce_report(ev).collect()[0].asDict()
+    assert r["day"] == "2024-07-01"
+    assert r["n_sessions"] == 2 and r["n_bounces"] == 1
+    assert r["bounce_rate"] == 0.5 and r["mean_events"] == 2.0
+    assert r["median_duration_s"] == 300.0  # (0 + 600) / 2

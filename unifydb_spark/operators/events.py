@@ -2350,3 +2350,76 @@ def exp_smoothing_sql(
         FROM idx i JOIN lvl ON lvl.t = i.t AND lvl.day = i.day
         ORDER BY 1, 2
     """
+
+
+def bounce_report(
+    events: DataFrame,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Daily session-quality report (classic web analytics, public
+    definitions): per session-start day, session count, bounce rate
+    (single-event sessions — the "arrived and left" signal), mean
+    events per session, and the exact median session duration in
+    seconds — the dashboard row product reviews read first. Returns
+    (day, n_sessions, n_bounces, bounce_rate, mean_events,
+    median_duration_s).
+
+    Composes q34's gap sessionizer (one user shuffle), then ONE
+    combinable day collapse; the exact median rides the
+    percentile/quantile_cont parity contract over the day's session
+    relation (a per-day percentile aggregate — day-bounded, not
+    raw-row-bounded). Durations are integer microsecond differences
+    cast once."""
+    s = sessionize(events, gap_minutes=gap_minutes)
+    dur_s = (
+        (F.unix_micros("session_end") - F.unix_micros("session_start"))
+        .cast("double")
+        / F.lit(1_000_000.0)
+    )
+    day = F.date_format(F.to_date("session_start"), "yyyy-MM-dd")
+    per = s.select(
+        day.alias("day"),
+        F.col("n_events"),
+        dur_s.alias("dur_s"),
+    )
+    return per.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).cast("bigint")
+        .alias("n_bounces"),
+        F.round(
+            F.sum((F.col("n_events") == 1).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_events"),
+        F.round(F.percentile(F.col("dur_s"), F.lit(0.5)), 4).alias(
+            "median_duration_s"
+        ),
+    )
+
+
+def bounce_report_sql(
+    table: str = "events", gap_minutes: int = 30
+) -> str:
+    inner = sessionize_sql(table, gap_minutes)
+    return f"""
+        WITH s AS MATERIALIZED (SELECT * FROM ({inner})),
+        per AS (
+          SELECT strftime(CAST(session_start AS DATE), '%Y-%m-%d') AS day,
+                 n_events,
+                 CAST(epoch_us(session_end) - epoch_us(session_start)
+                   AS DOUBLE) / 1000000.0 AS dur_s
+          FROM s
+        )
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_bounces,
+               ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                     AS DOUBLE) / COUNT(*), 6) AS bounce_rate,
+               ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
+                 AS mean_events,
+               ROUND(quantile_cont(dur_s, 0.5), 4) AS median_duration_s
+        FROM per GROUP BY 1 ORDER BY 1
+    """
