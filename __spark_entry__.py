@@ -4006,6 +4006,20 @@ def r130_bounce_report(spark, sf_dir):
     return bounce_report(_events_ts(spark, sf_dir)).orderBy("day")
 
 
+def r131_gini_split(spark, sf_dir):
+    """Best single-threshold split by Gini impurity (operators/
+    stats.py gini_split, the CART stump primitive): weighted impurity
+    of `n_chars <= t` vs the English label for every observed
+    cutpoint, best-split flagged — step one of any tree learner. One
+    combinable groupBy(feature); everything after runs on the
+    feature-cardinality-bounded histogram (the r127 contract)."""
+    from unifydb_spark.operators.stats import gini_split
+
+    return gini_split(
+        _docs(spark, sf_dir), "n_chars", F.col("lang") == F.lit("en")
+    ).orderBy("threshold")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4287,6 +4301,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r128_group_skyline": r128_group_skyline,
         "r129_slice_report": r129_slice_report,
         "r130_bounce_report": r130_bounce_report,
+        "r131_gini_split": r131_gini_split,
     }
 
 
@@ -5107,6 +5122,9 @@ def _operator_oracles() -> dict[str, str]:
         "r124_entropy_rate": _t.entropy_rate_sql("documents"),
         "r125_term_burstiness": _t.term_burstiness_sql("documents"),
         "r130_bounce_report": _ev.bounce_report_sql("events"),
+        "r131_gini_split": _st.gini_split_sql(
+            "documents", "n_chars", "lang = 'en'"
+        ),
         "r129_slice_report": _ql.slice_report_sql(
             """(SELECT d.doc_id, d.lang, d.source, g.passes
                 FROM documents d

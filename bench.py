@@ -190,6 +190,7 @@ HEADLINE = [
     "r128_group_skyline",
     "r129_slice_report",
     "r130_bounce_report",
+    "r131_gini_split",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

@@ -156,6 +156,10 @@ BNLJ_ALLOWED = {
     # the slice-cardinality-bounded cell relation — bounded by
     # construction (q61/r17 shape)
     "r129_slice_report",
+    # r131: the class totals (1 row) ride a broadcast cross join onto
+    # the feature-cardinality-bounded histogram relation — bounded by
+    # construction (r127 shape)
+    "r131_gini_split",
     # r78: the reference date and the quantile-edge row (1 row each)
     # ride broadcast cross joins onto orders / the customer relation —
     # bounded by construction (r44 trimmed-mean shape)

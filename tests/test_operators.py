@@ -1638,3 +1638,20 @@ def test_slice_report_flags_bad_pocket(spark):
     # the corpus baseline (dragged down by the bad pocket)
     assert good["z"] > 0 and bad["z"] < good["z"]
     assert abs(bad["corpus_rate"] - good["corpus_rate"]) < 1e-9
+
+
+def test_gini_split_perfect_separator(spark):
+    """r131: a feature that perfectly separates the label finds a
+    zero-impurity best split at the class boundary."""
+    from unifydb_spark.operators.stats import gini_split
+
+    rows = [(float(i), i < 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "x double, y boolean")
+    out = gini_split(df, "x", F.col("y")).collect()
+    best = [r for r in out if r["is_best"]]
+    assert len(best) == 1
+    b = best[0].asDict()
+    assert b["threshold"] == 9.0 and b["gini_split"] == 0.0
+    assert b["pos_left"] == 10 and b["pos_right"] == 0
+    # max value excluded as a non-split
+    assert all(r["threshold"] < 19.0 for r in out)

@@ -3924,3 +3924,120 @@ def threshold_tuning_sql(
                      END, 6) AS f1
         FROM cum ORDER BY threshold DESC
     """
+
+
+def gini_split(
+    df: "DataFrame",
+    feature_col: str,
+    label_col,
+) -> "DataFrame":
+    """Best single-threshold split by Gini impurity (the CART stump
+    primitive, Breiman et al. 1984 — public method): for every
+    distinct observed feature value t, the weighted Gini of the split
+    `left = feature <= t` vs right, and a best-split flag (lowest
+    impurity, ties to the smallest threshold) — step one of any tree
+    learner, and on its own the 'most informative cutpoint' report.
+    Returns per threshold: (threshold, n_left, pos_left, n_right,
+    pos_right, gini_split, is_best), thresholds ascending; the max
+    feature value (empty right side) is excluded as a non-split.
+
+    Shape: ONE combinable groupBy(feature) over raw rows; cumulative
+    sums and the best-flag window run over the feature-cardinality-
+    bounded histogram relation (the r127 contract); totals ride a
+    1-row broadcast. Gini terms are mirrored double divisions from
+    integer counts."""
+    from pyspark.sql import Window
+
+    per = (
+        df.select(
+            F.col(feature_col).cast("double").alias("v"),
+            F.when(label_col, 1).otherwise(0).alias("y"),
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per.agg(
+        F.sum("n").alias("tn"), F.sum("pos").alias("tp")
+    )
+    cum = per.select(
+        "v",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+    ).crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("tn"))
+    nl = F.col("nl").cast("double")
+    nr = (F.col("tn") - F.col("nl")).cast("double")
+    pl = F.col("pl").cast("double") / nl
+    pr = (F.col("tp") - F.col("pl")).cast("double") / nr
+    gl = F.lit(1.0) - pl * pl - (F.lit(1.0) - pl) * (F.lit(1.0) - pl)
+    gr = F.lit(1.0) - pr * pr - (F.lit(1.0) - pr) * (F.lit(1.0) - pr)
+    tn = F.col("tn").cast("double")
+    gsplit = (nl / tn) * gl + (nr / tn) * gr
+    scored = cum.select(
+        F.col("v").alias("threshold"),
+        F.col("nl").cast("bigint").alias("n_left"),
+        F.col("pl").cast("bigint").alias("pos_left"),
+        (F.col("tn") - F.col("nl")).cast("bigint").alias("n_right"),
+        (F.col("tp") - F.col("pl")).cast("bigint").alias("pos_right"),
+        F.round(gsplit, 6).alias("gini_split"),
+        gsplit.alias("__g"),
+    )
+    wb = Window.orderBy(F.col("__g").asc(), F.col("threshold").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .select(
+            "threshold", "n_left", "pos_left", "n_right", "pos_right",
+            "gini_split",
+            (F.col("rn") == 1).alias("is_best"),
+        )
+    )
+
+
+def gini_split_sql(
+    table: str,
+    feature_col: str,
+    label_sql: str,
+) -> str:
+    return f"""
+        WITH per AS (
+          SELECT CAST({feature_col} AS DOUBLE) AS v, COUNT(*) AS n,
+                 SUM(CASE WHEN {label_sql} THEN 1 ELSE 0 END) AS pos
+          FROM {table} GROUP BY 1
+        ), tot AS (SELECT SUM(n) AS tn, SUM(pos) AS tp FROM per),
+        cum AS (
+          SELECT v,
+                 SUM(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS nl,
+                 SUM(pos) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS pl,
+                 tn, tp
+          FROM per, tot
+        ), scored AS (
+          SELECT v AS threshold,
+                 CAST(nl AS BIGINT) AS n_left,
+                 CAST(pl AS BIGINT) AS pos_left,
+                 CAST(tn - nl AS BIGINT) AS n_right,
+                 CAST(tp - pl AS BIGINT) AS pos_right,
+                 (CAST(nl AS DOUBLE) / CAST(tn AS DOUBLE))
+                 * (1.0::DOUBLE
+                    - (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                      * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                    - (1.0::DOUBLE
+                       - CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                      * (1.0::DOUBLE
+                         - CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)))
+                 + (CAST(tn - nl AS DOUBLE) / CAST(tn AS DOUBLE))
+                 * (1.0::DOUBLE
+                    - (CAST(tp - pl AS DOUBLE) / CAST(tn - nl AS DOUBLE))
+                      * (CAST(tp - pl AS DOUBLE) / CAST(tn - nl AS DOUBLE))
+                    - (1.0::DOUBLE
+                       - CAST(tp - pl AS DOUBLE) / CAST(tn - nl AS DOUBLE))
+                      * (1.0::DOUBLE
+                         - CAST(tp - pl AS DOUBLE)
+                           / CAST(tn - nl AS DOUBLE))) AS g
+          FROM cum WHERE nl < tn
+        )
+        SELECT threshold, n_left, pos_left, n_right, pos_right,
+               ROUND(g, 6) AS gini_split,
+               (ROW_NUMBER() OVER (ORDER BY g ASC, threshold ASC) = 1)
+                 AS is_best
+        FROM scored ORDER BY threshold
+    """
