@@ -4020,6 +4020,20 @@ def r131_gini_split(spark, sf_dir):
     ).orderBy("threshold")
 
 
+def r132_srm_by_segment(spark, sf_dir):
+    """Segment-sliced SRM check (operators/stats.py srm_by_segment):
+    per event-type segment, distinct users per md5 arm and the
+    z-score vs 50/50 — the follow-up that catches a broken segment a
+    global 50/50 hides; same arm coin as r107/r108, so it slices the
+    SAME experiment. One distinct collapse + segment-sized
+    arithmetic."""
+    from unifydb_spark.operators.stats import srm_by_segment
+
+    return srm_by_segment(
+        _events_ts(spark, sf_dir), "event_type"
+    ).orderBy("segment")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4302,6 +4316,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r129_slice_report": r129_slice_report,
         "r130_bounce_report": r130_bounce_report,
         "r131_gini_split": r131_gini_split,
+        "r132_srm_by_segment": r132_srm_by_segment,
     }
 
 
@@ -5124,6 +5139,9 @@ def _operator_oracles() -> dict[str, str]:
         "r130_bounce_report": _ev.bounce_report_sql("events"),
         "r131_gini_split": _st.gini_split_sql(
             "documents", "n_chars", "lang = 'en'"
+        ),
+        "r132_srm_by_segment": _st.srm_by_segment_sql(
+            "events", "event_type"
         ),
         "r129_slice_report": _ql.slice_report_sql(
             """(SELECT d.doc_id, d.lang, d.source, g.passes

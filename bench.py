@@ -191,6 +191,7 @@ HEADLINE = [
     "r129_slice_report",
     "r130_bounce_report",
     "r131_gini_split",
+    "r132_srm_by_segment",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

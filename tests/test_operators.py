@@ -1655,3 +1655,23 @@ def test_gini_split_perfect_separator(spark):
     assert b["pos_left"] == 10 and b["pos_right"] == 0
     # max value excluded as a non-split
     assert all(r["threshold"] < 19.0 for r in out)
+
+
+def test_srm_by_segment_finds_broken_segment(spark):
+    """r132: a segment that dropped one arm's users flags; a balanced
+    segment with the same md5 coin does not."""
+    import hashlib
+
+    from unifydb_spark.operators.stats import srm_by_segment
+
+    def arm(u):
+        return int(hashlib.md5(f"arm:{u}".encode()).hexdigest()[:8], 16) % 2
+
+    rows = [("ok", u) for u in range(200)]
+    # broken segment: logging dropped arm-1 users entirely
+    rows += [("broken", u) for u in range(200) if arm(u) == 0]
+    df = spark.createDataFrame(rows, "segment string, user_id bigint")
+    out = {r["segment"]: r.asDict() for r in srm_by_segment(df, "segment").collect()}
+    assert out["broken"]["n_arm1"] == 0 and out["broken"]["flagged"] is True
+    assert out["ok"]["flagged"] is False
+    assert out["ok"]["n_arm0"] + out["ok"]["n_arm1"] == 200

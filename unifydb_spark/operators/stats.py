@@ -4041,3 +4041,88 @@ def gini_split_sql(
                  AS is_best
         FROM scored ORDER BY threshold
     """
+
+
+def srm_by_segment(
+    df: "DataFrame",
+    segment_col: str,
+    unit_col: str = "user_id",
+    salt: str = "arm",
+    z_crit: float = 3.0,
+) -> "DataFrame":
+    """Segment-sliced sample-ratio-mismatch check (the follow-up to
+    r108's global SRM, per Fabijan et al.: a global 50/50 can hide a
+    broken segment — e.g. one platform's logging drops an arm): per
+    segment, the DISTINCT units in each md5 arm, the z-score of the
+    observed split vs 50/50, and a |z| >= z_crit flag. Returns
+    (segment, n_arm0, n_arm1, srm_z, flagged).
+
+    Shape: one combinable distinct (segment, unit) collapse (a unit
+    may appear in many segments — each segment judges its own
+    population), then a segment-cardinality-sized arithmetic pass.
+    The arm is the same md5 coin as r107/r108, so this slices the
+    SAME experiment."""
+    arm = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"),
+                               F.col("u").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(2),
+    )
+    per = (
+        df.select(F.col(segment_col).alias("segment"),
+                  F.col(unit_col).alias("u"))
+        .distinct()
+        .select("segment", "u", arm.alias("a"))
+        .groupBy("segment")
+        .agg(
+            F.sum(F.when(F.col("a") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("a") == 1, 1).otherwise(0)).alias("n1"),
+        )
+    )
+    z = (
+        (F.col("n1") - F.col("n0")).cast("double")
+        / F.sqrt((F.col("n0") + F.col("n1")).cast("double"))
+    )
+    return per.select(
+        "segment",
+        F.col("n0").cast("bigint").alias("n_arm0"),
+        F.col("n1").cast("bigint").alias("n_arm1"),
+        F.round(z, 6).alias("srm_z"),
+        (F.abs(z) >= F.lit(float(z_crit))).alias("flagged"),
+    )
+
+
+def srm_by_segment_sql(
+    table: str,
+    segment_col: str,
+    unit_col: str = "user_id",
+    salt: str = "arm",
+    z_crit: float = 3.0,
+) -> str:
+    from unifydb_spark.operators.text import md5_u32_sql
+
+    u32 = md5_u32_sql("u", salt)
+    return f"""
+        WITH per AS (
+          SELECT segment,
+                 SUM(CASE WHEN {u32} % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+                 SUM(CASE WHEN {u32} % 2 = 1 THEN 1 ELSE 0 END) AS n1
+          FROM (SELECT DISTINCT {segment_col} AS segment,
+                       {unit_col} AS u
+                FROM {table})
+          GROUP BY 1
+        )
+        SELECT segment, CAST(n0 AS BIGINT) AS n_arm0,
+               CAST(n1 AS BIGINT) AS n_arm1,
+               ROUND(CAST(n1 - n0 AS DOUBLE)
+                     / sqrt(CAST(n0 + n1 AS DOUBLE)), 6) AS srm_z,
+               (ABS(CAST(n1 - n0 AS DOUBLE)
+                    / sqrt(CAST(n0 + n1 AS DOUBLE)))
+                  >= {float(z_crit)!r}) AS flagged
+        FROM per ORDER BY segment
+    """
