@@ -4034,6 +4034,30 @@ def r132_srm_by_segment(spark, sf_dir):
     ).orderBy("segment")
 
 
+def r133_feature_ranking(spark, sf_dir):
+    """Univariate feature ranking by Gini split gain (operators/
+    stats.py feature_split_ranking): which document feature —
+    n_chars, stop_hits, mean word length, dup-word fraction — best
+    separates English, each scored by its r131 best split and ranked
+    by gain vs the base impurity. One bounded pipeline per feature;
+    the rank window runs over 4 rows."""
+    from unifydb_spark.operators.quality import gopher_rules
+    from unifydb_spark.operators.stats import feature_split_ranking
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", "lang", "n_chars").join(
+        gopher_rules(docs).select(
+            "doc_id", "stop_hits", "mean_word_len", "dup_word_frac"
+        ),
+        "doc_id",
+    )
+    return feature_split_ranking(
+        scored,
+        ["n_chars", "stop_hits", "mean_word_len", "dup_word_frac"],
+        F.col("lang") == F.lit("en"),
+    ).orderBy("rank")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4317,6 +4341,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r130_bounce_report": r130_bounce_report,
         "r131_gini_split": r131_gini_split,
         "r132_srm_by_segment": r132_srm_by_segment,
+        "r133_feature_ranking": r133_feature_ranking,
     }
 
 
@@ -5143,6 +5168,14 @@ def _operator_oracles() -> dict[str, str]:
         "r132_srm_by_segment": _st.srm_by_segment_sql(
             "events", "event_type"
         ),
+        "r133_feature_ranking": _st.feature_split_ranking_sql(
+            """(SELECT d.doc_id, d.lang, d.n_chars, g.stop_hits,
+                       g.mean_word_len, g.dup_word_frac
+                FROM documents d
+                JOIN ({gr}) g ON d.doc_id = g.doc_id)""",
+            ["n_chars", "stop_hits", "mean_word_len", "dup_word_frac"],
+            "lang = 'en'",
+        ).replace("{gr}", _ql.gopher_rules_sql("documents")),
         "r129_slice_report": _ql.slice_report_sql(
             """(SELECT d.doc_id, d.lang, d.source, g.passes
                 FROM documents d

@@ -192,6 +192,7 @@ HEADLINE = [
     "r130_bounce_report",
     "r131_gini_split",
     "r132_srm_by_segment",
+    "r133_feature_ranking",
     "r48_token_pmi",
     "r46_gini_concentration",
     "r44_trimmed_mean",

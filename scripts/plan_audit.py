@@ -160,6 +160,11 @@ BNLJ_ALLOWED = {
     # the feature-cardinality-bounded histogram relation — bounded by
     # construction (r127 shape)
     "r131_gini_split",
+    # r133: composes one r131 pipeline per feature — the per-feature
+    # class totals and the base-impurity scalar (1 row each) ride
+    # broadcast cross joins onto histogram-/features-sized relations —
+    # bounded by construction (r131/q71 shapes)
+    "r133_feature_ranking",
     # r78: the reference date and the quantile-edge row (1 row each)
     # ride broadcast cross joins onto orders / the customer relation —
     # bounded by construction (r44 trimmed-mean shape)

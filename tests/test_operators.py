@@ -1675,3 +1675,21 @@ def test_srm_by_segment_finds_broken_segment(spark):
     assert out["broken"]["n_arm1"] == 0 and out["broken"]["flagged"] is True
     assert out["ok"]["flagged"] is False
     assert out["ok"]["n_arm0"] + out["ok"]["n_arm1"] == 200
+
+
+def test_feature_ranking_orders_by_gain(spark):
+    """r133: a perfectly separating feature ranks first with gain =
+    base impurity; an uninformative constant feature ranks last with
+    gain ~ 0."""
+    from unifydb_spark.operators.stats import feature_split_ranking
+
+    # noise alternates independently of the label -> near-zero gain;
+    # (a CONSTANT feature would admit no split and be omitted)
+    rows = [(float(i), float(i % 2), i < 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "sep double, noise double, y boolean")
+    out = {r["feature"]: r.asDict()
+           for r in feature_split_ranking(df, ["sep", "noise"],
+                                          F.col("y")).collect()}
+    assert out["sep"]["rank"] == 1 and out["sep"]["gini_split"] == 0.0
+    assert abs(out["sep"]["gain"] - 0.5) < 1e-9  # base gini of 50/50
+    assert out["noise"]["rank"] == 2 and out["noise"]["gain"] < 0.01

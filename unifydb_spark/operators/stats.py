@@ -4126,3 +4126,98 @@ def srm_by_segment_sql(
                   >= {float(z_crit)!r}) AS flagged
         FROM per ORDER BY segment
     """
+
+
+def feature_split_ranking(
+    df: "DataFrame",
+    feature_cols: "list[str]",
+    label_col,
+) -> "DataFrame":
+    """Univariate feature ranking by Gini split gain (the standard
+    first-cut feature-selection report; the multi-feature form of
+    gini_split/r131): for each candidate feature, the best single
+    threshold, its weighted impurity, the gain vs the unsplit base
+    impurity, and the rank by gain (ties to feature name). Returns
+    one row per feature: (feature, best_threshold, gini_split, gain,
+    rank). A feature with a single distinct value admits no split
+    (gini_split excludes the max value as a non-split) and is
+    omitted — identical in both engines.
+
+    Shape: one bounded gini_split pipeline per feature (each is one
+    combinable groupBy + histogram-sized arithmetic, the r127
+    contract) unioned into a features-sized relation; the base
+    impurity is a 1-row broadcast; the rank window runs over
+    len(feature_cols) rows."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    best = None
+    parts = []
+    for fcol in feature_cols:
+        b = (
+            gini_split(df, fcol, label_col)
+            .filter(F.col("is_best"))
+            .select(
+                F.lit(fcol).alias("feature"),
+                F.col("threshold").alias("best_threshold"),
+                "gini_split",
+            )
+        )
+        parts.append(b)
+    best = reduce(lambda a, b: a.unionAll(b), parts)
+    tot = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(label_col, 1).otherwise(0)).alias("pos"),
+    )
+    p = F.col("pos").cast("double") / F.col("n").cast("double")
+    g0 = (
+        F.lit(1.0) - p * p - (F.lit(1.0) - p) * (F.lit(1.0) - p)
+    )
+    j = best.crossJoin(F.broadcast(tot.select(g0.alias("g0"))))
+    w = Window.orderBy(
+        (F.col("g0") - F.col("gini_split")).desc(), F.col("feature").asc()
+    )
+    return j.select(
+        "feature",
+        "best_threshold",
+        "gini_split",
+        F.round(F.col("g0") - F.col("gini_split"), 6).alias("gain"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def feature_split_ranking_sql(
+    table: str,
+    feature_cols: "list[str]",
+    label_sql: str,
+) -> str:
+    parts = []
+    for fcol in feature_cols:
+        inner = gini_split_sql(table, fcol, label_sql)
+        parts.append(
+            f"""SELECT '{fcol}' AS feature,
+                       threshold AS best_threshold, gini_split
+                FROM ({inner}) WHERE is_best"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+        WITH best AS ({union}),
+        tot AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CASE WHEN {label_sql} THEN 1 ELSE 0 END)
+                   AS DOUBLE) AS pos
+          FROM {table}
+        ), g AS (
+          SELECT 1.0::DOUBLE - (pos / n) * (pos / n)
+                 - (1.0::DOUBLE - pos / n) * (1.0::DOUBLE - pos / n)
+                   AS g0
+          FROM tot
+        )
+        SELECT feature, best_threshold, gini_split,
+               ROUND(g0 - gini_split, 6) AS gain,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY g0 - gini_split DESC, feature ASC) AS INT)
+                 AS rank
+        FROM best, g ORDER BY rank
+    """
