@@ -1,0 +1,271 @@
+"""ACID commit-log backend (txlog.LogParquetBackend).
+
+The reference serializes all writers through one transactor thread inside
+one process (reference src/unifydb/transact.clj:116-137, btree.clj:2-4);
+these tests prove the stronger cross-PROCESS contract the 100 TB write
+path needs: two independent OS processes transacting against the same
+store serialize via the optimistic commit log (distinct tx-ids, all facts
+visible), a writer killed mid-append leaves the store readable and clean,
+and every historical log version remains a consistent read.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from unifydb_spark.engine import Engine
+from unifydb_spark.store import FactStore
+from unifydb_spark.txlog import CommitConflict, LogParquetBackend
+
+
+@pytest.fixture()
+def log_store(spark, tmp_path):
+    return FactStore(spark, LogParquetBackend(spark, str(tmp_path / "facts")))
+
+
+def test_transact_and_query_roundtrip(spark, log_store):
+    eng = Engine(spark, log_store)
+    r = eng.transact([["add", "b", ":name", "Ben"], ["add", "b", ":age", 40]])
+    b = r["tempids"]["b"]
+    rows = eng.query_rows(
+        {"find": ["?v"], "where": [[b, ":age", "?v"]]}
+    )
+    assert rows == [(40,)]
+    # commit log advanced exactly once for the one transaction
+    assert log_store.backend.log_version() == 1
+
+
+def test_retraction_and_time_travel_by_tx(spark, log_store):
+    eng = Engine(spark, log_store)
+    r1 = eng.transact([["add", "x", ":tag", "keep"], ["add", "x", ":note", "gone"]])
+    x = r1["tempids"]["x"]
+    tx1 = r1["tempids"]["unifydb.tx"]
+    eng.transact([[":unifydb/retract", x, ":note", "gone"]])
+    assert eng.query_rows({"find": ["?a", "?v"], "where": [[x, "?a", "?v"]]}) == [
+        ("tag", "keep")
+    ]
+    # fact-level as-of still sees the retracted fact before the retraction
+    old = eng.query_rows(
+        {"find": ["?a", "?v"], "where": [[x, "?a", "?v"]]},
+        db=log_store.db(tx1),
+    )
+    assert sorted(old) == [("note", "gone"), ("tag", "keep")]
+
+
+def test_log_versioned_time_travel(spark, log_store):
+    eng = Engine(spark, log_store)
+    eng.transact([["add", "a", ":n", 1]])
+    v1 = log_store.backend.log_version()
+    eng.transact([["add", "b", ":n", 2]])
+    eng.transact([["add", "c", ":n", 3]])
+    assert log_store.backend.log_version() == 3
+    # reading as of log version 1 sees only the first commit's facts
+    df1 = log_store.backend.facts_df(as_of_version=v1)
+    assert df1.filter(df1.a == "n").count() == 1
+    df3 = log_store.backend.facts_df()
+    assert df3.filter(df3.a == "n").count() == 3
+
+
+def test_crash_mid_append_is_invisible(spark, tmp_path):
+    """A writer that dies after writing parquet but BEFORE the manifest
+    commit (protocol steps 1-3, txlog.py module docstring) must leave no
+    trace for readers: orphan data files are invisible, vacuum reclaims
+    them, and a torn tmp manifest is ignored."""
+    path = str(tmp_path / "facts")
+    store = FactStore(spark, LogParquetBackend(spark, path))
+    eng = Engine(spark, store)
+    eng.transact([["add", "a", ":n", 1]])
+
+    backend = store.backend
+    # simulate the crash: data file written, no manifest
+    rows = [(999, "n", "long", 42, None, None, None, None, None, None, 999, True)]
+    backend._write_data_file(rows)
+    # ...and a torn tmp manifest from a second crash point
+    with open(os.path.join(backend.log_dir, ".tmp.dead"), "w") as f:
+        f.write('{"files": [')  # truncated JSON
+
+    assert backend.log_version() == 1
+    df = backend.facts_df()
+    assert df.count() == 2  # the one committed tx (fact + txInstant), nothing else
+    assert df.filter(df.e == 999).count() == 0
+    # vacuum deletes exactly the orphan
+    deleted = backend.vacuum()
+    assert len(deleted) == 1
+    assert backend.facts_df().count() == 2
+
+
+def test_commit_conflict_retries_with_fresh_ids(spark, tmp_path):
+    """Force one lost CAS race and verify transact re-bases: re-reads
+    max_id, re-allocates ids, and the final state is serializable."""
+    path = str(tmp_path / "facts")
+    store = FactStore(spark, LogParquetBackend(spark, path))
+    eng = Engine(spark, store)
+    eng.transact([["add", "seed", ":n", 0]])
+
+    backend = store.backend
+    real_commit = backend.commit_rows
+    state = {"interposed": False}
+
+    def racing_commit(rows, based_on_version):
+        if not state["interposed"]:
+            state["interposed"] = True
+            # another "process" commits first, consuming ids
+            other = FactStore(spark, LogParquetBackend(spark, path))
+            other.transact([["add", "intruder", ":n", 99]])
+        return real_commit(rows, based_on_version)
+
+    backend.commit_rows = racing_commit
+    r = eng.transact([["add", "late", ":n", 1]])
+    backend.commit_rows = real_commit
+
+    assert state["interposed"]
+    # all three transactions visible, all tx-ids distinct
+    df = backend.facts_df()
+    txs = sorted(r["tx"] for r in df.select("tx").distinct().collect())
+    assert len(txs) == 3
+    # entity ids never collide across the raced writers
+    es = [r["e"] for r in df.groupBy("e", "a").count().filter("count > 1").collect()]
+    assert es == []
+
+
+def test_cross_process_writers_serialize(spark, tmp_path):
+    """THE contract test: two independent OS processes (no shared locks,
+    no Spark in the children — the txlog write path is pure Python)
+    transact concurrently against the same store. Afterward every
+    transaction is visible with a distinct tx-id and no entity-id
+    collisions."""
+    path = str(tmp_path / "facts")
+    n_per_writer = 8
+
+    child = textwrap.dedent(
+        """
+        import sys, time
+        sys.path.insert(0, sys.argv[3])
+        from unifydb_spark.store import FactStore
+        from unifydb_spark.txlog import LogParquetBackend
+
+        tag, path = sys.argv[1], sys.argv[2]
+        store = FactStore(spark=None, backend=LogParquetBackend(None, path))
+        for i in range(%d):
+            store.transact([["add", f"{tag}{i}", ":name", f"name-{tag}{i}"]])
+        print("done", tag)
+        """
+        % n_per_writer
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", child, tag, path, repo],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for tag in ("a", "b")
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()
+
+    backend = LogParquetBackend(spark, path)
+    assert backend.log_version() == 2 * n_per_writer
+    df = backend.facts_df()
+    # each transact writes the named fact + the txInstant metadata fact
+    assert df.count() == 2 * 2 * n_per_writer
+    txs = df.select("tx").distinct().count()
+    assert txs == 2 * n_per_writer
+    # every logical fact from both writers made it
+    names = {
+        r["v_str"]
+        for r in df.filter(df.a == "name").select("v_str").collect()
+    }
+    assert names == {
+        f"name-{t}{i}" for t in ("a", "b") for i in range(n_per_writer)
+    }
+    # no (e, a) pair written twice — id allocation never collided
+    assert df.groupBy("e", "a").count().filter("count > 1").count() == 0
+
+
+def test_bulk_append_df_atomic(spark, tmp_path):
+    """Executor-written big appends become visible in ONE manifest
+    commit; a staged-but-uncommitted write is invisible."""
+    from unifydb_spark.values import FACT_SCHEMA
+
+    path = str(tmp_path / "facts")
+    backend = LogParquetBackend(spark, path)
+    rows = [
+        (i, "doc/len", "long", i * 10, None, None, None, None, None, None, 1, True)
+        for i in range(1, 101)
+    ]
+    df = spark.createDataFrame(rows, schema=FACT_SCHEMA)
+    backend.bulk_append_df(df)
+    assert backend.log_version() == 1
+    assert backend.facts_df().count() == 100
+    assert backend.max_id() == 100
+    assert backend.clean  # single tx, no retractions -> snapshot fast path
+
+
+def test_checkpoint_compacts_and_preserves_history(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    store = FactStore(spark, LogParquetBackend(spark, path))
+    eng = Engine(spark, store)
+    for i in range(5):
+        eng.transact([["add", f"e{i}", ":n", i]])
+    backend = store.backend
+    v_before = backend.log_version()
+    ckpt_v = backend.checkpoint()
+    assert ckpt_v == v_before + 1
+    # reads at the head use only the checkpoint file set
+    head_files = backend._live_files()
+    assert all(
+        f in {os.path.join(backend.data_dir, m["name"]) for m in backend._read_manifest(ckpt_v)["files"]}
+        for f in head_files
+    )
+    assert backend.facts_df().count() == 10  # 5 facts + 5 txInstants
+    # historical version still readable (files not deleted)
+    assert backend.facts_df(as_of_version=2).select("tx").distinct().count() == 2
+    # aggressive vacuum forfeits pre-checkpoint history but keeps the head
+    backend.vacuum(retain_before_checkpoint=False)
+    assert backend.facts_df().count() == 10
+
+
+def test_checkpoint_races_concurrent_commit(spark, tmp_path):
+    """A checkpoint that would drop a commit which landed mid-rewrite
+    must abort, not silently lose data."""
+    path = str(tmp_path / "facts")
+    store = FactStore(spark, LogParquetBackend(spark, path))
+    eng = Engine(spark, store)
+    eng.transact([["add", "a", ":n", 1]])
+    backend = store.backend
+
+    real = backend._try_commit
+
+    def interpose(manifest, version):
+        if manifest.get("replaces_all") and not getattr(interpose, "hit", False):
+            interpose.hit = True
+            eng.transact([["add", "b", ":n", 2]])
+        return real(manifest, version)
+
+    backend._try_commit = interpose
+    with pytest.raises(CommitConflict):
+        backend.checkpoint()
+    backend._try_commit = real
+    # nothing lost: both transactions readable
+    assert backend.facts_df().select("tx").distinct().count() == 2
+
+
+def test_manifest_stats_track_clean_flag(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    store = FactStore(spark, LogParquetBackend(spark, path))
+    eng = Engine(spark, store)
+    r = eng.transact([["add", "x", ":n", 1]])
+    # one transact = one tx: single tx, no retractions -> clean fast path
+    head = store.backend._head()
+    assert head["tx_state"] != "multi" and not head["any_retraction"]
+    assert store.backend.clean
+    eng.transact([[":unifydb/retract", r["tempids"]["x"], ":n", 1]])
+    assert store.backend.has_retractions and not store.backend.clean

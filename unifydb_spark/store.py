@@ -317,9 +317,10 @@ class FactStore:
         # transactor", btree.clj:2-4). Mirror that contract in-process:
         # transact() holds this lock across id allocation + append, so
         # concurrent callers serialize — distinct tx-ids, both visible.
-        # Cross-PROCESS writers remain a documented single-writer
-        # assumption (a Delta/optimistic-commit backend would lift it,
-        # SURVEY §4 / kvstore.clj:13-23).
+        # Cross-PROCESS writers serialize through the optimistic commit
+        # log when the backend provides one (txlog.LogParquetBackend:
+        # CAS-on-next-log-version with id re-allocation on conflict);
+        # plain MemoryBackend/ParquetBackend remain single-process.
         import threading
 
         self._tx_lock = threading.Lock()
@@ -580,43 +581,62 @@ class FactStore:
                 raw.append((s[1], norm_attr(s[2]), s[3], False))
             else:
                 raise ValueError(f"unknown tx operation {s[0]!r}")
-        # tempid allocation in first-appearance order (transact.clj:70-96)
-        next_id = self.backend.max_id() + 1
-        tempids: dict[str, int] = {}
-        for e, _a, _v, _add in raw:
-            if isinstance(e, str) and e not in tempids:
-                tempids[e] = next_id
-                next_id += 1
-        tx_id = tempids[TX_TEMPID]
-        rows, facts_out = [], []
-        for e, a, v, add in raw:
-            eid = tempids.get(e, e) if isinstance(e, str) else int(e)
-            if isinstance(e, str) and e not in tempids:
-                raise ValueError(f"unresolvable entity id {e!r}")
-            if isinstance(v, str):
-                if v.startswith(":"):  # explicit keyword — never a tempid
-                    v = v[1:]
-                elif v in tempids:
-                    v = Ref(tempids[v])
-            enc = encode_value(v)
-            rows.append(
-                (
-                    int(eid),
-                    a,
-                    enc["v_type"],
-                    enc["v_long"],
-                    enc["v_double"],
-                    enc["v_str"],
-                    enc["v_bool"],
-                    enc["v_ref"],
-                    enc["v_ts"],
-                    enc["v_json"],
-                    tx_id,
-                    add,
-                )
+        # tempid allocation in first-appearance order (transact.clj:70-96).
+        # Backends with a versioned commit log (txlog.LogParquetBackend)
+        # support optimistic concurrency across PROCESSES: ids are
+        # allocated above the committed max_id, and the commit is a CAS on
+        # the next log version — a lost race re-reads max_id and
+        # re-allocates, so two independent writer processes serialize with
+        # distinct tx-ids, the cross-process analog of the reference's
+        # single transactor thread (transact.clj:116-137).
+        supports_occ = hasattr(self.backend, "commit_rows")
+        for _attempt in range(64):
+            base_version = (
+                self.backend.log_version() if supports_occ else None
             )
-            facts_out.append([eid, a, v, tx_id, add])
-        self.backend.append(rows)
+            next_id = self.backend.max_id() + 1
+            tempids = {}
+            for e, _a, _v, _add in raw:
+                if isinstance(e, str) and e not in tempids:
+                    tempids[e] = next_id
+                    next_id += 1
+            tx_id = tempids[TX_TEMPID]
+            rows, facts_out = [], []
+            for e, a, v, add in raw:
+                eid = tempids.get(e, e) if isinstance(e, str) else int(e)
+                if isinstance(e, str) and e not in tempids:
+                    raise ValueError(f"unresolvable entity id {e!r}")
+                if isinstance(v, str):
+                    if v.startswith(":"):  # explicit keyword — never a tempid
+                        v = v[1:]
+                    elif v in tempids:
+                        v = Ref(tempids[v])
+                enc = encode_value(v)
+                rows.append(
+                    (
+                        int(eid),
+                        a,
+                        enc["v_type"],
+                        enc["v_long"],
+                        enc["v_double"],
+                        enc["v_str"],
+                        enc["v_bool"],
+                        enc["v_ref"],
+                        enc["v_ts"],
+                        enc["v_json"],
+                        tx_id,
+                        add,
+                    )
+                )
+                facts_out.append([eid, a, v, tx_id, add])
+            if supports_occ:
+                if self.backend.commit_rows(rows, base_version):
+                    break
+            else:
+                self.backend.append(rows)
+                break
+        else:
+            raise RuntimeError("transact: lost the optimistic-commit race 64 times")
         self._schema_cache.clear()
         report = {
             "db_after": self.db(tx_id),
