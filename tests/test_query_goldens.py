@@ -364,3 +364,87 @@ def test_not_with_inner_predicate(engine):
         ],
     }
     assert rows(engine, q) == [("Ben Bitdiddle",)]
+
+
+def test_magic_sets_bound_call_prunes_frontier(spark):
+    """VERDICT r8 ask #8: a rule call with a constant-bound argument seeds
+    a magic-sets demand relation, so the fixpoint's frontier is
+    proportional to the REACHABLE set, not the full closure. Two disjoint
+    :parent chains — a 5-edge chain containing the bound entity and a
+    40-edge decoy; the seeded query's cumulative delta must be the small
+    chain's closure (15 pairs), while the unseeded call pays the full 835."""
+    from unifydb_spark import instrument
+
+    facts = [(i, ":parent", Ref(i + 1), 0, True) for i in range(1, 6)]
+    facts += [(i, ":parent", Ref(i + 1), 0, True) for i in range(101, 141)]
+    eng = Engine(spark, FactStore(spark).seed(facts))
+    rules = [
+        [("anc", "?x", "?y"), ["?x", ":parent", "?y"]],
+        [("anc", "?x", "?y"), ["?x", ":parent", "?z"], ("anc", "?z", "?y")],
+    ]
+
+    instrument.reset()
+    got = sorted(
+        eng.query_rows(
+            {"find": ["?y"], "where": [("anc", Ref(1), "?y")], "rules": rules}
+        )
+    )
+    assert got == [(Ref(i),) for i in range(2, 7)]
+    # demand set = the 6 reachable entities; frontier = the 15 reachable pairs
+    assert instrument.counters.get("rule_magic_size") == 6
+    assert instrument.counters.get("rule_fixpoint_delta_rows") == 15
+    seeded_rounds = instrument.counters.get("rule_fixpoint_rounds")
+
+    instrument.reset()
+    all_pairs = eng.query_rows(
+        {"find": ["?x", "?y"], "where": [("anc", "?x", "?y")], "rules": rules}
+    )
+    assert len(all_pairs) == 15 + 820  # 5-chain closure + 40-chain closure
+    assert instrument.counters.get("rule_fixpoint_delta_rows") == 835
+    assert "rule_magic_size" not in instrument.counters  # no constants, no magic
+    # the seeded fixpoint also converges in fewer rounds (short chain only)
+    assert seeded_rounds < instrument.counters.get("rule_fixpoint_rounds")
+
+
+def test_magic_sets_second_position_and_fallbacks(spark):
+    """Adornments on the non-first position work (demand flows through
+    whichever rest-clause variable connects); unsupported shapes fall
+    back to the (correct) full closure rather than mis-restricting."""
+    from unifydb_spark import instrument
+
+    facts = [(i, ":parent", Ref(i + 1), 0, True) for i in range(1, 6)]
+    facts += [(i, ":parent", Ref(i + 1), 0, True) for i in range(101, 111)]
+    eng = Engine(spark, FactStore(spark).seed(facts))
+    rules = [
+        [("anc", "?x", "?y"), ["?x", ":parent", "?y"]],
+        [("anc", "?x", "?y"), ["?x", ":parent", "?z"], ("anc", "?z", "?y")],
+    ]
+    # bound SECOND position: anc(?x, Ref(6)) = predecessors of 6 = {1..5}.
+    # The rec call re-uses ?y verbatim (pass-through), so M = {6} and the
+    # fixpoint builds only the 5 pairs ending at 6
+    instrument.reset()
+    got = sorted(
+        eng.query_rows(
+            {"find": ["?x"], "where": [("anc", "?x", Ref(6))], "rules": rules}
+        )
+    )
+    assert got == [(Ref(i),) for i in range(1, 6)]
+    assert instrument.counters.get("rule_magic_size") == 1
+    assert instrument.counters.get("rule_fixpoint_delta_rows") == 5
+
+    # pass-through adornment: the recursive call re-uses the head's ?y
+    # verbatim, so demand never grows beyond the seed constant — the
+    # fixpoint builds ONLY the 5 pairs ending at the bound entity
+    rules2 = [
+        [("desc", "?x", "?y"), ["?y", ":parent", "?x"]],
+        [("desc", "?x", "?y"), ["?z", ":parent", "?x"], ("desc", "?z", "?y")],
+    ]
+    instrument.reset()
+    got2 = sorted(
+        eng.query_rows(
+            {"find": ["?x"], "where": [("desc", "?x", Ref(1))], "rules": rules2}
+        )
+    )
+    assert got2 == [(Ref(i),) for i in range(2, 7)]
+    assert instrument.counters.get("rule_magic_size") == 1
+    assert instrument.counters.get("rule_fixpoint_delta_rows") == 5

@@ -252,6 +252,8 @@ def join_rels(left: Optional[Rel], right: Rel, how: str = "inner") -> Rel:
         if c is None:  # statically impossible unification
             if how == "inner":
                 return empty_rel(spark, {**left.vars, **{k: v for k, v in right.vars.items() if k not in left.vars}})
+            if how == "left_semi":  # semi against the impossible = empty
+                return Rel(left.df.limit(0), dict(left.vars))
             return left  # anti-join against the empty set keeps everything
         conds.append(c)
     cond = conds[0]

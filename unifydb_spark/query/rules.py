@@ -276,7 +276,7 @@ def compile_rule_app(db, app: RuleApp, env: Optional["RulesEnv"]) -> C.Rel:
         params = tuple(Var(n) for n in ov.vars)
         return _adapt(ov, params, app.args)
     if app.name in env._recursive_names:
-        idb = _fixpoint(db, app.name, env)
+        idb = _fixpoint(db, app.name, env, seed_args=app.args)
         params = tuple(Var(n) for n in idb.vars)
         return _adapt(idb, params, app.args)
     rels = []
@@ -318,8 +318,220 @@ def _contains_scc_call(env: "RulesEnv", clause, scc: set, under_not=False) -> bo
     return False
 
 
-def _fixpoint(db, name: str, env: "RulesEnv") -> C.Rel:
-    """Semi-naive least-fixpoint evaluation of the SCC containing `name`."""
+def _magic_positions(app_args: tuple) -> list[int]:
+    """Call-site adornment: positions bound to constants."""
+    return [
+        i
+        for i, a in enumerate(app_args or ())
+        if not isinstance(a, Var) and a is not WILDCARD
+    ]
+
+
+def _magic_seed(db, name: str, env: "RulesEnv", scc: set, app_args) -> Optional[tuple]:
+    """Magic-sets demand seeding (the classic supplementary-magic
+    transformation, restricted to the shapes this engine can prove sound):
+    when the call site fixes some argument positions, compute the set of
+    bound-position value tuples any relevant derivation can demand — the
+    *magic relation* M — and let `_fixpoint` restrict every derived tuple
+    to M. The reference gets this pruning for free from per-frame
+    evaluation (reference apply-rules, src/unifydb/query.clj:238-274,
+    evaluates rule bodies against the caller's already-restricted frames);
+    a set-at-a-time fixpoint must reconstruct the demand set explicitly.
+
+    Returns (bound_positions, magic Rel with vars __m{i}) or None to fall
+    back to the full closure. Soundness of the fallback conditions:
+
+    - single-rule-name SCC only (mutual recursion would need per-name
+      adornments);
+    - every recursive call sits at the TOP level of its branch's And
+      (not under :or — a disjunctive context changes what binds what);
+    - the non-recursive REST of each branch must bind the head's bound
+      vars and every recursive call's bound-position vars within ONE
+      var-connected component (otherwise the demand propagation is
+      unbounded and the magic set degenerates to everything).
+
+    M is an over-approximation of the true demand set (the rest-clauses
+    step relation drops the recursive subgoal's own restriction), which
+    is exactly what magic sets require: restricting to a SUPERSET of the
+    demanded tuples never loses an answer; the call-site `_adapt` filter
+    still applies the exact constants at the end."""
+    bound = _magic_positions(app_args)
+    if not bound or len(scc) != 1:
+        return None
+    steps = []  # (step Rel: vars __m{i} -> __c{i}) per (branch, rec-call)
+    for rule in env.by_name[name]:
+        if not rule.body.clauses:
+            return None
+        mapping: dict[str, str] = {}
+        params = tuple(_rename_term(p, mapping) for p in rule.params)
+        body = _rename_clause(rule.body, mapping)
+        if not _contains_scc_call(env, body, scc):
+            continue  # base branch: no demand propagation
+        rec_calls = [
+            c for c in body.clauses if isinstance(c, RuleApp) and c.name in scc
+        ]
+        rest = [
+            c
+            for c in body.clauses
+            if not (isinstance(c, RuleApp) and c.name in scc)
+        ]
+        # nested SCC calls (under :or inside this body) -> fall back
+        if not rec_calls or not rest or any(
+            _contains_scc_call(env, c, scc) for c in rest
+        ):
+            return None
+        head_bound = []
+        for i in bound:
+            if not isinstance(params[i], Var):
+                return None
+            head_bound.append(params[i].name)
+        # var-connected components over the non-recursive clauses: demand
+        # must flow head-bound -> call-bound through rest, or M is unbounded
+        comps: list[set] = []
+        for c in rest:
+            vs = C._clause_vars(c)
+            merged = set(vs)
+            keep = []
+            for comp in comps:
+                if comp & vs:
+                    merged |= comp
+                else:
+                    keep.append(comp)
+            comps = keep + [merged]
+
+        def _component_of(v: str) -> set:
+            return next((comp for comp in comps if v in comp), set())
+
+        # classify each (call, bound slot): 'pass' (the call re-uses the
+        # head's own bound var — demand flows through unchanged), 'var'
+        # (demand steps through the rest clauses), or a constant
+        call_slots = []
+        for call in rec_calls:
+            slots = []
+            for k, i in enumerate(bound):
+                a = call.args[i]
+                if a is WILDCARD:
+                    return None
+                if isinstance(a, Var) and a.name == head_bound[k]:
+                    slots.append(("pass", None))
+                elif isinstance(a, Var):
+                    slots.append(("var", a.name))
+                else:
+                    slots.append(("const", a))
+            if all(s[0] == "pass" for s in slots):
+                continue  # identity step contributes nothing new
+            call_slots.append(slots)
+        if not call_slots:
+            continue  # all demand passes through: M stays at the seed
+        rel = C.compile_where(db, And(tuple(rest)), env)
+        # join columns: head-bound vars the rest clauses actually bind
+        join_ks = [
+            k for k, hv in enumerate(head_bound) if hv in rel.vars
+        ]
+        for slots in call_slots:
+            stepped = [s[1] for s in slots if s[0] == "var"]
+            if stepped:
+                if not join_ks:
+                    return None  # demand can't constrain the step: unbounded
+                anchor = set().union(
+                    *(_component_of(head_bound[k]) for k in join_ks)
+                )
+                for v in stepped:
+                    if v not in rel.vars or v not in anchor:
+                        return None
+            sel, vars_out = [], {}
+            for k in join_ks:
+                sel.append(C.bt(head_bound[k]).alias(f"__m{k}"))
+                vars_out[f"__m{k}"] = rel.vars[head_bound[k]]
+            for k, (kind, a) in enumerate(slots):
+                if kind == "var":
+                    sel.append(C.bt(a).alias(f"__c{k}"))
+                    vars_out[f"__c{k}"] = rel.vars[a]
+                elif kind == "const":
+                    r = _const_repr(a)
+                    sel.append(
+                        F.lit(int(a) if r == "ref" else a).alias(f"__c{k}")
+                    )
+                    vars_out[f"__c{k}"] = r
+                # 'pass' slots carry the delta's own __m{k} through the join
+            steps.append(
+                (
+                    C.Rel(rel.df.select(*sel).distinct(), vars_out),
+                    [s[0] for s in slots],
+                )
+            )
+    # seed M from the call-site constants
+    spark = db.store.spark
+    seed_cols, seed_vars = [], {}
+    for k, i in enumerate(bound):
+        a = app_args[i]
+        r = _const_repr(a)
+        seed_cols.append(F.lit(int(a) if r == "ref" else a).alias(f"__m{k}"))
+        seed_vars[f"__m{k}"] = r
+    total = C.Rel(
+        spark.range(1).select(*seed_cols).localCheckpoint(eager=True), seed_vars
+    )
+    from unifydb_spark import instrument
+
+    if not steps:
+        # every recursive call re-uses the head's bound vars verbatim:
+        # demand never grows beyond the call-site constants
+        instrument.note("rule_magic_rounds", 0)
+        instrument.note("rule_magic_size", 1)
+        return bound, total
+    delta = total
+    for _round in range(env.max_iterations):
+        produced = []
+        for step, kinds in steps:
+            nxt = C.join_rels(delta, step, "inner")
+            sel, vars_out = [], {}
+            for k, kind in enumerate(kinds):
+                if kind == "pass":  # delta's own value flows through
+                    sel.append(C.bt(f"__m{k}"))
+                    vars_out[f"__m{k}"] = delta.vars[f"__m{k}"]
+                else:
+                    sel.append(C.bt(f"__c{k}").alias(f"__m{k}"))
+                    vars_out[f"__m{k}"] = step.vars[f"__c{k}"]
+            produced.append(C.Rel(nxt.df.select(*sel), vars_out))
+        prod = C.align_union(produced)
+        fresh = C.join_rels(
+            C.Rel(prod.df.distinct(), dict(prod.vars)), total, "left_anti"
+        )
+        fresh_df = fresh.df.localCheckpoint(eager=True)
+        if fresh_df.count() == 0:
+            instrument.note("rule_magic_rounds", _round + 1)
+            instrument.note("rule_magic_size", total.df.count())
+            return bound, total
+        union = C.align_union([total, C.Rel(fresh_df, dict(fresh.vars))])
+        total = C.Rel(union.df, dict(union.vars))
+        delta = C.Rel(fresh_df, dict(fresh.vars))
+    return None  # demand set did not close — fall back to the full closure
+
+
+def _restrict_to_magic(rel: C.Rel, magic: Optional[tuple]) -> C.Rel:
+    """Semi-join a positional IDB relation (__p0..__pk) to the magic
+    relation on the bound positions — tuples outside the demand set can
+    never contribute to the seeded call's answer."""
+    if magic is None:
+        return rel
+    bound, m = magic
+    renamed = C.Rel(
+        m.df.select(
+            *[C.bt(f"__m{k}").alias(f"__p{i}") for k, i in enumerate(bound)]
+        ),
+        {f"__p{i}": m.vars[f"__m{k}"] for k, i in enumerate(bound)},
+    )
+    return C.join_rels(rel, renamed, "left_semi")
+
+
+def _fixpoint(db, name: str, env: "RulesEnv", seed_args=None) -> C.Rel:
+    """Semi-naive least-fixpoint evaluation of the SCC containing `name`.
+
+    With `seed_args` (the call site's argument terms), constant-bound
+    positions seed a magic-sets demand relation (`_magic_seed`) and every
+    derivation is semi-joined to it — the frontier is then proportional
+    to the call's REACHABLE set, not the full closure (VERDICT r8 ask #8;
+    counters: rule_magic_size, rule_fixpoint_delta_rows)."""
     scc = env.scc_of(name)
     base: dict[str, list] = {n: [] for n in scc}
     rec: dict[str, list] = {n: [] for n in scc}
@@ -329,6 +541,16 @@ def _fixpoint(db, name: str, env: "RulesEnv") -> C.Rel:
                 raise QueryError("invalid-rule", "axiom inside a recursive rule set")
             (rec if _contains_scc_call(env, rule.body, scc) else base)[n].append(rule)
 
+    magic = None
+    if seed_args is not None and _magic_positions(seed_args):
+        try:
+            magic = _magic_seed(db, name, env, scc, seed_args)
+        except QueryError:
+            # anything the demand analysis can't compile (e.g. :not over a
+            # call-bound var in the rest clauses) falls back to the full
+            # closure — the main fixpoint surfaces genuinely invalid rules
+            magic = None
+
     totals: dict[str, C.Rel] = {}
     deltas: dict[str, C.Rel] = {}
     for n in scc:
@@ -337,11 +559,14 @@ def _fixpoint(db, name: str, env: "RulesEnv") -> C.Rel:
                 "invalid-rule", f"recursive rule {n} has no non-recursive branch"
             )
         r = C.align_union([_positional(db, rule, env) for rule in base[n]])
+        r = _restrict_to_magic(r, magic)
         df = r.df.distinct().localCheckpoint(eager=True)
         totals[n] = C.Rel(df, dict(r.vars))
         deltas[n] = totals[n]
 
     from unifydb_spark import instrument
+
+    instrument.bump("rule_fixpoint_delta_rows", totals[name].df.count())
 
     for _round in range(env.max_iterations):
         instrument.note("rule_fixpoint_rounds", _round + 1)
@@ -359,12 +584,14 @@ def _fixpoint(db, name: str, env: "RulesEnv") -> C.Rel:
             finally:
                 for m in scc:
                     env.overlays.pop(m, None)
+            produced = _restrict_to_magic(produced, magic)
             tot = totals[n]
             fresh = C.join_rels(
                 C.Rel(produced.df.distinct(), dict(produced.vars)), tot, "left_anti"
             )
             fresh_df = fresh.df.localCheckpoint(eager=True)
             cnt = fresh_df.count()
+            instrument.bump("rule_fixpoint_delta_rows", cnt)
             if cnt > 0:
                 any_new = True
                 union = C.align_union(
