@@ -332,3 +332,71 @@ def test_winnow_guarantee_fuzz(spark, seed, span_len, pos):
         .count()
     )
     assert shared >= 1, (seed, span_len, pos)
+
+
+# --- adaptive LSH banding (VERDICT r8 ask #5) --------------------------------
+
+def _s_curve(s: float, b: int, r: int) -> float:
+    return 1.0 - (1.0 - s**r) ** b
+
+
+@given(
+    t=st.floats(min_value=0.1, max_value=0.9),
+    k=st.sampled_from([2, 4, 6, 8, 12, 16, 24, 32, 64]),
+)
+@example(t=0.5, k=8)
+@settings(max_examples=200)
+def test_lsh_plan_scurve_crossover(t, k):
+    """The chosen (bands, rows) factorization's S-curve crossover
+    s* = (1/b)^(1/r) brackets the target threshold at least as well as a
+    step-one perturbation of the factorization, and the curve separates
+    below-threshold from above-threshold similarity."""
+    from unifydb_spark.operators.dedup import lsh_plan
+
+    b, r = lsh_plan(t, k)
+    assert b * r == k and b >= 1 and r >= 1
+    # the curve is a filter around t: collision probability rises through
+    # the threshold (strictly, since the S-curve is strictly monotone)
+    lo, hi = max(t - 0.09, 1e-6), min(t + 0.09, 1 - 1e-6)
+    assert _s_curve(lo, b, r) < _s_curve(hi, b, r)
+    # optimality among factorizations: no other divisor pair has strictly
+    # smaller integrated step-filter error (midpoint rule, independent of
+    # the implementation's grid)
+    def err(bb, rr, steps=400):
+        fp = sum(
+            _s_curve(t * (i + 0.5) / steps, bb, rr) for i in range(steps)
+        ) * t / steps
+        fn = sum(
+            1.0 - _s_curve(t + (1 - t) * (i + 0.5) / steps, bb, rr)
+            for i in range(steps)
+        ) * (1 - t) / steps
+        return fp + fn
+
+    best = err(b, r)
+    for rr in range(1, k + 1):
+        if k % rr == 0:
+            assert best <= err(k // rr, rr) + 1e-6
+
+
+def test_lsh_plan_pins_and_monotonicity():
+    """Pinned solutions (the shipped k=8/bands=4 default IS the t=0.5
+    optimum) and the dial's direction: a higher target threshold never
+    picks FEWER rows per band (stricter bands for stricter thresholds)."""
+    from unifydb_spark.operators.dedup import lsh_plan
+
+    assert lsh_plan(0.5, 8) == (4, 2)  # the previously-fixed default, derived
+    assert lsh_plan(0.8, 8) == (1, 8)
+    assert lsh_plan(0.2, 8) == (8, 1)
+    assert lsh_plan(0.5, 16) == (4, 4)
+    for k in (4, 8, 16, 32):
+        prev_r = 0
+        for t in [x / 20 for x in range(1, 20)]:
+            _, r = lsh_plan(t, k)
+            assert r >= prev_r, (k, t, r, prev_r)
+            prev_r = r
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_plan(0.0)
+    with pytest.raises(ValueError):
+        lsh_plan(1.5)

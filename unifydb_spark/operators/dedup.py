@@ -475,6 +475,51 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def lsh_plan(threshold: float, k: int = 8) -> tuple[int, int]:
+    """Derive (bands, rows) for a target Jaccard threshold from the LSH
+    S-curve — the banding is a DIAL, not a fixed constant.
+
+    Two docs with Jaccard similarity s collide in at least one band with
+    probability P(s) = 1 - (1 - s^r)^b (b bands of r rows, b*r = k
+    signature slots; Leskovec/Rajaraman/Ullman, Mining of Massive
+    Datasets §3.4 — public). Among the divisor pairs b*r = k this picks
+    the pair minimizing the integrated error against the ideal step
+    filter at `threshold`:
+
+        FP area = ∫_0^t P(s) ds      (dissimilar pairs that collide)
+        FN area = ∫_t^1 1 - P(s) ds  (similar pairs that escape)
+
+    The crossover of the chosen curve, s* = (1/b)^(1/r), lands as close
+    to the threshold as k's factorization allows (property-tested in
+    tests/test_properties.py). The shipped defaults k=8/bands=4 are the
+    t=0.5 solution of this optimization — previously assumed, now
+    derived; raising k tightens the S-curve around the same threshold
+    at linear signature cost."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    best = None
+    for r in range(1, k + 1):
+        if k % r:
+            continue
+        b = k // r
+        # 200-point midpoint rule on each side of the threshold
+        steps = 200
+        fp = sum(
+            1.0 - (1.0 - (threshold * (i + 0.5) / steps) ** r) ** b
+            for i in range(steps)
+        ) * threshold / steps
+        fn = sum(
+            (1.0 - (threshold + (1.0 - threshold) * (i + 0.5) / steps) ** r) ** b
+            for i in range(steps)
+        ) * (1.0 - threshold) / steps
+        err = fp + fn
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    return best[1], best[2]
+
+
 def minhash_band_rows(sig: DataFrame, k: int = 8, bands: int = 4) -> DataFrame:
     """(doc_id, band, band_key) rows from a signature table — the
     persistent LSH index. One pass: explode an array of (band, key)
@@ -509,6 +554,7 @@ def write_lsh_index(
     k: int = 8,
     bands: int = 4,
     n_buckets: int = 32,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Materialize the corpus LSH index as a managed table bucketBy
     (band, band_key) — the persistent layout minhash_band_rows' docstring
@@ -535,6 +581,7 @@ def minhash_lsh_pairs_incremental(
     n: int = 3,
     k: int = 8,
     bands: int = 4,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Incremental-ingest dedup: candidate pairs between a NEW batch and
     an EXISTING corpus LSH index (minhash_band_rows written at corpus
@@ -568,10 +615,15 @@ def minhash_lsh_pairs(
     n: int = 3,
     k: int = 8,
     bands: int = 4,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Candidate duplicate pairs = docs sharing at least one LSH band
     (band key = md5 of the band's concatenated min-hashes). Sub-quadratic:
-    the only join is on band keys."""
+    the only join is on band keys. Pass `threshold` (target Jaccard) to
+    derive the banding from the S-curve (lsh_plan) instead of fixing it;
+    the defaults are the threshold=0.5 solution."""
+    if threshold is not None:
+        bands, _ = lsh_plan(threshold, k)
     sig = tracked_persist(minhash_signatures(docs, text_col, n, k))
     band_rows = minhash_band_rows(sig, k, bands)
     a = band_rows.alias("a")
