@@ -16,11 +16,18 @@ column crashed its canonicalizer inside pandas sort_values
 output columns are a hard error here too.
 
 Usage:  python scripts/oracle_check.py [sf_dir] [query ...]
+
+Set ORACLE_TIMEOUT_S=<seconds> to bound each entry (Spark jobs cancelled
+via cancelAllJobs, DuckDB via connection.interrupt()); expired entries
+print `TIMEOUT <name> <phase>` and the sweep continues — how the full
+sf1 sweep records oracle-side blowups honestly instead of hanging.
 """
 
 from __future__ import annotations
 
+import os
 import sys
+import threading
 import time
 import traceback
 
@@ -114,27 +121,62 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    n_pass = n_fail = 0
+    timeout_s = float(os.environ.get("ORACLE_TIMEOUT_S", "0")) or None
+
+    def timed_phase(fn, on_timeout):
+        """Run fn; if timeout_s elapses first, fire on_timeout (which makes
+        fn raise) and report that the budget — not the code — ended it."""
+        fired = threading.Event()
+        if timeout_s is None:
+            return fn(), False
+        def _fire():
+            fired.set()
+            try:
+                on_timeout()
+            except Exception:
+                pass
+        timer = threading.Timer(timeout_s, _fire)
+        timer.start()
+        try:
+            out = fn()
+            return out, fired.is_set()
+        finally:
+            timer.cancel()
+
+    n_pass = n_fail = n_timeout = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
-            spark_pdf = sdf.toPandas()
+            spark_pdf, expired = timed_phase(
+                lambda: fn(spark, sf_dir).toPandas(),
+                spark.sparkContext.cancelAllJobs,
+            )
         except Exception as e:
-            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
-            n_fail += 1
+            if timeout_s is not None and time.time() - t0 >= timeout_s:
+                print(f"TIMEOUT {name} spark ({timeout_s:.0f}s budget)")
+                n_timeout += 1
+            else:
+                print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+                n_fail += 1
             continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only: {len(spark_pdf)} rows, "
                   f"{time.time()-t0:.1f}s)")
             continue
+        t1 = time.time()
         try:
-            oracle_pdf = con.execute(oracles[name]).df()
+            oracle_pdf, _ = timed_phase(
+                lambda: con.execute(oracles[name]).df(), con.interrupt
+            )
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            n_fail += 1
+            if timeout_s is not None and time.time() - t1 >= timeout_s:
+                print(f"TIMEOUT {name} duckdb-oracle ({timeout_s:.0f}s budget)")
+                n_timeout += 1
+            else:
+                print(f"FAIL {name}: duckdb error: {e}")
+                n_fail += 1
             continue
         try:
             rm, sm, hm, msg = compare(spark_pdf, oracle_pdf)
@@ -150,7 +192,10 @@ def main():
             print(f"FAIL {name}: rows_match={rm} schema_match={sm} "
                   f"hash_match={hm}: {msg}")
             n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    if n_timeout:
+        print(f"\n{n_pass} pass, {n_fail} fail, {n_timeout} timeout")
+    else:
+        print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
 

@@ -296,6 +296,139 @@ def probe_ratios(spark, sf_dir: str) -> dict:
     return out
 
 
+def probe_skew(spark, zipf_events_path: str) -> dict:
+    """Per-task row bounds under Zipf(1.2) keys (VERDICT r8 ask #3).
+
+    Prereq: python scripts/gen_zipf_events.py  (writes fixtures/sf1_zipf)
+
+    The sf1 generator's keys are TPC-H-uniform (hot/median 1.77); real
+    event/token keys are Zipfian — the head user here carries ~22% of
+    all events. For each shuffle the graded operators run, this measures
+    the MAX/MEDIAN rows a reduce task receives under Spark's actual
+    partitioning function (murmur3 `F.hash(keys) % 32`):
+
+    - sessionize (q34) / stream transitions (r114): shuffle key user_id.
+      A window over one user is irreducibly one task, so the documented
+      bound is the HOT KEY'S OWN share — measured here, with the
+      structural note that per-task rows = max per-user volume, which a
+      100 TB deployment bounds by history retention, not corpus size.
+    - salted join (q47): fact side shuffles on (user_id, salt). The
+      documented bound: salting with n_salts=8 must bring max/median
+      within 2.0x (vs the unsalted hot task holding ~7x the median).
+
+    Also runs sessionize and the salted join end to end on the skewed
+    table (wall time + row counts) so the bound is exercised, not just
+    computed."""
+    from pyspark.sql import functions as F
+
+    from unifydb_spark.values import normalize_event_ts
+
+    events = normalize_event_ts(spark.read.parquet(zipf_events_path))
+    n = events.count()
+    n_part = 32
+    out: dict = {"n_events": n, "n_shuffle_partitions": n_part}
+
+    def task_loads(*key_cols) -> dict:
+        """Rows per reduce task under HashPartitioning(keys, 32) — the
+        exact modulo Spark's Exchange applies (murmur3 via F.hash)."""
+        loads = (
+            events.select(
+                F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_part)).alias(
+                    "p"
+                )
+            )
+            .groupBy("p")
+            .count()
+        )
+        row = loads.agg(
+            F.max("count").alias("mx"),
+            F.expr("percentile(count, 0.5)").alias("med"),
+        ).collect()[0]
+        return {
+            "max_task_rows": int(row["mx"]),
+            "median_task_rows": float(row["med"]),
+            "ratio": round(int(row["mx"]) / float(row["med"]), 2),
+        }
+
+    # hot-key profile (the irreducible per-user bound for window ops)
+    top = (
+        events.groupBy("user_id").count().orderBy(F.col("count").desc()).limit(1)
+    ).collect()[0]
+    med_user = events.groupBy("user_id").count().agg(
+        F.expr("percentile(count, 0.5)").alias("m")
+    ).collect()[0]["m"]
+    out["key_histogram"] = {
+        "hot_user_rows": int(top["count"]),
+        "hot_user_share": round(int(top["count"]) / n, 4),
+        "median_user_rows": float(med_user),
+        "hot_vs_median_key": round(int(top["count"]) / float(med_user), 1),
+    }
+
+    # sessionize / stream-transitions shuffle: key = user_id
+    out["sessionize_r114_tasks_unsalted"] = task_loads("user_id")
+    # salted join fact side: key = (user_id, salt) with q47's salt formula.
+    # Sizing rule (salted_join docstring: "size n_salts to the skew"):
+    # n_salts must cover hot_share / (1/n_part) sub-keys AND oversample
+    # ~4x so the sub-keys' own hash placement over n_part reducers
+    # doesn't re-collide (8 salts over 32 partitions measured 3.3x from
+    # exactly that birthday effect). Bound documented on the SIZED salt
+    # count; the undersized one is reported to show the failure mode.
+    for n_salts, documented in ((8, None), (32, 2.0)):
+        events_salted = events.withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in events.columns]), F.lit(n_salts)
+            ).cast("int"),
+        )
+        loads_salted = (
+            events_salted.select(
+                F.pmod(F.hash("user_id", "__salt"), F.lit(n_part)).alias("p")
+            )
+            .groupBy("p")
+            .count()
+            .agg(
+                F.max("count").alias("mx"),
+                F.expr("percentile(count, 0.5)").alias("med"),
+            )
+            .collect()[0]
+        )
+        entry = {
+            "max_task_rows": int(loads_salted["mx"]),
+            "median_task_rows": float(loads_salted["med"]),
+            "ratio": round(
+                int(loads_salted["mx"]) / float(loads_salted["med"]), 2
+            ),
+        }
+        if documented is not None:
+            entry["documented_bound"] = documented
+        out[f"salted_join_tasks_n_salts_{n_salts}"] = entry
+
+    # end-to-end: sessionize + salted join actually run on the skewed table
+    from unifydb_spark.operators.events import sessionize
+    from unifydb_spark.operators.joins import salted_join
+
+    t0 = time.time()
+    n_sessions = sessionize(events).count()
+    t_sess = time.time() - t0
+    _release(spark)
+    users = events.select("user_id").distinct().withColumn(
+        "segment", F.pmod(F.col("user_id"), F.lit(5))
+    )
+    t0 = time.time()
+    n_joined = salted_join(events, users, "user_id", n_salts=8).count()
+    t_join = time.time() - t0
+    plain = events.join(users, "user_id").count()
+    out["end_to_end"] = {
+        "sessionize_sessions": int(n_sessions),
+        "sessionize_sec": round(t_sess, 2),
+        "salted_join_rows": int(n_joined),
+        "salted_join_sec": round(t_join, 2),
+        "salted_equals_plain_join": bool(n_joined == plain),
+    }
+    _release(spark)
+    return out
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else SF1
     probes = set(sys.argv[2:]) or {"rounds", "ratios"}
@@ -311,6 +444,18 @@ def main():
     if "ratios" in probes:
         results["ratios"] = probe_ratios(spark, sf_dir)
         print(json.dumps({"ratios": results["ratios"]}, indent=2))
+    if "skew" in probes:
+        zipf = os.path.join(
+            os.path.dirname(sf_dir.rstrip("/")) or ".",
+            "sf1_zipf",
+            "events.parquet",
+        )
+        if not os.path.isdir(zipf):
+            raise SystemExit(
+                f"{zipf} missing — run scripts/gen_zipf_events.py first"
+            )
+        results["skew_zipf"] = probe_skew(spark, zipf)
+        print(json.dumps({"skew_zipf": results["skew_zipf"]}, indent=2))
     path = "SCALE_SF1.json"
     existing = {}
     if os.path.exists(path):

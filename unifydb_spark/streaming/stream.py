@@ -300,21 +300,27 @@ _STATE_SCHEMA = "max_event_id bigint, value double"
 _OUT_SCHEMA = "user_id bigint, event_id bigint, value double"
 
 
-def _latest_fn(
-    key, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Keep (max event id, its value) per user; emit the running latest."""
-    (user_id,) = key
-    if state.exists:
-        max_id, value = state.get
-    else:
-        max_id, value = -1, None
+def _latest_step(state_tuple, pdfs):
+    """Shared state transition for both stateful APIs: fold this
+    micro-batch into (max event id, its value). Argmax by the unique
+    event_id — order-independent exact."""
+    max_id, value = state_tuple
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
         top = pdf.loc[pdf["event_id"].idxmax()]
         if int(top["event_id"]) > max_id:
             max_id, value = int(top["event_id"]), float(top["value"])
+    return max_id, value
+
+
+def _latest_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Keep (max event id, its value) per user; emit the running latest."""
+    (user_id,) = key
+    prev = tuple(state.get) if state.exists else (-1, None)
+    max_id, value = _latest_step(prev, pdfs)
     state.update((max_id, value))
     yield pd.DataFrame(
         [(int(user_id), max_id, value)],
@@ -325,13 +331,59 @@ def _latest_fn(
 def running_latest(events: DataFrame) -> DataFrame:
     """Cardinality-one snapshot (reference query.clj:179-204 'latest tx
     wins') as a stateful streaming operator: per user, the value of the
-    highest event id seen so far."""
+    highest event id seen so far. applyInPandasWithState twin of
+    `running_latest_tws` (shared `_latest_step`)."""
     return events.groupBy("user_id").applyInPandasWithState(
         _latest_fn,
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def make_running_latest_processor():
+    """The RunningLatest StatefulProcessor, exposed for direct unit
+    execution with a fake handle."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningLatest(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("latest", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = (
+                tuple(self._state.get()) if self._state.exists() else (-1, None)
+            )
+            max_id, value = _latest_step(prev, rows)
+            self._state.update((max_id, value))
+            yield pd.DataFrame(
+                [(int(key[0]), max_id, value)],
+                columns=["user_id", "event_id", "value"],
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningLatest
+
+
+def running_latest_tws(events: DataFrame) -> DataFrame:
+    """`running_latest` on Spark 4's arbitrary-state API
+    (transformWithStateInPandas + ValueState), sharing `_latest_step`
+    verbatim with the applyInPandasWithState twin. Requires the RocksDB
+    state store provider (TWS uses multiple column families); the
+    vendored StateMessage_pb2 shim carries the worker<->state-server
+    protocol in containers without google.protobuf."""
+    RunningLatest = make_running_latest_processor()
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningLatest(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )
 
 
