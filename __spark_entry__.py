@@ -4165,6 +4165,60 @@ def r135_user_stats_tws(spark, sf_dir):
     )
 
 
+def r136_acid_log_store(spark, sf_dir):
+    """The ACID commit-log fact store (unifydb_spark/txlog.py
+    LogParquetBackend — VERDICT r8 ask #1) exercised end to end under
+    the oracle gate: one optimistic-CAS manifest commit per nation
+    transaction, a retract + re-assert exercising the snapshot collapse
+    on the log backend, and a read back through the standard query
+    path. Cross-process serialization and crash safety are pinned by
+    tests/test_txlog.py; this entry keeps the single-writer read/write
+    path driver-graded every round."""
+    import tempfile
+
+    from unifydb_spark import Engine, FactStore
+    from unifydb_spark.txlog import LogParquetBackend
+
+    path = tempfile.mkdtemp(prefix="unifydb_txlog_") + "/facts"
+    store = FactStore(spark, LogParquetBackend(spark, path))
+    eng = Engine(spark, store)
+    rows = sorted(
+        spark.read.parquet(f"{sf_dir}/nation.parquet").collect(),
+        key=lambda r: int(r["n_nationkey"]),
+    )
+    first_e = None
+    for r in rows:
+        rep = eng.transact(
+            [
+                ["add", "n", ":nation/key", int(r["n_nationkey"])],
+                ["add", "n", ":nation/name", str(r["n_name"])],
+                ["add", "n", ":nation/region", int(r["n_regionkey"])],
+            ]
+        )
+        if first_e is None:
+            first_e = rep["tempids"]["n"]
+    # retraction + re-assert through the commit log: the snapshot's
+    # collapse window must hide the retracted version (value unchanged,
+    # so the oracle stays the plain nation projection)
+    rk0 = int(rows[0]["n_regionkey"])
+    eng.transact([[":unifydb/retract", first_e, ":nation/region", rk0]])
+    eng.transact([["add", first_e, ":nation/region", rk0]])
+    assert store.backend.log_version() == len(rows) + 2
+    # checkpoint: consolidate the N per-commit files into one sorted set
+    # (the read path then lists one manifest's files instead of N) —
+    # compaction is part of the graded path, as production would run it
+    store.backend.checkpoint()
+    return eng.query(
+        {
+            "find": ["?name", "?rk"],
+            "where": [
+                ["?e", ":nation/name", "?name"],
+                ["?e", ":nation/region", "?rk"],
+            ],
+        }
+    ).select(F.col("name"), F.col("rk").cast("long").alias("rk"))
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4451,6 +4505,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r133_feature_ranking": r133_feature_ranking,
         "r134_stream_latest_tws": r134_stream_latest_tws,
         "r135_user_stats_tws": r135_user_stats_tws,
+        "r136_acid_log_store": r136_acid_log_store,
     }
 
 
@@ -5301,6 +5356,12 @@ def _operator_oracles() -> dict[str, str]:
                    CAST(MAX(event_id) AS BIGINT) AS last_event_id,
                    arg_max(value, event_id) AS last_value
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        # the ACID-log store round-trips the nation table (retract +
+        # re-assert included), so the visible facts are the projection
+        "r136_acid_log_store": """
+            SELECT n_name AS name, CAST(n_regionkey AS BIGINT) AS rk
+            FROM nation ORDER BY 1
         """,
         "r129_slice_report": _ql.slice_report_sql(
             """(SELECT d.doc_id, d.lang, d.source, g.passes
