@@ -632,6 +632,12 @@ class FactStore:
             if supports_occ:
                 if self.backend.commit_rows(rows, base_version):
                     break
+                # lost the CAS: linear backoff scaled by the attempt and
+                # a per-process phase offset so N contending writers
+                # de-synchronize instead of re-colliding in lockstep
+                import os as _os
+
+                time.sleep(0.002 * (_attempt + 1) * (1 + (_os.getpid() % 7)))
             else:
                 self.backend.append(rows)
                 break
