@@ -90,7 +90,10 @@ def robust_outliers(
     z = F.when(iqr != 0.0, (v - F.col("_med")) / iqr)
     return (
         df.join(F.broadcast(stats), group_col)
-        .withColumn("robust_z", F.round(z, 4))
+        # + 0.0 folds -0.0 to 0.0: a tiny negative z rounding to zero is
+        # -0.0 on one engine and 0.0 on the other (r28 precedent; first
+        # actually hit by the sf1 full sweep on this operator)
+        .withColumn("robust_z", F.round(z, 4) + F.lit(0.0))
         .withColumn(
             "is_outlier",
             F.coalesce(F.abs(z) > float(threshold), F.lit(False)),
@@ -117,7 +120,7 @@ def robust_outliers_sql(
         )
         SELECT {select_cols},
                ROUND(CASE WHEN q3 - q1 <> 0
-                          THEN ({v} - med) / (q3 - q1) END, 4) AS robust_z,
+                          THEN ({v} - med) / (q3 - q1) END, 4) + 0.0 AS robust_z,
                COALESCE(CASE WHEN q3 - q1 <> 0
                              THEN abs(({v} - med) / (q3 - q1)) > {threshold}
                         END, FALSE) AS is_outlier
