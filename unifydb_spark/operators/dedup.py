@@ -1857,20 +1857,42 @@ def edit_distance_join_sql(
     prefix_chars: int = 40,
     max_dist: int = 1,
 ) -> str:
-    """Brute-force oracle: all id-ordered pairs under a length-band
-    prefilter, exact levenshtein — quadratic, fine at oracle scale."""
+    """Oracle with FastSS 1-deletion blocking + EXACT levenshtein verify.
+
+    The original brute-force form (all id-ordered pairs under a length
+    band, no equi-key) is quadratic — 1.25B levenshtein(40) calls at the
+    sf1 sweep's 50k docs, a 300s-budget timeout. Completeness of the
+    blocking is the FastSS theorem (Bocek et al. 2007, public): two
+    strings at distance <= 1 share a member of {self} ∪ {1-deletions}
+    (substitution: same-position deletions coincide; insert/delete: one
+    string equals the other's deletion; equal strings: self). The
+    equi-join on the shared variant replaces the cross product; the
+    final `levenshtein(ka, kb) <= max_dist` keeps the VERIFY exact and
+    engine-independent, so false candidates cannot leak. `range(...)`
+    sits in the FROM clause (table function — the r116 binder-gotcha
+    form)."""
     plen = int(prefix_chars)
+    if int(max_dist) != 1:
+        raise ValueError("oracle blocking is specialized to max_dist=1, "
+                         "matching edit_distance_join's contract")
     return f"""
-        WITH k AS (
+        WITH k AS MATERIALIZED (
           SELECT {id_col} AS id, substr({text_col}, 1, {plen}) AS k
           FROM {table} WHERE length(substr({text_col}, 1, {plen})) > 0
+        ), v AS MATERIALIZED (
+          SELECT id, k,
+                 CASE WHEN i = 0 THEN k
+                      ELSE substr(k, 1, CAST(i - 1 AS INT))
+                           || substr(k, CAST(i + 1 AS INT)) END AS var
+          FROM k, range(0, {plen} + 1) t(i)
+          WHERE i <= length(k)
+        ), cand AS (
+          SELECT DISTINCT a.id AS id_a, a.k AS ka, b.id AS id_b, b.k AS kb
+          FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+          WHERE abs(length(a.k) - length(b.k)) <= 1
         )
-        SELECT a.id AS id_a, b.id AS id_b,
-               CAST(levenshtein(a.k, b.k) AS INT) AS dist
-        FROM k a JOIN k b
-          ON a.id < b.id
-         AND abs(length(a.k) - length(b.k)) <= {int(max_dist)}
-        WHERE levenshtein(a.k, b.k) <= {int(max_dist)}
+        SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS INT) AS dist
+        FROM cand WHERE levenshtein(ka, kb) <= 1
         ORDER BY id_a, id_b
     """
 
