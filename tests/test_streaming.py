@@ -732,3 +732,62 @@ def test_running_latest_tws_matches_batch(spark, tmpdirs):
         .collect()
     }
     assert got == want
+
+
+def test_stream_transitions_multichunk_group(spark, tmpdirs):
+    """Regression pin for the sf1-sweep find: a group whose batch rows
+    span MULTIPLE arrow chunks must sort the whole group once —
+    per-chunk sorting mis-orders transitions at chunk boundaries.
+    Forces chunking with a 100-row arrow batch over 600 shuffled
+    single-user events and asserts the summed matrix equals the batch
+    lag-window computation."""
+    import datetime as dt
+
+    from unifydb_spark.streaming import stream_transitions
+
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, base + dt.timedelta(seconds=i), 7, ["a", "b", "c"][i % 3], 1.0, "{}")
+            for i in range(600)
+        ]
+        # shuffle deterministically so arrow chunks are NOT time-ordered
+        rows = sorted(rows, key=lambda r: (r[0] * 7919) % 600)
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        ).coalesce(1)
+        # the file-source stream lists ONE level — stage a flat file
+        import glob
+        import shutil
+
+        stage = f"{tmpdirs['input']}_stage"
+        df.write.mode("overwrite").parquet(stage)
+        for i, part in enumerate(sorted(glob.glob(f"{stage}/*.parquet"))):
+            shutil.copy(part, f"{tmpdirs['input']}/events_{i}.parquet")
+        q = (
+            stream_transitions(read_event_stream(spark, tmpdirs["input"]))
+            .writeStream.format("memory")
+            .queryName("trans_chunk_test")
+            .outputMode("append")
+            .option("checkpointLocation", tmpdirs["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch
+        )
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in spark.table("trans_chunk_test")
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("cnt").alias("n"))
+        .collect()
+    }
+    # time-ordered truth: a->b->c->a->... 599 transitions, ~200 each
+    want = {("a", "b"): 200, ("b", "c"): 200, ("c", "a"): 199}
+    assert got == want

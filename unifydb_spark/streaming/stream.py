@@ -751,17 +751,28 @@ def _transitions_fn(
     event_id order) seen so far; each batch sorts its rows, prepends
     the carried last event, and emits this batch's (from, to) counts.
     Summing emitted counts over batches equals the batch lag-window
-    matrix — the streaming==batch pin the oracle asserts."""
+    matrix — the streaming==batch pin the oracle asserts.
+
+    The group's rows arrive as MULTIPLE arrow chunks in arbitrary order
+    once per-user batch volume exceeds the arrow batch size, so the sort
+    must happen AFTER concatenating the whole group — sorting each chunk
+    independently mis-orders transitions at chunk boundaries (caught by
+    the sf1 full sweep: off-by-2 on 1M events; regression-pinned with a
+    forced 100-row arrow batch in tests/test_streaming.py). Order
+    sensitivity is unique to this operator — the latest/user-stats
+    states are argmax-by-unique-id, order-independent. Cross-micro-batch
+    contract: batches must arrive in per-user event-time order (true for
+    availableNow single-batch replays and in-order sources; an
+    out-of-order multi-batch replay is a staging-layer responsibility)."""
     (user_id,) = key
     if state.exists:
         last_eid, last_type = state.get
     else:
         last_eid, last_type = -1, None
     counts: dict = {}
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        pdf = pdf.sort_values(["ts", "event_id"])
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        pdf = pd.concat(frames).sort_values(["ts", "event_id"])
         for eid, etype in zip(pdf["event_id"], pdf["event_type"]):
             if last_type is not None:
                 k = (last_type, str(etype))
