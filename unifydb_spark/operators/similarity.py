@@ -343,15 +343,15 @@ def _kmeans_ctes(
     oracles. Returns (ctes, final_assign_cte_name); the chain also
     leaves `ex`, `vnorm` and `cent{iters}` available to the caller."""
     ctes = [
-        f"""ex AS (
+        f"""ex AS MATERIALIZED (
           SELECT {id_col} AS vid, i - 1 AS dim, CAST({vec_col}[i] AS DOUBLE) AS x
           FROM {table}, generate_series(1, {dim}) AS t(i)
         )""",
-        """vnorm AS (
+        """vnorm AS MATERIALIZED (
           SELECT vid, CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS vn2
           FROM ex GROUP BY vid
         )""",
-        f"""cent0 AS (
+        f"""cent0 AS MATERIALIZED (
           SELECT vid AS cluster, dim, x AS m FROM ex WHERE vid < {k}
         )""",
     ]
@@ -359,13 +359,13 @@ def _kmeans_ctes(
     assign = None
     for i in range(1, iters + 1):
         ctes.append(
-            f"""cnorm{i} AS (
+            f"""cnorm{i} AS MATERIALIZED (
               SELECT cluster, CAST(CAST(SUM(CAST(m * m AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS cn2
               FROM {prev} GROUP BY cluster
             )"""
         )
         ctes.append(
-            f"""dots{i} AS (
+            f"""dots{i} AS MATERIALIZED (
               SELECT e.vid, c.cluster,
                      CAST(CAST(SUM(CAST(e.x * c.m AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS dot
               FROM ex e JOIN {prev} c ON e.dim = c.dim
@@ -374,7 +374,7 @@ def _kmeans_ctes(
         )
         assign = f"a{i}"
         ctes.append(
-            f"""a{i} AS (
+            f"""a{i} AS MATERIALIZED (
               SELECT vid, cluster FROM (
                 SELECT d.vid, d.cluster,
                        ROW_NUMBER() OVER (
@@ -388,7 +388,7 @@ def _kmeans_ctes(
         )
         prev = f"cent{i}"
         ctes.append(
-            f"""cent{i} AS (
+            f"""cent{i} AS MATERIALIZED (
               SELECT a.cluster, e.dim,
                      CAST(CAST(SUM(CAST(e.x AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
                        / COUNT(e.x) AS m
@@ -716,7 +716,7 @@ def embedding_covariance_sql(
 ) -> str:
     d = int(dims)
     return f"""
-        WITH pairs AS (
+        WITH pairs AS MATERIALIZED (
           SELECT CAST(ii.i AS INT) AS i, CAST(jj.j AS INT) AS j
           FROM (SELECT unnest(range(1, {d + 1})) AS i) ii,
                (SELECT unnest(range(1, {d + 1})) AS j) jj
@@ -974,7 +974,7 @@ def semdedup_sql(
 ) -> str:
     ctes, assign = _kmeans_ctes(table, k, iters, id_col, vec_col, dim)
     ctes.append(
-        f"""pairs AS (
+        f"""pairs AS MATERIALIZED (
           SELECT a1.cluster, e1.vid AS va, e2.vid AS vb,
                  CAST(CAST(SUM(CAST(e1.x * e2.x AS DECIMAL(38,18)))
                    AS VARCHAR) AS DOUBLE) AS dot
@@ -986,7 +986,7 @@ def semdedup_sql(
         )"""
     )
     ctes.append(
-        f"""dups AS (
+        f"""dups AS MATERIALIZED (
           SELECT DISTINCT p.vb AS vid
           FROM pairs p
           JOIN vnorm v1 ON p.va = v1.vid
