@@ -202,6 +202,11 @@ STREAMING = {
     "q42_stream_interval_join",
     "q88_stream_user_stats",
     "r20_stream_windowed_distinct",
+    # the TWS twins follow their primaries' rule (q40/q88: the plan of
+    # record ran inside the stream; the returned frame is the memory-sink
+    # rank fold)
+    "r134_stream_latest_tws",
+    "r135_user_stats_tws",
     # r65 is NOT skipped: its batch fold (memory-sink counts -> rank
     # window) is auditable, same rule as r69/r73 (ADVICE r7).
 }
