@@ -4219,6 +4219,40 @@ def r136_acid_log_store(spark, sf_dir):
     ).select(F.col("name"), F.col("rk").cast("long").alias("rk"))
 
 
+def r137_rule_bound_reach(spark, sf_dir):
+    """Magic-sets demand seeding under the oracle gate (VERDICT r8 ask
+    #8): q09's recursive reachability rule called with a BOUND start
+    entity (nation 0). The constant argument seeds the demand relation
+    (query/rules.py _magic_seed), so the fixpoint's frontier is the
+    5-node chain reachable from nation 0 — not the full 50-pair closure
+    q09 computes — while the answer matches the oracle's filtered
+    closure exactly. Frontier accounting is pinned by
+    tests/test_query_goldens.py::test_magic_sets_bound_call_prunes_frontier;
+    this entry grades the seeded path's RESULTS every round."""
+    from unifydb_spark.values import Ref
+
+    eng = _engine(spark, sf_dir)
+    nation0 = Ref(2 * 10**12)  # sources/tables.py BASES: nation base + key 0
+    return eng.query(
+        {
+            "find": ["?to"],
+            "where": [
+                ("reaches", nation0, "?b"),
+                ["?b", ":nation/nationkey", "?to"],
+            ],
+            "rules": [
+                [("reaches", "?x", "?y"), ["?x", ":nation/next", "?y"]],
+                [
+                    ("reaches", "?x", "?y"),
+                    ["?x", ":nation/next", "?z"],
+                    ("reaches", "?z", "?y"),
+                ],
+            ],
+            "sort-by": ["?to"],
+        }
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4506,6 +4540,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r134_stream_latest_tws": r134_stream_latest_tws,
         "r135_user_stats_tws": r135_user_stats_tws,
         "r136_acid_log_store": r136_acid_log_store,
+        "r137_rule_bound_reach": r137_rule_bound_reach,
     }
 
 
@@ -5362,6 +5397,19 @@ def _operator_oracles() -> dict[str, str]:
         "r136_acid_log_store": """
             SELECT n_name AS name, CAST(n_regionkey AS BIGINT) AS rk
             FROM nation ORDER BY 1
+        """,
+        # the q09 closure filtered to the bound start: what the
+        # magic-seeded fixpoint must still answer exactly
+        "r137_rule_bound_reach": """
+            WITH RECURSIVE edges AS (
+                SELECT n_nationkey AS src, n_nationkey + 5 AS dst FROM nation
+                WHERE n_nationkey + 5 <= 24
+            ), reach AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+            )
+            SELECT dst AS "to" FROM reach WHERE src = 0 ORDER BY 1
         """,
         "r129_slice_report": _ql.slice_report_sql(
             """(SELECT d.doc_id, d.lang, d.source, g.passes

@@ -220,6 +220,7 @@ HEADLINE = [
     # primaries unchanged — see r134's docstring)
     "r134_stream_latest_tws",
     "r135_user_stats_tws",
+    "r137_rule_bound_reach",
 ]
 
 
