@@ -4253,6 +4253,57 @@ def r137_rule_bound_reach(spark, sf_dir):
     )
 
 
+def r138_stream_txlog_ingest(spark, sf_dir):
+    """The UNIFIED write path (VERDICT r9 ask #1) under the oracle gate:
+    streaming fact ingestion through the ACID commit log. Events stream
+    in via Structured Streaming, each micro-batch commits as ONE
+    manifest CAS (streaming/stream.py stream_facts_to_txlog ->
+    txlog.bulk_append_df with a per-stream epoch recorded cumulatively
+    in the manifest — exactly-once across restart, pinned by
+    tests/test_streaming.py::test_stream_to_txlog_restart), and the
+    result is read back through the standard Engine snapshot query:
+    per-user latest value (R1 last-writer-wins, tx = event_id). The
+    reference funnels all writes through one transactor
+    (src/unifydb/transact.clj:116-125); here the streaming and batch
+    writers serialize on the same commit log."""
+    import tempfile
+
+    from unifydb_spark import Engine, FactStore
+    from unifydb_spark.streaming import (
+        events_to_facts,
+        read_event_stream,
+        stream_facts_to_txlog,
+    )
+    from unifydb_spark.txlog import LogParquetBackend
+
+    src_dir = tempfile.mkdtemp(prefix="unifydb_stream_")
+    _stage_stream_source(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    backend = LogParquetBackend(
+        spark, tempfile.mkdtemp(prefix="unifydb_txlog_") + "/facts"
+    )
+    q = stream_facts_to_txlog(
+        events_to_facts(read_event_stream(spark, src_dir)),
+        backend,
+        tempfile.mkdtemp(prefix="unifydb_ckpt_"),
+    )
+    q.awaitTermination(300)
+    assert backend.log_version() >= 1  # manifest-visible, not file-sink
+    eng = Engine(spark, FactStore(spark, backend))
+    return (
+        eng.query(
+            {
+                "find": ["?u", "?v"],
+                "where": [["?u", ":user/value", "?v"]],
+                "sort-by": ["?u"],
+            }
+        )
+        .select(
+            F.col("u").cast("long").alias("user_id"),
+            F.col("v").cast("double").alias("value"),
+        )
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4541,6 +4592,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r135_user_stats_tws": r135_user_stats_tws,
         "r136_acid_log_store": r136_acid_log_store,
         "r137_rule_bound_reach": r137_rule_bound_reach,
+        "r138_stream_txlog_ingest": r138_stream_txlog_ingest,
     }
 
 
@@ -5410,6 +5462,14 @@ def _operator_oracles() -> dict[str, str]:
                 SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
             )
             SELECT dst AS "to" FROM reach WHERE src = 0 ORDER BY 1
+        """,
+        "r138_stream_txlog_ingest": """
+            SELECT user_id, value FROM (
+                SELECT user_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1 ORDER BY user_id
         """,
         "r129_slice_report": _ql.slice_report_sql(
             """(SELECT d.doc_id, d.lang, d.source, g.passes

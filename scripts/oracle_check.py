@@ -124,11 +124,19 @@ def main():
     timeout_s = float(os.environ.get("ORACLE_TIMEOUT_S", "0")) or None
 
     def timed_phase(fn, on_timeout):
-        """Run fn; if timeout_s elapses first, fire on_timeout (which makes
-        fn raise) and report that the budget — not the code — ended it."""
+        """Run fn under the budget. Returns (result, exception, fired):
+        `fired` is True iff the cancellation path actually ran — the ONLY
+        evidence that classifies an outcome as TIMEOUT. A genuine failure
+        that merely took longer than the budget keeps its exception
+        (ADVICE r9: elapsed time alone must not mask real errors), and a
+        success that outlived the budget is reported as a pass with an
+        EXPIRED warning rather than silently trusted or discarded."""
         fired = threading.Event()
         if timeout_s is None:
-            return fn(), False
+            try:
+                return fn(), None, False
+            except Exception as e:  # noqa: BLE001 — reported per-query
+                return None, e, False
         def _fire():
             fired.set()
             try:
@@ -139,7 +147,9 @@ def main():
         timer.start()
         try:
             out = fn()
-            return out, fired.is_set()
+            return out, None, fired.is_set()
+        except Exception as e:  # noqa: BLE001
+            return None, e, fired.is_set()
         finally:
             timer.cancel()
 
@@ -148,34 +158,38 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
-        try:
-            spark_pdf, expired = timed_phase(
-                lambda: fn(spark, sf_dir).toPandas(),
-                spark.sparkContext.cancelAllJobs,
-            )
-        except Exception as e:
-            if timeout_s is not None and time.time() - t0 >= timeout_s:
-                print(f"TIMEOUT {name} spark ({timeout_s:.0f}s budget)")
+        spark_pdf, exc, expired = timed_phase(
+            lambda: fn(spark, sf_dir).toPandas(),
+            spark.sparkContext.cancelAllJobs,
+        )
+        if exc is not None:
+            if expired:
+                print(f"TIMEOUT {name} spark ({timeout_s:.0f}s budget; "
+                      f"cancellation fired)")
                 n_timeout += 1
             else:
-                print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+                print(f"FAIL {name}: spark error: {type(exc).__name__}: "
+                      f"{str(exc)[:300]}")
                 n_fail += 1
             continue
+        if expired:
+            print(f"WARN {name}: completed after the {timeout_s:.0f}s budget "
+                  f"expired ({time.time()-t0:.1f}s) — result kept, run is "
+                  "over budget")
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only: {len(spark_pdf)} rows, "
                   f"{time.time()-t0:.1f}s)")
             continue
-        t1 = time.time()
-        try:
-            oracle_pdf, _ = timed_phase(
-                lambda: con.execute(oracles[name]).df(), con.interrupt
-            )
-        except Exception as e:
-            if timeout_s is not None and time.time() - t1 >= timeout_s:
-                print(f"TIMEOUT {name} duckdb-oracle ({timeout_s:.0f}s budget)")
+        oracle_pdf, exc, expired = timed_phase(
+            lambda: con.execute(oracles[name]).df(), con.interrupt
+        )
+        if exc is not None:
+            if expired:
+                print(f"TIMEOUT {name} duckdb-oracle ({timeout_s:.0f}s budget; "
+                      f"interrupt fired)")
                 n_timeout += 1
             else:
-                print(f"FAIL {name}: duckdb error: {e}")
+                print(f"FAIL {name}: duckdb error: {exc}")
                 n_fail += 1
             continue
         try:

@@ -280,6 +280,36 @@ def test_minhash_incremental_vs_corpus(spark, docs):
     assert not any(nd == 101 for nd, _ in got)
 
 
+def test_lsh_index_records_banding(spark, docs, tmp_path):
+    """write_lsh_index applies the threshold-derived banding and records
+    it; the incremental path adopts the RECORDED banding (not its own
+    defaults) and raises loudly on a contradictory threshold (ADVICE r9:
+    full vs incremental recall can never silently diverge)."""
+    import uuid
+
+    import pytest as _pytest
+
+    # threshold=0.2 at k=8 picks a banding other than the (4, 2) default
+    b_thresh, _r = D.lsh_plan(0.2, 8)
+    assert b_thresh != 4
+    name = f"lsh_banding_test_{uuid.uuid4().hex[:8]}"
+    try:
+        idx = D.write_lsh_index(docs, name, threshold=0.2)
+        meta = idx.select("idx_k", "idx_bands").limit(1).collect()[0]
+        assert (meta[0], meta[1]) == (8, b_thresh)
+        new = spark.createDataFrame([(100, BASE)], "doc_id bigint, text string")
+        # no threshold passed: the index's recorded banding wins, and the
+        # batch keys land in the same buckets (exact copy of BASE matches)
+        got = {(r["new_doc_id"], r["corpus_doc_id"]) for r in
+               D.minhash_lsh_pairs_incremental(new, idx).collect()}
+        assert (100, 0) in got
+        # a contradictory threshold raises instead of silently re-banding
+        with _pytest.raises(ValueError, match="index was built with"):
+            D.minhash_lsh_pairs_incremental(new, idx, threshold=0.5).collect()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_redact_pii_counts_and_replacements(spark):
     from unifydb_spark.operators.text import redact_pii
 

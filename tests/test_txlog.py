@@ -7,6 +7,12 @@ path needs: two independent OS processes transacting against the same
 store serialize via the optimistic commit log (distinct tx-ids, all facts
 visible), a writer killed mid-append leaves the store readable and clean,
 and every historical log version remains a consistent read.
+
+The conflict/crash suite is parametrized over BOTH commit primitives —
+PosixLinkProtocol (link(2) create-exclusive) and ConditionalPutProtocol
+(simulated object-store conditional PUT, no filesystem atomic-create) —
+so the protocol above the primitive provably never depends on POSIX-only
+atomicity (VERDICT r9 ask #2).
 """
 
 import json
@@ -21,12 +27,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from unifydb_spark.engine import Engine
 from unifydb_spark.store import FactStore
-from unifydb_spark.txlog import CommitConflict, LogParquetBackend
+from unifydb_spark.txlog import (
+    CommitConflict,
+    ConditionalPutProtocol,
+    LogParquetBackend,
+    PosixLinkProtocol,
+)
+
+PROTOCOLS = {
+    "posix-link": PosixLinkProtocol,
+    "s3-conditional-put": ConditionalPutProtocol,
+}
+
+
+@pytest.fixture(params=sorted(PROTOCOLS))
+def protocol_name(request):
+    return request.param
 
 
 @pytest.fixture()
-def log_store(spark, tmp_path):
-    return FactStore(spark, LogParquetBackend(spark, str(tmp_path / "facts")))
+def log_store(spark, tmp_path, protocol_name):
+    backend = LogParquetBackend(
+        spark, str(tmp_path / "facts"), protocol=PROTOCOLS[protocol_name]()
+    )
+    return FactStore(spark, backend)
 
 
 def test_transact_and_query_roundtrip(spark, log_store):
@@ -72,13 +96,15 @@ def test_log_versioned_time_travel(spark, log_store):
     assert df3.filter(df3.a == "n").count() == 3
 
 
-def test_crash_mid_append_is_invisible(spark, tmp_path):
+def test_crash_mid_append_is_invisible(spark, tmp_path, protocol_name):
     """A writer that dies after writing parquet but BEFORE the manifest
     commit (protocol steps 1-3, txlog.py module docstring) must leave no
     trace for readers: orphan data files are invisible, vacuum reclaims
     them, and a torn tmp manifest is ignored."""
     path = str(tmp_path / "facts")
-    store = FactStore(spark, LogParquetBackend(spark, path))
+    store = FactStore(
+        spark, LogParquetBackend(spark, path, protocol=PROTOCOLS[protocol_name]())
+    )
     eng = Engine(spark, store)
     eng.transact([["add", "a", ":n", 1]])
 
@@ -94,17 +120,34 @@ def test_crash_mid_append_is_invisible(spark, tmp_path):
     df = backend.facts_df()
     assert df.count() == 2  # the one committed tx (fact + txInstant), nothing else
     assert df.filter(df.e == 999).count() == 0
-    # vacuum deletes exactly the orphan
-    deleted = backend.vacuum()
+    # default vacuum RETAINS the young orphan (it could be an in-flight
+    # commit's data — the write-order race ADVICE r9 flagged)
+    assert backend.vacuum() == []
+    # with writers known quiescent, retention 0 reclaims exactly the orphan
+    deleted = backend.vacuum(retention_seconds=0.0)
     assert len(deleted) == 1
     assert backend.facts_df().count() == 2
 
 
-def test_commit_conflict_retries_with_fresh_ids(spark, tmp_path):
+def test_lost_cas_leaves_no_orphan(spark, tmp_path, protocol_name):
+    """commit_rows on a lost race must unlink its private data file —
+    N contending writers no longer accumulate orphans (ADVICE r9)."""
+    path = str(tmp_path / "facts")
+    backend = LogParquetBackend(spark, path, protocol=PROTOCOLS[protocol_name]())
+    rows = [(1, "n", "long", 1, None, None, None, None, None, None, 2, True)]
+    assert backend.commit_rows(rows, 0)  # v1 committed
+    n_data = len(os.listdir(backend.data_dir))
+    # stale base: CAS on v1 loses because v1 exists
+    assert not backend.commit_rows(rows, 0)
+    assert len(os.listdir(backend.data_dir)) == n_data  # file reclaimed
+
+
+def test_commit_conflict_retries_with_fresh_ids(spark, tmp_path, protocol_name):
     """Force one lost CAS race and verify transact re-bases: re-reads
     max_id, re-allocates ids, and the final state is serializable."""
+    proto = PROTOCOLS[protocol_name]
     path = str(tmp_path / "facts")
-    store = FactStore(spark, LogParquetBackend(spark, path))
+    store = FactStore(spark, LogParquetBackend(spark, path, protocol=proto()))
     eng = Engine(spark, store)
     eng.transact([["add", "seed", ":n", 0]])
 
@@ -116,7 +159,9 @@ def test_commit_conflict_retries_with_fresh_ids(spark, tmp_path):
         if not state["interposed"]:
             state["interposed"] = True
             # another "process" commits first, consuming ids
-            other = FactStore(spark, LogParquetBackend(spark, path))
+            other = FactStore(
+                spark, LogParquetBackend(spark, path, protocol=proto())
+            )
             other.transact([["add", "intruder", ":n", 99]])
         return real_commit(rows, based_on_version)
 
@@ -134,24 +179,27 @@ def test_commit_conflict_retries_with_fresh_ids(spark, tmp_path):
     assert es == []
 
 
-def test_cross_process_writers_serialize(spark, tmp_path):
+def test_cross_process_writers_serialize(spark, tmp_path, protocol_name):
     """THE contract test: two independent OS processes (no shared locks,
     no Spark in the children — the txlog write path is pure Python)
     transact concurrently against the same store. Afterward every
     transaction is visible with a distinct tx-id and no entity-id
-    collisions."""
+    collisions. Runs against both commit primitives."""
     path = str(tmp_path / "facts")
     n_per_writer = 8
 
     child = textwrap.dedent(
         """
         import sys, time
-        sys.path.insert(0, sys.argv[3])
+        sys.path.insert(0, sys.argv[4])
         from unifydb_spark.store import FactStore
-        from unifydb_spark.txlog import LogParquetBackend
+        from unifydb_spark import txlog
 
-        tag, path = sys.argv[1], sys.argv[2]
-        store = FactStore(spark=None, backend=LogParquetBackend(None, path))
+        tag, path, proto_cls = sys.argv[1], sys.argv[2], sys.argv[3]
+        backend = txlog.LogParquetBackend(
+            None, path, protocol=getattr(txlog, proto_cls)()
+        )
+        store = FactStore(spark=None, backend=backend)
         for i in range(%d):
             store.transact([["add", f"{tag}{i}", ":name", f"name-{tag}{i}"]])
         print("done", tag)
@@ -159,9 +207,10 @@ def test_cross_process_writers_serialize(spark, tmp_path):
         % n_per_writer
     )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proto_cls = PROTOCOLS[protocol_name].__name__
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", child, tag, path, repo],
+            [sys.executable, "-c", child, tag, path, proto_cls, repo],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
         )
@@ -202,11 +251,57 @@ def test_bulk_append_df_atomic(spark, tmp_path):
         for i in range(1, 101)
     ]
     df = spark.createDataFrame(rows, schema=FACT_SCHEMA)
-    backend.bulk_append_df(df)
+    assert backend.bulk_append_df(df)
     assert backend.log_version() == 1
     assert backend.facts_df().count() == 100
     assert backend.max_id() == 100
     assert backend.clean  # single tx, no retractions -> snapshot fast path
+
+
+def test_bulk_append_df_empty_input(spark, tmp_path):
+    """Empty input must not IndexError (VERDICT r9 nit #1): with no
+    stream epoch and an empty store it is a pure no-op; with an epoch it
+    commits a zero-file manifest so the epoch is still recorded."""
+    from unifydb_spark.values import FACT_SCHEMA
+
+    path = str(tmp_path / "facts")
+    backend = LogParquetBackend(spark, path)
+    empty = spark.createDataFrame([], schema=FACT_SCHEMA)
+    assert backend.bulk_append_df(empty) is False
+    assert backend.log_version() == 0
+    # an empty micro-batch with an epoch still records the epoch
+    assert backend.bulk_append_df(empty, stream_epoch=("s1", 0)) is True
+    assert backend.log_version() == 1
+    assert backend.last_stream_epoch("s1") == 0
+    assert backend.facts_df().count() == 0
+
+
+def test_bulk_append_stream_epoch_idempotent(spark, tmp_path):
+    """The exactly-once half of the streaming transactor: a replayed
+    (stream, epoch) commit is a no-op — no duplicate facts, no version
+    advance — while a NEW epoch commits normally."""
+    from unifydb_spark.values import FACT_SCHEMA
+
+    path = str(tmp_path / "facts")
+    backend = LogParquetBackend(spark, path)
+    rows = [
+        (i, "n", "long", i, None, None, None, None, None, None, 1, True)
+        for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, schema=FACT_SCHEMA)
+    assert backend.bulk_append_df(df, stream_epoch=("ingest", 0))
+    v1 = backend.log_version()
+    # replay of epoch 0 (restart between txlog commit and Spark's
+    # checkpoint commit): skipped, nothing duplicated
+    assert backend.bulk_append_df(df, stream_epoch=("ingest", 0)) is False
+    assert backend.log_version() == v1
+    assert backend.facts_df().count() == 10
+    # next epoch commits; the manifest's stream map advances
+    assert backend.bulk_append_df(df, stream_epoch=("ingest", 1))
+    assert backend.facts_df().count() == 20
+    assert backend.last_stream_epoch("ingest") == 1
+    # independent streams do not interfere
+    assert backend.last_stream_epoch("other") == -1
 
 
 def test_checkpoint_compacts_and_preserves_history(spark, tmp_path):
@@ -229,15 +324,17 @@ def test_checkpoint_compacts_and_preserves_history(spark, tmp_path):
     # historical version still readable (files not deleted)
     assert backend.facts_df(as_of_version=2).select("tx").distinct().count() == 2
     # aggressive vacuum forfeits pre-checkpoint history but keeps the head
-    backend.vacuum(retain_before_checkpoint=False)
+    backend.vacuum(retain_before_checkpoint=False, retention_seconds=0.0)
     assert backend.facts_df().count() == 10
 
 
-def test_checkpoint_races_concurrent_commit(spark, tmp_path):
-    """A checkpoint that would drop a commit which landed mid-rewrite
-    must abort, not silently lose data."""
+def test_checkpoint_rebases_concurrent_commit(spark, tmp_path, protocol_name):
+    """A commit that lands mid-rewrite is folded INTO the checkpoint
+    (retry-with-rebase, VERDICT r9 ask #5) — compaction on a busy store
+    no longer requires quiescence, and neither side loses data."""
+    proto = PROTOCOLS[protocol_name]
     path = str(tmp_path / "facts")
-    store = FactStore(spark, LogParquetBackend(spark, path))
+    store = FactStore(spark, LogParquetBackend(spark, path, protocol=proto()))
     eng = Engine(spark, store)
     eng.transact([["add", "a", ":n", 1]])
     backend = store.backend
@@ -247,15 +344,32 @@ def test_checkpoint_races_concurrent_commit(spark, tmp_path):
     def interpose(manifest, version):
         if manifest.get("replaces_all") and not getattr(interpose, "hit", False):
             interpose.hit = True
-            eng.transact([["add", "b", ":n", 2]])
+            # an independent writer commits while the rewrite is staged
+            other = FactStore(
+                spark, LogParquetBackend(spark, path, protocol=proto())
+            )
+            Engine(spark, other).transact([["add", "b", ":n", 2]])
         return real(manifest, version)
 
     backend._try_commit = interpose
-    with pytest.raises(CommitConflict):
-        backend.checkpoint()
+    ckpt_v = backend.checkpoint()
     backend._try_commit = real
-    # nothing lost: both transactions readable
-    assert backend.facts_df().select("tx").distinct().count() == 2
+    assert interpose.hit
+    # checkpoint succeeded ON TOP of the concurrent commit
+    assert ckpt_v == backend.log_version()
+    head = backend._read_manifest(ckpt_v)
+    assert head["replaces_all"]
+    # both transactions visible at the head, which reads ONLY head files
+    df = backend.facts_df()
+    assert df.select("tx").distinct().count() == 2
+    vals = sorted(
+        r["v_long"] for r in df.filter(df.a == "n").select("v_long").collect()
+    )
+    assert vals == [1, 2]
+    # cumulative stats adopted from the raced head: max_id covers writer b
+    assert head["max_id"] == backend.max_id() >= 4
+    # history intact: version 1 still reads exactly the first transaction
+    assert backend.facts_df(as_of_version=1).select("tx").distinct().count() == 1
 
 
 def test_manifest_stats_track_clean_flag(spark, tmp_path):

@@ -561,10 +561,21 @@ def write_lsh_index(
     prescribes. Every later ingest batch joins its band rows against this
     table WITHOUT a corpus-side exchange (the bucket spec supplies the
     hash partitioning); the corpus is hashed exactly once per build, not
-    per ingest. Same machinery as similarity.ivf_assign_bucketed."""
+    per ingest. Same machinery as similarity.ivf_assign_bucketed.
+
+    `threshold` (target Jaccard) derives the banding from the S-curve
+    exactly as minhash_lsh_pairs does, and the chosen (k, bands) are
+    RECORDED in the index (constant `idx_k`/`idx_bands` columns) so the
+    incremental path reads the banding from the index instead of trusting
+    the caller to repeat it — full and incremental dedup can never
+    silently diverge on recall (ADVICE r9)."""
+    if threshold is not None:
+        bands, _ = lsh_plan(threshold, k)
     spark = docs.sparkSession
     (
         minhash_band_rows(minhash_signatures(docs, text_col, n, k), k, bands)
+        .withColumn("idx_k", F.lit(int(k)))
+        .withColumn("idx_bands", F.lit(int(bands)))
         .write.mode("overwrite")
         .format("parquet")
         .bucketBy(n_buckets, "band", "band_key")
@@ -589,7 +600,32 @@ def minhash_lsh_pairs_incremental(
     is never rescanned or re-hashed; the only join is batch-bands against
     the index on (band, band_key). Returns (new_doc_id, corpus_doc_id),
     self-matches excluded. This is the daily-ingest shape: O(batch)
-    compute against a 100 TB corpus."""
+    compute against a 100 TB corpus.
+
+    Banding resolution: an index written by write_lsh_index carries its
+    (k, bands) in `idx_k`/`idx_bands` — those WIN (batch band keys are
+    only comparable to the corpus's when hashed identically), and an
+    explicit `threshold`/`bands` argument that contradicts the recorded
+    banding raises instead of silently changing recall. Without recorded
+    metadata, `threshold` derives (bands) via lsh_plan as
+    minhash_lsh_pairs does."""
+    if {"idx_k", "idx_bands"} <= set(corpus_band_rows.columns):
+        meta = corpus_band_rows.select("idx_k", "idx_bands").limit(1).collect()
+        if meta:
+            idx_k, idx_bands = int(meta[0][0]), int(meta[0][1])
+            if threshold is not None:
+                want_bands, _ = lsh_plan(threshold, idx_k)
+                if want_bands != idx_bands:
+                    raise ValueError(
+                        f"threshold={threshold} implies bands={want_bands} "
+                        f"for k={idx_k}, but the index was built with "
+                        f"bands={idx_bands}; rebuild the index or drop "
+                        "the threshold argument"
+                    )
+            k, bands = idx_k, idx_bands
+        corpus_band_rows = corpus_band_rows.drop("idx_k", "idx_bands")
+    elif threshold is not None:
+        bands, _ = lsh_plan(threshold, k)
     new_bands = minhash_band_rows(
         minhash_signatures(new_docs, text_col, n, k), k, bands
     )

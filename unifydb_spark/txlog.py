@@ -23,18 +23,23 @@ Commit protocol (optimistic concurrency):
    (pyarrow, driver-side — tx batches are small; bulk ingest goes through
    :meth:`bulk_append_df` which writes with Spark executors instead).
 2. Read the current log head N (cheap: one directory listing).
-3. Write the version-(N+1) manifest to a temp file, fsync, then
-   ``os.link(tmp, _txlog/<N+1>.json)`` — an atomic CREATE-EXCLUSIVE on
-   POSIX. ``EEXIST`` means another writer committed N+1 first: the data
-   file stays (still invisible), the caller re-reads the head, re-bases
-   (re-allocates entity/tx ids above the new ``max_id``) and retries.
+3. Publish the version-(N+1) manifest via the pluggable
+   :class:`CommitProtocol` — a single atomic *put-if-absent*. On POSIX
+   that is ``os.link`` CREATE-EXCLUSIVE (:class:`PosixLinkProtocol`); on
+   an object store it is a conditional PUT (S3 ``If-None-Match: *`` /
+   GCS ``ifGenerationMatch=0`` — :class:`ConditionalPutProtocol`
+   simulates that contract so the whole conflict/crash suite runs against
+   both primitives unchanged). A lost put means another writer committed
+   N+1 first: the caller re-reads the head, re-bases (re-allocates
+   entity/tx ids above the new ``max_id``) and retries.
 4. Readers list ``_txlog/*.json`` and union exactly the files the
    manifests name. A writer that CRASHES between steps 1 and 3 leaves an
    orphan data file that no reader ever sees — the store stays clean.
 
 Each manifest carries *cumulative* stats (``max_id``, ``latest_tx``,
-``any_retraction``, distinct-tx bound), so id allocation and the
-`clean`-fastpath decision are O(1) manifest reads — no Spark job, which
+``any_retraction``, distinct-tx bound, per-stream last committed epoch),
+so id allocation, the `clean`-fastpath decision and streaming
+exactly-once dedup are O(1) manifest reads — no Spark job, which
 also makes the whole WRITE path runnable without a SparkSession (the
 cross-process tests in tests/test_txlog.py exploit this: child writer
 processes are plain Python; only the verifying reader needs a JVM).
@@ -42,6 +47,13 @@ processes are plain Python; only the verifying reader needs a JVM).
 Time travel: ``facts_df(as_of_version=N)`` reads the manifests ``<= N``
 — log-versioned history, orthogonal to the fact-level ``tx <= T``
 as-of filter the snapshot view applies (store.py:366).
+
+Durability scope: manifests are fsynced before publish and the log
+directory is fsynced after (a visible manifest survives power loss);
+Spark-written data files are fsynced at rename time along with the data
+directory. Crash-safety TESTS cover process kills (tests/test_txlog.py);
+power-loss durability additionally depends on the filesystem honoring
+fsync ordering, as with any log-structured store.
 """
 
 from __future__ import annotations
@@ -83,6 +95,116 @@ class CommitConflict(Exception):
     """Another writer committed the version this writer was basing on."""
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a directory so a just-created/renamed entry survives power
+    loss (the entry itself being durable is not enough on POSIX — the
+    directory block that names it must also reach disk)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _fsync_file(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+class CommitProtocol:
+    """The single atomic primitive the commit log's ACID claim rests on:
+    publish `data` under `path` iff nothing is there yet.
+
+    Everything else in the protocol (re-base retry, crash-orphan
+    invisibility, checkpoint rebase) is built ON this one operation, so
+    porting the store to a new storage system means implementing exactly
+    this class — the contract test (tests/test_txlog.py) runs the same
+    conflict/crash suite against every implementation.
+    """
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        """Atomically create `path` with `data`. True on success; False
+        if `path` already exists (another writer won). A False return
+        MUST leave the existing object untouched, and a crash mid-call
+        MUST never leave a torn/partial object visible at `path`."""
+        raise NotImplementedError
+
+
+class PosixLinkProtocol(CommitProtocol):
+    """put-if-absent via link(2): write+fsync a tmp file, then
+    ``os.link(tmp, path)`` — CREATE-EXCLUSIVE on POSIX, atomic even over
+    NFS (unlike O_EXCL on some NFS versions). The published entry is made
+    power-loss durable by fsyncing the parent directory."""
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        d = os.path.dirname(path)
+        tmp = os.path.join(d, f".tmp.{uuid.uuid4().hex}")
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        try:
+            os.write(fd, data)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        try:
+            os.link(tmp, path)
+            _fsync_dir(d)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+
+class ConditionalPutProtocol(CommitProtocol):
+    """Simulated object-store conditional PUT (S3 ``If-None-Match: *`` /
+    GCS ``ifGenerationMatch=0`` / Azure ``If-None-Match`` ETag).
+
+    Object stores have NO client-visible atomic link(2) or O_EXCL — the
+    STORE serializes conditional writes internally (this is why classic
+    Delta-on-S3 needed a DynamoDB LogStore until S3 shipped conditional
+    PUT in 2024). The simulation reproduces exactly that split: an
+    advisory flock on a service sidecar file stands in for the object
+    store's internal serialization (it is the "service", not a
+    filesystem primitive the client protocol may rely on), and inside it
+    the object appears via write-to-temp + rename, matching object-store
+    whole-object visibility (readers never observe a torn object).
+
+    The point of shipping this next to :class:`PosixLinkProtocol` is the
+    contract test: the ENTIRE txlog conflict/crash suite runs against a
+    primitive with object-store semantics, proving the protocol above it
+    never silently depends on POSIX-only atomicity.
+    """
+
+    def __init__(self):
+        self._svc = ".svc.lock"
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        import fcntl
+
+        d = os.path.dirname(path)
+        lock_path = os.path.join(d, self._svc)
+        lock_fd = os.open(lock_path, os.O_RDWR | os.O_CREAT, 0o644)
+        try:
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)  # the service's serialization
+            if os.path.exists(path):
+                return False  # HTTP 412 PreconditionFailed
+            tmp = os.path.join(d, f".put.{uuid.uuid4().hex}")
+            fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            try:
+                os.write(fd, data)
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            os.rename(tmp, path)  # whole-object visibility
+            _fsync_dir(d)
+            return True
+        finally:
+            os.close(lock_fd)  # releases the flock
+
+
 class LogParquetBackend:
     """Fact-log backend with an ACID commit log (see module docstring).
 
@@ -93,17 +215,25 @@ class LogParquetBackend:
     - :meth:`log_version` / ``facts_df(as_of_version=...)`` —
       log-versioned time travel;
     - :meth:`bulk_append_df` — executor-side big appends (manifest commit
-      of Spark-written files);
+      of Spark-written files), with optional per-stream epoch tracking
+      for exactly-once streaming ingest (streaming/stream.py
+      ``stream_facts_to_txlog``);
     - :meth:`checkpoint` / :meth:`vacuum` — log compaction + orphan GC.
+
+    `protocol` selects the atomic publish primitive (default POSIX link;
+    pass :class:`ConditionalPutProtocol` for object-store semantics).
     """
 
-    def __init__(self, spark, path: str):
+    def __init__(
+        self, spark, path: str, protocol: Optional[CommitProtocol] = None
+    ):
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, "_txlog")
         self.data_dir = os.path.join(path, "data")
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        self.protocol = protocol or PosixLinkProtocol()
         self._writer = f"{socket.gethostname()}:{os.getpid()}"
 
     # ---- log plumbing -----------------------------------------------------
@@ -138,29 +268,18 @@ class LogParquetBackend:
         return self._read_manifest(v) if v else None
 
     def _try_commit(self, manifest: dict, version: int) -> bool:
-        """Atomically publish `manifest` as log version `version`.
-
-        link(2) fails with EEXIST if the name is taken — the exclusive
-        CAS at the heart of the protocol. The tmp file is fully written
-        and fsynced first, so a visible manifest is never torn."""
-        tmp = os.path.join(self.log_dir, f".tmp.{uuid.uuid4().hex}")
-        data = json.dumps(manifest, separators=(",", ":"))
-        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
-        try:
-            os.write(fd, data.encode())
-            os.fsync(fd)
-        finally:
-            os.close(fd)
-        try:
-            os.link(tmp, self._manifest_path(version))
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
+        """Atomically publish `manifest` as log version `version` via the
+        pluggable put-if-absent primitive. False = another writer won the
+        version — the CAS at the heart of the protocol."""
+        data = json.dumps(manifest, separators=(",", ":")).encode()
+        return self.protocol.put_if_absent(self._manifest_path(version), data)
 
     def _build_manifest(
-        self, parent: Optional[dict], files: list[dict], rows_stats: dict
+        self,
+        parent: Optional[dict],
+        files: list[dict],
+        rows_stats: dict,
+        stream_epoch: Optional[tuple[str, int]] = None,
     ) -> dict:
         """Fold a new commit's stats into the cumulative head stats."""
         p_max = parent["max_id"] if parent else 0
@@ -175,12 +294,17 @@ class LogParquetBackend:
                 tx_state = t
             elif tx_state != "multi" and tx_state != t:
                 tx_state = "multi"
+        streams = dict(parent.get("streams", {})) if parent else {}
+        if stream_epoch is not None:
+            sid, epoch = stream_epoch
+            streams[sid] = max(int(epoch), streams.get(sid, -1))
         return {
             "files": files,
             "max_id": max(p_max, rows_stats["max_id"]),
             "latest_tx": max(p_tx, rows_stats["latest_tx"]),
             "any_retraction": p_retr or rows_stats["any_retraction"],
             "tx_state": tx_state,
+            "streams": streams,
             "base": parent.get("base", 0) if parent else 0,
             "writer": self._writer,
             "ts_millis": int(time.time() * 1000),
@@ -216,12 +340,35 @@ class LogParquetBackend:
         pq.write_table(table, os.path.join(self.data_dir, name))
         return {"name": name, "rows": len(rows)}
 
+    def _publish_staged(self, staging: str) -> list[dict]:
+        """Move Spark-written part files out of a staging dir into data/
+        under fresh uuid names, fsyncing each file and the data dir so the
+        about-to-be-committed manifest never outlives its data on disk."""
+        files = []
+        for name in sorted(os.listdir(staging)):
+            if name.endswith(".parquet"):
+                final = f"{uuid.uuid4().hex}.parquet"
+                dst = os.path.join(self.data_dir, final)
+                os.rename(os.path.join(staging, name), dst)
+                _fsync_file(dst)
+                files.append({"name": final, "rows": None})
+        if files:
+            _fsync_dir(self.data_dir)
+        for name in os.listdir(staging):
+            os.unlink(os.path.join(staging, name))
+        os.rmdir(staging)
+        return files
+
     # ---- writes -----------------------------------------------------------
 
     def commit_rows(self, rows: Iterable[tuple], based_on_version: int) -> bool:
         """Compare-and-swap append: commit `rows` as version
         based_on_version+1, or return False if another writer got there
-        first (the caller must re-read max_id and re-allocate ids)."""
+        first (the caller must re-read max_id and re-allocate ids).
+        A lost race unlinks the just-written data file — it is private to
+        this writer and provably unreferenced, and the retry will write a
+        fresh file with re-based ids anyway (no orphan accumulation under
+        contention)."""
         rows = list(rows)
         f = self._write_data_file(rows)
         parent = (
@@ -230,7 +377,11 @@ class LogParquetBackend:
         manifest = self._build_manifest(parent, [f], self._rows_stats(rows))
         if self._try_commit(manifest, based_on_version + 1):
             return True
-        # lost the race — leave the data file as an orphan for vacuum()
+        # lost the race — reclaim the private data file before the retry
+        try:
+            os.unlink(os.path.join(self.data_dir, f["name"]))
+        except OSError:
+            pass
         return False
 
     def append(self, rows: Iterable[tuple], max_retries: int = 64) -> None:
@@ -246,16 +397,37 @@ class LogParquetBackend:
                 return
         raise CommitConflict(f"append lost the commit race {max_retries} times")
 
-    def bulk_append_df(self, df, max_retries: int = 64) -> None:
+    def bulk_append_df(
+        self,
+        df,
+        max_retries: int = 64,
+        stream_epoch: Optional[tuple[str, int]] = None,
+    ) -> bool:
         """Executor-side big append: Spark writes the parquet files to a
         staging dir, then one manifest commit makes them all visible
         atomically (append-by-manifest — the 100 TB ingest path; no
-        driver materialization)."""
+        driver materialization).
+
+        `stream_epoch=(stream_id, epoch)` makes the commit IDEMPOTENT per
+        (stream, epoch): the manifest records the stream's last committed
+        epoch cumulatively, and a replayed epoch (<= the recorded one) is
+        skipped without committing — the exactly-once half of the
+        streaming transactor (stream.py stream_facts_to_txlog); Spark's
+        checkpoint provides the at-least-once half. An EMPTY input
+        commits an explicit zero-file manifest (so an empty micro-batch
+        still records its epoch) unless the store is empty too, in which
+        case it is a pure no-op. Returns True if a commit happened,
+        False if skipped as a replay/no-op."""
         from pyspark.sql import functions as F
 
+        if stream_epoch is not None:
+            sid, epoch = stream_epoch
+            head = self._head()
+            if head and head.get("streams", {}).get(sid, -1) >= int(epoch):
+                return False  # replayed micro-batch: already committed
         staging = os.path.join(self.data_dir, f".stage.{uuid.uuid4().hex}")
         df.write.parquet(staging)
-        files, stats_rows = [], df.sparkSession.read.parquet(staging)
+        stats_rows = df.sparkSession.read.parquet(staging)
         agg = stats_rows.agg(
             F.greatest(
                 F.max("e"), F.max("tx"), F.coalesce(F.max("v_ref"), F.lit(0))
@@ -265,17 +437,18 @@ class LogParquetBackend:
             F.collect_set("tx").alias("txs"),
             F.count("*").alias("n"),
         ).collect()[0]
-        for name in sorted(os.listdir(staging)):
-            if name.endswith(".parquet"):
-                final = f"{uuid.uuid4().hex}.parquet"
-                os.rename(
-                    os.path.join(staging, name), os.path.join(self.data_dir, final)
-                )
-                files.append({"name": final, "rows": None})
-        files[0]["rows"] = agg["n"]
-        for name in os.listdir(staging):
-            os.unlink(os.path.join(staging, name))
-        os.rmdir(staging)
+        if agg["n"] == 0:
+            # nothing to publish: drop the staging dir, and commit a
+            # zero-file manifest only when there is an epoch to record
+            for name in os.listdir(staging):
+                os.unlink(os.path.join(staging, name))
+            os.rmdir(staging)
+            if stream_epoch is None and self.log_version() == 0:
+                return False
+            files = []
+        else:
+            files = self._publish_staged(staging)
+            files[0]["rows"] = agg["n"]
         # bound the distinct-tx set carried in the manifest: 0/1 distinct
         # txs keep the exact value (the `clean` fast path needs only that);
         # more collapse to "multi" anyway.
@@ -289,8 +462,19 @@ class LogParquetBackend:
         for _ in range(max_retries):
             head_v = self.log_version()
             parent = self._read_manifest(head_v) if head_v else None
-            if self._try_commit(self._build_manifest(parent, files, stats), head_v + 1):
-                return
+            if stream_epoch is not None and parent:
+                sid, epoch = stream_epoch
+                if parent.get("streams", {}).get(sid, -1) >= int(epoch):
+                    # another attempt of the SAME epoch won the race
+                    for fobj in files:
+                        try:
+                            os.unlink(os.path.join(self.data_dir, fobj["name"]))
+                        except OSError:
+                            pass
+                    return False
+            m = self._build_manifest(parent, files, stats, stream_epoch)
+            if self._try_commit(m, head_v + 1):
+                return True
         raise CommitConflict(f"bulk append lost the commit race {max_retries} times")
 
     # ---- reads ------------------------------------------------------------
@@ -340,6 +524,14 @@ class LogParquetBackend:
         head = self._head()
         return head["latest_tx"] if head else 0
 
+    def last_stream_epoch(self, stream_id: str) -> int:
+        """Last epoch committed for `stream_id`, -1 if none — the O(1)
+        manifest read streaming exactly-once dedup rests on."""
+        head = self._head()
+        if not head:
+            return -1
+        return int(head.get("streams", {}).get(stream_id, -1))
+
     def attr_types(self) -> dict[str, set]:
         out: dict[str, set] = {}
         for r in self.facts_df().select("a", "v_type").distinct().collect():
@@ -348,43 +540,48 @@ class LogParquetBackend:
 
     # ---- maintenance --------------------------------------------------------
 
-    def checkpoint(self, max_retries: int = 16) -> int:
-        """Rewrite the live facts as one consolidated, (a, e, tx)-sorted
-        file set and commit a `replaces_all` manifest. Readers of newer
-        versions touch only the checkpoint's files (small-file compaction);
-        older versions remain readable because nothing is deleted —
-        vacuum() reclaims space separately. Returns the new log version."""
+    def checkpoint(
+        self, max_retries: int = 16, sort_cols: tuple[str, ...] = ("a", "e", "tx")
+    ) -> int:
+        """Rewrite the live facts as one consolidated, sorted file set and
+        commit a `replaces_all` manifest. Readers of newer versions touch
+        only the checkpoint's files (small-file compaction); older
+        versions remain readable because nothing is deleted — vacuum()
+        reclaims space separately. Returns the new log version.
+
+        Default sort (a, e, tx) is the measured winner of the repo's own
+        zone-map advisor over the q01-q18 pattern workload
+        (scripts/layout_advisor.py, table in SCALE.md): pattern queries
+        constrain `a` first (attribute scans are AVET-shaped), so
+        attribute-major clustering prunes the most row groups.
+
+        Commits that land MID-REWRITE are re-based in, not dropped:
+        the checkpoint's files replace only the versions it actually read
+        (<= base_v), so each retry folds the (base_v, head_v] manifests'
+        file lists in after the compacted set and adopts the new head's
+        cumulative stats, then CASes at head_v+1 — the standard
+        lakehouse compaction-vs-writer protocol (a checkpoint never
+        blocks or loses a concurrent writer)."""
         base_v = self.log_version()
         if base_v == 0:
             return 0
         df = self.facts_df(as_of_version=base_v).sortWithinPartitions(
-            "a", "e", "tx"
+            *sort_cols
         )
         staging = os.path.join(self.data_dir, f".stage.{uuid.uuid4().hex}")
         df.write.parquet(staging)
-        files = []
-        for name in sorted(os.listdir(staging)):
-            if name.endswith(".parquet"):
-                final = f"{uuid.uuid4().hex}.parquet"
-                os.rename(
-                    os.path.join(staging, name), os.path.join(self.data_dir, final)
-                )
-                files.append({"name": final, "rows": None})
-        for name in os.listdir(staging):
-            os.unlink(os.path.join(staging, name))
-        os.rmdir(staging)
-        parent = self._read_manifest(base_v)
+        ckpt_files = self._publish_staged(staging)
         for _ in range(max_retries):
             head_v = self.log_version()
-            if head_v != base_v:
-                # concurrent commits landed mid-rewrite; the checkpoint
-                # would silently drop them — abandon (files become orphans)
-                raise CommitConflict(
-                    "checkpoint raced a concurrent commit; re-run when quiescent"
-                )
+            head = self._read_manifest(head_v)
+            # re-base: concurrent commits in (base_v, head_v] stay live by
+            # carrying their file lists after the compacted prefix
+            extra_files: list[dict] = []
+            for v in range(base_v + 1, head_v + 1):
+                extra_files.extend(self._read_manifest(v)["files"])
             manifest = dict(
-                parent,
-                files=files,
+                head,  # cumulative stats of everything being replaced
+                files=ckpt_files + extra_files,
                 replaces_all=True,
                 writer=self._writer,
                 ts_millis=int(time.time() * 1000),
@@ -393,11 +590,23 @@ class LogParquetBackend:
                 return head_v + 1
         raise CommitConflict("checkpoint lost the commit race")
 
-    def vacuum(self, retain_before_checkpoint: bool = True) -> list[str]:
+    def vacuum(
+        self,
+        retain_before_checkpoint: bool = True,
+        retention_seconds: float = 3600.0,
+    ) -> list[str]:
         """Delete data files no LIVE manifest references — crash orphans
         and, if a checkpoint exists and retain_before_checkpoint=False,
         files only pre-checkpoint versions reference (which forfeits
-        time travel to those versions). Returns the deleted names."""
+        time travel to those versions). Returns the deleted names.
+
+        `retention_seconds` guards the commit protocol's write-order
+        (data file BEFORE manifest): an unreferenced file younger than
+        the window may belong to an IN-FLIGHT commit whose manifest has
+        not landed yet — deleting it would corrupt the next committed
+        version (the same reason Delta's VACUUM has a retention check).
+        Files are judged by mtime; pass 0.0 only when all writers are
+        known quiescent (as the crash-cleanup tests do)."""
         versions = self._list_versions()
         referenced: set[str] = set()
         for v in versions:
@@ -414,8 +623,15 @@ class LogParquetBackend:
             for m in manifests[start:]:
                 referenced.update(f["name"] for f in m["files"])
         deleted = []
+        cutoff = time.time() - retention_seconds
         for name in os.listdir(self.data_dir):
             if name.endswith(".parquet") and name not in referenced:
-                os.unlink(os.path.join(self.data_dir, name))
+                full = os.path.join(self.data_dir, name)
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue  # possibly an in-flight commit's data
+                    os.unlink(full)
+                except FileNotFoundError:
+                    continue
                 deleted.append(name)
         return deleted
