@@ -43,6 +43,71 @@ def test_sessionize(events):
     assert float(out[(2, 1)]["sum_value"]) == 11.0
 
 
+def test_sessionize_bucketed_matches_plain(events):
+    """Bucketed pre-sessionization == plain sessionize on the hand-built
+    log, including the crafted cross-boundary case: with 1-hour buckets,
+    user 1's session at 00:59 has its same-minute pair inside one bucket
+    and the 30-min gap rule must NOT resurrect the 00:05->00:59 split as
+    a merge."""
+    from unifydb_spark.operators.events import sessionize_bucketed
+
+    plain = {
+        (r["user_id"], r["session_seq"]): (
+            r["session_start"], r["session_end"], r["n_events"],
+            float(r["sum_value"]),
+        )
+        for r in sessionize(events, gap_minutes=30).collect()
+    }
+    bucketed = {
+        (r["user_id"], r["session_seq"]): (
+            r["session_start"], r["session_end"], r["n_events"],
+            float(r["sum_value"]),
+        )
+        for r in sessionize_bucketed(
+            events, gap_minutes=30, bucket_hours=1
+        ).collect()
+    }
+    assert plain == bucketed
+
+
+def test_sessionize_bucketed_boundary_merge(spark):
+    """A session SPANNING a bucket boundary (consecutive events <= gap
+    but in different buckets, including a skip over an empty bucket when
+    bucket < gap) merges back to exactly the plain result."""
+    from unifydb_spark.operators.events import sessionize, sessionize_bucketed
+
+    rows = [
+        # user 7: events straddling the 01:00 bucket edge, 10 min apart
+        (1, dt.datetime(2024, 1, 1, 0, 55), 7, "click", 1.0, None),
+        (2, dt.datetime(2024, 1, 1, 1, 5), 7, "click", 2.0, None),
+        # ...then a real 40-min gap -> second session
+        (3, dt.datetime(2024, 1, 1, 1, 45), 7, "click", 4.0, None),
+        # user 8: 25-min gap that SKIPS an entire 15-min bucket
+        (4, dt.datetime(2024, 1, 1, 2, 1), 8, "click", 8.0, None),
+        (5, dt.datetime(2024, 1, 1, 2, 26), 8, "click", 16.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    key = lambda r: (
+        r["user_id"], r["session_seq"], r["session_start"],
+        r["session_end"], r["n_events"], float(r["sum_value"]),
+    )
+    plain = sorted(key(r) for r in sessionize(ev, gap_minutes=30).collect())
+    # 0.25h buckets are SMALLER than the 30-min gap: user 8's 25-min
+    # hop skips an entire empty bucket and must still merge
+    for bucket_hours in (0.25, 1, 24):
+        got = sorted(
+            key(r)
+            for r in sessionize_bucketed(
+                ev, gap_minutes=30, bucket_hours=bucket_hours
+            ).collect()
+        )
+        assert got == plain, f"bucket_hours={bucket_hours}"
+
+
 def test_asof_latest(events):
     out = {r["event_id"]: r for r in asof_latest(events).collect()}
     assert set(out) == {2, 4, 5}

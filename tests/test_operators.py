@@ -119,6 +119,37 @@ def test_neardup_ivf_subset_of_brute_force(emb):
     assert full == set(brute)  # probing every bucket = exhaustive
 
 
+def test_auto_k_rule_and_sql_twin():
+    """k-tracks-n defaults: the graded small SFs keep their historical
+    parameters, sf1 lands on the measured-exact values, and the SQL
+    twin computes the identical k from COUNT(*)."""
+    import duckdb
+
+    from unifydb_spark.operators.similarity import (
+        IVF_CENTROID_DIVISOR,
+        SEMDEDUP_K_DIVISOR,
+        auto_k,
+        auto_k_sql,
+    )
+
+    # semdedup: 500/2000 vectors -> historical k=8; 20k (sf1) -> 32
+    assert auto_k(500, SEMDEDUP_K_DIVISOR) == 8
+    assert auto_k(2000, SEMDEDUP_K_DIVISOR) == 8
+    assert auto_k(20000, SEMDEDUP_K_DIVISOR) == 32
+    assert auto_k(10**9, SEMDEDUP_K_DIVISOR) == 4096  # hi clamp
+    # IVF: 500/2000 -> historical 16; 20k -> 125 (measured cliff-free)
+    assert auto_k(500, IVF_CENTROID_DIVISOR, lo=16) == 16
+    assert auto_k(20000, IVF_CENTROID_DIVISOR, lo=16) == 125
+    con = duckdb.connect()
+    for n in (500, 2000, 20000):
+        con.execute("CREATE OR REPLACE VIEW t AS "
+                    f"SELECT * FROM range({n})")
+        got = con.execute(
+            f"SELECT {auto_k_sql('t', SEMDEDUP_K_DIVISOR)}"
+        ).fetchone()[0]
+        assert got == auto_k(n, SEMDEDUP_K_DIVISOR), n
+
+
 def test_decontaminate_planted(spark):
     """A doc sharing a 3-gram with the benchmark is flagged; disjoint
     docs are clean; benchmark members are self-contaminated."""

