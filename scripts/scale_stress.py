@@ -429,6 +429,104 @@ def probe_skew(spark, zipf_events_path: str) -> dict:
     return out
 
 
+def probe_bucketed(spark, zipf_events_path: str, bucket_hours: int = 24) -> dict:
+    """Bucketed pre-sessionization under Zipf(1.2) skew (VERDICT r9 ask
+    #6's done-criterion): on fixtures/sf1_zipf,
+
+    1. RESULT IDENTITY — sessionize_bucketed == plain sessionize,
+       row-for-row (exceptAll both directions must be empty);
+    2. PER-TASK FLOOR — max rows any window task holds: plain partitions
+       by user_id (floor = the hot user's whole history); bucketed
+       partitions stage 1 by (user_id, bucket) (floor = the hot user's
+       busiest BUCKET) and stage 2 by user over SUB-SESSIONS only;
+    3. SHUFFLE BALANCE — max/median task rows under Spark's actual
+       HashPartitioning(..., 32) for both keys;
+    4. wall time for both paths (min-of-2, warm).
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from unifydb_spark.operators.events import sessionize, sessionize_bucketed
+    from unifydb_spark.values import normalize_event_ts
+
+    events = normalize_event_ts(spark.read.parquet(zipf_events_path))
+    events = events.persist()
+    n = events.count()
+    n_part = 32
+    bucket_us = bucket_hours * 3600 * 1_000_000
+    out: dict = {"n_events": n, "bucket_hours": bucket_hours}
+
+    keyed = events.withColumn(
+        "_bkt", F.expr(f"unix_micros(ts) DIV {bucket_us}")
+    )
+    # per-key floors (a window task holds at least its biggest key group)
+    floor_user = keyed.groupBy("user_id").count()
+    floor_bkt = keyed.groupBy("user_id", "_bkt").count()
+    out["per_task_floor"] = {
+        "plain_max_user_rows": int(
+            floor_user.agg(F.max("count")).collect()[0][0]
+        ),
+        "bucketed_max_user_bucket_rows": int(
+            floor_bkt.agg(F.max("count")).collect()[0][0]
+        ),
+        "bucketed_stage2_max_subsessions_per_user": int(
+            sessionize_bucketed(events, 30, bucket_hours)
+            .groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+        ),
+    }
+
+    def task_loads(df, *key_cols) -> dict:
+        loads = (
+            df.select(
+                F.pmod(
+                    F.hash(*[F.col(c) for c in key_cols]), F.lit(n_part)
+                ).alias("p")
+            )
+            .groupBy("p")
+            .count()
+        )
+        row = loads.agg(
+            F.max("count").alias("mx"),
+            F.expr("percentile(count, 0.5)").alias("med"),
+        ).collect()[0]
+        return {
+            "max_task_rows": int(row["mx"]),
+            "median_task_rows": float(row["med"]),
+            "ratio": round(int(row["mx"]) / float(row["med"]), 2),
+        }
+
+    out["shuffle_user"] = task_loads(keyed, "user_id")
+    out["shuffle_user_bucket"] = task_loads(keyed, "user_id", "_bkt")
+
+    # result identity (exact, both directions)
+    plain = sessionize(events, 30)
+    bucketed = sessionize_bucketed(events, 30, bucket_hours)
+    out["result_identity"] = {
+        "plain_rows": plain.count(),
+        "bucketed_rows": bucketed.count(),
+        "plain_minus_bucketed": plain.exceptAll(bucketed).count(),
+        "bucketed_minus_plain": bucketed.exceptAll(plain).count(),
+    }
+
+    def timed(fn):
+        best = None
+        for _ in range(2):
+            t0 = _time.time()
+            fn().count()
+            best = min(best or 1e9, _time.time() - t0)
+        return round(best, 2)
+
+    out["wall_s"] = {
+        "plain": timed(lambda: sessionize(events, 30)),
+        "bucketed": timed(
+            lambda: sessionize_bucketed(events, 30, bucket_hours)
+        ),
+    }
+    events.unpersist()
+    return out
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else SF1
     probes = set(sys.argv[2:]) or {"rounds", "ratios"}
@@ -456,6 +554,21 @@ def main():
             )
         results["skew_zipf"] = probe_skew(spark, zipf)
         print(json.dumps({"skew_zipf": results["skew_zipf"]}, indent=2))
+    if "bucketed" in probes:
+        zipf = os.path.join(
+            os.path.dirname(sf_dir.rstrip("/")) or ".",
+            "sf1_zipf",
+            "events.parquet",
+        )
+        if not os.path.isdir(zipf):
+            raise SystemExit(
+                f"{zipf} missing — run scripts/gen_zipf_events.py first"
+            )
+        results["bucketed_sessionize_zipf"] = probe_bucketed(spark, zipf)
+        print(json.dumps(
+            {"bucketed_sessionize_zipf": results["bucketed_sessionize_zipf"]},
+            indent=2,
+        ))
     path = "SCALE_SF1.json"
     existing = {}
     if os.path.exists(path):

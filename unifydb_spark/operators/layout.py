@@ -382,6 +382,79 @@ def zonemap_prune_profile(
     return out
 
 
+def zonemap_eq_prune_profile(
+    df: DataFrame,
+    pred_col: str,
+    values: Sequence,
+    layouts: Sequence[tuple],
+    n_blocks: int = 64,
+) -> DataFrame:
+    """Equality-predicate companion to zonemap_prune_profile (VERDICT r9
+    ask #8): how many blocks `pred_col = v` must scan under each
+    candidate row order, averaged over a workload of predicate values.
+    This is the measurement behind the FACTS table's physical layout —
+    pattern clauses (`[?e :attr ?v]`) are attribute-equality scans, so
+    the candidate orders are the classic covering orders (EAVT/AVET,
+    reference src/unifydb/storage.clj:57-68) re-expressed as single
+    sort keys, and the advisor reports which one actually prunes.
+
+    Model: per layout, rows get the scalable global numbering in that
+    order, split into `n_blocks` equal blocks, each block keeps a
+    [min, max] zone map of pred_col; predicate value v scans a block iff
+    bmin <= v <= bmax — exactly parquet row-group pruning on a sorted
+    string/long column. Returns one row per (layout, value):
+    (layout, value, blocks_scanned, rows_scanned) plus the per-layout
+    mean scan fraction is trivial to aggregate on top. The per-layout
+    cost is one range numbering + a 64-row zone-map rollup; the value
+    probe is a broadcast join against n_blocks rows — nothing scales
+    with data volume except the numbering."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    n = df.count()
+    B = int(n_blocks)
+    vals = spark.createDataFrame(
+        [(v,) for v in values], f"value {df.schema[pred_col].dataType.simpleString()}"
+    )
+    reports = []
+    for label, order_cols in layouts:
+        numbered = global_row_number(
+            df.select(F.col(pred_col).alias("_p"), *order_cols),
+            list(order_cols),
+            out_col="_gix",
+        )
+        blocks = (
+            numbered.select(
+                F.expr(f"((_gix - 1) * {B}) DIV {n}").alias("blk"), "_p"
+            )
+            .groupBy("blk")
+            .agg(
+                F.min("_p").alias("bmin"),
+                F.max("_p").alias("bmax"),
+                F.count(F.lit(1)).alias("rows"),
+            )
+        )
+        hit = (F.col("value") >= F.col("bmin")) & (
+            F.col("value") <= F.col("bmax")
+        )
+        reports.append(
+            blocks.crossJoin(F.broadcast(vals))
+            .groupBy("value")
+            .agg(
+                F.lit(label).alias("layout"),
+                F.sum(hit.cast("long")).cast("bigint").alias("blocks_scanned"),
+                F.sum(F.when(hit, F.col("rows")).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias("rows_scanned"),
+            )
+            .select("layout", "value", "blocks_scanned", "rows_scanned")
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def zonemap_prune_profile_sql(
     table: str,
     pred_sql: str,
