@@ -221,6 +221,12 @@ HEADLINE = [
     "r134_stream_latest_tws",
     "r135_user_stats_tws",
     "r137_rule_bound_reach",
+    # round-10: unified streaming-through-txlog write path, bucketed
+    # pre-sessionization (the hot-user skew mitigation), and the
+    # object-store commit primitive — graded end to end each round
+    "r138_stream_txlog_ingest",
+    "r139_sessionize_bucketed",
+    "r140_acid_s3_protocol",
 ]
 
 
