@@ -383,3 +383,74 @@ def test_manifest_stats_track_clean_flag(spark, tmp_path):
     assert store.backend.clean
     eng.transact([[":unifydb/retract", r["tempids"]["x"], ":n", 1]])
     assert store.backend.has_retractions and not store.backend.clean
+
+
+def test_last_checkpoint_pointer_bounds_manifest_reads(spark, tmp_path):
+    """The _last_checkpoint pointer (Delta-shaped read optimization):
+    after a checkpoint, a head read parses only the manifests at/after
+    the checkpoint version — O(commits since checkpoint), not O(all
+    commits ever) — while pre-checkpoint time travel still full-scans
+    correctly, and a corrupt pointer degrades to a full scan, never a
+    wrong answer."""
+    from unifydb_spark.values import FACT_SCHEMA
+
+    path = str(tmp_path / "facts")
+    backend = LogParquetBackend(spark, path)
+    for i in range(1, 7):
+        backend.append(
+            [(i, "n", "long", i, None, None, None, None, None, None, i, True)]
+        )
+    ckpt_v = backend.checkpoint()
+    assert ckpt_v == 7
+    assert backend._read_last_checkpoint() == ckpt_v
+    backend.append(
+        [(9, "n", "long", 9, None, None, None, None, None, None, 9, True)]
+    )
+
+    reads = []
+    real = backend._read_manifest
+
+    def counting(v):
+        reads.append(v)
+        return real(v)
+
+    backend._read_manifest = counting
+    assert backend.facts_df().count() == 7
+    # pointer validation (ckpt_v) + live scan from ckpt_v onward only
+    assert min(reads) >= ckpt_v
+    reads.clear()
+    # pre-checkpoint time travel ignores the pointer and full-scans
+    assert backend.facts_df(as_of_version=3).count() == 3
+    assert min(reads) < ckpt_v
+    backend._read_manifest = real
+
+    # corrupt pointer: degraded to a full scan, same answer
+    with open(backend._lc_path, "w") as f:
+        f.write("not json")
+    assert backend._read_last_checkpoint() == 0
+    assert backend.facts_df().count() == 7
+
+
+def test_vacuum_truncates_log_after_checkpoint(spark, tmp_path):
+    """Aggressive vacuum (retain_before_checkpoint=False) reclaims the
+    pre-checkpoint MANIFESTS along with their data files, so the log
+    listing stops growing O(all commits); time travel below the
+    truncation point raises instead of silently returning wrong data."""
+    path = str(tmp_path / "facts")
+    backend = LogParquetBackend(spark, path)
+    for i in range(1, 5):
+        backend.append(
+            [(i, "n", "long", i, None, None, None, None, None, None, i, True)]
+        )
+    ckpt_v = backend.checkpoint()
+    backend.append(
+        [(8, "n", "long", 8, None, None, None, None, None, None, 8, True)]
+    )
+    backend.vacuum(retain_before_checkpoint=False, retention_seconds=0.0)
+    versions = backend._list_versions()
+    assert versions[0] == ckpt_v  # pre-checkpoint manifests truncated
+    assert backend.log_version() == ckpt_v + 1
+    assert backend.facts_df().count() == 5
+    assert backend.facts_df(as_of_version=ckpt_v).count() == 4
+    with pytest.raises(ValueError, match="truncated"):
+        backend.facts_df(as_of_version=2)

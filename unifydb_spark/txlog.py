@@ -14,6 +14,10 @@ the same shape as their commit protocols).
 Layout::
 
     <path>/_txlog/00000000000001.json   one manifest per commit
+    <path>/_txlog/_last_checkpoint      advisory pointer to the newest
+                                        replaces_all manifest (read
+                                        optimization, Delta-shaped; never
+                                        load-bearing for correctness)
     <path>/data/<uuid>.parquet          data files; INVISIBLE until a
                                         manifest references them
 
@@ -263,6 +267,43 @@ class LogParquetBackend:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
+    # ---- _last_checkpoint pointer ----------------------------------------
+    #
+    # Without it every read re-parses the WHOLE log — O(total commits),
+    # forever, even after compaction. The pointer (same role as Delta's
+    # _last_checkpoint file) lets readers start at the newest replaces_all
+    # manifest: read cost becomes O(commits since last checkpoint). It is
+    # ADVISORY, not part of the commit protocol: written last-writer-wins
+    # after a successful checkpoint CAS, validated against the real
+    # manifest on read, and a stale/missing/corrupt pointer only costs a
+    # full log scan (never correctness).
+
+    @property
+    def _lc_path(self) -> str:
+        return os.path.join(self.log_dir, "_last_checkpoint")
+
+    def _write_last_checkpoint(self, version: int) -> None:
+        tmp = os.path.join(self.log_dir, f".lc.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"version": version}))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._lc_path)
+
+    def _read_last_checkpoint(self) -> int:
+        """Version of the newest known checkpoint, 0 if none/unusable.
+        Validated: the named manifest must exist and carry replaces_all
+        (a concurrent-checkpoint race can leave the pointer at an OLDER
+        checkpoint, which is still a correct scan start)."""
+        try:
+            with open(self._lc_path) as f:
+                v = int(json.load(f)["version"])
+            if self._read_manifest(v).get("replaces_all"):
+                return v
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            pass
+        return 0
+
     def _head(self) -> Optional[dict]:
         v = self.log_version()
         return self._read_manifest(v) if v else None
@@ -337,7 +378,14 @@ class LogParquetBackend:
             schema=schema,
         )
         name = f"{uuid.uuid4().hex}.parquet"
-        pq.write_table(table, os.path.join(self.data_dir, name))
+        full = os.path.join(self.data_dir, name)
+        pq.write_table(table, full)
+        # the manifest that references this file is fsynced before publish;
+        # the file itself must be durable FIRST or power loss can leave a
+        # visible manifest naming a vanished file (same ordering rule as
+        # _publish_staged applies to Spark-written files)
+        _fsync_file(full)
+        _fsync_dir(self.data_dir)
         return {"name": name, "rows": len(rows)}
 
     def _publish_staged(self, staging: str) -> list[dict]:
@@ -482,7 +530,19 @@ class LogParquetBackend:
     def _live_files(self, as_of_version: Optional[int] = None) -> list[str]:
         versions = self._list_versions()
         if as_of_version is not None:
+            if versions and 0 < as_of_version < versions[0] and versions[0] > 1:
+                raise ValueError(
+                    f"time travel to version {as_of_version}: the log was "
+                    f"truncated at version {versions[0]} (vacuum with "
+                    "retain_before_checkpoint=False forfeits older history)"
+                )
             versions = [v for v in versions if v <= as_of_version]
+        # skip ahead to the newest known checkpoint — only manifests at or
+        # after it can contribute files (replaces_all), so the scan is
+        # O(commits since checkpoint), not O(all commits ever)
+        lc = self._read_last_checkpoint()
+        if lc and (as_of_version is None or lc <= as_of_version):
+            versions = [v for v in versions if v >= lc]
         files: list[str] = []
         start = 0
         manifests = [self._read_manifest(v) for v in versions]
@@ -587,6 +647,10 @@ class LogParquetBackend:
                 ts_millis=int(time.time() * 1000),
             )
             if self._try_commit(manifest, head_v + 1):
+                # advisory read-optimization pointer (Delta _last_checkpoint
+                # shape); racing checkpoints leave it at SOME valid
+                # checkpoint, which readers validate anyway
+                self._write_last_checkpoint(head_v + 1)
                 return head_v + 1
         raise CommitConflict("checkpoint lost the commit race")
 
@@ -606,22 +670,25 @@ class LogParquetBackend:
         not landed yet — deleting it would corrupt the next committed
         version (the same reason Delta's VACUUM has a retention check).
         Files are judged by mtime; pass 0.0 only when all writers are
-        known quiescent (as the crash-cleanup tests do)."""
+        known quiescent (as the crash-cleanup tests do).
+
+        With retain_before_checkpoint=False the pre-checkpoint MANIFESTS
+        are truncated too (subject to the same retention window): their
+        history is already forfeited once their data files go, and
+        without truncation the log listing itself grows O(all commits
+        ever) — this is the log-retention half of Delta's
+        VACUUM/logRetentionDuration split. Time travel below the
+        truncation point then raises (facts_df checks)."""
         versions = self._list_versions()
+        manifests = [self._read_manifest(v) for v in versions]
+        ckpt_i = 0
+        for i, m in enumerate(manifests):
+            if m.get("replaces_all"):
+                ckpt_i = i
+        keep_from = 0 if retain_before_checkpoint else ckpt_i
         referenced: set[str] = set()
-        for v in versions:
-            m = self._read_manifest(v)
-            if retain_before_checkpoint or not m.get("replaces_all"):
-                referenced.update(f["name"] for f in m["files"])
-        if not retain_before_checkpoint:
-            referenced = set()
-            start = 0
-            manifests = [self._read_manifest(v) for v in versions]
-            for i, m in enumerate(manifests):
-                if m.get("replaces_all"):
-                    start = i
-            for m in manifests[start:]:
-                referenced.update(f["name"] for f in m["files"])
+        for m in manifests[keep_from:]:
+            referenced.update(f["name"] for f in m["files"])
         deleted = []
         cutoff = time.time() - retention_seconds
         for name in os.listdir(self.data_dir):
@@ -634,4 +701,13 @@ class LogParquetBackend:
                 except FileNotFoundError:
                     continue
                 deleted.append(name)
+        if not retain_before_checkpoint and ckpt_i:
+            for v in versions[:ckpt_i]:
+                p = self._manifest_path(v)
+                try:
+                    if os.path.getmtime(p) > cutoff:
+                        continue  # an active reader may still be on it
+                    os.unlink(p)
+                except FileNotFoundError:
+                    continue
         return deleted
