@@ -4399,6 +4399,38 @@ def r140_acid_s3_protocol(spark, sf_dir):
     ).select(F.col("name"), F.col("rk").cast("long").alias("rk"))
 
 
+# equality-probe workload for the r141 layout advisor: partkeys present
+# at every graded SF (sf0.001 has keys 0..199), and every candidate order
+# is a UNIQUE composite so the global numbering is deterministic on both
+# engines (the determinism contract zonemap_eq_prune_profile documents)
+_R141_VALUES = [2, 19, 53, 101, 157, 199]
+_R141_LAYOUTS = [
+    ("pk_major", ("l_partkey", "l_orderkey", "l_linenumber")),
+    ("ok_major", ("l_orderkey", "l_linenumber")),
+    ("sd_major", ("l_shipdate", "l_orderkey", "l_linenumber")),
+]
+
+
+def r141_layout_eq_advisor(spark, sf_dir):
+    """The layout advisor ITSELF under the oracle gate: the
+    equality-probe zone-map profiler behind the round-10 facts-table
+    layout decision (operators/layout.py zonemap_eq_prune_profile;
+    SCALE.md round-10 table, VERDICT r9 ask #8) graded row-for-row
+    against its DuckDB twin. For each candidate lineitem sort order and
+    each probe partkey: how many of 64 equal blocks a `l_partkey = v`
+    scan must touch under that order's per-block [min, max] zone maps —
+    the offline which-order-should-checkpoint-use measurement, exact
+    because numbering, block split and zone maps are identical integer
+    arithmetic on both engines. The signal it grades: pk_major prunes
+    to ~1 block/probe, the off-key orders scan nearly all 64."""
+    from unifydb_spark.operators.layout import zonemap_eq_prune_profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return zonemap_eq_prune_profile(
+        li, "l_partkey", _R141_VALUES, _R141_LAYOUTS, n_blocks=64
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4690,6 +4722,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r138_stream_txlog_ingest": r138_stream_txlog_ingest,
         "r139_sessionize_bucketed": r139_sessionize_bucketed,
         "r140_acid_s3_protocol": r140_acid_s3_protocol,
+        "r141_layout_eq_advisor": r141_layout_eq_advisor,
     }
 
 
@@ -5575,6 +5608,9 @@ def _operator_oracles() -> dict[str, str]:
             SELECT r_name AS name, CAST(r_regionkey AS BIGINT) AS rk
             FROM region ORDER BY 1
         """,
+        "r141_layout_eq_advisor": _lay.zonemap_eq_prune_profile_sql(
+            "lineitem", "l_partkey", _R141_VALUES, _R141_LAYOUTS, n_blocks=64
+        ),
         "r129_slice_report": _ql.slice_report_sql(
             """(SELECT d.doc_id, d.lang, d.source, g.passes
                 FROM documents d

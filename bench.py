@@ -227,6 +227,7 @@ HEADLINE = [
     "r138_stream_txlog_ingest",
     "r139_sessionize_bucketed",
     "r140_acid_s3_protocol",
+    "r141_layout_eq_advisor",
 ]
 
 

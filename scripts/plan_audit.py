@@ -41,6 +41,10 @@ BNLJ_ALLOWED = {
     # the same bounded broadcast cross join as q27/q28 (centroid/query
     # assignment), bounded by construction
     "q90_ann_recall",
+    # r141: each layout's 64-row zone-map rollup cross-joins the
+    # broadcast 6-row probe-value list (n_blocks x n_values, both
+    # constants) — bounded by construction, never scales with data
+    "r141_layout_eq_advisor",
     # r03: the group-pair frame is a broadcast self-join of the
     # DISTINCT group list (n_event_types rows) under a < predicate —
     # bounded by construction

@@ -455,6 +455,46 @@ def zonemap_eq_prune_profile(
     return out
 
 
+def zonemap_eq_prune_profile_sql(
+    table: str,
+    pred_sql: str,
+    values: Sequence,
+    layouts: Sequence[tuple],
+    n_blocks: int = 64,
+) -> str:
+    """DuckDB twin of :func:`zonemap_eq_prune_profile` — the oracle that
+    grades the layout advisor itself: same global numbering per layout
+    order, same equal-block split, same [min, max] zone maps, same
+    equality-probe hit rule. Requires each layout's order_cols to be a
+    unique composite (the same determinism contract the DataFrame side
+    documents), so both engines produce the identical numbering."""
+    B = int(n_blocks)
+    vals = ", ".join(f"({v!r})" if isinstance(v, str) else f"({v})" for v in values)
+    arms = []
+    for label, order_cols in layouts:
+        order = ", ".join(order_cols)
+        arms.append(f"""
+          SELECT '{label}' AS layout, CAST(v.value AS BIGINT) AS value,
+                 CAST(SUM(CASE WHEN v.value BETWEEN b.bmin AND b.bmax
+                          THEN 1 ELSE 0 END) AS BIGINT) AS blocks_scanned,
+                 CAST(SUM(CASE WHEN v.value BETWEEN b.bmin AND b.bmax
+                          THEN b.nrows ELSE 0 END) AS BIGINT) AS rows_scanned
+          FROM (
+            WITH numbered AS (
+              SELECT CAST({pred_sql} AS BIGINT) AS p,
+                     ROW_NUMBER() OVER (ORDER BY {order}) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM {table}
+            )
+            SELECT ((rn - 1) * {B}) // n AS blk,
+                   MIN(p) AS bmin, MAX(p) AS bmax, COUNT(*) AS nrows
+            FROM numbered GROUP BY 1
+          ) b CROSS JOIN (VALUES {vals}) v(value)
+          GROUP BY v.value""")
+    union = " UNION ALL ".join(arms)
+    return f"SELECT * FROM ({union})"
+
+
 def zonemap_prune_profile_sql(
     table: str,
     pred_sql: str,
