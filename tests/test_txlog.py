@@ -454,3 +454,14 @@ def test_vacuum_truncates_log_after_checkpoint(spark, tmp_path):
     assert backend.facts_df(as_of_version=ckpt_v).count() == 4
     with pytest.raises(ValueError, match="truncated"):
         backend.facts_df(as_of_version=2)
+
+
+def test_bulk_append_rejects_mismatched_schema(spark, tmp_path):
+    """A frame that is not FACT_SCHEMA-shaped must fail the commit at
+    write time — otherwise the files land and facts_df() silently
+    null-coerces them on read (store corruption with no error)."""
+    backend = LogParquetBackend(spark, str(tmp_path / "facts"))
+    bad = spark.createDataFrame([(1, "x")], ["e", "a"])
+    with pytest.raises(ValueError, match="FACT_SCHEMA"):
+        backend.bulk_append_df(bad)
+    assert backend.log_version() == 0

@@ -468,6 +468,18 @@ class LogParquetBackend:
         False if skipped as a replay/no-op."""
         from pyspark.sql import functions as F
 
+        from unifydb_spark.values import FACT_SCHEMA
+
+        # a mismatched frame would commit files facts_df() silently
+        # null-coerces on read — corrupting the store with no error at
+        # write time; fail the commit instead
+        expected = [(f.name, f.dataType) for f in FACT_SCHEMA.fields]
+        got = [(f.name, f.dataType) for f in df.schema.fields]
+        if got != expected:
+            raise ValueError(
+                f"bulk_append_df: frame schema {got} does not match "
+                f"FACT_SCHEMA {expected}"
+            )
         if stream_epoch is not None:
             sid, epoch = stream_epoch
             head = self._head()
