@@ -465,3 +465,46 @@ def test_bulk_append_rejects_mismatched_schema(spark, tmp_path):
     with pytest.raises(ValueError, match="FACT_SCHEMA"):
         backend.bulk_append_df(bad)
     assert backend.log_version() == 0
+
+
+def test_restore_rolls_head_back_without_rewriting_history(spark, tmp_path):
+    """Delta-RESTORE shape: restore(v) is a NEW commit whose file set is
+    version v's live set — the head reads as v, every other version
+    (including the rolled-back ones) stays readable, id/tx allocation
+    stays monotone so post-restore transactions never collide with
+    rolled-back facts, and a checkpoint/vacuum after restore keeps
+    exactly the restored facts."""
+    path = str(tmp_path / "facts")
+    store = FactStore(spark, LogParquetBackend(spark, path))
+    eng = Engine(spark, store)
+    for val in (1, 2, 3):
+        eng.transact([["add", f"e{val}", ":n", val]])
+    backend = store.backend
+    assert backend.log_version() == 3
+    high_tx = backend.latest_tx()
+    high_id = backend.max_id()
+
+    rv = backend.restore(1)
+    assert rv == 4
+    # head now reads exactly version 1's facts
+    assert backend.facts_df().filter("a = 'n'").count() == 1
+    # rolled-back versions still time-travel readable
+    assert backend.facts_df(as_of_version=3).filter("a = 'n'").count() == 3
+    # allocation marks kept the head's high-water values
+    assert backend.max_id() == high_id and backend.latest_tx() == high_tx
+    # a new transaction lands above the rolled-back ids, no collision
+    rep = eng.transact([["add", "e9", ":n", 9]])
+    assert rep["tempids"]["e9"] > high_id
+    vals = sorted(
+        r["v_long"]
+        for r in backend.facts_df().filter("a = 'n'").select("v_long").collect()
+    )
+    assert vals == [1, 9]
+    # restore is checkpoint-shaped for readers: aggressive vacuum keeps
+    # the restored head intact
+    backend.vacuum(retain_before_checkpoint=False, retention_seconds=0.0)
+    vals2 = sorted(
+        r["v_long"]
+        for r in backend.facts_df().filter("a = 'n'").select("v_long").collect()
+    )
+    assert vals2 == [1, 9]

@@ -222,7 +222,8 @@ class LogParquetBackend:
       of Spark-written files), with optional per-stream epoch tracking
       for exactly-once streaming ingest (streaming/stream.py
       ``stream_facts_to_txlog``);
-    - :meth:`checkpoint` / :meth:`vacuum` — log compaction + orphan GC.
+    - :meth:`checkpoint` / :meth:`restore` / :meth:`vacuum` — log
+      compaction, head rollback-as-a-commit, orphan GC.
 
     `protocol` selects the atomic publish primitive (default POSIX link;
     pass :class:`ConditionalPutProtocol` for object-store semantics).
@@ -539,7 +540,9 @@ class LogParquetBackend:
 
     # ---- reads ------------------------------------------------------------
 
-    def _live_files(self, as_of_version: Optional[int] = None) -> list[str]:
+    def _live_entries(self, as_of_version: Optional[int] = None) -> list[dict]:
+        """The live manifest file ENTRIES (name/rows dicts) at a log
+        version — the shared resolution behind facts_df and restore."""
         versions = self._list_versions()
         if as_of_version is not None:
             if versions and 0 < as_of_version < versions[0] and versions[0] > 1:
@@ -555,7 +558,7 @@ class LogParquetBackend:
         lc = self._read_last_checkpoint()
         if lc and (as_of_version is None or lc <= as_of_version):
             versions = [v for v in versions if v >= lc]
-        files: list[str] = []
+        entries: list[dict] = []
         start = 0
         manifests = [self._read_manifest(v) for v in versions]
         # a checkpoint manifest replaces everything before it
@@ -563,10 +566,14 @@ class LogParquetBackend:
             if m.get("replaces_all"):
                 start = i
         for m in manifests[start:]:
-            files.extend(
-                os.path.join(self.data_dir, f["name"]) for f in m["files"]
-            )
-        return files
+            entries.extend(m["files"])
+        return entries
+
+    def _live_files(self, as_of_version: Optional[int] = None) -> list[str]:
+        return [
+            os.path.join(self.data_dir, f["name"])
+            for f in self._live_entries(as_of_version)
+        ]
 
     def facts_df(self, as_of_version: Optional[int] = None):
         from unifydb_spark.values import FACT_SCHEMA
@@ -665,6 +672,43 @@ class LogParquetBackend:
                 self._write_last_checkpoint(head_v + 1)
                 return head_v + 1
         raise CommitConflict("checkpoint lost the commit race")
+
+    def restore(self, version: int, max_retries: int = 16) -> int:
+        """Roll the store's HEAD back to log version `version` by
+        committing a new manifest whose file set is exactly that
+        version's live set (Delta-RESTORE shape: rollback is a new
+        commit, never history rewriting — every version including the
+        rolled-back ones stays time-travel readable until vacuumed).
+
+        Stats in the restore manifest: `any_retraction`/`tx_state`
+        describe the restored VISIBLE facts (they come from the target
+        version), while `max_id`/`latest_tx` keep the head's high-water
+        marks — id/tx allocation is monotone across a restore, so facts
+        transacted afterwards can never collide with rolled-back ids
+        that remain readable in history. Concurrent commits that land
+        during the restore are rolled back BY it (that is what restore
+        means); the CAS retry re-reads the head only to keep the
+        allocation marks current. Raises ValueError if `version` was
+        truncated by an aggressive vacuum. Returns the new version."""
+        target = self._read_manifest(version)
+        files = self._live_entries(as_of_version=version)
+        for _ in range(max_retries):
+            head_v = self.log_version()
+            head = self._read_manifest(head_v)
+            manifest = dict(
+                head,
+                files=files,
+                replaces_all=True,
+                any_retraction=target["any_retraction"],
+                tx_state=target["tx_state"],
+                restored_from=version,
+                writer=self._writer,
+                ts_millis=int(time.time() * 1000),
+            )
+            if self._try_commit(manifest, head_v + 1):
+                self._write_last_checkpoint(head_v + 1)
+                return head_v + 1
+        raise CommitConflict("restore lost the commit race")
 
     def vacuum(
         self,
