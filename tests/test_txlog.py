@@ -508,3 +508,24 @@ def test_restore_rolls_head_back_without_rewriting_history(spark, tmp_path):
         for r in backend.facts_df().filter("a = 'n'").select("v_long").collect()
     )
     assert vals2 == [1, 9]
+
+
+def test_history_lists_operations_newest_first(spark, tmp_path):
+    """history() = the DESCRIBE HISTORY surface: every commit with its
+    operation kind, from manifests alone (no Spark job)."""
+    path = str(tmp_path / "facts")
+    backend = LogParquetBackend(spark, path)
+    for i in (1, 2):
+        backend.append(
+            [(i, "n", "long", i, None, None, None, None, None, None, i, True)]
+        )
+    backend.checkpoint()
+    backend.restore(1)
+    h = backend.history()
+    assert [e["version"] for e in h] == [4, 3, 2, 1]
+    assert [e["operation"] for e in h] == [
+        "restore", "checkpoint", "append", "append",
+    ]
+    assert h[0]["restored_from"] == 1
+    assert h[0]["max_id"] == 2  # allocation high-water mark survives
+    assert backend.history(limit=2)[-1]["version"] == 3

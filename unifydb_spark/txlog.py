@@ -40,6 +40,14 @@ Commit protocol (optimistic concurrency):
    manifests name. A writer that CRASHES between steps 1 and 3 leaves an
    orphan data file that no reader ever sees — the store stays clean.
 
+Only the MANIFEST publish needs an atomic primitive. Data files are
+invisible until a manifest names them, so they need no atomicity at
+all: on an object store they are simply PUT under their final unique
+names (the local staging-dir + rename in :meth:`bulk_append_df` is a
+local-filesystem convenience for collecting Spark's part files, not a
+protocol requirement — a cluster deployment points the staging write at
+the table's object prefix and commits the written keys directly).
+
 Each manifest carries *cumulative* stats (``max_id``, ``latest_tx``,
 ``any_retraction``, distinct-tx bound, per-stream last committed epoch),
 so id allocation, the `clean`-fastpath decision and streaming
@@ -602,6 +610,40 @@ class LogParquetBackend:
     def latest_tx(self) -> int:
         head = self._head()
         return head["latest_tx"] if head else 0
+
+    def history(self, limit: Optional[int] = None) -> list[dict]:
+        """Commit history, newest first (the DESCRIBE HISTORY
+        introspection surface): one dict per log version with the
+        version number, operation kind (append / checkpoint / restore),
+        writer identity, commit timestamp, file count and the
+        cumulative stats. Reads only manifests — no Spark job."""
+        versions = self._list_versions()
+        if limit is not None:
+            versions = versions[-int(limit):]
+        out = []
+        for v in reversed(versions):
+            m = self._read_manifest(v)
+            if m.get("restored_from") is not None:
+                op = "restore"
+            elif m.get("replaces_all"):
+                op = "checkpoint"
+            else:
+                op = "append"
+            out.append(
+                {
+                    "version": v,
+                    "operation": op,
+                    "restored_from": m.get("restored_from"),
+                    "writer": m.get("writer"),
+                    "ts_millis": m.get("ts_millis"),
+                    "n_files": len(m["files"]),
+                    "max_id": m["max_id"],
+                    "latest_tx": m["latest_tx"],
+                    "any_retraction": m["any_retraction"],
+                    "streams": m.get("streams", {}),
+                }
+            )
+        return out
 
     def last_stream_epoch(self, stream_id: str) -> int:
         """Last epoch committed for `stream_id`, -1 if none — the O(1)
