@@ -4431,6 +4431,68 @@ def r141_layout_eq_advisor(spark, sf_dir):
     )
 
 
+def r142_txlog_restore(spark, sf_dir):
+    """Head rollback under the oracle gate: seed the ACID log store with
+    the nation table (one transaction per nation), then transact a
+    poison batch (wrong names for every nation), then
+    `restore(version)` back to the pre-poison head
+    (txlog.LogParquetBackend.restore — Delta-RESTORE shape: rollback is
+    a NEW commit carrying the old version's file set; nothing is
+    rewritten, the poison version stays time-travel readable, and
+    id/tx allocation keeps the head's high-water marks so the
+    post-restore verification transaction cannot collide). history()
+    must show append*/append/restore. Oracle: the clean nation
+    projection — exactly what a correct rollback leaves visible."""
+    import tempfile
+
+    from unifydb_spark import Engine, FactStore
+    from unifydb_spark.txlog import LogParquetBackend
+
+    path = tempfile.mkdtemp(prefix="unifydb_restore_") + "/facts"
+    store = FactStore(spark, LogParquetBackend(spark, path))
+    eng = Engine(spark, store)
+    rows = sorted(
+        spark.read.parquet(f"{sf_dir}/nation.parquet").collect(),
+        key=lambda r: int(r["n_nationkey"]),
+    )
+    ids = {}
+    for r in rows:
+        rep = eng.transact(
+            [
+                ["add", "nt", ":nation/key", int(r["n_nationkey"])],
+                ["add", "nt", ":nation/name", str(r["n_name"])],
+            ]
+        )
+        ids[int(r["n_nationkey"])] = rep["tempids"]["nt"]
+    backend = store.backend
+    good_v = backend.log_version()
+    # poison batch: overwrite every name (cardinality-one collapse makes
+    # the latest assertion win), then roll it back
+    eng.transact(
+        [["add", ids[k], ":nation/name", f"CORRUPT-{k}"] for k in ids]
+    )
+    backend.restore(good_v)
+    ops = [h["operation"] for h in backend.history(limit=2)]
+    assert ops == ["restore", "append"], ops
+    # the poison version must still be time-travel readable
+    assert (
+        backend.facts_df(as_of_version=good_v + 1)
+        .filter("v_str LIKE 'CORRUPT-%'")
+        .count()
+        == len(rows)
+    )
+    return eng.query(
+        {
+            "find": ["?name", "?nk"],
+            "where": [
+                ["?e", ":nation/name", "?name"],
+                ["?e", ":nation/key", "?nk"],
+            ],
+            "sort-by": ["?name"],
+        }
+    ).select(F.col("name"), F.col("nk").cast("long").alias("nk"))
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4723,6 +4785,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r139_sessionize_bucketed": r139_sessionize_bucketed,
         "r140_acid_s3_protocol": r140_acid_s3_protocol,
         "r141_layout_eq_advisor": r141_layout_eq_advisor,
+        "r142_txlog_restore": r142_txlog_restore,
     }
 
 
@@ -5611,6 +5674,10 @@ def _operator_oracles() -> dict[str, str]:
         "r141_layout_eq_advisor": _lay.zonemap_eq_prune_profile_sql(
             "lineitem", "l_partkey", _R141_VALUES, _R141_LAYOUTS, n_blocks=64
         ),
+        "r142_txlog_restore": """
+            SELECT n_name AS name, CAST(n_nationkey AS BIGINT) AS nk
+            FROM nation ORDER BY 1
+        """,
         "r129_slice_report": _ql.slice_report_sql(
             """(SELECT d.doc_id, d.lang, d.source, g.passes
                 FROM documents d

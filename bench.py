@@ -228,6 +228,7 @@ HEADLINE = [
     "r139_sessionize_bucketed",
     "r140_acid_s3_protocol",
     "r141_layout_eq_advisor",
+    "r142_txlog_restore",
 ]
 
 
