@@ -529,3 +529,27 @@ def test_history_lists_operations_newest_first(spark, tmp_path):
     assert h[0]["restored_from"] == 1
     assert h[0]["max_id"] == 2  # allocation high-water mark survives
     assert backend.history(limit=2)[-1]["version"] == 3
+
+
+def test_restore_preserves_stream_epoch_marks(spark, tmp_path):
+    """Stream epochs are allocation high-water marks like max_id: a
+    restore must NOT roll them back, or a Spark-checkpoint replay of an
+    already-committed micro-batch would double-append after the
+    rollback."""
+    from unifydb_spark.values import FACT_SCHEMA
+
+    backend = LogParquetBackend(spark, str(tmp_path / "facts"))
+    rows = [
+        (i, "n", "long", i, None, None, None, None, None, None, 1, True)
+        for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, schema=FACT_SCHEMA)
+    assert backend.bulk_append_df(df, stream_epoch=("ingest", 0))
+    backend.append(
+        [(9, "x", "long", 9, None, None, None, None, None, None, 9, True)]
+    )
+    backend.restore(1)
+    assert backend.last_stream_epoch("ingest") == 0
+    # replayed epoch after restore: still recognized, still skipped
+    assert backend.bulk_append_df(df, stream_epoch=("ingest", 0)) is False
+    assert backend.facts_df().count() == 5
