@@ -4493,6 +4493,24 @@ def r142_txlog_restore(spark, sf_dir):
     ).select(F.col("name"), F.col("nk").cast("long").alias("nk"))
 
 
+def r143_source_cap(spark, sf_dir):
+    """Per-source document cap (operators/quality.py source_cap_report)
+    — the RefinedWeb/CCNet-style domain cap: at most `cap` docs kept
+    per source, preferring the longest (score = n_chars, ties broken by
+    doc_id — fully deterministic). The report grades the whole
+    decision: per source the doc count, kept count, and the admission
+    cutoff (lowest kept n_chars) — all-integer, bit-exact on any
+    engine. Scale: one hash shuffle on source + a per-source top-k
+    window; under domain skew the operator's n_salts two-phase variant
+    bounds the hot-domain task at hot_share/n_salts with a PROVABLY
+    identical result (tests/test_operators.py pins plain == salted).
+    The reference has no curation surface (SURVEY §2.6)."""
+    from unifydb_spark.operators.quality import source_cap_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_cap_report(docs, cap=15)
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4786,6 +4804,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r140_acid_s3_protocol": r140_acid_s3_protocol,
         "r141_layout_eq_advisor": r141_layout_eq_advisor,
         "r142_txlog_restore": r142_txlog_restore,
+        "r143_source_cap": r143_source_cap,
     }
 
 
@@ -5678,6 +5697,7 @@ def _operator_oracles() -> dict[str, str]:
             SELECT n_name AS name, CAST(n_nationkey AS BIGINT) AS nk
             FROM nation ORDER BY 1
         """,
+        "r143_source_cap": _ql.source_cap_report_sql("documents", cap=15),
         "r129_slice_report": _ql.slice_report_sql(
             """(SELECT d.doc_id, d.lang, d.source, g.passes
                 FROM documents d

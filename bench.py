@@ -229,6 +229,7 @@ HEADLINE = [
     "r140_acid_s3_protocol",
     "r141_layout_eq_advisor",
     "r142_txlog_restore",
+    "r143_source_cap",
 ]
 
 

@@ -1754,3 +1754,47 @@ def test_feature_ranking_orders_by_gain(spark):
     assert out["sep"]["rank"] == 1 and out["sep"]["gini_split"] == 0.0
     assert abs(out["sep"]["gain"] - 0.5) < 1e-9  # base gini of 50/50
     assert out["noise"]["rank"] == 2 and out["noise"]["gain"] < 0.01
+
+
+def test_source_cap_salted_identical_and_report_exact(spark):
+    """source_cap: the salted two-phase top-k keeps EXACTLY the same
+    set as the plain per-source window (phase 1 can never evict a true
+    top-cap row), and the report matches the DuckDB twin."""
+    import duckdb
+    import pandas as pd
+    from unifydb_spark.operators.quality import (
+        source_cap,
+        source_cap_report,
+        source_cap_report_sql,
+    )
+
+    rows = [
+        (i, f"s{i % 3}", (i * 37) % 101) for i in range(1, 301)
+    ] + [(1000 + i, "hot", (i * 11) % 53) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+
+    plain = {
+        r["doc_id"]
+        for r in source_cap(df, 7, n_salts=1).select("doc_id").collect()
+    }
+    salted = {
+        r["doc_id"]
+        for r in source_cap(df, 7, n_salts=8).select("doc_id").collect()
+    }
+    assert plain == salted and len(plain) == 4 * 7
+
+    got = (
+        source_cap_report(df, 7)
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    duckdb.register("docs_sc", pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"]))
+    want = (
+        duckdb.sql(source_cap_report_sql("docs_sc", 7))
+        .df()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "n_kept", "cutoff_score"):
+        assert got[c].astype("int64").tolist() == want[c].astype("int64").tolist()

@@ -1567,3 +1567,110 @@ def slice_report_sql(
         FROM cell, tot
         ORDER BY {cols}
     """
+
+
+def source_cap(
+    docs: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_salts: int = 1,
+) -> DataFrame:
+    """Per-source document cap — the RefinedWeb/CCNet-style domain cap:
+    keep at most `cap` documents per source, preferring the highest
+    `score_col` (ties, and equal scores, broken by `id_col` ascending,
+    so the kept set is deterministic on any engine). The standard
+    curation guard against a single crawl domain dominating the mix —
+    the reference has no curation surface (SURVEY §2.6); this sits next
+    to gopher_rules / ccnet_buckets in the battery.
+
+    Scale shape: one hash shuffle on source + a per-source top-k
+    window. Under domain skew (one host = 20% of the crawl — the same
+    hot-key floor SCALE_SF1 §2 measured for sessionize), pass
+    `n_salts>1` for the two-phase bounded top-k: phase 1 takes the
+    per-(source, salt) top-`cap` — each task sorts only its salt shard,
+    bounding the floor at hot_share/n_salts — and phase 2 re-ranks the
+    <= n_salts*cap survivors per source, a relation whose size no
+    longer depends on the data volume. The salt is md5(id)-derived, so
+    the result is IDENTICAL for any n_salts (phase 1 can never evict a
+    global top-cap row: a row in the true top-cap is in its shard's
+    top-cap)."""
+    from pyspark.sql import Window
+
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    if int(n_salts) > 1:
+        salt = F.pmod(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(int(n_salts)),
+        )
+        w1 = Window.partitionBy(F.col(source_col), salt).orderBy(*order)
+        docs = (
+            docs.withColumn("__rk1", F.row_number().over(w1))
+            .filter(F.col("__rk1") <= int(cap))
+            .drop("__rk1")
+        )
+    w = Window.partitionBy(source_col).orderBy(*order)
+    return (
+        docs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(cap))
+        .drop("__rk")
+    )
+
+
+def source_cap_report(
+    docs: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Retention report for :func:`source_cap`: per source the document
+    count, how many the cap keeps, and the admission cutoff (lowest
+    kept score). All-integer output — bit-exact on any engine. One
+    shuffle: the same per-source window, then a combinable rollup."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = docs.withColumn("__rk", F.row_number().over(w))
+    kept = F.col("__rk") <= int(cap)
+    return (
+        ranked.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(kept.cast("long")).cast("bigint").alias("n_kept"),
+            F.min(F.when(kept, F.col(score_col)))
+            .cast("bigint")
+            .alias("cutoff_score"),
+        )
+    )
+
+
+def source_cap_report_sql(
+    table: str = "documents",
+    cap: int = 15,
+    source_col: str = "source",
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of source_cap_report — same rank, same cutoff."""
+    return f"""
+        WITH ranked AS (
+          SELECT {source_col}, {score_col},
+                 ROW_NUMBER() OVER (
+                   PARTITION BY {source_col}
+                   ORDER BY {score_col} DESC, {id_col} ASC
+                 ) AS rk
+          FROM {table}
+        )
+        SELECT {source_col},
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN rk <= {int(cap)} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(MIN(CASE WHEN rk <= {int(cap)} THEN {score_col} END)
+                    AS BIGINT) AS cutoff_score
+        FROM ranked GROUP BY {source_col}
+    """
