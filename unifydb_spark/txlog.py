@@ -314,8 +314,18 @@ class LogParquetBackend:
         return 0
 
     def _head(self) -> Optional[dict]:
-        v = self.log_version()
-        return self._read_manifest(v) if v else None
+        # a manifest listed as head can vanish if a concurrent
+        # checkpoint + aggressive vacuum land between the listing and
+        # the read — by then a NEWER head exists, so re-list and retry
+        for _ in range(5):
+            v = self.log_version()
+            if not v:
+                return None
+            try:
+                return self._read_manifest(v)
+            except FileNotFoundError:
+                continue
+        return self._read_manifest(self.log_version())
 
     def _try_commit(self, manifest: dict, version: int) -> bool:
         """Atomically publish `manifest` as log version `version` via the
@@ -428,9 +438,19 @@ class LogParquetBackend:
         contention)."""
         rows = list(rows)
         f = self._write_data_file(rows)
-        parent = (
-            self._read_manifest(based_on_version) if based_on_version else None
-        )
+        parent = None
+        if based_on_version:
+            try:
+                parent = self._read_manifest(based_on_version)
+            except FileNotFoundError:
+                # the base was truncated by a concurrent checkpoint +
+                # aggressive vacuum — a newer head exists, so this CAS
+                # is lost by definition; report it as a clean loss
+                try:
+                    os.unlink(os.path.join(self.data_dir, f["name"]))
+                except OSError:
+                    pass
+                return False
         manifest = self._build_manifest(parent, [f], self._rows_stats(rows))
         if self._try_commit(manifest, based_on_version + 1):
             return True
@@ -449,7 +469,10 @@ class LogParquetBackend:
         stats = self._rows_stats(rows)
         for _ in range(max_retries):
             head_v = self.log_version()
-            parent = self._read_manifest(head_v) if head_v else None
+            try:
+                parent = self._read_manifest(head_v) if head_v else None
+            except FileNotFoundError:
+                continue  # head truncated under us — re-list and retry
             if self._try_commit(self._build_manifest(parent, [f], stats), head_v + 1):
                 return
         raise CommitConflict(f"append lost the commit race {max_retries} times")
@@ -530,7 +553,10 @@ class LogParquetBackend:
         }
         for _ in range(max_retries):
             head_v = self.log_version()
-            parent = self._read_manifest(head_v) if head_v else None
+            try:
+                parent = self._read_manifest(head_v) if head_v else None
+            except FileNotFoundError:
+                continue  # head truncated under us — re-list and retry
             if stream_epoch is not None and parent:
                 sid, epoch = stream_epoch
                 if parent.get("streams", {}).get(sid, -1) >= int(epoch):
@@ -550,7 +576,20 @@ class LogParquetBackend:
 
     def _live_entries(self, as_of_version: Optional[int] = None) -> list[dict]:
         """The live manifest file ENTRIES (name/rows dicts) at a log
-        version — the shared resolution behind facts_df and restore."""
+        version — the shared resolution behind facts_df and restore.
+        A listed manifest can vanish mid-scan if a concurrent
+        checkpoint + aggressive vacuum truncate the log — re-list and
+        retry (bounded), exactly like the writer loops do."""
+        for _ in range(5):
+            try:
+                return self._live_entries_once(as_of_version)
+            except FileNotFoundError:
+                continue
+        return self._live_entries_once(as_of_version)
+
+    def _live_entries_once(
+        self, as_of_version: Optional[int] = None
+    ) -> list[dict]:
         versions = self._list_versions()
         if as_of_version is not None:
             if versions and 0 < as_of_version < versions[0] and versions[0] > 1:
@@ -694,12 +733,15 @@ class LogParquetBackend:
         ckpt_files = self._publish_staged(staging)
         for _ in range(max_retries):
             head_v = self.log_version()
-            head = self._read_manifest(head_v)
-            # re-base: concurrent commits in (base_v, head_v] stay live by
-            # carrying their file lists after the compacted prefix
-            extra_files: list[dict] = []
-            for v in range(base_v + 1, head_v + 1):
-                extra_files.extend(self._read_manifest(v)["files"])
+            try:
+                head = self._read_manifest(head_v)
+                # re-base: concurrent commits in (base_v, head_v] stay live
+                # by carrying their file lists after the compacted prefix
+                extra_files: list[dict] = []
+                for v in range(base_v + 1, head_v + 1):
+                    extra_files.extend(self._read_manifest(v)["files"])
+            except FileNotFoundError:
+                continue  # a concurrent truncation landed — re-list
             manifest = dict(
                 head,  # cumulative stats of everything being replaced
                 files=ckpt_files + extra_files,
@@ -736,7 +778,10 @@ class LogParquetBackend:
         files = self._live_entries(as_of_version=version)
         for _ in range(max_retries):
             head_v = self.log_version()
-            head = self._read_manifest(head_v)
+            try:
+                head = self._read_manifest(head_v)
+            except FileNotFoundError:
+                continue  # head truncated under us — re-list and retry
             manifest = dict(
                 head,
                 files=files,
