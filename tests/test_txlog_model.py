@@ -65,11 +65,27 @@ class TxLogMachine(RuleBasedStateMachine):
         import tempfile
 
         d = tempfile.mkdtemp(dir=self.tmp_root, prefix="model_")
-        self.backend = LogParquetBackend(self.spark, os.path.join(d, "f"))
+        # TWO independent handles on the same path: every operation is
+        # routed through a hypothesis-chosen handle, so cross-writer
+        # serialization (the optimistic CAS) is part of the fuzzed
+        # surface, not just single-writer sequencing
+        self.handles = [
+            LogParquetBackend(self.spark, os.path.join(d, "f"))
+            for _ in range(2)
+        ]
         self.next_id = 1
         # model: version -> sorted visible ids; version 0 = empty store
         self.model = {0: []}
         self.truncated_below = 1  # smallest still-readable version
+
+    @property
+    def backend(self):
+        return self.handles[0]
+
+    def _pick(self, data):
+        return self.handles[
+            data.draw(st.integers(min_value=0, max_value=1), label="handle")
+        ]
 
     def _batch(self, n):
         ids = list(range(self.next_id, self.next_id + n))
@@ -84,21 +100,22 @@ class TxLogMachine(RuleBasedStateMachine):
     def head(self):
         return max(self.model)
 
-    @rule(n=st.integers(min_value=1, max_value=3))
-    def append(self, n):
+    @rule(n=st.integers(min_value=1, max_value=3), data=st.data())
+    def append(self, n, data):
         ids, rows = self._batch(n)
-        self.backend.append(rows)
+        self._pick(data).append(rows)
         self.model[self.head + 1] = sorted(self.model[self.head] + ids)
 
-    @rule(n=st.integers(min_value=1, max_value=3), stale=st.booleans())
-    def commit_rows_cas(self, n, stale):
+    @rule(n=st.integers(min_value=1, max_value=3), stale=st.booleans(),
+          data=st.data())
+    def commit_rows_cas(self, n, stale, data):
         """CAS append based on the head, or deliberately on a stale
         version (which must fail and leave no trace)."""
         ids, rows = self._batch(n)
         base = self.head
         if stale and base >= 1:
             base = base - 1
-        ok = self.backend.commit_rows(rows, based_on_version=base)
+        ok = self._pick(data).commit_rows(rows, based_on_version=base)
         if base == self.head:
             assert ok, "CAS based on the true head must win"
             self.model[self.head + 1] = sorted(self.model[self.head] + ids)
@@ -106,9 +123,9 @@ class TxLogMachine(RuleBasedStateMachine):
             assert not ok, "CAS based on a stale version must lose"
 
     @precondition(lambda self: self.head >= 1)
-    @rule()
-    def checkpoint(self):
-        v = self.backend.checkpoint()
+    @rule(data=st.data())
+    def checkpoint(self, data):
+        v = self._pick(data).checkpoint()
         assert v == self.head + 1
         self.model[v] = self.model[self.head]
 
@@ -119,7 +136,7 @@ class TxLogMachine(RuleBasedStateMachine):
             st.integers(min_value=self.truncated_below, max_value=self.head),
             label="restore_target",
         )
-        v = self.backend.restore(target)
+        v = self._pick(data).restore(target)
         assert v == self.head + 1
         self.model[v] = self.model[target]
         assert self.backend.history(limit=1)[0]["operation"] == "restore"
