@@ -553,3 +553,62 @@ def test_restore_preserves_stream_epoch_marks(spark, tmp_path):
     # replayed epoch after restore: still recognized, still skipped
     assert backend.bulk_append_df(df, stream_epoch=("ingest", 0)) is False
     assert backend.facts_df().count() == 5
+
+
+def _interpose_once(backend, action):
+    """Fire `action` right before backend's next manifest CAS attempt,
+    once — the mid-rewrite race harness the rebase test established."""
+    real = backend._try_commit
+
+    def hook(manifest, version):
+        if manifest.get("replaces_all") and not getattr(hook, "hit", False):
+            hook.hit = True
+            action()
+        return real(manifest, version)
+
+    backend._try_commit = hook
+    return hook
+
+
+def test_checkpoint_superseded_by_concurrent_restore(spark, tmp_path):
+    """A restore landing mid-rewrite must NOT be folded: appending the
+    stale compacted prefix would resurrect the rolled-back facts. The
+    checkpoint must redo its rewrite from the restored head."""
+    path = str(tmp_path / "facts")
+    backend = LogParquetBackend(spark, path)
+    other = LogParquetBackend(spark, path)
+    for i in (1, 2):
+        backend.append(
+            [(i, "n", "long", i, None, None, None, None, None, None, i, True)]
+        )
+    hook = _interpose_once(backend, lambda: other.restore(1))
+    ckpt_v = backend.checkpoint()
+    assert hook.hit
+    # head reads EXACTLY version 1's facts — fact 2 stays rolled back
+    vals = sorted(
+        r["v_long"] for r in backend.facts_df().select("v_long").collect()
+    )
+    assert vals == [1], vals
+    assert ckpt_v == backend.log_version()
+    # the checkpoint manifest is a checkpoint, not a restore
+    assert backend.history(limit=1)[0]["operation"] == "checkpoint"
+
+
+def test_checkpoint_superseded_by_concurrent_checkpoint(spark, tmp_path):
+    """Two racing checkpoints must not duplicate the corpus: folding
+    the loser's compacted prefix in front of the winner's would UNION
+    two copies of every fact. The loser redoes from the winner's head."""
+    path = str(tmp_path / "facts")
+    backend = LogParquetBackend(spark, path)
+    other = LogParquetBackend(spark, path)
+    for i in (1, 2, 3):
+        backend.append(
+            [(i, "n", "long", i, None, None, None, None, None, None, i, True)]
+        )
+    hook = _interpose_once(backend, lambda: other.checkpoint())
+    backend.checkpoint()
+    assert hook.hit
+    vals = sorted(
+        r["v_long"] for r in backend.facts_df().select("v_long").collect()
+    )
+    assert vals == [1, 2, 3], f"duplicated or lost facts: {vals}"

@@ -721,16 +721,42 @@ class LogParquetBackend:
         file lists in after the compacted set and adopts the new head's
         cumulative stats, then CASes at head_v+1 — the standard
         lakehouse compaction-vs-writer protocol (a checkpoint never
-        blocks or loses a concurrent writer)."""
-        base_v = self.log_version()
-        if base_v == 0:
-            return 0
-        df = self.facts_df(as_of_version=base_v).sortWithinPartitions(
-            *sort_cols
-        )
-        staging = os.path.join(self.data_dir, f".stage.{uuid.uuid4().hex}")
-        df.write.parquet(staging)
-        ckpt_files = self._publish_staged(staging)
+        blocks or loses a concurrent writer). EXCEPTION: a concurrent
+        manifest that is itself `replaces_all` (another checkpoint, or a
+        restore) cannot be folded — appending our compacted prefix in
+        front of it would duplicate every fact it compacted, or
+        resurrect facts a restore rolled back. A superseding
+        replaces_all aborts the fold, reclaims the staged files, and
+        REDOES the rewrite from the new head (bounded by max_retries)."""
+        for _ in range(max_retries):
+            base_v = self.log_version()
+            if base_v == 0:
+                return 0
+            df = self.facts_df(as_of_version=base_v).sortWithinPartitions(
+                *sort_cols
+            )
+            staging = os.path.join(self.data_dir, f".stage.{uuid.uuid4().hex}")
+            df.write.parquet(staging)
+            ckpt_files = self._publish_staged(staging)
+            v = self._ckpt_commit(base_v, ckpt_files, max_retries)
+            if v is not None:
+                return v
+            # superseded by a concurrent replaces_all: our compacted
+            # prefix is stale — reclaim it and rewrite from the new head
+            for fobj in ckpt_files:
+                try:
+                    os.unlink(os.path.join(self.data_dir, fobj["name"]))
+                except OSError:
+                    pass
+        raise CommitConflict("checkpoint superseded repeatedly")
+
+    def _ckpt_commit(
+        self, base_v: int, ckpt_files: list[dict], max_retries: int
+    ) -> Optional[int]:
+        """CAS a checkpoint manifest for a rewrite of versions <= base_v,
+        folding concurrent APPEND manifests in. Returns the committed
+        version, or None if a concurrent replaces_all superseded the
+        rewrite (the caller must redo it from the new head)."""
         for _ in range(max_retries):
             head_v = self.log_version()
             try:
@@ -739,7 +765,10 @@ class LogParquetBackend:
                 # by carrying their file lists after the compacted prefix
                 extra_files: list[dict] = []
                 for v in range(base_v + 1, head_v + 1):
-                    extra_files.extend(self._read_manifest(v)["files"])
+                    m = self._read_manifest(v)
+                    if m.get("replaces_all"):
+                        return None  # superseded — folding would corrupt
+                    extra_files.extend(m["files"])
             except FileNotFoundError:
                 continue  # a concurrent truncation landed — re-list
             manifest = dict(
@@ -749,6 +778,7 @@ class LogParquetBackend:
                 writer=self._writer,
                 ts_millis=int(time.time() * 1000),
             )
+            manifest.pop("restored_from", None)  # stats adopted, op is ours
             if self._try_commit(manifest, head_v + 1):
                 # advisory read-optimization pointer (Delta _last_checkpoint
                 # shape); racing checkpoints leave it at SOME valid
