@@ -612,3 +612,22 @@ def test_checkpoint_superseded_by_concurrent_checkpoint(spark, tmp_path):
         r["v_long"] for r in backend.facts_df().select("v_long").collect()
     )
     assert vals == [1, 2, 3], f"duplicated or lost facts: {vals}"
+
+
+def test_restore_refuses_vacuumed_history(spark, tmp_path):
+    """restore to a version whose data files vacuum reclaimed must
+    raise cleanly (Delta RESTORE's missing-file contract), never commit
+    a head referencing deleted files."""
+    path = str(tmp_path / "facts")
+    backend = LogParquetBackend(spark, path)
+    for i in (1, 2):
+        backend.append(
+            [(i, "n", "long", i, None, None, None, None, None, None, i, True)]
+        )
+    backend.checkpoint()
+    backend.vacuum(retain_before_checkpoint=False, retention_seconds=0.0)
+    with pytest.raises(ValueError, match="truncated|reclaimed"):
+        backend.restore(1)
+    # the failed restore left no commit behind
+    assert backend.history(limit=1)[0]["operation"] == "checkpoint"
+    assert backend.facts_df().count() == 2

@@ -803,9 +803,29 @@ class LogParquetBackend:
         during the restore are rolled back BY it (that is what restore
         means); the CAS retry re-reads the head only to keep the
         allocation marks current. Raises ValueError if `version` was
-        truncated by an aggressive vacuum. Returns the new version."""
-        target = self._read_manifest(version)
-        files = self._live_entries(as_of_version=version)
+        truncated by an aggressive vacuum, or if any of its data files
+        were reclaimed (same contract as Delta RESTORE's missing-file
+        error — committing a head that references vacuumed files would
+        corrupt the store). Returns the new version."""
+        try:
+            target = self._read_manifest(version)
+            files = self._live_entries(as_of_version=version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"restore to version {version}: its manifests were "
+                "truncated by an aggressive vacuum"
+            ) from None
+        missing = [
+            f["name"]
+            for f in files
+            if not os.path.exists(os.path.join(self.data_dir, f["name"]))
+        ]
+        if missing:
+            raise ValueError(
+                f"restore to version {version}: {len(missing)} of its "
+                f"data files were reclaimed by vacuum (e.g. {missing[0]}) "
+                "— that history is gone"
+            )
         for _ in range(max_retries):
             head_v = self.log_version()
             try:
