@@ -631,3 +631,62 @@ def test_restore_refuses_vacuumed_history(spark, tmp_path):
     # the failed restore left no commit behind
     assert backend.history(limit=1)[0]["operation"] == "checkpoint"
     assert backend.facts_df().count() == 2
+
+
+def test_threaded_writers_with_live_checkpoints(spark, tmp_path):
+    """Maintenance under write load: 4 writer threads transact
+    concurrently while a maintenance thread checkpoints the store three
+    times mid-stream. Every transaction must survive with a distinct
+    tx (the optimistic CAS serializes them; the checkpoint supersede /
+    rebase logic must lose none and duplicate none)."""
+    import threading
+    import time as _time
+
+    path = str(tmp_path / "facts")
+    store = FactStore(spark, LogParquetBackend(spark, path))
+    eng = Engine(spark, store)
+    eng.transact([["add", "seed", ":n", 0]])
+
+    N_WRITERS, N_TX = 4, 6
+    errors = []
+
+    def writer(wid):
+        try:
+            # each thread gets its own handle (hence its own CAS loop);
+            # the SparkSession is shared but the write path is pure
+            # Python so threads never contend on the JVM
+            own = FactStore(spark, LogParquetBackend(spark, path))
+            oeng = Engine(spark, own)
+            for i in range(N_TX):
+                oeng.transact([["add", f"w{wid}_{i}", ":n", wid * 100 + i]])
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def maintenance():
+        try:
+            for _ in range(3):
+                _time.sleep(0.15)
+                store.backend.checkpoint()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(N_WRITERS)
+    ] + [threading.Thread(target=maintenance)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    df = store.backend.facts_df()
+    n_tx = 1 + N_WRITERS * N_TX
+    assert df.select("tx").distinct().count() == n_tx
+    vals = sorted(
+        r["v_long"]
+        for r in df.filter("a = 'n'").select("v_long").collect()
+    )
+    want = sorted(
+        [0] + [w * 100 + i for w in range(N_WRITERS) for i in range(N_TX)]
+    )
+    assert vals == want, "a checkpoint lost or duplicated a transaction"
