@@ -572,3 +572,68 @@ def test_bounce_report_counts(spark):
     assert r["n_sessions"] == 2 and r["n_bounces"] == 1
     assert r["bounce_rate"] == 0.5 and r["mean_events"] == 2.0
     assert r["median_duration_s"] == 300.0  # (0 + 600) / 2
+
+
+def test_sessionize_bucketed_property_fuzz(spark):
+    """Property pin of the r139 exactness argument: bucketed
+    pre-sessionization is row-identical to plain sessionize for ANY
+    events, gap, and bucket size — including the boundary cases the
+    argument leans on (consecutive gap EXACTLY == g at a bucket edge
+    merges on both paths; gap == g+1us splits on both)."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from unifydb_spark.operators.events import sessionize, sessionize_bucketed
+
+    gap_min = 2
+    gap_s = gap_min * 60
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    # offsets in SECONDS, drawn to hit exact-gap and bucket-edge
+    # boundaries often: multiples of the gap and of the bucket length
+    offset = st.one_of(
+        st.integers(min_value=0, max_value=4 * 3600),
+        st.sampled_from(
+            [0, gap_s, gap_s + 1, gap_s - 1, 1800, 3600, 3600 + gap_s,
+             7200, 7200 + 1, 2 * gap_s, 3 * 3600]
+        ),
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(min_value=1, max_value=3), offset),
+            min_size=1,
+            max_size=25,
+        ),
+        st.sampled_from([0.5, 1.0, 3.0]),
+    )
+    def check(pairs, bucket_hours):
+        rows = [
+            (
+                u,
+                base + dt.timedelta(seconds=off),
+                i,  # unique event_id tiebreaker
+                float((i * 7) % 13) / 4.0,
+            )
+            for i, (u, off) in enumerate(pairs)
+        ]
+        ev = spark.createDataFrame(
+            rows, ["user_id", "ts", "event_id", "value"]
+        )
+        plain = sorted(
+            map(tuple, sessionize(ev, gap_minutes=gap_min).collect())
+        )
+        bucketed = sorted(
+            map(
+                tuple,
+                sessionize_bucketed(
+                    ev, gap_minutes=gap_min, bucket_hours=bucket_hours
+                ).collect(),
+            )
+        )
+        assert plain == bucketed
+
+    check()
