@@ -1798,3 +1798,46 @@ def test_source_cap_salted_identical_and_report_exact(spark):
     )
     for c in ("n_docs", "n_kept", "cutoff_score"):
         assert got[c].astype("int64").tolist() == want[c].astype("int64").tolist()
+
+
+def test_source_cap_salted_invariance_property_fuzz(spark):
+    """Property pin of the salted two-phase top-k proof: for ANY data
+    (including heavy duplicate scores, single-row sources, and caps
+    larger than a source), any cap, and any n_salts, the kept set is
+    identical to the plain per-source window."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from unifydb_spark.operators.quality import source_cap
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),   # source
+                st.integers(min_value=0, max_value=9),   # score (ties!)
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        st.integers(min_value=1, max_value=6),           # cap
+        st.sampled_from([2, 3, 8]),                      # n_salts
+    )
+    def check(pairs, cap, n_salts):
+        rows = [
+            (i, f"s{src}", score) for i, (src, score) in enumerate(pairs)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+        plain = {
+            r["doc_id"]
+            for r in source_cap(df, cap, n_salts=1).select("doc_id").collect()
+        }
+        salted = {
+            r["doc_id"]
+            for r in source_cap(df, cap, n_salts=n_salts)
+            .select("doc_id")
+            .collect()
+        }
+        assert plain == salted
+
+    check()
