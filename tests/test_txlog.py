@@ -690,3 +690,77 @@ def test_threaded_writers_with_live_checkpoints(spark, tmp_path):
         [0] + [w * 100 + i for w in range(N_WRITERS) for i in range(N_TX)]
     )
     assert vals == want, "a checkpoint lost or duplicated a transaction"
+
+
+def test_cross_process_writers_with_parent_checkpoints(spark, tmp_path):
+    """The full reference-transactor story under real OS-process
+    concurrency: two plain-Python writer processes transact against the
+    store while the PARENT (which owns the JVM) checkpoints it
+    mid-stream. Deterministic overlap via a barrier file: each child
+    commits half its transactions, waits for the parent's checkpoint,
+    then commits the rest — so commits provably land on BOTH sides of
+    the compaction. No transaction may be lost or duplicated."""
+    path = str(tmp_path / "facts")
+    marker = str(tmp_path / "ckpt_done")
+    n_per_writer = 8
+
+    child = textwrap.dedent(
+        """
+        import os, sys, time
+        sys.path.insert(0, sys.argv[4])
+        from unifydb_spark.store import FactStore
+        from unifydb_spark import txlog
+
+        tag, path, marker = sys.argv[1], sys.argv[2], sys.argv[3]
+        backend = txlog.LogParquetBackend(None, path)
+        store = FactStore(spark=None, backend=backend)
+        for i in range(%d):
+            if i == %d:
+                # barrier: wait for the parent's mid-stream checkpoint
+                for _ in range(1200):
+                    if os.path.exists(marker):
+                        break
+                    time.sleep(0.1)
+            store.transact([["add", f"{tag}{i}", ":name", f"name-{tag}{i}"]])
+        print("done", tag)
+        """
+        % (n_per_writer, n_per_writer // 2)
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", child, tag, path, marker, repo],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for tag in ("a", "b")
+    ]
+    backend = LogParquetBackend(spark, path)
+    import time as _time
+
+    # wait until both children have committed their first half
+    for _ in range(1200):
+        if backend.log_version() >= n_per_writer:
+            break
+        _time.sleep(0.1)
+    ckpt_v = backend.checkpoint()
+    assert ckpt_v >= n_per_writer + 1
+    with open(marker, "w") as f:
+        f.write("go")
+    for p in procs:
+        out, err = p.communicate(timeout=180)
+        assert p.returncode == 0, err.decode()
+
+    # overlap proof: commits exist strictly after the checkpoint
+    assert backend.log_version() > ckpt_v
+    assert backend._read_manifest(ckpt_v).get("replaces_all")
+
+    df = backend.facts_df()
+    assert df.select("tx").distinct().count() == 2 * n_per_writer
+    names = sorted(
+        r["v_str"]
+        for r in df.filter(df.a == "name").select("v_str").collect()
+    )
+    assert names == sorted(
+        f"name-{t}{i}" for t in ("a", "b") for i in range(n_per_writer)
+    ), "the checkpoint lost or duplicated a cross-process transaction"
