@@ -4511,6 +4511,35 @@ def r143_source_cap(spark, sf_dir):
     return source_cap_report(docs, cap=15)
 
 
+def r144_pq_codes(spark, sf_dir):
+    """Product quantization (Jégou et al. 2011 — the PQ half of FAISS's
+    IVF-PQ; operators/similarity.py pq_codes): 8 subspaces x 16
+    centroids = 4-bit codes, 16x smaller than the 64-float vectors. The
+    whole training chain — per-subspace deterministic spherical k-means
+    (decimal dots, lowest-id init, low-id tie-break) and the final code
+    assignment — is graded code-for-code against the DuckDB twin, which
+    unrolls the identical iterations per subspace."""
+    from unifydb_spark.operators.similarity import pq_codes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_codes(emb, m=8, k=16, iters=2)
+
+
+def r145_pq_adc_recall(spark, sf_dir):
+    """The USE of the PQ codes (operators/similarity.py pq_adc_recall):
+    asymmetric-distance retrieval — rank every vector for each of 8
+    queries by m codebook lookups instead of a full-vector dot, take
+    the top 10, and report the integer overlap with the EXACT
+    dot-product top 10. Scores fold in DECIMAL(38,18) and both rankings
+    tie-break on the lower id, so the quality report is bit-exact on
+    both engines (the q90_ann_recall pattern, for the compressed
+    representation)."""
+    from unifydb_spark.operators.similarity import pq_adc_recall
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_adc_recall(emb, m=8, k=16, iters=2, n_queries=8, topk=10)
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4805,6 +4834,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r141_layout_eq_advisor": r141_layout_eq_advisor,
         "r142_txlog_restore": r142_txlog_restore,
         "r143_source_cap": r143_source_cap,
+        "r144_pq_codes": r144_pq_codes,
+        "r145_pq_adc_recall": r145_pq_adc_recall,
     }
 
 
@@ -5698,6 +5729,10 @@ def _operator_oracles() -> dict[str, str]:
             FROM nation ORDER BY 1
         """,
         "r143_source_cap": _ql.source_cap_report_sql("documents", cap=15),
+        "r144_pq_codes": _s.pq_codes_sql("embeddings", m=8, k=16, iters=2),
+        "r145_pq_adc_recall": _s.pq_adc_recall_sql(
+            "embeddings", m=8, k=16, iters=2, n_queries=8, topk=10
+        ),
         "r129_slice_report": _ql.slice_report_sql(
             """(SELECT d.doc_id, d.lang, d.source, g.passes
                 FROM documents d

@@ -230,6 +230,8 @@ HEADLINE = [
     "r141_layout_eq_advisor",
     "r142_txlog_restore",
     "r143_source_cap",
+    "r144_pq_codes",
+    "r145_pq_adc_recall",
 ]
 
 

