@@ -232,6 +232,9 @@ HEADLINE = [
     "r143_source_cap",
     "r144_pq_codes",
     "r145_pq_adc_recall",
+    # round-11: the IVF+PQ composition (probe nprobe buckets, ADC-score
+    # only the candidates over residual codebooks)
+    "r146_ivf_pq_topk",
 ]
 
 

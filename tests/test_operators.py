@@ -1899,3 +1899,53 @@ def test_pq_codes_and_adc_match_duckdb(spark):
     )
     for c in ("query_id", "n_overlap", "topk"):
         assert g2[c].astype("int64").tolist() == w2[c].astype("int64").tolist()
+
+
+def test_ivf_pq_topk_matches_duckdb(spark):
+    """The composed IVF-PQ retrieval path (r146) matches its DuckDB
+    twin on a small deterministic corpus, in BOTH encodings (residual
+    and raw-subvector), and only scans the probed buckets' candidates
+    (n_candidates < n_total: the operator provably does not scan the
+    corpus)."""
+    import duckdb
+    import pandas as pd
+    from unifydb_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivf_pq_topk_sql,
+    )
+
+    rows = [
+        (i, [float(((i * 11 + j * 5) % 23) - 11) / 4.0 for j in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    duckdb.register("emb_ivfpq", pdf)
+
+    for residual in (True, False):
+        got = (
+            ivf_pq_topk(
+                df, n_centroids=8, nprobe=3, m=4, k=4, iters=2,
+                n_queries=4, topk=5, residual=residual, dim=8,
+            )
+            .toPandas()
+            .sort_values("query_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            duckdb.sql(
+                ivf_pq_topk_sql(
+                    "emb_ivfpq", n_centroids=8, nprobe=3, m=4, k=4,
+                    iters=2, n_queries=4, topk=5, residual=residual, dim=8,
+                )
+            )
+            .df()
+            .sort_values("query_id")
+            .reset_index(drop=True)
+        )
+        for c in ("query_id", "n_overlap", "topk", "n_candidates", "n_total"):
+            assert got[c].astype("int64").tolist() == want[c].astype(
+                "int64"
+            ).tolist(), (residual, c)
+        assert (got["n_candidates"] < got["n_total"]).all()
+        assert (got["n_total"] == 60).all()
