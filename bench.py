@@ -290,6 +290,136 @@ CANARY_REPS = 5
 CANARY_RELATIVE_IQR_GATE = 0.30
 
 
+# ---- per-query regression adjudication (VERDICT r10 ask #4) -------------
+#
+# The canary gates HOST noise but not per-query drift: a 2x median swing
+# on one entry used to need judge-side argument each round. Machinery:
+# every quotable run refreshes BENCH_REF.json (per-query medians + the
+# git HEAD they were measured at — a committed artifact, full-length
+# unlike the driver's tail-truncated BENCH_r{N}.json captures); each run
+# compares its medians to the reference and flags entries that are
+# BOTH >= REGRESSION_MIN_S in the reference AND >= REGRESSION_RATIO
+# slower, annotating whether the entry's SOURCE (its __spark_entry__
+# function text or any unifydb_spark module it imports) changed since
+# the reference commit. ratio high + source_changed false = host noise
+# or a cross-entry plan interaction — machine-adjudicated, not argued.
+
+REGRESSION_RATIO = 1.5
+REGRESSION_MIN_S = 1.0
+REF_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_REF.json")
+
+
+def _git(args):
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", *args],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        return out.stdout if out.returncode == 0 else None
+    except Exception:
+        return None
+
+
+def _entry_src(entry_text: str, name: str) -> str:
+    """The named entry function's source block inside __spark_entry__.py
+    text (def ... until the next top-level def/assignment)."""
+    import re
+
+    m = re.search(
+        rf"^def {re.escape(name)}\(.*?(?=^def |^[A-Z_]+ =|\Z)",
+        entry_text,
+        re.S | re.M,
+    )
+    return m.group(0) if m else ""
+
+
+def _source_changed(name: str, ref_git: str, changed_files: set) -> "bool | None":
+    """Did this entry's source change since the reference commit? True if
+    the entry function's own text differs or any unifydb_spark module it
+    imports is in the ref..HEAD diff; None when git can't answer."""
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "__spark_entry__.py")) as f:
+            now_text = f.read()
+    except OSError:
+        return None
+    old_text = _git(["show", f"{ref_git}:__spark_entry__.py"])
+    if old_text is None or changed_files is None:
+        return None
+    now_src = _entry_src(now_text, name)
+    if now_src != _entry_src(old_text, name):
+        return True
+    for mod in re.findall(r"from (unifydb_spark[\w.]*) import", now_src):
+        path = mod.replace(".", "/") + ".py"
+        if path in changed_files:
+            return True
+    return False
+
+
+def _adjudicate_regressions(times: dict) -> tuple:
+    """Compare this run's medians to BENCH_REF.json; return
+    (regressions list, reference summary dict or None)."""
+    try:
+        with open(REF_PATH) as f:
+            ref = json.load(f)
+    except (OSError, ValueError):
+        return [], None
+    ref_q = ref.get("queries", {})
+    ref_git = ref.get("git")
+    changed = None
+    if ref_git:
+        diff = _git(["diff", "--name-only", f"{ref_git}..HEAD"])
+        changed = set(diff.split()) if diff is not None else None
+    out = []
+    for name, prior in ref_q.items():
+        now = times.get(name)
+        if now is None or prior < REGRESSION_MIN_S:
+            continue
+        ratio = now / prior if prior > 0 else float("inf")
+        if ratio > REGRESSION_RATIO:
+            out.append(
+                {
+                    "name": name,
+                    "ref_median": prior,
+                    "median": now,
+                    "ratio": round(ratio, 2),
+                    "source_changed": _source_changed(name, ref_git, changed)
+                    if ref_git
+                    else None,
+                }
+            )
+    out.sort(key=lambda r: -r["ratio"])
+    summary = {"git": ref_git, "captured": ref.get("captured")}
+    return out, summary
+
+
+def _write_ref(times: dict, sf) -> None:
+    """Refresh the committed regression reference after a QUOTABLE run
+    (skippable via SPARK_GRAFT_WRITE_REF=0 for scratch sweeps)."""
+    if os.environ.get("SPARK_GRAFT_WRITE_REF", "1") == "0":
+        return
+    head = (_git(["rev-parse", "HEAD"]) or "").strip() or None
+    with open(REF_PATH, "w") as f:
+        json.dump(
+            {
+                "git": head,
+                "sf": sf,
+                "captured": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "queries": times,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
+
 def _median_iqr(xs: list) -> tuple:
     xs = sorted(xs)
     n = len(xs)
@@ -394,6 +524,9 @@ def main():
         spreads[name] = round(iqr, 3)
         print(f"# {name}: {n} rows in {times[name]}s (iqr {spreads[name]})", file=sys.stderr)
 
+    regressions, reg_ref = _adjudicate_regressions(times)
+    if quotable:
+        _write_ref(times, sf)
     out = {
         "metric": "headline_query_total",
         "value": round(sum(times.values()), 3),
@@ -404,6 +537,8 @@ def main():
         "quotable": quotable,
         "canary": canary,
         "runs": runs,
+        "regressions": regressions,
+        "regression_ref": reg_ref,
         "queries": times,
         "sf": sf,
     }
@@ -424,6 +559,10 @@ def main():
                 "iqr": out["iqr"],
                 "quotable": quotable,
                 "runs": runs,
+                # flagged per-query drifts vs the committed BENCH_REF
+                # (>=1.5x on >=1s entries) with source-change
+                # adjudication — small, so it survives tail truncation
+                "regressions": regressions,
             }
         )
     )

@@ -99,3 +99,68 @@ def test_cli_help_exits_zero(capsys):
     assert cli.main(["help"]) == 0
     out = capsys.readouterr().out
     assert "start" in out
+
+
+def test_cli_start_server_on_txlog_backend(tmp_path, spark):
+    """VERDICT r10 ask #2: a server deployment configured the
+    reference's way (storage backend selected from config,
+    cli/start.clj:41-49) can reach the ACID commit-log store —
+    `storage-backend txlog` + `commit-protocol` + maintenance knobs
+    wire LogParquetBackend end to end; transact + query round-trip
+    through HTTP and the commit lands in the log."""
+    from unifydb_spark import cli
+    from unifydb_spark.txlog import ConditionalPutProtocol, LogParquetBackend
+
+    store_dir = tmp_path / "txlog-store"
+    f = tmp_path / "config.edn"
+    f.write_text(
+        '{:port 0 :storage-backend "txlog" :storage-path "%s"\n'
+        ' :commit-protocol "conditional-put" :maintain-every 64}'
+        % store_dir
+    )
+    config.load_env(config_file=str(f))
+    srv, port = cli.start_services(["server"], serve_forever=False)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/transact",
+                     json.dumps({"tx-data": [["add", "u", ":name", "Log"]]}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        resp.read()
+        conn.close()
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/query",
+                     json.dumps({"query": {"find": ["?n"],
+                                           "where": [["?e", ":name", "?n"]]}}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        conn.close()
+        assert resp.status == 200
+        assert body["results"] == [["Log"]]
+    finally:
+        srv.shutdown()
+    # the commit went through the log, with the configured protocol
+    backend = LogParquetBackend(spark, str(store_dir))
+    assert backend.log_version() >= 1
+    assert backend.facts_df().filter("a = 'name'").count() == 1
+    assert backend.maintain_every is None  # fresh handle, policy is config-side
+    # config accessor resolves the protocol class
+    assert isinstance(config.commit_protocol(), ConditionalPutProtocol)
+
+
+def test_config_unknown_backend_and_protocol_error(tmp_path):
+    from unifydb_spark import cli
+
+    config.load_env(overrides={"storage-backend": "bogus"})
+    with pytest.raises(config.ConfigError, match="bogus"):
+        cli._make_store(None)
+    config.load_env(overrides={"commit-protocol": "carrier-pigeon"})
+    with pytest.raises(config.ConfigError, match="carrier-pigeon"):
+        config.commit_protocol()
+    config.load_env(
+        overrides={"storage-backend": "txlog"}  # no storage-path
+    )
+    with pytest.raises(config.ConfigError, match="storage-path"):
+        cli._make_store(None)

@@ -87,3 +87,42 @@ def test_plan_audit_allowlists_reference_real_slots():
         if attr.isupper() and isinstance(val, (set, frozenset)):
             names = {v for v in val if isinstance(v, str) and v.startswith("q")}
             assert names <= qkeys, f"{attr} has dead entries: {sorted(names - qkeys)}"
+
+
+def test_bench_regression_adjudication(tmp_path):
+    """VERDICT r10 ask #4: per-query drift vs the committed BENCH_REF is
+    machine-adjudicated — >=1.5x on >=1s entries flagged, annotated with
+    whether the entry's source changed since the reference commit (an
+    unchanged-source flag is host noise, not a code regression)."""
+    import json
+
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    head = (bench._git(["rev-parse", "HEAD"]) or "").strip()
+    if not head:
+        pytest.skip("not a git checkout")
+    ref = tmp_path / "ref.json"
+    ref.write_text(json.dumps({
+        "git": head,
+        "captured": "test",
+        "queries": {
+            "q01_pricing_summary": 2.0,   # will regress 1.75x -> flagged
+            "q03_ref_join_chain": 2.0,    # 1.1x -> not flagged
+            "r14_length_histogram": 0.5,  # sub-1s -> never flagged
+        },
+    }))
+    bench.REF_PATH = str(ref)
+    regs, meta = bench._adjudicate_regressions({
+        "q01_pricing_summary": 3.5,
+        "q03_ref_join_chain": 2.2,
+        "r14_length_histogram": 5.0,
+    })
+    assert [r["name"] for r in regs] == ["q01_pricing_summary"]
+    assert regs[0]["ratio"] == 1.75
+    # q01's entry function + imports are untouched vs HEAD
+    assert regs[0]["source_changed"] is False
+    assert meta["git"] == head
+    # no reference file -> no flags, never an error
+    bench.REF_PATH = str(tmp_path / "missing.json")
+    assert bench._adjudicate_regressions({"q01_pricing_summary": 9.9}) == ([], None)

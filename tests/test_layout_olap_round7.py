@@ -218,3 +218,41 @@ def test_zonemap_eq_prune_profile_matches_duckdb_oracle(spark):
     by_layout = got.groupby("layout")["blocks_scanned"].mean()
     assert by_layout["p_major"] <= 2
     assert by_layout["k_major"] >= 15
+
+
+def test_zonemap_eq_prune_profile_string_values(spark):
+    """ADVICE r10: the SQL twin must support the string pred_col types
+    the DataFrame side supports — VARCHAR literals properly escaped
+    (including embedded quotes), no BIGINT cast."""
+    import duckdb
+    import pandas as pd
+    from unifydb_spark.operators.layout import (
+        zonemap_eq_prune_profile,
+        zonemap_eq_prune_profile_sql,
+    )
+
+    langs = ["en", "fr", "de", "o'brien", "zz"]
+    rows = [(i, langs[(i * 3) % 5]) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, ["k", "lang"])
+    values = ["en", "o'brien", "zz"]
+    layouts = [("lang_major", ("lang", "k")), ("k_major", ("k",))]
+    got = zonemap_eq_prune_profile(
+        df, "lang", values, layouts, n_blocks=10
+    ).toPandas()
+    pdf = pd.DataFrame(rows, columns=["k", "lang"])
+    duckdb.register("t_str", pdf)
+    want = duckdb.sql(
+        zonemap_eq_prune_profile_sql("t_str", "lang", values, layouts, n_blocks=10)
+    ).df()
+
+    def canon(d):
+        d = d[sorted(d.columns)].copy()
+        for c in d.columns:
+            if d[c].dtype.kind in "iu":
+                d[c] = d[c].astype("int64")
+        return d.sort_values(by=list(d.columns)).reset_index(drop=True)
+
+    assert canon(got).equals(canon(want))
+    # the lang-major layout prunes: each probe scans a minority of blocks
+    lm = got[got.layout == "lang_major"]
+    assert (lm.blocks_scanned <= 4).all()

@@ -11,8 +11,13 @@ executors are the worker pool (SURVEY §3 — V5/V6 n/a by design), so
 server` (or `start all`) brings up the HTTP surface over it. Service
 names are still accepted for CLI compatibility.
 
-Storage backend selection mirrors cli/start.clj's make-storage-backend:
-memory | parquet (storage-path) | jdbc (jdbc-url).
+Storage backend selection mirrors cli/start.clj's make-storage-backend
+(reference src/unifydb/cli/start.clj:41-49 selects the storage service
+from config the same way): memory | parquet (storage-path) | jdbc
+(jdbc-url) | txlog (storage-path; the ACID commit-log store, with
+`commit-protocol` posix | conditional-put selecting the atomic publish
+primitive and `maintain-every` / `vacuum-retention-seconds` /
+`truncate-log` driving the auto-maintenance policy).
 """
 
 from __future__ import annotations
@@ -41,6 +46,28 @@ def _make_store(spark):
         return FactStore(spark, path=path)
     if backend == "jdbc":
         return FactStore(spark, backend=JdbcBackend(spark, config.jdbc_url()))
+    if backend == "txlog":
+        from unifydb_spark.txlog import LogParquetBackend
+
+        path = config.storage_path()
+        if not path:
+            raise config.ConfigError(
+                "storage-backend txlog requires storage-path"
+            )
+        me = config.get_config("maintain-every")
+        return FactStore(
+            spark,
+            backend=LogParquetBackend(
+                spark,
+                path,
+                protocol=config.commit_protocol(),
+                maintain_every=int(me) if me is not None else None,
+                vacuum_retention_seconds=float(
+                    config.get_config("vacuum-retention-seconds", 3600.0)
+                ),
+                truncate_log=bool(config.get_config("truncate-log", False)),
+            ),
+        )
     raise config.ConfigError(f"unknown storage-backend {backend!r}")
 
 

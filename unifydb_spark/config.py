@@ -123,3 +123,18 @@ def storage_path() -> Optional[str]:
     """Parquet-backend log path (no reference analog; the Spark-native
     durable backend)."""
     return get_config("storage-path")
+
+
+def commit_protocol():
+    """Atomic-publish primitive for the txlog backend: `commit-protocol`
+    posix (link(2) create-exclusive, the default) | conditional-put
+    (object-store conditional-PUT semantics). All handles to one table
+    must use the same protocol (txlog.ConditionalPutProtocol docs)."""
+    name = str(get_config("commit-protocol", "posix")).lower()
+    from unifydb_spark.txlog import ConditionalPutProtocol, PosixLinkProtocol
+
+    if name in ("posix", "link"):
+        return PosixLinkProtocol()
+    if name in ("conditional-put", "s3", "object-store"):
+        return ConditionalPutProtocol()
+    raise ConfigError(f"unknown commit-protocol {name!r}")

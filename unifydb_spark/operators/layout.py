@@ -467,21 +467,35 @@ def zonemap_eq_prune_profile_sql(
     order, same equal-block split, same [min, max] zone maps, same
     equality-probe hit rule. Requires each layout's order_cols to be a
     unique composite (the same determinism contract the DataFrame side
-    documents), so both engines produce the identical numbering."""
+    documents), so both engines produce the identical numbering.
+
+    Value typing follows the PROBE VALUES (the DataFrame side types its
+    value column from pred_col itself): all-string values emit properly
+    escaped VARCHAR literals and no cast on either side of the BETWEEN;
+    anything else keeps the integer profile's BIGINT casts."""
     B = int(n_blocks)
-    vals = ", ".join(f"({v!r})" if isinstance(v, str) else f"({v})" for v in values)
+    str_vals = all(isinstance(v, str) for v in values)
+
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    vals = ", ".join(f"({lit(v)})" for v in values)
+    vcast = "v.value" if str_vals else "CAST(v.value AS BIGINT)"
+    pcast = pred_sql if str_vals else f"CAST({pred_sql} AS BIGINT)"
     arms = []
     for label, order_cols in layouts:
         order = ", ".join(order_cols)
         arms.append(f"""
-          SELECT '{label}' AS layout, CAST(v.value AS BIGINT) AS value,
+          SELECT '{label}' AS layout, {vcast} AS value,
                  CAST(SUM(CASE WHEN v.value BETWEEN b.bmin AND b.bmax
                           THEN 1 ELSE 0 END) AS BIGINT) AS blocks_scanned,
                  CAST(SUM(CASE WHEN v.value BETWEEN b.bmin AND b.bmax
                           THEN b.nrows ELSE 0 END) AS BIGINT) AS rows_scanned
           FROM (
             WITH numbered AS (
-              SELECT CAST({pred_sql} AS BIGINT) AS p,
+              SELECT {pcast} AS p,
                      ROW_NUMBER() OVER (ORDER BY {order}) AS rn,
                      COUNT(*) OVER () AS n
               FROM {table}

@@ -643,6 +643,10 @@ class FactStore:
                 break
         else:
             raise RuntimeError("transact: lost the optimistic-commit race 64 times")
+        # backend-configured maintenance policy (txlog maintain_every):
+        # cheap no-op check when idle, checkpoint+vacuum when due
+        if hasattr(self.backend, "maybe_maintain"):
+            self.backend.maybe_maintain()
         self._schema_cache.clear()
         report = {
             "db_after": self.db(tx_id),

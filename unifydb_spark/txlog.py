@@ -188,6 +188,17 @@ class ConditionalPutProtocol(CommitProtocol):
     contract test: the ENTIRE txlog conflict/crash suite runs against a
     primitive with object-store semantics, proving the protocol above it
     never silently depends on POSIX-only atomicity.
+
+    SAME-PROTOCOL REQUIREMENT: every handle to a given table must use
+    the same protocol. The flock sidecar only serializes writers that
+    go THROUGH it — a PosixLinkProtocol handle's link(2) bypasses the
+    lock entirely, so mixing protocols on one path voids the
+    serialization guarantee (exactly as mixing S3-conditional-PUT
+    clients with posix-mount clients would on a real object store).
+    The `.svc.lock` sidecar lives in `_txlog/` and is intentionally
+    permanent: it is the simulated service, not store state — vacuum
+    and the manifest scanners ignore non-`NNN.json` names, and deleting
+    it while writers hold it open would split the serialization domain.
     """
 
     def __init__(self):
@@ -238,7 +249,13 @@ class LogParquetBackend:
     """
 
     def __init__(
-        self, spark, path: str, protocol: Optional[CommitProtocol] = None
+        self,
+        spark,
+        path: str,
+        protocol: Optional[CommitProtocol] = None,
+        maintain_every: Optional[int] = None,
+        vacuum_retention_seconds: float = 3600.0,
+        truncate_log: bool = False,
     ):
         self.spark = spark
         self.path = path
@@ -247,6 +264,10 @@ class LogParquetBackend:
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         self.protocol = protocol or PosixLinkProtocol()
+        # auto-maintenance policy (see maintain()); None = manual only
+        self.maintain_every = maintain_every
+        self.vacuum_retention_seconds = vacuum_retention_seconds
+        self.truncate_log = truncate_log
         self._writer = f"{socket.gethostname()}:{os.getpid()}"
 
     # ---- log plumbing -----------------------------------------------------
@@ -325,7 +346,15 @@ class LogParquetBackend:
                 return self._read_manifest(v)
             except FileNotFoundError:
                 continue
-        return self._read_manifest(self.log_version())
+        # sustained checkpoint+truncation churn: surface the protocol-level
+        # error, never a raw OSError (callers retry CommitConflict)
+        try:
+            return self._read_manifest(self.log_version())
+        except FileNotFoundError:
+            raise CommitConflict(
+                "head manifest kept vanishing under concurrent "
+                "checkpoint + log truncation"
+            ) from None
 
     def _try_commit(self, manifest: dict, version: int) -> bool:
         """Atomically publish `manifest` as log version `version` via the
@@ -360,6 +389,11 @@ class LogParquetBackend:
             streams[sid] = max(int(epoch), streams.get(sid, -1))
         return {
             "files": files,
+            # rows THIS commit added (None when unknown — e.g. a
+            # checkpoint rewrite); the manifest-level total is the
+            # honest aggregate, per-file entries are all-real (pyarrow
+            # single-file path) or all-None (Spark multi-file staging)
+            "rows": rows_stats.get("n"),
             "max_id": max(p_max, rows_stats["max_id"]),
             "latest_tx": max(p_tx, rows_stats["latest_tx"]),
             "any_retraction": p_retr or rows_stats["any_retraction"],
@@ -384,6 +418,7 @@ class LogParquetBackend:
             "latest_tx": mtx,
             "any_retraction": retr,
             "txs": sorted(txs),
+            "n": len(rows),
         }
 
     def _write_data_file(self, rows: list[tuple]) -> dict:
@@ -494,10 +529,11 @@ class LogParquetBackend:
         skipped without committing — the exactly-once half of the
         streaming transactor (stream.py stream_facts_to_txlog); Spark's
         checkpoint provides the at-least-once half. An EMPTY input
-        commits an explicit zero-file manifest (so an empty micro-batch
-        still records its epoch) unless the store is empty too, in which
-        case it is a pure no-op. Returns True if a commit happened,
-        False if skipped as a replay/no-op."""
+        commits an explicit zero-file manifest ONLY when there is an
+        epoch to record (an empty micro-batch must still advance its
+        stream's epoch); with no stream_epoch an empty frame is a pure
+        no-op — no version churn for a no-op batch write. Returns True
+        if a commit happened, False if skipped as a replay/no-op."""
         from pyspark.sql import functions as F
 
         from unifydb_spark.values import FACT_SCHEMA
@@ -541,12 +577,11 @@ class LogParquetBackend:
             for name in os.listdir(staging):
                 os.unlink(os.path.join(staging, name))
             os.rmdir(staging)
-            if stream_epoch is None and self.log_version() == 0:
+            if stream_epoch is None:
                 return False
             files = []
         else:
             files = self._publish_staged(staging)
-            files[0]["rows"] = agg["n"]
         # bound the distinct-tx set carried in the manifest: 0/1 distinct
         # txs keep the exact value (the `clean` fast path needs only that);
         # more collapse to "multi" anyway.
@@ -556,6 +591,7 @@ class LogParquetBackend:
             "latest_tx": agg["mtx"] or 0,
             "any_retraction": not bool(agg["all_added"]) if agg["n"] else False,
             "txs": sorted(txs)[:2],
+            "n": int(agg["n"]),
         }
         for _ in range(max_retries):
             head_v = self.log_version()
@@ -591,7 +627,13 @@ class LogParquetBackend:
                 return self._live_entries_once(as_of_version)
             except FileNotFoundError:
                 continue
-        return self._live_entries_once(as_of_version)
+        try:
+            return self._live_entries_once(as_of_version)
+        except FileNotFoundError:
+            raise CommitConflict(
+                "manifest listing kept vanishing under concurrent "
+                "checkpoint + log truncation"
+            ) from None
 
     def _live_entries_once(
         self, as_of_version: Optional[int] = None
@@ -682,6 +724,7 @@ class LogParquetBackend:
                     "writer": m.get("writer"),
                     "ts_millis": m.get("ts_millis"),
                     "n_files": len(m["files"]),
+                    "rows": m.get("rows"),
                     "max_id": m["max_id"],
                     "latest_tx": m["latest_tx"],
                     "any_retraction": m["any_retraction"],
@@ -780,6 +823,7 @@ class LogParquetBackend:
             manifest = dict(
                 head,  # cumulative stats of everything being replaced
                 files=ckpt_files + extra_files,
+                rows=None,  # a rewrite ADDS no rows; never inherit head's
                 replaces_all=True,
                 writer=self._writer,
                 ts_millis=int(time.time() * 1000),
@@ -812,7 +856,22 @@ class LogParquetBackend:
         truncated by an aggressive vacuum, or if any of its data files
         were reclaimed (same contract as Delta RESTORE's missing-file
         error — committing a head that references vacuumed files would
-        corrupt the store). Returns the new version."""
+        corrupt the store). Returns the new version.
+
+        TOCTOU guard: the missing-file check above races an aggressive
+        concurrent vacuum — between the existence scan and the CAS, a
+        vacuum past its retention window can reclaim the target's
+        (currently unreferenced) data files, and the CAS would then
+        publish a head naming deleted files. After a successful CAS the
+        file set is re-verified; on loss the store ROLLS FORWARD (a
+        follow-up replaces_all commit re-publishing the pre-restore
+        head's live set) and raises ValueError — readers of the broken
+        intermediate version get the same missing-file failure they
+        would get from any vacuumed time-travel read, and the head is
+        valid again one version later. Operationally: do not run
+        restore concurrently with vacuum(retain_before_checkpoint=
+        False, retention_seconds=0); the default 1h retention window
+        makes the race practically unreachable."""
         try:
             target = self._read_manifest(version)
             files = self._live_entries(as_of_version=version)
@@ -841,6 +900,7 @@ class LogParquetBackend:
             manifest = dict(
                 head,
                 files=files,
+                rows=None,
                 replaces_all=True,
                 any_retraction=target["any_retraction"],
                 tx_state=target["tx_state"],
@@ -849,9 +909,116 @@ class LogParquetBackend:
                 ts_millis=int(time.time() * 1000),
             )
             if self._try_commit(manifest, head_v + 1):
+                lost = [
+                    f["name"]
+                    for f in files
+                    if not os.path.exists(
+                        os.path.join(self.data_dir, f["name"])
+                    )
+                ]
+                if lost:
+                    self._roll_forward(head_v, head_v + 1)
+                    raise ValueError(
+                        f"restore to version {version}: {len(lost)} of "
+                        f"its data files were reclaimed by a concurrent "
+                        f"vacuum mid-restore (e.g. {lost[0]}); the head "
+                        "was rolled forward to the pre-restore state"
+                    )
                 self._write_last_checkpoint(head_v + 1)
                 return head_v + 1
         raise CommitConflict("restore lost the commit race")
+
+    def _roll_forward(self, to_version: int, broken_v: int) -> None:
+        """Re-publish log version `to_version`'s live state as a new
+        replaces_all commit — the recovery path when a just-committed
+        restore turned out to reference vacuumed files. Best-effort
+        bounded CAS (concurrent commits based on the broken head are
+        rolled back with it, exactly like any restore)."""
+        try:
+            target = self._read_manifest(to_version)
+            files = self._live_entries(as_of_version=to_version)
+        except (FileNotFoundError, ValueError, CommitConflict):
+            return  # pre-restore history is gone too; nothing to publish
+        for _ in range(16):
+            head_v = self.log_version()
+            try:
+                head = self._read_manifest(head_v)
+            except FileNotFoundError:
+                continue
+            manifest = dict(
+                head,
+                files=files,
+                rows=None,
+                replaces_all=True,
+                any_retraction=target["any_retraction"],
+                tx_state=target["tx_state"],
+                restored_from=to_version,
+                writer=self._writer,
+                ts_millis=int(time.time() * 1000),
+            )
+            if self._try_commit(manifest, head_v + 1):
+                self._write_last_checkpoint(head_v + 1)
+                return
+
+    def maintain(
+        self,
+        checkpoint_every: int = 64,
+        vacuum_retention_seconds: float = 3600.0,
+        truncate_log: bool = False,
+    ) -> dict:
+        """Config-driven maintenance policy (VERDICT r10 ask #5): the
+        primitives (checkpoint / vacuum) are hardened and fuzzed but
+        nothing scheduled them — without a policy the log listing grows
+        O(all commits ever) and crash orphans are reclaimed only by a
+        manual vacuum. One call applies the policy:
+
+        - CHECKPOINT when >= `checkpoint_every` commits landed since the
+          newest checkpoint (compacts small files AND bounds the
+          manifest scan; with the _last_checkpoint pointer, read cost
+          returns to O(1)-ish after each checkpoint);
+        - VACUUM afterwards with `vacuum_retention_seconds` (crash
+          orphans older than the window are reclaimed; referenced files
+          are never touched). With `truncate_log=True` pre-checkpoint
+          manifests are truncated too — bounded log listing at the cost
+          of time travel past the checkpoint (Delta's
+          logRetentionDuration trade, OFF by default).
+
+        Cheap when idle: one directory listing + one pointer read
+        decide "nothing to do" (no Spark job, no manifest parse), so it
+        is safe to call after every transact — FactStore does exactly
+        that when the backend is constructed with maintain_every
+        (see :class:`LogParquetBackend` / cli storage config). Returns
+        {"checkpointed": version|None, "vacuumed": [names]}.
+
+        Time-travel contract: with the defaults nothing is deleted that
+        any log version references, so history()/facts_df(as_of_version)
+        keep working across maintenance; only truncate_log forfeits
+        pre-checkpoint versions (facts_df then raises on them, the
+        documented vacuum contract)."""
+        head_v = self.log_version()
+        since = head_v - self._read_last_checkpoint()
+        out: dict = {"checkpointed": None, "vacuumed": []}
+        if head_v and since >= int(checkpoint_every):
+            out["checkpointed"] = self.checkpoint()
+            out["vacuumed"] = self.vacuum(
+                retain_before_checkpoint=not truncate_log,
+                retention_seconds=vacuum_retention_seconds,
+            )
+        return out
+
+    def maybe_maintain(self) -> Optional[dict]:
+        """Apply the constructor-configured maintenance policy if one is
+        set (maintain_every); the after-commit hook FactStore.transact
+        calls. No-op (None) when unconfigured or when this handle has no
+        SparkSession (cross-process plain-Python writers can commit but
+        cannot run the checkpoint's rewrite job)."""
+        if not self.maintain_every or self.spark is None:
+            return None
+        return self.maintain(
+            checkpoint_every=self.maintain_every,
+            vacuum_retention_seconds=self.vacuum_retention_seconds,
+            truncate_log=self.truncate_log,
+        )
 
     def vacuum(
         self,
