@@ -4561,6 +4561,23 @@ def r146_ivf_pq_topk(spark, sf_dir):
                        n_queries=8, topk=10)
 
 
+def r147_sessionize_auto(spark, sf_dir):
+    """Skew-routed sessionization (operators/events.py sessionize_auto)
+    — the bucketed path PROMOTED to a default behind a measured-skew
+    heuristic (VERDICT r10 ask #6): one cheap sampled hot-key probe
+    routes to plain sessionize under uniform users (this testdata) or
+    to sessionize_bucketed above a 5% hot-user share (the Zipf(1.2)
+    fixture routes bucketed — scale_stress.py records the decision and
+    the bounded floor: 225,744 -> 817 max task rows). Both routes are
+    result-identical (r139's exactness argument), so the oracle is
+    exactly q34's sessionize_sql regardless of route."""
+    from unifydb_spark.operators.events import sessionize_auto
+
+    return sessionize_auto(
+        _events_ts(spark, sf_dir), gap_minutes=30
+    ).orderBy("user_id", "session_seq")
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4858,6 +4875,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r144_pq_codes": r144_pq_codes,
         "r145_pq_adc_recall": r145_pq_adc_recall,
         "r146_ivf_pq_topk": r146_ivf_pq_topk,
+        "r147_sessionize_auto": r147_sessionize_auto,
     }
 
 
@@ -5759,6 +5777,8 @@ def _operator_oracles() -> dict[str, str]:
             "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
             n_queries=8, topk=10
         ),
+        # route-invariant by construction: both routes share q34's oracle
+        "r147_sessionize_auto": _ev.sessionize_sql(gap_minutes=30),
         "r129_slice_report": _ql.slice_report_sql(
             """(SELECT d.doc_id, d.lang, d.source, g.passes
                 FROM documents d

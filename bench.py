@@ -233,8 +233,10 @@ HEADLINE = [
     "r144_pq_codes",
     "r145_pq_adc_recall",
     # round-11: the IVF+PQ composition (probe nprobe buckets, ADC-score
-    # only the candidates over residual codebooks)
+    # only the candidates over residual codebooks) and the skew-routed
+    # sessionize default (probe + route — plain here, bucketed on Zipf)
     "r146_ivf_pq_topk",
+    "r147_sessionize_auto",
 ]
 
 

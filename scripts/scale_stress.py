@@ -523,6 +523,20 @@ def probe_bucketed(spark, zipf_events_path: str, bucket_hours: int = 24) -> dict
             lambda: sessionize_bucketed(events, 30, bucket_hours)
         ),
     }
+
+    # the auto default (round-11 promotion): record what the measured-skew
+    # heuristic decides on this fixture, and that its result is identical
+    from unifydb_spark.operators.events import hot_key_share, sessionize_auto
+
+    share = hot_key_share(events, ["user_id"])
+    auto = sessionize_auto(events, 30, bucket_hours)
+    out["auto_route"] = {
+        "hot_user_share": round(share, 4),
+        "threshold": 0.05,
+        "routed": "bucketed" if share > 0.05 else "plain",
+        "auto_rows": auto.count(),
+        "auto_minus_plain": auto.exceptAll(plain).count(),
+    }
     events.unpersist()
     return out
 

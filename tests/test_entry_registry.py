@@ -126,3 +126,17 @@ def test_bench_regression_adjudication(tmp_path):
     # no reference file -> no flags, never an error
     bench.REF_PATH = str(tmp_path / "missing.json")
     assert bench._adjudicate_regressions({"q01_pricing_summary": 9.9}) == ([], None)
+
+
+def test_scale_sf1_count_pinned_to_registry():
+    """VERDICT r10 ask #3: SCALE_SF1.md's §3b coverage claim must track
+    the registry size — the artifact can never silently go stale against
+    len(queries()) again."""
+    entry = _load_entry()
+    text = (REPO / "SCALE_SF1.md").read_text()
+    n = len(entry.queries())
+    assert f"all {n} registry entries" in text, (
+        f"SCALE_SF1.md §3b must claim sf1 evidence for 'all {n} registry "
+        "entries' (= len(queries())); update the artifact WITH the sf1 "
+        "evidence when adding entries"
+    )

@@ -637,3 +637,44 @@ def test_sessionize_bucketed_property_fuzz(spark):
         assert plain == bucketed
 
     check()
+
+
+def test_sessionize_auto_routes_by_measured_skew(spark):
+    """VERDICT r10 ask #6: the auto default routes PLAIN under uniform
+    keys and BUCKETED when one user exceeds the hot-share threshold —
+    and both routes return the identical result (r139's invariance)."""
+    import datetime as dt
+
+    from unifydb_spark.operators.events import (
+        hot_key_share,
+        sessionize,
+        sessionize_auto,
+        sessionize_bucketed,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    uniform = [
+        (i % 40, base + dt.timedelta(minutes=7 * i), i, 1.0)
+        for i in range(400)
+    ]
+    # one user owns ~60% of events, spread over days (bucketable)
+    skewed = [
+        (0 if i % 5 < 3 else i % 5, base + dt.timedelta(minutes=41 * i), i, 1.0)
+        for i in range(400)
+    ]
+    cols = ["user_id", "ts", "event_id", "value"]
+    udf_ = spark.createDataFrame(uniform, cols)
+    sdf = spark.createDataFrame(skewed, cols)
+
+    assert hot_key_share(udf_, ["user_id"]) <= 0.05
+    assert hot_key_share(sdf, ["user_id"]) > 0.05
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # uniform -> plain route, identical to sessionize
+    assert rows(sessionize_auto(udf_)) == rows(sessionize(udf_))
+    # skewed -> bucketed route, identical to BOTH variants
+    got = rows(sessionize_auto(sdf, bucket_hours=6))
+    assert got == rows(sessionize_bucketed(sdf, 30, 6))
+    assert got == rows(sessionize(sdf))

@@ -1949,3 +1949,25 @@ def test_ivf_pq_topk_matches_duckdb(spark):
             ).tolist(), (residual, c)
         assert (got["n_candidates"] < got["n_total"]).all()
         assert (got["n_total"] == 60).all()
+
+
+def test_source_cap_auto_routes_by_measured_skew(spark):
+    """source_cap_auto picks the salted two-phase top-k under domain
+    skew and plain under uniform domains — result identical either way
+    (the source_cap invariance argument)."""
+    from unifydb_spark.operators.quality import source_cap, source_cap_auto
+
+    uniform = [(i, f"s{i % 25}", 100 + (i * 7) % 50) for i in range(500)]
+    skewed = [
+        (i, "hot.example" if i % 2 == 0 else f"s{i % 25}", 100 + (i * 7) % 50)
+        for i in range(500)
+    ]
+    cols = ["doc_id", "source", "n_chars"]
+
+    for rows_in in (uniform, skewed):
+        df = spark.createDataFrame(rows_in, cols)
+        got = sorted(map(tuple, source_cap_auto(df, cap=5).collect()))
+        want = sorted(map(tuple, source_cap(df, cap=5, n_salts=1).collect()))
+        assert got == want
+        salted = sorted(map(tuple, source_cap(df, cap=5, n_salts=32).collect()))
+        assert got == salted

@@ -1619,6 +1619,33 @@ def source_cap(
     )
 
 
+def source_cap_auto(
+    docs: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+    hot_share_threshold: float = 0.05,
+    n_salts: int = 32,
+    sample_fraction: float = 0.02,
+    seed: int = 7,
+) -> DataFrame:
+    """Skew-routed :func:`source_cap` — the production default (VERDICT
+    r10 ask #6). One cheap hot-key probe (events.hot_key_share on the
+    source column) picks the route: plain per-source top-k under uniform
+    domains, the salted two-phase top-k (result-identical by the
+    invariance argument in :func:`source_cap`, property-fuzzed) when one
+    domain exceeds `hot_share_threshold` of the corpus. n_salts=32
+    follows the measured oversampling rule (SCALE_SF1 §2: salts must
+    oversample ~4x beyond hot_share * n_partitions or the shards
+    re-collide under the reducer hash)."""
+    from unifydb_spark.operators.events import hot_key_share
+
+    share = hot_key_share(docs, [source_col], sample_fraction, seed)
+    chosen = int(n_salts) if share > float(hot_share_threshold) else 1
+    return source_cap(docs, cap, source_col, score_col, id_col, chosen)
+
+
 def source_cap_report(
     docs: DataFrame,
     cap: int,
