@@ -1590,6 +1590,74 @@ def ivf_pq_topk(
     )
 
     # ---- per-subspace L2 k-means over residuals, batched like r144 ----
+    codes, cb = _pq_train(rex, n_centroids, k, iters)
+    cb = F.broadcast(cb)
+
+    # ---- search: probe -> candidates -> ADC score -> top-k ----
+    qex = tracked_persist(
+        ex.filter(F.col("vid") < n_queries).select(
+            F.col("vid").alias("query_id"), "d", F.col("x").alias("qx")
+        )
+    )
+    cand = probes.join(assigned, "centroid_id").select(
+        "query_id", "centroid_id", F.col("vid").alias("nid")
+    )
+    ncand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    scored = _adc_scored(codes, cb, cex, cand, qex, residual, "vid")
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("nid")
+    )
+    adc_top = (
+        scored.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= topk)
+        .select("query_id", "nid")
+    )
+    exact = (
+        qex.join(ex.select(F.col("vid").alias("nid"), "d", "x"), "d")
+        .groupBy("query_id", "nid")
+        .agg(
+            F.sum((F.col("qx") * F.col("x")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    exact_top = (
+        exact.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= topk)
+        .select("query_id", "nid")
+    )
+    n_total = emb.count()
+    return (
+        adc_top.join(exact_top, ["query_id", "nid"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+        .join(ncand, "query_id", "right")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            F.lit(int(topk)).cast("bigint").alias("topk"),
+            F.col("n_candidates"),
+            F.lit(int(n_total)).cast("bigint").alias("n_total"),
+        )
+    )
+
+
+def _pq_train(
+    rex: DataFrame, n_centroids: int, k: int, iters: int
+) -> "tuple[DataFrame, DataFrame]":
+    """The residual-PQ training kernel shared by :func:`ivf_pq_topk`
+    (oracle-graded) and :func:`ivf_pq_index_write` (persisted index) —
+    one code path. Input `rex`: exploded residuals (vid, centroid_id,
+    d, subspace, sd, rx). Per-subspace L2 k-means, all m subspaces in
+    one batched job set (subspace as a key); init = the residuals of
+    ids [n_centroids, n_centroids + k) — the first k ids whose
+    residuals are not identically zero (ids < n_centroids ARE the
+    coarse centroids). Returns (codes, codebook): codes (vid, subspace,
+    code); codebook = mean residual of each code's members at full-dim
+    coordinates (subspace, code, d, mval) — one more deterministic
+    update past the final assignment, the r145 pattern."""
     cent = (
         rex.filter(
             (F.col("vid") >= n_centroids) & (F.col("vid") < n_centroids + k)
@@ -1633,7 +1701,9 @@ def ivf_pq_topk(
         if it < iters - 1:
             cent = (
                 rex.join(
-                    codes.select("vid", "subspace", F.col("code").alias("cluster")),
+                    codes.select(
+                        "vid", "subspace", F.col("code").alias("cluster")
+                    ),
                     ["vid", "subspace"],
                 )
                 .groupBy("subspace", "cluster", "sd")
@@ -1645,10 +1715,7 @@ def ivf_pq_topk(
                 )
                 .localCheckpoint()
             )
-    # ADC codebook = mean residual of each code's members (one more
-    # deterministic update past the final assignment — the r145 pattern),
-    # kept at full-dim coordinates for the reconstruction join
-    cb = F.broadcast(
+    cb = (
         rex.join(codes, ["vid", "subspace"])
         .groupBy("subspace", "code", "d")
         .agg(
@@ -1658,32 +1725,30 @@ def ivf_pq_topk(
             ).alias("mval")
         )
     )
+    return codes, cb
 
-    # ---- search: probe -> candidates -> ADC score -> top-k ----
-    qex = tracked_persist(
-        ex.filter(F.col("vid") < n_queries).select(
-            F.col("vid").alias("query_id"), "d", F.col("x").alias("qx")
-        )
-    )
-    # coarse term q·c per (query, probed centroid): nprobe rows per query
-    qc = (
-        qex.join(cex, "d")
-        .groupBy("query_id", "centroid_id")
-        .agg(
-            F.sum((F.col("qx") * F.col("cx")).cast("decimal(38,18)"))
-            .cast("double")
-            .alias("qcdot")
-        )
-    ) if residual else None
-    cand = probes.join(assigned, "centroid_id").select(
-        "query_id", "centroid_id", F.col("vid").alias("nid")
-    )
-    ncand = cand.groupBy("query_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
-    )
-    recon = codes.select(F.col("vid").alias("nid"), "subspace", "code").join(
-        cb, ["subspace", "code"]
-    )
+
+def _adc_scored(
+    codes: DataFrame,
+    cb: DataFrame,
+    cex: DataFrame,
+    cand: DataFrame,
+    qex: DataFrame,
+    residual: bool,
+    code_id_col: str,
+) -> DataFrame:
+    """The ADC scoring kernel shared by :func:`ivf_pq_topk` (the
+    oracle-graded evaluation) and :func:`ivf_pq_search` (the persisted
+    production path) — ONE code path, so the persisted index provably
+    scores with the math the r146 oracle certifies. Inputs: `codes`
+    (code_id_col, subspace, code), `cb` codebook (subspace, code, d,
+    mval), `cex` exploded centroids (centroid_id, d, cx), `cand`
+    candidates (query_id, centroid_id, nid), `qex` exploded queries
+    (query_id, d, qx). Output: (query_id, nid, score) with score =
+    q·c + q·r̂ (residual) or q·x̂ (raw), DECIMAL folds, double add."""
+    recon = codes.select(
+        F.col(code_id_col).alias("nid"), "subspace", "code"
+    ).join(cb, ["subspace", "code"])
     rdot = (
         cand.join(recon, "nid")
         .join(qex, ["query_id", "d"])
@@ -1694,48 +1759,209 @@ def ivf_pq_topk(
             .alias("rdot")
         )
     )
-    scored = (
-        rdot.join(qc, ["query_id", "centroid_id"]).withColumn(
-            "score", F.col("qcdot") + F.col("rdot")
+    if not residual:
+        return rdot.select(
+            "query_id", "nid", F.col("rdot").alias("score")
         )
-        if residual
-        else rdot.withColumn("score", F.col("rdot"))
+    qc = (
+        qex.join(cex, "d")
+        .groupBy("query_id", "centroid_id")
+        .agg(
+            F.sum((F.col("qx") * F.col("cx")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("qcdot")
+        )
     )
+    return rdot.join(qc, ["query_id", "centroid_id"]).select(
+        "query_id", "nid", (F.col("qcdot") + F.col("rdot")).alias("score")
+    )
+
+
+def ivf_pq_index_write(
+    emb: DataFrame,
+    path: str,
+    n_centroids: "int | None" = None,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    residual: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> dict:
+    """Persist the IVF-PQ index — the production shape (index once,
+    query many; FAISS's IVFADC on disk, lakehouse-style):
+
+    - ``<path>/codes``    one row per (vector, subspace) with its 4-bit
+      code, **Hive-partitioned by centroid_id** — a probe that filters
+      on bucket ids becomes a partition-PRUNED scan (only
+      nprobe/n_centroids of the files are even opened; asserted on plan
+      shape + scan metrics by tests/test_scale_proofs.py), the same
+      contract as :func:`ivf_assign_partitioned`;
+    - ``<path>/codebook`` the m x k sub-codebooks at full-dim
+      coordinates (m*k*dim rows — broadcast-sized at any corpus scale);
+    - ``<path>/centroids`` the exploded coarse centroids (for probe
+      ranking and the q·c ADC term).
+
+    At 100 TB the codes table is the ONLY data-scale relation and it is
+    16x smaller than the vectors (m ceil(log2 k)-bit codes vs dim
+    floats); searches never touch the raw embeddings. Returns the
+    metadata dict (paths + parameters) that :func:`ivf_pq_search`
+    consumes."""
+    if n_centroids is None:
+        n_centroids = auto_k(emb.count(), IVF_CENTROID_DIVISOR, lo=16)
+    sub = dim // m
+    from unifydb_spark.resources import persist_scope
+
+    with persist_scope():
+        v = with_norm(emb, id_col, vec_col)
+        cents = F.broadcast(
+            v.filter(F.col(id_col) < n_centroids).select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("cvec"),
+                F.col("n2").alias("cn2"),
+            )
+        )
+        cdot = _dot(F.col("cvec"), F.col(vec_col))
+        ccos = cdot / (F.sqrt(F.col("cn2")) * F.sqrt(F.col("n2")))
+        wv = Window.partitionBy("vid").orderBy(
+            F.col("ccos").desc(), F.col("centroid_id")
+        )
+        from unifydb_spark.resources import tracked_persist
+
+        assigned = tracked_persist(
+            v.crossJoin(cents)
+            .select(
+                F.col(id_col).alias("vid"), "centroid_id", ccos.alias("ccos")
+            )
+            .withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("vid", "centroid_id")
+        )
+        ex = tracked_persist(
+            emb.select(
+                F.col(id_col).alias("vid"),
+                F.posexplode(F.col(vec_col)).alias("d", "x"),
+            ).withColumn("x", F.col("x").cast("double"))
+        )
+        cex = ex.filter(F.col("vid") < n_centroids).select(
+            F.col("vid").alias("centroid_id"), "d", F.col("x").alias("cx")
+        )
+        rx = (F.col("x") - F.col("cx")) if residual else F.col("x")
+        rex = tracked_persist(
+            ex.join(assigned, "vid")
+            .join(F.broadcast(cex), ["centroid_id", "d"])
+            .select(
+                "vid",
+                "centroid_id",
+                "d",
+                F.expr(f"d DIV {sub}").alias("subspace"),
+                F.expr(f"d % {sub}").alias("sd"),
+                rx.alias("rx"),
+            )
+        )
+        codes, cb = _pq_train(rex, n_centroids, k, iters)
+        (
+            codes.join(assigned, "vid")
+            .select("vid", "subspace", "code", "centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{path}/codes")
+        )
+        cb.write.mode("overwrite").parquet(f"{path}/codebook")
+        cex.write.mode("overwrite").parquet(f"{path}/centroids")
+    return {
+        "path": path,
+        "n_centroids": int(n_centroids),
+        "m": m,
+        "k": k,
+        "iters": iters,
+        "residual": bool(residual),
+        "dim": dim,
+    }
+
+
+def ivf_pq_search(
+    queries: DataFrame,
+    index: dict,
+    nprobe: int = 4,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the persisted IVF-PQ index: rank the broadcast-sized
+    centroid table per query (nprobe probes), then scan ONLY the probed
+    buckets' code partitions — the probe list is pushed as a literal
+    partition filter (it is query metadata, n_queries x nprobe ids, the
+    same driver-side planning any partition-pruned scan does) — and
+    ADC-score the candidates with the SAME :func:`_adc_scored` kernel
+    the oracle-graded r146 runs. Returns (query_id, rank, neighbor_id,
+    score)."""
+    spark = queries.sparkSession
+    path, dim = index["path"], index["dim"]
+    residual = index["residual"]
+    cex = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    cb = F.broadcast(spark.read.parquet(f"{path}/codebook"))
+    qex = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(F.col(vec_col)).alias("d", "qx"),
+    ).withColumn("qx", F.col("qx").cast("double"))
+    from unifydb_spark.resources import tracked_persist
+
+    qex = tracked_persist(qex)
+    # probe ranking by cosine against the broadcast centroids (decimal
+    # folds over exploded dims — order-independent)
+    qn = qex.groupBy("query_id").agg(
+        F.sum((F.col("qx") * F.col("qx")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("qn2")
+    )
+    cn = cex.groupBy("centroid_id").agg(
+        F.sum((F.col("cx") * F.col("cx")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("cn2")
+    )
+    qcdots = (
+        qex.join(cex, "d")
+        .groupBy("query_id", "centroid_id")
+        .agg(
+            F.sum((F.col("qx") * F.col("cx")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("dot")
+        )
+        .join(qn, "query_id")
+        .join(cn, "centroid_id")
+        .withColumn("qccos", F.col("dot") / (F.sqrt("qn2") * F.sqrt("cn2")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qccos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        qcdots.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    # the probed bucket ids are metadata (n_queries x nprobe ints); as a
+    # LITERAL isin filter they reach the codes scan as PartitionFilters
+    bucket_ids = sorted(
+        {r["centroid_id"] for r in probes.collect()}
+    )
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("centroid_id").isin(bucket_ids)
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(codes.select("vid", "centroid_id").distinct(), "centroid_id")
+        .select("query_id", "centroid_id", F.col("vid").alias("nid"))
+    )
+    scored = _adc_scored(codes, cb, cex, cand, qex, residual, "vid")
     wt = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("nid")
     )
-    adc_top = (
-        scored.withColumn("rn", F.row_number().over(wt))
-        .filter(F.col("rn") <= topk)
-        .select("query_id", "nid")
-    )
-    exact = (
-        qex.join(ex.select(F.col("vid").alias("nid"), "d", "x"), "d")
-        .groupBy("query_id", "nid")
-        .agg(
-            F.sum((F.col("qx") * F.col("x")).cast("decimal(38,18)"))
-            .cast("double")
-            .alias("score")
-        )
-    )
-    exact_top = (
-        exact.withColumn("rn", F.row_number().over(wt))
-        .filter(F.col("rn") <= topk)
-        .select("query_id", "nid")
-    )
-    n_total = emb.count()
     return (
-        adc_top.join(exact_top, ["query_id", "nid"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
-        .join(ncand, "query_id", "right")
-        .select(
-            "query_id",
-            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
-            F.lit(int(topk)).cast("bigint").alias("topk"),
-            F.col("n_candidates"),
-            F.lit(int(n_total)).cast("bigint").alias("n_total"),
-        )
+        scored.withColumn("rank", F.row_number().over(wt))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", F.col("nid").alias("neighbor_id"), "score")
     )
 
 
