@@ -237,6 +237,9 @@ HEADLINE = [
     # sessionize default (probe + route — plain here, bucketed on Zipf)
     "r146_ivf_pq_topk",
     "r147_sessionize_auto",
+    # the production ANN path: amortized index build (untimed prepare),
+    # timed partition-pruned probe + ADC scan — the x01 pattern
+    "x02_ivf_pq_search",
 ]
 
 
@@ -273,9 +276,40 @@ def _prepare_incremental_ingest(spark, sf_dir):
     return run
 
 
+def _prepare_ivf_pq_search(spark, sf_dir):
+    """Untimed prepare: persist the IVF-PQ index (codes partitioned by
+    centroid bucket); timed = the production search path — probe
+    ranking + partition-pruned ADC scan (round-11 composition)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from unifydb_spark.operators.similarity import (
+        ivf_pq_index_write,
+        ivf_pq_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = os.path.join(tempfile.gettempdir(), "bench_ivfpq_index")
+    shutil.rmtree(path, ignore_errors=True)
+    idx = ivf_pq_index_write(emb, path)
+
+    def run(spark, sf_dir):
+        queries = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+            F.col("vec_id") < 8
+        )
+        return ivf_pq_search(queries, idx, nprobe=4, topk=10)
+
+    return run
+
+
 # name -> prepare(spark, sf_dir) -> timed callable; for benched paths whose
 # production cost profile splits into amortized build + per-batch run
-PREPARED = {"x01_incremental_ingest": _prepare_incremental_ingest}
+PREPARED = {
+    "x01_incremental_ingest": _prepare_incremental_ingest,
+    "x02_ivf_pq_search": _prepare_ivf_pq_search,
+}
 
 # Pinned noise canary: cheap pure-Column queries (scan -> filter/agg, no
 # Python, no iteration) whose runtime is dominated by the machine, not the
