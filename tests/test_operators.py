@@ -1971,3 +1971,52 @@ def test_source_cap_auto_routes_by_measured_skew(spark):
         assert got == want
         salted = sorted(map(tuple, source_cap(df, cap=5, n_salts=32).collect()))
         assert got == salted
+
+
+def test_ivf_pq_refine_matches_duckdb(spark):
+    """The ADC->exact-refine ladder (r148) matches its DuckDB twin on a
+    small deterministic corpus, and refine can only HELP: per query the
+    refined overlap >= the plain ADC overlap at identical probes (the
+    shortlist contains ADC's top-k by construction)."""
+    import duckdb
+    import pandas as pd
+    from unifydb_spark.operators.similarity import (
+        ivf_pq_refine_topk,
+        ivf_pq_refine_topk_sql,
+        ivf_pq_topk,
+    )
+
+    rows = [
+        (i, [float(((i * 11 + j * 5) % 23) - 11) / 4.0 for j in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    duckdb.register("emb_refine", pdf)
+
+    kw = dict(n_centroids=8, nprobe=3, m=4, k=4, iters=2, n_queries=4,
+              topk=5, dim=8)
+    got = (
+        ivf_pq_refine_topk(df, refine=15, **kw)
+        .toPandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(ivf_pq_refine_topk_sql("emb_refine", refine=15, **kw))
+        .df()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    cols = ("query_id", "n_overlap", "topk", "n_candidates", "n_refined",
+            "n_total")
+    for c in cols:
+        assert got[c].astype("int64").tolist() == want[c].astype(
+            "int64"
+        ).tolist(), c
+    plain = {
+        r["query_id"]: r["n_overlap"]
+        for r in ivf_pq_topk(df, **kw).collect()
+    }
+    for _, r in got.iterrows():
+        assert r["n_overlap"] >= plain[r["query_id"]]
