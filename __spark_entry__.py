@@ -4588,9 +4588,13 @@ def r148_ivf_pq_refine(spark, sf_dir):
     the true neighbors INTO a 5x-topk shortlist, not rank them:
     measured overlap@10 sums jump 40->74 (sf0.001), 36->71 (sf0.01),
     23->56 (sf0.1), 80->80 (sf1) of 80 vs plain ADC at identical
-    probes — the residual loss is IVF probe misses (true neighbors
-    outside the 4 probed buckets), i.e. the nprobe recall ceiling, not
-    quantization. Graded with n_candidates/n_refined/n_total columns."""
+    probes. The two knobs decompose cleanly (measured, SCALE_SF1.md):
+    at sf0.1, 78 of the 80 true neighbors sit in the query's RANK-1
+    bucket, so nprobe 1->8 moves nothing — the residual loss is ADC
+    distortion pushing true neighbors below the shortlist cut, and
+    DEEPENING refine recovers it (50->100->127: 56->73->78 of 80, the
+    probe ceiling). Graded with n_candidates/n_refined/n_total
+    columns at the fixed defaults (refine=50, nprobe=4)."""
     from unifydb_spark.operators.similarity import ivf_pq_refine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
