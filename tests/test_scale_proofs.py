@@ -570,3 +570,33 @@ def test_ivf_pq_persisted_search_is_partition_pruned(spark, emb, tmp_path):
         for qid, rs in by_q.items()
     }
     assert got_overlap == mem, "persisted search diverged from the graded operator"
+
+
+def test_ivf_pq_search_out_of_corpus_queries(spark, emb, tmp_path):
+    """The serving case: query vectors that are NOT corpus members.
+    Search must probe, scan only those buckets, and return full top-k
+    rankings for every query."""
+    from unifydb_spark.operators.similarity import (
+        ivf_pq_index_write,
+        ivf_pq_search,
+    )
+
+    idx = ivf_pq_index_write(
+        emb, str(tmp_path / "ivfpq_ooc"), n_centroids=8, m=8, k=8, iters=2
+    )
+    # perturb three corpus vectors into new ids far outside the corpus
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 1.01 + 0.001
+        ).alias("embedding"),
+    )
+    rows = ivf_pq_search(queries, idx, nprobe=2, topk=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {1_000_000, 1_000_001, 1_000_002}
+    for qid, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == [1, 2, 3, 4, 5]
+        # a barely-perturbed query's nearest neighbor is its source
+        assert min(rs, key=lambda r: r["rank"])["neighbor_id"] == qid - 1_000_000
