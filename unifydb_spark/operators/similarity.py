@@ -1881,6 +1881,125 @@ def ivf_pq_index_write(
     }
 
 
+def ivf_pq_index_append(
+    new_emb: DataFrame,
+    index: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally GROW the persisted IVF-PQ index (the x01-style
+    daily-ingest shape applied to ANN): new vectors are coarse-assigned
+    against the index's FROZEN centroids, their residuals encoded with
+    the FROZEN sub-codebooks (argmin L2 over the k codewords per
+    subspace — cn2 - 2·dot, ties to the lower code), and the code rows
+    appended to the bucket-partitioned codes table. No retraining, no
+    touch of existing rows: cost is O(new vectors), the corpus index is
+    hash-built once and amortized — exactly how FAISS's IVFADC `add`
+    works after `train`. Searches over the grown index keep the same
+    partition-pruned plan. Returns the number of vectors appended.
+
+    Codebook staleness is the standard trade (also FAISS's): frozen
+    codebooks quantize drifted data less tightly, so recall on the NEW
+    slice degrades gracefully until a periodic rebuild — the
+    checkpoint/compaction story of the txlog, applied to the index."""
+    spark = new_emb.sparkSession
+    path, dim, m = index["path"], index["dim"], index["m"]
+    residual = index["residual"]
+    sub = dim // m
+    from unifydb_spark.resources import persist_scope, tracked_persist
+
+    with persist_scope():
+        cex = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+        cb = F.broadcast(spark.read.parquet(f"{path}/codebook"))
+        ex = tracked_persist(
+            new_emb.select(
+                F.col(id_col).alias("vid"),
+                F.posexplode(F.col(vec_col)).alias("d", "x"),
+            ).withColumn("x", F.col("x").cast("double"))
+        )
+        n_new = ex.select("vid").distinct().count()
+        # coarse assign vs the frozen centroids (decimal-fold cosine)
+        vn = ex.groupBy("vid").agg(
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("vn2")
+        )
+        cn = cex.groupBy("centroid_id").agg(
+            F.sum((F.col("cx") * F.col("cx")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("cn2")
+        )
+        ccos = (
+            ex.join(cex, "d")
+            .groupBy("vid", "centroid_id")
+            .agg(
+                F.sum((F.col("x") * F.col("cx")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("dot")
+            )
+            .join(vn, "vid")
+            .join(cn, "centroid_id")
+            .withColumn("c", F.col("dot") / (F.sqrt("vn2") * F.sqrt("cn2")))
+        )
+        assigned = (
+            ccos.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vid").orderBy(
+                        F.col("c").desc(), F.col("centroid_id")
+                    )
+                ),
+            )
+            .filter("rn = 1")
+            .select("vid", "centroid_id")
+        )
+        rx = (F.col("x") - F.col("cx")) if residual else F.col("x")
+        rex = tracked_persist(
+            ex.join(assigned, "vid")
+            .join(cex, ["centroid_id", "d"])
+            .select(
+                "vid",
+                "centroid_id",
+                "d",
+                F.expr(f"d DIV {sub}").alias("subspace"),
+                rx.alias("rx"),
+            )
+        )
+        # encode vs the frozen codebooks: argmin ||r - codeword||^2
+        cbn = cb.groupBy("subspace", "code").agg(
+            F.sum((F.col("mval") * F.col("mval")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("cn2")
+        )
+        dots = (
+            rex.join(cb, ["subspace", "d"])
+            .groupBy("vid", "centroid_id", "subspace", "code")
+            .agg(
+                F.sum((F.col("rx") * F.col("mval")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("dot")
+            )
+        )
+        codes = (
+            dots.join(F.broadcast(cbn), ["subspace", "code"])
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vid", "subspace").orderBy(
+                        (F.col("cn2") - 2.0 * F.col("dot")).asc(),
+                        F.col("code"),
+                    )
+                ),
+            )
+            .filter("rn = 1")
+            .select("vid", "subspace", "code", "centroid_id")
+        )
+        codes.write.mode("append").partitionBy("centroid_id").parquet(
+            f"{path}/codes"
+        )
+    return int(n_new)
+
+
 def ivf_pq_search(
     queries: DataFrame,
     index: dict,
