@@ -1901,7 +1901,14 @@ def ivf_pq_index_append(
     Codebook staleness is the standard trade (also FAISS's): frozen
     codebooks quantize drifted data less tightly, so recall on the NEW
     slice degrades gracefully until a periodic rebuild — the
-    checkpoint/compaction story of the txlog, applied to the index."""
+    checkpoint/compaction story of the txlog, applied to the index.
+
+    Durability scope: this is a plain parquet append (distinct part
+    files; safe for a single appender, visible to readers immediately)
+    — an index is derived, rebuildable state, so it does not get the
+    fact log's ACID manifest protocol. A deployment needing
+    transactional index growth commits the codes table through
+    txlog.LogParquetBackend.bulk_append_df instead."""
     spark = new_emb.sparkSession
     path, dim, m = index["path"], index["dim"], index["m"]
     residual = index["residual"]
