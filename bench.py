@@ -293,8 +293,12 @@ def _prepare_ivf_pq_search(spark, sf_dir):
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    path = os.path.join(tempfile.gettempdir(), "bench_ivfpq_index")
-    shutil.rmtree(path, ignore_errors=True)
+    # per-run unique dir: two concurrent bench runs on one host must not
+    # clobber each other's index mid-run (a fixed path did exactly that)
+    path = tempfile.mkdtemp(prefix="bench_ivfpq_index_")
+    import atexit
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     idx = ivf_pq_index_write(emb, path)
 
     def run(spark, sf_dir):

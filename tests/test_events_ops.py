@@ -678,3 +678,25 @@ def test_sessionize_auto_routes_by_measured_skew(spark):
     got = rows(sessionize_auto(sdf, bucket_hours=6))
     assert got == rows(sessionize_bucketed(sdf, 30, 6))
     assert got == rows(sessionize(sdf))
+
+
+def test_hot_key_share_fallback_scales_on_estimated_corpus(spark):
+    """ADVICE r11: the exact fallback triggers on the ESTIMATED CORPUS
+    size (sample rows / fraction), not the raw sample size — a corpus
+    just under the old 20k-sample bar no longer pays both a sampled AND
+    a full exact scan. Tiny corpora still get the exact pass."""
+    from unifydb_spark.operators.events import hot_key_share
+
+    # tiny corpus (est corpus 100/0.5 = 200 < 20k): exact fallback, so
+    # the share is the true 40/100 regardless of sampling noise
+    rows = [(0 if i % 5 < 2 else i,) for i in range(100)]
+    tiny = spark.createDataFrame(rows, ["user_id"])
+    assert abs(hot_key_share(tiny, ["user_id"], 0.5) - 0.4) < 1e-9
+
+    # 30k-row corpus sampled at 50%: est corpus 30k >= 20k, so the probe
+    # TRUSTS the ~15k-row sample (old rule: 15k < 20k -> full rescan).
+    # The sampled estimate must still rank the 33% hot key clearly.
+    big_rows = [(0 if i % 3 == 0 else i,) for i in range(30_000)]
+    big = spark.createDataFrame(big_rows, ["user_id"])
+    share = hot_key_share(big, ["user_id"], 0.5)
+    assert 0.25 < share < 0.42  # sampled, noisy — but decisively hot

@@ -640,3 +640,42 @@ def test_ivf_pq_index_append_grows_index_searchably(spark, emb, tmp_path):
     res0 = ivf_pq_search(emb.filter(F.col("vec_id") == 0), idx, nprobe=2,
                          topk=5).collect()
     assert min(res0, key=lambda r: r["rank"])["neighbor_id"] == 0
+
+
+def test_ivf_pq_index_append_dedup_guard_skips_existing_vids(
+    spark, emb, tmp_path
+):
+    """ADVICE r11: re-appending vec_ids already in the index would give
+    them duplicate (vid, subspace) code rows, which _adc_scored's recon
+    join SUMS — silently inflating those neighbors' scores. The default
+    dedup_guard anti-joins incoming vids against the codes table, so an
+    overlapping batch appends only the truly-new vectors and search
+    results are identical to a clean append."""
+    from unifydb_spark.operators.similarity import (
+        ivf_pq_index_append,
+        ivf_pq_index_write,
+        ivf_pq_search,
+    )
+
+    base = emb.filter(F.col("vec_id") < 400)
+    idx = ivf_pq_index_write(
+        base, str(tmp_path / "ivfpq_dedup"), n_centroids=8, m=8, k=8, iters=2
+    )
+    # batch overlaps the base corpus: 350..399 already indexed, 400..449 new
+    overlap = emb.filter((F.col("vec_id") >= 350) & (F.col("vec_id") < 450))
+    assert ivf_pq_index_append(overlap, idx) == 50
+    codes = spark.read.parquet(f"{idx['path']}/codes")
+    # every vid has exactly m code rows — no duplicates anywhere
+    dup = (
+        codes.groupBy("vid", "subspace").count().filter("count > 1").count()
+    )
+    assert dup == 0
+    assert codes.select("vid").distinct().count() == 450
+    # re-appending the same batch is a no-op
+    assert ivf_pq_index_append(overlap, idx) == 0
+    assert spark.read.parquet(f"{idx['path']}/codes").count() == 450 * idx["m"]
+    # and search still ranks a base vector's own bucket sanely
+    res = ivf_pq_search(
+        emb.filter(F.col("vec_id") == 360), idx, nprobe=2, topk=5
+    ).collect()
+    assert 360 in {r["neighbor_id"] for r in res}

@@ -897,3 +897,94 @@ def test_restore_rolls_forward_on_concurrent_vacuum_race(spark, tmp_path):
     head = backend.history(limit=1)[0]
     assert head["operation"] == "restore"  # the roll-forward commit
     assert backend.log_version() >= 5  # v4 broken restore + v5 roll-fwd
+
+
+def test_roll_forward_failure_wording_reports_broken_head(spark, tmp_path):
+    """ADVICE r11: when the TOCTOU recovery's own CAS is exhausted (or
+    the pre-restore history is gone), restore() must NOT claim 'the head
+    was rolled forward' — the message states the head is still broken."""
+    path = str(tmp_path / "facts")
+    backend = LogParquetBackend(spark, path)
+    backend.append(
+        [(1, "n", "long", 1, None, None, None, None, None, None, 1, True)]
+    )
+    backend.append(
+        [(2, "n", "long", 2, None, None, None, None, None, None, 2, True)]
+    )
+    backend.checkpoint()
+    target_files = [f["name"] for f in backend._live_entries(as_of_version=1)]
+    real_commit = backend._try_commit
+
+    def racing_commit(manifest, version):
+        for name in target_files:
+            try:
+                os.unlink(os.path.join(backend.data_dir, name))
+            except FileNotFoundError:
+                pass
+        return real_commit(manifest, version)
+
+    backend._try_commit = racing_commit
+    backend._roll_forward = lambda *a, **k: False  # recovery exhausted
+    with pytest.raises(ValueError, match="roll-forward FAILED"):
+        backend.restore(1)
+
+
+def test_conditional_put_sidecar_harmless_to_maintenance(spark, tmp_path):
+    """VERDICT r11 ask #8: the ConditionalPut `.svc.lock` sidecar (the
+    simulated object-store serialization service) survives checkpoint,
+    vacuum (including log truncation), restore and history untouched —
+    no scanner trips on it, no maintenance path deletes it."""
+    path = str(tmp_path / "facts")
+    backend = LogParquetBackend(
+        spark, path, protocol=ConditionalPutProtocol()
+    )
+    store = FactStore(spark, backend)
+    for i in range(4):
+        store.transact([["add", f"e{i}", ":n", i]])
+    sidecar = os.path.join(backend.log_dir, ".svc.lock")
+    assert os.path.exists(sidecar)
+    backend.checkpoint()
+    deleted = backend.vacuum(
+        retain_before_checkpoint=False, retention_seconds=0.0
+    )
+    assert ".svc.lock" not in deleted
+    assert os.path.exists(sidecar)
+    v = backend.restore(backend.log_version())
+    assert v == backend.log_version()
+    assert backend.history(limit=3)  # scanners skip non-manifest names
+    assert os.path.exists(sidecar)
+    assert backend.facts_df().filter("a = 'n'").count() == 4
+
+
+def test_post_commit_maintenance_failure_does_not_fail_transact(
+    spark, tmp_path
+):
+    """ADVICE r11 (medium): maintenance runs AFTER the commit; a
+    CommitConflict (lost checkpoint race) or OSError (concurrent vacuum)
+    inside maybe_maintain must not make the committed transaction look
+    failed — transact still returns its report and the next query sees
+    the new facts."""
+    path = str(tmp_path / "facts")
+    backend = LogParquetBackend(spark, path, maintain_every=1)
+    store = FactStore(spark, backend)
+
+    def boom(*a, **k):
+        raise CommitConflict("checkpoint superseded repeatedly")
+
+    backend.maintain = boom
+    report = store.transact([["add", "e1", ":n", 41]])
+    assert report["tx_data"]
+    eid = report["tempids"]["e1"]
+
+    def boom_os(*a, **k):
+        raise FileNotFoundError("manifest reclaimed by concurrent vacuum")
+
+    backend.maintain = boom_os
+    report2 = store.transact([["add", eid, ":n", 42]])
+    assert report2["tx_data"]
+    # both commits are durable and visible despite the failed maintenance
+    vals = {
+        r["v_long"]
+        for r in backend.facts_df().filter("a = 'n'").collect()
+    }
+    assert {41, 42} <= vals

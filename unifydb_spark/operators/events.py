@@ -143,16 +143,21 @@ def hot_key_share(
 ) -> float:
     """Cheap skew probe behind the auto bucket/salt routing (VERDICT r10
     ask #6): the hottest key's share of rows, estimated from ONE sampled
-    scan + key-count aggregate. When the sample is too small to trust
-    (< min_sample_rows), the probe falls back to the exact counts — at
-    that size the exact pass costs the same as the sample. The probe is
-    a ROUTING input only: both routes are proven result-identical, so a
-    mis-estimate can cost a constant factor, never correctness."""
+    scan + key-count aggregate. The exact fallback is decided on the
+    ESTIMATED CORPUS size (sample rows / sample fraction), not the raw
+    sample size: a full exact pass only "costs the same as the sample"
+    when the corpus itself is small (< min_sample_rows rows), whereas a
+    900k-row corpus sampled at 2% yields 18k sample rows — plenty to
+    rank a >5% hot key, and paying a second full scan there would double
+    the probe's cost for nothing. The probe is a ROUTING input only:
+    both routes are proven result-identical, so a mis-estimate can cost
+    a constant factor, never correctness."""
     sampled = df.sample(fraction=float(sample_fraction), seed=int(seed))
     agg = sampled.groupBy(*key_cols).count().agg(
         F.max("count").alias("mx"), F.sum("count").alias("n")
     ).first()
-    if not agg["n"] or agg["n"] < int(min_sample_rows):
+    est_corpus = (agg["n"] or 0) / max(float(sample_fraction), 1e-12)
+    if est_corpus < int(min_sample_rows):
         agg = df.groupBy(*key_cols).count().agg(
             F.max("count").alias("mx"), F.sum("count").alias("n")
         ).first()

@@ -1886,6 +1886,7 @@ def ivf_pq_index_append(
     index: dict,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dedup_guard: bool = True,
 ) -> int:
     """Incrementally GROW the persisted IVF-PQ index (the x01-style
     daily-ingest shape applied to ANN): new vectors are coarse-assigned
@@ -1908,7 +1909,18 @@ def ivf_pq_index_append(
     — an index is derived, rebuildable state, so it does not get the
     fact log's ACID manifest protocol. A deployment needing
     transactional index growth commits the codes table through
-    txlog.LogParquetBackend.bulk_append_df instead."""
+    txlog.LogParquetBackend.bulk_append_df instead.
+
+    ID-UNIQUENESS is a hard precondition: a vec_id present twice in the
+    codes table — same bucket or a drifted reassignment to a different
+    one — would have its codebook lookups SUMMED by _adc_scored's recon
+    join, silently inflating that neighbor's score. `dedup_guard=True`
+    (default) enforces it with an anti-join of the incoming vids against
+    the existing codes table's vids (a column-pruned scan of one int
+    column of the 16x-compressed codes table — cheap next to the encode
+    itself); already-indexed vids are skipped, not re-encoded. Pass
+    dedup_guard=False only when the caller proves disjointness upstream
+    (e.g. monotone id allocation)."""
     spark = new_emb.sparkSession
     path, dim, m = index["path"], index["dim"], index["m"]
     residual = index["residual"]
@@ -1918,13 +1930,19 @@ def ivf_pq_index_append(
     with persist_scope():
         cex = F.broadcast(spark.read.parquet(f"{path}/centroids"))
         cb = F.broadcast(spark.read.parquet(f"{path}/codebook"))
-        ex = tracked_persist(
-            new_emb.select(
-                F.col(id_col).alias("vid"),
-                F.posexplode(F.col(vec_col)).alias("d", "x"),
-            ).withColumn("x", F.col("x").cast("double"))
-        )
+        fresh = new_emb.select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(F.col(vec_col)).alias("d", "x"),
+        ).withColumn("x", F.col("x").cast("double"))
+        if dedup_guard:
+            existing = (
+                spark.read.parquet(f"{path}/codes").select("vid").distinct()
+            )
+            fresh = fresh.join(existing, "vid", "left_anti")
+        ex = tracked_persist(fresh)
         n_new = ex.select("vid").distinct().count()
+        if not n_new:
+            return 0
         # coarse assign vs the frozen centroids (decimal-fold cosine)
         vn = ex.groupBy("vid").agg(
             F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)"))

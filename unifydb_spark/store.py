@@ -643,11 +643,25 @@ class FactStore:
                 break
         else:
             raise RuntimeError("transact: lost the optimistic-commit race 64 times")
-        # backend-configured maintenance policy (txlog maintain_every):
-        # cheap no-op check when idle, checkpoint+vacuum when due
-        if hasattr(self.backend, "maybe_maintain"):
-            self.backend.maybe_maintain()
+        # The transaction IS committed at this point; everything below is
+        # post-commit bookkeeping and must not make it look failed.
         self._schema_cache.clear()
+        # backend-configured maintenance policy (txlog maintain_every):
+        # cheap no-op check when idle, checkpoint+vacuum when due.
+        # Best-effort: checkpoint can lose its CAS race (CommitConflict)
+        # and vacuum can race a concurrent truncation (FileNotFoundError)
+        # — maintenance failure is a deferral, not a transaction failure.
+        if hasattr(self.backend, "maybe_maintain"):
+            from unifydb_spark.txlog import CommitConflict
+
+            try:
+                self.backend.maybe_maintain()
+            except (CommitConflict, OSError) as exc:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "post-commit maintenance deferred: %s", exc
+                )
         report = {
             "db_after": self.db(tx_id),
             "tx_data": facts_out,

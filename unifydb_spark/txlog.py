@@ -917,28 +917,39 @@ class LogParquetBackend:
                     )
                 ]
                 if lost:
-                    self._roll_forward(head_v, head_v + 1)
+                    rolled = self._roll_forward(head_v, head_v + 1)
+                    outcome = (
+                        "the head was rolled forward to the pre-restore "
+                        "state"
+                        if rolled
+                        else "roll-forward FAILED (CAS exhausted or "
+                        "pre-restore history gone) — the head still "
+                        "references reclaimed files; verify the head "
+                        "and restore manually"
+                    )
                     raise ValueError(
                         f"restore to version {version}: {len(lost)} of "
                         f"its data files were reclaimed by a concurrent "
-                        f"vacuum mid-restore (e.g. {lost[0]}); the head "
-                        "was rolled forward to the pre-restore state"
+                        f"vacuum mid-restore (e.g. {lost[0]}); {outcome}"
                     )
                 self._write_last_checkpoint(head_v + 1)
                 return head_v + 1
         raise CommitConflict("restore lost the commit race")
 
-    def _roll_forward(self, to_version: int, broken_v: int) -> None:
+    def _roll_forward(self, to_version: int, broken_v: int) -> bool:
         """Re-publish log version `to_version`'s live state as a new
         replaces_all commit — the recovery path when a just-committed
         restore turned out to reference vacuumed files. Best-effort
         bounded CAS (concurrent commits based on the broken head are
-        rolled back with it, exactly like any restore)."""
+        rolled back with it, exactly like any restore). Returns True
+        only when the recovery commit actually landed, so restore()'s
+        error message can state the head's real condition instead of
+        claiming health after an exhausted CAS or vanished history."""
         try:
             target = self._read_manifest(to_version)
             files = self._live_entries(as_of_version=to_version)
         except (FileNotFoundError, ValueError, CommitConflict):
-            return  # pre-restore history is gone too; nothing to publish
+            return False  # pre-restore history is gone; nothing to publish
         for _ in range(16):
             head_v = self.log_version()
             try:
@@ -958,7 +969,8 @@ class LogParquetBackend:
             )
             if self._try_commit(manifest, head_v + 1):
                 self._write_last_checkpoint(head_v + 1)
-                return
+                return True
+        return False
 
     def maintain(
         self,
