@@ -4604,6 +4604,61 @@ def r148_ivf_pq_refine(spark, sf_dir):
     )
 
 
+def r149_ivf_pq_trained(spark, sf_dir):
+    """IVF-PQ with a TRAINED coarse quantizer (operators/similarity.py
+    ivf_pq_topk coarse='kmeans' — VERDICT r11 ask #1). FAISS trains the
+    IVF coarse stage with k-means; r146's lowest-id-vector centroids
+    produced degenerate bucket structure (78/80 true neighbors in the
+    query's rank-1 bucket at sf0.1, flat nprobe dial). Here the coarse
+    centroids are full-dim spherical k-means MEANS (_coarse_kmeans_train:
+    decimal folds, lowest-id init, low-id ties — q72's graded contract at
+    full dim), and one scored relation serves both the corpus assignment
+    and the query probes, so both are consistent with the FINAL means.
+    Same graded shape as r146: per-query overlap with the exact top-10
+    plus n_candidates/n_total as columns. Measured vs r146 at identical
+    knobs: overlap 40->48 of 80 at sf0.001 — training the coarse stage
+    buys recall at the same probe budget (bucket-balance histogram in
+    SCALE_SF1.md)."""
+    from unifydb_spark.operators.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_pq_topk(emb, n_centroids=None, nprobe=4, m=8, k=16, iters=2,
+                       n_queries=8, topk=10, coarse="kmeans", coarse_iters=2)
+
+
+def r150_ivf_pq_search(spark, sf_dir):
+    """The PRODUCTION ANN entry point graded end to end (VERDICT r11 ask
+    #2): ivf_pq_index_write(coarse='kmeans') persists the
+    Hive-bucket-partitioned codes + codebook + trained centroids to a
+    per-process temp dir, then ivf_pq_search answers 8 queries over the
+    PERSISTED relations — probe ranking against the broadcast centroids,
+    a partition-PRUNED scan of only the probed buckets, the same
+    _adc_scored kernel r146/r149 grade. The DuckDB twin
+    (ivf_pq_search_sql) unrolls the identical train+search lifecycle
+    inline from the embeddings table, so the round-trip through parquet
+    is exactly what the gate measures. Output (query_id, rank,
+    neighbor_id) — all integers, hash-exact."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from unifydb_spark.operators.similarity import (
+        ivf_pq_index_write,
+        ivf_pq_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = tempfile.mkdtemp(prefix="unifydb_r150_idx_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    idx = ivf_pq_index_write(emb, path, coarse="kmeans", coarse_iters=2)
+    res = ivf_pq_search(
+        emb.filter(F.col("vec_id") < 8), idx, nprobe=4, topk=10
+    )
+    return res.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4903,6 +4958,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r146_ivf_pq_topk": r146_ivf_pq_topk,
         "r147_sessionize_auto": r147_sessionize_auto,
         "r148_ivf_pq_refine": r148_ivf_pq_refine,
+        "r149_ivf_pq_trained": r149_ivf_pq_trained,
+        "r150_ivf_pq_search": r150_ivf_pq_search,
     }
 
 
@@ -5809,6 +5866,14 @@ def _operator_oracles() -> dict[str, str]:
         "r148_ivf_pq_refine": _s.ivf_pq_refine_topk_sql(
             "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
             refine=50, n_queries=8, topk=10
+        ),
+        "r149_ivf_pq_trained": _s.ivf_pq_topk_sql(
+            "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
+            n_queries=8, topk=10, coarse="kmeans", coarse_iters=2
+        ),
+        "r150_ivf_pq_search": _s.ivf_pq_search_sql(
+            "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
+            topk=10, coarse="kmeans", coarse_iters=2, query_filter="vid < 8"
         ),
         "r129_slice_report": _ql.slice_report_sql(
             """(SELECT d.doc_id, d.lang, d.source, g.passes
