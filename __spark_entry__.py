@@ -4659,6 +4659,90 @@ def r150_ivf_pq_search(spark, sf_dir):
     )
 
 
+_ANN_INDEXES: dict = {}
+
+
+def _ann_index(spark, sf_dir):
+    """One persisted kmeans-coarse IVF-PQ index per (session, sf_dir),
+    built in a per-process temp dir — r151 and repeated bench reps reuse
+    it instead of retraining (the index-once/query-many shape)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from unifydb_spark.operators.similarity import ivf_pq_index_write
+
+    key = (id(spark), sf_dir)
+    if key not in _ANN_INDEXES:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        path = tempfile.mkdtemp(prefix="unifydb_r151_idx_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _ANN_INDEXES[key] = ivf_pq_index_write(
+            emb, path, coarse="kmeans", coarse_iters=2
+        )
+    return _ANN_INDEXES[key]
+
+
+def r151_ann_fn_bind(spark, sf_dir):
+    """ANN search invoked FROM the Datalog surface (VERDICT r11 ask #4;
+    query/compile.py _apply_table_fn + operators/ann_fn.py): the
+    reference's fn-bind pipelines (test/unifydb/query_test.clj:449-519)
+    generalized to a 1:N relation bind. `[(ann-topk ?q 5) ?n]` takes the
+    bound vector ids, searches the PERSISTED kmeans-coarse IVF-PQ index
+    (partition-pruned probe, broadcast codebook — the r150-graded path),
+    and binds each neighbor id, which the next patterns join back to
+    document facts — facts, ANN and projection in ONE Catalyst plan.
+    The DuckDB twin wraps ivf_pq_search_sql's full train+search
+    lifecycle in a CTE and joins documents the same way."""
+    from unifydb_spark.operators.ann_fn import ann_topk_table_fn
+
+    eng = _engine(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eng.register_table_fn(
+        "ann-topk", ann_topk_table_fn(emb, _ann_index(spark, sf_dir), nprobe=4)
+    )
+    return eng.query(
+        {
+            "find": ["?q", "?n", "?src"],
+            "where": [
+                ["?e", ":emb/id", "?q"],
+                [("<", "?q", 4)],
+                [("ann-topk", "?q", 5), "?n"],
+                ["?d", ":doc/id", "?n"],
+                ["?d", ":doc/source", "?src"],
+            ],
+            "sort-by": ["?q", "?n"],
+        }
+    )
+
+
+def r152_source_cap_auto(spark, sf_dir):
+    """Skew-routed domain cap GRADED AT THE ROUTE BOUNDARY (VERDICT r11
+    ask #5; operators/quality.py source_cap_auto). The documents table
+    is deterministically remapped so 30% of docs share one hot domain
+    (doc_id % 10 < 3 -> 'hot-domain'), pushing the sampled
+    hot_key_share probe past the 5% threshold: the operator MUST take
+    the salted two-phase route (n_salts=32), and the gate hash-checks
+    that the salted route's kept set equals the plain per-source top-15
+    the oracle computes — the salting-invariance proof, measured where
+    the route actually flips (r147 graded only the sessionizer's probe;
+    the cap's route was pytest-only). Output = the kept rows
+    themselves, all integers/strings."""
+    from unifydb_spark.operators.quality import source_cap_auto
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "source",
+        F.when(F.col("doc_id") % 10 < 3, F.lit("hot-domain")).otherwise(
+            F.col("source")
+        ),
+    )
+    return (
+        source_cap_auto(docs, cap=15)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("source", "doc_id")
+    )
+
+
 _INGEST_FIXTURE = None
 
 
@@ -4960,6 +5044,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r148_ivf_pq_refine": r148_ivf_pq_refine,
         "r149_ivf_pq_trained": r149_ivf_pq_trained,
         "r150_ivf_pq_search": r150_ivf_pq_search,
+        "r151_ann_fn_bind": r151_ann_fn_bind,
+        "r152_source_cap_auto": r152_source_cap_auto,
     }
 
 
@@ -5874,6 +5960,25 @@ def _operator_oracles() -> dict[str, str]:
         "r150_ivf_pq_search": _s.ivf_pq_search_sql(
             "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
             topk=10, coarse="kmeans", coarse_iters=2, query_filter="vid < 8"
+        ),
+        "r151_ann_fn_bind": """
+            WITH srch AS ({srch})
+            SELECT s.query_id AS q, s.neighbor_id AS n, d.source AS src
+            FROM srch s JOIN documents d ON d.doc_id = s.neighbor_id
+            ORDER BY 1, 2
+        """.replace("{srch}", _s.ivf_pq_search_sql(
+            "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
+            topk=5, coarse="kmeans", coarse_iters=2, query_filter="vid < 4"
+        )),
+        # route-invariant (salting invariance): the kept set is the plain
+        # per-source top-15 whichever route the probe picks
+        "r152_source_cap_auto": _ql.source_cap_sql(
+            """(SELECT doc_id,
+                       CASE WHEN doc_id % 10 < 3 THEN 'hot-domain'
+                            ELSE source END AS source,
+                       n_chars
+                FROM documents)""",
+            cap=15,
         ),
         "r129_slice_report": _ql.slice_report_sql(
             """(SELECT d.doc_id, d.lang, d.source, g.passes

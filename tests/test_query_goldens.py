@@ -448,3 +448,110 @@ def test_magic_sets_second_position_and_fallbacks(spark):
     assert got2 == [(Ref(i),) for i in range(2, 7)]
     assert instrument.counters.get("rule_magic_size") == 1
     assert instrument.counters.get("rule_fixpoint_delta_rows") == 5
+
+
+# --- relation-producing table functions (VERDICT r11 ask #4) ---------------
+# The reference's fn-binds are 1:1 (query.clj:106-130); register_table_fn
+# generalizes to 1:N so extension operators (ANN search) compose into
+# :where. These goldens pin the compile contract with a pure test fn.
+
+
+def _multiples_fn(db, keys_df, n):
+    """Table fn: key k -> rows k*1 .. k*n (deterministic, engine-free)."""
+    from pyspark.sql import functions as F
+
+    dt = dict(keys_df.dtypes)["__tf_in"]
+    key = F.col("__tf_in.l") if dt.startswith("struct") else F.col("__tf_in")
+    spark = keys_df.sparkSession
+    out = (
+        keys_df.select(key.alias("k"))
+        .crossJoin(spark.range(1, int(n) + 1).select(F.col("id").alias("i")))
+        .select(
+            F.col("k").alias("__tf_in"),
+            (F.col("k") * F.col("i")).alias("__tf_out"),
+        )
+    )
+    return out, "long", "long"
+
+
+@pytest.fixture(scope="module")
+def tf_engine(spark):
+    store = FactStore(spark).seed(
+        [
+            (1, ":num", 2, 0, True),
+            (2, ":num", 3, 0, True),
+            (3, ":size", 6, 0, True),
+        ]
+    )
+    eng = Engine(spark, store)
+    eng.register_table_fn("multiples", _multiples_fn)
+    return eng
+
+
+def test_table_fn_binds_one_to_many(tf_engine):
+    q = {
+        "find": ["?x", "?m"],
+        "where": [["?e", ":num", "?x"], [("multiples", "?x", 3), "?m"]],
+    }
+    assert rows(tf_engine, q) == [
+        (2, 2), (2, 4), (2, 6), (3, 3), (3, 6), (3, 9),
+    ]
+
+
+def test_table_fn_output_already_bound_unifies(tf_engine):
+    # ?m is generated by :size facts first; the table fn then acts as a
+    # membership filter (unify = filter, the scalar fn-bind rule)
+    q = {
+        "find": ["?x", "?m"],
+        "where": [
+            ["?e", ":num", "?x"],
+            ["?s", ":size", "?m"],
+            [("multiples", "?x", 3), "?m"],
+        ],
+    }
+    assert rows(tf_engine, q) == [(2, 6), (3, 6)]
+
+
+def test_table_fn_joins_back_to_facts(tf_engine):
+    # neighbors-join-facts shape (the ann-topk pipeline in miniature):
+    # the produced ?m re-enters a pattern and binds further vars
+    q = {
+        "find": ["?x", "?se"],
+        "where": [
+            ["?e", ":num", "?x"],
+            [("multiples", "?x", 3), "?m"],
+            ["?se", ":size", "?m"],
+        ],
+    }
+    assert rows(tf_engine, q) == [(2, Ref(3)), (3, Ref(3))]
+
+
+def test_table_fn_requires_bound_key(tf_engine):
+    q = {"find": ["?m"], "where": [[("multiples", "?x", 3), "?m"]]}
+    with pytest.raises(QueryError) as e:
+        tf_engine.query(q)
+    assert e.value.code == "unbound-variable"
+
+
+def test_table_fn_rejects_var_params_and_seq_out(tf_engine):
+    q = {
+        "find": ["?m"],
+        "where": [
+            ["?e", ":num", "?x"],
+            ["?e2", ":num", "?k"],
+            [("multiples", "?x", "?k"), "?m"],
+        ],
+    }
+    with pytest.raises(QueryError) as e:
+        tf_engine.query(q)
+    assert e.value.code == "invalid-query"
+    q2 = {
+        "find": ["?a"],
+        "where": [
+            ["?e", ":num", "?x"],
+            [("multiples", "?x", 2), ["?a", "?b"]],
+        ],
+    }
+    with pytest.raises(QueryError) as e2:
+        tf_engine.query(q2)
+    assert e2.value.code == "invalid-query"

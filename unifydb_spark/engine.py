@@ -44,6 +44,24 @@ class Engine:
     def db(self, tx_id: Union[int, str] = LATEST, historical: bool = False) -> Db:
         return self.store.db(tx_id, historical)
 
+    def register_table_fn(self, name: str, fn) -> None:
+        """Register a RELATION-producing query function, callable from
+        :where as a function binding `[(name ?key const ...) ?out]` —
+        the composition point for extension operators (e.g. ANN search
+        over a persisted IVF-PQ index) into the Datalog surface.
+
+        `fn(db, keys_df, *params)` receives the distinct bound values of
+        the key variable as a one-column DataFrame (`__tf_in`, in the
+        relation's repr — a raw scalar or the tagged value struct) and
+        must return `(DataFrame(__tf_in, __tf_out), in_repr, out_repr)`,
+        where in_repr describes the repr of the RETURNED `__tf_in`
+        (the compiler unifies it with the key column across reprs); each
+        produced row binds the output variable once (1:N, unlike scalar
+        fn-binds).
+        The returned DataFrame joins into the query's single Catalyst
+        plan. See unifydb_spark.operators.ann_fn.ann_topk_table_fn."""
+        self.store.table_fns[name] = fn
+
     # -- read path (V1) -----------------------------------------------------
 
     def compile(self, q: dict, db: Optional[Db] = None):

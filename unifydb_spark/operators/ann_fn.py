@@ -1,0 +1,77 @@
+"""ANN search as a Datalog-callable table function (VERDICT r11 ask #4).
+
+The reference's whole surface is its query language; its fn-bind pipelines
+(test/unifydb/query_test.clj:449-519) bind ONE computed value per row.
+This module generalizes that to a 1:N relation bind so the extension
+operators can be INVOKED from :where instead of living beside it:
+
+    eng.register_table_fn("ann-topk", ann_topk_table_fn(emb, index))
+    eng.query({
+        "find": ["?q", "?n", "?src"],
+        "where": [
+            ["?e", ":embeddings/vec_id", "?q"],
+            [("<", "?q", 4)],
+            [("ann-topk", "?q", 5), "?n"],        # 5 neighbor rows per ?q
+            ["?d", ":documents/doc_id", "?n"],    # joined back to facts
+            ["?d", ":documents/source", "?src"],
+        ],
+    })
+
+compiles to ONE Catalyst plan: the distinct bound ?q values select the
+query vectors, :func:`~unifydb_spark.operators.similarity.ivf_pq_search`
+answers them against the PERSISTED IVF-PQ index (partition-pruned scan of
+only the probed buckets, broadcast codebook/centroids), and the neighbor
+relation equi-joins back into the pattern pipeline — facts, ANN, and the
+final projection never leave the JVM.
+
+Scale: the per-query cost is the index search (nprobe buckets of the
+16x-compressed codes table), NOT the corpus; the fact-side join is a
+long==long equi-join Catalyst plans like any ref join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from unifydb_spark.operators.similarity import ivf_pq_search
+
+
+def ann_topk_table_fn(
+    emb: DataFrame,
+    index: dict,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Build the `(ann-topk ?key k) -> ?neighbor` table function over a
+    persisted IVF-PQ index (metadata dict from
+    :func:`~unifydb_spark.operators.similarity.ivf_pq_index_write`).
+
+    The key variable's values are vector ids; `emb` maps them to their
+    embeddings (the same lookup a feature store does). Returns a callable
+    with the Engine.register_table_fn contract: (db, keys_df, k) ->
+    (DataFrame(__tf_in, __tf_out), "long", "long")."""
+
+    def tf(db, keys_df: DataFrame, topk) -> "tuple[DataFrame, str, str]":
+        # the key arrives in the relation's repr: a raw long where the
+        # compiler narrowed the type, else the tagged value struct
+        # (compile.to_struct) whose long slot is `.l`
+        dt = dict(keys_df.dtypes)["__tf_in"]
+        key = (
+            F.col("__tf_in.l") if dt.startswith("struct") else F.col("__tf_in")
+        )
+        queries = emb.join(
+            keys_df, F.col(id_col) == key
+        ).select(id_col, vec_col)
+        res = ivf_pq_search(queries, index, nprobe=nprobe, topk=int(topk))
+        return (
+            res.select(
+                F.col("query_id").alias("__tf_in"),
+                F.col("neighbor_id").cast("long").alias("__tf_out"),
+            ),
+            "long",
+            "long",
+        )
+
+    return tf

@@ -1676,6 +1676,31 @@ def source_cap_report(
     )
 
 
+def source_cap_sql(
+    table: str = "documents",
+    cap: int = 15,
+    source_col: str = "source",
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`source_cap` / :func:`source_cap_auto` —
+    the KEPT ROWS themselves (id, source, score). Route-invariant by
+    the salting-invariance argument in source_cap (a row in the true
+    per-source top-cap is in its salt shard's top-cap), so one oracle
+    grades the plain, salted, and auto-routed paths identically —
+    the r147 pattern applied to the domain cap (VERDICT r11 ask #5)."""
+    return f"""
+        SELECT {id_col}, {source_col}, {score_col} FROM (
+          SELECT {id_col}, {source_col}, {score_col},
+                 ROW_NUMBER() OVER (
+                   PARTITION BY {source_col}
+                   ORDER BY {score_col} DESC, {id_col} ASC
+                 ) AS rk
+          FROM {table}
+        ) WHERE rk <= {int(cap)}
+    """
+
+
 def source_cap_report_sql(
     table: str = "documents",
     cap: int = 15,

@@ -710,6 +710,66 @@ def _axiom_filter(rel: Rel, app: RuleApp, rules_env) -> Rel:
     return Rel(rel.df.filter(total), dict(rel.vars))
 
 
+def _apply_table_fn(db: Db, rel: Rel, c: FnBind, tf) -> Rel:
+    """Relation-producing function binding — how extension operators
+    (ANN search over a persisted IVF-PQ index, registered via
+    Engine.register_table_fn) compose INTO the Datalog surface (VERDICT
+    r11 ask #4; the reference's fn-bind pipelines,
+    test/unifydb/query_test.clj:449-519, generalized from 1:1 scalar
+    binds to 1:N relation binds).
+
+    `[(ann-topk ?q 5) ?n]` compiles to: distinct bound values of ?q ->
+    the registered table function returns a DataFrame (__tf_in,
+    __tf_out) plus the output repr tag -> equi-join back on ?q, binding
+    ?n once per produced row. The whole thing stays ONE Catalyst plan:
+    the function's DataFrame is just another join input (for the ANN
+    fn that input is a partition-pruned scan of the probed index
+    buckets), so neighbors joined back to facts never leave the JVM.
+
+    Contract: args[0] must be a bound variable (the key the function is
+    evaluated over — evaluation is per distinct key, the same dedup any
+    set-returning SQL UDTF applies); remaining args are constants
+    (knobs like k); the output must be a plain variable."""
+    key = c.args[0]
+    if not isinstance(key, Var) or key.name not in rel.vars:
+        raise QueryError(
+            "unbound-variable",
+            f"table function {c.fn} needs its first argument bound",
+        )
+    params = []
+    for a in c.args[1:]:
+        if isinstance(a, Var):
+            raise QueryError(
+                "invalid-query",
+                f"table function {c.fn} parameters must be constants",
+            )
+        params.append(a)
+    out = c.out
+    if not isinstance(out, Var):
+        raise QueryError(
+            "invalid-query",
+            f"table function {c.fn} output must be a single variable",
+        )
+    keys_df = rel.df.select(bt(key.name).alias("__tf_in")).distinct()
+    out_df, in_repr, out_repr = tf(db, keys_df, *params)
+    jcond = unify_condition(
+        bt(key.name), rel.vars[key.name], F.col("__tf_in"), in_repr
+    )
+    # None = statically impossible key type; an always-false join keeps
+    # the unified schema while producing the empty relation
+    joined = rel.df.join(
+        out_df, jcond if jcond is not None else F.lit(False)
+    ).drop("__tf_in")
+    if out.name in rel.vars:  # output already bound -> unify = filter
+        cond = unify_condition(
+            F.col("__tf_out"), out_repr, bt(out.name), rel.vars[out.name]
+        )
+        cond = cond if cond is not None else F.lit(False)
+        return Rel(joined.filter(cond).drop("__tf_out"), dict(rel.vars))
+    df = joined.withColumn(out.name, F.col("__tf_out")).drop("__tf_out")
+    return Rel(df, {**rel.vars, out.name: out_repr})
+
+
 def _apply_clause(db: Db, rel: Optional[Rel], c, rules_env) -> Rel:
     if isinstance(c, PivotGroup):
         return join_rels(rel, compile_pivot_group(db, c))
@@ -730,6 +790,9 @@ def _apply_clause(db: Db, rel: Optional[Rel], c, rules_env) -> Rel:
     if isinstance(c, FnBind):
         if rel is None:
             raise QueryError("unbound-variable", "function binding before any pattern")
+        tf = (getattr(db.store, "table_fns", None) or {}).get(c.fn)
+        if tf is not None:
+            return _apply_table_fn(db, rel, c, tf)
         args = [_arg(rel, a) for a in c.args]
         col, repr_ = fnreg.apply_call(c.fn, args, kind="function")
         out = c.out

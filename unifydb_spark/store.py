@@ -311,6 +311,11 @@ class FactStore:
         self.report_filters: list[Callable[[dict], dict]] = [filter_auth_facts]
         self._schema_cache: dict = {}
         self._attr_types_cache: Optional[tuple] = None
+        # Relation-producing query functions (compile._apply_table_fn):
+        # name -> callable(db, keys_df, *params) returning
+        # (DataFrame(__tf_in, __tf_out), out_repr). Registered through
+        # Engine.register_table_fn; empty by default.
+        self.table_fns: dict[str, Callable] = {}
         # The reference serializes ALL writes through one transactor
         # thread (src/unifydb/transact.clj:116-137; the B-trees say
         # "NOT THREAD SAFE, only write in the single-threaded
