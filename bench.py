@@ -13,7 +13,12 @@ are unquotable without a noise gate):
 - a pinned CANARY subset — 5 cheap pure-Column queries — runs 5 reps
   each; per-canary median and IQR (p75 - p25 of the 5 reps) measure the
   HOST's noise independent of any code change;
-- "quotable" = every canary's IQR/median <= 0.30. When false, the run
+- "quotable" = every canary's IQR/median <= 0.30 AND (VERDICT r11 ask
+  #7 — the canary alone gates only 5 cheap queries, so `quotable: true`
+  could coexist with a 14% total IQR) the p90 of per-query relative IQR
+  across the FULL run ("tail_rel_iqr_p90", computed over queries with
+  median >= 1s) <= 0.30. A run noisy anywhere in the tail now
+  self-labels and does not refresh BENCH_REF. When false, the run
   proves correctness and plan shape but its wall-clock must not be
   compared across rounds (README Bench section)."""
 
@@ -239,6 +244,14 @@ HEADLINE = [
     "r147_sessionize_auto",
     # the ADC top-R shortlist + exact re-rank ladder (FAISS RefineFlat)
     "r148_ivf_pq_refine",
+    # round-12: the trained coarse quantizer (k-means means, r149), the
+    # graded persisted-index lifecycle (build+search per rep, r150), ANN
+    # invoked from the Datalog surface (r151), and the skew-auto domain
+    # cap on the hot-domain remap (r152)
+    "r149_ivf_pq_trained",
+    "r150_ivf_pq_search",
+    "r151_ann_fn_bind",
+    "r152_source_cap_auto",
     # the production ANN path: amortized index build (untimed prepare),
     # timed partition-pruned probe + ADC scan — the x01 pattern
     "x02_ivf_pq_search",
@@ -566,6 +579,18 @@ def main():
         spreads[name] = round(iqr, 3)
         print(f"# {name}: {n} rows in {times[name]}s (iqr {spreads[name]})", file=sys.stderr)
 
+    # tail-spread self-label (VERDICT r11 ask #7): p90 of per-query
+    # relative IQR over the whole run, denominators floored at 1s
+    # medians so sub-second entries can't dominate the ratio
+    rels = sorted(
+        spreads[n] / times[n] for n in names if times[n] >= 1.0
+    )
+    tail_p90 = (
+        round(rels[max(0, -(-9 * len(rels) // 10) - 1)], 3) if rels else 0.0
+    )
+    if runs >= 2 and tail_p90 > CANARY_RELATIVE_IQR_GATE:
+        quotable = False
+
     regressions, reg_ref = _adjudicate_regressions(times)
     if quotable:
         _write_ref(times, sf)
@@ -576,6 +601,7 @@ def main():
         "median": round(sum(times.values()), 3),
         "min_total": round(sum(mins.values()), 3),
         "iqr": round(sum(spreads.values()), 3),
+        "tail_rel_iqr_p90": tail_p90,
         "quotable": quotable,
         "canary": canary,
         "runs": runs,
@@ -599,6 +625,7 @@ def main():
                 "sf": sf,
                 "median": out["median"],
                 "iqr": out["iqr"],
+                "tail_rel_iqr_p90": tail_p90,
                 "quotable": quotable,
                 "runs": runs,
                 # flagged per-query drifts vs the committed BENCH_REF

@@ -779,3 +779,90 @@ def test_ivf_pq_trained_index_search_matches_graded_topk(spark, emb, tmp_path):
         for qid, rs in by_q.items()
     }
     assert got == mem, "trained persisted search diverged from graded r149"
+
+
+def test_ivf_pq_index_maintain_policy_and_recall_restoration(spark, emb, tmp_path):
+    """Index rebuild policy (VERDICT r11 ask #3 — the txlog maintain
+    story applied to the ANN index). ivf_pq_index_append encodes against
+    FROZEN codebooks, so an appended batch from a SHIFTED distribution
+    (constant offset on 8 dims — a region the codebooks never saw)
+    drags recall on the appended slice; ivf_pq_index_maybe_maintain
+    watches the appended fraction in the meta sidecar and rebuilds at
+    the threshold, restoring recall. Pins: counter bookkeeping,
+    below-threshold no-op, trigger + counter reset, and that the
+    rebuilt index strictly beats the frozen one on the appended slice
+    (deterministic inputs -> deterministic overlap counts)."""
+    from pyspark.sql import Window
+
+    from unifydb_spark.operators.similarity import (
+        _dot,
+        _read_index_meta,
+        ivf_pq_index_append,
+        ivf_pq_index_maybe_maintain,
+        ivf_pq_index_write,
+        ivf_pq_search,
+    )
+
+    base = emb.filter(F.col("vec_id") < 250)
+    shifted = emb.filter(
+        (F.col("vec_id") >= 250) & (F.col("vec_id") < 500)
+    ).withColumn(
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + F.when(i < 8, F.lit(3.0)).otherwise(F.lit(0.0)),
+        ),
+    )
+    corpus = base.union(shifted)
+    queries = shifted.filter(F.col("vec_id") < 270)
+
+    idx = ivf_pq_index_write(
+        emb=base, path=str(tmp_path / "ivfpq_m"), n_centroids=8, m=8, k=8,
+        iters=2, coarse="kmeans",
+    )
+    meta = _read_index_meta(idx["path"])
+    assert (meta["n_base"], meta["n_appended"]) == (250, 0)
+    assert ivf_pq_index_append(shifted, idx) == 250
+    meta = _read_index_meta(idx["path"])
+    assert (meta["n_base"], meta["n_appended"]) == (250, 250)
+
+    # exact top-10 on the union corpus = the recall yardstick
+    v = corpus.select("vec_id", "embedding")
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+    )
+    dots = q.crossJoin(v).select(
+        "query_id",
+        F.col("vec_id").alias("nid"),
+        _dot(F.col("qvec"), F.col("embedding")).alias("s"),
+    )
+    wt = Window.partitionBy("query_id").orderBy(F.col("s").desc(), "nid")
+    exact = {
+        (r["query_id"], r["nid"])
+        for r in dots.withColumn("rn", F.row_number().over(wt))
+        .filter("rn <= 10")
+        .collect()
+    }
+
+    def overlap():
+        res = ivf_pq_search(queries, idx, nprobe=2, topk=10).collect()
+        return sum(
+            1 for r in res if (r["query_id"], r["neighbor_id"]) in exact
+        )
+
+    frozen = overlap()
+    # appended fraction is exactly 0.5: a 0.6 threshold must NOT rebuild
+    rep = ivf_pq_index_maybe_maintain(corpus, idx, rebuild_threshold=0.6)
+    assert rep == {
+        "rebuilt": False, "appended_fraction": 0.5, "n_base": 250,
+        "n_appended": 250, "threshold": 0.6,
+    }
+    # ... and a 0.5 threshold must rebuild and reset the counters
+    rep = ivf_pq_index_maybe_maintain(corpus, idx, rebuild_threshold=0.5)
+    assert rep["rebuilt"] and rep["appended_fraction"] == 0.5
+    meta = _read_index_meta(idx["path"])
+    assert (meta["n_base"], meta["n_appended"]) == (500, 0)
+    rebuilt = overlap()
+    assert rebuilt > frozen, (frozen, rebuilt)

@@ -2085,7 +2085,8 @@ def ivf_pq_index_write(
         )
         cb.write.mode("overwrite").parquet(f"{path}/codebook")
         cex.write.mode("overwrite").parquet(f"{path}/centroids")
-    return {
+        n_base = emb.count()
+    index = {
         "path": path,
         "n_centroids": int(n_centroids),
         "m": m,
@@ -2096,6 +2097,11 @@ def ivf_pq_index_write(
         "coarse": coarse,
         "coarse_iters": int(coarse_iters),
     }
+    # metadata sidecar: parameters + base/appended counts, the state the
+    # rebuild policy (ivf_pq_index_maybe_maintain) reads; a rebuild
+    # resets n_appended to 0
+    _write_index_meta(path, {**index, "n_base": int(n_base), "n_appended": 0})
+    return index
 
 
 def ivf_pq_index_append(
@@ -2239,7 +2245,94 @@ def ivf_pq_index_append(
         codes.write.mode("append").partitionBy("centroid_id").parquet(
             f"{path}/codes"
         )
+    meta = _read_index_meta(path)
+    if meta is not None:
+        meta["n_appended"] = int(meta.get("n_appended", 0)) + int(n_new)
+        _write_index_meta(path, meta)
     return int(n_new)
+
+
+def _index_meta_path(path: str) -> str:
+    return f"{path}/meta.json"
+
+
+def _write_index_meta(path: str, meta: dict) -> None:
+    import json
+
+    with open(_index_meta_path(path), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+
+
+def _read_index_meta(path: str) -> "dict | None":
+    """Index metadata sidecar (parameters + base/appended counts) — the
+    state the rebuild policy reads. Local-filesystem scope, same as the
+    append path's documented durability scope (the index is derived,
+    rebuildable state). Returns None for a pre-metadata index."""
+    import json
+    import os
+
+    p = _index_meta_path(path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def ivf_pq_index_maintain(emb: DataFrame, index: dict) -> dict:
+    """Unconditionally REBUILD the persisted IVF-PQ index from the
+    current corpus `emb` with the index's own parameters — fresh coarse
+    centroids, fresh codebooks, counters reset. This is the compaction
+    step of the index lifecycle (txlog.maintain's shape applied to the
+    ANN index — VERDICT r11 ask #3): `ivf_pq_index_append` is O(new)
+    against FROZEN codebooks, so recall on appended slices degrades as
+    the appended fraction grows (drift measured in SCALE_SF1.md); a
+    rebuild restores it. Returns the new index metadata dict."""
+    return ivf_pq_index_write(
+        emb,
+        index["path"],
+        n_centroids=index.get("n_centroids"),
+        m=index["m"],
+        k=index["k"],
+        iters=index["iters"],
+        residual=index["residual"],
+        dim=index["dim"],
+        coarse=index.get("coarse", "lowid"),
+        coarse_iters=index.get("coarse_iters", 2),
+    )
+
+
+def ivf_pq_index_maybe_maintain(
+    emb: DataFrame, index: dict, rebuild_threshold: float = 0.5
+) -> dict:
+    """Policy-driven index maintenance (the txlog maybe_maintain shape):
+    rebuild via :func:`ivf_pq_index_maintain` when the APPENDED fraction
+    of the index — vectors encoded against frozen codebooks they were
+    never trained on — reaches `rebuild_threshold`; below it, no-op.
+    Returns a report: {rebuilt, appended_fraction, n_base, n_appended,
+    threshold}. appended_fraction is None (and the rebuild is skipped)
+    for a pre-metadata index — counters exist only for indexes written
+    by this version's ivf_pq_index_write."""
+    meta = _read_index_meta(index["path"])
+    report = {
+        "rebuilt": False,
+        "appended_fraction": None,
+        "n_base": None,
+        "n_appended": None,
+        "threshold": float(rebuild_threshold),
+    }
+    if meta is None:
+        return report
+    n_base = int(meta.get("n_base", 0))
+    n_app = int(meta.get("n_appended", 0))
+    total = n_base + n_app
+    frac = (n_app / total) if total else 0.0
+    report.update(
+        appended_fraction=frac, n_base=n_base, n_appended=n_app
+    )
+    if frac >= float(rebuild_threshold) and n_app > 0:
+        ivf_pq_index_maintain(emb, index)
+        report["rebuilt"] = True
+    return report
 
 
 def ivf_pq_search(
