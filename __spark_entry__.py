@@ -4716,6 +4716,48 @@ def r151_ann_fn_bind(spark, sf_dir):
     )
 
 
+def r153_ivf_pq_refine_trained(spark, sf_dir):
+    """The COMPLETE production retrieval recipe in one graded entry:
+    k-means-TRAINED coarse quantizer (r149's head) + residual-PQ ADC
+    shortlist + exact re-rank of the shortlist only (r148's ladder,
+    FAISS IVFADC + RefineFlat with a trained coarse stage — exactly
+    what faiss.index_factory('IVFk,PQm,RFlat') trains and runs).
+    Measured at sf0.001: trained plain ADC lifts 40->48 of 80 (r149)
+    and the refine pass takes it to 70 at refine=50 — the two quality
+    levers compose. Same graded shape as r148."""
+    from unifydb_spark.operators.similarity import ivf_pq_refine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_pq_refine_topk(
+        emb, n_centroids=None, nprobe=4, m=8, k=16, iters=2,
+        refine=50, n_queries=8, topk=10, coarse="kmeans", coarse_iters=2,
+    )
+
+
+def r154_ivf_pq_sampled_train(spark, sf_dir):
+    """Coarse training on a deterministic 1/4 STRIDE SAMPLE
+    (coarse_sample_stride=4 — vid % 4 == 0, init from the first 16
+    sample ids): how the coarse quantizer actually gets trained at
+    100 TB (FAISS guidance: train on a sample, add everything; a full
+    k-means pass over the corpus is the one step that would not scale).
+    The trained means still quantize and probe the FULL corpus — only
+    the training scans shrink by the stride — and the whole thing stays
+    oracle-expressible because the sample is a deterministic stride,
+    not a seeded random draw. The graded columns measure the trade:
+    at tiny SF the 1/4 sample starves 16 centroids (overlap 28 vs 48 of
+    80 at sf0.001's 125 training vectors); by sf0.1+ the sample is
+    ample and quality converges on full training — recorded in
+    SCALE_SF1.json round12.sampled."""
+    from unifydb_spark.operators.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_pq_topk(
+        emb, n_centroids=None, nprobe=4, m=8, k=16, iters=2,
+        n_queries=8, topk=10, coarse="kmeans", coarse_iters=2,
+        coarse_sample_stride=4,
+    )
+
+
 def r152_source_cap_auto(spark, sf_dir):
     """Skew-routed domain cap GRADED AT THE ROUTE BOUNDARY (VERDICT r11
     ask #5; operators/quality.py source_cap_auto). The documents table
@@ -5046,6 +5088,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r150_ivf_pq_search": r150_ivf_pq_search,
         "r151_ann_fn_bind": r151_ann_fn_bind,
         "r152_source_cap_auto": r152_source_cap_auto,
+        "r153_ivf_pq_refine_trained": r153_ivf_pq_refine_trained,
+        "r154_ivf_pq_sampled_train": r154_ivf_pq_sampled_train,
     }
 
 
@@ -5970,6 +6014,15 @@ def _operator_oracles() -> dict[str, str]:
             "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
             topk=5, coarse="kmeans", coarse_iters=2, query_filter="vid < 4"
         )),
+        "r153_ivf_pq_refine_trained": _s.ivf_pq_refine_topk_sql(
+            "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
+            refine=50, n_queries=8, topk=10, coarse="kmeans", coarse_iters=2
+        ),
+        "r154_ivf_pq_sampled_train": _s.ivf_pq_topk_sql(
+            "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
+            n_queries=8, topk=10, coarse="kmeans", coarse_iters=2,
+            coarse_sample_stride=4
+        ),
         # route-invariant (salting invariance): the kept set is the plain
         # per-source top-15 whichever route the probe picks
         "r152_source_cap_auto": _ql.source_cap_sql(

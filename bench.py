@@ -252,6 +252,10 @@ HEADLINE = [
     "r150_ivf_pq_search",
     "r151_ann_fn_bind",
     "r152_source_cap_auto",
+    # trained-coarse + refine ladder composition; stride-sample-trained
+    # coarse stage (the 100 TB train-on-a-sample shape)
+    "r153_ivf_pq_refine_trained",
+    "r154_ivf_pq_sampled_train",
     # the production ANN path: amortized index build (untimed prepare),
     # timed partition-pruned probe + ADC scan — the x01 pattern
     "x02_ivf_pq_search",

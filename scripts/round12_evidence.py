@@ -233,7 +233,34 @@ NEW_ENTRIES = [
     "r150_ivf_pq_search",
     "r151_ann_fn_bind",
     "r152_source_cap_auto",
+    "r153_ivf_pq_refine_trained",
+    "r154_ivf_pq_sampled_train",
 ]
+
+
+def sec_sampled(spark) -> dict:
+    """The train-on-a-sample trade (r154) and the trained-refine ladder
+    (r153), measured: overlap sums at the three graded SFs."""
+    from unifydb_spark.operators.similarity import (
+        ivf_pq_refine_topk,
+        ivf_pq_topk,
+    )
+
+    out = {}
+    for sf in ("0.001", "0.01", "0.1"):
+        emb = spark.read.parquet(f"/root/testdata/sf{sf}/embeddings.parquet")
+        row = {}
+        for label, stride in (("full_train", 1), ("stride4_train", 4)):
+            res = ivf_pq_topk(
+                emb, coarse="kmeans", coarse_sample_stride=stride
+            ).collect()
+            row[label] = int(sum(r["n_overlap"] for r in res))
+            _release(spark)
+        res = ivf_pq_refine_topk(emb, coarse="kmeans").collect()
+        row["refine_trained"] = int(sum(r["n_overlap"] for r in res))
+        _release(spark)
+        out[f"sf{sf}"] = {**row, "of": 80}
+    return out
 
 
 def sec_sf1(spark) -> dict:
@@ -241,9 +268,15 @@ def sec_sf1(spark) -> dict:
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
     import subprocess
 
-    out = {}
+    prior = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            prior = (
+                json.load(f).get("round12", {}).get("sf1", {})
+            )
+    out = dict(prior)
     env = dict(os.environ, ORACLE_TIMEOUT_S="900")
-    for name in NEW_ENTRIES:
+    for name in [n for n in NEW_ENTRIES if n not in prior]:
         t0 = time.time()
         p = subprocess.run(
             [sys.executable, "scripts/oracle_check.py", SF1, name],
@@ -301,6 +334,7 @@ SECTIONS = {
     "dial": sec_dial,
     "drift": sec_drift,
     "route": sec_route,
+    "sampled": sec_sampled,
     "sf1": sec_sf1,
     "bench_sf1": sec_bench_sf1,
 }

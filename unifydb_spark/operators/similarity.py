@@ -1461,7 +1461,7 @@ def pq_adc_recall(
 
 
 def _coarse_kmeans_train(
-    ex: DataFrame, n_centroids: int, iters: int
+    ex: DataFrame, n_centroids: int, iters: int, sample_stride: int = 1
 ) -> DataFrame:
     """Full-dim spherical k-means for the IVF COARSE quantizer (VERDICT
     r11 ask #1 — FAISS *trains* the coarse quantizer; the lowest-id-vector
@@ -1477,19 +1477,33 @@ def _coarse_kmeans_train(
     corpus scale. Callers assign against the returned means with
     :func:`_cosine_scored`, so assignment is consistent with the final
     centroids (kmeans_assign's last assignment predates its last mean
-    update — an IVF index needs the two consistent)."""
+    update — an IVF index needs the two consistent).
+
+    `sample_stride > 1` trains on the deterministic 1/stride stride
+    sample (vid % stride == 0; init = the first n_centroids SAMPLE ids,
+    i.e. vid < n_centroids * stride) — how a real deployment trains the
+    coarse quantizer at 100 TB (FAISS's own guidance: train on ~k*max(
+    256, …) sampled points, then `add` everything). The returned means
+    still quantize the FULL corpus; only the training scans shrink by
+    the stride. Deterministic and oracle-expressible, unlike a seeded
+    random sample."""
+    train_ex = (
+        ex
+        if sample_stride <= 1
+        else ex.filter(F.col("vid") % sample_stride == 0)
+    )
     cent = (
-        ex.filter(F.col("vid") < n_centroids)
+        train_ex.filter(F.col("vid") < n_centroids * max(1, sample_stride))
         .select(F.col("vid").alias("centroid_id"), "d", F.col("x").alias("cx"))
         .localCheckpoint()
     )
-    vn = ex.groupBy("vid").agg(
+    vn = train_ex.groupBy("vid").agg(
         F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)"))
         .cast("double")
         .alias("vn2")
     )
     for _ in range(iters):
-        sc = _cosine_scored(ex, cent, vn)
+        sc = _cosine_scored(train_ex, cent, vn)
         a = (
             sc.withColumn(
                 "rn",
@@ -1503,7 +1517,7 @@ def _coarse_kmeans_train(
             .select("vid", "centroid_id")
         )
         cent = (
-            ex.join(a, "vid")
+            train_ex.join(a, "vid")
             .groupBy("centroid_id", "d")
             .agg(
                 (
@@ -1626,6 +1640,7 @@ def ivf_pq_topk(
     dim: int = 64,
     coarse: str = "lowid",
     coarse_iters: int = 2,
+    coarse_sample_stride: int = 1,
 ) -> DataFrame:
     """IVF-PQ retrieval (Jégou, Douze & Schmid 2011, §IV — the operator
     FAISS's IVFADC index actually runs, composing the two graded halves
@@ -1708,7 +1723,9 @@ def ivf_pq_topk(
         # centroids. All decimal folds — the SQL twin unrolls them.
         cex = F.broadcast(
             tracked_persist(
-                _coarse_kmeans_train(ex, n_centroids, coarse_iters)
+                _coarse_kmeans_train(
+                    ex, n_centroids, coarse_iters, coarse_sample_stride
+                )
             )
         )
         scoredc = _cosine_scored(ex, cex)
@@ -2432,6 +2449,8 @@ def ivf_pq_refine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    coarse: str = "lowid",
+    coarse_iters: int = 2,
 ) -> DataFrame:
     """The full retrieval ladder FAISS ships as IVFADC + RefineFlat
     (Jégou 2011 §V.A re-ranking): probe nprobe buckets, ADC-score the
@@ -2454,63 +2473,88 @@ def ivf_pq_refine_topk(
     (:func:`ivf_pq_refine_topk_sql`) unrolls the identical plan."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if coarse not in ("lowid", "kmeans"):
+        raise ValueError(f"unknown coarse quantizer {coarse!r}")
     sub = dim // m
     if n_centroids is None:
         n_centroids = auto_k(emb.count(), IVF_CENTROID_DIVISOR, lo=16)
     from unifydb_spark.resources import tracked_persist
 
-    v = with_norm(emb, id_col, vec_col)
-    cents = F.broadcast(
-        v.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).alias("cvec"),
-            F.col("n2").alias("cn2"),
-        )
-    )
-    cdot = _dot(F.col("cvec"), F.col(vec_col))
-    ccos = cdot / (F.sqrt(F.col("cn2")) * F.sqrt(F.col("n2")))
-    assigned = tracked_persist(
-        v.crossJoin(cents)
-        .select(F.col(id_col).alias("vid"), "centroid_id", ccos.alias("ccos"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vid").orderBy(
-                    F.col("ccos").desc(), F.col("centroid_id")
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vid", "centroid_id")
-    )
-    q = v.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.col("n2").alias("qn2"),
-    )
-    qcdot = _dot(F.col("cvec"), F.col("qvec"))
-    qccos = qcdot / (F.sqrt(F.col("cn2")) * F.sqrt(F.col("qn2")))
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("qccos").desc(), F.col("centroid_id")
-    )
-    probes = F.broadcast(
-        q.crossJoin(cents)
-        .select("query_id", "centroid_id", qccos.alias("qccos"))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "centroid_id")
-    )
     ex = tracked_persist(
         emb.select(
             F.col(id_col).alias("vid"),
             F.posexplode(F.col(vec_col)).alias("d", "x"),
         ).withColumn("x", F.col("x").cast("double"))
     )
-    cex = F.broadcast(
-        ex.filter(F.col("vid") < n_centroids).select(
-            F.col("vid").alias("centroid_id"), "d", F.col("x").alias("cx")
+    if coarse == "kmeans":
+        # trained coarse stage — identical branch to ivf_pq_topk's
+        # (r149): k-means means, one scored relation for assignment
+        # AND probes, all decimal folds
+        cex = F.broadcast(
+            tracked_persist(
+                _coarse_kmeans_train(ex, n_centroids, coarse_iters)
+            )
         )
-    )
+        scoredc = _cosine_scored(ex, cex)
+        wv = Window.partitionBy("vid").orderBy(
+            F.col("cos").desc(), F.col("centroid_id")
+        )
+        ranked = tracked_persist(
+            scoredc.withColumn("rn", F.row_number().over(wv))
+        )
+        assigned = ranked.filter(F.col("rn") == 1).select("vid", "centroid_id")
+        probes = F.broadcast(
+            ranked.filter(
+                (F.col("vid") < n_queries) & (F.col("rn") <= nprobe)
+            ).select(F.col("vid").alias("query_id"), "centroid_id")
+        )
+    else:
+        v = with_norm(emb, id_col, vec_col)
+        cents = F.broadcast(
+            v.filter(F.col(id_col) < n_centroids).select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("cvec"),
+                F.col("n2").alias("cn2"),
+            )
+        )
+        cdot = _dot(F.col("cvec"), F.col(vec_col))
+        ccos = cdot / (F.sqrt(F.col("cn2")) * F.sqrt(F.col("n2")))
+        assigned = tracked_persist(
+            v.crossJoin(cents)
+            .select(F.col(id_col).alias("vid"), "centroid_id", ccos.alias("ccos"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vid").orderBy(
+                        F.col("ccos").desc(), F.col("centroid_id")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vid", "centroid_id")
+        )
+        q = v.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.col("n2").alias("qn2"),
+        )
+        qcdot = _dot(F.col("cvec"), F.col("qvec"))
+        qccos = qcdot / (F.sqrt(F.col("cn2")) * F.sqrt(F.col("qn2")))
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("qccos").desc(), F.col("centroid_id")
+        )
+        probes = F.broadcast(
+            q.crossJoin(cents)
+            .select("query_id", "centroid_id", qccos.alias("qccos"))
+            .withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= nprobe)
+            .select("query_id", "centroid_id")
+        )
+        cex = F.broadcast(
+            ex.filter(F.col("vid") < n_centroids).select(
+                F.col("vid").alias("centroid_id"), "d", F.col("x").alias("cx")
+            )
+        )
     rex = tracked_persist(
         ex.join(assigned, "vid")
         .join(cex, ["centroid_id", "d"])
@@ -2609,12 +2653,15 @@ def ivf_pq_refine_topk_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    coarse: str = "lowid",
+    coarse_iters: int = 2,
 ) -> str:
     """DuckDB twin of :func:`ivf_pq_refine_topk` — r146's CTE chain
-    plus the shortlist + exact-re-rank levels."""
+    (or r149's trained-coarse chain when coarse='kmeans') plus the
+    shortlist + exact-re-rank levels."""
     base = ivf_pq_topk_sql(
         table, n_centroids, nprobe, m, k, iters, n_queries, topk,
-        True, id_col, vec_col, dim,
+        True, id_col, vec_col, dim, coarse, coarse_iters,
     )
     # splice: reuse everything up to adc_top, but rank the shortlist at
     # `refine` depth, exact-re-rank it, and emit the refine report
@@ -2691,6 +2738,7 @@ def _ivf_coarse_head_ctes(
     coarse: str,
     coarse_iters: int,
     query_filter: str,
+    sample_stride: int = 1,
 ) -> "list[str]":
     """The coarse-quantizer head of the IVF-PQ SQL twins: CTEs ending in
     `ex` (vid, d, x, subspace, sd), `cex` (centroid_id, d, cx),
@@ -2712,15 +2760,27 @@ def _ivf_coarse_head_ctes(
         )""",
     ]
     if coarse == "kmeans":
+        # sample_stride > 1: train on the deterministic stride sample
+        # (kex), init from the first nc SAMPLE ids; the final
+        # assignment/probe ranking below always runs over the FULL ex
+        train = "ex" if sample_stride <= 1 else "kex"
+        init_bound = nc if sample_stride <= 1 else f"({nc}) * {sample_stride}"
+        if sample_stride > 1:
+            ctes.append(
+                f"""kex AS MATERIALIZED (
+                  SELECT * FROM ex WHERE vid % {sample_stride} = 0
+                )"""
+            )
         ctes.append(
             f"""vnk AS MATERIALIZED (
               SELECT vid, {dec.format(expr='x * x')} AS vn2
-              FROM ex GROUP BY vid
+              FROM {train} GROUP BY vid
             )"""
         )
         ctes.append(
             f"""kc0 AS MATERIALIZED (
-              SELECT vid AS centroid_id, d, x AS cx FROM ex WHERE vid < {nc}
+              SELECT vid AS centroid_id, d, x AS cx FROM {train}
+              WHERE vid < {init_bound}
             )"""
         )
         prev = "kc0"
@@ -2735,7 +2795,7 @@ def _ivf_coarse_head_ctes(
                 f"""kdots{i} AS MATERIALIZED (
                   SELECT e.vid, c.centroid_id,
                          {dec.format(expr='e.x * c.cx')} AS dot
-                  FROM ex e JOIN {prev} c ON e.d = c.d
+                  FROM {train} e JOIN {prev} c ON e.d = c.d
                   GROUP BY 1, 2
                 )"""
             )
@@ -2758,8 +2818,17 @@ def _ivf_coarse_head_ctes(
                 f"""kc{i} AS MATERIALIZED (
                   SELECT a.centroid_id, e.d,
                          {dec.format(expr='e.x')} / COUNT(e.x) AS cx
-                  FROM ex e JOIN ka{i} a ON e.vid = a.vid
+                  FROM {train} e JOIN ka{i} a ON e.vid = a.vid
                   GROUP BY 1, 2
+                )"""
+            )
+        if sample_stride > 1:
+            # full-corpus norms for the final assignment (vnk covers
+            # only the training sample)
+            ctes.append(
+                f"""vnf AS MATERIALIZED (
+                  SELECT vid, {dec.format(expr='x * x')} AS vn2
+                  FROM ex GROUP BY vid
                 )"""
             )
         ctes.append(
@@ -2781,8 +2850,9 @@ def _ivf_coarse_head_ctes(
               GROUP BY 1, 2
             )"""
         )
+        final_norm = "vnk" if sample_stride <= 1 else "vnf"
         ctes.append(
-            """franked AS MATERIALIZED (
+            f"""franked AS MATERIALIZED (
               SELECT d.vid, d.centroid_id,
                      ROW_NUMBER() OVER (
                        PARTITION BY d.vid
@@ -2790,7 +2860,7 @@ def _ivf_coarse_head_ctes(
                                 d.centroid_id) AS rn
               FROM fdots d
               JOIN fcn n ON d.centroid_id = n.centroid_id
-              JOIN vnk v ON d.vid = v.vid
+              JOIN {final_norm} v ON d.vid = v.vid
             )"""
         )
         ctes.append(
@@ -2941,12 +3011,14 @@ def ivf_pq_topk_sql(
     dim: int = 64,
     coarse: str = "lowid",
     coarse_iters: int = 2,
+    coarse_sample_stride: int = 1,
 ) -> str:
     """DuckDB twin of :func:`ivf_pq_topk` — the coarse/probe head CTEs
     (lowid: q28's ordered list_reduce folds; kmeans: the trained-means
-    chain), then the residual k-means unrolled with `subspace` as a key
-    exactly like the Spark batching, then the same ADC scoring with
-    DECIMAL folds and lower-id tie-breaks."""
+    chain, optionally stride-sample-trained), then the residual k-means
+    unrolled with `subspace` as a key exactly like the Spark batching,
+    then the same ADC scoring with DECIMAL folds and lower-id
+    tie-breaks."""
     sub = dim // m
     nc = (
         auto_k_sql(table, IVF_CENTROID_DIVISOR, lo=16)
@@ -2956,7 +3028,7 @@ def ivf_pq_topk_sql(
     dec = "CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)"
     ctes = _ivf_coarse_head_ctes(
         table, nc, nprobe, sub, dim, id_col, vec_col,
-        coarse, coarse_iters, f"vid < {n_queries}",
+        coarse, coarse_iters, f"vid < {n_queries}", coarse_sample_stride,
     )
     tail, codes = _pq_train_ctes(nc, k, iters, residual)
     ctes += tail
