@@ -4743,11 +4743,14 @@ def r154_ivf_pq_sampled_train(spark, sf_dir):
     The trained means still quantize and probe the FULL corpus — only
     the training scans shrink by the stride — and the whole thing stays
     oracle-expressible because the sample is a deterministic stride,
-    not a seeded random draw. The graded columns measure the trade:
-    at tiny SF the 1/4 sample starves 16 centroids (overlap 28 vs 48 of
-    80 at sf0.001's 125 training vectors); by sf0.1+ the sample is
-    ample and quality converges on full training — recorded in
-    SCALE_SF1.json round12.sampled."""
+    not a seeded random draw. The graded columns measure the trade
+    honestly (SCALE_SF1.json round12.sampled): at the graded SFs
+    auto_k pins 16 centroids while the stride shrinks the training set
+    (8:1 training-points-per-centroid at sf0.001, far below FAISS's
+    ~39:1 guidance), so the sample trails full training (28/24/18 vs
+    48/36/25 of 80); at sf1, where the ratio reaches 40:1 (5000
+    samples / 125 centroids), the stride sample converges EXACTLY —
+    80/80 for both — which is the regime a 100 TB corpus lives in."""
     from unifydb_spark.operators.similarity import ivf_pq_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
