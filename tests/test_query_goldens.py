@@ -555,3 +555,48 @@ def test_table_fn_rejects_var_params_and_seq_out(tf_engine):
     with pytest.raises(QueryError) as e2:
         tf_engine.query(q2)
     assert e2.value.code == "invalid-query"
+
+
+def test_ann_table_fn_joins_in_one_partition_pruned_plan(spark, tmp_path):
+    """The r151 composition proof at test scale: an ann-topk fn-bind
+    inside a Datalog query compiles into the SAME Catalyst plan as the
+    rest of the query, and the index scan inside that plan is
+    partition-PRUNED to the probed buckets (PartitionFilters on
+    centroid_id) — facts, ANN, and projection in one job, nothing
+    driver-side but the probe-id metadata."""
+    from pyspark.sql import functions as F
+
+    from unifydb_spark.operators.ann_fn import ann_topk_table_fn
+    from unifydb_spark.operators.similarity import ivf_pq_index_write
+    from unifydb_spark.sources.tables import table_fact_store
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    idx = ivf_pq_index_write(
+        emb, str(tmp_path / "annidx"), n_centroids=8, m=8, k=8, iters=2,
+        coarse="kmeans",
+    )
+    eng = Engine(spark, table_fact_store(spark, sf))
+    eng.register_table_fn("ann-topk", ann_topk_table_fn(emb, idx, nprobe=2))
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = eng.query(
+            {
+                "find": ["?q", "?n", "?src"],
+                "where": [
+                    ["?e", ":emb/id", "?q"],
+                    [("<", "?q", 3)],
+                    [("ann-topk", "?q", 5), "?n"],
+                    ["?d", ":doc/id", "?n"],
+                    ["?d", ":doc/source", "?src"],
+                ],
+            }
+        )
+        rows = df.collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert len(rows) == 15  # 3 queries x 5 neighbors, each joined to a doc
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    segs = [s.split("]")[0] for s in plan.split("PartitionFilters")[1:]]
+    assert any("centroid_id" in s for s in segs), plan
