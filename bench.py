@@ -13,6 +13,12 @@ are unquotable without a noise gate):
 - a pinned CANARY subset — 5 cheap pure-Column queries — runs 5 reps
   each; per-canary median and IQR (p75 - p25 of the 5 reps) measure the
   HOST's noise independent of any code change;
+- per query the Spark JOB COUNT is recorded ("jobs") and committed into
+  BENCH_REF: for driver-loop entries it is the plan-shape invariant, so
+  a flagged regression with equal job counts is host latency, a grown
+  count is code/data (VERDICT r12 ask #1);
+- on an unquotable run every flagged regression is re-timed at the end
+  (n=2, "solo_retimes") so the artifact carries its own adjudication;
 - "quotable" = every canary's IQR/median <= 0.30 AND (VERDICT r11 ask
   #7 — the canary alone gates only 5 cheap queries, so `quotable: true`
   could coexist with a 14% total IQR) the p90 of per-query relative IQR
@@ -334,6 +340,20 @@ PREPARED = {
     "x02_ivf_pq_search": _prepare_ivf_pq_search,
 }
 
+# Per-entry rep overrides (VERDICT r12 ask #6): the untrained-vs-trained
+# ANN comparisons retrain inline at ~12-24s/rep and overlap heavily with
+# the still-fully-repped r150/r153/r154 (r153 subsumes r149's trained
+# head and r148's refine ladder; r146 is r149 minus training). One rep
+# each keeps them on the board (regression adjudication still sees a
+# median) without burning ~100s of HEADLINE wall-clock on redundant
+# retraining; their cross-SF exactness lives in the correctness gate and
+# SCALE_SF1, not here.
+REPS_OVERRIDE = {
+    "r146_ivf_pq_topk": 1,
+    "r148_ivf_pq_refine": 1,
+    "r149_ivf_pq_trained": 1,
+}
+
 # Pinned noise canary: cheap pure-Column queries (scan -> filter/agg, no
 # Python, no iteration) whose runtime is dominated by the machine, not the
 # engine — their run-to-run spread measures HOST noise. Changing this set
@@ -422,15 +442,24 @@ def _source_changed(name: str, ref_git: str, changed_files: set) -> "bool | None
     return False
 
 
-def _adjudicate_regressions(times: dict) -> tuple:
+def _adjudicate_regressions(times: dict, jobcounts: dict, sf=None) -> tuple:
     """Compare this run's medians to BENCH_REF.json; return
-    (regressions list, reference summary dict or None)."""
+    (regressions list, reference summary dict or None). Each flagged
+    entry carries this run's Spark job count next to the reference's
+    (when the ref recorded one): equal counts mean the plan/driver-loop
+    shape is unchanged and the delta is host latency; a grown count
+    means code or data moved (VERDICT r12 ask #1)."""
     try:
         with open(REF_PATH) as f:
             ref = json.load(f)
     except (OSError, ValueError):
         return [], None
+    if sf is not None and ref.get("sf") is not None and ref["sf"] != sf:
+        # a scratch run at another SF must not be adjudicated against
+        # (or allowed to overwrite) the committed sf0.1 reference
+        return [], {"git": ref.get("git"), "sf_mismatch": True}
     ref_q = ref.get("queries", {})
+    ref_jobs = ref.get("jobs", {})
     ref_git = ref.get("git")
     changed = None
     if ref_git:
@@ -449,6 +478,8 @@ def _adjudicate_regressions(times: dict) -> tuple:
                     "ref_median": prior,
                     "median": now,
                     "ratio": round(ratio, 2),
+                    "jobs": jobcounts.get(name),
+                    "ref_jobs": ref_jobs.get(name),
                     "source_changed": _source_changed(name, ref_git, changed)
                     if ref_git
                     else None,
@@ -459,7 +490,7 @@ def _adjudicate_regressions(times: dict) -> tuple:
     return out, summary
 
 
-def _write_ref(times: dict, sf) -> None:
+def _write_ref(times: dict, sf, jobcounts: dict) -> None:
     """Refresh the committed regression reference after a QUOTABLE run
     (skippable via SPARK_GRAFT_WRITE_REF=0 for scratch sweeps)."""
     if os.environ.get("SPARK_GRAFT_WRITE_REF", "1") == "0":
@@ -472,6 +503,7 @@ def _write_ref(times: dict, sf) -> None:
                 "sf": sf,
                 "captured": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 "queries": times,
+                "jobs": jobcounts,
             },
             f,
             indent=1,
@@ -547,12 +579,25 @@ def main():
             except Exception:
                 pass
 
+    # Per-run Spark JOB COUNT next to the timing (VERDICT r12 ask #1):
+    # for driver-loop entries (rule fixpoints, iterative quantilers) the
+    # job count is the plan-shape invariant — flat count + slow wall =
+    # host scheduler latency, grown count = code/data. Recorded per query
+    # and written into BENCH_REF so the adjudicator can diff both.
+    tracker = spark.sparkContext.statusTracker()
+    _group_seq = [0]
+
     def _timed(name):
+        _group_seq[0] += 1
+        group = f"bench-{name}-{_group_seq[0]}"
+        spark.sparkContext.setJobGroup(group, name)
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
         dt = time.time() - t0
+        spark.sparkContext.setJobGroup(None, None)
+        jobs = len(tracker.getJobIdsForGroup(group))
         _drop_caches()
-        return n, dt
+        return n, dt, jobs
 
     # noise canary first: 5 cheap pure-Column queries x 5 reps; their IQR
     # measures the host, gating whether this run's wall-clock is quotable
@@ -567,27 +612,34 @@ def main():
         if med > 0 and iqr / med > CANARY_RELATIVE_IQR_GATE:
             quotable = False
 
-    times, mins, spreads = {}, {}, {}
+    times, mins, spreads, jobcounts = {}, {}, {}, {}
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in names:
         # median of N reps (default 3): robust to one neighbor-load spike;
         # SPARK_GRAFT_BENCH_RUNS=1 for long scratch-scale sweeps where one
         # pass is evidence enough
         reps, n = [], 0
-        for _ in range(runs):
-            n, dt = _timed(name)
+        for _ in range(REPS_OVERRIDE.get(name, runs)):
+            n, dt, jobs = _timed(name)
             reps.append(dt)
         med, iqr = _median_iqr(reps)
         times[name] = round(med, 3)
         mins[name] = round(min(reps), 3)
         spreads[name] = round(iqr, 3)
-        print(f"# {name}: {n} rows in {times[name]}s (iqr {spreads[name]})", file=sys.stderr)
+        jobcounts[name] = jobs
+        print(
+            f"# {name}: {n} rows in {times[name]}s "
+            f"(iqr {spreads[name]}, jobs {jobs})",
+            file=sys.stderr,
+        )
 
     # tail-spread self-label (VERDICT r11 ask #7): p90 of per-query
     # relative IQR over the whole run, denominators floored at 1s
     # medians so sub-second entries can't dominate the ratio
     rels = sorted(
-        spreads[n] / times[n] for n in names if times[n] >= 1.0
+        spreads[n] / times[n]
+        for n in names
+        if times[n] >= 1.0 and REPS_OVERRIDE.get(n, runs) >= 2
     )
     tail_p90 = (
         round(rels[max(0, -(-9 * len(rels) // 10) - 1)], 3) if rels else 0.0
@@ -595,9 +647,34 @@ def main():
     if runs >= 2 and tail_p90 > CANARY_RELATIVE_IQR_GATE:
         quotable = False
 
-    regressions, reg_ref = _adjudicate_regressions(times)
-    if quotable:
-        _write_ref(times, sf)
+    regressions, reg_ref = _adjudicate_regressions(times, jobcounts, sf)
+    # Machine-made solo re-times (VERDICT r12 ask #1): on an UNQUOTABLE
+    # run the regression list is untrustworthy — round 12's adjudication
+    # ("13.13x" that was really ~1.4x) lived only in README prose. Re-time
+    # every flagged entry at the end of the run (n=2, caches dropped,
+    # nothing else in-process); the artifact then carries its own
+    # counter-evidence instead of needing a judge-side re-run.
+    solo_retimes = {}
+    if regressions and not quotable:
+        for reg in regressions:
+            name = reg["name"]
+            reps = []
+            for _ in range(2):
+                _, dt, jobs = _timed(name)
+                reps.append(round(dt, 3))
+            med, _iqr = _median_iqr(reps)
+            solo_retimes[name] = {
+                "reps": reps,
+                "median": round(med, 3),
+                "jobs": jobs,
+                "ratio": round(med / reg["ref_median"], 2)
+                if reg["ref_median"] > 0
+                else None,
+            }
+    if quotable and sf == 0.1:
+        # the committed regression reference is an sf0.1 artifact; a
+        # quotable scratch run at another SF must not replace it
+        _write_ref(times, sf, jobcounts)
     out = {
         "metric": "headline_query_total",
         "value": round(sum(times.values()), 3),
@@ -610,8 +687,10 @@ def main():
         "canary": canary,
         "runs": runs,
         "regressions": regressions,
+        "solo_retimes": solo_retimes,
         "regression_ref": reg_ref,
         "queries": times,
+        "jobs": jobcounts,
         "sf": sf,
     }
     print(json.dumps(out))
@@ -636,6 +715,9 @@ def main():
                 # (>=1.5x on >=1s entries) with source-change
                 # adjudication — small, so it survives tail truncation
                 "regressions": regressions,
+                # end-of-run n=2 re-times of the flags (unquotable runs
+                # only): the run's own counter-evidence for host noise
+                "solo_retimes": solo_retimes,
             }
         )
     )

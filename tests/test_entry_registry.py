@@ -113,19 +113,35 @@ def test_bench_regression_adjudication(tmp_path):
         },
     }))
     bench.REF_PATH = str(ref)
-    regs, meta = bench._adjudicate_regressions({
-        "q01_pricing_summary": 3.5,
-        "q03_ref_join_chain": 2.2,
-        "r14_length_histogram": 5.0,
-    })
+    regs, meta = bench._adjudicate_regressions(
+        {
+            "q01_pricing_summary": 3.5,
+            "q03_ref_join_chain": 2.2,
+            "r14_length_histogram": 5.0,
+        },
+        {"q01_pricing_summary": 7},
+    )
     assert [r["name"] for r in regs] == ["q01_pricing_summary"]
     assert regs[0]["ratio"] == 1.75
+    # this run's job count rides along; the ref predates job recording
+    assert regs[0]["jobs"] == 7 and regs[0]["ref_jobs"] is None
     # q01's entry function + imports are untouched vs HEAD
     assert regs[0]["source_changed"] is False
     assert meta["git"] == head
+    # an SF-mismatched reference is never adjudicated against
+    ref_sf = json.loads(ref.read_text())
+    ref_sf["sf"] = 0.1
+    ref.write_text(json.dumps(ref_sf))
+    regs2, meta2 = bench._adjudicate_regressions(
+        {"q01_pricing_summary": 9.9}, {}, sf=0.001
+    )
+    assert regs2 == [] and meta2.get("sf_mismatch") is True
     # no reference file -> no flags, never an error
     bench.REF_PATH = str(tmp_path / "missing.json")
-    assert bench._adjudicate_regressions({"q01_pricing_summary": 9.9}) == ([], None)
+    assert bench._adjudicate_regressions({"q01_pricing_summary": 9.9}, {}) == (
+        [],
+        None,
+    )
 
 
 def test_scale_sf1_count_pinned_to_registry():

@@ -24,6 +24,7 @@ is rejected at compile time.
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 from typing import Optional
 
@@ -48,6 +49,49 @@ from unifydb_spark.query.parse import (
 _FRESH = itertools.count()
 
 MAX_ITERATIONS = 100
+
+# Frontier-sized shuffles (round-13, VERDICT r12 ask #1): the fixpoint
+# loops run O(rounds) driver actions whose inputs are the per-round
+# deltas. When the measured frontier is tiny (r137's demand chain is 6
+# rows), planning every round's distinct/anti-join at the session's
+# shuffle width (32 on the bench) schedules thousands of empty tasks —
+# the instrumented job count is flat across rounds (93 jobs), so the
+# wall-clock regression the round-12 bench flagged was per-task
+# scheduler overhead, not plan growth. Scope the rounds to a partition
+# count derived from the rows we ALREADY count each round (no extra
+# jobs); any frontier past _FRONTIER_SESSION_ROWS — or an unknown size —
+# keeps the session setting, so real data is never squeezed. AQE stays
+# on: checkpointed tiny deltas broadcast against EDB sides regardless.
+_FRONTIER_ROWS_PER_PARTITION = 2_000
+_FRONTIER_SESSION_ROWS = 100_000
+
+
+def _frontier_parts(session: int, hint: int) -> int:
+    if hint > _FRONTIER_SESSION_ROWS:
+        return session
+    return max(1, min(session, -(-hint // _FRONTIER_ROWS_PER_PARTITION)))
+
+
+@contextlib.contextmanager
+def _frontier_shuffle(spark, hint: Optional[int]):
+    """Scope spark.sql.shuffle.partitions to the measured frontier size
+    for one fixpoint round; restores the session value on exit. No-op
+    when the hint is unknown or big enough to want the session width."""
+    conf = spark.conf
+    try:
+        session = int(conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        yield
+        return
+    want = session if hint is None else _frontier_parts(session, int(hint))
+    if want >= session:
+        yield
+        return
+    conf.set("spark.sql.shuffle.partitions", str(want))
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.shuffle.partitions", str(session))
 
 
 class RulesEnv:
@@ -480,6 +524,7 @@ def _magic_seed(db, name: str, env: "RulesEnv", scc: set, app_args) -> Optional[
         instrument.note("rule_magic_size", 1)
         return bound, total
     delta = total
+    demand_rows = 1  # the seed row; grows by each round's counted fresh
     for _round in range(env.max_iterations):
         produced = []
         for step, kinds in steps:
@@ -497,11 +542,14 @@ def _magic_seed(db, name: str, env: "RulesEnv", scc: set, app_args) -> Optional[
         fresh = C.join_rels(
             C.Rel(prod.df.distinct(), dict(prod.vars)), total, "left_anti"
         )
-        fresh_df = fresh.df.localCheckpoint(eager=True)
-        if fresh_df.count() == 0:
-            instrument.note("rule_magic_rounds", _round + 1)
-            instrument.note("rule_magic_size", total.df.count())
-            return bound, total
+        with _frontier_shuffle(spark, demand_rows):
+            fresh_df = fresh.df.localCheckpoint(eager=True)
+            cnt = fresh_df.count()
+            if cnt == 0:
+                instrument.note("rule_magic_rounds", _round + 1)
+                instrument.note("rule_magic_size", total.df.count())
+                return bound, total
+        demand_rows += cnt
         union = C.align_union([total, C.Rel(fresh_df, dict(fresh.vars))])
         total = C.Rel(union.df, dict(union.vars))
         delta = C.Rel(fresh_df, dict(fresh.vars))
@@ -566,7 +614,13 @@ def _fixpoint(db, name: str, env: "RulesEnv", seed_args=None) -> C.Rel:
 
     from unifydb_spark import instrument
 
-    instrument.bump("rule_fixpoint_delta_rows", totals[name].df.count())
+    base_rows = totals[name].df.count()
+    instrument.bump("rule_fixpoint_delta_rows", base_rows)
+    # frontier-size hint: exact for single-member SCCs (the counted base
+    # + every counted delta = every row any round's plan can hold); for
+    # multi-member SCCs the other members' bases are never counted, so
+    # the hint stays None and rounds keep the session shuffle width
+    frontier_rows = base_rows if len(scc) == 1 else None
 
     for _round in range(env.max_iterations):
         instrument.note("rule_fixpoint_rounds", _round + 1)
@@ -589,8 +643,11 @@ def _fixpoint(db, name: str, env: "RulesEnv", seed_args=None) -> C.Rel:
             fresh = C.join_rels(
                 C.Rel(produced.df.distinct(), dict(produced.vars)), tot, "left_anti"
             )
-            fresh_df = fresh.df.localCheckpoint(eager=True)
-            cnt = fresh_df.count()
+            with _frontier_shuffle(db.store.spark, frontier_rows):
+                fresh_df = fresh.df.localCheckpoint(eager=True)
+                cnt = fresh_df.count()
+            if frontier_rows is not None:
+                frontier_rows += cnt
             instrument.bump("rule_fixpoint_delta_rows", cnt)
             if cnt > 0:
                 any_new = True
