@@ -4761,6 +4761,84 @@ def r154_ivf_pq_sampled_train(spark, sf_dir):
     )
 
 
+# deterministic OUT-OF-CORPUS query vector for r155: a fixed formula so
+# the Spark literal and the SQL twin's literal are byte-identical floats
+_R155_QVEC = [((7 * d + 3) % 101) / 101.0 for d in range(64)]
+
+
+def r155_ann_literal_vector(spark, sf_dir):
+    """ANN over a query vector that is NOT in the corpus — the serving
+    case (VERDICT r12 ask #4) — invoked from the Datalog surface as a
+    GROUND SEQ LITERAL key: `[(ann-topk [0.03 ...] 5) ?n]`
+    (query/compile.py _apply_table_fn literal branch). The literal
+    becomes a one-row array<double> relation, ivf_pq_search ranks its
+    probes against the persisted trained centroids with the same
+    decimal-fold cosine the corpus path uses, and the (<= k)-row result
+    broadcast-joins into the pattern pipeline — here joined back to
+    document facts exactly like r151. The DuckDB twin
+    (ivf_pq_search_sql(query_vector=...)) unrolls the identical
+    lifecycle with the literal exploded as query_id 0. A dims-mismatch
+    literal raises structured invalid-query
+    (tests/test_query_goldens.py::test_ann_table_fn_literal_vector_key)."""
+    from unifydb_spark.operators.ann_fn import ann_topk_table_fn
+
+    eng = _engine(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eng.register_table_fn(
+        "ann-topk", ann_topk_table_fn(emb, _ann_index(spark, sf_dir), nprobe=4)
+    )
+    return eng.query(
+        {
+            "find": ["?n", "?src"],
+            "where": [
+                [("ann-topk", _R155_QVEC, 5), "?n"],
+                ["?d", ":doc/id", "?n"],
+                ["?d", ":doc/source", "?src"],
+            ],
+            "sort-by": ["?n"],
+        }
+    )
+
+
+def r156_ann_rule_view(spark, sf_dir):
+    """ANN invoked from INSIDE a rule body (VERDICT r12 ask #5): the
+    reference applies fn-binds through rule evaluation
+    (src/unifydb/query.clj:106-130 via :260-274); here the rule body
+    GENERATES the key with its own pattern clauses and the table fn
+    composes like any top-level clause — the α-renamed body compiles
+    through the same _apply_table_fn path (query/rules.py _expand_rule).
+    A body whose fn key is bound only at the call site raises the
+    structured unbound-variable error under the SOURCE variable name
+    (tests/test_query_goldens.py::test_table_fn_inside_rule_body).
+    Result shape and oracle are exactly r151's — the rule is a view."""
+    from unifydb_spark.operators.ann_fn import ann_topk_table_fn
+
+    eng = _engine(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eng.register_table_fn(
+        "ann-topk", ann_topk_table_fn(emb, _ann_index(spark, sf_dir), nprobe=4)
+    )
+    return eng.query(
+        {
+            "find": ["?q", "?n", "?src"],
+            "where": [
+                ("near_docs", "?q", "?n"),
+                ["?d", ":doc/id", "?n"],
+                ["?d", ":doc/source", "?src"],
+            ],
+            "rules": [
+                [
+                    ("near_docs", "?x", "?y"),
+                    ["?e", ":emb/id", "?x"],
+                    [("<", "?x", 4)],
+                    [("ann-topk", "?x", 5), "?y"],
+                ],
+            ],
+            "sort-by": ["?q", "?n"],
+        }
+    )
+
+
 def r152_source_cap_auto(spark, sf_dir):
     """Skew-routed domain cap GRADED AT THE ROUTE BOUNDARY (VERDICT r11
     ask #5; operators/quality.py source_cap_auto). The documents table
@@ -5093,6 +5171,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r152_source_cap_auto": r152_source_cap_auto,
         "r153_ivf_pq_refine_trained": r153_ivf_pq_refine_trained,
         "r154_ivf_pq_sampled_train": r154_ivf_pq_sampled_train,
+        "r155_ann_literal_vector": r155_ann_literal_vector,
+        "r156_ann_rule_view": r156_ann_rule_view,
     }
 
 
@@ -6009,6 +6089,26 @@ def _operator_oracles() -> dict[str, str]:
             topk=10, coarse="kmeans", coarse_iters=2, query_filter="vid < 8"
         ),
         "r151_ann_fn_bind": """
+            WITH srch AS ({srch})
+            SELECT s.query_id AS q, s.neighbor_id AS n, d.source AS src
+            FROM srch s JOIN documents d ON d.doc_id = s.neighbor_id
+            ORDER BY 1, 2
+        """.replace("{srch}", _s.ivf_pq_search_sql(
+            "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
+            topk=5, coarse="kmeans", coarse_iters=2, query_filter="vid < 4"
+        )),
+        "r155_ann_literal_vector": """
+            WITH srch AS ({srch})
+            SELECT s.neighbor_id AS n, d.source AS src
+            FROM srch s JOIN documents d ON d.doc_id = s.neighbor_id
+            ORDER BY 1
+        """.replace("{srch}", _s.ivf_pq_search_sql(
+            "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
+            topk=5, coarse="kmeans", coarse_iters=2,
+            query_vector=_R155_QVEC,
+        )),
+        # the rule is a pure view over r151's composition: same twin
+        "r156_ann_rule_view": """
             WITH srch AS ({srch})
             SELECT s.query_id AS q, s.neighbor_id AS n, d.source AS src
             FROM srch s JOIN documents d ON d.doc_id = s.neighbor_id

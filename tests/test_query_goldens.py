@@ -600,3 +600,98 @@ def test_ann_table_fn_joins_in_one_partition_pruned_plan(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     segs = [s.split("]")[0] for s in plan.split("PartitionFilters")[1:]]
     assert any("centroid_id" in s for s in segs), plan
+
+
+def test_ann_table_fn_literal_vector_key(spark, tmp_path):
+    """Round-13 (VERDICT r12 ask #4): the ANN serving case — a query
+    vector that is NOT in the corpus — enters the Datalog surface as a
+    ground seq literal key: `[(ann-topk [0.1 ...] 5) ?n]`. Pins: (a) a
+    literal equal to a corpus vector retrieves EXACTLY the corpus-keyed
+    neighbors (same decimal-fold scoring path), (b) a literal-key bind
+    may be the FIRST clause (it needs no prior binding), (c) a
+    dims-mismatched literal raises the structured invalid-query error,
+    (d) non-numeric literals are rejected at compile time."""
+    from pyspark.sql import functions as F
+
+    from unifydb_spark.operators.ann_fn import ann_topk_table_fn
+    from unifydb_spark.operators.similarity import ivf_pq_index_write
+    from unifydb_spark.sources.tables import table_fact_store
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    idx = ivf_pq_index_write(
+        emb, str(tmp_path / "annidx"), n_centroids=8, m=8, k=8, iters=2,
+        coarse="kmeans",
+    )
+    eng = Engine(spark, table_fact_store(spark, sf))
+    eng.register_table_fn("ann-topk", ann_topk_table_fn(emb, idx, nprobe=2))
+
+    corpus = eng.query(
+        {
+            "find": ["?n"],
+            "where": [
+                ["?e", ":emb/id", "?q"],
+                [("=", "?q", 2)],
+                [("ann-topk", "?q", 5), "?n"],
+            ],
+            "sort-by": ["?n"],
+        }
+    ).collect()
+    vec2 = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 2).first()["embedding"]
+    ]
+    # (b) the literal bind is the first (and only generating) clause
+    lit = eng.query(
+        {
+            "find": ["?n"],
+            "where": [[("ann-topk", vec2, 5), "?n"]],
+            "sort-by": ["?n"],
+        }
+    ).collect()
+    assert [r["n"] for r in lit] == [r["n"] for r in corpus]  # (a)
+
+    with pytest.raises(QueryError) as e:  # (c)
+        eng.query(
+            {"find": ["?n"], "where": [[("ann-topk", [1.0, 2.0], 5), "?n"]]}
+        ).collect()
+    assert e.value.code == "invalid-query"
+    assert "dims" in str(e.value)
+
+    with pytest.raises(QueryError) as e2:  # (d)
+        eng.query(
+            {"find": ["?n"], "where": [[("ann-topk", ["a", "b"], 5), "?n"]]}
+        )
+    assert e2.value.code == "invalid-query"
+
+
+def test_table_fn_inside_rule_body(tf_engine):
+    """Round-13 (VERDICT r12 ask #5): fn-binds evaluate inside rule
+    bodies (the reference applies them through rule evaluation,
+    query.clj:106-130 via :260-274). A body that GENERATES the key with
+    its own clauses composes the table fn like any top-level clause; a
+    key bound only at the call site raises the structured error under
+    the variable's SOURCE name (not the α-renamed gensym)."""
+    q = {
+        "find": ["?x", "?m"],
+        "where": [("triples", "?x", "?m")],
+        "rules": [
+            [("triples", "?a", "?b"),
+             ["?e", ":num", "?a"],
+             [("multiples", "?a", 3), "?b"]],
+        ],
+    }
+    assert rows(tf_engine, q) == [
+        (2, 2), (2, 4), (2, 6), (3, 3), (3, 6), (3, 9),
+    ]
+
+    unbound = {
+        "find": ["?m"],
+        "where": [["?e", ":num", "?x"], ("mult_view", "?x", "?m")],
+        "rules": [[("mult_view", "?a", "?b"), [("multiples", "?a", 3), "?b"]]],
+    }
+    with pytest.raises(QueryError) as e:
+        tf_engine.query(unbound)
+    assert e.value.code == "unbound-variable"
+    assert e.value.info.get("variable") == "a"
+    assert e.value.info.get("rule") == "mult_view"

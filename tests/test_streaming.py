@@ -855,3 +855,75 @@ def test_stream_transitions_multichunk_group(spark, tmpdirs):
     # time-ordered truth: a->b->c->a->... 599 transitions, ~200 each
     want = {("a", "b"): 200, ("b", "c"): 200, ("c", "a"): 199}
     assert got == want
+
+
+def test_stream_embeddings_to_index_full_loop(spark, tmp_path):
+    """The PRODUCTION ANN ingest loop end to end (VERDICT r12 ask #7):
+    embedding micro-batches stream into all three planes — raw vectors
+    to the corpus dir, codes appended to the persisted IVF-PQ index
+    against frozen codebooks, id facts committed through the txlog with
+    the stream epoch — and the maintenance policy REBUILDS the index
+    when the appended fraction crosses the threshold. Pins: per-epoch
+    maintenance reports (below-threshold no-op, then trigger), meta
+    counter reset after the rebuild, streamed vectors searchable at
+    rank-contract quality from the REBUILT index, and the metadata
+    plane queryable through the standard engine snapshot."""
+    from unifydb_spark.operators.similarity import (
+        _read_index_meta,
+        ivf_pq_index_write,
+        ivf_pq_search,
+    )
+    from unifydb_spark.streaming import stream_embeddings_to_index
+    from unifydb_spark.txlog import LogParquetBackend
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 250)
+    corpus_path = str(tmp_path / "corpus")
+    base.write.parquet(f"{corpus_path}/epoch=base")
+    idx = ivf_pq_index_write(
+        base, str(tmp_path / "idx"), n_centroids=8, m=8, k=8, iters=2,
+        coarse="kmeans",
+    )
+
+    input_dir = str(tmp_path / "input")
+    os.makedirs(input_dir)
+    for lo, hi in [(250, 375), (375, 500)]:
+        emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(input_dir)
+
+    backend = LogParquetBackend(spark, str(tmp_path / "facts"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)  # one slice per micro-batch
+        .parquet(input_dir)
+    )
+    # 125/375 = 0.33 after slice 1 (< 0.4 -> no-op); 250/500 = 0.5
+    # after slice 2 (>= 0.4 -> rebuild)
+    q, reports = stream_embeddings_to_index(
+        stream, idx, corpus_path, str(tmp_path / "ckpt"),
+        backend=backend, rebuild_threshold=0.4,
+    )
+    q.awaitTermination(300)
+
+    assert [r["appended"] for r in reports] == [125, 125]
+    assert [r["rebuilt"] for r in reports] == [False, True]
+    assert abs(reports[0]["appended_fraction"] - 125 / 375) < 1e-9
+    assert abs(reports[1]["appended_fraction"] - 0.5) < 1e-9
+    meta = _read_index_meta(idx["path"])
+    assert (meta["n_base"], meta["n_appended"]) == (500, 0)  # reset
+
+    # streamed vectors are searchable from the REBUILT index: each finds
+    # itself in its own top-5 (the quantized-self-recall contract)
+    queries = emb.filter(F.col("vec_id").isin([260, 450, 499]))
+    res = ivf_pq_search(queries, idx, nprobe=2, topk=5).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(by_q) == {260, 450, 499}
+    for qid, nbrs in by_q.items():
+        assert qid in nbrs
+
+    # the metadata plane committed per-epoch through the txlog
+    assert backend.facts_df().count() == 250
+    assert backend.log_version() == 2  # one manifest CAS per micro-batch

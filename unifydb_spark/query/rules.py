@@ -268,7 +268,26 @@ def _expand_rule(db, rule: Rule, env: "RulesEnv") -> tuple:
             "invalid-rule",
             "axioms (bodiless rules) require ground call arguments",
         )
-    rel = C.compile_where(db, body, env)
+    try:
+        rel = C.compile_where(db, body, env)
+    except QueryError as e:
+        # de-gensym the variable in unbound errors: a rule body must bind
+        # every variable its clauses consume with its OWN generators (the
+        # reference evaluates bodies the same way, query.clj:260-274);
+        # a param bound only at the call site (e.g. a table-fn key) is
+        # reported under its source name, not the α-renamed one
+        var = e.info.get("variable")
+        inv = {v: k for k, v in mapping.items()}
+        if var in inv:
+            raise QueryError(
+                e.code,
+                f"rule {rule.name}: ?{inv[var]} is not bound by the rule "
+                "body's own clauses (call-site bindings do not flow into "
+                "non-pattern body clauses)",
+                variable=inv[var],
+                rule=rule.name,
+            ) from e
+        raise
     return params, rel
 
 

@@ -155,6 +155,99 @@ def stream_facts_to_txlog(
     return w.start()
 
 
+def stream_embeddings_to_index(
+    emb_stream: DataFrame,
+    index: dict,
+    corpus_path: str,
+    checkpoint_path: str,
+    backend=None,
+    rebuild_threshold: float = 0.5,
+    trigger_available_now: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The PRODUCTION ingest loop for a living ANN corpus (round-13,
+    VERDICT r12 ask #7): every embedding micro-batch lands in all three
+    planes in one ``foreachBatch`` commit —
+
+    1. the LAKEHOUSE plane: raw vectors append to ``corpus_path`` under
+       a per-epoch subdirectory (overwrite-per-epoch, so a replayed
+       micro-batch after a crash rewrites the same files instead of
+       duplicating them — the file-level idempotence the txlog gets
+       from stream epochs);
+    2. the INDEX plane: :func:`~unifydb_spark.operators.similarity.
+       ivf_pq_index_append` encodes the batch against the FROZEN
+       codebooks (O(batch), duplicate-vid-safe, so replays are no-ops)
+       — new vectors are searchable the moment the batch commits;
+    3. the METADATA plane (optional ``backend``): id facts commit
+       through the txlog with the stream's epoch, exactly like
+       :func:`stream_facts_to_txlog`;
+
+    then :func:`~unifydb_spark.operators.similarity.
+    ivf_pq_index_maybe_maintain` reads the appended fraction from the
+    index's meta sidecar and REBUILDS from the corpus dir when it
+    crosses ``rebuild_threshold`` — the recall-restoration step, after
+    which the counters reset and the loop continues.
+
+    ``corpus_path`` convention: one ``epoch=<slice>`` subdirectory per
+    slice. Seed the BASE corpus (the vectors the index was built over)
+    under e.g. ``epoch=base`` BEFORE starting the stream — the rebuild
+    reads ``epoch=*`` and must see base + streamed slices, or the
+    rebuilt index would silently drop the base vectors.
+
+    Returns ``(query_handle, reports)`` where ``reports`` is a
+    driver-side list of per-epoch maintenance reports
+    ({epoch, appended, rebuilt, appended_fraction, ...})."""
+    from unifydb_spark.operators.similarity import (
+        ivf_pq_index_append,
+        ivf_pq_index_maybe_maintain,
+    )
+
+    sid = txlog_stream_id(checkpoint_path)
+    spark = emb_stream.sparkSession
+    reports: list = []
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.select(id_col, vec_col)
+        batch.write.mode("overwrite").parquet(
+            f"{corpus_path}/epoch={int(epoch_id)}"
+        )
+        appended = ivf_pq_index_append(batch, index, id_col=id_col,
+                                       vec_col=vec_col)
+        if backend is not None:
+            facts = batch_df.select(
+                F.col(id_col).cast("long").alias("e"),
+                F.lit("emb/id").alias("a"),
+                F.lit("long").alias("v_type"),
+                F.col(id_col).cast("long").alias("v_long"),
+                F.lit(None).cast("double").alias("v_double"),
+                F.lit(None).cast("string").alias("v_str"),
+                F.lit(None).cast("boolean").alias("v_bool"),
+                F.lit(None).cast("bigint").alias("v_ref"),
+                F.lit(None).cast("timestamp").alias("v_ts"),
+                F.lit(None).cast("string").alias("v_json"),
+                F.col(id_col).cast("long").alias("tx"),
+                F.lit(True).alias("added"),
+            )
+            backend.bulk_append_df(facts, stream_epoch=(sid, int(epoch_id)))
+        corpus = spark.read.parquet(f"{corpus_path}/epoch=*").select(
+            id_col, vec_col
+        )
+        rep = ivf_pq_index_maybe_maintain(
+            corpus, index, rebuild_threshold=rebuild_threshold
+        )
+        reports.append({"epoch": int(epoch_id), "appended": appended, **rep})
+
+    w = (
+        emb_stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start(), reports
+
+
 def windowed_metrics(
     events: DataFrame,
     window: str = "1 hour",
