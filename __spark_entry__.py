@@ -4839,6 +4839,34 @@ def r156_ann_rule_view(spark, sf_dir):
     )
 
 
+def r157_ann_search_filtered(spark, sf_dir):
+    """FILTERED ANN over the persisted index (round-13) — the standard
+    serving constraint ("nearest neighbors WHERE <predicate>"):
+    ivf_pq_search(allowed=...) semi-joins the permitted neighbor set
+    (here label % 2 == 0) into the bucket-pruned candidate list BEFORE
+    ADC scoring and ranking, so the result is the exact top-k of the
+    allowed candidates in the probed buckets — no over-fetch heuristics,
+    no post-truncation shortfall, and the ADC kernel never scores a
+    disallowed row. At scale the filter is a long==long semi-join on the
+    nprobe-bucket candidates, never the corpus. The DuckDB twin
+    (ivf_pq_search_sql(neighbor_filter=...)) applies the identical
+    predicate to the unrolled lifecycle's candidate CTE. Output
+    (query_id, rank, neighbor_id) — all integers, hash-exact."""
+    from unifydb_spark.operators.similarity import ivf_pq_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = ivf_pq_search(
+        emb.filter(F.col("vec_id") < 8),
+        _ann_index(spark, sf_dir),
+        nprobe=4,
+        topk=10,
+        allowed=emb.filter(F.col("label") % 2 == 0),
+    )
+    return res.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+    )
+
+
 def r152_source_cap_auto(spark, sf_dir):
     """Skew-routed domain cap GRADED AT THE ROUTE BOUNDARY (VERDICT r11
     ask #5; operators/quality.py source_cap_auto). The documents table
@@ -5173,6 +5201,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r154_ivf_pq_sampled_train": r154_ivf_pq_sampled_train,
         "r155_ann_literal_vector": r155_ann_literal_vector,
         "r156_ann_rule_view": r156_ann_rule_view,
+        "r157_ann_search_filtered": r157_ann_search_filtered,
     }
 
 
@@ -6117,6 +6146,11 @@ def _operator_oracles() -> dict[str, str]:
             "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
             topk=5, coarse="kmeans", coarse_iters=2, query_filter="vid < 4"
         )),
+        "r157_ann_search_filtered": _s.ivf_pq_search_sql(
+            "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
+            topk=10, coarse="kmeans", coarse_iters=2,
+            query_filter="vid < 8", neighbor_filter="label % 2 = 0",
+        ),
         "r153_ivf_pq_refine_trained": _s.ivf_pq_refine_topk_sql(
             "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
             refine=50, n_queries=8, topk=10, coarse="kmeans", coarse_iters=2

@@ -262,10 +262,12 @@ HEADLINE = [
     # coarse stage (the 100 TB train-on-a-sample shape)
     "r153_ivf_pq_refine_trained",
     "r154_ivf_pq_sampled_train",
-    # round-13: the out-of-corpus literal-vector serving path and the
-    # rule-body ANN view (both reuse the per-process prepared index)
+    # round-13: the out-of-corpus literal-vector serving path, the
+    # rule-body ANN view, and filtered ANN (all reuse the per-process
+    # prepared index)
     "r155_ann_literal_vector",
     "r156_ann_rule_view",
+    "r157_ann_search_filtered",
     # the production ANN path: amortized index build (untimed prepare),
     # timed partition-pruned probe + ADC scan — the x01 pattern
     "x02_ivf_pq_search",

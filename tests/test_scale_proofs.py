@@ -866,3 +866,41 @@ def test_ivf_pq_index_maintain_policy_and_recall_restoration(spark, emb, tmp_pat
     assert (meta["n_base"], meta["n_appended"]) == (500, 0)
     rebuilt = overlap()
     assert rebuilt > frozen, (frozen, rebuilt)
+
+
+def test_ivf_pq_search_filtered_respects_allowed_set(spark, emb, tmp_path):
+    """Filtered ANN (round-13): ivf_pq_search(allowed=...) semi-joins
+    the permitted neighbor set into the bucket-pruned candidates BEFORE
+    scoring — every returned neighbor satisfies the predicate, ranks
+    stay contiguous over the filtered candidates, and the unfiltered
+    search is unchanged (the filter never leaks into the default path)."""
+    from unifydb_spark.operators.similarity import (
+        ivf_pq_index_write,
+        ivf_pq_search,
+    )
+
+    idx = ivf_pq_index_write(
+        emb, str(tmp_path / "idx"), n_centroids=8, m=8, k=8, iters=2,
+        coarse="kmeans",
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    allowed = emb.filter(F.col("label") % 2 == 0)
+    even = {r["vec_id"] for r in allowed.select("vec_id").collect()}
+
+    res = ivf_pq_search(queries, idx, nprobe=2, topk=5, allowed=allowed)
+    rows = res.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for _qid, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == [1, 2, 3, 4, 5]
+        assert all(r["neighbor_id"] in even for r in rs)
+
+    # the filtered result is exactly the unfiltered scoring restricted
+    # to allowed candidates: every filtered neighbor must appear in the
+    # unfiltered ranking no better than its filtered rank
+    full = ivf_pq_search(queries, idx, nprobe=2, topk=10_000).collect()
+    full_rank = {(r["query_id"], r["neighbor_id"]): r["rank"] for r in full}
+    for r in rows:
+        assert full_rank[(r["query_id"], r["neighbor_id"])] >= r["rank"]

@@ -2376,6 +2376,7 @@ def ivf_pq_search(
     topk: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: "DataFrame | None" = None,
 ) -> DataFrame:
     """Query the persisted IVF-PQ index: rank the broadcast-sized
     centroid table per query (nprobe probes), then scan ONLY the probed
@@ -2384,7 +2385,17 @@ def ivf_pq_search(
     same driver-side planning any partition-pruned scan does) — and
     ADC-score the candidates with the SAME :func:`_adc_scored` kernel
     the oracle-graded r146 runs. Returns (query_id, rank, neighbor_id,
-    score)."""
+    score).
+
+    `allowed` (round-13): FILTERED ANN, the standard serving constraint
+    ("nearest docs WHERE lang='en'") — a DataFrame whose `id_col`
+    column is the permitted neighbor set. The filter semi-joins the
+    candidate list BEFORE ADC scoring and ranking, so the result is the
+    exact top-k of the allowed candidates in the probed buckets (no
+    over-fetch heuristics, no post-hoc truncation shortfall) and the
+    ADC kernel scores only surviving candidates. The semi-join is a
+    long==long equi-join on the bucket-pruned candidate set — at scale
+    it shuffles candidates (nprobe buckets), never the corpus."""
     spark = queries.sparkSession
     path, dim = index["path"], index["dim"]
     residual = index["residual"]
@@ -2442,6 +2453,9 @@ def ivf_pq_search(
         .join(codes.select("vid", "centroid_id").distinct(), "centroid_id")
         .select("query_id", "centroid_id", F.col("vid").alias("nid"))
     )
+    if allowed is not None:
+        allow = allowed.select(F.col(id_col).cast("long").alias("nid"))
+        cand = cand.join(allow, "nid", "left_semi")
     scored = _adc_scored(codes, cb, cex, cand, qex, residual, "vid")
     wt = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("nid")
@@ -3168,6 +3182,7 @@ def ivf_pq_search_sql(
     coarse_iters: int = 2,
     query_filter: str = "vid < 8",
     query_vector: "list[float] | None" = None,
+    neighbor_filter: "str | None" = None,
 ) -> str:
     """DuckDB twin of ivf_pq_index_write(coarse='kmeans') followed by
     :func:`ivf_pq_search` — the PRODUCTION search path graded end to end
@@ -3184,6 +3199,11 @@ def ivf_pq_search_sql(
     with the same decimal-fold cosine the Spark path computes (the
     corpus-query twin reuses `franked`; a literal has no corpus rank
     row, so its ranking is spelled out here — identical arithmetic).
+
+    `neighbor_filter` (round-13): FILTERED ANN — a SQL boolean over the
+    base table's columns selecting the permitted neighbor set; the
+    candidate list semi-joins it before ADC scoring, mirroring
+    :func:`ivf_pq_search`'s `allowed` DataFrame.
 
     Requires coarse='kmeans': the persisted search path ranks probes
     with DECIMAL folds (it reads exploded centroids, there is no array
@@ -3253,12 +3273,26 @@ def ivf_pq_search_sql(
               SELECT vid AS query_id, d, x AS qx FROM ex WHERE {query_filter}
             )"""
         )
-    ctes.append(
-        """cand AS MATERIALIZED (
-          SELECT p.query_id, p.centroid_id, a.vid AS nid
-          FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
-        )"""
-    )
+    if neighbor_filter is not None:
+        ctes.append(
+            f"""allow AS MATERIALIZED (
+              SELECT {id_col} AS vid FROM {table} WHERE {neighbor_filter}
+            )"""
+        )
+        ctes.append(
+            """cand AS MATERIALIZED (
+              SELECT p.query_id, p.centroid_id, a.vid AS nid
+              FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+              JOIN allow w ON w.vid = a.vid
+            )"""
+        )
+    else:
+        ctes.append(
+            """cand AS MATERIALIZED (
+              SELECT p.query_id, p.centroid_id, a.vid AS nid
+              FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+            )"""
+        )
     ctes.append(
         """recon AS MATERIALIZED (
           SELECT a.vid AS nid, cb.d, cb.mval
