@@ -156,3 +156,44 @@ def test_scale_sf1_count_pinned_to_registry():
         "entries' (= len(queries())); update the artifact WITH the sf1 "
         "evidence when adding entries"
     )
+
+
+def test_bench_ref_subset_merge(tmp_path):
+    """Round-13: a quotable SUBSET capture (SPARK_GRAFT_BENCH_ONLY)
+    merges its medians into the existing reference — other entries are
+    untouched, and each merged entry records its own capture commit in
+    entry_git so source-drift adjudication stays per-entry-honest."""
+    import json
+
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    ref = tmp_path / "ref.json"
+    ref.write_text(json.dumps({
+        "git": "old-git", "sf": 0.1, "captured": "old-ts",
+        "queries": {"q01_pricing_summary": 2.0},
+        "jobs": {"q01_pricing_summary": 3},
+    }))
+    bench.REF_PATH = str(ref)
+    bench._write_ref(
+        {"r157_ann_search_filtered": 1.9}, 0.1,
+        {"r157_ann_search_filtered": 34}, merge=True,
+    )
+    got = json.loads(ref.read_text())
+    assert got["queries"] == {
+        "q01_pricing_summary": 2.0, "r157_ann_search_filtered": 1.9
+    }
+    assert got["jobs"] == {
+        "q01_pricing_summary": 3, "r157_ann_search_filtered": 34
+    }
+    assert got["git"] == "old-git"  # the full-run provenance is kept
+    assert set(got["entry_git"]) == {"r157_ann_search_filtered"}
+    # an SF-mismatched merge is refused outright
+    got["sf"] = 0.01
+    ref.write_text(json.dumps(got))
+    bench._write_ref({"x": 9.9}, 0.1, {}, merge=True)
+    assert "x" not in json.loads(ref.read_text())["queries"]
+    # a non-merge quotable run still REPLACES the file wholesale
+    ref.write_text(json.dumps({**got, "sf": 0.1}))
+    bench._write_ref({"only": 1.0}, 0.1, {"only": 2})
+    assert json.loads(ref.read_text())["queries"] == {"only": 1.0}
