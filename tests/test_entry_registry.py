@@ -6,6 +6,7 @@ the time, but exactly how a future edit wires a slot to the wrong query.
 These tests pin the invariants so drift fails fast instead of silently.
 """
 import importlib.util
+import os
 import sys
 from pathlib import Path
 
@@ -197,3 +198,84 @@ def test_bench_ref_subset_merge(tmp_path):
     ref.write_text(json.dumps({**got, "sf": 0.1}))
     bench._write_ref({"only": 1.0}, 0.1, {"only": 2})
     assert json.loads(ref.read_text())["queries"] == {"only": 1.0}
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    return bench
+
+
+def test_bench_load_gate_predicate():
+    """VERDICT r13 ask #2: the load-gated launcher's predicate — quiet =
+    1m < 0.4 AND 5m < 0.9 (the thresholds the round-13 quiet-window
+    subset captures used manually)."""
+    bench = _load_bench()
+    assert bench._load_ok(0.1, 0.5) is True
+    assert bench._load_ok(0.39, 0.89) is True
+    assert bench._load_ok(0.4, 0.5) is False    # live contention
+    assert bench._load_ok(0.1, 0.9) is False    # wave just ended
+    assert bench._load_ok(2.3, 1.4) is False
+    # thresholds are tunable per-call (env plumbed by _wait_for_quiet)
+    assert bench._load_ok(0.6, 1.0, max_1m=1.0, max_5m=2.0) is True
+    # disabled gate is a no-op dict, never a wait
+    os.environ["SPARK_GRAFT_LOAD_GATE"] = "0"
+    try:
+        assert bench._wait_for_quiet() == {"enabled": False}
+    finally:
+        os.environ.pop("SPARK_GRAFT_LOAD_GATE", None)
+
+
+def test_bench_canary_absolute_gate():
+    """Round-14 ADVICE: the 1s denominator floor meant a sub-second
+    canary could only trip on >0.3s ABSOLUTE jitter; the secondary
+    absolute bound restores sensitivity without changing the pinned
+    canary set."""
+    bench = _load_bench()
+    # idle-host shapes: small absolute + small relative -> quotable
+    assert bench._canary_trips(0.6, 0.1) is False
+    assert bench._canary_trips(1.5, 0.3) is False  # 20% relative
+    # sub-second canaries: the old floored gate let ANY IQR <= 0.30s
+    # through regardless of relative spread; the absolute bound caps
+    # what a sub-second canary may spread at 0.35s
+    assert bench._canary_trips(0.6, 0.36) is True   # abs bound fires
+    assert bench._canary_trips(0.95, 0.34) is True  # rel (floored) fires
+    assert bench._canary_trips(2.0, 0.7) is True    # rel fires >=1s too
+
+
+def test_bench_ref_jobs_only_merge(tmp_path):
+    """VERDICT r13 ask #3: job counts are load-insensitive, so every
+    sf0.1 run — quotable or not — merges its per-entry job counts into
+    BENCH_REF with jobs_git provenance; medians are never touched."""
+    import json
+
+    bench = _load_bench()
+    head = (bench._git(["rev-parse", "HEAD"]) or "").strip()
+    ref = tmp_path / "ref.json"
+    ref.write_text(json.dumps({
+        "git": "old-git", "sf": 0.1, "captured": "old-ts",
+        "queries": {"q01_pricing_summary": 2.0},
+        "jobs": {"q01_pricing_summary": 3},
+    }))
+    bench.REF_PATH = str(ref)
+    bench._merge_jobs({"q01_pricing_summary": 4, "r137_rule_bound_reach": 97}, 0.1)
+    got = json.loads(ref.read_text())
+    assert got["jobs"] == {"q01_pricing_summary": 4, "r137_rule_bound_reach": 97}
+    assert got["queries"] == {"q01_pricing_summary": 2.0}  # medians untouched
+    if head:
+        assert got["jobs_git"]["r137_rule_bound_reach"] == head
+    # wrong SF -> refused
+    bench._merge_jobs({"x": 1}, 0.01)
+    assert "x" not in json.loads(ref.read_text())["jobs"]
+    # WRITE_REF=0 -> refused
+    os.environ["SPARK_GRAFT_WRITE_REF"] = "0"
+    try:
+        bench._merge_jobs({"y": 1}, 0.1)
+    finally:
+        os.environ.pop("SPARK_GRAFT_WRITE_REF", None)
+    assert "y" not in json.loads(ref.read_text())["jobs"]
+    # no reference yet -> no-op, never an error
+    bench.REF_PATH = str(tmp_path / "missing.json")
+    bench._merge_jobs({"z": 1}, 0.1)
+    assert not (tmp_path / "missing.json").exists()

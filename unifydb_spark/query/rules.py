@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import contextlib
 import itertools
+import threading
 from typing import Optional
 
 from pyspark.sql import functions as F
@@ -65,6 +66,19 @@ MAX_ITERATIONS = 100
 _FRONTIER_ROWS_PER_PARTITION = 2_000
 _FRONTIER_SESSION_ROWS = 100_000
 
+# _frontier_shuffle mutates the SESSION-global shuffle width (SQLConf has
+# no per-plan override for internal exchanges). Two consequences, both
+# round-14 ADVICE items:
+#  - interleaved fixpoints on the same session could read each other's
+#    narrowed value as "the session setting" — serialized by this lock;
+#  - an UNRELATED query planned on the same SparkSession while a fixpoint
+#    round is in flight is planned at the narrowed width. The engine's own
+#    entry points are single-threaded per session; a multi-tenant server
+#    should give each handler its own `spark.newSession()` (isolated
+#    SQLConf, shared SparkContext) — see USAGE.md "Concurrency".
+_FRONTIER_LOCK = threading.RLock()  # RLock: nested fixpoints (cross-SCC
+# rule calls execute driver-side during compilation) must not self-deadlock
+
 
 def _frontier_parts(session: int, hint: int) -> int:
     if hint > _FRONTIER_SESSION_ROWS:
@@ -76,22 +90,29 @@ def _frontier_parts(session: int, hint: int) -> int:
 def _frontier_shuffle(spark, hint: Optional[int]):
     """Scope spark.sql.shuffle.partitions to the measured frontier size
     for one fixpoint round; restores the session value on exit. No-op
-    when the hint is unknown or big enough to want the session width."""
-    conf = spark.conf
-    try:
-        session = int(conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        yield
-        return
-    want = session if hint is None else _frontier_parts(session, int(hint))
-    if want >= session:
-        yield
-        return
-    conf.set("spark.sql.shuffle.partitions", str(want))
-    try:
-        yield
-    finally:
-        conf.set("spark.sql.shuffle.partitions", str(session))
+    when the hint is unknown or big enough to want the session width.
+
+    The hint must bound every shuffle INPUT in the scoped plan, not just
+    the frontier rows — callers checkpoint round-invariant relations
+    (e.g. magic-step EDB distincts) BEFORE entering this scope and fold
+    their counted sizes into the hint, so a full-table shuffle can never
+    be funneled through a 1-partition exchange (round-14 ADVICE)."""
+    with _FRONTIER_LOCK:
+        conf = spark.conf
+        try:
+            session = int(conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            yield
+            return
+        want = session if hint is None else _frontier_parts(session, int(hint))
+        if want >= session:
+            yield
+            return
+        conf.set("spark.sql.shuffle.partitions", str(want))
+        try:
+            yield
+        finally:
+            conf.set("spark.sql.shuffle.partitions", str(session))
 
 
 class RulesEnv:
@@ -542,6 +563,19 @@ def _magic_seed(db, name: str, env: "RulesEnv", scc: set, app_args) -> Optional[
         instrument.note("rule_magic_rounds", 0)
         instrument.note("rule_magic_size", 1)
         return bound, total
+    # The step relations are ROUND-INVARIANT projections of the EDB
+    # (rest-clauses join -> select -> distinct). Checkpoint each ONCE at
+    # the session shuffle width, before any frontier narrowing: (a) the
+    # full-EDB distinct no longer re-executes every round, and (b) it can
+    # never be planned inside a narrowed scope. The counted step sizes
+    # fold into the per-round width hint so the guard bounds shuffle
+    # INPUT size, not just frontier rows (round-14 ADVICE, medium).
+    ckpt_steps, max_step_rows = [], 0
+    for step, kinds in steps:
+        df = step.df.localCheckpoint(eager=True)
+        max_step_rows = max(max_step_rows, df.count())
+        ckpt_steps.append((C.Rel(df, dict(step.vars)), kinds))
+    steps = ckpt_steps
     delta = total
     demand_rows = 1  # the seed row; grows by each round's counted fresh
     for _round in range(env.max_iterations):
@@ -561,7 +595,7 @@ def _magic_seed(db, name: str, env: "RulesEnv", scc: set, app_args) -> Optional[
         fresh = C.join_rels(
             C.Rel(prod.df.distinct(), dict(prod.vars)), total, "left_anti"
         )
-        with _frontier_shuffle(spark, demand_rows):
+        with _frontier_shuffle(spark, demand_rows + max_step_rows):
             fresh_df = fresh.df.localCheckpoint(eager=True)
             cnt = fresh_df.count()
             if cnt == 0:
