@@ -4867,6 +4867,82 @@ def r157_ann_search_filtered(spark, sf_dir):
     )
 
 
+def r158_ann_datalog_filtered(spark, sf_dir):
+    """FILTERED ANN composed IN the query language (VERDICT r13 ask #4;
+    operators/ann_fn.py ann_topk_where_table_fn): the serving pattern
+    "nearest neighbors WHERE <predicate>" stated as Datalog —
+    `[(ann-topk-where ?q 5 :doc/lang "zh") ?n]`. The allowed neighbor
+    set derives from the FACT store at call time (entities asserting
+    :doc/lang "zh" contribute their :doc/id values — the same
+    visible-facts snapshot every pattern clause reads), then feeds
+    ivf_pq_search's `allowed=` semi-join: bucket-pruned candidates are
+    filtered BEFORE ADC scoring, so the result is the exact top-k of
+    the allowed candidates in the probed buckets. Binding ?lang back
+    through the doc facts proves every returned neighbor satisfies the
+    predicate. A query whose probed buckets hold fewer than k allowed
+    candidates returns just those (never padding; empty-bucket golden:
+    tests/test_query_goldens.py::test_ann_topk_where_empty_bucket).
+    The DuckDB twin is ivf_pq_search_sql(neighbor_filter=...) with the
+    identical predicate as a semi-join subquery over documents."""
+    from unifydb_spark.operators.ann_fn import ann_topk_where_table_fn
+
+    eng = _engine(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eng.register_table_fn(
+        "ann-topk-where",
+        ann_topk_where_table_fn(emb, _ann_index(spark, sf_dir), nprobe=4),
+    )
+    return eng.query(
+        {
+            "find": ["?q", "?n", "?lang"],
+            "where": [
+                ["?e", ":emb/id", "?q"],
+                [("<", "?q", 4)],
+                [("ann-topk-where", "?q", 5, ":doc/lang", "zh"), "?n"],
+                ["?d", ":doc/id", "?n"],
+                ["?d", ":doc/lang", "?lang"],
+            ],
+            "sort-by": ["?q", "?n"],
+        }
+    )
+
+
+def r159_ann_var_k(spark, sf_dir):
+    """VARIABLE-valued table-fn parameter (VERDICT r13 ask #5;
+    query/compile.py _apply_table_fn_var_params): the reference's
+    fn-binds accept any bound term in any position
+    (src/unifydb/query.clj:106-130) — here k itself is computed by an
+    earlier scalar fn-bind (`[(+ ?q 3) ?k]`) and `[(ann-topk ?q ?k) ?n]`
+    retrieves each query's OWN-k neighbor list: the fn evaluates once
+    per distinct k (keys restricted to that k's rows), outputs are
+    combo-tagged and join back on key + parameter, all in one Catalyst
+    plan per combo unioned. Distinct parameter combos are knob metadata
+    capped at 64 (structured invalid-query beyond — golden:
+    test_table_fn_var_param_combo_cap). The DuckDB twin searches once at
+    the maximum k and filters rank <= q+3 per query — equivalent by the
+    rank ordering's prefix consistency (deterministic score-desc,
+    id-asc tie-break)."""
+    from unifydb_spark.operators.ann_fn import ann_topk_table_fn
+
+    eng = _engine(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eng.register_table_fn(
+        "ann-topk", ann_topk_table_fn(emb, _ann_index(spark, sf_dir), nprobe=4)
+    )
+    return eng.query(
+        {
+            "find": ["?q", "?k", "?n"],
+            "where": [
+                ["?e", ":emb/id", "?q"],
+                [("<", "?q", 4)],
+                [("+", "?q", 3), "?k"],
+                [("ann-topk", "?q", "?k"), "?n"],
+            ],
+            "sort-by": ["?q", "?n"],
+        }
+    )
+
+
 def r152_source_cap_auto(spark, sf_dir):
     """Skew-routed domain cap GRADED AT THE ROUTE BOUNDARY (VERDICT r11
     ask #5; operators/quality.py source_cap_auto). The documents table
@@ -5202,6 +5278,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r155_ann_literal_vector": r155_ann_literal_vector,
         "r156_ann_rule_view": r156_ann_rule_view,
         "r157_ann_search_filtered": r157_ann_search_filtered,
+        "r158_ann_datalog_filtered": r158_ann_datalog_filtered,
+        "r159_ann_var_k": r159_ann_var_k,
     }
 
 
@@ -6151,6 +6229,32 @@ def _operator_oracles() -> dict[str, str]:
             topk=10, coarse="kmeans", coarse_iters=2,
             query_filter="vid < 8", neighbor_filter="label % 2 = 0",
         ),
+        # one search at the max k, filtered rank <= q+3 per query — equal
+        # to the per-combo topk search by rank-prefix consistency
+        "r159_ann_var_k": """
+            WITH srch AS ({srch})
+            SELECT s.query_id AS q, s.query_id + 3 AS k, s.neighbor_id AS n
+            FROM srch s WHERE s.rank <= s.query_id + 3
+            ORDER BY 1, 3
+        """.replace("{srch}", _s.ivf_pq_search_sql(
+            "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
+            topk=6, coarse="kmeans", coarse_iters=2, query_filter="vid < 4",
+        )),
+        # the Datalog-surfaced filter (fact predicate -> allowed ids) is
+        # the same semi-join, spelled as a subquery over documents
+        "r158_ann_datalog_filtered": """
+            WITH srch AS ({srch})
+            SELECT s.query_id AS q, s.neighbor_id AS n, d.lang AS lang
+            FROM srch s JOIN documents d ON d.doc_id = s.neighbor_id
+            ORDER BY 1, 2
+        """.replace("{srch}", _s.ivf_pq_search_sql(
+            "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
+            topk=5, coarse="kmeans", coarse_iters=2,
+            query_filter="vid < 4",
+            neighbor_filter=(
+                "vec_id IN (SELECT doc_id FROM documents WHERE lang = 'zh')"
+            ),
+        )),
         "r153_ivf_pq_refine_trained": _s.ivf_pq_refine_topk_sql(
             "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
             refine=50, n_queries=8, topk=10, coarse="kmeans", coarse_iters=2

@@ -286,6 +286,10 @@ HEADLINE = [
     "r155_ann_literal_vector",
     "r156_ann_rule_view",
     "r157_ann_search_filtered",
+    # round-14: filtered ANN composed in the query language, and a
+    # variable-valued k parameter (per-combo evaluation)
+    "r158_ann_datalog_filtered",
+    "r159_ann_var_k",
     # the production ANN path: amortized index build (untimed prepare),
     # timed partition-pruned probe + ADC scan — the x01 pattern
     "x02_ivf_pq_search",
@@ -388,6 +392,10 @@ PREPARED = {
     "r157_ann_search_filtered": _prepare_session_ann_index(
         "r157_ann_search_filtered"
     ),
+    "r158_ann_datalog_filtered": _prepare_session_ann_index(
+        "r158_ann_datalog_filtered"
+    ),
+    "r159_ann_var_k": _prepare_session_ann_index("r159_ann_var_k"),
 }
 
 # Per-entry rep overrides (VERDICT r12 ask #6): the untrained-vs-trained

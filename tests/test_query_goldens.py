@@ -533,18 +533,43 @@ def test_table_fn_requires_bound_key(tf_engine):
     assert e.value.code == "unbound-variable"
 
 
-def test_table_fn_rejects_var_params_and_seq_out(tf_engine):
+def test_table_fn_var_params(tf_engine):
+    """Round-14 (VERDICT r13 ask #5): bound VARIABLES in table-fn
+    parameter positions — the reference's fn-binds accept any bound term
+    in any position (query.clj:106-130). The fn evaluates once per
+    distinct parameter combo, keys restricted to that combo's rows, and
+    the output joins back on key + params: each ?x gets its OWN-?k
+    multiples, never another row's."""
     q = {
-        "find": ["?m"],
+        "find": ["?x", "?k", "?m"],
         "where": [
             ["?e", ":num", "?x"],
             ["?e2", ":num", "?k"],
             [("multiples", "?x", "?k"), "?m"],
         ],
+        "sort-by": ["?x", "?k", "?m"],
+    }
+    assert rows(tf_engine, q) == [
+        (2, 2, 2), (2, 2, 4),
+        (2, 3, 2), (2, 3, 4), (2, 3, 6),
+        (3, 2, 3), (3, 2, 6),
+        (3, 3, 3), (3, 3, 6), (3, 3, 9),
+    ]
+
+
+def test_table_fn_rejects_unbound_param_and_seq_out(tf_engine):
+    # a parameter variable no earlier clause binds is a structured error
+    q = {
+        "find": ["?m"],
+        "where": [
+            ["?e", ":num", "?x"],
+            [("multiples", "?x", "?k"), "?m"],
+        ],
     }
     with pytest.raises(QueryError) as e:
         tf_engine.query(q)
-    assert e.value.code == "invalid-query"
+    assert e.value.code == "unbound-variable"
+    assert "k" in str(e.value)
     q2 = {
         "find": ["?a"],
         "where": [
@@ -555,6 +580,29 @@ def test_table_fn_rejects_var_params_and_seq_out(tf_engine):
     with pytest.raises(QueryError) as e2:
         tf_engine.query(q2)
     assert e2.value.code == "invalid-query"
+
+
+def test_table_fn_var_param_combo_cap(spark):
+    """Parameter variables are knobs, not data columns: more than 64
+    distinct combos raises structured invalid-query instead of a
+    driver-side per-combo evaluation blowup."""
+    store = FactStore(spark).seed(
+        [(i, ":num", i, 0, True) for i in range(1, 67)]
+    )
+    eng = Engine(spark, store)
+    eng.register_table_fn("multiples", _multiples_fn)
+    q = {
+        "find": ["?m"],
+        "where": [
+            ["?e", ":num", "?x"],
+            ["?e2", ":num", "?k"],
+            [("multiples", "?x", "?k"), "?m"],
+        ],
+    }
+    with pytest.raises(QueryError) as e:
+        eng.query(q)
+    assert e.value.code == "invalid-query"
+    assert "64" in str(e.value)
 
 
 def test_ann_table_fn_joins_in_one_partition_pruned_plan(spark, tmp_path):
@@ -695,3 +743,68 @@ def test_table_fn_inside_rule_body(tf_engine):
     assert e.value.code == "unbound-variable"
     assert e.value.info.get("variable") == "a"
     assert e.value.info.get("rule") == "mult_view"
+
+
+def test_ann_topk_where_empty_bucket(spark, tmp_path):
+    """Round-14 (VERDICT r13 ask #4): filtered-ANN shortfall semantics
+    from the Datalog surface. Two well-separated clusters, one centroid
+    each, nprobe=1 — so a query probes EXACTLY its own cluster's bucket.
+    Pins: (a) a predicate satisfied only by the OTHER cluster's docs
+    empties the probed bucket -> the query contributes NO rows (never a
+    fallback to disallowed neighbors); (b) a predicate leaving m < k
+    candidates in the bucket returns exactly those m with dense ranks
+    (never padding); (c) every returned neighbor satisfies the
+    predicate when joined back through the facts."""
+    from pyspark.sql import functions as F
+
+    from unifydb_spark.operators.ann_fn import ann_topk_where_table_fn
+    from unifydb_spark.operators.similarity import ivf_pq_index_write
+
+    # cluster A: ids 0-4 near e0; cluster B: ids 5-9 near e1 (dim 4)
+    rows_ = [
+        (i, [1.0, 0.01 * i, 0.0, 0.0]) for i in range(5)
+    ] + [
+        (i, [0.0, 0.01 * i, 1.0, 0.0]) for i in range(5, 10)
+    ]
+    emb = spark.createDataFrame(rows_, "vec_id long, embedding array<double>")
+    idx = ivf_pq_index_write(
+        emb, str(tmp_path / "annidx"), n_centroids=2, m=2, k=4, iters=2,
+        dim=4, coarse="kmeans",
+    )
+    store = FactStore(spark).seed(
+        [(100 + i, ":doc/id", i, 0, True) for i in range(10)]
+        + [
+            (100 + i, ":doc/lang", "en" if i < 5 else "rare", 0, True)
+            for i in range(10)
+        ]
+    )
+    eng = Engine(spark, store)
+    eng.register_table_fn(
+        "ann-topk-where", ann_topk_where_table_fn(emb, idx, nprobe=1)
+    )
+    qvec = [1.0, 0.02, 0.0, 0.0]  # lands in cluster A's bucket
+
+    # (a) allowed set entirely in the OTHER bucket -> no rows
+    empty = eng.query(
+        {
+            "find": ["?n"],
+            "where": [[("ann-topk-where", qvec, 5, ":doc/lang", "rare"), "?n"]],
+        }
+    ).collect()
+    assert empty == []
+
+    # (b) k=10 but only 5 allowed candidates in the probed bucket ->
+    # exactly those 5, and (c) all satisfy the predicate
+    got = eng.query(
+        {
+            "find": ["?n", "?lang"],
+            "where": [
+                [("ann-topk-where", qvec, 10, ":doc/lang", "en"), "?n"],
+                ["?d", ":doc/id", "?n"],
+                ["?d", ":doc/lang", "?lang"],
+            ],
+            "sort-by": ["?n"],
+        }
+    ).collect()
+    assert [r["n"] for r in got] == [0, 1, 2, 3, 4]
+    assert all(r["lang"] == "en" for r in got)

@@ -609,6 +609,7 @@ def test_ivf_pq_index_append_grows_index_searchably(spark, emb, tmp_path):
     appended vector finds it at rank 1, and the grown index still scans
     only the probed bucket partitions."""
     from unifydb_spark.operators.similarity import (
+        index_data_path,
         ivf_pq_index_append,
         ivf_pq_index_write,
         ivf_pq_search,
@@ -619,9 +620,9 @@ def test_ivf_pq_index_append_grows_index_searchably(spark, emb, tmp_path):
     idx = ivf_pq_index_write(
         base, str(tmp_path / "ivfpq_grow"), n_centroids=8, m=8, k=8, iters=2
     )
-    before = spark.read.parquet(f"{idx['path']}/codes").count()
+    before = spark.read.parquet(f"{index_data_path(idx)}/codes").count()
     assert ivf_pq_index_append(extra, idx) == 100
-    after = spark.read.parquet(f"{idx['path']}/codes").count()
+    after = spark.read.parquet(f"{index_data_path(idx)}/codes").count()
     assert after == before + 100 * idx["m"]
 
     # an appended vector queries the grown index and finds ITSELF in its
@@ -652,6 +653,7 @@ def test_ivf_pq_index_append_dedup_guard_skips_existing_vids(
     overlapping batch appends only the truly-new vectors and search
     results are identical to a clean append."""
     from unifydb_spark.operators.similarity import (
+        index_data_path,
         ivf_pq_index_append,
         ivf_pq_index_write,
         ivf_pq_search,
@@ -664,7 +666,7 @@ def test_ivf_pq_index_append_dedup_guard_skips_existing_vids(
     # batch overlaps the base corpus: 350..399 already indexed, 400..449 new
     overlap = emb.filter((F.col("vec_id") >= 350) & (F.col("vec_id") < 450))
     assert ivf_pq_index_append(overlap, idx) == 50
-    codes = spark.read.parquet(f"{idx['path']}/codes")
+    codes = spark.read.parquet(f"{index_data_path(idx)}/codes")
     # every vid has exactly m code rows — no duplicates anywhere
     dup = (
         codes.groupBy("vid", "subspace").count().filter("count > 1").count()
@@ -673,7 +675,7 @@ def test_ivf_pq_index_append_dedup_guard_skips_existing_vids(
     assert codes.select("vid").distinct().count() == 450
     # re-appending the same batch is a no-op
     assert ivf_pq_index_append(overlap, idx) == 0
-    assert spark.read.parquet(f"{idx['path']}/codes").count() == 450 * idx["m"]
+    assert spark.read.parquet(f"{index_data_path(idx)}/codes").count() == 450 * idx["m"]
     # and search still ranks a base vector's own bucket sanely
     res = ivf_pq_search(
         emb.filter(F.col("vec_id") == 360), idx, nprobe=2, topk=5
@@ -904,3 +906,65 @@ def test_ivf_pq_search_filtered_respects_allowed_set(spark, emb, tmp_path):
     full_rank = {(r["query_id"], r["neighbor_id"]): r["rank"] for r in full}
     for r in rows:
         assert full_rank[(r["query_id"], r["neighbor_id"])] >= r["rank"]
+
+
+def test_index_rebuild_reader_isolation(spark, emb, tmp_path):
+    """Round-14 (VERDICT r13 ask #6): reader semantics during an
+    in-place rebuild. Each (re)build writes a NEW epoch directory
+    (<path>/v<N>) and commits by atomically replacing meta.json. Pins:
+    (a) a reader holding the PRE-rebuild index dict keeps a consistent
+    old-epoch view (identical results before and after the rebuild —
+    never a mix of old codes with new codebooks); (b) re-resolving via
+    read_ivf_pq_index lands on the new epoch; (c) appending through a
+    stale handle fails LOUDLY (ValueError naming both epochs) instead
+    of writing into a retired directory; (d) epoch retention keeps only
+    the immediately-previous directory."""
+    import os
+
+    from unifydb_spark.operators.similarity import (
+        index_data_path,
+        ivf_pq_index_append,
+        ivf_pq_index_maintain,
+        ivf_pq_index_write,
+        ivf_pq_search,
+        read_ivf_pq_index,
+    )
+
+    path = str(tmp_path / "ivfpq_epochs")
+    base = emb.filter(F.col("vec_id") < 400)
+    idx1 = ivf_pq_index_write(base, path, n_centroids=8, m=8, k=8, iters=2)
+    assert idx1["epoch"] == 1 and idx1["data_path"].endswith("/v1")
+    q = emb.filter(F.col("vec_id") == 7)
+    before = [
+        (r["rank"], r["neighbor_id"])
+        for r in ivf_pq_search(q, idx1, nprobe=2, topk=5).collect()
+    ]
+
+    # rebuild over a grown corpus: new epoch, pointer swapped
+    idx2 = ivf_pq_index_maintain(emb, idx1)
+    assert idx2["epoch"] == 2 and idx2["data_path"].endswith("/v2")
+    assert read_ivf_pq_index(path)["data_path"] == idx2["data_path"]  # (b)
+
+    # (a) the old handle still reads its own epoch, bit-identically
+    again = [
+        (r["rank"], r["neighbor_id"])
+        for r in ivf_pq_search(q, idx1, nprobe=2, topk=5).collect()
+    ]
+    assert again == before
+    # and the new handle sees the grown corpus (vec_id 450 now indexed)
+    grown = ivf_pq_search(
+        emb.filter(F.col("vec_id") == 450), idx2, nprobe=2, topk=5
+    ).collect()
+    assert 450 in {r["neighbor_id"] for r in grown}
+
+    # (c) a stale-epoch append is refused loudly
+    with pytest.raises(ValueError, match="stale index handle"):
+        ivf_pq_index_append(emb.filter(F.col("vec_id") >= 400), idx1)
+
+    # (d) a third build retires v1 but keeps v2 (readers that resolved
+    # just before the swap)
+    idx3 = ivf_pq_index_maintain(emb, idx2)
+    assert idx3["epoch"] == 3
+    assert not os.path.exists(os.path.join(path, "v1"))
+    assert os.path.exists(os.path.join(path, "v2"))
+    assert os.path.exists(os.path.join(path, "v3"))

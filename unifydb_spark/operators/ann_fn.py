@@ -54,38 +54,124 @@ def ann_topk_table_fn(
     (DataFrame(__tf_in, __tf_out), "long", "long")."""
 
     def tf(db, keys_df: DataFrame, topk) -> "tuple[DataFrame, str, str]":
-        # the key arrives in the relation's repr: a raw long where the
-        # compiler narrowed the type, the tagged value struct
-        # (compile.to_struct) whose long slot is `.l`, or — for a seq
-        # LITERAL key (round-13, the serving case: a query vector that
-        # is NOT in the corpus) — a one-row array<double>, searched
-        # directly without the corpus lookup
-        dt = dict(keys_df.dtypes)["__tf_in"]
-        if dt.startswith("array"):
-            from unifydb_spark.query.parse import QueryError
-
-            dim = index.get("dim")
-            got = keys_df.select(F.size("__tf_in").alias("n")).first()["n"]
-            if dim is not None and got != dim:
-                raise QueryError(
-                    "invalid-query",
-                    f"ann-topk literal query vector has {got} dims; "
-                    f"the index was built over {dim}",
-                )
-            queries = keys_df.select(
-                F.lit(0).cast("long").alias(id_col),
-                F.col("__tf_in").cast("array<double>").alias(vec_col),
-            )
-        else:
-            key = (
-                F.col("__tf_in.l")
-                if dt.startswith("struct")
-                else F.col("__tf_in")
-            )
-            queries = emb.join(
-                keys_df, F.col(id_col) == key
-            ).select(id_col, vec_col)
+        queries = _resolve_query_vectors(keys_df, emb, index, id_col, vec_col)
         res = ivf_pq_search(queries, index, nprobe=nprobe, topk=int(topk))
+        return (
+            res.select(
+                F.col("query_id").alias("__tf_in"),
+                F.col("neighbor_id").cast("long").alias("__tf_out"),
+            ),
+            "long",
+            "long",
+        )
+
+    return tf
+
+
+def _resolve_query_vectors(
+    keys_df: DataFrame,
+    emb: DataFrame,
+    index: dict,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The key arrives in the relation's repr: a raw long where the
+    compiler narrowed the type, the tagged value struct
+    (compile.to_struct) whose long slot is `.l`, or — for a seq LITERAL
+    key (round-13, the serving case: a query vector that is NOT in the
+    corpus) — a one-row array<double>, searched directly without the
+    corpus lookup."""
+    dt = dict(keys_df.dtypes)["__tf_in"]
+    if dt.startswith("array"):
+        from unifydb_spark.query.parse import QueryError
+
+        dim = index.get("dim")
+        got = keys_df.select(F.size("__tf_in").alias("n")).first()["n"]
+        if dim is not None and got != dim:
+            raise QueryError(
+                "invalid-query",
+                f"ann-topk literal query vector has {got} dims; "
+                f"the index was built over {dim}",
+            )
+        return keys_df.select(
+            F.lit(0).cast("long").alias(id_col),
+            F.col("__tf_in").cast("array<double>").alias(vec_col),
+        )
+    key = F.col("__tf_in.l") if dt.startswith("struct") else F.col("__tf_in")
+    return emb.join(keys_df, F.col(id_col) == key).select(id_col, vec_col)
+
+
+def ann_topk_where_table_fn(
+    emb: DataFrame,
+    index: dict,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """FILTERED ANN from the Datalog surface (VERDICT r13 ask #4): build
+    the `(ann-topk-where ?key k attr value) -> ?neighbor` table function
+    — "nearest neighbors WHERE <fact predicate>", the standard serving
+    constraint, with the predicate stated IN the query:
+
+        [("ann-topk-where", "?q", 5, ":doc/lang", "en"), "?n"]
+
+    The allowed neighbor set is derived from the FACT store at call
+    time: entities asserting `attr == value` (the same visible-facts
+    snapshot every pattern clause reads, so tx visibility and
+    retraction collapse apply) contribute their long-typed values of
+    `id_attr` (default ":doc/id" — the attribute whose values are the
+    index's vector ids). That set feeds
+    :func:`~unifydb_spark.operators.similarity.ivf_pq_search`'s
+    `allowed=` semi-join, which prunes the bucket candidates BEFORE ADC
+    scoring — exact top-k of the allowed candidates, never an
+    over-fetch heuristic.
+
+    Shortfall semantics (pinned by
+    tests/test_query_goldens.py::test_ann_topk_where_empty_bucket): a
+    query whose probed buckets hold FEWER than k allowed candidates
+    returns exactly the allowed ones (dense ranks 1..m, m < k), and a
+    query whose probed buckets hold NONE contributes no rows at all —
+    never padding, never a fallback to disallowed neighbors.
+
+    Scale: the allowed-set build is two attribute-pruned fact scans and
+    a semi-join keyed on entity id; the filter itself joins only the
+    nprobe-bucket candidate list, never the corpus."""
+
+    def tf(
+        db, keys_df: DataFrame, topk, attr, value, id_attr=":doc/id"
+    ) -> "tuple[DataFrame, str, str]":
+        from unifydb_spark.query.parse import QueryError
+        from unifydb_spark.values import NATURAL_COL, encode_value
+
+        if not isinstance(attr, str) or not isinstance(id_attr, str):
+            raise QueryError(
+                "invalid-query",
+                "ann-topk-where filter attribute must be a string keyword",
+            )
+        enc = encode_value(value)
+        if enc["v_type"] == "null":
+            raise QueryError(
+                "invalid-query", "ann-topk-where filter value must be ground"
+            )
+        ncol = NATURAL_COL[enc["v_type"]]
+        matching = (
+            db.visible_facts(attr=attr.lstrip(":"))
+            .filter(
+                (F.col("v_type") == enc["v_type"])
+                & (F.col(ncol) == F.lit(enc[ncol]))
+            )
+            .select("e")
+        )
+        allowed = (
+            db.visible_facts(attr=id_attr.lstrip(":"))
+            .join(matching, "e", "left_semi")
+            .filter(F.col("v_type") == "long")
+            .select(F.col("v_long").alias(id_col))
+        )
+        queries = _resolve_query_vectors(keys_df, emb, index, id_col, vec_col)
+        res = ivf_pq_search(
+            queries, index, nprobe=nprobe, topk=int(topk), allowed=allowed
+        )
         return (
             res.select(
                 F.col("query_id").alias("__tf_in"),

@@ -2018,12 +2018,32 @@ def ivf_pq_index_write(
     16x smaller than the vectors (m ceil(log2 k)-bit codes vs dim
     floats); searches never touch the raw embeddings. Returns the
     metadata dict (paths + parameters) that :func:`ivf_pq_search`
-    consumes."""
+    consumes.
+
+    EPOCHED LAYOUT + ATOMIC POINTER SWAP (round-14, VERDICT r13 ask
+    #6 — reader semantics during a rebuild): each (re)build writes its
+    relations under ``<path>/v<epoch>/`` (epoch = previous + 1) and
+    COMMITS by atomically replacing ``<path>/meta.json`` (os.replace —
+    the txlog `_last_checkpoint` pattern applied to the index). A
+    reader that resolved its index dict before the rebuild keeps
+    scanning the OLD epoch's untouched files — a consistent snapshot,
+    never a mix of old codes with new codebooks; a reader that resolves
+    after the swap sees the complete new epoch. Epochs older than the
+    immediately-previous one are garbage-collected at commit (retention
+    = 1, covering readers that resolved just before the swap; a serving
+    tier should re-resolve via :func:`read_ivf_pq_index` per session,
+    not cache a dict across rebuild cycles). Single-maintainer
+    assumption, same as the txlog transactor: one process appends /
+    rebuilds; concurrent readers are unrestricted. Pinned by
+    tests/test_scale_proofs.py::test_index_rebuild_reader_isolation."""
     if n_centroids is None:
         n_centroids = auto_k(emb.count(), IVF_CENTROID_DIVISOR, lo=16)
     if coarse not in ("lowid", "kmeans"):
         raise ValueError(f"unknown coarse quantizer {coarse!r}")
     sub = dim // m
+    prev_meta = _read_index_meta(path)
+    epoch = int(prev_meta.get("epoch", 0)) + 1 if prev_meta else 1
+    data = f"{path}/v{epoch}"
     from unifydb_spark.resources import persist_scope, tracked_persist
 
     with persist_scope():
@@ -2098,13 +2118,15 @@ def ivf_pq_index_write(
             .select("vid", "subspace", "code", "centroid_id")
             .write.mode("overwrite")
             .partitionBy("centroid_id")
-            .parquet(f"{path}/codes")
+            .parquet(f"{data}/codes")
         )
-        cb.write.mode("overwrite").parquet(f"{path}/codebook")
-        cex.write.mode("overwrite").parquet(f"{path}/centroids")
+        cb.write.mode("overwrite").parquet(f"{data}/codebook")
+        cex.write.mode("overwrite").parquet(f"{data}/centroids")
         n_base = emb.count()
     index = {
         "path": path,
+        "data_path": data,
+        "epoch": epoch,
         "n_centroids": int(n_centroids),
         "m": m,
         "k": k,
@@ -2116,8 +2138,11 @@ def ivf_pq_index_write(
     }
     # metadata sidecar: parameters + base/appended counts, the state the
     # rebuild policy (ivf_pq_index_maybe_maintain) reads; a rebuild
-    # resets n_appended to 0
+    # resets n_appended to 0. The atomic replace IS the commit point:
+    # the new epoch's relations are fully written before any reader can
+    # resolve them.
     _write_index_meta(path, {**index, "n_base": int(n_base), "n_appended": 0})
+    _gc_index_epochs(path, keep_from=epoch - 1)
     return index
 
 
@@ -2165,18 +2190,34 @@ def ivf_pq_index_append(
     path, dim, m = index["path"], index["dim"], index["m"]
     residual = index["residual"]
     sub = dim // m
+    # stale-handle guard (round-14): appending through an index dict
+    # whose epoch a rebuild has since superseded would encode against
+    # retired codebooks and write into a retired (soon-GC'd) directory —
+    # fail loudly instead (the mid-rebuild writer analog of the reader
+    # isolation contract)
+    cur = _read_index_meta(path)
+    if (
+        cur is not None
+        and "epoch" in cur
+        and int(cur["epoch"]) != int(index.get("epoch", cur["epoch"]))
+    ):
+        raise ValueError(
+            f"stale index handle: epoch {index.get('epoch')} was rebuilt "
+            f"to epoch {cur['epoch']}; re-resolve via read_ivf_pq_index"
+        )
+    dpath = index_data_path(index)
     from unifydb_spark.resources import persist_scope, tracked_persist
 
     with persist_scope():
-        cex = F.broadcast(spark.read.parquet(f"{path}/centroids"))
-        cb = F.broadcast(spark.read.parquet(f"{path}/codebook"))
+        cex = F.broadcast(spark.read.parquet(f"{dpath}/centroids"))
+        cb = F.broadcast(spark.read.parquet(f"{dpath}/codebook"))
         fresh = new_emb.select(
             F.col(id_col).alias("vid"),
             F.posexplode(F.col(vec_col)).alias("d", "x"),
         ).withColumn("x", F.col("x").cast("double"))
         if dedup_guard:
             existing = (
-                spark.read.parquet(f"{path}/codes").select("vid").distinct()
+                spark.read.parquet(f"{dpath}/codes").select("vid").distinct()
             )
             fresh = fresh.join(existing, "vid", "left_anti")
         ex = tracked_persist(fresh)
@@ -2260,7 +2301,7 @@ def ivf_pq_index_append(
             .select("vid", "subspace", "code", "centroid_id")
         )
         codes.write.mode("append").partitionBy("centroid_id").parquet(
-            f"{path}/codes"
+            f"{dpath}/codes"
         )
     meta = _read_index_meta(path)
     if meta is not None:
@@ -2274,10 +2315,44 @@ def _index_meta_path(path: str) -> str:
 
 
 def _write_index_meta(path: str, meta: dict) -> None:
+    """ATOMIC pointer swap (round-14): write-to-temp + os.replace, so a
+    concurrent reader of meta.json sees either the old epoch pointer or
+    the new one, never a torn file — the commit point of the epoched
+    index layout."""
     import json
+    import os
 
-    with open(_index_meta_path(path), "w") as f:
+    target = _index_meta_path(path)
+    tmp = f"{target}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)
+    os.replace(tmp, target)
+
+
+def index_data_path(index: dict) -> str:
+    """The directory holding an index dict's relations: epoched indexes
+    (round-14) keep each rebuild under <path>/v<epoch>; a legacy flat
+    index is the path itself."""
+    return index.get("data_path") or index["path"]
+
+
+def _gc_index_epochs(path: str, keep_from: int) -> None:
+    """Remove epoch directories OLDER than `keep_from` (retention = the
+    immediately-previous epoch, for readers that resolved just before
+    the pointer swap). Local-filesystem scope, same as the meta sidecar;
+    best-effort — a shared/remote deployment does its own retention."""
+    import os
+    import re
+    import shutil
+
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return
+    for n in names:
+        m = re.fullmatch(r"v(\d+)", n)
+        if m and int(m.group(1)) < keep_from:
+            shutil.rmtree(os.path.join(path, n), ignore_errors=True)
 
 
 def _read_index_meta(path: str) -> "dict | None":
@@ -2309,7 +2384,11 @@ def read_ivf_pq_index(path: str) -> dict:
         "n_centroids", "m", "k", "iters", "residual", "dim",
         "coarse", "coarse_iters",
     )
-    return {"path": path, **{k: meta[k] for k in keys if k in meta}}
+    out = {"path": path, **{k: meta[k] for k in keys if k in meta}}
+    if "epoch" in meta:  # epoched layout: resolve the CURRENT epoch dir
+        out["epoch"] = int(meta["epoch"])
+        out["data_path"] = f"{path}/v{out['epoch']}"
+    return out
 
 
 def ivf_pq_index_maintain(emb: DataFrame, index: dict) -> dict:
@@ -2320,7 +2399,11 @@ def ivf_pq_index_maintain(emb: DataFrame, index: dict) -> dict:
     ANN index — VERDICT r11 ask #3): `ivf_pq_index_append` is O(new)
     against FROZEN codebooks, so recall on appended slices degrades as
     the appended fraction grows (drift measured in SCALE_SF1.md); a
-    rebuild restores it. Returns the new index metadata dict."""
+    rebuild restores it. The rebuild writes a NEW epoch directory and
+    atomically swaps the meta pointer — concurrent readers holding the
+    old index dict keep a consistent old-epoch view (see
+    ivf_pq_index_write's epoched-layout note). Returns the new index
+    metadata dict (new epoch/data_path — callers must rebind)."""
     return ivf_pq_index_write(
         emb,
         index["path"],
@@ -2343,9 +2426,13 @@ def ivf_pq_index_maybe_maintain(
     of the index — vectors encoded against frozen codebooks they were
     never trained on — reaches `rebuild_threshold`; below it, no-op.
     Returns a report: {rebuilt, appended_fraction, n_base, n_appended,
-    threshold}. appended_fraction is None (and the rebuild is skipped)
-    for a pre-metadata index — counters exist only for indexes written
-    by this version's ivf_pq_index_write."""
+    threshold, index}. `index` is the CURRENT index dict — the rebuilt
+    one (new epoch/data_path) when a rebuild fired, the caller's
+    otherwise; long-running maintainers (stream_embeddings_to_index)
+    must rebind to it, since the old epoch's directory is retired after
+    the next rebuild. appended_fraction is None (and the rebuild is
+    skipped) for a pre-metadata index — counters exist only for indexes
+    written by this version's ivf_pq_index_write."""
     meta = _read_index_meta(index["path"])
     report = {
         "rebuilt": False,
@@ -2353,6 +2440,7 @@ def ivf_pq_index_maybe_maintain(
         "n_base": None,
         "n_appended": None,
         "threshold": float(rebuild_threshold),
+        "index": index,
     }
     if meta is None:
         return report
@@ -2364,7 +2452,7 @@ def ivf_pq_index_maybe_maintain(
         appended_fraction=frac, n_base=n_base, n_appended=n_app
     )
     if frac >= float(rebuild_threshold) and n_app > 0:
-        ivf_pq_index_maintain(emb, index)
+        report["index"] = ivf_pq_index_maintain(emb, index)
         report["rebuilt"] = True
     return report
 
@@ -2397,7 +2485,8 @@ def ivf_pq_search(
     long==long equi-join on the bucket-pruned candidate set — at scale
     it shuffles candidates (nprobe buckets), never the corpus."""
     spark = queries.sparkSession
-    path, dim = index["path"], index["dim"]
+    dim = index["dim"]
+    path = index_data_path(index)
     residual = index["residual"]
     cex = F.broadcast(spark.read.parquet(f"{path}/centroids"))
     cb = F.broadcast(spark.read.parquet(f"{path}/codebook"))

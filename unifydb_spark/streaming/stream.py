@@ -206,13 +206,19 @@ def stream_embeddings_to_index(
     sid = txlog_stream_id(checkpoint_path)
     spark = emb_stream.sparkSession
     reports: list = []
+    # the index handle is epoch-versioned (round-14): a rebuild retires
+    # the old epoch directory, so the loop rebinds to the dict each
+    # maintenance report carries — this loop is the index's single
+    # maintainer (ivf_pq_index_append's stale-handle guard would trip
+    # loudly if another process rebuilt underneath it)
+    idx_ref = {"index": index}
 
     def _commit(batch_df: DataFrame, epoch_id: int) -> None:
         batch = batch_df.select(id_col, vec_col)
         batch.write.mode("overwrite").parquet(
             f"{corpus_path}/epoch={int(epoch_id)}"
         )
-        appended = ivf_pq_index_append(batch, index, id_col=id_col,
+        appended = ivf_pq_index_append(batch, idx_ref["index"], id_col=id_col,
                                        vec_col=vec_col)
         if backend is not None:
             facts = batch_df.select(
@@ -234,8 +240,9 @@ def stream_embeddings_to_index(
             id_col, vec_col
         )
         rep = ivf_pq_index_maybe_maintain(
-            corpus, index, rebuild_threshold=rebuild_threshold
+            corpus, idx_ref["index"], rebuild_threshold=rebuild_threshold
         )
+        idx_ref["index"] = rep["index"]
         reports.append({"epoch": int(epoch_id), "appended": appended, **rep})
 
     w = (
