@@ -860,12 +860,17 @@ def test_ivf_pq_index_maintain_policy_and_recall_restoration(spark, emb, tmp_pat
     assert rep == {
         "rebuilt": False, "appended_fraction": 0.5, "n_base": 250,
         "n_appended": 250, "threshold": 0.6,
+        "index": idx,  # no rebuild -> the caller's handle is current
     }
     # ... and a 0.5 threshold must rebuild and reset the counters
     rep = ivf_pq_index_maybe_maintain(corpus, idx, rebuild_threshold=0.5)
     assert rep["rebuilt"] and rep["appended_fraction"] == 0.5
     meta = _read_index_meta(idx["path"])
     assert (meta["n_base"], meta["n_appended"]) == (500, 0)
+    # round-14 epoch layout: the rebuild is a NEW epoch — rebind to the
+    # report's refreshed handle (the stale one keeps the old snapshot)
+    assert rep["index"]["epoch"] == idx["epoch"] + 1
+    idx = rep["index"]
     rebuilt = overlap()
     assert rebuilt > frozen, (frozen, rebuilt)
 
