@@ -631,6 +631,25 @@ def _adjudicate_regressions(times: dict, jobcounts: dict, sf=None) -> tuple:
             )
     out.sort(key=lambda r: -r["ratio"])
     summary = {"git": ref_git, "captured": ref.get("captured")}
+    # PLAN-SHAPE drift (round-14): a changed job count with wall-clock
+    # still under the ratio gate is invisible to the timing flags but is
+    # exactly the early signal the job-count machinery exists for —
+    # report it separately (count-insensitive to host noise, so this
+    # list is meaningful even on unquotable runs). |diff| of 1 is within
+    # observed wobble (AQE/driver-loop boundary effects: r137 recorded
+    # 96 vs 97 across same-code reps) and is not reported.
+    jobs_drift = [
+        {
+            "name": n,
+            "jobs": jobcounts[n],
+            "ref_jobs": ref_jobs[n],
+            "flagged_by_time": any(r["name"] == n for r in out),
+        }
+        for n in sorted(jobcounts)
+        if n in ref_jobs and abs(jobcounts[n] - ref_jobs[n]) >= 2
+    ]
+    if jobs_drift:
+        summary["jobs_drift"] = jobs_drift
     return out, summary
 
 
@@ -930,6 +949,10 @@ def main():
                 # end-of-run n=2 re-times of the flags (unquotable runs
                 # only): the run's own counter-evidence for host noise
                 "solo_retimes": solo_retimes,
+                # plan-shape drift (job count moved >=2 vs ref) — the
+                # load-insensitive early signal, meaningful even on
+                # unquotable runs
+                "jobs_drift": (reg_ref or {}).get("jobs_drift", []),
             }
         )
     )

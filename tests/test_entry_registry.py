@@ -279,3 +279,52 @@ def test_bench_ref_jobs_only_merge(tmp_path):
     bench.REF_PATH = str(tmp_path / "missing.json")
     bench._merge_jobs({"z": 1}, 0.1)
     assert not (tmp_path / "missing.json").exists()
+
+
+def test_bench_jobs_drift_report(tmp_path):
+    """Round-14: plan-shape drift (job count changed >=2 vs BENCH_REF)
+    is reported in the adjudication summary even when wall-clock stays
+    under the regression ratio — and a +/-1 wobble (AQE/driver-loop
+    boundary effects) is not."""
+    import json
+
+    bench = _load_bench()
+    ref = tmp_path / "ref.json"
+    ref.write_text(json.dumps({
+        "git": "old-git", "sf": 0.1, "captured": "old-ts",
+        "queries": {
+            "q01_pricing_summary": 2.0,
+            "q03_ref_join_chain": 2.0,
+            "q32_pagerank": 6.0,
+        },
+        "jobs": {
+            "q01_pricing_summary": 3,
+            "q03_ref_join_chain": 4,
+            "q32_pagerank": 56,
+        },
+    }))
+    bench.REF_PATH = str(ref)
+    regs, meta = bench._adjudicate_regressions(
+        {
+            "q01_pricing_summary": 2.1,   # wall fine, jobs grown by 2
+            "q03_ref_join_chain": 2.0,    # wall fine, jobs wobble +1
+            "q32_pagerank": 6.1,          # wall fine, jobs shrank by 10
+        },
+        {
+            "q01_pricing_summary": 5,
+            "q03_ref_join_chain": 5,
+            "q32_pagerank": 46,
+        },
+        sf=0.1,
+    )
+    assert regs == []  # nothing crossed the timing gate
+    drift = meta["jobs_drift"]
+    assert [d["name"] for d in drift] == [
+        "q01_pricing_summary", "q32_pagerank"
+    ]
+    assert all(d["flagged_by_time"] is False for d in drift)
+    # no drift anywhere -> the key is absent entirely
+    _, meta2 = bench._adjudicate_regressions(
+        {"q01_pricing_summary": 2.1}, {"q01_pricing_summary": 3}, sf=0.1
+    )
+    assert "jobs_drift" not in meta2
