@@ -2543,8 +2543,20 @@ def ivf_pq_search(
         .select("query_id", "centroid_id", F.col("vid").alias("nid"))
     )
     if allowed is not None:
+        # At 100x the allowed relation can be corpus-sized (a broad
+        # predicate keeps half the corpus), and a plain
+        # cand SEMI-JOIN allow would SHUFFLE it — Spark only broadcasts
+        # the build (right) side of a left-semi. The candidate set is
+        # bucket-bounded at ANY corpus scale (auto_k keeps bucket sizes
+        # ~constant, nprobe buckets per query), so invert the dataflow:
+        # broadcast the candidate ids against the allowed-set SCAN (BHJ,
+        # allowed is never shuffled), then broadcast the <= |cand|
+        # surviving ids back as the filter. Exactness unchanged — two
+        # nested semi-joins equal one.
         allow = allowed.select(F.col(id_col).cast("long").alias("nid"))
-        cand = cand.join(allow, "nid", "left_semi")
+        cand_ids = F.broadcast(cand.select("nid").distinct())
+        allowed_hit = allow.join(cand_ids, "nid", "left_semi").distinct()
+        cand = cand.join(F.broadcast(allowed_hit), "nid", "left_semi")
     scored = _adc_scored(codes, cb, cex, cand, qex, residual, "vid")
     wt = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("nid")
