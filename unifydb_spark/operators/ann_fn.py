@@ -133,9 +133,12 @@ def ann_topk_where_table_fn(
     query whose probed buckets hold NONE contributes no rows at all —
     never padding, never a fallback to disallowed neighbors.
 
-    Scale: the allowed-set build is two attribute-pruned fact scans and
-    a semi-join keyed on entity id; the filter itself joins only the
-    nprobe-bucket candidate list, never the corpus."""
+    Scale: the allowed set is built through ivf_pq_search's CALLBACK
+    form — the bounded bucket-pruned candidate ids broadcast INTO the
+    two attribute-pruned fact scans (ids-for-candidates first, then the
+    predicate facts semi-join the <= |cand| entity set), so no
+    corpus-scale relation is ever shuffled; the filter itself touches
+    only the nprobe-bucket candidate list."""
 
     def tf(
         db, keys_df: DataFrame, topk, attr, value, id_attr=":doc/id"
@@ -154,20 +157,35 @@ def ann_topk_where_table_fn(
                 "invalid-query", "ann-topk-where filter value must be ground"
             )
         ncol = NATURAL_COL[enc["v_type"]]
-        matching = (
-            db.visible_facts(attr=attr.lstrip(":"))
-            .filter(
-                (F.col("v_type") == enc["v_type"])
-                & (F.col(ncol) == F.lit(enc[ncol]))
+
+        def allowed(cand_ids):
+            # ivf_pq_search's CALLBACK form (round-14): the bounded
+            # candidate ids (bucket-pruned, ~constant size under auto_k
+            # at any corpus scale) push INTO the fact scans as broadcast
+            # joins, so neither corpus-scale fact relation is ever
+            # shuffled: ids-for-candidates first (BHJ on the id values),
+            # then the predicate facts semi-join the <= |cand| entity
+            # set. Exactly the allowed subset of the candidates, zero
+            # corpus-side exchanges.
+            ids = (
+                db.visible_facts(attr=id_attr.lstrip(":"))
+                .filter(F.col("v_type") == "long")
+                .join(cand_ids.select(F.col("nid").alias("v_long")), "v_long")
+                .select("e", F.col("v_long").alias("nid"))
             )
-            .select("e")
-        )
-        allowed = (
-            db.visible_facts(attr=id_attr.lstrip(":"))
-            .join(matching, "e", "left_semi")
-            .filter(F.col("v_type") == "long")
-            .select(F.col("v_long").alias(id_col))
-        )
+            pred_hit = (
+                db.visible_facts(attr=attr.lstrip(":"))
+                .filter(
+                    (F.col("v_type") == enc["v_type"])
+                    & (F.col(ncol) == F.lit(enc[ncol]))
+                )
+                .select("e")
+                .join(F.broadcast(ids.select("e").distinct()), "e", "left_semi")
+            )
+            return ids.join(
+                F.broadcast(pred_hit.distinct()), "e", "left_semi"
+            ).select("nid")
+
         queries = _resolve_query_vectors(keys_df, emb, index, id_col, vec_col)
         res = ivf_pq_search(
             queries, index, nprobe=nprobe, topk=int(topk), allowed=allowed

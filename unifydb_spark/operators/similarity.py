@@ -2483,7 +2483,18 @@ def ivf_pq_search(
     over-fetch heuristics, no post-hoc truncation shortfall) and the
     ADC kernel scores only surviving candidates. The semi-join is a
     long==long equi-join on the bucket-pruned candidate set — at scale
-    it shuffles candidates (nprobe buckets), never the corpus."""
+    it shuffles candidates (nprobe buckets), never the corpus.
+
+    `allowed` may also be a CALLABLE (round-14): `cand_ids -> allowed
+    ids`, receiving the distinct bucket-pruned candidate ids as a
+    broadcast-hinted one-column DataFrame (`nid`) and returning the
+    permitted subset (`nid` column). This inverts the dataflow for
+    predicates whose allowed set is derived from corpus-scale relations
+    (fact scans): instead of materializing a corpus-sized allowed set
+    and semi-joining it, the BOUNDED candidate ids (auto_k pins bucket
+    sizes, so |cand| is ~constant at any corpus scale) push INTO the
+    predicate's scans as broadcast joins — zero corpus-side shuffles.
+    The Datalog surface (ann_topk_where_table_fn) uses this form."""
     spark = queries.sparkSession
     dim = index["dim"]
     path = index_data_path(index)
@@ -2553,9 +2564,14 @@ def ivf_pq_search(
         # allowed is never shuffled), then broadcast the <= |cand|
         # surviving ids back as the filter. Exactness unchanged — two
         # nested semi-joins equal one.
-        allow = allowed.select(F.col(id_col).cast("long").alias("nid"))
         cand_ids = F.broadcast(cand.select("nid").distinct())
-        allowed_hit = allow.join(cand_ids, "nid", "left_semi").distinct()
+        if callable(allowed):
+            # callback form: the predicate's own scans consume the
+            # bounded candidate ids as broadcast joins (see docstring)
+            allowed_hit = allowed(cand_ids).select("nid").distinct()
+        else:
+            allow = allowed.select(F.col(id_col).cast("long").alias("nid"))
+            allowed_hit = allow.join(cand_ids, "nid", "left_semi").distinct()
         cand = cand.join(F.broadcast(allowed_hit), "nid", "left_semi")
     scored = _adc_scored(codes, cb, cex, cand, qex, residual, "vid")
     wt = Window.partitionBy("query_id").orderBy(
