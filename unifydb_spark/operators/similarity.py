@@ -2554,25 +2554,31 @@ def ivf_pq_search(
         .select("query_id", "centroid_id", F.col("vid").alias("nid"))
     )
     if allowed is not None:
-        # At 100x the allowed relation can be corpus-sized (a broad
-        # predicate keeps half the corpus), and a plain
-        # cand SEMI-JOIN allow would SHUFFLE it — Spark only broadcasts
-        # the build (right) side of a left-semi. The candidate set is
-        # bucket-bounded at ANY corpus scale (auto_k keeps bucket sizes
-        # ~constant, nprobe buckets per query), so invert the dataflow:
-        # broadcast the candidate ids against the allowed-set SCAN (BHJ,
-        # allowed is never shuffled), then broadcast the <= |cand|
-        # surviving ids back as the filter. Exactness unchanged — two
-        # nested semi-joins equal one.
-        cand_ids = F.broadcast(cand.select("nid").distinct())
         if callable(allowed):
-            # callback form: the predicate's own scans consume the
-            # bounded candidate ids as broadcast joins (see docstring)
+            # CALLBACK form: at 100x an allowed set derived from
+            # corpus-scale relations must not be materialized and
+            # shuffled (Spark only broadcasts the build side of a
+            # left-semi, and the allow side is the probe side here).
+            # The candidate set is bucket-bounded at ANY corpus scale
+            # (auto_k keeps bucket sizes ~constant), so the bounded
+            # candidate ids broadcast INTO the predicate's own scans
+            # and the <= |cand| survivors broadcast back. The candidate
+            # list is consumed twice (id extraction + final semi-join)
+            # — persist it so the probe pipeline runs once.
+            from unifydb_spark.resources import tracked_persist
+
+            cand = tracked_persist(cand)
+            cand_ids = F.broadcast(cand.select("nid").distinct())
             allowed_hit = allowed(cand_ids).select("nid").distinct()
+            cand = cand.join(F.broadcast(allowed_hit), "nid", "left_semi")
         else:
+            # DataFrame form: a single semi-join; AQE broadcasts a
+            # small allow side at runtime. A CORPUS-scale allowed
+            # relation would shuffle here — callers with predicates
+            # over corpus-scale inputs should pass the callable form
+            # (the Datalog surface does).
             allow = allowed.select(F.col(id_col).cast("long").alias("nid"))
-            allowed_hit = allow.join(cand_ids, "nid", "left_semi").distinct()
-        cand = cand.join(F.broadcast(allowed_hit), "nid", "left_semi")
+            cand = cand.join(allow, "nid", "left_semi")
     scored = _adc_scored(codes, cb, cex, cand, qex, residual, "vid")
     wt = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("nid")
