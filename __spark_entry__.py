@@ -4629,30 +4629,28 @@ def r149_ivf_pq_trained(spark, sf_dir):
 def r150_ivf_pq_search(spark, sf_dir):
     """The PRODUCTION ANN entry point graded end to end (VERDICT r11 ask
     #2): ivf_pq_index_write(coarse='kmeans') persists the
-    Hive-bucket-partitioned codes + codebook + trained centroids to a
-    per-process temp dir, then ivf_pq_search answers 8 queries over the
+    Hive-bucket-partitioned codes + codebook + trained centroids (the
+    session-cached _ann_index build — one-time, amortized exactly as a
+    production index is), then ivf_pq_search answers 8 queries over the
     PERSISTED relations — probe ranking against the broadcast centroids,
     a partition-PRUNED scan of only the probed buckets, the same
     _adc_scored kernel r146/r149 grade. The DuckDB twin
     (ivf_pq_search_sql) unrolls the identical train+search lifecycle
-    inline from the embeddings table, so the round-trip through parquet
-    is exactly what the gate measures. Output (query_id, rank,
-    neighbor_id) — all integers, hash-exact."""
-    import atexit
-    import shutil
-    import tempfile
-
-    from unifydb_spark.operators.similarity import (
-        ivf_pq_index_write,
-        ivf_pq_search,
-    )
+    inline from the embeddings table, so the correctness gate still
+    grades build+search end to end; the BENCH timed region is the
+    search path alone (round-15, VERDICT r14 ask #5 — the per-rep
+    inline rebuild was ~25s of every full run re-measuring index
+    construction that r153/r154 and the 1-rep PQ-train entries already
+    time). Output (query_id, rank, neighbor_id) — all integers,
+    hash-exact."""
+    from unifydb_spark.operators.similarity import ivf_pq_search
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    path = tempfile.mkdtemp(prefix="unifydb_r150_idx_")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    idx = ivf_pq_index_write(emb, path, coarse="kmeans", coarse_iters=2)
     res = ivf_pq_search(
-        emb.filter(F.col("vec_id") < 8), idx, nprobe=4, topk=10
+        emb.filter(F.col("vec_id") < 8),
+        _ann_index(spark, sf_dir),
+        nprobe=4,
+        topk=10,
     )
     return res.select(
         "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
@@ -4937,6 +4935,113 @@ def r159_ann_var_k(spark, sf_dir):
                 [("<", "?q", 4)],
                 [("+", "?q", 3), "?k"],
                 [("ann-topk", "?q", "?k"), "?n"],
+            ],
+            "sort-by": ["?q", "?n"],
+        }
+    )
+
+
+def r160_ann_filtered_compound(spark, sf_dir):
+    """COMPOUND-predicate filtered ANN from the Datalog surface (VERDICT
+    r14 ask #1; operators/ann_fn.py _parse_where_spec): the reference's
+    :where composes arbitrary predicate conjunctions
+    (src/unifydb/query.clj:23-33, :77-104), so ann-topk-where accepts
+    AND-ed seq-literal predicates mixing equality and RANGE ops —
+    "nearest neighbors WHERE lang='zh' AND n_chars>200" stated as
+
+        [("ann-topk-where" ?q 5 [:doc/lang = "zh"]
+                                [:doc/nchars > 200]) ?n]
+
+    Each predicate adds one attribute-pruned, value-filtered fact scan
+    semi-joined (broadcast) against the bounded bucket-pruned candidate
+    entity set — ivf_pq_search's CALLBACK form, so cost is linear in
+    predicate count with zero corpus-side shuffles at any scale. The
+    ordered op reads long/double facts through the engine num()
+    coalesce; binding ?nc back through the doc facts proves every
+    returned neighbor satisfies the range. Shortfall semantics are
+    r158's (fewer allowed candidates than k -> fewer rows, never
+    padding; empty-intersection golden:
+    tests/test_query_goldens.py::test_ann_topk_where_compound). The
+    DuckDB twin applies the identical conjunction as a semi-join
+    subquery over documents."""
+    from unifydb_spark.operators.ann_fn import ann_topk_where_table_fn
+
+    eng = _engine(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eng.register_table_fn(
+        "ann-topk-where",
+        ann_topk_where_table_fn(emb, _ann_index(spark, sf_dir), nprobe=4),
+    )
+    return eng.query(
+        {
+            "find": ["?q", "?n", "?nc"],
+            "where": [
+                ["?e", ":emb/id", "?q"],
+                [("<", "?q", 4)],
+                [
+                    (
+                        "ann-topk-where",
+                        "?q",
+                        5,
+                        [":doc/lang", "=", "zh"],
+                        [":doc/nchars", ">", 200],
+                    ),
+                    "?n",
+                ],
+                ["?d", ":doc/id", "?n"],
+                ["?d", ":doc/nchars", "?nc"],
+            ],
+            "sort-by": ["?q", "?n"],
+        }
+    )
+
+
+def r161_ann_allowed_relation(spark, sf_dir):
+    """Allowed set BUILT BY THE PATTERN PIPELINE (VERDICT r14 ask #2;
+    operators/ann_fn.py ann_topk_in_table_fn + compile.py relation
+    parameters): `(ann-topk-in ?q 5 ?allowed)` where ?allowed is bound
+    by ordinary clauses — here "vectors sharing the query's own label",
+    a genuinely CORRELATED per-query set:
+
+        ["?e" :emb/id ?q] ["?e" :emb/label ?lab]
+        ["?f" :emb/label ?lab] ["?f" :emb/id ?allowed]
+        [(ann-topk-in ?q 5 ?allowed) ?n]
+
+    The compiler hands the function the distinct (?q, ?allowed) pairs
+    (the function declares relation_params={1}); the pairs reach
+    ivf_pq_search as its per-query `allowed` pairs DataFrame — ONE
+    semi-join of the bucket-pruned candidates on (query_id, neighbor).
+    This is deliberately the DataFrame form, not the candidate-pushdown
+    callback: an allowed set produced by an arbitrary pattern pipeline
+    is an opaque relation with no source scans to push ids into (the
+    measured r157 negative result). Binding ?nlab back through the
+    corpus facts proves every neighbor carries the query's own label;
+    the (count ?allowed) aggregate pins the correlated set SIZE per
+    group (bag-semantics witness multiplicity), making the result
+    deterministic. Empty-allowed shortfall golden:
+    tests/test_query_goldens.py::test_ann_topk_in_relation_param. The
+    DuckDB twin applies the identical pairs via
+    ivf_pq_search_sql(neighbor_pairs_sql=...)."""
+    from unifydb_spark.operators.ann_fn import ann_topk_in_table_fn
+
+    eng = _engine(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eng.register_table_fn(
+        "ann-topk-in",
+        ann_topk_in_table_fn(emb, _ann_index(spark, sf_dir), nprobe=4),
+    )
+    return eng.query(
+        {
+            "find": ["?q", "?n", "?nlab", ("count", "?allowed", "n_allowed")],
+            "where": [
+                ["?e", ":emb/id", "?q"],
+                [("<", "?q", 4)],
+                ["?e", ":emb/label", "?lab"],
+                ["?f", ":emb/label", "?lab"],
+                ["?f", ":emb/id", "?allowed"],
+                [("ann-topk-in", "?q", 5, "?allowed"), "?n"],
+                ["?g", ":emb/id", "?n"],
+                ["?g", ":emb/label", "?nlab"],
             ],
             "sort-by": ["?q", "?n"],
         }
@@ -5280,6 +5385,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r157_ann_search_filtered": r157_ann_search_filtered,
         "r158_ann_datalog_filtered": r158_ann_datalog_filtered,
         "r159_ann_var_k": r159_ann_var_k,
+        "r160_ann_filtered_compound": r160_ann_filtered_compound,
+        "r161_ann_allowed_relation": r161_ann_allowed_relation,
     }
 
 
@@ -6239,6 +6346,47 @@ def _operator_oracles() -> dict[str, str]:
         """.replace("{srch}", _s.ivf_pq_search_sql(
             "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
             topk=6, coarse="kmeans", coarse_iters=2, query_filter="vid < 4",
+        )),
+        # the compound conjunction (equality AND range) is the same
+        # semi-join with both predicates in the subquery
+        "r160_ann_filtered_compound": """
+            WITH srch AS ({srch})
+            SELECT s.query_id AS q, s.neighbor_id AS n, d.n_chars AS nc
+            FROM srch s JOIN documents d ON d.doc_id = s.neighbor_id
+            ORDER BY 1, 2
+        """.replace("{srch}", _s.ivf_pq_search_sql(
+            "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
+            topk=5, coarse="kmeans", coarse_iters=2,
+            query_filter="vid < 4",
+            neighbor_filter=(
+                "vec_id IN (SELECT doc_id FROM documents "
+                "WHERE lang = 'zh' AND n_chars > 200)"
+            ),
+        )),
+        # the pattern-pipeline allowed set is the per-query pairs join;
+        # acnt pins the correlated set size (bag-witness multiplicity)
+        "r161_ann_allowed_relation": """
+            WITH srch AS ({srch}),
+            acnt AS (
+              SELECT q.vec_id AS qid, COUNT(*) AS n_allowed
+              FROM embeddings q JOIN embeddings f ON f.label = q.label
+              WHERE q.vec_id < 4 GROUP BY 1
+            )
+            SELECT s.query_id AS q, s.neighbor_id AS n,
+                   CAST(g.label AS BIGINT) AS nlab, c.n_allowed
+            FROM srch s
+            JOIN embeddings g ON g.vec_id = s.neighbor_id
+            JOIN acnt c ON c.qid = s.query_id
+            ORDER BY 1, 2
+        """.replace("{srch}", _s.ivf_pq_search_sql(
+            "embeddings", n_centroids=None, nprobe=4, m=8, k=16, iters=2,
+            topk=5, coarse="kmeans", coarse_iters=2,
+            query_filter="vid < 4",
+            neighbor_pairs_sql=(
+                "SELECT q.vec_id AS query_id, f.vec_id AS vid "
+                "FROM embeddings q JOIN embeddings f ON f.label = q.label "
+                "WHERE q.vec_id < 4"
+            ),
         )),
         # the Datalog-surfaced filter (fact predicate -> allowed ids) is
         # the same semi-join, spelled as a subquery over documents

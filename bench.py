@@ -290,6 +290,11 @@ HEADLINE = [
     # variable-valued k parameter (per-combo evaluation)
     "r158_ann_datalog_filtered",
     "r159_ann_var_k",
+    # round-15: compound predicate conjunction (equality AND range)
+    # through the same candidate-pushdown callback, and the
+    # pattern-pipeline-built per-query allowed set (pairs semi-join)
+    "r160_ann_filtered_compound",
+    "r161_ann_allowed_relation",
     # the production ANN path: amortized index build (untimed prepare),
     # timed partition-pruned probe + ADC scan — the x01 pattern
     "x02_ivf_pq_search",
@@ -381,9 +386,12 @@ def _prepare_session_ann_index(name):
 PREPARED = {
     "x01_incremental_ingest": _prepare_incremental_ingest,
     "x02_ivf_pq_search": _prepare_ivf_pq_search,
-    # round-13: the four entries that search the session-prepared index
-    # (r150 intentionally keeps its own inline build — it grades the
-    # full persisted lifecycle per rep)
+    # entries that search the session-prepared kmeans index. r150 joined
+    # in round-15 (VERDICT r14 ask #5): its per-rep inline rebuild was
+    # ~25s of every full run re-measuring index construction — build
+    # timing stays covered by r153/r154 and the 1-rep PQ-train entries,
+    # r150's correctness gate still grades the full persisted lifecycle
+    "r150_ivf_pq_search": _prepare_session_ann_index("r150_ivf_pq_search"),
     "r151_ann_fn_bind": _prepare_session_ann_index("r151_ann_fn_bind"),
     "r155_ann_literal_vector": _prepare_session_ann_index(
         "r155_ann_literal_vector"
@@ -396,6 +404,12 @@ PREPARED = {
         "r158_ann_datalog_filtered"
     ),
     "r159_ann_var_k": _prepare_session_ann_index("r159_ann_var_k"),
+    "r160_ann_filtered_compound": _prepare_session_ann_index(
+        "r160_ann_filtered_compound"
+    ),
+    "r161_ann_allowed_relation": _prepare_session_ann_index(
+        "r161_ann_allowed_relation"
+    ),
 }
 
 # Per-entry rep overrides (VERDICT r12 ask #6): the untrained-vs-trained
@@ -695,16 +709,26 @@ def _write_ref(times: dict, sf, jobcounts: dict, merge: bool = False) -> None:
         json.dump(ref, f, indent=1, sort_keys=True)
 
 
-def _merge_jobs(jobcounts: dict, sf) -> None:
+def _merge_jobs(jobcounts: dict, sf, drifted: "set | None" = None) -> None:
     """Merge per-entry Spark job counts into BENCH_REF regardless of
     quotability (VERDICT r13 ask #3): job counts are plan-shape, not
     wall-clock — a noisy host changes timings but not how many jobs a
     driver-loop entry schedules, so they can be captured any time. Each
     merged entry records its capture commit in `jobs_git` so the
     adjudicator's grown-count-vs-flat-count call stays per-entry honest.
-    Skipped when SPARK_GRAFT_WRITE_REF=0 or the run is not sf0.1."""
+    Skipped when SPARK_GRAFT_WRITE_REF=0 or the run is not sf0.1.
+
+    Entries in this run's `jobs_drift` list are NOT merged (round-15
+    ADVICE): folding a drifted count into the baseline in the same
+    invocation that reports the drift would flag a code-caused
+    plan-shape regression exactly once and then absorb it. Drift keeps
+    flagging on every run until deliberately accepted — either by a
+    quotable capture (_write_ref) or explicitly via
+    SPARK_GRAFT_ACCEPT_JOBS_DRIFT=1."""
     if os.environ.get("SPARK_GRAFT_WRITE_REF", "1") == "0" or sf != 0.1:
         return
+    if drifted and os.environ.get("SPARK_GRAFT_ACCEPT_JOBS_DRIFT", "0") != "1":
+        jobcounts = {k: v for k, v in jobcounts.items() if k not in drifted}
     head = (_git(["rev-parse", "HEAD"]) or "").strip() or None
     try:
         with open(REF_PATH) as f:
@@ -902,8 +926,16 @@ def main():
         _write_ref(times, sf, jobcounts, merge=bool(only))
     else:
         # job counts are load-insensitive: back them into the reference
-        # even from an unquotable run (medians untouched)
-        _merge_jobs(jobcounts, sf)
+        # even from an unquotable run (medians untouched); entries whose
+        # count DRIFTED vs the ref are held back so the drift keeps
+        # flagging until deliberately accepted (round-15 ADVICE)
+        _merge_jobs(
+            jobcounts,
+            sf,
+            drifted={
+                d["name"] for d in (reg_ref or {}).get("jobs_drift", [])
+            },
+        )
     out = {
         "metric": "headline_query_total",
         "value": round(sum(times.values()), 3),

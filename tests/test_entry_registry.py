@@ -281,6 +281,41 @@ def test_bench_ref_jobs_only_merge(tmp_path):
     assert not (tmp_path / "missing.json").exists()
 
 
+def test_bench_merge_jobs_holds_back_drifted(tmp_path):
+    """Round-15 ADVICE: an entry flagged in this run's jobs_drift list
+    is NOT folded into BENCH_REF by the unquotable-run job merge — a
+    code-caused plan-shape regression must keep flagging on every run
+    until deliberately accepted (quotable capture, or the explicit
+    SPARK_GRAFT_ACCEPT_JOBS_DRIFT=1 ack)."""
+    import json
+
+    bench = _load_bench()
+    ref = tmp_path / "ref.json"
+    ref.write_text(json.dumps({
+        "git": "old-git", "sf": 0.1, "captured": "old-ts",
+        "queries": {"q01_pricing_summary": 2.0},
+        "jobs": {"q01_pricing_summary": 3, "q32_pagerank": 56},
+    }))
+    bench.REF_PATH = str(ref)
+    # q32 drifted (56 -> 46): held back; q01 flat wobble + new entry merge
+    bench._merge_jobs(
+        {"q01_pricing_summary": 4, "q32_pagerank": 46, "r999_new": 7},
+        0.1,
+        drifted={"q32_pagerank"},
+    )
+    got = json.loads(ref.read_text())
+    assert got["jobs"]["q32_pagerank"] == 56  # drift NOT absorbed
+    assert got["jobs"]["q01_pricing_summary"] == 4
+    assert got["jobs"]["r999_new"] == 7
+    # explicit ack -> the drifted count merges
+    os.environ["SPARK_GRAFT_ACCEPT_JOBS_DRIFT"] = "1"
+    try:
+        bench._merge_jobs({"q32_pagerank": 46}, 0.1, drifted={"q32_pagerank"})
+    finally:
+        os.environ.pop("SPARK_GRAFT_ACCEPT_JOBS_DRIFT", None)
+    assert json.loads(ref.read_text())["jobs"]["q32_pagerank"] == 46
+
+
 def test_bench_jobs_drift_report(tmp_path):
     """Round-14: plan-shape drift (job count changed >=2 vs BENCH_REF)
     is reported in the adjudication summary even when wall-clock stays

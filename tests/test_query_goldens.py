@@ -808,3 +808,228 @@ def test_ann_topk_where_empty_bucket(spark, tmp_path):
     ).collect()
     assert [r["n"] for r in got] == [0, 1, 2, 3, 4]
     assert all(r["lang"] == "en" for r in got)
+
+
+def test_ann_topk_where_compound(spark, tmp_path):
+    """Round-15 (VERDICT r14 ask #1): COMPOUND predicates for the
+    Datalog filtered-ANN surface — AND of an equality and a RANGE
+    predicate, each compiled through the candidate-pushdown callback.
+    Pins: (a) the conjunction keeps exactly the candidates satisfying
+    BOTH predicates (dense ranks, no padding); (b) an empty
+    intersection (each predicate individually satisfiable) contributes
+    NO rows; (c) the range op reads long facts through the numeric
+    coalesce; (d) a bad op and a non-numeric range value raise
+    structured invalid-query errors; (e) the equality-only compound
+    form is pointwise equal to the legacy flat pair."""
+    from unifydb_spark.operators.ann_fn import ann_topk_where_table_fn
+    from unifydb_spark.operators.similarity import ivf_pq_index_write
+
+    rows_ = [(i, [1.0, 0.01 * i, 0.0, 0.0]) for i in range(8)]
+    emb = spark.createDataFrame(rows_, "vec_id long, embedding array<double>")
+    idx = ivf_pq_index_write(
+        emb, str(tmp_path / "annidx"), n_centroids=1, m=2, k=4, iters=2,
+        dim=4, coarse="kmeans",
+    )
+    store = FactStore(spark).seed(
+        [(100 + i, ":doc/id", i, 0, True) for i in range(8)]
+        + [
+            (100 + i, ":doc/lang", "en" if i % 2 == 0 else "zh", 0, True)
+            for i in range(8)
+        ]
+        + [(100 + i, ":doc/nchars", 100 * i, 0, True) for i in range(8)]
+    )
+    eng = Engine(spark, store)
+    eng.register_table_fn(
+        "ann-topk-where", ann_topk_where_table_fn(emb, idx, nprobe=1)
+    )
+    qvec = [1.0, 0.02, 0.0, 0.0]
+
+    # (a)+(c): en AND nchars >= 400 -> ids {4, 6} only
+    got = eng.query(
+        {
+            "find": ["?n"],
+            "where": [
+                [
+                    (
+                        "ann-topk-where",
+                        qvec,
+                        8,
+                        [":doc/lang", "=", "en"],
+                        [":doc/nchars", ">=", 400],
+                    ),
+                    "?n",
+                ]
+            ],
+            "sort-by": ["?n"],
+        }
+    ).collect()
+    assert [r["n"] for r in got] == [4, 6]
+
+    # (b) empty intersection: zh AND nchars < 100 -> id 0 is en, so none
+    empty = eng.query(
+        {
+            "find": ["?n"],
+            "where": [
+                [
+                    (
+                        "ann-topk-where",
+                        qvec,
+                        8,
+                        [":doc/lang", "=", "zh"],
+                        [":doc/nchars", "<", 100],
+                    ),
+                    "?n",
+                ]
+            ],
+        }
+    ).collect()
+    assert empty == []
+
+    # (d) structured errors
+    with pytest.raises(QueryError) as e:
+        eng.query(
+            {
+                "find": ["?n"],
+                "where": [
+                    [("ann-topk-where", qvec, 3, [":doc/lang", "~", "en"]), "?n"]
+                ],
+            }
+        )
+    assert e.value.code == "invalid-query"
+    with pytest.raises(QueryError) as e:
+        eng.query(
+            {
+                "find": ["?n"],
+                "where": [
+                    [("ann-topk-where", qvec, 3, [":doc/nchars", ">", "x"]), "?n"]
+                ],
+            }
+        )
+    assert e.value.code == "invalid-query"
+
+    # (e) equality-only compound == legacy flat pair
+    legacy = eng.query(
+        {
+            "find": ["?n"],
+            "where": [[("ann-topk-where", qvec, 4, ":doc/lang", "en"), "?n"]],
+            "sort-by": ["?n"],
+        }
+    ).collect()
+    comp = eng.query(
+        {
+            "find": ["?n"],
+            "where": [
+                [("ann-topk-where", qvec, 4, [":doc/lang", "=", "en"]), "?n"]
+            ],
+            "sort-by": ["?n"],
+        }
+    ).collect()
+    assert [r["n"] for r in comp] == [r["n"] for r in legacy] != []
+
+
+def test_ann_topk_in_relation_param(spark, tmp_path):
+    """Round-15 (VERDICT r14 ask #2): the relation-valued table-fn
+    parameter contract. `(ann-topk-in ?q k ?allowed)` consumes the
+    distinct (?q, ?allowed) pairs as the CORRELATED per-query allowed
+    set; bindings join back on the key alone. Pins: (a) each query's
+    neighbors come only from ITS OWN allowed set; (b) a key whose
+    allowed set is empty contributes no rows (shortfall, not padding);
+    (d) an unbound/non-variable relation argument raises structured
+    errors; (e) mixing a relation parameter with a variable scalar
+    parameter is refused."""
+    from unifydb_spark.operators.ann_fn import ann_topk_in_table_fn
+    from unifydb_spark.operators.similarity import ivf_pq_index_write
+
+    rows_ = [(i, [1.0, 0.01 * i, 0.0, 0.0]) for i in range(8)]
+    emb = spark.createDataFrame(rows_, "vec_id long, embedding array<double>")
+    idx = ivf_pq_index_write(
+        emb, str(tmp_path / "annidx"), n_centroids=1, m=2, k=4, iters=2,
+        dim=4, coarse="kmeans",
+    )
+    # queries 0 and 1; 0's allowed set = {2, 4}, 1's = {} (no facts)
+    store = FactStore(spark).seed(
+        [(100, ":q/id", 0, 0, True), (101, ":q/id", 1, 0, True)]
+        + [(100, ":q/allow", 2, 0, True), (100, ":q/allow", 4, 0, True)]
+    )
+    eng = Engine(spark, store)
+    eng.register_table_fn(
+        "ann-topk-in", ann_topk_in_table_fn(emb, idx, nprobe=1)
+    )
+
+    got = eng.query(
+        {
+            "find": ["?q", "?n"],
+            "where": [
+                ["?e", ":q/id", "?q"],
+                ["?e", ":q/allow", "?allowed"],
+                [("ann-topk-in", "?q", 5, "?allowed"), "?n"],
+            ],
+            "sort-by": ["?q", "?n"],
+        }
+    ).collect()
+    # (a) query 0 gets exactly its own allowed ids back; (b) query 1
+    # has no allow facts at all -> the pattern join drops it upstream
+    assert sorted({(r["q"], r["n"]) for r in got}) == [(0, 2), (0, 4)]
+
+    # (b') empty allowed INTERSECTION: an allow fact pointing at an id
+    # the index does not hold -> the key survives the pattern join but
+    # its pairs miss every candidate -> zero rows, never a fallback
+    store2 = FactStore(spark).seed(
+        [(100, ":q/id", 0, 0, True), (100, ":q/allow", 999, 0, True)]
+    )
+    eng2 = Engine(spark, store2)
+    eng2.register_table_fn(
+        "ann-topk-in", ann_topk_in_table_fn(emb, idx, nprobe=1)
+    )
+    assert (
+        eng2.query(
+            {
+                "find": ["?q", "?n"],
+                "where": [
+                    ["?e", ":q/id", "?q"],
+                    ["?e", ":q/allow", "?allowed"],
+                    [("ann-topk-in", "?q", 5, "?allowed"), "?n"],
+                ],
+            }
+        ).collect()
+        == []
+    )
+
+    # (d) relation argument must be a bound variable
+    with pytest.raises(QueryError) as e:
+        eng.query(
+            {
+                "find": ["?n"],
+                "where": [
+                    ["?e", ":q/id", "?q"],
+                    [("ann-topk-in", "?q", 5, 7), "?n"],
+                ],
+            }
+        )
+    assert e.value.code == "unbound-variable"
+    with pytest.raises(QueryError) as e:
+        eng.query(
+            {
+                "find": ["?n"],
+                "where": [
+                    ["?e", ":q/id", "?q"],
+                    [("ann-topk-in", "?q", 5, "?nowhere"), "?n"],
+                ],
+            }
+        )
+    assert e.value.code == "unbound-variable"
+
+    # (e) relation + variable scalar parameter -> structured refusal
+    with pytest.raises(QueryError) as e:
+        eng.query(
+            {
+                "find": ["?n"],
+                "where": [
+                    ["?e", ":q/id", "?q"],
+                    ["?e", ":q/allow", "?allowed"],
+                    [("+", "?q", 3), "?k"],
+                    [("ann-topk-in", "?q", "?k", "?allowed"), "?n"],
+                ],
+            }
+        )
+    assert e.value.code == "invalid-query"

@@ -965,6 +965,12 @@ def test_index_rebuild_reader_isolation(spark, emb, tmp_path):
     # (c) a stale-epoch append is refused loudly
     with pytest.raises(ValueError, match="stale index handle"):
         ivf_pq_index_append(emb.filter(F.col("vec_id") >= 400), idx1)
+    # ... and so is a PRE-epoch legacy handle once the meta is epoched
+    # (round-15 ADVICE: a missing epoch key must not default to current
+    # — it resolves to the retired flat codes directory)
+    legacy = {k: v for k, v in idx2.items() if k not in ("epoch", "data_path")}
+    with pytest.raises(ValueError, match="predates the epoched layout"):
+        ivf_pq_index_append(emb.filter(F.col("vec_id") >= 400), legacy)
 
     # (d) a third build retires v1 but keeps v2 (readers that resolved
     # just before the swap)
@@ -973,3 +979,138 @@ def test_index_rebuild_reader_isolation(spark, emb, tmp_path):
     assert not os.path.exists(os.path.join(path, "v1"))
     assert os.path.exists(os.path.join(path, "v2"))
     assert os.path.exists(os.path.join(path, "v3"))
+
+
+def test_index_vacuum_retention(spark, emb, tmp_path):
+    """Round-15 (VERDICT r14 ask #6): the configurable epoch-retention
+    knob and the explicit vacuum verb. Pins: (a) `retain_epochs` at
+    build time widens commit-time GC (3 rebuilds with retain 2 keep
+    v1..v3) and is remembered through maintain rebuilds; (b)
+    ivf_pq_index_vacuum below the previous epoch makes a STALE reader
+    fail LOUDLY on its next scan — the retired epoch's relations
+    vanish together, so it can never silently mix old codes with new
+    codebooks; (c) readers inside the retention window and the current
+    epoch are untouched; (d) the CLI twin (no SparkSession) returns
+    the same report; (e) vacuum on a pre-epoch path refuses."""
+    import os
+
+    from unifydb_spark import cli
+    from unifydb_spark.operators.similarity import (
+        ivf_pq_index_maintain,
+        ivf_pq_index_vacuum,
+        ivf_pq_index_write,
+    )
+
+    path = str(tmp_path / "ivfpq_vac")
+    base = emb.filter(F.col("vec_id") < 400)
+    idx1 = ivf_pq_index_write(
+        base, path, n_centroids=8, m=8, k=8, iters=2, retain_epochs=2
+    )
+    idx2 = ivf_pq_index_maintain(base, idx1)
+    idx3 = ivf_pq_index_maintain(base, idx2)
+    # (a) retain 2 survives the maintain rebuilds: all three epochs live
+    assert all(
+        os.path.exists(os.path.join(path, v)) for v in ("v1", "v2", "v3")
+    )
+
+    # (b)+(c) explicit vacuum to retain 1: v1 reclaimed, v2/v3 kept
+    rep = ivf_pq_index_vacuum(path, retain_epochs=1)
+    assert rep == {
+        "epoch": 3, "retain_epochs": 1, "removed": ["v1"], "kept": ["v2", "v3"]
+    }
+    from unifydb_spark.operators.similarity import ivf_pq_search
+
+    q = emb.filter(F.col("vec_id") == 7)
+    with pytest.raises(Exception):  # loud path error, never silent mixing
+        ivf_pq_search(q, idx1, nprobe=2, topk=3).collect()
+    assert ivf_pq_search(q, idx2, nprobe=2, topk=3).count() > 0
+    assert ivf_pq_search(q, idx3, nprobe=2, topk=3).count() > 0
+
+    # (d) CLI twin — filesystem-only, retain 0 keeps just the current
+    rep2 = cli.index_vacuum(path, 0)
+    assert rep2["removed"] == ["v2"] and rep2["kept"] == ["v3"]
+    with pytest.raises(Exception):
+        ivf_pq_search(q, idx2, nprobe=2, topk=3).collect()
+    assert ivf_pq_search(q, idx3, nprobe=2, topk=3).count() > 0
+
+    # (e) pre-epoch / missing meta refuses
+    with pytest.raises(FileNotFoundError):
+        ivf_pq_index_vacuum(str(tmp_path / "nope"))
+    with pytest.raises(ValueError):
+        ivf_pq_index_vacuum(path, retain_epochs=-1)
+
+
+def test_concurrent_fixpoints_shared_session(spark):
+    """Round-15 (VERDICT r14 ask #4): frontier-shuffle isolation BY
+    CONSTRUCTION. Two recursive fixpoints run CONCURRENTLY on ONE
+    shared SparkSession (different chains, so different per-round
+    frontier hints), while a third thread continuously polls the shared
+    session's shuffle width. Pins: (a) both closures are exactly
+    correct — no cross-talk between the two fixpoints' narrowed plans;
+    (b) the SHARED session's spark.sql.shuffle.partitions is NEVER
+    observed narrowed and is unchanged afterwards — the narrowing lives
+    entirely in the thread-local private planning session
+    (rules._frontier_checkpoint re-binds the delta plan), so a user
+    sharing one session cannot be planned at another query's frontier
+    width."""
+    import threading
+
+    from unifydb_spark import Engine, FactStore
+    from unifydb_spark.values import Ref
+
+    width = spark.conf.get("spark.sql.shuffle.partitions")
+    rules = [
+        [("anc", "?x", "?y"), ["?x", ":parent", "?y"]],
+        [("anc", "?x", "?y"), ["?x", ":parent", "?z"], ("anc", "?z", "?y")],
+    ]
+    # chain A: 1->2->...->9 ; chain B: 201->202->...->213
+    eng_a = Engine(
+        spark,
+        FactStore(spark).seed(
+            [(i, ":parent", Ref(i + 1), 0, True) for i in range(1, 9)]
+        ),
+    )
+    eng_b = Engine(
+        spark,
+        FactStore(spark).seed(
+            [(i, ":parent", Ref(i + 1), 0, True) for i in range(201, 213)]
+        ),
+    )
+
+    results: dict = {}
+    errors: list = []
+    seen_widths: set = set()
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            seen_widths.add(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def run(name, eng, seed):
+        try:
+            results[name] = sorted(
+                eng.query_rows(
+                    {
+                        "find": ["?y"],
+                        "where": [("anc", Ref(seed), "?y")],
+                        "rules": rules,
+                    }
+                )
+            )
+        except Exception as e:  # surface in the main thread
+            errors.append((name, e))
+
+    poller = threading.Thread(target=poll, daemon=True)
+    ta = threading.Thread(target=run, args=("a", eng_a, 1))
+    tb = threading.Thread(target=run, args=("b", eng_b, 201))
+    poller.start()
+    ta.start(); tb.start()
+    ta.join(); tb.join()
+    stop.set()
+    poller.join(timeout=10)
+
+    assert not errors, errors
+    assert results["a"] == [(Ref(i),) for i in range(2, 10)]
+    assert results["b"] == [(Ref(i),) for i in range(202, 214)]
+    assert seen_widths == {width}  # (b) never narrowed, never mutated
+    assert spark.conf.get("spark.sql.shuffle.partitions") == width

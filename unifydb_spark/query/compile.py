@@ -766,10 +766,31 @@ def _apply_table_fn(db: Db, rel: Rel, c: FnBind, tf) -> Rel:
             "unbound-variable",
             f"table function {c.fn} needs its first argument bound",
         )
+    rel_param_idx = frozenset(getattr(tf, "relation_params", ()))
     params: list = []
     param_vars: dict[int, Var] = {}
+    rel_param_vars: dict[int, Var] = {}
     for i, a in enumerate(c.args[1:]):
-        if isinstance(a, Var):
+        if i in rel_param_idx:
+            # RELATION-valued parameter (round-15, VERDICT r14 ask #2):
+            # the registered function declares (via its relation_params
+            # attribute — indices into the arguments after the key) that
+            # this position consumes the SET of values co-bound with the
+            # key, not one scalar per call. Contract: the argument must
+            # be a bound variable; the function receives the distinct
+            # (key, value) pairs as a DataFrame (value-only for a
+            # literal key); produced bindings join back on the KEY alone
+            # — the set parameter is consumed, never row-correlated with
+            # the binding rows it came from.
+            if not isinstance(a, Var) or rel is None or a.name not in rel.vars:
+                raise QueryError(
+                    "unbound-variable",
+                    f"table function {c.fn} relation parameter must be a "
+                    "variable bound by an earlier clause",
+                )
+            rel_param_vars[i] = a
+            params.append(None)  # filled with the pairs DataFrame below
+        elif isinstance(a, Var):
             if rel is None or a.name not in rel.vars:
                 raise QueryError(
                     "unbound-variable",
@@ -787,6 +808,23 @@ def _apply_table_fn(db: Db, rel: Rel, c: FnBind, tf) -> Rel:
             params.append(None)  # filled per combo
         else:
             params.append(a)
+    if rel_param_vars and param_vars:
+        # per-combo evaluation would need the pairs re-derived per combo;
+        # no current operator composes both — refuse loudly over silently
+        # mis-scoping the set
+        raise QueryError(
+            "invalid-query",
+            f"table function {c.fn} cannot mix relation-valued and "
+            "variable scalar parameters",
+        )
+    for i, v in rel_param_vars.items():
+        if literal_key is not None:
+            pdf = rel.df.select(bt(v.name).alias("__tf_set")).distinct()
+        else:
+            pdf = rel.df.select(
+                bt(key.name).alias("__tf_in"), bt(v.name).alias("__tf_set")
+            ).distinct()
+        params[i] = pdf
     out = c.out
     if not isinstance(out, Var):
         raise QueryError(
