@@ -35,6 +35,31 @@ def _dot(va, vb):
     )
 
 
+def _by_vid(df: DataFrame, key: str = "vid") -> DataFrame:
+    """Hash-partition an exploded training relation by its vector id
+    before persisting. Two effects (round-15 measurement, guide §2.2/2.4):
+
+    (a) PARALLELISM FLOOR — a small parquet arrives as ONE scan split,
+        which serialized every downstream broadcast-join + DECIMAL
+        partial-aggregate chain onto a single task (measured: four ~6 s
+        single-task jobs inside one r149 run at sf0.1 — the dedup
+        ``_spread`` lesson applied to the ANN training family).
+    (b) EXCHANGE REUSE — every k-means iteration re-keys by the vector
+        id (``groupBy(vid, ...)``, ``join(..., "vid")``,
+        ``Window.partitionBy(vid, ...)``); clustering the persisted
+        relation by vid up front lets all of them reuse ONE layout
+        instead of re-shuffling per step ("two operations keyed the
+        same way share one exchange").
+
+    Scale note: numPartitions is the session's shuffle-partition
+    setting (no local constant); at 100 TB this is one hash pass over
+    (id, dim, value) rows, amortized over every training iteration that
+    would otherwise shuffle the same bytes again. Aggregation values
+    are unchanged: every fold is an order-independent DECIMAL(38,18)
+    sum, so placement cannot move a result bit."""
+    return df.repartition(F.col(key))
+
+
 def with_norm(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Attach the squared L2 norm (same fold as the oracle)."""
     v = F.col(vec_col)
@@ -297,10 +322,12 @@ def kmeans_assign(
     dim, m) -> one shuffle on (vec, cluster); centroid update is one
     groupBy (cluster, dim). Both map-side combinable; k and dim are
     constants, so cost is linear in vectors per iteration."""
-    ex = emb.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(F.col(vec_col)).alias("dim", "x"),
-    ).withColumn("x", F.col("x").cast("double")).persist()
+    ex = _by_vid(
+        emb.select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        ).withColumn("x", F.col("x").cast("double"))
+    ).persist()
     # centroids as (cluster, dim, m) rows; init from the k lowest ids
     cent = (
         ex.filter(F.col("vid") < k)
@@ -321,8 +348,10 @@ def kmeans_assign(
                 .cast("double")
                 .alias("cn2")
             )
+            # cent is k x dim rows (knob-bounded) — broadcast so the
+            # corpus-side ex never shuffles for this join at any scale
             dots = (
-                ex.join(cent, "dim")
+                ex.join(F.broadcast(cent), "dim")
                 .groupBy("vid", "cluster")
                 .agg(
                     F.sum((F.col("x") * F.col("m")).cast("decimal(38,18)"))
@@ -331,7 +360,7 @@ def kmeans_assign(
                 )
             )
             scored = (
-                dots.join(cnorm, "cluster")
+                dots.join(F.broadcast(cnorm), "cluster")
                 .join(vnorm, "vid")
                 .withColumn(
                     "cos", F.col("dot") / (F.sqrt("vn2") * F.sqrt("cn2"))
@@ -1258,7 +1287,11 @@ def pq_codes(
             "x",
         )
     )
-    ex = tracked_persist(ex)
+    # hash(vid) clusters every groupBy(vid, subspace)/window(vid,
+    # subspace) below onto one reused layout AND floors parallelism
+    # (hash(vid) satisfies the clustered distribution of any key set
+    # containing vid)
+    ex = tracked_persist(_by_vid(ex))
     cent = (
         ex.filter(F.col("vid") < k)
         .select(
@@ -1280,8 +1313,10 @@ def pq_codes(
             .cast("double")
             .alias("cn2")
         )
+        # cent is m x k x sub rows (knob-bounded) — broadcast, never
+        # shuffle the corpus side for it
         dots = (
-            ex.join(cent, ["subspace", "sd"])
+            ex.join(F.broadcast(cent), ["subspace", "sd"])
             .groupBy("vid", "subspace", "cluster")
             .agg(
                 F.sum((F.col("x") * F.col("m")).cast("decimal(38,18)"))
@@ -1290,7 +1325,7 @@ def pq_codes(
             )
         )
         scored = (
-            dots.join(cnorm, ["subspace", "cluster"])
+            dots.join(F.broadcast(cnorm), ["subspace", "cluster"])
             .join(vnorm, ["vid", "subspace"])
             .withColumn("cos", F.col("dot") / (F.sqrt("vn2") * F.sqrt("cn2")))
         )
@@ -1391,7 +1426,7 @@ def pq_adc_recall(
     )
     from unifydb_spark.resources import tracked_persist
 
-    ex = tracked_persist(ex)
+    ex = tracked_persist(_by_vid(ex))
     codebook = (
         ex.join(
             codes.select(
@@ -1407,8 +1442,12 @@ def pq_adc_recall(
             ).alias("mval")
         )
     )
-    qex = ex.filter(F.col("vid") < n_queries).select(
-        F.col("vid").alias("query_id"), "d", F.col("x").alias("qx")
+    # qex is n_queries x dim rows (knob-bounded) — broadcast it into the
+    # corpus-side scans so they keep their layout at any scale
+    qex = F.broadcast(
+        ex.filter(F.col("vid") < n_queries).select(
+            F.col("vid").alias("query_id"), "d", F.col("x").alias("qx")
+        )
     )
     # per-vector reconstructed coords: m codebook lookups per vector
     recon = codes.select(
@@ -1710,10 +1749,12 @@ def ivf_pq_topk(
     from unifydb_spark.resources import tracked_persist
 
     ex = tracked_persist(
-        emb.select(
-            F.col(id_col).alias("vid"),
-            F.posexplode(F.col(vec_col)).alias("d", "x"),
-        ).withColumn("x", F.col("x").cast("double"))
+        _by_vid(
+            emb.select(
+                F.col(id_col).alias("vid"),
+                F.posexplode(F.col(vec_col)).alias("d", "x"),
+            ).withColumn("x", F.col("x").cast("double"))
+        )
     )
     if coarse == "kmeans":
         # ---- TRAINED coarse quantizer (VERDICT r11 ask #1): full-dim
@@ -1886,8 +1927,10 @@ def _pq_train(
             .cast("double")
             .alias("cn2")
         )
+        # cent is m x k x sub rows (knob-bounded) — broadcast so the
+        # corpus-side residuals never shuffle for this join
         dots = (
-            rex.join(cent, ["subspace", "sd"])
+            rex.join(F.broadcast(cent), ["subspace", "sd"])
             .groupBy("vid", "subspace", "cluster")
             .agg(
                 F.sum((F.col("rx") * F.col("cm")).cast("decimal(38,18)"))
@@ -1901,7 +1944,7 @@ def _pq_train(
             (F.col("cn2") - 2.0 * F.col("dot")).asc(), F.col("cluster")
         )
         codes = (
-            dots.join(cn2, ["subspace", "cluster"])
+            dots.join(F.broadcast(cn2), ["subspace", "cluster"])
             .withColumn("rn", F.row_number().over(wa))
             .filter("rn = 1")
             .select("vid", "subspace", F.col("cluster").alias("code"))
@@ -2054,10 +2097,12 @@ def ivf_pq_index_write(
 
     with persist_scope():
         ex = tracked_persist(
-            emb.select(
-                F.col(id_col).alias("vid"),
-                F.posexplode(F.col(vec_col)).alias("d", "x"),
-            ).withColumn("x", F.col("x").cast("double"))
+            _by_vid(
+                emb.select(
+                    F.col(id_col).alias("vid"),
+                    F.posexplode(F.col(vec_col)).alias("d", "x"),
+                ).withColumn("x", F.col("x").cast("double"))
+            )
         )
         if coarse == "kmeans":
             # TRAINED coarse stage (VERDICT r11 ask #1): the persisted
@@ -2737,10 +2782,12 @@ def ivf_pq_refine_topk(
     from unifydb_spark.resources import tracked_persist
 
     ex = tracked_persist(
-        emb.select(
-            F.col(id_col).alias("vid"),
-            F.posexplode(F.col(vec_col)).alias("d", "x"),
-        ).withColumn("x", F.col("x").cast("double"))
+        _by_vid(
+            emb.select(
+                F.col(id_col).alias("vid"),
+                F.posexplode(F.col(vec_col)).alias("d", "x"),
+            ).withColumn("x", F.col("x").cast("double"))
+        )
     )
     if coarse == "kmeans":
         # trained coarse stage — identical branch to ivf_pq_topk's
