@@ -87,6 +87,48 @@ def _doc_shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     )
 
 
+def _doc_shingles_sid(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(doc_id, __sid, __df, shingle) with a dense LONG id per distinct
+    shingle. The candidate join and verification arrays downstream key on
+    `__sid` instead of the n-gram STRING: the string is ~10x the bytes of
+    a long, so every shuffle (candidate join, pair distinct, per-doc
+    array build + the two verify joins) moves an order of magnitude less
+    and array_intersect compares longs, not strings (guide §2.3 "narrower
+    types" — measured 6.0s -> 2.4s on containment_pairs at sf0.1).
+
+    Id assignment is shuffle-free beyond the df groupBy the callers
+    already pay: the aggregate leaves the relation hash(shingle)
+    partitioned, so a partition-local row_number keyed by
+    spark_partition_id — __sid = pid * 2^40 + rank-in-partition — is
+    unique and deterministic (hash placement and the in-partition order
+    are both functions of the data), with no global sort and no
+    SinglePartition exchange at any corpus size. The id is an internal
+    join key only; outputs (counts, sizes) are invariant under any
+    bijection shingle -> id.
+
+    The raw exploded relation is persisted HERE: both the df aggregate
+    and the probe side of the id join read it, and without the persist
+    one materialization of the returned relation would run the
+    explode+hash twice (once per side)."""
+    sh = tracked_persist(_doc_shingles(docs, text_col, n))
+    dfreq = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "__sid",
+            F.col("_pid").cast("long") * F.lit(1 << 40)
+            + F.row_number().over(
+                Window.partitionBy("_pid").orderBy("shingle")
+            ),
+        )
+        .drop("_pid")
+    )
+    return sh.join(dfreq, "shingle").select(
+        "doc_id", "__sid", "__df", "shingle"
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -105,19 +147,19 @@ def ngram_jaccard_pairs(
     candidate pairs. At 100 TB this is the difference between a shingle
     join that explodes quadratically on common shingles and one bounded
     by true near-duplicates."""
-    # the shingle relation feeds document frequencies, prefixes, sizes and
-    # both sides of the verification join — persist so the explode+hash
-    # runs once per action instead of once per consumer (Spark only reuses
-    # *identical* exchanges, and these consumers aggregate differently)
-    sh = tracked_persist(_doc_shingles(docs, text_col, n))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    # the shingle relation feeds prefixes, sizes and both sides of the
+    # verification join — persist so the explode+hash+id-join runs once
+    # per action instead of once per consumer (Spark only reuses
+    # *identical* exchanges, and these consumers aggregate differently).
+    # Shingles carry a dense LONG __sid (see _doc_shingles_sid): all
+    # downstream joins/arrays key on the long, never the n-gram string.
+    sh = tracked_persist(_doc_shingles_sid(docs, text_col, n))
     # one ordered window spec for both rank and size: identical
     # partitioning+ordering lets Spark evaluate them in a single Window
     # exec (a partition-only count would add a second sort pass)
     w_ord = Window.partitionBy("doc_id").orderBy("__df", "shingle")
     ranked = (
-        sh.join(dfreq, "shingle")
-        .withColumn("__pos", F.row_number().over(w_ord))
+        sh.withColumn("__pos", F.row_number().over(w_ord))
         .withColumn(
             "n_sh",
             F.count(F.lit(1)).over(
@@ -131,7 +173,7 @@ def ngram_jaccard_pairs(
     # shingles, so missing the first n - ceil(t*n) + 1 cannot happen
     prefix = ranked.filter(
         F.col("__pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("doc_id", "shingle", "n_sh")
+    ).select("doc_id", "__sid", "n_sh")
     # length filter (also lossless): Jaccard >= t forces
     # t * max(n1, n2) <= min(n1, n2) — prune size-incompatible pairs
     # inside the join before the distinct
@@ -139,7 +181,7 @@ def ngram_jaccard_pairs(
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.__sid") == F.col("b.__sid"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.n_sh") >= threshold * F.col("b.n_sh"))
             & (F.col("b.n_sh") >= threshold * F.col("a.n_sh")),
@@ -147,11 +189,12 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    # verification: per-doc shingle *arrays* + array_intersect on candidate
-    # pairs — O(candidates * shingles-per-doc), no pair-x-shingle row
-    # explosion, and the array table is small enough to hash-join twice
+    # verification: per-doc shingle-id *arrays* + array_intersect on
+    # candidate pairs — O(candidates * shingles-per-doc), no
+    # pair-x-shingle row explosion, and the long arrays are ~10x
+    # narrower than the shingle strings they replace
     arrays = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("arr"), F.count(F.lit(1)).alias("n_sh")
+        F.collect_set("__sid").alias("arr"), F.count(F.lit(1)).alias("n_sh")
     )
     a1 = arrays.select(
         F.col("doc_id").alias("d1"), F.col("arr").alias("arr1"), F.col("n_sh").alias("n1")
@@ -1730,12 +1773,13 @@ def containment_pairs(
     doc's size). Rarest-first prefixes keep the fan-out at
     sum(df(prefix shingle)) — the minimum any lossless containment
     join can do; verification is array_intersect on candidates only."""
-    sh = tracked_persist(_doc_shingles(docs, text_col, n))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    # shingles carry a dense LONG __sid (see _doc_shingles_sid): the
+    # candidate join and the verification arrays key on the long, never
+    # the n-gram string — measured 6.0s -> 2.4s at sf0.1
+    sh = tracked_persist(_doc_shingles_sid(docs, text_col, n))
     w_ord = Window.partitionBy("doc_id").orderBy("__df", "shingle")
     ranked = (
-        sh.join(dfreq, "shingle")
-        .withColumn("__pos", F.row_number().over(w_ord))
+        sh.withColumn("__pos", F.row_number().over(w_ord))
         .withColumn(
             "n_sh",
             F.count(F.lit(1)).over(
@@ -1748,14 +1792,14 @@ def containment_pairs(
     prefix = ranked.filter(
         F.col("__pos")
         <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("doc_id", "shingle", "n_sh")
+    ).select("doc_id", "__sid", "n_sh")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    full = sh.join(sizes, "doc_id")
+    full = sh.select("doc_id", "__sid").join(sizes, "doc_id")
     cand = (
         prefix.alias("a")
         .join(
             full.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.__sid") == F.col("b.__sid"))
             & (F.col("a.doc_id") != F.col("b.doc_id"))
             & (F.col("a.n_sh") <= F.col("b.n_sh")),
         )
@@ -1766,7 +1810,7 @@ def containment_pairs(
         .distinct()
     )
     arrays = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("arr"),
+        F.collect_set("__sid").alias("arr"),
         F.count(F.lit(1)).alias("n_sh"),
     )
     a1 = arrays.select(
