@@ -153,7 +153,8 @@ def group_quantiles_approx(
 # buffer no longer fits
 
 def _order_stat_pair(vals: DataFrame, k: int, lo: float, hi: float,
-                     buckets: int, exact_threshold: int):
+                     buckets: int, exact_threshold: int,
+                     n_cand: "int | None" = None):
     """Resolve the 0-based order statistics (k, k+1) of the `v` column
     by iterative histogram narrowing: each round is ONE combinable
     aggregation returning <= `buckets` rows of (count, min, max) to the
@@ -182,7 +183,12 @@ def _order_stat_pair(vals: DataFrame, k: int, lo: float, hi: float,
         cand = vals.filter((v >= lo) & (v <= hi))
         if lo == hi:
             return lo, lo
-        n_cand = cand.count()
+        if n_cand is None:
+            # only the first round of an uncounted interval pays a count
+            # job; every later round inherits the chosen bucket's exact c
+            # from the previous histogram (the [bmin, bmax] snap selects
+            # exactly that bucket's rows)
+            n_cand = cand.count()
         if n_cand <= exact_threshold:
             ordered = [r["v"] for r in cand.orderBy("v").collect()]
             v0 = ordered[k - n_lt_lo]
@@ -227,6 +233,7 @@ def _order_stat_pair(vals: DataFrame, k: int, lo: float, hi: float,
                     )
                     return bmin, nxt if nxt is not None else bmin
                 lo, hi, n_lt_lo = bmin, bmax, acc
+                n_cand = c
                 break
             acc += c
 
@@ -281,13 +288,37 @@ def exact_quantiles_scalable(
         frac = r - k0
         targets.append((p, k0, frac))
         pairs[k0] = None
+    open_ks = []
     for k0 in pairs:
         if k0 >= n - 1:
             # top rank: both stats are the max
             pairs[k0] = (hi, hi)
         else:
+            open_ks.append(k0)
+    if len(open_ks) > 1:
+        # each target's narrowing is an independent chain of bounded
+        # aggregations — resolve them concurrently so one target's
+        # driver turnaround back-fills cores another left idle (guide
+        # §2.6); values are scheduling-invariant, and the inherited
+        # thread target keeps the caller's job group on every job
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        resolve = inheritable_thread_target(spark)(
+            lambda k0: _order_stat_pair(
+                vals, k0, lo, hi, buckets, exact_threshold, n_cand=n
+            )
+        )
+        with ThreadPoolExecutor(
+            max_workers=min(4, len(open_ks))
+        ) as pool:
+            for k0, pair in zip(open_ks, pool.map(resolve, open_ks)):
+                pairs[k0] = pair
+    else:
+        for k0 in open_ks:
             pairs[k0] = _order_stat_pair(
-                vals, k0, lo, hi, buckets, exact_threshold
+                vals, k0, lo, hi, buckets, exact_threshold, n_cand=n
             )
     rows = [
         (
@@ -515,6 +546,17 @@ def exact_group_quantiles_scalable(
                             s["sliver"] = True
                     else:
                         s["lo"], s["hi"], s["n_lt_lo"] = bmin, bmax, acc
+                        if c <= exact_threshold:
+                            # the narrowed interval [bmin, bmax] holds
+                            # exactly this bucket's c rows (bucketing is
+                            # monotone, so no other bucket's values land
+                            # inside it) — the next round's histogram
+                            # would only rediscover total == c and mark
+                            # the task a sliver; skip that round's full
+                            # scan and go straight to the batched sliver
+                            # collect (one round instead of two on any
+                            # group whose first narrowing already fits)
+                            s["sliver"] = True
                     break
                 acc += c
 
