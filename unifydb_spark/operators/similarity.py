@@ -1865,7 +1865,10 @@ def ivf_pq_topk(
         .select("query_id", "nid")
     )
     exact = (
-        qex.join(ex.select(F.col("vid").alias("nid"), "d", "x"), "d")
+        # qex is n_queries x dim (knob-bounded): broadcast so the
+        # corpus-side ex is never shuffled for the ground-truth dots
+        F.broadcast(qex)
+        .join(ex.select(F.col("vid").alias("nid"), "d", "x"), "d")
         .groupBy("query_id", "nid")
         .agg(
             F.sum((F.col("qx") * F.col("x")).cast("decimal(38,18)"))
@@ -1998,12 +2001,24 @@ def _adc_scored(
     candidates (query_id, centroid_id, nid), `qex` exploded queries
     (query_id, d, qx). Output: (query_id, nid, score) with score =
     q·c + q·r̂ (residual) or q·x̂ (raw), DECIMAL folds, double add."""
-    recon = codes.select(
-        F.col(code_id_col).alias("nid"), "subspace", "code"
-    ).join(cb, ["subspace", "code"])
+    # candidate-FIRST join order: restrict the corpus-sized codes to the
+    # probed candidates before attaching the codebook values. The former
+    # shape (codes x codebook first, candidates second) reconstructed
+    # n x dim rows for the WHOLE corpus and pruned afterwards — at 100 TB
+    # that is a corpus-scale intermediate for a candidate-scale answer.
+    # Inner joins associate, the grouped DECIMAL sums see exactly the
+    # same matched rows, so the scores are bit-identical; the codebook
+    # and query sides are knob-bounded (m x k x sub and n_queries x dim)
+    # and explicitly broadcast so no candidate-scale shuffle can appear.
     rdot = (
-        cand.join(recon, "nid")
-        .join(qex, ["query_id", "d"])
+        cand.join(
+            codes.select(
+                F.col(code_id_col).alias("nid"), "subspace", "code"
+            ),
+            "nid",
+        )
+        .join(F.broadcast(cb), ["subspace", "code"])
+        .join(F.broadcast(qex), ["query_id", "d"])
         .groupBy("query_id", "nid", "centroid_id")
         .agg(
             F.sum((F.col("qx") * F.col("mval")).cast("decimal(38,18)"))
@@ -2912,7 +2927,8 @@ def ivf_pq_refine_topk(
         .select("query_id", "nid")
     )
     exact = (
-        qex.join(ex.select(F.col("vid").alias("nid"), "d", "x"), "d")
+        F.broadcast(qex)
+        .join(ex.select(F.col("vid").alias("nid"), "d", "x"), "d")
         .groupBy("query_id", "nid")
         .agg(
             F.sum((F.col("qx") * F.col("x")).cast("decimal(38,18)"))
