@@ -342,7 +342,7 @@ def kmeans_assign(
     ).persist()
     assign = None
     try:
-        for _ in range(iters):
+        for it in range(iters):
             cnorm = cent.groupBy("cluster").agg(
                 F.sum((F.col("m") * F.col("m")).cast("decimal(38,18)"))
                 .cast("double")
@@ -373,17 +373,23 @@ def kmeans_assign(
                 .select("vid", "cluster")
                 .localCheckpoint()
             )
-            cent = (
-                ex.join(assign, "vid")
-                .groupBy("cluster", "dim")
-                .agg(
-                    (
-                        F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
-                        / F.count("x")
-                    ).alias("m")
+            if it < iters - 1:
+                # the final round's centroid update is dead computation —
+                # nothing consumes it, so it is never built (pq_codes and
+                # _pq_train already guard the same way)
+                cent = (
+                    ex.join(assign, "vid")
+                    .groupBy("cluster", "dim")
+                    .agg(
+                        (
+                            F.sum(F.col("x").cast("decimal(38,18)")).cast(
+                                "double"
+                            )
+                            / F.count("x")
+                        ).alias("m")
+                    )
+                    .localCheckpoint()
                 )
-                .localCheckpoint()
-            )
         return assign.select(F.col("vid").alias(id_col), "cluster")
     finally:
         # loop intermediates only; `assign` is checkpointed each iteration
@@ -1744,8 +1750,11 @@ def ivf_pq_topk(
     if coarse not in ("lowid", "kmeans"):
         raise ValueError(f"unknown coarse quantizer {coarse!r}")
     sub = dim // m
+    # one count job serves both the auto_k derivation and the graded
+    # n_total column (was two separate driver actions)
+    n_total = emb.count()
     if n_centroids is None:
-        n_centroids = auto_k(emb.count(), IVF_CENTROID_DIVISOR, lo=16)
+        n_centroids = auto_k(n_total, IVF_CENTROID_DIVISOR, lo=16)
     from unifydb_spark.resources import tracked_persist
 
     ex = tracked_persist(
@@ -1881,7 +1890,6 @@ def ivf_pq_topk(
         .filter(F.col("rn") <= topk)
         .select("query_id", "nid")
     )
-    n_total = emb.count()
     return (
         adc_top.join(exact_top, ["query_id", "nid"])
         .groupBy("query_id")
@@ -2100,8 +2108,11 @@ def ivf_pq_index_write(
     same as the txlog transactor: one process appends / rebuilds;
     concurrent readers are unrestricted. Pinned by
     tests/test_scale_proofs.py::test_index_rebuild_reader_isolation."""
+    # one count job serves both the auto_k derivation and the meta's
+    # n_base field (was two separate driver actions)
+    n_base = emb.count()
     if n_centroids is None:
-        n_centroids = auto_k(emb.count(), IVF_CENTROID_DIVISOR, lo=16)
+        n_centroids = auto_k(n_base, IVF_CENTROID_DIVISOR, lo=16)
     if coarse not in ("lowid", "kmeans"):
         raise ValueError(f"unknown coarse quantizer {coarse!r}")
     sub = dim // m
@@ -2188,7 +2199,6 @@ def ivf_pq_index_write(
         )
         cb.write.mode("overwrite").parquet(f"{data}/codebook")
         cex.write.mode("overwrite").parquet(f"{data}/centroids")
-        n_base = emb.count()
     index = {
         "path": path,
         "data_path": data,
@@ -2792,8 +2802,11 @@ def ivf_pq_refine_topk(
     if coarse not in ("lowid", "kmeans"):
         raise ValueError(f"unknown coarse quantizer {coarse!r}")
     sub = dim // m
+    # one count job serves both the auto_k derivation and the graded
+    # n_total column (was two separate driver actions)
+    n_total = emb.count()
     if n_centroids is None:
-        n_centroids = auto_k(emb.count(), IVF_CENTROID_DIVISOR, lo=16)
+        n_centroids = auto_k(n_total, IVF_CENTROID_DIVISOR, lo=16)
     from unifydb_spark.resources import tracked_persist
 
     ex = tracked_persist(
@@ -2941,7 +2954,6 @@ def ivf_pq_refine_topk(
         .filter(F.col("rn") <= topk)
         .select("query_id", "nid")
     )
-    n_total = emb.count()
     return (
         refined_top.join(exact_top, ["query_id", "nid"])
         .groupBy("query_id")
