@@ -256,3 +256,22 @@ def test_zonemap_eq_prune_profile_string_values(spark):
     # the lang-major layout prunes: each probe scans a minority of blocks
     lm = got[got.layout == "lang_major"]
     assert (lm.blocks_scanned <= 4).all()
+
+
+def test_map_layouts_order_preserved_and_each_called_once(spark):
+    # the zonemap profilers evaluate per-layout reports on a small
+    # thread pool (round-15); the unioned report must keep the caller's
+    # layout order and build each layout exactly once
+    from unifydb_spark.operators.layout import _map_layouts
+
+    calls = []
+
+    def fn(layout):
+        calls.append(layout[0])
+        return layout[0] * 2
+
+    out = _map_layouts(spark, fn, [("a", ()), ("b", ()), ("c", ())])
+    assert out == ["aa", "bb", "cc"]
+    assert sorted(calls) == ["a", "b", "c"]
+    # single-layout path stays sequential (no pool)
+    assert _map_layouts(spark, fn, [("z", ())]) == ["zz"]

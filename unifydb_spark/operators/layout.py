@@ -299,6 +299,26 @@ def curriculum_profile_sql(
     """
 
 
+def _map_layouts(spark, fn, layouts):
+    """Build each candidate layout's report, overlapping the per-layout
+    eager work (global_row_number's range persist + offsets collect is
+    one driver-sequenced job per layout) on a small thread pool (guide
+    §2.6): one layout's numbering back-fills the cores another's collect
+    barrier left idle. Order-preserved (pool.map), so the unioned report
+    is unchanged; inheritable_thread_target keeps the caller's
+    job-group/description on jobs submitted by workers (the bench's
+    per-entry job metric counts by group)."""
+    layouts = list(layouts)
+    if len(layouts) <= 1:
+        return [fn(la) for la in layouts]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=min(4, len(layouts))) as pool:
+        return list(pool.map(inheritable_thread_target(spark)(fn), layouts))
+
+
 def zonemap_prune_profile(
     df: DataFrame,
     pred_col: str,
@@ -339,8 +359,9 @@ def zonemap_prune_profile(
     lo = dmin + int(pred_lo_off)
     hi = dmin + int(pred_hi_off)
     B = int(n_blocks)
-    reports = []
-    for label, order_cols in layouts:
+
+    def _layout_report(layout):
+        label, order_cols = layout
         numbered = global_row_number(
             df.select(p.alias("_p"), *[F.col(c) for c in order_cols]),
             list(order_cols),
@@ -358,24 +379,24 @@ def zonemap_prune_profile(
             )
         )
         scanned = ~((F.col("bmax") < F.lit(lo)) | (F.col("bmin") > F.lit(hi)))
-        reports.append(
-            blocks.agg(
-                F.lit(label).alias("layout"),
-                F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
-                F.sum(scanned.cast("long")).cast("bigint").alias(
-                    "blocks_scanned"
-                ),
-                F.sum(
-                    F.when(scanned, F.col("rows")).otherwise(F.lit(0))
-                ).cast("bigint").alias("rows_scanned"),
-                F.round(
-                    F.sum(F.when(scanned, F.col("rows")).otherwise(F.lit(0)))
-                    .cast("double")
-                    / F.lit(float(n)),
-                    6,
-                ).alias("scan_frac"),
-            )
+        return blocks.agg(
+            F.lit(label).alias("layout"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(scanned.cast("long")).cast("bigint").alias(
+                "blocks_scanned"
+            ),
+            F.sum(
+                F.when(scanned, F.col("rows")).otherwise(F.lit(0))
+            ).cast("bigint").alias("rows_scanned"),
+            F.round(
+                F.sum(F.when(scanned, F.col("rows")).otherwise(F.lit(0)))
+                .cast("double")
+                / F.lit(float(n)),
+                6,
+            ).alias("scan_frac"),
         )
+
+    reports = _map_layouts(df.sparkSession, _layout_report, layouts)
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)
@@ -416,8 +437,9 @@ def zonemap_eq_prune_profile(
     vals = spark.createDataFrame(
         [(v,) for v in values], f"value {df.schema[pred_col].dataType.simpleString()}"
     )
-    reports = []
-    for label, order_cols in layouts:
+
+    def _layout_report(layout):
+        label, order_cols = layout
         numbered = global_row_number(
             df.select(F.col(pred_col).alias("_p"), *order_cols),
             list(order_cols),
@@ -437,7 +459,7 @@ def zonemap_eq_prune_profile(
         hit = (F.col("value") >= F.col("bmin")) & (
             F.col("value") <= F.col("bmax")
         )
-        reports.append(
+        return (
             blocks.crossJoin(F.broadcast(vals))
             .groupBy("value")
             .agg(
@@ -449,6 +471,8 @@ def zonemap_eq_prune_profile(
             )
             .select("layout", "value", "blocks_scanned", "rows_scanned")
         )
+
+    reports = _map_layouts(spark, _layout_report, layouts)
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)
