@@ -164,17 +164,40 @@ def connected_components(
     side over this relation plans with no Exchange, just a Sort). The
     shortcut join is node-sized on both sides."""
     labels = _nodes(edges).withColumn("component", F.col("node")).localCheckpoint()
+    # attached/memoized stats make this free; first unattached call
+    # probes once (node count over the checkpointed label frame +
+    # edge count) and memoizes on the relation
+    n, m = _edge_stats(edges, nodes=labels)
     if broadcast_labels is None:
-        # attached/memoized stats make this free; first unattached call
-        # probes once (node count over the checkpointed label frame +
-        # edge count) and memoizes on the relation
-        n, m = _edge_stats(edges, nodes=labels)
         broadcast_labels = n <= 10_000_000 and m >= 5 * n
+    # frontier-width the supersteps (the rules.py fixpoint pattern): on a
+    # small graph every per-superstep shuffle input is node/edge-sized,
+    # and session-width exchanges are pure scheduler overhead (measured
+    # ~1s/superstep on a 477-node pair graph at 32 partitions). The hint
+    # bounds EVERY shuffle input in the scoped plans (labels n, prop <=
+    # n, undirected edges <= 2m), so a big graph keeps the session width
+    # — and the exchange-reuse layout — untouched.
+    from unifydb_spark.query.rules import _frontier_checkpoint, _frontier_parts
+
+    spark = edges.sparkSession
+    hint = n + 2 * m
+    try:
+        session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        session_width = None
+    width = (
+        _frontier_parts(session_width, hint) if session_width else None
+    )
     # hash-partition the (static) edge relation on the per-superstep
-    # aggregate/join key ONCE
-    und = edges.select("src", "dst").unionByName(
+    # aggregate/join key ONCE, at the superstep width so the layout is
+    # reused (a width mismatch would re-exchange the edges every round)
+    key = "dst" if broadcast_labels else "src"
+    und_base = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().repartition("dst" if broadcast_labels else "src").persist()
+    ).distinct()
+    und = (
+        und_base.repartition(width, key) if width else und_base.repartition(key)
+    ).persist()
     # the edge cache feeds only the loop; the returned labels derive from a
     # checkpointed frame, so the finally-unpersist leaks nothing to callers
     try:
@@ -193,7 +216,8 @@ def connected_components(
             lab2 = merged.select(
                 F.col("node").alias("_jn"), F.col("component").alias("_jc")
             )
-            merged = (
+            merged = _frontier_checkpoint(
+                spark,
                 merged.join(
                     lab2, merged["component"] == lab2["_jn"], "left"
                 )
@@ -204,8 +228,8 @@ def connected_components(
                         F.col("component"),
                         F.coalesce(F.col("_jc"), F.col("component")),
                     ).alias("component"),
-                )
-                .localCheckpoint()
+                ),
+                hint,
             )
             supersteps += 1
             changed = (
