@@ -329,10 +329,16 @@ def kmeans_assign(
         ).withColumn("x", F.col("x").cast("double"))
     ).persist()
     # centroids as (cluster, dim, m) rows; init from the k lowest ids
+    # eager=False everywhere inside the loop: LogicalRDD plan truncation
+    # is identical, AQE still materializes every exchange stage at
+    # checkpoint-call time, but the result-count job and the extra
+    # cache-read pass per checkpoint disappear (one driver barrier per
+    # iteration instead of two). Only the RETURNED assignment is eager —
+    # the finally-unpersist below must not run before the chain resolves.
     cent = (
         ex.filter(F.col("vid") < k)
         .select(F.col("vid").alias("cluster"), "dim", F.col("x").alias("m"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # per-vector norms: exact decimal sums (order-independent)
     vnorm = ex.groupBy("vid").agg(
@@ -371,7 +377,7 @@ def kmeans_assign(
                 scored.withColumn("rn", F.row_number().over(w))
                 .filter("rn = 1")
                 .select("vid", "cluster")
-                .localCheckpoint()
+                .localCheckpoint(eager=(it == iters - 1))
             )
             if it < iters - 1:
                 # the final round's centroid update is dead computation —
@@ -388,7 +394,7 @@ def kmeans_assign(
                             / F.count("x")
                         ).alias("m")
                     )
-                    .localCheckpoint()
+                    .localCheckpoint(eager=False)
                 )
         return assign.select(F.col("vid").alias(id_col), "cluster")
     finally:
@@ -1298,12 +1304,15 @@ def pq_codes(
     # (hash(vid) satisfies the clustered distribution of any key set
     # containing vid)
     ex = tracked_persist(_by_vid(ex))
+    # intra-loop checkpoints are lazy (same plan truncation, one fewer
+    # driver job per iteration — see kmeans_assign); the returned final
+    # assignment stays eager
     cent = (
         ex.filter(F.col("vid") < k)
         .select(
             "subspace", F.col("vid").alias("cluster"), "sd", F.col("x").alias("m")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     vnorm = tracked_persist(
         ex.groupBy("vid", "subspace").agg(
@@ -1342,7 +1351,7 @@ def pq_codes(
             scored.withColumn("rn", F.row_number().over(w))
             .filter("rn = 1")
             .select("vid", "subspace", "cluster")
-            .localCheckpoint()
+            .localCheckpoint(eager=(it == iters - 1))
         )
         if it < iters - 1:
             # the final round's centroid update is dead computation —
@@ -1356,7 +1365,7 @@ def pq_codes(
                         / F.count("x")
                     ).alias("m")
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
     return assign.select(
         F.col("vid").alias(id_col),
@@ -1540,39 +1549,48 @@ def _coarse_kmeans_train(
     cent = (
         train_ex.filter(F.col("vid") < n_centroids * max(1, sample_stride))
         .select(F.col("vid").alias("centroid_id"), "d", F.col("x").alias("cx"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    # persist the per-vector norms: every iteration's _cosine_scored
+    # re-executes this corpus-side aggregate otherwise (exchange reuse
+    # does not cross checkpointed executions) — kmeans_assign/pq_codes
+    # already persist theirs
     vn = train_ex.groupBy("vid").agg(
         F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)"))
         .cast("double")
         .alias("vn2")
-    )
-    for _ in range(iters):
-        sc = _cosine_scored(train_ex, cent, vn)
-        a = (
-            sc.withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("vid").orderBy(
-                        F.col("cos").desc(), F.col("centroid_id")
-                    )
-                ),
+    ).persist()
+    try:
+        for it in range(iters):
+            sc = _cosine_scored(train_ex, cent, vn)
+            a = (
+                sc.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("vid").orderBy(
+                            F.col("cos").desc(), F.col("centroid_id")
+                        )
+                    ),
+                )
+                .filter("rn = 1")
+                .select("vid", "centroid_id")
             )
-            .filter("rn = 1")
-            .select("vid", "centroid_id")
-        )
-        cent = (
-            train_ex.join(a, "vid")
-            .groupBy("centroid_id", "d")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
-                    / F.count("x")
-                ).alias("cx")
+            # intermediate rounds are lazy (see kmeans_assign); the
+            # RETURNED means are eager so the unpersist below is safe
+            cent = (
+                train_ex.join(a, "vid")
+                .groupBy("centroid_id", "d")
+                .agg(
+                    (
+                        F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                        / F.count("x")
+                    ).alias("cx")
+                )
+                .localCheckpoint(eager=(it == iters - 1))
             )
-            .localCheckpoint()
-        )
-    return cent
+        return cent
+    finally:
+        vn.unpersist()
 
 
 def _cosine_scored(
@@ -1929,7 +1947,7 @@ def _pq_train(
             "sd",
             F.col("rx").alias("cm"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     codes = None
     for it in range(iters):
@@ -1954,12 +1972,14 @@ def _pq_train(
         wa = Window.partitionBy("vid", "subspace").orderBy(
             (F.col("cn2") - 2.0 * F.col("dot")).asc(), F.col("cluster")
         )
+        # intra-loop checkpoints are lazy (see kmeans_assign); the final
+        # codes stay eager — both returned values derive from them
         codes = (
             dots.join(F.broadcast(cn2), ["subspace", "cluster"])
             .withColumn("rn", F.row_number().over(wa))
             .filter("rn = 1")
             .select("vid", "subspace", F.col("cluster").alias("code"))
-            .localCheckpoint()
+            .localCheckpoint(eager=(it == iters - 1))
         )
         if it < iters - 1:
             cent = (
@@ -1976,7 +1996,7 @@ def _pq_train(
                         / F.count("rx")
                     ).alias("cm")
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
     cb = (
         rex.join(codes, ["vid", "subspace"])
