@@ -4192,11 +4192,23 @@ def feature_split_ranking(
     combinable groupBy + histogram-sized arithmetic, the r127
     contract) unioned into a features-sized relation; the base
     impurity is a 1-row broadcast; the rank window runs over
-    len(feature_cols) rows."""
+    len(feature_cols) rows.
+
+    The input is persisted for the report's lifetime (round-15, guide
+    §1.2/§5): each per-feature gini_split evaluates its own `per` AND
+    `tot` subtree and the base impurity adds one more — 2 * features + 1
+    independent scans of `df` in ONE plan (Catalyst does not share
+    common subtrees across union branches), so an expensive upstream
+    (e.g. the r133 gopher_rules join) would otherwise be recomputed
+    9x for 4 features. Callers scope the cache via persist_scope /
+    release_persisted (the tracked_persist contract)."""
     from functools import reduce
 
     from pyspark.sql import Window
 
+    from unifydb_spark.resources import tracked_persist
+
+    df = tracked_persist(df)
     best = None
     parts = []
     for fcol in feature_cols:

@@ -2274,14 +2274,16 @@ def corpus_card(
     )
     j = base.crossJoin(F.broadcast(top_lang)).crossJoin(F.broadcast(vocab))
 
-    def row(name, col):
-        return j.select(
-            F.lit(name).alias("metric"), F.round(col, 6).alias("value")
-        )
-
+    # ONE evaluation of the 1-row joined aggregate, exploded to the
+    # long format (round-15, guide §1.2): the former per-metric
+    # union re-evaluated the whole j subtree — 3 aggregate passes over
+    # per_doc + 2 broadcasts — once PER METRIC (11x; Catalyst does not
+    # share common subtrees across union branches; measured 91 Spark
+    # jobs for an 11-row report). Same metric names, same rounded
+    # expressions, same rows — order irrelevant (long format).
     nd = F.col("n_docs").cast("double")
-    out = row("n_docs", nd)
-    for name, col in [
+    metrics = [
+        ("n_docs", nd),
         ("n_tokens", F.col("n_tokens").cast("double")),
         ("n_chars", F.col("n_chars").cast("double")),
         ("exact_dup_rate",
@@ -2294,9 +2296,18 @@ def corpus_card(
         ("vocab_size", F.col("vocab").cast("double")),
         ("type_token_ratio",
          F.col("vocab").cast("double") / F.col("n_tokens").cast("double")),
-    ]:
-        out = out.unionByName(row(name, col))
-    return out
+    ]
+    return j.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(name).alias("metric"),
+                    F.round(col, 6).cast("double").alias("value"),
+                )
+                for name, col in metrics
+            ])
+        ).alias("m")
+    ).select("m.metric", "m.value")
 
 
 def corpus_card_sql(
