@@ -1738,6 +1738,47 @@ def test_srm_by_segment_finds_broken_segment(spark):
     assert out["ok"]["n_arm0"] + out["ok"]["n_arm1"] == 200
 
 
+def test_feature_ranking_persists_input_once(spark):
+    """round-15 batch 10: feature_split_ranking scans its input 2x per
+    feature + 1 (Catalyst shares no subtrees across union branches), so
+    the input must be persisted — the report's plan reads the cached
+    relation, not N re-evaluations of the upstream."""
+    from unifydb_spark.operators.stats import feature_split_ranking
+    from unifydb_spark.resources import release_persisted
+
+    rows = [(float(i), float(i % 2), i < 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "sep double, noise double, y boolean")
+    try:
+        out = feature_split_ranking(df, ["sep", "noise"], F.col("y"))
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan, plan[:500]
+        assert out.count() == 2  # still computes through the cache
+    finally:
+        release_persisted()
+
+
+def test_corpus_card_single_aggregate_evaluation(spark):
+    """round-15 batch 10: the 11 metric rows come from ONE evaluation of
+    the joined 1-row aggregate exploded to long format — not a
+    per-metric union re-running the aggregation subtree (was 91 Spark
+    jobs for an 11-row report)."""
+    from unifydb_spark.operators.text import corpus_card
+    from unifydb_spark.resources import release_persisted
+
+    rows = [(1, "a b", "en", "s1"), (2, "c", "fr", "s2")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    try:
+        out = corpus_card(docs)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "Union" not in plan, plan[:500]
+        # exactly one metric-row explode (the vocab branch's token
+        # explode is the only other Generate in the plan)
+        assert plan.count("explode(array(struct(metric") == 1, plan[:500]
+        assert out.count() == 11
+    finally:
+        release_persisted()
+
+
 def test_feature_ranking_orders_by_gain(spark):
     """r133: a perfectly separating feature ranks first with gain =
     base impurity; an uninformative constant feature ranks last with
