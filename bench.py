@@ -957,37 +957,91 @@ def main():
         "sf": sf,
     }
     print(json.dumps(out))
-    # Driver-artifact self-defense (VERDICT r7): with 140+ queries the
-    # full line outgrows the driver's tail capture, truncating the
-    # metric/value prefix. A second SHORT headline-only line last keeps
-    # the total inside any tail window.
+    # Driver-artifact self-defense (VERDICT r7/r15): the driver captures
+    # only the LAST ~2000 chars of stdout and parses the last complete
+    # JSON line inside that window (BENCH_r13/r14 failed to parse because
+    # unbounded solo_retimes pushed this line past the window, truncating
+    # its head). The final line is therefore BYTE-BUDGETED: embedded
+    # lists are capped (with *_n totals so nothing is silently dropped)
+    # and the remaining budget carries a compact per-entry
+    # {median, jobs} map, most-expensive entries first (VERDICT r15 ask
+    # #2 — the driver's PERF per-query comparison parses this line; the
+    # COMPLETE per-entry map is always in the full line above and in the
+    # committed BENCH_REF.json).
     print(
         json.dumps(
-            {
-                "metric": "headline_query_total",
-                "value": out["value"],
-                "unit": "sec",
-                "n": len(times),
-                "sf": sf,
-                "median": out["median"],
-                "iqr": out["iqr"],
-                "tail_rel_iqr_p90": tail_p90,
-                "quotable": quotable,
-                "runs": runs,
-                # flagged per-query drifts vs the committed BENCH_REF
-                # (>=1.5x on >=1s entries) with source-change
-                # adjudication — small, so it survives tail truncation
-                "regressions": regressions,
-                # end-of-run n=2 re-times of the flags (unquotable runs
-                # only): the run's own counter-evidence for host noise
-                "solo_retimes": solo_retimes,
-                # plan-shape drift (job count moved >=2 vs ref) — the
-                # load-insensitive early signal, meaningful even on
-                # unquotable runs
-                "jobs_drift": (reg_ref or {}).get("jobs_drift", []),
-            }
+            _tail_line(
+                out, times, jobcounts, regressions, solo_retimes,
+                (reg_ref or {}).get("jobs_drift", []),
+            )
         )
     )
+
+
+# Hard cap on the final printed line: the driver's stdout tail window is
+# 2000 chars (measured: BENCH_r13/r14 tails truncate at exactly 2000 and
+# failed to parse; BENCH_r15's short line fit and parsed). 1900 leaves
+# margin for the newline and any window off-by-ones.
+TAIL_LINE_BUDGET = 1900
+
+
+def _tail_line(
+    out: dict,
+    times: dict,
+    jobcounts: dict,
+    regressions: list,
+    solo_retimes: dict,
+    jobs_drift: list,
+    budget: int = TAIL_LINE_BUDGET,
+) -> dict:
+    """Build the final short JSON line under a byte budget. Priority:
+    headline fields always; regressions/solo_retimes/jobs_drift capped at
+    3 entries when the full lists don't fit (totals preserved in *_n);
+    then per_query {name: {median, jobs}} entries greedily, most
+    expensive first, until the budget is reached."""
+    line = {
+        "metric": "headline_query_total",
+        "value": out["value"],
+        "unit": "sec",
+        "n": len(times),
+        "sf": out["sf"],
+        "median": out["median"],
+        "iqr": out["iqr"],
+        "tail_rel_iqr_p90": out["tail_rel_iqr_p90"],
+        "quotable": out["quotable"],
+        "runs": out["runs"],
+        "regressions": regressions,
+        "solo_retimes": solo_retimes,
+        "jobs_drift": jobs_drift,
+    }
+    if len(json.dumps(line)) > budget:
+        # cap the adjudication lists (worst offenders first), keeping
+        # the true totals visible
+        line["regressions"] = sorted(
+            regressions, key=lambda r: -r["ratio"]
+        )[:3]
+        line["regressions_n"] = len(regressions)
+        kept = {r["name"] for r in line["regressions"]}
+        line["solo_retimes"] = {
+            k: v for k, v in solo_retimes.items() if k in kept
+        }
+        line["solo_retimes_n"] = len(solo_retimes)
+        line["jobs_drift"] = jobs_drift[:3]
+        line["jobs_drift_n"] = len(jobs_drift)
+    # fill what's left with per-entry medians+jobs, most expensive first
+    # (the driver's per-query round-over-round comparison reads these;
+    # the cheap tail lives in the full line / BENCH_REF)
+    per_query: dict = {}
+    line["per_query"] = per_query
+    line["per_query_n"] = 0
+    line["per_query_total"] = len(times)
+    for name in sorted(times, key=lambda n: -times[n]):
+        per_query[name] = {"median": times[name], "jobs": jobcounts.get(name)}
+        if len(json.dumps(line)) > budget:
+            del per_query[name]
+            break
+        line["per_query_n"] = len(per_query)
+    return line
 
 
 if __name__ == "__main__":

@@ -363,3 +363,70 @@ def test_bench_jobs_drift_report(tmp_path):
         {"q01_pricing_summary": 2.1}, {"q01_pricing_summary": 3}, sf=0.1
     )
     assert "jobs_drift" not in meta2
+
+
+def test_bench_tail_line_byte_budget():
+    """Round-16 (VERDICT r15 ask #2): the driver parses the LAST complete
+    JSON line inside a ~2000-char stdout tail (BENCH_r13/r14 failed to
+    parse because unbounded solo_retimes pushed the final line past the
+    window). The final line must (a) always stay under the budget, even
+    with pathological regression lists, (b) carry a non-empty compact
+    per_query {median, jobs} map, most expensive entries first, and
+    (c) preserve the headline fields the driver has always read."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    times = {f"r{i:03d}_synthetic_entry_name": round(0.5 + i * 0.07, 3)
+             for i in range(211)}
+    jobs = {n: 10 + i for i, n in enumerate(sorted(times))}
+    out = {"value": round(sum(times.values()), 3), "median": 1.0,
+           "iqr": 0.5, "tail_rel_iqr_p90": 0.1, "quotable": True,
+           "runs": 3, "sf": 0.1}
+
+    # the good case: no flags -> budget goes to per_query
+    line = bench._tail_line(out, times, jobs, [], {}, [])
+    s = json.dumps(line)
+    assert len(s) <= bench.TAIL_LINE_BUDGET
+    assert json.loads(s) == line  # round-trips
+    assert line["per_query_n"] == len(line["per_query"]) > 0
+    assert line["per_query_total"] == 211
+    # most expensive entries included, each carrying median + jobs
+    top = max(times, key=times.get)
+    assert line["per_query"][top] == {
+        "median": times[top], "jobs": jobs[top]
+    }
+    assert all(
+        set(v) == {"median", "jobs"} for v in line["per_query"].values()
+    )
+    included = set(line["per_query"])
+    floor = min(times[n] for n in included)
+    assert all(times[n] <= floor for n in times if n not in included)
+    for k in ("metric", "value", "n", "sf", "quotable", "runs"):
+        assert k in line
+
+    # the r13/r14 failure mode: 60 flagged regressions with solo retimes
+    regs = [
+        {"name": n, "ref_median": 2.0, "median": 4.0,
+         "ratio": round(2.0 + i * 0.01, 2), "jobs": 9, "ref_jobs": 9,
+         "source_changed": False}
+        for i, n in enumerate(sorted(times)[:60])
+    ]
+    solos = {r["name"]: {"reps": [3.9, 4.1], "median": 4.0, "jobs": 9,
+                         "ratio": 2.0} for r in regs}
+    drift = [{"name": r["name"], "jobs": 11, "ref_jobs": 9,
+              "flagged_by_time": True} for r in regs]
+    line2 = bench._tail_line(out, times, jobs, regs, solos, drift)
+    s2 = json.dumps(line2)
+    assert len(s2) <= bench.TAIL_LINE_BUDGET
+    assert line2["regressions_n"] == 60 and len(line2["regressions"]) == 3
+    # capped list keeps the WORST ratios
+    assert [r["ratio"] for r in line2["regressions"]] == [2.59, 2.58, 2.57]
+    assert line2["solo_retimes_n"] == 60
+    assert set(line2["solo_retimes"]) == {r["name"] for r in line2["regressions"]}
+    assert line2["jobs_drift_n"] == 60 and len(line2["jobs_drift"]) == 3
+    # per_query still present (smaller, but never empty)
+    assert line2["per_query_n"] == len(line2["per_query"]) > 0
