@@ -182,7 +182,12 @@ def ann_topk_where_table_fn(
                 .join(cand_ids.select(F.col("nid").alias("v_long")), "v_long")
                 .select("e", F.col("v_long").alias("nid"))
             )
-            ent = F.broadcast(ids.select("e").distinct())
+            # every relation below is consumed ONLY as a semi-join build
+            # or probe side, where row multiplicity is irrelevant — no
+            # distinct exchanges (round-16: each dropped distinct was a
+            # full AQE exchange stage on a <= |cand|-bounded relation,
+            # pure scheduler latency at any scale)
+            ent = F.broadcast(ids.select("e"))
             surv = None
             for attr, cond in preds:
                 hit = (
@@ -190,7 +195,6 @@ def ann_topk_where_table_fn(
                     .filter(cond)
                     .select("e")
                     .join(ent, "e", "left_semi")
-                    .distinct()
                 )
                 surv = (
                     hit

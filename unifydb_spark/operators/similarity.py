@@ -2019,6 +2019,7 @@ def _adc_scored(
     qex: DataFrame,
     residual: bool,
     code_id_col: str,
+    qc: "DataFrame | None" = None,
 ) -> DataFrame:
     """The ADC scoring kernel shared by :func:`ivf_pq_topk` (the
     oracle-graded evaluation) and :func:`ivf_pq_search` (the persisted
@@ -2028,7 +2029,14 @@ def _adc_scored(
     mval), `cex` exploded centroids (centroid_id, d, cx), `cand`
     candidates (query_id, centroid_id, nid), `qex` exploded queries
     (query_id, d, qx). Output: (query_id, nid, score) with score =
-    q·c + q·r̂ (residual) or q·x̂ (raw), DECIMAL folds, double add."""
+    q·c + q·r̂ (residual) or q·x̂ (raw), DECIMAL folds, double add.
+
+    `qc` (round-16): a precomputed (query_id, centroid_id, qcdot)
+    relation for the residual term. The q·c dots are EXACTLY the probe
+    ranking's dot aggregate (same decimal fold over the same rows), so
+    callers that already ranked probes pass them in instead of paying a
+    second qex×cex aggregate in the executed plan; None keeps the
+    self-computed fold (bit-identical by construction)."""
     # candidate-FIRST join order: restrict the corpus-sized codes to the
     # probed candidates before attaching the codebook values. The former
     # shape (codes x codebook first, candidates second) reconstructed
@@ -2058,16 +2066,17 @@ def _adc_scored(
         return rdot.select(
             "query_id", "nid", F.col("rdot").alias("score")
         )
-    qc = (
-        qex.join(cex, "d")
-        .groupBy("query_id", "centroid_id")
-        .agg(
-            F.sum((F.col("qx") * F.col("cx")).cast("decimal(38,18)"))
-            .cast("double")
-            .alias("qcdot")
+    if qc is None:
+        qc = (
+            qex.join(cex, "d")
+            .groupBy("query_id", "centroid_id")
+            .agg(
+                F.sum((F.col("qx") * F.col("cx")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("qcdot")
+            )
         )
-    )
-    return rdot.join(qc, ["query_id", "centroid_id"]).select(
+    return rdot.join(F.broadcast(qc), ["query_id", "centroid_id"]).select(
         "query_id", "nid", (F.col("qcdot") + F.col("rdot")).alias("score")
     )
 
@@ -2621,6 +2630,61 @@ def ivf_pq_index_maybe_maintain(
     return report
 
 
+def _local_rel(spark, schema, rows) -> DataFrame:
+    """A small collected row set as a PURE-EXPRESSION local relation —
+    `range(0,1,1,1).select(explode(array(named_struct...)))`, the
+    compiler's literal-key pattern. Two costs this dodges (round-16,
+    both measured): `spark.createDataFrame` builds an RDD-backed frame
+    spread over defaultParallelism partitions, so every downstream
+    action schedules a cores-wide stage of near-empty tasks just to
+    read a handful of literal rows; and building the array per-field
+    through Column objects costs ~300 py4j round trips (~0.5 s of
+    driver time per call at 32 rows) where ONE parsed SQL expression
+    costs ~0.08 s. Exactness: integral values embed as literals;
+    doubles embed as CAST('<repr>' AS DOUBLE) — Python repr is the
+    shortest round-tripping decimal, so the parsed double is
+    bit-identical to the collected one (NaN/±Infinity spelled
+    explicitly)."""
+    from pyspark.sql import types as T
+
+    if not rows or not all(
+        isinstance(f.dataType, (T.LongType, T.IntegerType, T.DoubleType))
+        for f in schema.fields
+    ):
+        return spark.createDataFrame(list(rows), schema=schema)
+
+    def _sql_lit(v, dt):
+        sql_t = dt.simpleString().upper()
+        if v is None:
+            return f"CAST(NULL AS {sql_t})"
+        if isinstance(dt, T.DoubleType):
+            if v != v:
+                s = "'NaN'"
+            elif v == float("inf"):
+                s = "'Infinity'"
+            elif v == float("-inf"):
+                s = "'-Infinity'"
+            else:
+                s = f"'{v!r}'"
+            return f"CAST({s} AS DOUBLE)"
+        return f"CAST({int(v)} AS {sql_t})"
+
+    items = ",".join(
+        "named_struct("
+        + ",".join(
+            f"'{f.name}', {_sql_lit(row[f.name], f.dataType)}"
+            for f in schema.fields
+        )
+        + ")"
+        for row in rows
+    )
+    return (
+        spark.range(0, 1, 1, 1)
+        .select(F.expr(f"explode(array({items}))").alias("__r"))
+        .select(*[F.col(f"__r.{f.name}").alias(f.name) for f in schema.fields])
+    )
+
+
 def ivf_pq_search(
     queries: DataFrame,
     index: dict,
@@ -2686,48 +2750,57 @@ def ivf_pq_search(
 
     qex = tracked_persist(qex)
     # probe ranking by cosine against the broadcast centroids (decimal
-    # folds over exploded dims — order-independent)
-    qn = qex.groupBy("query_id").agg(
-        F.sum((F.col("qx") * F.col("qx")).cast("decimal(38,18)"))
-        .cast("double")
-        .alias("qn2")
-    )
-    cn = cex.groupBy("centroid_id").agg(
-        F.sum((F.col("cx") * F.col("cx")).cast("decimal(38,18)"))
-        .cast("double")
-        .alias("cn2")
-    )
+    # folds over exploded dims — order-independent). ONE fused aggregate
+    # (round-16): the join on d gives each (query, centroid) group every
+    # dim exactly once, so the query/centroid norms are the SAME exact
+    # decimal sums the former separate qn/cn aggregates produced —
+    # grouping/order cannot change an exact DECIMAL(38,18) fold — with
+    # two aggregate subtrees and two joins gone from the plan.
     qcdots = (
         qex.join(cex, "d")
         .groupBy("query_id", "centroid_id")
         .agg(
             F.sum((F.col("qx") * F.col("cx")).cast("decimal(38,18)"))
             .cast("double")
-            .alias("dot")
+            .alias("dot"),
+            F.sum((F.col("qx") * F.col("qx")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("qn2"),
+            F.sum((F.col("cx") * F.col("cx")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("cn2"),
         )
-        .join(qn, "query_id")
-        .join(cn, "centroid_id")
         .withColumn("qccos", F.col("dot") / (F.sqrt("qn2") * F.sqrt("cn2")))
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("qccos").desc(), F.col("centroid_id")
     )
-    probes = (
+    probes_lazy = (
         qcdots.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "centroid_id")
+        .select("query_id", "centroid_id", "dot")
     )
+    # The probe relation is query metadata (n_queries x nprobe rows) and
+    # this collect has ALWAYS run (the bucket ids must become a literal
+    # partition filter). Round-16: keep the collected rows as a LOCAL
+    # literal relation instead of re-executing the ranking subtree inside
+    # the final plan — the probe pipeline (persist fill + fused aggregate
+    # + window) runs exactly once, and the carried `dot` column IS the
+    # q·c term the residual ADC scorer needs (same fold, same rows), so
+    # the scorer's own qex×cex aggregate disappears too. Values are the
+    # rows the plan produced — bit-identical by construction.
+    probe_rows = probes_lazy.collect()
+    probes = F.broadcast(_local_rel(spark, probes_lazy.schema, probe_rows))
     # the probed bucket ids are metadata (n_queries x nprobe ints); as a
     # LITERAL isin filter they reach the codes scan as PartitionFilters
-    bucket_ids = sorted(
-        {r["centroid_id"] for r in probes.collect()}
-    )
+    bucket_ids = sorted({r["centroid_id"] for r in probe_rows})
     codes = spark.read.parquet(f"{path}/codes").filter(
         F.col("centroid_id").isin(bucket_ids)
     )
     cand = (
-        F.broadcast(probes)
-        .join(codes.select("vid", "centroid_id").distinct(), "centroid_id")
+        probes.join(
+            codes.select("vid", "centroid_id").distinct(), "centroid_id"
+        )
         .select("query_id", "centroid_id", F.col("vid").alias("nid"))
     )
     if allowed is not None:
@@ -2746,7 +2819,9 @@ def ivf_pq_search(
 
             cand = tracked_persist(cand)
             cand_ids = F.broadcast(cand.select("nid").distinct())
-            allowed_hit = allowed(cand_ids).select("nid").distinct()
+            # the returned allowed set is ONLY a semi-join build side —
+            # duplicates are irrelevant, so no distinct exchange
+            allowed_hit = allowed(cand_ids).select("nid")
             cand = cand.join(F.broadcast(allowed_hit), "nid", "left_semi")
         elif "query_id" in allowed.columns:
             # PAIRS form (round-15): a PER-QUERY allowed set —
@@ -2771,7 +2846,18 @@ def ivf_pq_search(
             # (the Datalog surface does).
             allow = allowed.select(F.col(id_col).cast("long").alias("nid"))
             cand = cand.join(allow, "nid", "left_semi")
-    scored = _adc_scored(codes, cb, cex, cand, qex, residual, "vid")
+    scored = _adc_scored(
+        codes,
+        cb,
+        cex,
+        cand,
+        qex,
+        residual,
+        "vid",
+        qc=probes.select(
+            "query_id", "centroid_id", F.col("dot").alias("qcdot")
+        ),
+    )
     wt = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("nid")
     )
