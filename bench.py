@@ -480,6 +480,58 @@ def _read_loadavg() -> tuple:
     return float(parts[0]), float(parts[1])
 
 
+# ---- CPU-steal self-labeling (round 16) -----------------------------------
+#
+# On this shared VM the hypervisor can take a steady share of every core
+# (measured: 19.4% steal under full load while loadavg read 0.05 and
+# canary IQRs stayed tight — constant theft inflates LEVELS, not spread,
+# so neither the load gate nor the IQR gates can see it). A "quotable"
+# run captured in such a window would refresh BENCH_REF with uniformly
+# inflated medians. The run therefore measures its own steal share from
+# /proc/stat across the whole timed region and self-labels: steal above
+# SPARK_GRAFT_STEAL_QUOTE_MAX (default 10%) marks the run unquotable.
+# The launch gate also waits for instantaneous steal below
+# SPARK_GRAFT_STEAL_MAX (default 5%) alongside the loadavg thresholds.
+
+STEAL_GATE_MAX = 0.05
+STEAL_QUOTE_MAX = 0.10
+
+
+def _read_cpu_ticks() -> "tuple[int, int] | None":
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu line;
+    None when unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+    except OSError:
+        return None
+    if not parts or parts[0] != "cpu":
+        return None
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _steal_share(before, after) -> "float | None":
+    """Steal fraction of all CPU ticks between two _read_cpu_ticks
+    samples; None when either sample is missing or no time passed."""
+    if before is None or after is None:
+        return None
+    dsteal = after[0] - before[0]
+    dtotal = after[1] - before[1]
+    if dtotal <= 0:
+        return None
+    return dsteal / dtotal
+
+
+def _sample_steal(interval: float = 1.0) -> "float | None":
+    a = _read_cpu_ticks()
+    if a is None:
+        return None
+    time.sleep(interval)
+    return _steal_share(a, _read_cpu_ticks())
+
+
 def _wait_for_quiet() -> dict:
     """Block until the host is quiet (or timeout). Runs BEFORE the
     SparkSession starts so the bench's own JVM never counts against the
@@ -489,31 +541,40 @@ def _wait_for_quiet() -> dict:
     max_1m = float(os.environ.get("SPARK_GRAFT_LOAD_MAX_1M", LOAD_MAX_1M))
     max_5m = float(os.environ.get("SPARK_GRAFT_LOAD_MAX_5M", LOAD_MAX_5M))
     timeout = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_TIMEOUT", "900"))
+    max_steal = float(
+        os.environ.get("SPARK_GRAFT_STEAL_MAX", STEAL_GATE_MAX)
+    )
     t0 = time.time()
     try:
         one, five = _read_loadavg()
     except OSError:  # non-Linux: no /proc — gate is a no-op
         return {"enabled": False}
-    while not _load_ok(one, five, max_1m, max_5m):
+    steal = _sample_steal()
+    while not _load_ok(one, five, max_1m, max_5m) or (
+        steal is not None and steal > max_steal
+    ):
         if time.time() - t0 >= timeout:
             return {
                 "enabled": True,
                 "satisfied": False,
                 "waited_s": round(time.time() - t0, 1),
                 "loadavg": [one, five],
+                "steal": round(steal, 4) if steal is not None else None,
             }
         print(
             f"# load gate: waiting (1m {one} >= {max_1m} or 5m {five} >= "
-            f"{max_5m})",
+            f"{max_5m} or steal {steal} > {max_steal})",
             file=sys.stderr,
         )
         time.sleep(10)
         one, five = _read_loadavg()
+        steal = _sample_steal()
     return {
         "enabled": True,
         "satisfied": True,
         "waited_s": round(time.time() - t0, 1),
         "loadavg": [one, five],
+        "steal": round(steal, 4) if steal is not None else None,
     }
 
 
@@ -843,6 +904,7 @@ def main():
 
     # noise canary first: 5 cheap pure-Column queries x 5 reps; their IQR
     # measures the host, gating whether this run's wall-clock is quotable
+    cpu_t0 = _read_cpu_ticks()
     canary = {}
     quotable = True
     for name in CANARY:
@@ -893,6 +955,14 @@ def main():
         round(rels[max(0, -(-9 * len(rels) // 10) - 1)], 3) if rels else 0.0
     )
     if runs >= 2 and tail_p90 > CANARY_RELATIVE_IQR_GATE:
+        quotable = False
+    # run-wide CPU steal share (round 16): steady hypervisor theft
+    # inflates every median uniformly without widening any IQR — the one
+    # noise mode the canary/tail gates are blind to. Self-label it.
+    steal_share = _steal_share(cpu_t0, _read_cpu_ticks())
+    if steal_share is not None and steal_share > float(
+        os.environ.get("SPARK_GRAFT_STEAL_QUOTE_MAX", STEAL_QUOTE_MAX)
+    ):
         quotable = False
 
     regressions, reg_ref = _adjudicate_regressions(times, jobcounts, sf)
@@ -946,6 +1016,9 @@ def main():
         "tail_rel_iqr_p90": tail_p90,
         "quotable": quotable,
         "canary": canary,
+        "steal_share": round(steal_share, 4)
+        if steal_share is not None
+        else None,
         "load_gate": load_gate,
         "runs": runs,
         "subset": sorted(names) if only else None,
@@ -1009,6 +1082,7 @@ def _tail_line(
         "iqr": out["iqr"],
         "tail_rel_iqr_p90": out["tail_rel_iqr_p90"],
         "quotable": out["quotable"],
+        "steal_share": out.get("steal_share"),
         "runs": out["runs"],
         "regressions": regressions,
         "solo_retimes": solo_retimes,

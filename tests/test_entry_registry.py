@@ -430,3 +430,30 @@ def test_bench_tail_line_byte_budget():
     assert line2["jobs_drift_n"] == 60 and len(line2["jobs_drift"]) == 3
     # per_query still present (smaller, but never empty)
     assert line2["per_query_n"] == len(line2["per_query"]) > 0
+
+
+def test_bench_steal_share_self_label():
+    """Round-16: steady hypervisor CPU steal inflates every median
+    uniformly without widening any IQR — the canary/tail gates are blind
+    to it (measured: 19.4% steal under full load while loadavg read 0.05
+    and a 'quotable' run's canaries sat 2-4x their reference levels).
+    The bench samples /proc/stat around the timed region and self-labels
+    via steal_share; the helpers must handle missing samples."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # (steal, total) tick pairs: 200 steal ticks of 1000 total = 20%
+    assert bench._steal_share((100, 5000), (300, 6000)) == 0.2
+    assert bench._steal_share((100, 5000), (100, 6000)) == 0.0
+    # missing samples / no elapsed ticks -> None, never a crash
+    assert bench._steal_share(None, (1, 2)) is None
+    assert bench._steal_share((1, 2), None) is None
+    assert bench._steal_share((1, 2), (1, 2)) is None
+    # the live reader returns a plausible pair on Linux
+    ticks = bench._read_cpu_ticks()
+    if ticks is not None:
+        steal, total = ticks
+        assert 0 <= steal <= total
