@@ -1757,6 +1757,41 @@ def test_feature_ranking_persists_input_once(spark):
         release_persisted()
 
 
+def test_feature_ranking_narrow_cache_and_caller_persist(spark):
+    """round-16 (round-15 ADVICE): the report caches a NARROW projection
+    (feature cols + the label evaluated once), never the caller's frame —
+    so (a) a caller who already persisted the input at a non-default
+    StorageLevel doesn't hit Spark's re-persist error, and (b) the cache
+    excludes columns the report never reads."""
+    from pyspark import StorageLevel
+
+    from unifydb_spark.operators.stats import feature_split_ranking
+    from unifydb_spark.resources import release_persisted
+
+    rows = [(float(i), float(i % 2), "x" * 100, i < 10) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "sep double, noise double, payload string, y boolean"
+    )
+    df.persist(StorageLevel.DISK_ONLY)
+    try:
+        out = feature_split_ranking(df, ["sep", "noise"], F.col("y"))
+        assert out.count() == 2  # no 'already persisted' error
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        # the report's own cached relation is the NARROW projection with
+        # the precomputed label (the caller's wide DISK_ONLY cache may
+        # legitimately print nested inside it as the projection's source)
+        imr = [l for l in plan.splitlines() if "InMemoryRelation" in l]
+        assert any(
+            "__fsr_label" in l and "payload" not in l for l in imr
+        ), plan[:800]
+        # ranking values are unchanged by the projection
+        got = {r["feature"]: r["rank"] for r in out.collect()}
+        assert got == {"sep": 1, "noise": 2}
+    finally:
+        df.unpersist()
+        release_persisted()
+
+
 def test_corpus_card_single_aggregate_evaluation(spark):
     """round-15 batch 10: the 11 metric rows come from ONE evaluation of
     the joined 1-row aggregate exploded to long format — not a
@@ -1769,11 +1804,20 @@ def test_corpus_card_single_aggregate_evaluation(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
     try:
         out = corpus_card(docs)
-        plan = out._jdf.queryExecution().optimizedPlan().toString()
-        assert "Union" not in plan, plan[:500]
-        # exactly one metric-row explode (the vocab branch's token
-        # explode is the only other Generate in the plan)
-        assert plan.count("explode(array(struct(metric") == 1, plan[:500]
+        jplan = out._jdf.queryExecution().optimizedPlan()
+        # walk the tree for node CLASSES (round-15 ADVICE: expression
+        # spellings in toString() flake across Spark versions): no Union
+        # node anywhere, and exactly the two Generate nodes — the metric
+        # explode + the vocab branch's token explode
+        def nodes(p):
+            out = [p.nodeName()]
+            for i in range(p.children().size()):
+                out += nodes(p.children().apply(i))
+            # subqueries/CTEs don't matter for this shape
+            return out
+        names = nodes(jplan)
+        assert "Union" not in names, names
+        assert names.count("Generate") == 2, names
         assert out.count() == 11
     finally:
         release_persisted()

@@ -4200,15 +4200,22 @@ def feature_split_ranking(
     independent scans of `df` in ONE plan (Catalyst does not share
     common subtrees across union branches), so an expensive upstream
     (e.g. the r133 gopher_rules join) would otherwise be recomputed
-    9x for 4 features. Callers scope the cache via persist_scope /
-    release_persisted (the tracked_persist contract)."""
+    9x for 4 features. Round-16 (ADVICE): what is cached is a NARROW
+    projection — the feature columns plus the label expression
+    evaluated once — not the caller's full frame, so the cache holds
+    only the bytes the report reads, and persisting a fresh derived
+    frame can never collide with a caller's own persist level on `df`.
+    Callers scope the cache via persist_scope / release_persisted (the
+    tracked_persist contract)."""
     from functools import reduce
 
     from pyspark.sql import Window
 
     from unifydb_spark.resources import tracked_persist
 
-    df = tracked_persist(df)
+    label = F.when(label_col, True).otherwise(False).alias("__fsr_label")
+    df = tracked_persist(df.select(*feature_cols, label))
+    label_col = F.col("__fsr_label")
     best = None
     parts = []
     for fcol in feature_cols:
